@@ -1,0 +1,104 @@
+"""MySQL-semantics scalar shims as Column expressions.
+
+Reference semantics (SURVEY.md §2.4):
+- Division: MySQL returns NULL on division by zero (reference tidbDivide,
+  dbms/src/Functions/DivisionUtils.h) — Spark's `/` already yields NULL for
+  x/0 under non-ANSI mode, but integer div and mod need explicit guards.
+- DATE_FORMAT uses MySQL % tokens (reference dateFormat in
+  dbms/src/Functions/FunctionsDateTime.cpp); Spark uses Java patterns —
+  mysql_date_format translates the common token set.
+- IF/IFNULL/ELT mirror FunctionsConditional.cpp / FunctionsString.cpp `elt`.
+
+All shims are pure Column expressions → whole-stage codegen, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# MySQL DATE_FORMAT token → Java SimpleDateFormat-ish pattern used by Spark.
+_MYSQL_TOKENS = [
+    ("%Y", "yyyy"),
+    ("%y", "yy"),
+    ("%m", "MM"),
+    ("%c", "M"),
+    ("%d", "dd"),
+    ("%e", "d"),
+    ("%H", "HH"),
+    ("%k", "H"),
+    ("%h", "hh"),
+    ("%l", "h"),
+    ("%i", "mm"),
+    ("%s", "ss"),
+    ("%S", "ss"),
+    ("%f", "SSSSSS"),
+    ("%p", "a"),
+    ("%W", "EEEE"),
+    ("%a", "EEE"),
+    ("%M", "MMMM"),
+    ("%b", "MMM"),
+    ("%j", "DDD"),
+    ("%T", "HH:mm:ss"),
+]
+
+
+def mysql_format_to_spark(fmt: str) -> str:
+    """Translate a MySQL DATE_FORMAT pattern into a Spark datetime pattern."""
+    out = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i : i + 2]
+            for mysql_tok, spark_tok in _MYSQL_TOKENS:
+                if tok == mysql_tok:
+                    out.append(spark_tok)
+                    break
+            else:
+                if tok == "%%":
+                    out.append("%")
+                else:
+                    out.append(f"'{fmt[i + 1]}'")
+            i += 2
+        else:
+            # literal chars that collide with pattern letters must be quoted
+            ch = fmt[i]
+            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            i += 1
+    return "".join(out)
+
+
+def mysql_date_format(col: Column | str, mysql_fmt: str) -> Column:
+    """MySQL DATE_FORMAT(col, '%Y-%m-%d') on Spark."""
+    return F.date_format(col, mysql_format_to_spark(mysql_fmt))
+
+
+def mysql_div(a: Column, b: Column) -> Column:
+    """MySQL integer DIV: NULL on zero divisor, truncated quotient."""
+    return F.when(b == 0, F.lit(None)).otherwise(
+        (a - a % b) / b
+    ).cast("long")
+
+
+def mysql_mod(a: Column, b: Column) -> Column:
+    """MySQL %: NULL on zero divisor; result sign follows the dividend."""
+    return F.when(b == 0, F.lit(None)).otherwise(a % b)
+
+
+def mysql_if(cond: Column, then: Column, other: Column) -> Column:
+    """MySQL IF(cond, a, b) — reference multiIf (FunctionsConditional.cpp)."""
+    return F.when(cond, then).otherwise(other)
+
+
+def mysql_ifnull(a: Column, b: Column) -> Column:
+    return F.coalesce(a, b)
+
+
+def mysql_elt(idx: Column, *choices: Column) -> Column:
+    """MySQL ELT(n, a, b, ...) — 1-based pick, NULL out of range
+    (reference Functions/FunctionsString.cpp elt)."""
+    expr = F.lit(None)
+    for i, choice in enumerate(reversed(choices)):
+        n = len(choices) - i
+        expr = F.when(idx == n, choice).otherwise(expr)
+    return expr

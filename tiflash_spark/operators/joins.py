@@ -1,0 +1,347 @@
+"""Join operators — TiFlash's full join-kind matrix on Spark.
+
+Reference (SURVEY.md §2.1 row 7): hash join only, kinds from
+dbms/src/Parsers/ASTTablesInSelectQuery.h:94-121 — Inner, LeftOuter,
+RightOuter, Semi, Anti, LeftOuterSemi, LeftOuterAnti, Cross variants,
+NullAware_{Anti,LeftOuterSemi,LeftOuterAnti} (for NOT IN), RightSemi/
+RightAnti — plus residual non-equi "other conditions"
+(dbms/src/Interpreters/Join.h:177 JoinNonEqualConditions). NULL keys never
+match (Join.h:148-152).
+
+Spark-first mapping:
+- Inner/LeftOuter/RightOuter/Full/Semi/Anti/Cross → native `how=` values.
+- RightSemi/RightAnti → flip sides (build/probe choice is Catalyst's).
+- LeftOuterSemi (semi + matched flag) → left join + groupBy max(flag),
+  or an EXISTS-flag aggregation (kept as one shuffle).
+- NullAware Anti (NOT IN) → Catalyst compiles `NOT IN (subquery)` to
+  null-aware anti join natively; expressed via SQL expr here.
+- Residual other-conditions → extra predicates in the join condition
+  (Catalyst evaluates them inside the hash join, matching TiFlash).
+
+Scale notes: dimension sides are wrapped in broadcast() (TiDB picks
+broadcast-vs-shuffle via Exchange type; we pick via table class —
+catalog.BROADCAST_TABLES). Fact-fact joins shuffle on the key; AQE handles
+skew splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiflash_spark.catalog import load_table
+
+
+def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join chain with broadcast dims (TPC-H Q5 shape):
+    revenue per nation for one region, one year."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), (c.c_nationkey == n.n_nationkey) & (s.s_nationkey == n.n_nationkey))
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+JOIN_INNER_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LeftOuter with residual other-condition: customers and their count of
+    big orders; customers with none keep a NULL-turned-0 count (Q13 shape).
+    The `o_totalprice > 150000` residual rides inside the join, not a
+    post-filter — outer rows survive (Join.h JoinNonEqualConditions)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 150000), "left"
+    )
+    return (
+        joined.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_big_orders"))
+        .groupBy("n_big_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_big_orders"))
+    )
+
+
+JOIN_LEFT_OUTER_SQL = """
+SELECT n_big_orders, COUNT(*) AS n_customers FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_big_orders
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_totalprice > 150000
+  GROUP BY c_custkey
+) t
+GROUP BY n_big_orders
+ORDER BY n_big_orders
+"""
+
+
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RightOuter (reference backfills unmatched build rows via
+    ScanHashMapAfterProbeBlockInputStream.cpp). Orders right-joined to the
+    subset of customers in segment BUILDING."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+JOIN_RIGHT_OUTER_SQL = """
+SELECT c_nationkey, COUNT(o_orderkey) AS n_orders, COUNT(*) AS n_rows
+FROM (SELECT * FROM orders WHERE o_totalprice > 250000) o
+RIGHT JOIN (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+  ON o_custkey = c_custkey
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer: customer nations vs supplier nations with per-side counts."""
+    c = load_table(spark, sf_dir, "customer").groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = load_table(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+JOIN_FULL_OUTER_SQL = """
+SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+  ON c_nationkey = s_nationkey
+ORDER BY nationkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS): customers that placed at least one urgent order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_idle"))
+        .orderBy("c_mktsegment")
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_idle
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware anti join — MySQL NOT IN semantics (reference
+    NullAware_Anti kind; NULL on either side kills the row). Expressed as
+    SQL NOT IN so Catalyst plans its native null-aware anti join."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_naaj_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_naaj_orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n
+        FROM _naaj_customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM _naaj_orders WHERE o_totalprice > 50000
+        )
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
+
+
+JOIN_NULL_AWARE_ANTI_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 50000)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def join_left_outer_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LeftOuterSemi: every left row kept + a matched flag (TiFlash uses this
+    for `x IN (subquery)` in a select list). One aggregation, no row blowup:
+    left join then max(flag) per left key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    flagged = (
+        c.join(o.select("o_custkey").distinct(), c.c_custkey == F.col("o_custkey"), "left")
+        .select("c_custkey", "c_mktsegment", F.col("o_custkey").isNotNull().alias("has_urgent"))
+    )
+    return (
+        flagged.groupBy("c_mktsegment", "has_urgent")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment", "has_urgent")
+    )
+
+
+JOIN_LEFT_OUTER_SEMI_SQL = """
+SELECT c_mktsegment, has_urgent, COUNT(*) AS n
+FROM (
+  SELECT c_custkey, c_mktsegment,
+         EXISTS (SELECT 1 FROM orders
+                 WHERE o_custkey = c_custkey
+                   AND o_orderpriority = '1-URGENT') AS has_urgent
+  FROM customer
+) t
+GROUP BY c_mktsegment, has_urgent
+ORDER BY c_mktsegment, has_urgent
+"""
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join + theta condition (reference Cross kinds run nested-loop
+    with 'other conditions'; Spark = cross + filter, or BroadcastNestedLoop).
+    Region × nation pairs where the nation is NOT in the region."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(F.broadcast(n))
+        .filter(F.col("n_regionkey") != F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_foreign"))
+        .orderBy("r_name")
+    )
+
+
+JOIN_CROSS_SQL = """
+SELECT r_name, COUNT(*) AS n_foreign
+FROM region CROSS JOIN nation
+WHERE n_regionkey <> r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+def join_self_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join against an aggregated subquery of the same table (TPC-H Q17
+    shape): lineitems below 50% of their part's average quantity. The agg
+    side shuffles once on l_partkey and joins co-partitioned."""
+    l = load_table(spark, sf_dir, "lineitem")
+    avg_qty = l.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.5).alias("half_avg"))
+    return (
+        l.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        )
+    )
+
+
+JOIN_SELF_AGG_SQL = """
+SELECT COUNT(*) AS n_small,
+       ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN (SELECT l_partkey, AVG(l_quantity) * 0.5 AS half_avg
+      FROM lineitem GROUP BY l_partkey) a
+  ON l.l_partkey = a.l_partkey
+WHERE l_quantity < half_avg
+"""
+
+
+QUERIES = {
+    "join_inner_broadcast": join_inner_broadcast,
+    "join_left_outer": join_left_outer,
+    "join_right_outer": join_right_outer,
+    "join_full_outer": join_full_outer,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_null_aware_anti": join_null_aware_anti,
+    "join_left_outer_semi": join_left_outer_semi,
+    "join_cross": join_cross,
+    "join_self_agg": join_self_agg,
+}
+
+ORACLE = {
+    "join_inner_broadcast": JOIN_INNER_SQL,
+    "join_left_outer": JOIN_LEFT_OUTER_SQL,
+    "join_right_outer": JOIN_RIGHT_OUTER_SQL,
+    "join_full_outer": JOIN_FULL_OUTER_SQL,
+    "join_semi": JOIN_SEMI_SQL,
+    "join_anti": JOIN_ANTI_SQL,
+    "join_null_aware_anti": JOIN_NULL_AWARE_ANTI_SQL,
+    "join_left_outer_semi": JOIN_LEFT_OUTER_SEMI_SQL,
+    "join_cross": JOIN_CROSS_SQL,
+    "join_self_agg": JOIN_SELF_AGG_SQL,
+}

@@ -1,0 +1,148 @@
+"""MVCC snapshot reads — the DeltaTree merge-on-read semantics on Spark.
+
+Reference (SURVEY.md §1.5): every TiFlash row carries hidden columns
+`_tidb_rowid` (handle, col_id -1), `_INTERNAL_VERSION` (-1024) and
+`_INTERNAL_DELMARK` (-1025) (dbms/src/Storages/MutableSupport.h:44-54). A
+read at snapshot `ts` sort-merges delta+stable by handle, keeps the newest
+version <= ts and drops delete-marked rows
+(DMVersionFilterBlockInputStream.h:30-44, modes MVCC/COMPACT). Read modes
+Normal / Fast / Raw (ReadMode.h:20-39): Fast skips the version dedup and
+only drops delete marks.
+
+Spark-first: the log is just a table; snapshot read = one window dedup —
+  row_number() OVER (PARTITION BY handle ORDER BY version DESC) = 1
+exactly the Delta-Lake/Hudi merge-on-read pattern. At scale the log is
+bucketed by handle so the window is a local sort, no extra shuffle after
+the first; compaction (sources/delta_store.py) keeps the unmerged tail
+small, mirroring delta→stable merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiflash_spark.catalog import load_table
+
+HANDLE = "_tidb_rowid"
+VERSION = "_INTERNAL_VERSION"
+DELMARK = "_INTERNAL_DELMARK"
+
+
+def snapshot_read(log: DataFrame, read_ts: int | None = None) -> DataFrame:
+    """Normal read mode: newest version <= read_ts per handle, delmarks dropped.
+
+    Reference: DMVersionFilterBlockInputStream mode MVCC.
+    """
+    if read_ts is not None:
+        log = log.filter(F.col(VERSION) <= read_ts)
+    w = Window.partitionBy(HANDLE).orderBy(F.col(VERSION).desc())
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(DELMARK) == 0))
+        .drop("_rn")
+    )
+
+
+def fast_scan(log: DataFrame) -> DataFrame:
+    """Fast read mode: skip the sort-merge MVCC dedup, just drop delete rows
+    (ReadMode.h:27-33 — trades snapshot consistency for throughput)."""
+    return log.filter(F.col(DELMARK) == 0)
+
+
+def raw_scan(log: DataFrame) -> DataFrame:
+    """Raw read mode: everything, hidden columns included (ReadMode.h:35)."""
+    return log
+
+
+def compact(log: DataFrame, compact_ts: int) -> DataFrame:
+    """COMPACT filter mode (DMVersionFilterBlockInputStream.h:37-44): keep,
+    per handle, the newest version <= compact_ts (even if delete-marked, so
+    the tombstone survives until GC) plus every version > compact_ts."""
+    w = Window.partitionBy(HANDLE).orderBy(F.col(VERSION).desc())
+    older = (
+        log.filter(F.col(VERSION) <= compact_ts)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    newer = log.filter(F.col(VERSION) > compact_ts)
+    return older.unionByName(newer)
+
+
+def _synthetic_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic upsert log derived from lineitem so the driver's DuckDB
+    oracle can rebuild the identical log in SQL: handle = l_orderkey,
+    version = l_linenumber, delete when l_returnflag = 'R'."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        F.col("l_orderkey").alias(HANDLE),
+        F.col("l_linenumber").cast("long").alias(VERSION),
+        F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0)).alias(DELMARK),
+        F.col("l_partkey").alias("a"),
+        F.col("l_extendedprice").alias("b"),
+    )
+
+
+def mvcc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot read at version 4 over the synthetic log, aggregated."""
+    snap = snapshot_read(_synthetic_log(spark, sf_dir), read_ts=4)
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_visible"),
+        F.sum("a").alias("sum_a"),
+        F.round(F.sum("b"), 2).alias("sum_b"),
+        F.countDistinct(HANDLE).alias("n_handles"),
+    )
+
+
+MVCC_SNAPSHOT_SQL = """
+WITH log AS (
+  SELECT l_orderkey AS handle,
+         CAST(l_linenumber AS BIGINT) AS version,
+         CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS delmark,
+         l_partkey AS a,
+         l_extendedprice AS b
+  FROM lineitem
+),
+snap AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY handle ORDER BY version DESC) AS rn
+    FROM log WHERE version <= 4
+  ) t WHERE rn = 1 AND delmark = 0
+)
+SELECT COUNT(*) AS n_visible,
+       SUM(a) AS sum_a,
+       ROUND(SUM(b), 2) AS sum_b,
+       COUNT(DISTINCT handle) AS n_handles
+FROM snap
+"""
+
+
+def mvcc_fast_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast-scan mode over the same log (no dedup, drop deletes)."""
+    fast = fast_scan(_synthetic_log(spark, sf_dir))
+    return fast.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("a").alias("sum_a"),
+        F.countDistinct(HANDLE).alias("n_handles"),
+    )
+
+
+MVCC_FAST_SCAN_SQL = """
+SELECT COUNT(*) AS n_rows,
+       SUM(l_partkey) AS sum_a,
+       COUNT(DISTINCT l_orderkey) AS n_handles
+FROM lineitem
+WHERE l_returnflag <> 'R'
+"""
+
+
+QUERIES = {
+    "mvcc_snapshot": mvcc_snapshot,
+    "mvcc_fast_scan": mvcc_fast_scan,
+}
+
+ORACLE = {
+    "mvcc_snapshot": MVCC_SNAPSHOT_SQL,
+    "mvcc_fast_scan": MVCC_FAST_SCAN_SQL,
+}
