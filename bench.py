@@ -1,0 +1,87 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query runs once warm-up-free except a tiny session-warming count; the
+timed number is end-to-end (plan + execute + collect to driver). Headline
+set = the queries whose physical plans exercise every §2 operator class:
+scan/filter/agg (q1, q6), TopN (q2), the join matrix's heavy hitters,
+window, rollup, MVCC dedup, and the pipeline ops (dedup/similarity/text).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q2_topn",
+    "q6_forecast_revenue",
+    "agg_functions",
+    "join_inner_broadcast",
+    "join_left_outer",
+    "join_self_agg",
+    "window_ranking",
+    "window_rows_frame",
+    "rollup_revenue",
+    "mvcc_snapshot",
+    "set_operations",
+]
+# pipeline ops are added when present in the registry (kept in sync with
+# tiflash_spark/pipeline modules)
+PIPELINE_HEADLINE = [
+    "dedup_exact",
+    "dedup_minhash",
+    "text_analysis",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from tiflash_spark.registry import all_queries
+    from tiflash_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = all_queries()
+    names = [n for n in HEADLINE + PIPELINE_HEADLINE if n in qs]
+
+    # warm the JVM/session so q1 doesn't pay one-time startup costs
+    spark.range(1_000_000).selectExpr("count(*)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        rows = df.collect()
+        timings[name] = round(time.time() - t0, 3)
+        del rows
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

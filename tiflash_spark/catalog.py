@@ -118,10 +118,20 @@ TABLES = tuple(SCHEMAS)
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Runtime confs the engine's MySQL/TiDB semantics depend on, set here
+    because callers (the driver) may hand us a default-config session:
+    Spark 4 defaults to ANSI mode, but the reference's semantics are
+    error-as-NULL (tidb_cast / tidbDivide — SURVEY.md §2.4)."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table; column pruning/predicate pushdown reach the scan."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; catalog has {sorted(SCHEMAS)}")
+    ensure_engine_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # parquet stores ts as TIMESTAMP(NANOS), illegal for Spark's reader;

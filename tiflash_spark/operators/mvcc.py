@@ -29,14 +29,20 @@ VERSION = "_INTERNAL_VERSION"
 DELMARK = "_INTERNAL_DELMARK"
 
 
-def snapshot_read(log: DataFrame, read_ts: int | None = None) -> DataFrame:
+def snapshot_read(
+    log: DataFrame, read_ts: int | None = None, tiebreak: list[str] | None = None
+) -> DataFrame:
     """Normal read mode: newest version <= read_ts per handle, delmarks dropped.
 
-    Reference: DMVersionFilterBlockInputStream mode MVCC.
+    Reference: DMVersionFilterBlockInputStream mode MVCC. In TiFlash,
+    (handle, version) is unique by construction (commit-ts); logs built from
+    external data may have ties — pass `tiebreak` columns to make the pick
+    total and deterministic.
     """
     if read_ts is not None:
         log = log.filter(F.col(VERSION) <= read_ts)
-    w = Window.partitionBy(HANDLE).orderBy(F.col(VERSION).desc())
+    order = [F.col(VERSION).desc()] + [F.col(c).desc() for c in (tiebreak or [])]
+    w = Window.partitionBy(HANDLE).orderBy(*order)
     return (
         log.withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") == 1) & (F.col(DELMARK) == 0))
@@ -85,8 +91,12 @@ def _synthetic_log(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mvcc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot read at version 4 over the synthetic log, aggregated."""
-    snap = snapshot_read(_synthetic_log(spark, sf_dir), read_ts=4)
+    """Snapshot read at version 4 over the synthetic log, aggregated.
+    The synthetic log has (handle, version) ties, so the pick is totally
+    ordered by (version, delmark, a, b) on both engines."""
+    snap = snapshot_read(
+        _synthetic_log(spark, sf_dir), read_ts=4, tiebreak=[DELMARK, "a", "b"]
+    )
     return snap.agg(
         F.count(F.lit(1)).alias("n_visible"),
         F.sum("a").alias("sum_a"),
@@ -106,7 +116,9 @@ WITH log AS (
 ),
 snap AS (
   SELECT * FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY handle ORDER BY version DESC) AS rn
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY handle
+      ORDER BY version DESC, delmark DESC, a DESC, b DESC) AS rn
     FROM log WHERE version <= 4
   ) t WHERE rn = 1 AND delmark = 0
 )

@@ -1,0 +1,337 @@
+"""Scalar-function surface queries — SURVEY.md §2.4's categories end-to-end.
+
+The reference accepts 560 tipb::ScalarFuncSig signatures
+(dbms/src/Flash/Coprocessor/DAGUtils.cpp:92-759) over ~170 vectorized
+functions. These queries exercise each category (string, math, date/time,
+control flow, comparison, JSON, cast) as whole-stage-codegen Column
+expressions over the driver tables, each hash-checked against DuckDB.
+
+Functions with no DuckDB equivalent (conv to arbitrary bases, crc32,
+strcmp, MySQL format tokens) are covered by unit tests in
+tests/test_functions.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiflash_spark.catalog import load_table
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String category (DAGUtils.cpp:624-718): length, char_length, concat,
+    concat_ws, lower/upper, trim family, lpad/rpad, substring,
+    substring_index, instr/position, left/right, ascii, hex, repeat,
+    reverse, replace — reference impls in dbms/src/Functions/FunctionsString.cpp."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.length("p_name").alias("len"),
+        F.char_length("p_type").alias("clen"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("cat"),
+        F.concat_ws("|", "p_brand", "p_type").alias("cat_ws"),
+        F.lower("p_name").alias("lo"),
+        F.upper("p_brand").alias("up"),
+        F.trim(F.lit("  pad  ")).alias("tr"),
+        F.ltrim(F.lit("  pad")).alias("ltr"),
+        F.rtrim(F.lit("pad  ")).alias("rtr"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("lpadded"),
+        F.rpad("p_brand", 12, "*").alias("rpadded"),
+        F.substring("p_name", 2, 5).alias("sub"),
+        F.substring_index("p_type", " ", 2).alias("subidx"),
+        F.instr("p_name", "a").alias("pos_a"),
+        F.substring("p_name", 1, 3).alias("left3"),
+        F.substring("p_name", -3, 3).alias("right3"),
+        F.ascii("p_brand").alias("asc"),
+        F.upper(F.hex(F.col("p_size"))).alias("hx"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.reverse("p_brand").alias("rev"),
+        F.regexp_replace("p_name", "a", "@").alias("repl"),
+    )
+
+
+STRING_FUNCTIONS_SQL = """
+SELECT
+  p_partkey,
+  LENGTH(p_name) AS len,
+  LENGTH(p_type) AS clen,
+  p_brand || '#' || p_type AS cat,
+  CONCAT_WS('|', p_brand, p_type) AS cat_ws,
+  LOWER(p_name) AS lo,
+  UPPER(p_brand) AS up,
+  TRIM('  pad  ') AS tr,
+  LTRIM('  pad') AS ltr,
+  RTRIM('pad  ') AS rtr,
+  LPAD(CAST(p_size AS VARCHAR), 4, '0') AS lpadded,
+  RPAD(p_brand, 12, '*') AS rpadded,
+  SUBSTRING(p_name, 2, 5) AS sub,
+  ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(p_type, ' '), 1, 2), ' ') AS subidx,
+  INSTR(p_name, 'a') AS pos_a,
+  LEFT(p_name, 3) AS left3,
+  RIGHT(p_name, 3) AS right3,
+  ASCII(p_brand) AS asc,
+  UPPER(HEX(p_size)) AS hx,
+  REPEAT('ab', 3) AS rep,
+  REVERSE(p_brand) AS rev,
+  REGEXP_REPLACE(p_name, 'a', '@', 'g') AS repl
+FROM part
+WHERE p_partkey <= 200
+"""
+
+
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math category (DAGUtils.cpp:275-380): abs/ceil/floor/round/sqrt/pow/
+    ln/log2/log10/exp/sin/cos/tan/atan/sign/radians/degrees — reference
+    dbms/src/Functions/FunctionsMath.cpp, FunctionsRound.cpp."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    x = F.col("l_extendedprice")
+    d = F.col("l_discount") - 0.05  # mixed-sign values
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(d), 4).alias("abs_d"),
+        F.ceil(x).cast("long").alias("ceil_x"),
+        F.floor(x).cast("long").alias("floor_x"),
+        F.round(x, 1).alias("round_1"),
+        F.round(F.sqrt(x), 6).alias("sqrt_x"),
+        F.round(F.pow(F.col("l_quantity"), 2), 4).alias("qty_sq"),
+        F.round(F.log(x), 6).alias("ln_x"),
+        F.round(F.log2(x), 6).alias("log2_x"),
+        F.round(F.log10(x), 6).alias("log10_x"),
+        F.round(F.exp(F.col("l_discount")), 6).alias("exp_d"),
+        F.round(F.sin(F.col("l_tax")), 6).alias("sin_t"),
+        F.round(F.cos(F.col("l_tax")), 6).alias("cos_t"),
+        F.round(F.tan(F.col("l_tax")), 6).alias("tan_t"),
+        F.round(F.atan(F.col("l_tax")), 6).alias("atan_t"),
+        F.signum(d).cast("int").alias("sign_d"),
+        F.round(F.radians(F.col("l_quantity")), 6).alias("rad_q"),
+        F.round(F.degrees(F.col("l_tax")), 6).alias("deg_t"),
+        (F.col("l_quantity").cast("long") % 7).alias("mod7"),
+    )
+
+
+MATH_FUNCTIONS_SQL = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  ROUND(ABS(l_discount - 0.05), 4) AS abs_d,
+  CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_x,
+  CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_x,
+  ROUND(l_extendedprice, 1) AS round_1,
+  ROUND(SQRT(l_extendedprice), 6) AS sqrt_x,
+  ROUND(POW(l_quantity, 2), 4) AS qty_sq,
+  ROUND(LN(l_extendedprice), 6) AS ln_x,
+  ROUND(LOG2(l_extendedprice), 6) AS log2_x,
+  ROUND(LOG10(l_extendedprice), 6) AS log10_x,
+  ROUND(EXP(l_discount), 6) AS exp_d,
+  ROUND(SIN(l_tax), 6) AS sin_t,
+  ROUND(COS(l_tax), 6) AS cos_t,
+  ROUND(TAN(l_tax), 6) AS tan_t,
+  ROUND(ATAN(l_tax), 6) AS atan_t,
+  CAST(SIGN(l_discount - 0.05) AS INT) AS sign_d,
+  ROUND(RADIANS(l_quantity), 6) AS rad_q,
+  ROUND(DEGREES(l_tax), 6) AS deg_t,
+  CAST(l_quantity AS BIGINT) % 7 AS mod7
+FROM lineitem
+WHERE l_orderkey <= 100
+"""
+
+
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time category (DAGUtils.cpp:499-623): extract fns, date_add/sub,
+    datediff, last_day, weekofyear, date_format (MySQL %-tokens translated
+    by functions.mysql_compat), unix_timestamp/from_unixtime — reference
+    dbms/src/Functions/FunctionsDateTime.cpp (MyDateTime calendar)."""
+    from tiflash_spark.functions.mysql_compat import mysql_date_format
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("mon"),
+        F.dayofmonth(d).alias("dom"),
+        F.dayofweek(d).alias("dow"),  # 1=Sunday, matches MySQL DAYOFWEEK
+        F.dayofyear(d).alias("doy"),
+        F.weekofyear(d).alias("woy"),  # ISO week, matches MySQL WEEK(d,3)
+        # date-typed results are surfaced as timestamps: Spark's DateType and
+        # DuckDB's DATE deserialize differently in pandas (date vs datetime64),
+        # which would false-fail the driver's value hash.
+        F.date_add(d.cast("date"), 30).cast("timestamp").alias("plus30"),
+        F.date_sub(d.cast("date"), 7).cast("timestamp").alias("minus7"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d.cast("date")).alias("days_to_98"),
+        F.last_day(d).cast("timestamp").alias("eom"),
+        F.date_trunc("month", d).alias("month_start"),
+        mysql_date_format(d, "%Y-%m-%d").alias("fmt_ymd"),
+        mysql_date_format(d, "%d/%m/%Y").alias("fmt_dmy"),
+        F.unix_timestamp(d).alias("epoch_s"),
+        F.timestamp_seconds(F.unix_timestamp(d)).alias("roundtrip_ts"),
+        F.add_months(d.cast("date"), 2).cast("timestamp").alias("plus2mo"),
+        F.greatest(d.cast("date"), F.lit("1996-01-01").cast("date"))
+        .cast("timestamp")
+        .alias("gdate"),
+    )
+
+
+DATETIME_FUNCTIONS_SQL = """
+SELECT
+  o_orderkey,
+  YEAR(o_orderdate) AS yr,
+  QUARTER(o_orderdate) AS qtr,
+  MONTH(o_orderdate) AS mon,
+  DAYOFMONTH(o_orderdate) AS dom,
+  DAYOFWEEK(o_orderdate) + 1 AS dow,
+  DAYOFYEAR(o_orderdate) AS doy,
+  WEEKOFYEAR(o_orderdate) AS woy,
+  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS plus30,
+  CAST(CAST(o_orderdate AS DATE) - INTERVAL 7 DAY AS TIMESTAMP) AS minus7,
+  DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_98,
+  CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS eom,
+  CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+  STRFTIME(o_orderdate, '%Y-%m-%d') AS fmt_ymd,
+  STRFTIME(o_orderdate, '%d/%m/%Y') AS fmt_dmy,
+  CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s,
+  TO_TIMESTAMP(EPOCH(o_orderdate)) AT TIME ZONE 'UTC' AS roundtrip_ts,
+  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS TIMESTAMP) AS plus2mo,
+  CAST(GREATEST(CAST(o_orderdate AS DATE), DATE '1996-01-01') AS TIMESTAMP) AS gdate
+FROM orders
+WHERE o_orderkey <= 400
+"""
+
+
+def control_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control flow + comparison (DAGUtils.cpp:152-239,381-423): CASE WHEN,
+    IF, IFNULL, NULLIF, COALESCE, IN, BETWEEN, LIKE, null-safe equal —
+    reference FunctionsConditional.cpp / FunctionsNull.cpp / tidbIn."""
+    from tiflash_spark.functions.mysql_compat import mysql_if, mysql_ifnull
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    price = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(price > 300000, "high")
+        .when(price > 100000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        mysql_if(F.col("o_orderstatus") == "F", F.lit(1), F.lit(0)).alias("is_f"),
+        mysql_ifnull(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_rush"),
+        price.between(50000, 150000).alias("mid_band"),
+        F.col("o_orderpriority").like("%URGENT").alias("like_urgent"),
+        F.col("o_orderstatus").eqNullSafe(F.lit("P")).alias("nse_p"),
+        F.greatest(price, F.lit(100000.0)).alias("floor100k"),
+        F.least(price, F.lit(400000.0)).alias("cap400k"),
+    )
+
+
+CONTROL_FLOW_SQL = """
+SELECT
+  o_orderkey,
+  CASE WHEN o_totalprice > 300000 THEN 'high'
+       WHEN o_totalprice > 100000 THEN 'mid'
+       ELSE 'low' END AS bucket,
+  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_f,
+  IFNULL(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+  o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_rush,
+  o_totalprice BETWEEN 50000 AND 150000 AS mid_band,
+  o_orderpriority LIKE '%URGENT' AS like_urgent,
+  o_orderstatus IS NOT DISTINCT FROM 'P' AS nse_p,
+  GREATEST(o_totalprice, 100000.0) AS floor100k,
+  LEAST(o_totalprice, 400000.0) AS cap400k
+FROM orders
+WHERE o_orderkey <= 1000
+"""
+
+
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON category (DAGUtils.cpp:471-498): extract / unquote / valid /
+    length — reference dbms/src/Functions/FunctionsJson.cpp; MySQL path
+    syntax `$.k` is shared with Spark's get_json_object."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        (F.get_json_object("props", "$.k").isNotNull()).alias("has_k"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+        F.json_array_length(F.concat(F.lit("[1,2,"), F.get_json_object("props", "$.k"), F.lit("]"))).alias("arr_len"),
+        F.to_json(F.struct(F.col("event_type").alias("t"))).alias("built_json"),
+    )
+
+
+JSON_FUNCTIONS_SQL = """
+SELECT
+  event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+  json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+  json_extract_string(props, '$.missing') AS missing_val,
+  json_array_length('[1,2,' || json_extract_string(props, '$.k') || ']') AS arr_len,
+  '{"t":"' || event_type || '"}' AS built_json
+FROM events
+WHERE event_id < 2000
+"""
+
+
+def cast_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast category (DAGUtils.cpp:92-151) — reference tidb_cast
+    (FunctionsTiDBConversion.cpp): numeric widening/narrowing, string
+    round-trips, string→number soft parse (NULL on garbage, MySQL-style
+    under non-ANSI Spark), timestamp↔date↔string."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("qty_i"),
+        F.col("l_quantity").cast("string").alias("qty_s"),
+        # decimal cast exercised, surfaced as double (pandas turns DuckDB
+        # DECIMAL into float, Spark keeps Decimal — hash would false-fail)
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("double").alias("price_dec"),
+        F.col("l_linenumber").cast("double").alias("ln_d"),
+        F.concat(F.col("l_orderkey").cast("string"), F.lit("x"))
+        .try_cast("long")
+        .alias("bad_parse"),
+        F.col("l_shipdate").cast("date").cast("timestamp").alias("ship_d"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_s"),
+        F.lit("123.45").cast("double").alias("str_num"),
+        F.lit("1996-06-15").cast("date").cast("timestamp").alias("str_date"),
+    )
+
+
+CAST_FUNCTIONS_SQL = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  CAST(l_quantity AS INT) AS qty_i,
+  CAST(CAST(l_quantity AS DECIMAL(15,1)) AS VARCHAR) AS qty_s,
+  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
+  CAST(l_linenumber AS DOUBLE) AS ln_d,
+  TRY_CAST(CAST(l_orderkey AS VARCHAR) || 'x' AS BIGINT) AS bad_parse,
+  CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ship_d,
+  CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_s,
+  CAST('123.45' AS DOUBLE) AS str_num,
+  CAST(DATE '1996-06-15' AS TIMESTAMP) AS str_date
+FROM lineitem
+WHERE l_orderkey <= 200
+"""
+
+
+QUERIES = {
+    "string_functions": string_functions,
+    "math_functions": math_functions,
+    "datetime_functions": datetime_functions,
+    "control_flow": control_flow,
+    "json_functions": json_functions,
+    "cast_functions": cast_functions,
+}
+
+ORACLE = {
+    "string_functions": STRING_FUNCTIONS_SQL,
+    "math_functions": MATH_FUNCTIONS_SQL,
+    "datetime_functions": DATETIME_FUNCTIONS_SQL,
+    "control_flow": CONTROL_FLOW_SQL,
+    "json_functions": JSON_FUNCTIONS_SQL,
+    "cast_functions": CAST_FUNCTIONS_SQL,
+}

@@ -18,6 +18,8 @@ _MODULES = [
     "tiflash_spark.operators.joins",
     "tiflash_spark.operators.windows",
     "tiflash_spark.operators.grouping",
+    "tiflash_spark.operators.mvcc",
+    "tiflash_spark.operators.scalars",
 ]
 
 
