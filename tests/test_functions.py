@@ -1,0 +1,123 @@
+"""Function-level column tests — the reference's FunctionTestUtils pattern
+(dbms/src/Functions/tests/gtest_*.cpp: column in → column out equality),
+covering the shims that have no DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tiflash_spark.functions.mysql_compat import (
+    mysql_date_format,
+    mysql_div,
+    mysql_elt,
+    mysql_format_to_spark,
+    mysql_mod,
+)
+from tiflash_spark.functions.vector import (
+    vec_as_text,
+    vec_cosine_distance,
+    vec_dims,
+    vec_l1_distance,
+    vec_l2_distance,
+    vec_l2_norm,
+)
+
+
+def one(spark, col, **data):
+    df = spark.createDataFrame([Row(**data)]) if data else spark.range(1)
+    return df.select(col.alias("r")).collect()[0].r
+
+
+# --- MySQL date-format token translation ------------------------------------
+
+
+@pytest.mark.parametrize(
+    "mysql,expected",
+    [
+        ("%Y-%m-%d", "yyyy-MM-dd"),
+        ("%H:%i:%s", "HH:mm:ss"),
+        ("%d/%m/%y", "dd/MM/yy"),
+        ("%W %M %e", "EEEE MMMM d"),
+        ("100%%", "100%"),
+    ],
+)
+def test_format_translation(mysql, expected):
+    assert mysql_format_to_spark(mysql) == expected
+
+
+def test_date_format_values(spark):
+    r = one(
+        spark,
+        mysql_date_format(F.lit("1997-03-05 14:09:02").cast("timestamp"), "%Y-%m-%d %H:%i:%s"),
+    )
+    assert r == "1997-03-05 14:09:02"
+    assert one(spark, mysql_date_format(F.lit("1997-03-05").cast("date"), "%W")) == "Wednesday"
+
+
+# --- MySQL arithmetic NULL rules ---------------------------------------------
+
+
+def test_div_by_zero_is_null(spark):
+    assert one(spark, mysql_div(F.lit(7), F.lit(0))) is None
+    assert one(spark, mysql_div(F.lit(7), F.lit(2))) == 3
+    assert one(spark, mysql_div(F.lit(-7), F.lit(2))) == -3  # MySQL DIV truncates toward zero
+
+
+def test_mod_by_zero_is_null(spark):
+    assert one(spark, mysql_mod(F.lit(7), F.lit(0))) is None
+    assert one(spark, mysql_mod(F.lit(7), F.lit(3))) == 1
+    assert one(spark, mysql_mod(F.lit(-7), F.lit(3))) == -1  # sign follows dividend
+
+
+def test_elt(spark):
+    choices = [F.lit("a"), F.lit("b"), F.lit("c")]
+    assert one(spark, mysql_elt(F.lit(2), *choices)) == "b"
+    assert one(spark, mysql_elt(F.lit(4), *choices)) is None
+    assert one(spark, mysql_elt(F.lit(0), *choices)) is None
+
+
+# --- conv / crc32-ish equivalents exercised natively -------------------------
+
+
+def test_conv_and_hex(spark):
+    assert one(spark, F.conv(F.lit("255"), 10, 16)) == "FF"
+    assert one(spark, F.conv(F.lit("ff"), 16, 10)) == "255"
+    assert one(spark, F.crc32(F.lit(b"tiflash"))) is not None
+
+
+# --- vector functions --------------------------------------------------------
+
+
+VEC = {"a": [1.0, 2.0, 2.0], "b": [1.0, 2.0, 2.0], "c": [3.0, 0.0, 4.0]}
+
+
+def test_vec_basics(spark):
+    df = spark.createDataFrame([Row(a=VEC["a"], b=VEC["b"], c=VEC["c"])])
+    r = df.select(
+        vec_dims(F.col("a")).alias("d"),
+        vec_l2_norm(F.col("a")).alias("n"),
+        vec_l2_distance(F.col("a"), F.col("b")).alias("l2_same"),
+        vec_l1_distance(F.col("a"), F.col("c")).alias("l1"),
+        vec_cosine_distance(F.col("a"), F.col("b")).alias("cos_same"),
+        vec_as_text(F.col("a")).alias("txt"),
+    ).collect()[0]
+    assert r.d == 3
+    assert abs(r.n - 3.0) < 1e-12
+    assert r.l2_same == 0.0
+    assert abs(r.l1 - 6.0) < 1e-12
+    assert abs(r.cos_same) < 1e-12
+    assert r.txt == "[1.0,2.0,2.0]"
+
+
+def test_vec_dim_mismatch_is_null(spark):
+    df = spark.createDataFrame([Row(a=[1.0, 2.0], b=[1.0, 2.0, 3.0])])
+    r = df.select(vec_l2_distance(F.col("a"), F.col("b")).alias("d")).collect()[0]
+    assert r.d is None
+
+
+def test_vec_zero_vector_cosine_null(spark):
+    df = spark.createDataFrame([Row(a=[0.0, 0.0], b=[1.0, 2.0])])
+    assert df.select(vec_cosine_distance("a", "b").alias("d")).collect()[0].d is None

@@ -1,0 +1,127 @@
+"""MVCC semantics tests — ports of the reference's DeltaMerge invariants
+(dbms/src/Storages/DeltaMerge/tests/: write/read/delete/compact under
+version filtering, DMTestEnv-style fixed fixtures)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tiflash_spark.operators.mvcc import DELMARK, HANDLE, VERSION, compact as log_compact
+from tiflash_spark.operators.mvcc import fast_scan, snapshot_read
+from tiflash_spark.sources.delta_store import DeltaStore
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(
+        [Row(**{HANDLE: h, VERSION: v, DELMARK: d, "a": a}) for h, v, d, a in rows]
+    )
+
+
+@pytest.fixture(scope="module")
+def log(spark):
+    # handle 1: insert v1, update v3, update v5
+    # handle 2: insert v2, delete v4
+    # handle 3: insert v6 (after every snapshot ts we test)
+    # handle 4: delete-then-reinsert (v1 del marker arrives out of order at v7)
+    return _log(
+        spark,
+        [
+            (1, 1, 0, 10),
+            (1, 3, 0, 30),
+            (1, 5, 0, 50),
+            (2, 2, 0, 20),
+            (2, 4, 1, None),
+            (3, 6, 0, 60),
+            (4, 7, 1, None),
+            (4, 8, 0, 80),
+        ],
+    )
+
+
+def snap(log_df, ts):
+    return {r[HANDLE]: r["a"] for r in snapshot_read(log_df, ts).collect()}
+
+
+def test_snapshot_sees_newest_leq_ts(log):
+    assert snap(log, 1) == {1: 10}
+    assert snap(log, 2) == {1: 10, 2: 20}
+    assert snap(log, 3) == {1: 30, 2: 20}
+
+
+def test_snapshot_hides_deleted(log):
+    assert snap(log, 4) == {1: 30}  # handle 2 deleted at v4
+    assert snap(log, 5) == {1: 50}
+
+
+def test_snapshot_future_rows_invisible(log):
+    assert 3 not in snap(log, 5)
+    assert snap(log, 6) == {1: 50, 3: 60}
+
+
+def test_delete_then_reinsert(log):
+    assert 4 not in snap(log, 7)
+    assert snap(log, 8)[4] == 80
+
+
+def test_snapshot_none_reads_latest(log):
+    assert snap(log, None) == {1: 50, 3: 60, 4: 80}
+
+
+def test_fast_scan_skips_dedup(log):
+    # fast mode: all non-delete versions visible (ReadMode.h Fast semantics)
+    rows = fast_scan(log).collect()
+    assert len(rows) == 6  # 8 rows - 2 delmarks
+
+
+def test_compact_keeps_tombstone_and_newer(spark, log):
+    out = log_compact(log, compact_ts=4)
+    by_handle = {}
+    for r in out.collect():
+        by_handle.setdefault(r[HANDLE], []).append((r[VERSION], r[DELMARK]))
+    # handle 2: only the tombstone survives <= 4
+    assert by_handle[2] == [(4, 1)]
+    # handle 1: newest <= 4 is v3, plus v5 preserved as "newer"
+    assert sorted(by_handle[1]) == [(3, 0), (5, 0)]
+    # snapshot semantics preserved post-compaction for ts >= compact_ts
+    assert snap(out, 5) == snap(log, 5)
+    assert snap(out, 8) == snap(log, 8)
+
+
+# --- DeltaStore (persistent layer) -----------------------------------------
+
+
+def test_delta_store_roundtrip(spark, tmp_path):
+    store = DeltaStore(spark, str(tmp_path / "t1"))
+    df1 = spark.createDataFrame([Row(**{HANDLE: 1, "v": "a"}), Row(**{HANDLE: 2, "v": "b"})])
+    store.write_batch(df1, version=1)
+    store.write_batch(
+        spark.createDataFrame([Row(**{HANDLE: 1, "v": "a2"})]), version=2
+    )
+    store.write_batch(
+        spark.createDataFrame([(2, None)], schema=f"{HANDLE} long, v string"),
+        version=3,
+        delete=True,
+    )
+
+    assert {r[HANDLE]: r["v"] for r in store.read(1).collect()} == {1: "a", 2: "b"}
+    assert {r[HANDLE]: r["v"] for r in store.read(2).collect()} == {1: "a2", 2: "b"}
+    assert {r[HANDLE]: r["v"] for r in store.read().collect()} == {1: "a2"}
+
+
+def test_delta_store_compaction_preserves_reads(spark, tmp_path):
+    store = DeltaStore(spark, str(tmp_path / "t2"))
+    for v in range(1, 6):
+        store.write_batch(
+            spark.createDataFrame([Row(**{HANDLE: v % 3, "v": f"x{v}"})]), version=v
+        )
+    before = {r[HANDLE]: r["v"] for r in store.read().collect()}
+    kept = store.compact(ts=5)
+    after = {r[HANDLE]: r["v"] for r in store.read().collect()}
+    assert before == after
+    assert kept == len(after)
+    # new writes after compaction still win
+    store.write_batch(spark.createDataFrame([Row(**{HANDLE: 0, "v": "new"})]), version=9)
+    assert {r[HANDLE]: r["v"] for r in store.read().collect()}[0] == "new"

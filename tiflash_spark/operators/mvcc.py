@@ -41,7 +41,11 @@ def snapshot_read(
     """
     if read_ts is not None:
         log = log.filter(F.col(VERSION) <= read_ts)
-    order = [F.col(VERSION).desc()] + [F.col(c).desc() for c in (tiebreak or [])]
+    # delete-wins on version ties: a same-version upsert/delete pair of one
+    # handle must deterministically resolve to "deleted"
+    order = [F.col(VERSION).desc(), F.col(DELMARK).desc()] + [
+        F.col(c).desc() for c in (tiebreak or []) if c != DELMARK
+    ]
     w = Window.partitionBy(HANDLE).orderBy(*order)
     return (
         log.withColumn("_rn", F.row_number().over(w))

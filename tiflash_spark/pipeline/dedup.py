@@ -1,0 +1,314 @@
+"""Deduplication operators — exact and near-dup, designed for 100 TB.
+
+Four tiers, matching a production training-data pipeline:
+
+1. exact        — hash-groupBy on a text fingerprint. One shuffle on the
+                  md5 key; group sizes are tiny so no skew concern.
+2. minhash_lsh  — shingle → K minhashes → B bands → band-bucket join.
+                  Candidate generation is a self-join on (band_id, band
+                  hash), i.e. O(sum of bucket²) not O(n²); verification
+                  re-computes exact Jaccard only for candidates. All
+                  hashing is JVM-side xxhash64 — no Python in the path.
+3. simhash      — 64-bit sign-aggregated word-hash fingerprint; near-dups
+                  have small Hamming distance. Bucketing by 16-bit bands
+                  gives the scale path (4 bands → Hamming<=3 guaranteed
+                  candidate recall within a band match).
+4. ngram_jaccard— exact word-bigram Jaccard verified on prefix-blocked
+                  candidates; the oracle-checkable ground truth for 2+3.
+
+At 100 TB: every tier is (narrow map) → (shuffle on a short hash key) →
+(narrow verify). Nothing materializes O(n²); bucket skew is bounded by
+LSH band width and AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiflash_spark.catalog import load_table
+from tiflash_spark.pipeline.text import fingerprint, tokens
+
+# --- 1. exact dedup -------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via fingerprint group: keep min(doc_id) per group,
+    report corpus-level dup stats per source."""
+    d = load_table(spark, sf_dir, "documents")
+    groups = d.groupBy(fingerprint(F.col("text")).alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper"),
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_unique_docs"),
+        F.sum("n_copies").alias("n_total_docs"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_removed"),
+        F.max("n_copies").alias("max_group"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+    )
+
+
+DEDUP_EXACT_SQL = """
+WITH groups AS (
+  SELECT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), ' +', ' ', 'g')) AS fp,
+         COUNT(*) AS n_copies,
+         MIN(doc_id) AS keeper
+  FROM documents
+  GROUP BY 1
+)
+SELECT COUNT(*) AS n_unique_docs,
+       SUM(n_copies) AS n_total_docs,
+       SUM(n_copies) - COUNT(*) AS n_removed,
+       MAX(n_copies) AS max_group,
+       SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+FROM groups
+"""
+
+
+# --- shared shingling -----------------------------------------------------
+
+
+def word_bigrams(text: Column) -> Column:
+    """Distinct word-bigram shingles ('w1 w2') — zip_with over two slices is
+    one pass with no per-index bounds checks (vs transform+element_at)."""
+    ws = tokens(text)
+    n = F.size(ws)
+    return F.array_distinct(
+        F.zip_with(
+            F.slice(ws, 1, n - 1),
+            F.slice(ws, 2, n - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    )
+
+
+# --- 4. exact n-gram Jaccard on blocked candidates (the oracle tier) ------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact word-bigram Jaccard >= 0.5, candidate-blocked
+    on the 32-char prefix (cheap blocking key: mutated near-dups in web
+    corpora overwhelmingly share a prefix; swap for minhash_lsh when they
+    don't). Both sides of the driver comparison compute the same thing, so
+    this is the hash-checkable ground truth for the sketch tiers."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.substring("text", 1, 32).alias("blk"),
+        word_bigrams(F.col("text")).alias("sh"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         SUBSTRING(text, 1, 32) AS blk,
+         LIST_DISTINCT(LIST_TRANSFORM(
+           GENERATE_SERIES(1, LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +')) - 1),
+           i -> REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +')[i] || ' ' ||
+                REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +')[i+1]
+         )) AS sh
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         LEN(LIST_INTERSECT(a.sh, b.sh)) AS inter,
+         LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh)) AS uni
+  FROM docs a JOIN docs b ON a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, ROUND(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / uni >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- 2. MinHash + LSH ------------------------------------------------------
+
+NUM_HASHES = 16
+NUM_BANDS = 4  # 4 rows/band → s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+
+
+def _seeded_hash(seed: int):
+    # closure factory: pyspark infers lambda arity, so a default-arg capture
+    # (lambda s, i=i: ...) would be misread as the (element, index) form
+    return lambda s: F.xxhash64(F.lit(seed), s)
+
+
+def minhash_signature(shingles: Column) -> Column:
+    """K minhashes as an array<long>: min over xxhash64(seed_i, shingle).
+    JVM-side, one pass over the shingle array per hash function."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, _seeded_hash(i)))
+            for i in range(NUM_HASHES)
+        ]
+    )
+
+
+def minhash_bands(sig: Column) -> Column:
+    """Split the signature into NUM_BANDS band-hashes (array<long>)."""
+    return F.array(
+        *[
+            F.xxhash64(*[sig[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)])
+            for b in range(NUM_BANDS)
+        ]
+    )
+
+
+def minhash_candidates(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, sh) → candidate (doc_a, doc_b) id-pairs via band join.
+
+    Explode band index+hash, self-join on (band, hash): only documents
+    agreeing on one full band collide — the LSH s-curve. The join carries
+    ONLY (doc_id, band, bh): shingle arrays never ride through the shuffle,
+    and the banded table is cached so the self-join's two sides don't
+    recompute signatures (at 100 TB this would be a materialized signature
+    table in parquet — same plan, durable).
+    """
+    # materialize signatures BEFORE exploding bands: the Generate(posexplode)
+    # node evaluates its child expression interpreted (outside codegen), so an
+    # inlined 16-hash signature would be recomputed per emitted band row
+    # (measured 7.1 s vs 0.4 s for the projection itself at 5k docs)
+    sigs = docs.select("doc_id", minhash_signature(F.col("sh")).alias("sig")).persist()
+    banded = sigs.select(
+        "doc_id", F.posexplode(minhash_bands(F.col("sig"))).alias("band", "bh")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified with exact Jaccard >= 0.5.
+
+    Sketch-dependent candidate set + exact verification: the verified
+    output equals the ngram_jaccard ground truth wherever LSH recall hits,
+    which tests/test_dedup.py asserts. Verification joins shingles back by
+    id — candidate count << corpus, so the two verify joins are small.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", word_bigrams(F.col("text")).alias("sh")).persist()
+    cand = minhash_candidates(docs)
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- 3. SimHash ------------------------------------------------------------
+
+
+def simhash_table(docs: DataFrame, id_col: str, shingles: Column) -> DataFrame:
+    """(id, shingles) → (id, sim): 64-bit SimHash per row.
+
+    Physical shape: explode shingles → xxhash64 once per shingle → hash-agg
+    64 bit-vote sums per doc → assemble the word. One shuffle on the doc id;
+    the per-bit votes are vectorized column sums, not per-doc array loops
+    (64 nested array-aggregates blow up whole-stage codegen — measured 68 s
+    for 500 docs vs ~2 s this way)."""
+    hashed = docs.select(F.col(id_col), F.explode(shingles).alias("sh")).select(
+        id_col, F.xxhash64("sh").alias("h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    per_doc = hashed.groupBy(id_col).agg(*votes)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        weight = 2**b if b < 63 else -(2**63)
+        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(weight).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return per_doc.select(id_col, sim.alias("sim"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band-bucketed (4×16-bit) candidates with
+    Hamming distance <= 6 — any pair at Hamming<=3 shares a band for sure."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = simhash_table(
+        d.select("doc_id", word_bigrams(F.col("text")).alias("sh")), "doc_id", F.col("sh")
+    )
+    banded = docs.select(
+        "doc_id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sim"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bh"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash": dedup_minhash,  # sketch: rows-only driver check
+    "dedup_simhash": dedup_simhash,  # sketch: rows-only driver check
+}
+
+ORACLE = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    # minhash/simhash intentionally have no SQL oracle: xxhash64 is
+    # Spark-specific. tests/test_dedup.py verifies them against the exact
+    # Jaccard ground truth instead.
+}

@@ -1,0 +1,224 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring the reference's vector story (SURVEY.md §4: HNSW
+vector index in storage, brute-force distance otherwise):
+
+- brute-force top-k: exact cosine against a query vector, planned as
+  project → TakeOrderedAndProject. At 100 TB this is a full scan but a
+  *single narrow stage*: no shuffle except the final k-row merge, so it
+  parallelizes perfectly; it is the correctness oracle for ANN.
+- LSH-bucketed ANN: random-hyperplane signatures (deterministic,
+  hash-derived hyperplane signs — no RNG state to ship), bucket join on
+  the signature prefix, exact re-rank within buckets. The scale path:
+  candidate generation touches only matching buckets.
+
+All vector math is higher-order array expressions (functions/vector.py) —
+JVM-side, no UDF serialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiflash_spark.catalog import load_table
+from tiflash_spark.functions.vector import (
+    vec_cosine_similarity,
+    vec_inner_product,
+    vec_l2_distance,
+)
+
+TOP_K = 10
+
+
+def _as_double(a: Column) -> Column:
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def _query_vector(spark: SparkSession, sf_dir: str):
+    """Deterministic query point: the embedding of vec_id = 0."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") == 0).select(
+        _as_double(F.col("embedding")).alias("qv")
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k vs the vec_id=0 query (self excluded).
+
+    Plan shape: broadcast 1-row query × scan → project(similarity) →
+    TakeOrderedAndProject(k). One stage, no wide shuffle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                vec_cosine_similarity(_as_double(F.col("embedding")), F.col("qv")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(TOP_K)
+
+
+ANN_COSINE_TOPK_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id, label,
+       ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), qv), 6) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+def ann_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact L2 top-k (VecL2Distance semantics, reference
+    dbms/src/Functions/FunctionsVector.cpp)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(vec_l2_distance(_as_double(F.col("embedding")), F.col("qv")), 6).alias(
+                "l2_dist"
+            ),
+        )
+    )
+    return scored.orderBy(F.col("l2_dist").asc(), F.col("vec_id")).limit(TOP_K)
+
+
+ANN_L2_TOPK_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       ROUND(LIST_DISTANCE(CAST(embedding AS DOUBLE[]), qv), 6) AS l2_dist
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY l2_dist ASC, vec_id
+LIMIT {TOP_K}
+"""
+
+
+# --- LSH-bucketed ANN (scale path) -----------------------------------------
+
+NUM_PLANES = 12  # 12-bit signature → ~4096 buckets
+PREFIX_BITS = 6  # bucket on the first 6 bits → 64 buckets, ~recall/cost knob
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: sign pattern from a splitmix-
+    style integer hash of (plane, coordinate) — reproducible on any executor
+    with no RNG state or broadcast weights."""
+    out = []
+    for d in range(dim):
+        x = (plane * 1_000_003 + d) & 0xFFFFFFFFFFFFFFFF
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        out.append(1.0 if x & 1 else -1.0)
+    return out
+
+
+def rp_signature(emb: Column, dim: int, n_planes: int = NUM_PLANES) -> Column:
+    """Random-projection bit signature as int: bit_i = <emb, h_i> >= 0."""
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        dot = vec_inner_product(_as_double(emb), plane)
+        sig = sig + F.when(dot >= 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
+    """LSH-bucketed approximate top-k: restrict the exact re-rank to vectors
+    sharing the query's signature prefix. tests/test_similarity.py measures
+    recall vs ann_cosine_topk."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sig = rp_signature(F.col("embedding"), dim)
+    prefix = sig.bitwiseAND(F.lit(2**PREFIX_BITS - 1))
+    signed = e.select("vec_id", "label", "embedding", prefix.alias("bucket"))
+    q = signed.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket"), _as_double(F.col("embedding")).alias("qv")
+    )
+    cands = signed.filter(F.col("vec_id") != 0).join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+    )
+    return (
+        cands.select(
+            "vec_id",
+            "label",
+            F.round(
+                vec_cosine_similarity(_as_double(F.col("embedding")), F.col("qv")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def vector_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's vector scalar surface in one query: VecDims,
+    VecL2Norm, VecL1/L2Distance, VecCosineDistance, Vec(Negative)InnerProduct
+    (DAGUtils.cpp:719-727) against a fixed basis vector."""
+    from tiflash_spark.functions.vector import (
+        vec_dims,
+        vec_l1_distance,
+        vec_l2_norm,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    q = _query_vector(spark, sf_dir)
+    emb = _as_double(F.col("embedding"))
+    return e.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        vec_dims(F.col("embedding")).alias("dims"),
+        F.round(vec_l2_norm(emb), 6).alias("l2_norm"),
+        F.round(vec_l1_distance(emb, F.col("qv")), 6).alias("l1_dist"),
+        F.round(vec_l2_distance(emb, F.col("qv")), 6).alias("l2_dist"),
+        F.round(vec_inner_product(emb, F.col("qv")), 6).alias("dot"),
+        F.round(-vec_inner_product(emb, F.col("qv")), 6).alias("neg_dot"),
+        F.round(1 - vec_cosine_similarity(emb, F.col("qv")), 6).alias("cos_dist"),
+    )
+
+
+VECTOR_FUNCTIONS_SQL = """
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       LEN(embedding) AS dims,
+       ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x*x))), 6)
+         AS l2_norm,
+       ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(CAST(embedding AS DOUBLE[]), qv),
+                                     p -> ABS(p[1] - p[2]))), 6) AS l1_dist,
+       ROUND(LIST_DISTANCE(CAST(embedding AS DOUBLE[]), qv), 6) AS l2_dist,
+       ROUND(LIST_INNER_PRODUCT(CAST(embedding AS DOUBLE[]), qv), 6) AS dot,
+       ROUND(-LIST_INNER_PRODUCT(CAST(embedding AS DOUBLE[]), qv), 6) AS neg_dot,
+       ROUND(1 - LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), qv), 6) AS cos_dist
+FROM embeddings, q
+WHERE vec_id < 100
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_l2_topk": ann_l2_topk,
+    "ann_lsh_topk": ann_lsh_topk,  # approximate: rows-only driver check
+    "vector_functions": vector_functions,
+}
+
+ORACLE = {
+    "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
+    "ann_l2_topk": ANN_L2_TOPK_SQL,
+    "vector_functions": VECTOR_FUNCTIONS_SQL,
+}

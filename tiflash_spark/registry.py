@@ -20,6 +20,10 @@ _MODULES = [
     "tiflash_spark.operators.grouping",
     "tiflash_spark.operators.mvcc",
     "tiflash_spark.operators.scalars",
+    "tiflash_spark.pipeline.text",
+    "tiflash_spark.pipeline.dedup",
+    "tiflash_spark.pipeline.similarity",
+    "tiflash_spark.pipeline.multimodal",
 ]
 
 

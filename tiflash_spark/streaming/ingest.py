@@ -1,0 +1,53 @@
+"""Streaming upsert ingestion into a DeltaStore.
+
+Reference path (SURVEY.md §2.6): Raft log apply → RegionBlockReader decode
+→ DeltaMergeStore::write, continuously. Spark-first: any readStream source
+(file/Kafka/rate) → ``foreachBatch`` → DeltaStore.write_batch, with the
+micro-batch id as the commit version — monotonic, exactly the version
+semantics the MVCC snapshot read expects. Readers see batch N fully or not
+at all (snapshot isolation per batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from tiflash_spark.sources.delta_store import DeltaStore
+
+
+def start_ingest(
+    stream: DataFrame,
+    store: DeltaStore,
+    checkpoint: str,
+    delete_col: str | None = None,
+    base_version: int = 0,
+) -> StreamingQuery:
+    """Attach a streaming DataFrame to a DeltaStore as its replication feed.
+
+    ``delete_col``: optional boolean column marking delete events (the KV
+    decode path distinguishes PUT/DELETE the same way).
+    """
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        # two version slots per micro-batch: upserts commit first, deletes
+        # after — a file source may fold several logical batches into one
+        # micro-batch, and a same-version upsert/delete pair of one handle
+        # must still resolve to "deleted"
+        version = base_version + (batch_id + 1) * 2
+        if delete_col is not None:
+            dels = batch.filter(f"{delete_col}").drop(delete_col)
+            ups = batch.filter(f"NOT {delete_col}").drop(delete_col)
+            if ups.limit(1).count():
+                store.write_batch(ups, version, delete=False)
+            if dels.limit(1).count():
+                store.write_batch(dels, version + 1, delete=True)
+        else:
+            store.write_batch(batch, version, delete=False)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
