@@ -32,6 +32,10 @@ HEADLINE = [
     "rollup_revenue",
     "mvcc_snapshot",
     "set_operations",
+    "q3_shipping_priority",
+    "q8_market_share",
+    "q18_large_orders",
+    "events_sessionize",
 ]
 # pipeline ops are added when present in the registry (kept in sync with
 # tiflash_spark/pipeline modules)

@@ -1,0 +1,79 @@
+"""Plan-shape regression tests — the golden-plan layer (SURVEY.md §5:
+gtest_planner_interpreter.out). These assert the physical properties that
+make the engine viable at 100 TB: pushdown, pruning, broadcast choices,
+bounded shuffles, wide codegen spans."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMALL
+from tiflash_spark.operators.joins import join_inner_broadcast, join_self_agg
+from tiflash_spark.operators.relational import (
+    q1_pricing_summary,
+    q3_filter_project_limit,
+    q6_forecast_revenue,
+)
+from tiflash_spark.operators.tpch import q18_large_orders
+from tiflash_spark.operators.windows import window_ranking, window_rows_frame
+from tiflash_spark.plans.explain import (
+    count_operator,
+    exchange_count,
+    formatted_plan,
+    has_filter_pushdown,
+    pushed_filters,
+    read_schemas,
+)
+
+
+def test_q1_filter_pushed_and_pruned(spark):
+    df = q1_pricing_summary(spark, SF_SMALL)
+    assert has_filter_pushdown(df)
+    [schema] = read_schemas(df)
+    # 7 columns needed of lineitem's 11 — pruning must reach the scan
+    assert 0 < len(schema.split(",")) <= 7
+
+
+def test_q3_all_predicates_reach_scan(spark):
+    df = q3_filter_project_limit(spark, SF_SMALL)
+    [filters] = pushed_filters(df)
+    assert "LessThan(l_orderkey,500)" in filters
+    assert "GreaterThan(l_discount,0.02)" in filters
+
+
+def test_q6_no_shuffle_before_final_agg(spark):
+    df = q6_forecast_revenue(spark, SF_SMALL)
+    # ungrouped agg: partial → single exchange → final, nothing else
+    assert exchange_count(df) <= 1
+    assert count_operator(df, "HashAggregate") <= 2
+
+
+def test_topn_plans_take_ordered(spark):
+    from tiflash_spark.operators.relational import q2_topn
+
+    plan = formatted_plan(q2_topn(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dim_joins_broadcast(spark):
+    df = join_inner_broadcast(spark, SF_SMALL)
+    assert count_operator(df, "BroadcastHashJoin") == 5
+    assert count_operator(df, "SortMergeJoin") == 0
+
+
+def test_self_agg_join_reuses_partitioning(spark):
+    df = join_self_agg(spark, SF_SMALL)
+    # scan + agg-side shuffle + join-side shuffle + final agg; must not
+    # exceed 3 shuffles (Catalyst reuses the l_partkey partitioning)
+    assert exchange_count(df) <= 3
+
+
+def test_window_single_shuffle(spark):
+    # all window specs share one (partition, order) → exactly one exchange
+    assert exchange_count(window_ranking(spark, SF_SMALL)) == 1
+    assert exchange_count(window_rows_frame(spark, SF_SMALL)) == 1
+
+
+def test_q18_having_side_copartitioned(spark):
+    df = q18_large_orders(spark, SF_SMALL)
+    # groupBy(l_orderkey) then join on o_orderkey = l_orderkey: the big-order
+    # side must not re-shuffle after its aggregation
+    assert exchange_count(df) <= 3

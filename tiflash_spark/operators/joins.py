@@ -49,8 +49,8 @@ def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .filter(
             (F.col("r_name") == "ASIA")
-            & (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .groupBy("n_name")
         .agg(
@@ -72,8 +72,8 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation   ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """
@@ -345,3 +345,64 @@ ORACLE = {
     "join_cross": JOIN_CROSS_SQL,
     "join_self_agg": JOIN_SELF_AGG_SQL,
 }
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the skewed (left) side's key into
+    `salt` sub-keys and explode the build side to match.
+
+    AQE's skew-join split handles most cases automatically
+    (spark.sql.adaptive.skewJoin, on in session.py); this is the explicit
+    tool for the pathological hot-key case AQE can't split — a single key
+    exceeding one executor's memory. Cost model: right side is replicated
+    ×salt, so use it when |hot key rows| >> salt × |right|.
+    """
+    salted_left = left.withColumn(
+        "_salt", (F.xxhash64(F.monotonically_increasing_id()) % salt).cast("int")
+    ).withColumn("_salt", F.abs("_salt"))
+    exploded_right = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    joined = salted_left.join(
+        exploded_right,
+        (salted_left[left_key] == exploded_right[right_key])
+        & (salted_left["_salt"] == exploded_right["_salt"]),
+        how,
+    )
+    return joined.drop("_salt")
+
+
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-join demo on the natural skew of lineitem.l_suppkey → supplier:
+    identical result to the plain join, skew-proof plan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    joined = salted_join(l, s, "l_suppkey", "s_suppkey", salt=8)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("volume"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+JOIN_SALTED_SKEW_SQL = """
+SELECT s_nationkey,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l_extendedprice), 2) AS volume
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+QUERIES["join_salted_skew"] = join_salted_skew
+ORACLE["join_salted_skew"] = JOIN_SALTED_SKEW_SQL

@@ -172,3 +172,38 @@ ORACLE = {
     "window_range_frame": WINDOW_RANGE_FRAME_SQL,
     "window_unbounded": WINDOW_UNBOUNDED_SQL,
 }
+
+
+def window_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions beyond the reference's seven — ntile, percent_rank,
+    cume_dist, nth_value (SURVEY.md §2.3 notes TiFlash lacks these; they're
+    free Spark surface, included like the set ops)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.nth_value("o_orderkey", 2).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("second_order"),
+    )
+
+
+WINDOW_EXTENDED_SQL = """
+SELECT o_custkey, o_orderkey,
+  NTILE(4) OVER w AS quartile,
+  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+  ROUND(CUME_DIST() OVER w, 6) AS cdist,
+  NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+      ORDER BY o_totalprice, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order
+FROM orders
+WHERE o_custkey < 500
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+QUERIES["window_extended"] = window_extended
+ORACLE["window_extended"] = WINDOW_EXTENDED_SQL

@@ -20,6 +20,9 @@ _MODULES = [
     "tiflash_spark.operators.grouping",
     "tiflash_spark.operators.mvcc",
     "tiflash_spark.operators.scalars",
+    "tiflash_spark.operators.events",
+    "tiflash_spark.operators.tpch",
+    "tiflash_spark.operators.approx",
     "tiflash_spark.pipeline.text",
     "tiflash_spark.pipeline.dedup",
     "tiflash_spark.pipeline.similarity",
