@@ -1,0 +1,63 @@
+"""Collation tests — mirrors the reference's collation variants suite
+(tests/tidb-ci collation runs; Collator.h semantics): _BIN vs _GENERAL_CI
+compare/group/join, PadSpace trailing-space rule."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tiflash_spark.functions.collation import (
+    BIN,
+    GENERAL_CI,
+    collated_eq,
+    collated_group,
+    collated_join,
+    collation_key,
+)
+
+WORDS = ["Abc", "abc", "ABC ", "abd", "äbc"]
+
+
+@pytest.fixture(scope="module")
+def words_df(spark):
+    return spark.createDataFrame([Row(s=w) for w in WORDS])
+
+
+def test_bin_distinguishes_case(spark, words_df):
+    n = collated_group(words_df, "s", BIN).count()
+    assert n == 5  # all distinct binary strings
+
+
+def test_general_ci_folds_case_and_trailing_space(spark, words_df):
+    out = {r.s: r.n for r in collated_group(words_df, "s", GENERAL_CI).collect()}
+    # Abc/abc/ABC ' ' fold together; representative is binary-min 'ABC '
+    assert sum(out.values()) == 5
+    assert len(out) == 3
+    assert 3 in out.values()
+
+
+def test_collated_eq(spark):
+    df = spark.createDataFrame([Row(a="Hello ", b="hello")])
+    r = df.select(
+        collated_eq(F.col("a"), F.col("b"), BIN).alias("bin_eq"),
+        collated_eq(F.col("a"), F.col("b"), GENERAL_CI).alias("ci_eq"),
+    ).collect()[0]
+    assert not r.bin_eq
+    assert r.ci_eq
+
+
+def test_collated_join_ci(spark):
+    left = spark.createDataFrame([Row(k="ABC", v=1), Row(k="xyz", v=2)])
+    right = spark.createDataFrame([Row(k="abc ", w=10), Row(k="XYZ", w=20), Row(k="zzz", w=30)])
+    inner_bin = collated_join(left, right, "k", "k", BIN)
+    inner_ci = collated_join(left, right, "k", "k", GENERAL_CI)
+    assert inner_bin.count() == 0
+    assert {(r.v, r.w) for r in inner_ci.collect()} == {(1, 10), (2, 20)}
+
+
+def test_unknown_collation_rejected():
+    with pytest.raises(ValueError, match="unsupported collation"):
+        collation_key("s", "latin1_swedish_ci")

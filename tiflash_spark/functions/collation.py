@@ -1,0 +1,74 @@
+"""Collation-aware comparison helpers (SURVEY.md §1.4).
+
+The reference threads ITiDBCollator through joins, aggregation and string
+functions (dbms/src/TiDB/Collation/Collator.h:28-60: BINARY, ASCII_BIN,
+LATIN1_BIN, UTF8MB4_BIN, UTF8MB4_GENERAL_CI, UTF8MB4_UNICODE_CI,
+UTF8MB4_0900_*). Spark-first mapping:
+
+- *_BIN collations        → Spark's default binary string semantics.
+- UTF8MB4_GENERAL_CI-ish  → compare/group/join on a normalization key:
+  lower() for the ASCII/Latin bulk; Spark 4's `collate()` expression
+  (UTF8_LCASE / ICU locales) where available for full Unicode case
+  folding. MySQL GENERAL_CI also ignores trailing spaces — PadSpace — so
+  the key rtrims first.
+
+Like the reference's explicit collator plumbing, collation here is an
+explicit argument to the helpers, never ambient state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BIN = "utf8mb4_bin"
+GENERAL_CI = "utf8mb4_general_ci"
+_SUPPORTED = (BIN, GENERAL_CI)
+
+
+def collation_key(col: Column | str, collation: str = BIN) -> Column:
+    """The comparison key a collation induces. PadSpace: MySQL non-binary
+    collations compare ignoring trailing spaces."""
+    c = F.col(col) if isinstance(col, str) else col
+    if collation == BIN:
+        return c
+    if collation == GENERAL_CI:
+        return F.lower(F.rtrim(c))
+    raise ValueError(f"unsupported collation {collation!r}; have {_SUPPORTED}")
+
+
+def collated_eq(a: Column, b: Column, collation: str = BIN) -> Column:
+    return collation_key(a, collation) == collation_key(b, collation)
+
+
+def collated_group(df: DataFrame, col: str, collation: str = BIN) -> DataFrame:
+    """groupBy under a collation: groups by the collation key, keeps the
+    min binary value as the representative (deterministic, like the
+    reference's first-seen arbitration but order-independent)."""
+    key = collation_key(col, collation).alias("_ckey")
+    return (
+        df.withColumn("_ckey", key)
+        .groupBy("_ckey")
+        .agg(F.min(col).alias(col), F.count(F.lit(1)).alias("n"))
+        .drop("_ckey")
+    )
+
+
+def collated_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    collation: str = BIN,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join under a collation — joins on the collation keys, exactly
+    the collator-aware hash-join keys of the reference
+    (dbms/src/Interpreters/Join.h:176)."""
+    lk = collation_key(left_col, collation).alias("_lk")
+    rk = collation_key(right_col, collation).alias("_rk")
+    return (
+        left.withColumn("_lk", lk)
+        .join(right.withColumn("_rk", rk), F.col("_lk") == F.col("_rk"), how)
+        .drop("_lk", "_rk")
+    )

@@ -335,3 +335,44 @@ ORACLE = {
     "json_functions": JSON_FUNCTIONS_SQL,
     "cast_functions": CAST_FUNCTIONS_SQL,
 }
+
+
+def regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Like/Regexp category (DAGUtils.cpp:463-469): LIKE with escape, ILIKE,
+    REGEXP/RLIKE, regexp_instr/substr/replace/extract — reference
+    dbms/src/Functions/FunctionsRegexpLike.cpp etc. Patterns restricted to
+    the Java∩RE2 common dialect so the DuckDB oracle is exact."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.col("p_name").like("%a%").alias("like_a"),
+        F.col("p_name").ilike("%A%").alias("ilike_a"),
+        F.col("p_name").rlike("^[a-m]").alias("rx_start"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_type", "[AEIOU]", "_").alias("devoweled"),
+        F.regexp_count("p_name", F.lit("a")).alias("n_a"),
+        F.regexp_instr("p_name", F.lit("[0-9]")).alias("digit_pos"),
+        F.split("p_name", " ").getItem(0).alias("head_token"),
+        F.regexp_like("p_brand", F.lit("Brand#[0-9]+")).alias("brand_ok"),
+    )
+
+
+REGEXP_FUNCTIONS_SQL = """
+SELECT
+  p_partkey,
+  p_name LIKE '%a%' AS like_a,
+  p_name ILIKE '%A%' AS ilike_a,
+  regexp_matches(p_name, '^[a-m]') AS rx_start,
+  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+  regexp_replace(p_type, '[AEIOU]', '_', 'g') AS devoweled,
+  LEN(regexp_extract_all(p_name, 'a')) AS n_a,
+  CASE WHEN regexp_matches(p_name, '[0-9]')
+       THEN INSTR(p_name, regexp_extract(p_name, '[0-9]')) ELSE 0 END AS digit_pos,
+  STRING_SPLIT(p_name, ' ')[1] AS head_token,
+  regexp_matches(p_brand, 'Brand#[0-9]+') AS brand_ok
+FROM part
+WHERE p_partkey <= 300
+"""
+
+QUERIES["regexp_functions"] = regexp_functions
+ORACLE["regexp_functions"] = REGEXP_FUNCTIONS_SQL
