@@ -1,0 +1,76 @@
+"""Misc function tests: IP, duration, unsigned widening, bit — the
+FIXTURES.md group B (types_all) surface, column-in/column-out style."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tiflash_spark.functions.misc import (
+    export_set,
+    inet_aton,
+    inet_ntoa,
+    is_ipv4,
+    is_ipv6,
+    sec_to_time_str,
+    time_to_sec,
+    uint64_to_decimal,
+)
+
+
+def col_out(spark, expr, **data):
+    return spark.createDataFrame([Row(**data)]).select(expr.alias("r")).collect()[0].r
+
+
+@pytest.mark.parametrize(
+    "s,v4,v6",
+    [
+        ("1.2.3.4", True, False),
+        ("255.255.255.255", True, False),
+        ("256.1.1.1", False, False),
+        ("1.2.3", False, False),
+        ("::1", False, True),
+        ("2001:db8::ff00:42:8329", False, True),
+        ("not-an-ip", False, False),
+    ],
+)
+def test_ip_classify(spark, s, v4, v6):
+    assert col_out(spark, is_ipv4(F.col("s")), s=s) is v4
+    assert col_out(spark, is_ipv6(F.col("s")), s=s) is v6
+
+
+def test_inet_roundtrip(spark):
+    assert col_out(spark, inet_aton(F.col("s")), s="192.168.1.10") == 3232235786
+    assert col_out(spark, inet_ntoa(F.col("n")), n=3232235786) == "192.168.1.10"
+    assert col_out(spark, inet_aton(F.col("s")), s="999.1.1.1") is None
+    assert col_out(spark, inet_ntoa(F.col("n")), n=-5) is None
+    # roundtrip on corners
+    for ip in ("0.0.0.0", "255.255.255.255", "10.0.0.1"):
+        n = col_out(spark, inet_aton(F.col("s")), s=ip)
+        assert col_out(spark, inet_ntoa(F.col("n")), n=n) == ip
+
+
+def test_duration(spark):
+    ns = 2 * 3_600_000_000_000 + 25 * 60_000_000_000 + 9_000_000_000  # 02:25:09
+    assert col_out(spark, time_to_sec(F.col("d")), d=ns) == 2 * 3600 + 25 * 60 + 9
+    assert col_out(spark, sec_to_time_str(F.col("s")), s=8709) == "02:25:09"
+    assert col_out(spark, sec_to_time_str(F.col("s")), s=-61) == "-00:01:01"
+    assert col_out(spark, sec_to_time_str(F.col("s")), s=90061) == "25:01:01"
+
+
+def test_uint64_widening(spark):
+    assert col_out(spark, uint64_to_decimal(F.col("n")), n=5) == Decimal(5)
+    # -1 as two's-complement == 2^64 - 1
+    assert col_out(spark, uint64_to_decimal(F.col("n")), n=-1) == Decimal(
+        18446744073709551615
+    )
+    assert col_out(spark, uint64_to_decimal(F.col("n")), n=-(2**63)) == Decimal(2**63)
+
+
+def test_export_set(spark):
+    assert col_out(spark, export_set(F.col("b"), n=4), b=5) == "1,0,1,0"
+    assert col_out(spark, export_set(F.col("b"), "Y", "N", "|", 4), b=9) == "Y|N|N|Y"

@@ -376,3 +376,65 @@ WHERE p_partkey <= 300
 
 QUERIES["regexp_functions"] = regexp_functions
 ORACLE["regexp_functions"] = REGEXP_FUNCTIONS_SQL
+
+
+def misc_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP/duration/bit misc surface (DAGUtils IP/misc row; reference
+    FunctionsCoding.cpp, FunctionsIsIPAddr.cpp, DataTypeMyDuration.h) over
+    values synthesized deterministically from customer keys."""
+    from tiflash_spark.functions.misc import (
+        export_set,
+        inet_aton,
+        inet_ntoa,
+        is_ipv4,
+        sec_to_time_str,
+        time_to_sec,
+    )
+
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    ipnum = (F.col("c_custkey") * 7919 + 12345) % 4294967296
+    dur_ns = (F.col("c_custkey") % 100000) * F.lit(1_000_000_000)
+    return c.select(
+        "c_custkey",
+        inet_ntoa(ipnum).alias("ip"),
+        is_ipv4(inet_ntoa(ipnum)).alias("ip_ok"),
+        inet_aton(inet_ntoa(ipnum)).alias("ip_roundtrip"),
+        time_to_sec(dur_ns).alias("dur_s"),
+        sec_to_time_str(time_to_sec(dur_ns)).alias("dur_str"),
+        export_set(F.col("c_custkey"), "1", "0", ",", 8).alias("bits"),
+    )
+
+
+MISC_FUNCTIONS_SQL = """
+WITH base AS (
+  SELECT c_custkey,
+         (c_custkey * 7919 + 12345) % 4294967296 AS ipnum,
+         c_custkey % 100000 AS dur_s
+  FROM customer WHERE c_custkey <= 500
+)
+SELECT
+  c_custkey,
+  CAST(ipnum // 16777216 % 256 AS VARCHAR) || '.' ||
+  CAST(ipnum // 65536 % 256 AS VARCHAR) || '.' ||
+  CAST(ipnum // 256 % 256 AS VARCHAR) || '.' ||
+  CAST(ipnum % 256 AS VARCHAR) AS ip,
+  TRUE AS ip_ok,
+  ipnum AS ip_roundtrip,
+  dur_s,
+  LPAD(CAST(dur_s // 3600 AS VARCHAR), 2, '0') || ':' ||
+  LPAD(CAST(dur_s % 3600 // 60 AS VARCHAR), 2, '0') || ':' ||
+  LPAD(CAST(dur_s % 60 AS VARCHAR), 2, '0') AS dur_str,
+  CONCAT_WS(',',
+    CASE WHEN c_custkey // 1 % 2 = 1 THEN '1' ELSE '0' END,
+    CASE WHEN c_custkey // 2 % 2 = 1 THEN '1' ELSE '0' END,
+    CASE WHEN c_custkey // 4 % 2 = 1 THEN '1' ELSE '0' END,
+    CASE WHEN c_custkey // 8 % 2 = 1 THEN '1' ELSE '0' END,
+    CASE WHEN c_custkey // 16 % 2 = 1 THEN '1' ELSE '0' END,
+    CASE WHEN c_custkey // 32 % 2 = 1 THEN '1' ELSE '0' END,
+    CASE WHEN c_custkey // 64 % 2 = 1 THEN '1' ELSE '0' END,
+    CASE WHEN c_custkey // 128 % 2 = 1 THEN '1' ELSE '0' END) AS bits
+FROM base
+"""
+
+QUERIES["misc_functions"] = misc_functions
+ORACLE["misc_functions"] = MISC_FUNCTIONS_SQL
