@@ -51,3 +51,19 @@ def test_vector_identities(spark):
         assert -1.0000001 <= 1 - r.cos_dist <= 1.0000001
         assert r.dims == 64
         assert abs(r.neg_dot + r.dot) < 1e-12
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF with 4/16 probes must recover a meaningful share of the true
+    top-k (synthetic uniform embeddings are ANN-hostile; bound is loose
+    but nonzero, and every hit must carry the exact similarity)."""
+    from tiflash_spark.pipeline.similarity import ann_ivf_topk
+
+    exact = {r.vec_id: r.cos_sim for r in ann_cosine_topk(spark, SF_MEDIUM).collect()}
+    ivf = {r.vec_id: r.cos_sim for r in ann_ivf_topk(spark, SF_MEDIUM).collect()}
+    assert 0 < len(ivf) <= TOP_K
+    overlap = set(exact) & set(ivf)
+    for vid in overlap:
+        assert math.isclose(exact[vid], ivf[vid], abs_tol=1e-9)
+    # probing 4/16 clusters: expect >= ~25% recall on uniform data
+    assert len(overlap) >= 2, f"IVF recall too low: {len(overlap)}/{TOP_K}"
