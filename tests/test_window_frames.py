@@ -112,3 +112,25 @@ def test_lead_lag_first_last_nulls(wtab):
           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
       FROM wt WINDOW w AS (PARTITION BY pk ORDER BY ord, rid)"""
     check(out, con, sql, "lead_lag")
+
+
+def test_first_last_ignore_nulls(wtab):
+    """first_value/last_value IGNORE NULLS (reference IWindowFunction first/
+    last_value respect-nulls default; Spark exposes both modes)."""
+    sdf, con = wtab
+    w = Window.partitionBy("pk").orderBy("ord", "rid")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    out = sdf.select(
+        "pk",
+        "rid",
+        F.first("val", ignorenulls=True).over(w).alias("fv_in"),
+        F.last("val", ignorenulls=True).over(wfull).alias("lv_in"),
+        F.lead("val", 1, None).over(w).alias("ld"),
+    )
+    sql = """SELECT pk, rid,
+      FIRST_VALUE(val IGNORE NULLS) OVER w AS fv_in,
+      LAST_VALUE(val IGNORE NULLS) OVER (PARTITION BY pk ORDER BY ord, rid
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv_in,
+      LEAD(val, 1) OVER w AS ld
+      FROM wt WINDOW w AS (PARTITION BY pk ORDER BY ord, rid)"""
+    check(out, con, sql, "ignore_nulls")

@@ -406,3 +406,87 @@ ORDER BY s_nationkey
 
 QUERIES["join_salted_skew"] = join_salted_skew
 ORACLE["join_salted_skew"] = JOIN_SALTED_SKEW_SQL
+
+
+def join_right_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RightSemi (reference ASTTablesInSelectQuery.h RightSemi): semi join
+    keeping the BUILD side — Spark expresses it by flipping probe/build;
+    Catalyst picks the physical build side independently. Orders that have
+    at least one high-discount line."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") >= 0.08)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+JOIN_RIGHT_SEMI_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount >= 0.08)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def join_right_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RightAnti: orders with NO high-discount lines."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") >= 0.08)
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+JOIN_RIGHT_ANTI_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount >= 0.08)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def join_left_outer_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LeftOuterAnti: every left row + a NOT-matched flag (TiFlash lowers
+    `x NOT IN (...)` in a select list to this kind). Dual of
+    join_left_outer_semi — flag inverted, no row loss."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    flagged = c.join(
+        o.select("o_custkey").distinct(), c.c_custkey == F.col("o_custkey"), "left"
+    ).select("c_custkey", "c_mktsegment", F.col("o_custkey").isNull().alias("no_urgent"))
+    return (
+        flagged.groupBy("c_mktsegment", "no_urgent")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment", "no_urgent")
+    )
+
+
+JOIN_LEFT_OUTER_ANTI_SQL = """
+SELECT c_mktsegment, no_urgent, COUNT(*) AS n
+FROM (
+  SELECT c_custkey, c_mktsegment,
+         NOT EXISTS (SELECT 1 FROM orders
+                     WHERE o_custkey = c_custkey
+                       AND o_orderpriority = '1-URGENT') AS no_urgent
+  FROM customer
+) t
+GROUP BY c_mktsegment, no_urgent
+ORDER BY c_mktsegment, no_urgent
+"""
+
+QUERIES["join_right_semi"] = join_right_semi
+QUERIES["join_right_anti"] = join_right_anti
+QUERIES["join_left_outer_anti"] = join_left_outer_anti
+ORACLE["join_right_semi"] = JOIN_RIGHT_SEMI_SQL
+ORACLE["join_right_anti"] = JOIN_RIGHT_ANTI_SQL
+ORACLE["join_left_outer_anti"] = JOIN_LEFT_OUTER_ANTI_SQL

@@ -372,3 +372,52 @@ ORACLE = {
     "having_subquery": HAVING_SUBQUERY_SQL,
     "cte_reuse": CTE_REUSE_SQL,
 }
+
+
+def group_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupConcat with ORDER BY a *different* column than the value —
+    the reference sorts the collected array by the order-by spec before
+    joining (AggregateFunctionGroupConcat.h). Spark-first: collect structs
+    (ord, val), sort_array on the struct (lexicographic on fields), then
+    project the value out — still one aggregation, JVM-side."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    per_nation = (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal"),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+    )
+    # nations ordered by descending balance inside each region
+    ordered_struct = F.sort_array(
+        F.collect_list(F.struct((-F.col("bal")).alias("o"), F.col("n_name").alias("v")))
+    )
+    return (
+        per_nation.groupBy("n_regionkey")
+        .agg(
+            F.concat_ws(",", F.transform(ordered_struct, lambda s: s["v"])).alias(
+                "nations_by_wealth"
+            ),
+            F.round(F.sum("bal"), 2).alias("region_bal"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+GROUP_CONCAT_ORDERED_SQL = """
+WITH per_nation AS (
+  SELECT c_nationkey, COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS bal
+  FROM customer GROUP BY c_nationkey
+)
+SELECT n_regionkey,
+       STRING_AGG(n_name, ',' ORDER BY -bal, n_name) AS nations_by_wealth,
+       ROUND(SUM(bal), 2) AS region_bal
+FROM per_nation JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+QUERIES["group_concat_ordered"] = group_concat_ordered
+ORACLE["group_concat_ordered"] = GROUP_CONCAT_ORDERED_SQL
