@@ -125,3 +125,32 @@ def test_delta_store_compaction_preserves_reads(spark, tmp_path):
     # new writes after compaction still win
     store.write_batch(spark.createDataFrame([Row(**{HANDLE: 0, "v": "new"})]), version=9)
     assert {r[HANDLE]: r["v"] for r in store.read().collect()}[0] == "new"
+
+
+def test_segmented_compaction_and_point_reads(spark, tmp_path):
+    """Segment-partitioned stable layer: compaction into _seg dirs, reads
+    (full and point) unchanged, delta written after compaction still wins."""
+    store = DeltaStore(spark, str(tmp_path / "t3"))
+    for v in range(1, 9):
+        store.write_batch(
+            spark.createDataFrame([(v % 5, f"x{v}")], schema=f"{HANDLE} long, v string"),
+            version=v,
+        )
+    before = {r[HANDLE]: r["v"] for r in store.read().collect()}
+    kept = store.compact(ts=8, num_segments=4)
+    assert kept == len(before)
+    # segment dirs exist
+    import os as _os
+
+    segs = [d for d in _os.listdir(tmp_path / "t3" / "stable") if d.startswith("_seg=")]
+    assert len(segs) >= 2
+    after = {r[HANDLE]: r["v"] for r in store.read().collect()}
+    assert after == before
+    # point read prunes but returns the same rows
+    pr = {r[HANDLE]: r["v"] for r in store.read_handles([0, 2]).collect()}
+    assert pr == {0: before[0], 2: before[2]}
+    # post-compaction delta still overrides stable
+    store.write_batch(
+        spark.createDataFrame([(2, "new")], schema=f"{HANDLE} long, v string"), version=99
+    )
+    assert {r[HANDLE]: r["v"] for r in store.read_handles([2]).collect()} == {2: "new"}

@@ -74,30 +74,51 @@ class DeltaStore:
             raise ValueError(f"empty store at {self.path}")
         df = parts[0]
         for p in parts[1:]:
-            df = df.unionByName(p)
+            # stable may carry the _seg partition column that delta lacks
+            df = df.unionByName(p, allowMissingColumns=True)
         return df
 
     def read(self, ts: int | None = None) -> DataFrame:
         """Snapshot-consistent read at version ts (None = everything)."""
-        return snapshot_read(self.log(), read_ts=ts).drop(VERSION, DELMARK)
+        out = snapshot_read(self.log(), read_ts=ts).drop(VERSION, DELMARK)
+        return out.drop("_seg") if "_seg" in out.columns else out
 
     # --- maintenance -------------------------------------------------------
 
-    def compact(self, ts: int) -> int:
+    def compact(self, ts: int, num_segments: int | None = None) -> int:
         """Fold delta into stable up to version ts (≈ delta merge,
         reference Segment delta→stable merge). Returns live rows kept.
 
         Tombstones at or below ts are garbage-collected: after folding,
         nothing older than ts can need them (the reference keeps them until
-        GC-safe-point — same rule)."""
+        GC-safe-point — same rule).
+
+        ``num_segments``: hash-partition stable by handle into that many
+        segment directories (hive partition `_seg=`) — the analogue of the
+        reference's PK-range Segments. Point/range reads on handles then
+        prune segments at file-listing level, and a later compaction can
+        rewrite one segment instead of the whole stable layer.
+        """
+        from pyspark.sql import functions as F
+
         merged = snapshot_read(self.log(), read_ts=ts)
         tmp = os.path.join(self.path, f"stable_new_{int(time.time() * 1000)}")
-        (
-            merged.repartition(HANDLE)
-            .sortWithinPartitions(HANDLE)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
+        if num_segments:
+            (
+                merged.withColumn("_seg", F.pmod(F.xxhash64(F.col(HANDLE)), F.lit(num_segments)))
+                .repartition("_seg")
+                .sortWithinPartitions(HANDLE)
+                .write.partitionBy("_seg")
+                .mode("overwrite")
+                .parquet(tmp)
+            )
+        else:
+            (
+                merged.repartition(HANDLE)
+                .sortWithinPartitions(HANDLE)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
         n = self.spark.read.parquet(tmp).count()
         # atomic-ish swap: retire old layers, promote the new stable
         import shutil
@@ -107,3 +128,28 @@ class DeltaStore:
         os.rename(tmp, os.path.join(self.path, "stable"))
         os.makedirs(os.path.join(self.path, "delta"), exist_ok=True)
         return n
+
+    def read_handles(self, handles: list[int], ts: int | None = None) -> DataFrame:
+        """Point reads: snapshot-read only the given handles. With a
+        segmented stable layer the `_seg` predicate prunes partitions at
+        file-listing level (reference: segment-range read tasks,
+        DeltaMergeStore.h:382)."""
+        from pyspark.sql import functions as F
+
+        log = self.log()
+        if "_seg" in log.columns:
+            # one tiny job computes the wanted segment ids with the SAME
+            # hash expression used at write time
+            n_seg = 1 + self.spark.read.parquet(os.path.join(self.path, "stable")).agg(
+                F.max("_seg")
+            ).collect()[0][0]
+            wanted = {
+                r.s
+                for r in self.spark.createDataFrame([(h,) for h in handles], f"{HANDLE} long")
+                .select(F.pmod(F.xxhash64(F.col(HANDLE)), F.lit(n_seg)).alias("s"))
+                .collect()
+            }
+            log = log.filter(F.col("_seg").isin(*wanted) | F.col("_seg").isNull())
+        out = snapshot_read(log.filter(F.col(HANDLE).isin(*handles)), read_ts=ts)
+        drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
+        return out.drop(*drop_cols)
