@@ -438,3 +438,34 @@ FROM base
 
 QUERIES["misc_functions"] = misc_functions
 ORACLE["misc_functions"] = MISC_FUNCTIONS_SQL
+
+
+def collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (SURVEY.md §1.4): UTF8MB4_GENERAL_CI-style
+    case-insensitive grouping via collation keys (functions/collation.py),
+    over mixed-case strings synthesized from p_type."""
+    from tiflash_spark.functions.collation import GENERAL_CI, collation_key
+
+    p = load_table(spark, sf_dir, "part")
+    mixed = F.when(F.col("p_partkey") % 2 == 0, F.lower("p_type")).otherwise(
+        F.concat(F.col("p_type"), F.lit("  "))
+    )
+    return (
+        p.select(collation_key(mixed, GENERAL_CI).alias("type_ci"))
+        .groupBy("type_ci")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("type_ci")
+    )
+
+
+COLLATION_GROUP_SQL = """
+SELECT LOWER(RTRIM(CASE WHEN p_partkey % 2 = 0 THEN LOWER(p_type)
+                        ELSE p_type || '  ' END)) AS type_ci,
+       COUNT(*) AS n
+FROM part
+GROUP BY 1
+ORDER BY type_ci
+"""
+
+QUERIES["collation_group"] = collation_group
+ORACLE["collation_group"] = COLLATION_GROUP_SQL
