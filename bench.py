@@ -36,6 +36,10 @@ HEADLINE = [
     "q8_market_share",
     "q18_large_orders",
     "events_sessionize",
+    "q9_product_profit",
+    "q10_returned_items",
+    "events_tumbling_window",
+    "grouping_sets",
 ]
 # pipeline ops are added when present in the registry (kept in sync with
 # tiflash_spark/pipeline modules)
