@@ -32,9 +32,14 @@ def _norm_cell(v: Any) -> Any:
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            # pandas can't distinguish NULL from NaN (DuckDB fetchdf uses
+            # nan for NULL even in object columns); fold both to None
+            return None
         # kill last-ulp noise from different summation orders
         return round(v, 9)
+    # pandas missing markers (nullable dtypes from fetchdf) ≡ SQL NULL
+    if v is pd.NA or v is pd.NaT:
+        return None
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime().replace(tzinfo=None)
     if hasattr(v, "tolist"):  # numpy scalars / arrays
