@@ -74,3 +74,36 @@ def test_uint64_widening(spark):
 def test_export_set(spark):
     assert col_out(spark, export_set(F.col("b"), n=4), b=5) == "1,0,1,0"
     assert col_out(spark, export_set(F.col("b"), "Y", "N", "|", 4), b=9) == "Y|N|N|Y"
+
+
+def test_enum_name(spark):
+    from tiflash_spark.functions.misc import enum_name
+
+    names = ["red", "green", "blue"]
+    assert col_out(spark, enum_name(F.col("o"), names), o=2) == "green"
+    assert col_out(spark, enum_name(F.col("o"), names), o=0) is None
+    assert col_out(spark, enum_name(F.col("o"), names), o=9) is None
+
+
+def test_set_to_array(spark):
+    from tiflash_spark.functions.misc import set_to_array
+
+    names = ["a", "b", "c", "d"]
+    assert col_out(spark, set_to_array(F.col("m"), names), m=0b1011) == ["a", "b", "d"]
+    assert col_out(spark, set_to_array(F.col("m"), names), m=0) == []
+
+
+def test_find_in_set(spark):
+    from tiflash_spark.functions.misc import find_in_set
+
+    assert col_out(spark, find_in_set(F.lit("b"), F.col("c")), c="a,b,c") == 2
+    assert col_out(spark, find_in_set(F.lit("z"), F.col("c")), c="a,b,c") == 0
+    null_df = spark.createDataFrame([(None,)], "c string")
+    assert null_df.select(find_in_set(F.lit("b"), F.col("c")).alias("r")).collect()[0].r is None
+
+
+def test_mysql_format(spark):
+    from tiflash_spark.functions.misc import mysql_format
+
+    assert col_out(spark, mysql_format(F.col("n"), 2), n=1234567.891) == "1,234,567.89"
+    assert col_out(spark, mysql_format(F.col("n"), 0), n=1234.5) == "1,235"

@@ -115,3 +115,39 @@ def export_set(bits: Column, on: str = "1", off: str = "0", sep: str = ",", n: i
         for i in range(n)
     ]
     return F.concat_ws(sep, *parts)
+
+
+# --- MySQL ENUM / SET surface (§1.2: Enum16, Set = UInt64 bitmask) ----------
+
+
+def enum_name(ordinal: Column, names: list[str]) -> Column:
+    """ENUM ordinal (1-based, MySQL style) → label; NULL out of range.
+    Reference surfaces Enum as Enum16 (DataTypeEnum.h); here the dictionary
+    is explicit, like a broadcast dimension."""
+    expr = F.lit(None)
+    for i in range(len(names), 0, -1):
+        expr = F.when(ordinal == i, F.lit(names[i - 1])).otherwise(expr)
+    return expr
+
+
+def set_to_array(mask: Column, names: list[str]) -> Column:
+    """SET bitmask (UInt64, TiDBTypes.h tag 0xf8) → array of member names."""
+    members = [
+        F.when(F.shiftright(mask, i).bitwiseAND(F.lit(1)) == 1, F.lit(n))
+        for i, n in enumerate(names)
+    ]
+    return F.array_compact(F.array(*members))
+
+
+def find_in_set(needle: Column, csv: Column) -> Column:
+    """MySQL FIND_IN_SET: 1-based position of needle in 'a,b,c', 0 if absent."""
+    arr = F.split(csv, ",")
+    pos = F.array_position(arr, needle)
+    return F.when(needle.isNull() | csv.isNull(), F.lit(None)).otherwise(pos.cast("int"))
+
+
+def mysql_format(n: Column, decimals: int) -> Column:
+    """MySQL FORMAT(n, d): thousands separators + fixed decimals
+    (reference FunctionsString.cpp format). format_number alone rounds
+    half-even; MySQL rounds half-up — pre-round with F.round (HALF_UP)."""
+    return F.format_number(F.round(n, decimals), decimals)
