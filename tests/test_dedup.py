@@ -61,3 +61,39 @@ def test_simhash_finds_near_dups(spark):
 def test_no_self_pairs(spark):
     for df in (dedup_minhash(spark, SF_MEDIUM), dedup_simhash(spark, SF_MEDIUM)):
         assert df.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+
+
+def test_clusters_match_union_find(spark):
+    """Distributed label propagation must produce exactly the components a
+    driver-side union-find builds from the same edges."""
+    from tiflash_spark.pipeline.dedup import connected_components
+
+    edges = dedup_ngram_jaccard(spark, SF_MEDIUM)
+    edge_list = [(r.doc_a, r.doc_b) for r in edges.collect()]
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        parent[find(a)] = find(b)
+
+    for a, b in edge_list:
+        union(a, b)
+    expected = {}
+    for n in parent:
+        expected.setdefault(find(n), set()).add(n)
+    expected_sets = {frozenset(v) for v in expected.values()}
+
+    got = {}
+    for r in connected_components(edges).collect():
+        got.setdefault(r.comp, set()).add(r.doc_id)
+    got_sets = {frozenset(v) for v in got.values()}
+    assert got_sets == expected_sets
+    # component label is the min member (hash-min convergence property)
+    for comp, members in got.items():
+        assert comp == min(members)

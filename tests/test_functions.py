@@ -121,3 +121,24 @@ def test_vec_dim_mismatch_is_null(spark):
 def test_vec_zero_vector_cosine_null(spark):
     df = spark.createDataFrame([Row(a=[0.0, 0.0], b=[1.0, 2.0])])
     assert df.select(vec_cosine_distance("a", "b").alias("d")).collect()[0].d is None
+
+
+def test_mysql_partial_parse(spark):
+    from tiflash_spark.functions.mysql_compat import mysql_str_to_int, mysql_str_to_number
+
+    cases = {
+        "12abc": 12.0,
+        "abc": 0.0,
+        " 3.5x": 3.5,
+        "-7.25zz": -7.25,
+        "1e3km": 1000.0,
+        "": 0.0,
+        ".5x": 0.5,
+        "+42": 42.0,
+    }
+    for raw, want in cases.items():
+        got = one(spark, mysql_str_to_number(F.lit(raw)))
+        assert got == want, (raw, got, want)
+    assert one(spark, mysql_str_to_int(F.lit("9.9abc"))) == 9
+    null_df = spark.createDataFrame([(None,)], "s string")
+    assert null_df.select(mysql_str_to_number(F.col("s")).alias("r")).collect()[0].r is None

@@ -102,3 +102,22 @@ def mysql_elt(idx: Column, *choices: Column) -> Column:
         n = len(choices) - i
         expr = F.when(idx == n, choice).otherwise(expr)
     return expr
+
+
+def mysql_str_to_number(s: Column) -> Column:
+    """MySQL string→number soft parse: leading numeric prefix, 0 for no
+    digits ('12abc'→12, 'abc'→0, ' 3.5x'→3.5) — reference tidb_cast
+    (FunctionsTiDBConversion.cpp) emits truncation warnings; we emit the
+    value. Spark try_cast yields NULL for any trailing garbage, so the
+    prefix is extracted explicitly (regexp stays in codegen)."""
+    prefix = F.regexp_extract(F.trim(s), r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", 0)
+    return (
+        F.when(s.isNull(), F.lit(None).cast("double"))
+        .when(prefix == "", F.lit(0.0))
+        .otherwise(prefix.cast("double"))
+    )
+
+
+def mysql_str_to_int(s: Column) -> Column:
+    """MySQL string→integer soft parse (truncates the fractional part)."""
+    return mysql_str_to_number(s).cast("long")

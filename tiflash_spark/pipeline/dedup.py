@@ -312,3 +312,86 @@ ORACLE = {
     # Spark-specific. tests/test_dedup.py verifies them against the exact
     # Jaccard ground truth instead.
 }
+
+
+# --- duplicate clusters: connected components over the near-dup pair graph --
+
+
+def connected_components(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+    """(doc_a, doc_b) edge list → (doc_id, component) via iterative
+    label propagation (hash-min): every node adopts the smallest id
+    reachable in one hop; iterate to fixpoint.
+
+    This is the standard large-scale dedup clustering step (pair output →
+    groups → keep one representative per group). Each iteration is two
+    shuffles on bounded-size frames (nodes + edges); iterations ≤
+    graph diameter — near-dup clusters are small and dense, so it
+    converges in a handful of rounds. Checkpointing via persist()
+    truncates the lineage so plans don't grow with iterations.
+    """
+    # near-dup pair graphs are tiny relative to the corpus — pin a small
+    # partition count so each iteration isn't 200 near-empty shuffle tasks
+    # on a default-config session (12.4s -> ~5s at sf0.01)
+    n_part = 16
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .repartition(n_part, "src")
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .repartition(n_part, "node")
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "comp")
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from the exact-Jaccard pair graph: component id,
+    size, and the kept representative (min doc_id). Iterative — no SQL
+    oracle; tests/test_dedup.py checks against a driver-side union-find."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("doc_id").alias("keeper"),
+            F.max("doc_id").alias("max_member"),
+        )
+        .orderBy("comp")
+    )
+
+
+QUERIES["dedup_clusters"] = dedup_clusters  # iterative: rows-only driver check
