@@ -147,3 +147,78 @@ ORACLE = {
     "text_analysis": TEXT_ANALYSIS_SQL,
     "lang_distribution": LANG_DISTRIBUTION_SQL,
 }
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: explode tokens → count/doc-frequency →
+    top 50 terms. The canonical corpus-profiling pass (vocab build, stopword
+    discovery, TF-IDF prep). Plan: explode stays narrow, one shuffle on the
+    token, TakeOrderedAndProject for the top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("tok"))
+        .limit(50)
+    )
+
+
+VOCAB_TOPK_SQL = """
+SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM (
+  SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +')) AS tok
+  FROM documents
+) t
+GROUP BY tok
+ORDER BY tf DESC, tok
+LIMIT 50
+"""
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document length histogram in 100-token buckets + per-bucket quality —
+    the filter-threshold-picking query of a data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n = token_count(t)
+    return (
+        d.select(
+            (F.floor(n / 100) * 100).cast("long").alias("len_bucket"),
+            quality_score(t).alias("q"),
+        )
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+DOC_LENGTH_HISTOGRAM_SQL = """
+WITH scored AS (
+  SELECT LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +')) AS n,
+         CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +'))) AS DOUBLE)
+           / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +'))
+         + LEAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +')) / 200.0, 1.0)
+         - CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +'),
+                                t -> t IN ('the','a','of','and','to'))) AS DOUBLE)
+           / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +')) AS q
+  FROM documents
+)
+SELECT CAST(FLOOR(n / 100) * 100 AS BIGINT) AS len_bucket,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(q), 6) AS avg_quality
+FROM scored
+GROUP BY 1
+ORDER BY len_bucket
+"""
+
+QUERIES["vocab_topk"] = vocab_topk
+QUERIES["doc_length_histogram"] = doc_length_histogram
+ORACLE["vocab_topk"] = VOCAB_TOPK_SQL
+ORACLE["doc_length_histogram"] = DOC_LENGTH_HISTOGRAM_SQL
