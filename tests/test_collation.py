@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from tiflash_spark.functions.collation import (
     BIN,
+    BINARY,
     GENERAL_CI,
     collated_eq,
     collated_group,
@@ -56,6 +57,19 @@ def test_collated_join_ci(spark):
     inner_ci = collated_join(left, right, "k", "k", GENERAL_CI)
     assert inner_bin.count() == 0
     assert {(r.v, r.w) for r in inner_ci.collect()} == {(1, 10), (2, 20)}
+
+
+def test_utf8mb4_bin_is_padspace(spark):
+    """Reference UTF8MB4_BIN is BinCollator<Rune, padding=true> — rtrims
+    both sides (Collator.h:415, CollatorCompare.h:70-89). Trailing-space
+    differences are equal under utf8mb4_bin but NOT under raw 'binary'."""
+    df = spark.createDataFrame([Row(a="abc  ", b="abc")])
+    r = df.select(
+        collated_eq(F.col("a"), F.col("b"), BIN).alias("bin_eq"),
+        collated_eq(F.col("a"), F.col("b"), BINARY).alias("raw_eq"),
+    ).collect()[0]
+    assert r.bin_eq
+    assert not r.raw_eq
 
 
 def test_unknown_collation_rejected():

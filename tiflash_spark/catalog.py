@@ -114,8 +114,12 @@ SCHEMAS: dict[str, T.StructType] = {
 
 TABLES = tuple(SCHEMAS)
 
-# Small dimension tables that should always broadcast in joins.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+# Constant-size dimension tables (O(1) rows regardless of scale factor)
+# that are always safe to F.broadcast(). customer/supplier/part grow
+# linearly with sf — a forced broadcast hint bypasses
+# autoBroadcastJoinThreshold and becomes a guaranteed OOM at 100 TB, so
+# those are left to AQE to pick broadcast-vs-shuffle from runtime sizes.
+BROADCAST_TABLES = frozenset({"region", "nation"})
 
 
 def ensure_engine_confs(spark: SparkSession) -> None:

@@ -21,17 +21,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+BINARY = "binary"
 BIN = "utf8mb4_bin"
 GENERAL_CI = "utf8mb4_general_ci"
-_SUPPORTED = (BIN, GENERAL_CI)
+_SUPPORTED = (BINARY, BIN, GENERAL_CI)
 
 
 def collation_key(col: Column | str, collation: str = BIN) -> Column:
-    """The comparison key a collation induces. PadSpace: MySQL non-binary
-    collations compare ignoring trailing spaces."""
+    """The comparison key a collation induces. PadSpace: MySQL's
+    UTF8MB4_BIN is a *padding* binary collator — the reference
+    instantiates it as BinCollator<Rune, padding=true> and rtrims both
+    sides before comparing (Collator.h:415, CollatorCompare.h:70-89) — so
+    trailing-space-only differences compare equal. Only the 'binary'
+    collation (and 0900_bin) is NoPad raw-byte comparison."""
     c = F.col(col) if isinstance(col, str) else col
-    if collation == BIN:
+    if collation == BINARY:
         return c
+    if collation == BIN:
+        return F.rtrim(c)
     if collation == GENERAL_CI:
         return F.lower(F.rtrim(c))
     raise ValueError(f"unsupported collation {collation!r}; have {_SUPPORTED}")

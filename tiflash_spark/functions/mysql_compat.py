@@ -58,14 +58,21 @@ def mysql_format_to_spark(fmt: str) -> str:
                 if tok == "%%":
                     out.append("%")
                 else:
-                    out.append(f"'{fmt[i + 1]}'")
+                    out.append(_quote_literal(fmt[i + 1]))
             i += 2
         else:
             # literal chars that collide with pattern letters must be quoted
             ch = fmt[i]
-            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            out.append(_quote_literal(ch) if ch.isalpha() or ch == "'" else ch)
             i += 1
     return "".join(out)
+
+
+def _quote_literal(ch: str) -> str:
+    """Quote one literal char for a Java datetime pattern. A literal
+    single-quote must be escaped as '' — emitting it bare (or as ''')
+    produces an unbalanced quote section and date_format throws."""
+    return "''" if ch == "'" else f"'{ch}'"
 
 
 def mysql_date_format(col: Column | str, mysql_fmt: str) -> Column:

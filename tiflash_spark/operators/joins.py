@@ -18,9 +18,13 @@ Spark-first mapping:
 - Residual other-conditions → extra predicates in the join condition
   (Catalyst evaluates them inside the hash join, matching TiFlash).
 
-Scale notes: dimension sides are wrapped in broadcast() (TiDB picks
-broadcast-vs-shuffle via Exchange type; we pick via table class —
-catalog.BROADCAST_TABLES). Fact-fact joins shuffle on the key; AQE handles
+Scale notes: only constant-size dims (region/nation — catalog.
+BROADCAST_TABLES) are wrapped in broadcast(); sf-scaled tables
+(customer/supplier/part) are left to AQE, which picks broadcast-vs-
+shuffle from runtime sizes (a forced hint would bypass
+autoBroadcastJoinThreshold and OOM at 100 TB). TiDB picks
+broadcast-vs-shuffle via Exchange type; we pick via table class.
+Fact-fact joins shuffle on the key; AQE handles
 skew splitting.
 """
 
@@ -43,8 +47,8 @@ def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), (c.c_nationkey == n.n_nationkey) & (s.s_nationkey == n.n_nationkey))
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .filter(
@@ -363,7 +367,17 @@ def salted_join(
     tool for the pathological hot-key case AQE can't split — a single key
     exceeding one executor's memory. Cost model: right side is replicated
     ×salt, so use it when |hot key rows| >> salt × |right|.
+
+    Only inner/left shapes are supported: the right side is exploded
+    ×salt, so an unmatched right row would surface `salt` duplicate
+    copies under right/full joins.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the exploded right side would duplicate unmatched right rows "
+            "under right/full outer joins"
+        )
     salted_left = left.withColumn(
         "_salt", (F.xxhash64(F.monotonically_increasing_id()) % salt).cast("int")
     ).withColumn("_salt", F.abs("_salt"))

@@ -68,8 +68,10 @@ def raw_scan(log: DataFrame) -> DataFrame:
 def compact(log: DataFrame, compact_ts: int) -> DataFrame:
     """COMPACT filter mode (DMVersionFilterBlockInputStream.h:37-44): keep,
     per handle, the newest version <= compact_ts (even if delete-marked, so
-    the tombstone survives until GC) plus every version > compact_ts."""
-    w = Window.partitionBy(HANDLE).orderBy(F.col(VERSION).desc())
+    the tombstone survives until GC) plus every version > compact_ts.
+    Same-version upsert/delete ties resolve delete-wins, matching
+    snapshot_read."""
+    w = Window.partitionBy(HANDLE).orderBy(F.col(VERSION).desc(), F.col(DELMARK).desc())
     older = (
         log.filter(F.col(VERSION) <= compact_ts)
         .withColumn("_rn", F.row_number().over(w))
@@ -127,7 +129,7 @@ snap AS (
   ) t WHERE rn = 1 AND delmark = 0
 )
 SELECT COUNT(*) AS n_visible,
-       SUM(a) AS sum_a,
+       CAST(SUM(a) AS BIGINT) AS sum_a,
        ROUND(SUM(b), 2) AS sum_b,
        COUNT(DISTINCT handle) AS n_handles
 FROM snap
@@ -146,7 +148,7 @@ def mvcc_fast_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MVCC_FAST_SCAN_SQL = """
 SELECT COUNT(*) AS n_rows,
-       SUM(l_partkey) AS sum_a,
+       CAST(SUM(l_partkey) AS BIGINT) AS sum_a,
        COUNT(DISTINCT l_orderkey) AS n_handles
 FROM lineitem
 WHERE l_returnflag <> 'R'

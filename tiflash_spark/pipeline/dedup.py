@@ -58,10 +58,10 @@ WITH groups AS (
   GROUP BY 1
 )
 SELECT COUNT(*) AS n_unique_docs,
-       SUM(n_copies) AS n_total_docs,
-       SUM(n_copies) - COUNT(*) AS n_removed,
+       CAST(SUM(n_copies) AS BIGINT) AS n_total_docs,
+       CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_removed,
        MAX(n_copies) AS max_group,
-       SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups
+       CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
 FROM groups
 """
 

@@ -181,9 +181,9 @@ decoded AS (
 )
 SELECT media_type,
        COUNT(*) AS n,
-       SUM(n_bytes) AS total_bytes,
-       SUM(ok) AS n_ok,
-       SUM(hist0) AS hist0_sum,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(ok) AS BIGINT) AS n_ok,
+       CAST(SUM(hist0) AS BIGINT) AS hist0_sum,
        MAX(width) AS max_w
 FROM decoded
 GROUP BY media_type

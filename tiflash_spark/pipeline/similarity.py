@@ -247,17 +247,29 @@ def _centroids(e: DataFrame) -> DataFrame:
 
 def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     """Assign every vector to its nearest centroid: broadcast the centroid
-    table, argmin over L2 — one narrow stage, no shuffle of the big side."""
+    table, argmin over L2 via min_by aggregation.
+
+    min_by gets map-side partial aggregation — each task reduces its
+    16×-exploded candidates locally before the (vec_id)-shuffle, and no
+    sort is needed. The earlier window/row_number form shuffled and
+    sorted all |e|×N_CENTROIDS rows. Ties break on smallest cid via the
+    (dist, cid) struct ordering key."""
     scored = (
         e.select("vec_id", "label", "embedding")
         .crossJoin(F.broadcast(cents))
         .withColumn("dist", vec_l2_distance(_as_double(F.col("embedding")), F.col("cvec")))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cid").asc())
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "label", "embedding", F.col("cid").alias("cluster"))
+    best = scored.groupBy("vec_id").agg(
+        F.min_by(
+            F.struct(F.col("cid"), F.col("label"), F.col("embedding")),
+            F.struct(F.col("dist"), F.col("cid")),
+        ).alias("best")
+    )
+    return best.select(
+        "vec_id",
+        F.col("best.label").alias("label"),
+        F.col("best.embedding").alias("embedding"),
+        F.col("best.cid").alias("cluster"),
     )
 
 

@@ -40,11 +40,13 @@ def count_operator(df: DataFrame, name: str) -> int:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges (excludes broadcast exchanges)."""
+    """Number of shuffle exchanges (excludes broadcast exchanges).
+
+    `\\bExchange\\b` alone already cannot match inside `BroadcastExchange`
+    (preceded by a word char), so count it once — subtracting broadcast
+    matches on top of that double-counts them and can go negative."""
     plan = formatted_plan(df).split("\n\n")[0]
-    return len(re.findall(r"\bExchange\b", plan)) - len(
-        re.findall(r"\bBroadcastExchange\b", plan)
-    )
+    return len(re.findall(r"(?<!Broadcast)\bExchange\b", plan))
 
 
 def assert_scan_pruned(df: DataFrame, table_cols: dict[str, int]) -> None:

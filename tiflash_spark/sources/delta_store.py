@@ -86,22 +86,34 @@ class DeltaStore:
     # --- maintenance -------------------------------------------------------
 
     def compact(self, ts: int, num_segments: int | None = None) -> int:
-        """Fold delta into stable up to version ts (≈ delta merge,
-        reference Segment delta→stable merge). Returns live rows kept.
+        """Fold delta into stable with GC-safe-point ts (≈ delta merge,
+        reference Segment delta→stable merge). Returns rows kept.
 
-        Tombstones at or below ts are garbage-collected: after folding,
-        nothing older than ts can need them (the reference keeps them until
-        GC-safe-point — same rule).
+        Versions <= ts are deduped to the newest per handle (COMPACT
+        filter mode, DMVersionFilterBlockInputStream.h:37-44); every
+        version > ts survives unchanged — compacting at a ts below the
+        newest committed version must never lose those later writes.
+        Tombstones at or below ts are then garbage-collected: after the
+        dedup there is no older stable row left for them to mask, and
+        reads below the safe-point are no longer supported (the reference
+        keeps tombstones until GC-safe-point — same rule).
 
         ``num_segments``: hash-partition stable by handle into that many
         segment directories (hive partition `_seg=`) — the analogue of the
         reference's PK-range Segments. Point/range reads on handles then
         prune segments at file-listing level, and a later compaction can
-        rewrite one segment instead of the whole stable layer.
+        rewrite one segment instead of the whole stable layer. The modulus
+        is persisted in ``_SEGMENTS`` so readers never have to re-derive
+        it from observed _seg values (an empty tail segment would skew
+        the inference and mis-prune point reads).
         """
         from pyspark.sql import functions as F
 
-        merged = snapshot_read(self.log(), read_ts=ts)
+        from tiflash_spark.operators.mvcc import compact as mvcc_compact
+
+        merged = mvcc_compact(self.log(), ts).filter(
+            ~((F.col(DELMARK) == 1) & (F.col(VERSION) <= ts))
+        )
         tmp = os.path.join(self.path, f"stable_new_{int(time.time() * 1000)}")
         if num_segments:
             (
@@ -127,7 +139,24 @@ class DeltaStore:
             shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
         os.rename(tmp, os.path.join(self.path, "stable"))
         os.makedirs(os.path.join(self.path, "delta"), exist_ok=True)
+        seg_meta = os.path.join(self.path, "_SEGMENTS")
+        if num_segments:
+            with open(seg_meta, "w") as fh:
+                fh.write(str(num_segments))
+        elif os.path.exists(seg_meta):
+            os.remove(seg_meta)
         return n
+
+    def _num_segments(self) -> int | None:
+        """Write-time segment modulus, from store metadata. Inferring it
+        from observed _seg values (max+1) is wrong when the top segment
+        happens to be empty — pruning would then use a different modulus
+        than the writer and silently miss handles."""
+        seg_meta = os.path.join(self.path, "_SEGMENTS")
+        if os.path.exists(seg_meta):
+            with open(seg_meta) as fh:
+                return int(fh.read().strip())
+        return None
 
     def read_handles(self, handles: list[int], ts: int | None = None) -> DataFrame:
         """Point reads: snapshot-read only the given handles. With a
@@ -137,12 +166,10 @@ class DeltaStore:
         from pyspark.sql import functions as F
 
         log = self.log()
-        if "_seg" in log.columns:
+        n_seg = self._num_segments()
+        if "_seg" in log.columns and n_seg:
             # one tiny job computes the wanted segment ids with the SAME
-            # hash expression used at write time
-            n_seg = 1 + self.spark.read.parquet(os.path.join(self.path, "stable")).agg(
-                F.max("_seg")
-            ).collect()[0][0]
+            # hash expression (and persisted modulus) used at write time
             wanted = {
                 r.s
                 for r in self.spark.createDataFrame([(h,) for h in handles], f"{HANDLE} long")

@@ -36,8 +36,12 @@ def start_ingest(
         # must still resolve to "deleted"
         version = base_version + (batch_id + 1) * 2
         if delete_col is not None:
-            dels = batch.filter(f"{delete_col}").drop(delete_col)
-            ups = batch.filter(f"NOT {delete_col}").drop(delete_col)
+            # NULL flag ≡ not-a-delete: bare filter(col)/filter(NOT col)
+            # would drop NULL-flag rows from BOTH branches (three-valued
+            # logic), silently losing them from the replication feed
+            is_del = f"coalesce({delete_col}, false)"
+            dels = batch.filter(is_del).drop(delete_col)
+            ups = batch.filter(f"NOT {is_del}").drop(delete_col)
             if ups.limit(1).count():
                 store.write_batch(ups, version, delete=False)
             if dels.limit(1).count():

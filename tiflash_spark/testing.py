@@ -28,26 +28,41 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v: Any) -> Any:
+    """Dtype-STRICT normalization: the driver's value-hash distinguishes an
+    int64 4 from a float64 4.0 (DuckDB SUM(int) → HUGEINT → fetchdf float64),
+    so numeric cells are tagged by kind — int vs float vs Decimal never
+    compare equal here, making local parity predict the driver gate."""
     if v is None:
         return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            # pandas can't distinguish NULL from NaN (DuckDB fetchdf uses
-            # nan for NULL even in object columns); fold both to None
-            return None
-        # kill last-ulp noise from different summation orders
-        return round(v, 9)
     # pandas missing markers (nullable dtypes from fetchdf) ≡ SQL NULL
     if v is pd.NA or v is pd.NaT:
         return None
     if isinstance(v, pd.Timestamp):
         return v.to_pydatetime().replace(tzinfo=None)
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):  # includes numpy float64 (subclass)
+        if math.isnan(v):
+            # pandas can't distinguish NULL from NaN (DuckDB fetchdf uses
+            # nan for NULL even in object columns); fold both to None
+            return None
+        # kill last-ulp noise from different summation orders
+        return ("f", round(v, 9))
     if hasattr(v, "tolist"):  # numpy scalars / arrays
         v = v.tolist()
     if isinstance(v, list):
         return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        return None if math.isnan(v) else ("f", round(v, 9))
+    if isinstance(v, int):
+        return ("i", v)
     import datetime
+    import decimal
 
+    if isinstance(v, decimal.Decimal):
+        return ("d", str(v.normalize()))
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None)
     return v
