@@ -75,3 +75,18 @@ def test_utf8mb4_bin_is_padspace(spark):
 def test_unknown_collation_rejected():
     with pytest.raises(ValueError, match="unsupported collation"):
         collation_key("s", "latin1_swedish_ci")
+
+
+def test_unicode_ci_accent_and_case_fold(spark):
+    """UTF8MB4_UNICODE_CI (UCACICollator): accent- and case-insensitive,
+    PadSpace. 'Ä', 'ä', 'a ', 'A' all one group; 'b' separate."""
+    from tiflash_spark.functions.collation import UNICODE_CI
+
+    df = spark.createDataFrame(
+        [Row(s=w) for w in ["Ä", "ä", "a ", "A", "b", "é", "E"]]
+    )
+    out = {r.rep: r.n for r in collated_group(df, "s", UNICODE_CI)
+           .withColumnRenamed("s", "rep").collect()}
+    assert sum(out.values()) == 7
+    assert len(out) == 3  # a-family (4), b (1), e-family é+E (2)
+    assert sorted(out.values()) == [1, 2, 4]

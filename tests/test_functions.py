@@ -142,3 +142,37 @@ def test_mysql_partial_parse(spark):
     assert one(spark, mysql_str_to_int(F.lit("9.9abc"))) == 9
     null_df = spark.createDataFrame([(None,)], "s string")
     assert null_df.select(mysql_str_to_number(F.col("s")).alias("r")).collect()[0].r is None
+
+
+def test_json_depth_mysql_rule_table(spark):
+    """MySQL JSON_DEPTH rules (reference gtest_json_depth cases): scalar or
+    empty container = 1; container = 1 + max member depth."""
+    from tiflash_spark.functions.json_fns import json_depth
+
+    cases = [
+        ('1', 1), ('"abc"', 1), ('{}', 1), ('[]', 1),
+        ('{"a":1}', 2), ('[1,2]', 2), ('{"a":{}}', 2), ('[[]]', 2),
+        ('{"a":[1]}', 3), ('[1,[2,3]]', 3), ('{"a":{"b":{}}}', 3),
+        ('{"a":{"b":[{"c":1}]}}', 5),
+        ('{"s":"{[not brackets]}"}', 2),  # braces inside strings ignored
+    ]
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(doc=d) for d, _ in cases])
+    got = [r.d for r in df.select(json_depth("doc").alias("d")).collect()]
+    assert got == [d for _, d in cases]
+
+
+def test_json_object_array_builders(spark):
+    from pyspark.sql import functions as F
+
+    from tiflash_spark.functions.json_fns import json_array, json_object, json_unquote
+
+    r = spark.range(1).select(
+        json_object(("a", F.lit(1)), ("b", F.lit("x"))).alias("o"),
+        json_array(F.lit(1), F.lit(2), F.lit(None).cast("int")).alias("ar"),
+        json_unquote(F.lit('"hi"')).alias("u"),
+    ).collect()[0]
+    assert r.o == '{"a":1,"b":"x"}'
+    assert r.ar == "[1,2,null]"
+    assert r.u == "hi"

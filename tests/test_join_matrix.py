@@ -164,3 +164,53 @@ def test_two_key_join_with_null_components(tables):
     sql = """SELECT js.k AS k, js.k2 AS k2, v, w
              FROM js JOIN jb ON js.k = jb.k AND js.k2 = jb.k2"""
     check(out, con, sql, "two_key")
+
+
+def test_na_in_flag_three_valued(tables):
+    """NullAware_LeftOuterSemi flag truth table vs DuckDB's native
+    `x IN (subquery)` (gtest_join_executor null-aware cases): TRUE on a
+    real match, NULL when unprovable (lhs NULL vs non-empty set, or set
+    contains NULL), FALSE only when non-membership is provable."""
+    from tiflash_spark.operators.joins import null_aware_in_flag
+
+    sdf_small, sdf_build, con = tables
+    out = null_aware_in_flag(sdf_small, "k", sdf_build, "k").select(
+        F.col("k").alias("k"), "v", "in_flag"
+    )
+    sql = "SELECT k, v, k IN (SELECT k FROM jb) AS in_flag FROM js"
+    check(out, con, sql, "na_in_flag")
+
+
+def test_na_not_in_flag_three_valued(tables):
+    from tiflash_spark.operators.joins import null_aware_not_in_flag
+
+    sdf_small, sdf_build, con = tables
+    out = null_aware_not_in_flag(sdf_small, "k", sdf_build, "k").select(
+        F.col("k").alias("k"), "v", "not_in_flag"
+    )
+    sql = "SELECT k, v, k NOT IN (SELECT k FROM jb) AS not_in_flag FROM js"
+    check(out, con, sql, "na_not_in_flag")
+
+
+def test_na_in_flag_empty_and_allnull_subquery(spark, tables):
+    """IN over an EMPTY set is FALSE even for a NULL lhs; over an all-NULL
+    set it is NULL for every lhs (nothing provable)."""
+    from tiflash_spark.operators.joins import null_aware_in_flag
+
+    sdf_small, sdf_build, _ = tables
+    empty = sdf_build.filter(F.col("k") == -999)
+    flags = {
+        r.k: r.in_flag
+        for r in null_aware_in_flag(sdf_small, "k", empty, "k")
+        .select("k", "in_flag")
+        .distinct()
+        .collect()
+    }
+    assert all(f is False for f in flags.values())
+
+    allnull = sdf_build.filter(F.col("k").isNull())
+    out = (
+        null_aware_in_flag(sdf_small, "k", allnull, "k")
+        .select("in_flag").distinct().collect()
+    )
+    assert [r.in_flag for r in out] == [None]

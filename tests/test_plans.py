@@ -42,7 +42,7 @@ def test_q3_all_predicates_reach_scan(spark):
 def test_q6_no_shuffle_before_final_agg(spark):
     df = q6_forecast_revenue(spark, SF_SMALL)
     # ungrouped agg: partial → single exchange → final, nothing else
-    assert exchange_count(df) <= 1
+    assert exchange_count(df) == 1
     assert count_operator(df, "HashAggregate") <= 2
 
 
@@ -61,9 +61,9 @@ def test_dim_joins_broadcast(spark):
 
 def test_self_agg_join_reuses_partitioning(spark):
     df = join_self_agg(spark, SF_SMALL)
-    # scan + agg-side shuffle + join-side shuffle + final agg; must not
-    # exceed 3 shuffles (Catalyst reuses the l_partkey partitioning)
-    assert exchange_count(df) <= 3
+    # agg-side shuffle + final-agg shuffle; the join side reuses the
+    # l_partkey partitioning (broadcast on the agg output), so exactly 2
+    assert exchange_count(df) == 2
 
 
 def test_window_single_shuffle(spark):
@@ -75,5 +75,5 @@ def test_window_single_shuffle(spark):
 def test_q18_having_side_copartitioned(spark):
     df = q18_large_orders(spark, SF_SMALL)
     # groupBy(l_orderkey) then join on o_orderkey = l_orderkey: the big-order
-    # side must not re-shuffle after its aggregation
-    assert exchange_count(df) <= 3
+    # side must not re-shuffle after its aggregation — one exchange total
+    assert exchange_count(df) == 1

@@ -166,3 +166,77 @@ def validate_schema(df: DataFrame, name: str) -> None:
     missing = set(declared) - set(actual)
     if missing:
         raise ValueError(f"table {name}: missing columns {sorted(missing)}")
+
+
+def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partsupp synthesis — testdata has no partsupp table,
+    but the reference's canonical perf workload is full TPC-H
+    (release-linux-llvm/scripts/perf-autofdo-llvm.py:196-199), whose Q2/Q11
+    shapes need it. Uses the dbgen supplier-assignment formula: part k gets
+    4 suppliers at stride i*(S/4 + (k-1)/S) mod S (integer division), so the
+    derivation is reproducible in any engine; availqty/supplycost are hash-
+    like functions of (partkey, suppkey). DISTINCT because a small S can
+    collide strides (dbgen guarantees distinctness only at real scale).
+
+    Scale note: this is a narrow projection of part × a 4-element explode —
+    O(|part|) rows, no shuffle; the supplier count is a broadcast scalar.
+    """
+    from pyspark.sql import functions as F
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = load_table(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("_s_n"))
+    exploded = (
+        p.crossJoin(F.broadcast(s_cnt))
+        .select(
+            "p_partkey",
+            "_s_n",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("_i"),
+        )
+    )
+    suppkey = (
+        F.col("p_partkey")
+        + F.col("_i")
+        * (F.expr("_s_n div 4") + F.expr("(p_partkey - 1) div _s_n"))
+    ) % F.col("_s_n") + 1
+    return (
+        exploded.select(
+            F.col("p_partkey").alias("ps_partkey"),
+            suppkey.cast("long").alias("ps_suppkey"),
+        )
+        .distinct()
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            ((F.col("ps_partkey") * 13 + F.col("ps_suppkey") * 17) % 9999 + 1)
+            .cast("long")
+            .alias("ps_availqty"),
+            F.round(
+                ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 7) % 10000).cast(
+                    "double"
+                )
+                / 100.0
+                + 1.0,
+                2,
+            ).alias("ps_supplycost"),
+        )
+    )
+
+
+# The same derivation as a DuckDB CTE fragment, for oracle queries:
+# prepend and reference `partsupp` (expects views part/supplier).
+PARTSUPP_SQL_CTE = """
+_s AS (SELECT COUNT(*) AS s_n FROM supplier),
+_ps0 AS (
+  SELECT DISTINCT p_partkey AS ps_partkey,
+         CAST(((p_partkey + i.i * (s_n // 4 + (p_partkey - 1) // s_n)) % s_n) + 1
+              AS BIGINT) AS ps_suppkey
+  FROM part, _s, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS i) i
+),
+partsupp AS (
+  SELECT ps_partkey, ps_suppkey,
+         CAST((ps_partkey * 13 + ps_suppkey * 17) % 9999 + 1 AS BIGINT) AS ps_availqty,
+         ROUND(CAST((ps_partkey * 31 + ps_suppkey * 7) % 10000 AS DOUBLE) / 100.0 + 1.0, 2)
+           AS ps_supplycost
+  FROM _ps0
+)
+""".strip()

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 BINARY = "binary"
 BIN = "utf8mb4_bin"
 GENERAL_CI = "utf8mb4_general_ci"
-_SUPPORTED = (BINARY, BIN, GENERAL_CI)
+UNICODE_CI = "utf8mb4_unicode_ci"
+_SUPPORTED = (BINARY, BIN, GENERAL_CI, UNICODE_CI)
 
 
 def collation_key(col: Column | str, collation: str = BIN) -> Column:
@@ -41,6 +42,12 @@ def collation_key(col: Column | str, collation: str = BIN) -> Column:
         return F.rtrim(c)
     if collation == GENERAL_CI:
         return F.lower(F.rtrim(c))
+    if collation == UNICODE_CI:
+        # UCA primary-weight comparison (Collator.h UTF8MB4_UNICODE_CI →
+        # UCACICollator): case- AND accent-insensitive, PadSpace. Spark 4's
+        # ICU UNICODE_CI_AI collation is the engine-native equivalent.
+        # Known divergence: MySQL UCA-4.0 weights ß=s, ICU full UCA ß=ss.
+        return F.collate(F.rtrim(c), "UNICODE_CI_AI")
     raise ValueError(f"unsupported collation {collation!r}; have {_SUPPORTED}")
 
 

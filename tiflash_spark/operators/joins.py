@@ -504,3 +504,132 @@ QUERIES["join_left_outer_anti"] = join_left_outer_anti
 ORACLE["join_right_semi"] = JOIN_RIGHT_SEMI_SQL
 ORACLE["join_right_anti"] = JOIN_RIGHT_ANTI_SQL
 ORACLE["join_left_outer_anti"] = JOIN_LEFT_OUTER_ANTI_SQL
+
+
+def null_aware_in_flag(
+    left: DataFrame, left_col: str, right: DataFrame, right_col: str, flag: str = "in_flag"
+) -> DataFrame:
+    """NullAware_LeftOuterSemi: `left_col IN (SELECT right_col ...)` as a
+    select-list flag with SQL three-valued logic
+    (reference ASTTablesInSelectQuery.h:94-121, NullAwareSemiJoinHelper.h):
+
+      TRUE  — a non-NULL match exists
+      NULL  — no match, but left_col IS NULL (vs non-empty subquery) or the
+              subquery contains a NULL (can't prove non-membership)
+      FALSE — otherwise (including: subquery empty)
+
+    Scale plan: the NULL-ness of the subquery collapses to a broadcast
+    1-row summary (has_null, non-empty) — the per-row work stays a plain
+    hash join on the non-null keys, exactly the reference's NA-join
+    "null row broadcast" special path, with no row blowup.
+    """
+    keys = right.select(F.col(right_col).alias("_k"))
+    summary = F.broadcast(
+        keys.agg(
+            F.count(F.lit(1)).alias("_n_sub"),
+            F.max(F.col("_k").isNull().cast("int")).alias("_sub_has_null"),
+        )
+    )
+    matched = keys.filter(F.col("_k").isNotNull()).distinct()
+    out = (
+        left.join(matched, left[left_col] == F.col("_k"), "left")
+        .crossJoin(summary)
+        .withColumn(
+            flag,
+            F.when(F.col("_k").isNotNull(), F.lit(True))
+            .when(F.col("_n_sub") == 0, F.lit(False))
+            .when(
+                F.col(left_col).isNull() | (F.col("_sub_has_null") == 1),
+                F.lit(None).cast("boolean"),
+            )
+            .otherwise(F.lit(False)),
+        )
+    )
+    return out.drop("_k", "_n_sub", "_sub_has_null")
+
+
+def null_aware_not_in_flag(
+    left: DataFrame, left_col: str, right: DataFrame, right_col: str, flag: str = "not_in_flag"
+) -> DataFrame:
+    """NullAware_LeftOuterAnti: `left_col NOT IN (subquery)` flag — the
+    3-valued negation of the IN flag (NULL stays NULL)."""
+    out = null_aware_in_flag(left, left_col, right, right_col, flag="_in")
+    return out.withColumn(flag, ~F.col("_in")).drop("_in")
+
+
+def _na_flag_inputs(spark: SparkSession, sf_dir: str):
+    """Deterministic nullable key pair for the NA flag queries: customer
+    keys NULLed on %7, urgent-order custkeys NULLed on %11 — both sides
+    reproducible in the DuckDB oracle."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey"))
+        .alias("x"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.when(F.col("o_custkey") % 11 == 0, F.lit(None))
+            .otherwise(F.col("o_custkey"))
+            .alias("k")
+        )
+    )
+    return c, o
+
+
+def join_na_left_outer_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NullAware_LeftOuterSemi over a nullable key pair; grouped into
+    TRUE/FALSE/NULL flag buckets per segment."""
+    c, o = _na_flag_inputs(spark, sf_dir)
+    return (
+        null_aware_in_flag(c, "x", o, "k")
+        .groupBy("c_mktsegment", "in_flag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment", "in_flag")
+    )
+
+
+JOIN_NA_LEFT_OUTER_SEMI_SQL = """
+SELECT c_mktsegment, in_flag, COUNT(*) AS n
+FROM (
+  SELECT c_mktsegment,
+         (CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END) IN (
+            SELECT CASE WHEN o_custkey % 11 = 0 THEN NULL ELSE o_custkey END
+            FROM orders WHERE o_orderpriority = '1-URGENT') AS in_flag
+  FROM customer
+) t
+GROUP BY c_mktsegment, in_flag
+ORDER BY c_mktsegment, in_flag
+"""
+
+
+def join_na_left_outer_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NullAware_LeftOuterAnti (NOT IN flag) over the same nullable pair."""
+    c, o = _na_flag_inputs(spark, sf_dir)
+    return (
+        null_aware_not_in_flag(c, "x", o, "k")
+        .groupBy("c_mktsegment", "not_in_flag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment", "not_in_flag")
+    )
+
+
+JOIN_NA_LEFT_OUTER_ANTI_SQL = """
+SELECT c_mktsegment, not_in_flag, COUNT(*) AS n
+FROM (
+  SELECT c_mktsegment,
+         (CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END) NOT IN (
+            SELECT CASE WHEN o_custkey % 11 = 0 THEN NULL ELSE o_custkey END
+            FROM orders WHERE o_orderpriority = '1-URGENT') AS not_in_flag
+  FROM customer
+) t
+GROUP BY c_mktsegment, not_in_flag
+ORDER BY c_mktsegment, not_in_flag
+"""
+
+QUERIES["join_na_left_outer_semi"] = join_na_left_outer_semi
+QUERIES["join_na_left_outer_anti"] = join_na_left_outer_anti
+ORACLE["join_na_left_outer_semi"] = JOIN_NA_LEFT_OUTER_SEMI_SQL
+ORACLE["join_na_left_outer_anti"] = JOIN_NA_LEFT_OUTER_ANTI_SQL

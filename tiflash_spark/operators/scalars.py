@@ -469,3 +469,104 @@ ORDER BY type_ci
 
 QUERIES["collation_group"] = collation_group
 ORACLE["collation_group"] = COLLATION_GROUP_SQL
+
+
+def json_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended JSON signature set (DAGUtils.cpp:471-498; FunctionsJson.cpp):
+    depth / keys / length / contains_path / object / array / unquote.
+    Depth runs over a constructed nested doc (props itself is flat) so the
+    recursion rule — 1 + max member depth, empty containers depth 1 — is
+    actually exercised."""
+    from tiflash_spark.functions.json_fns import (
+        json_array,
+        json_contains_path,
+        json_depth,
+        json_keys,
+        json_length_object,
+        json_object,
+        json_unquote,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    nested = F.concat(
+        F.lit('{"outer":'), F.col("props"), F.lit(',"arr":[1,[2,3]],"empty":{}}')
+    )
+    k_val = F.get_json_object("props", "$.k").cast("long")
+    return e.select(
+        "event_id",
+        json_depth(nested).alias("depth_nested"),
+        json_depth("props").alias("depth_flat"),
+        json_length_object("props").cast("long").alias("n_keys"),
+        F.array_join(json_keys("props"), ",").alias("keys_csv"),
+        json_contains_path("props", "$.k").alias("has_k"),
+        json_contains_path("props", "$.missing").alias("has_missing"),
+        json_object(("id", F.col("event_id")), ("ev", F.col("event_type"))).alias("obj"),
+        json_array(F.col("event_id"), k_val).alias("arr"),
+        json_unquote(F.concat(F.lit('"'), F.col("event_type"), F.lit('"'))).alias("unq"),
+    )
+
+
+def _json_ext_sql() -> str:
+    from tiflash_spark.functions.json_fns import json_depth_sql
+
+    nested = """('{"outer":' || props || ',"arr":[1,[2,3]],"empty":{}}')"""
+    return f"""
+SELECT
+  event_id,
+  CAST({json_depth_sql(nested)} AS INT) AS depth_nested,
+  CAST({json_depth_sql("props")} AS INT) AS depth_flat,
+  CAST(LEN(json_keys(props)) AS BIGINT) AS n_keys,
+  ARRAY_TO_STRING(LIST_SORT(json_keys(props)), ',') AS keys_csv,
+  json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+  json_extract_string(props, '$.missing') IS NOT NULL AS has_missing,
+  CAST(json_object('id', event_id, 'ev', event_type) AS VARCHAR) AS obj,
+  CAST(json_array(event_id, CAST(json_extract_string(props, '$.k') AS BIGINT)) AS VARCHAR) AS arr,
+  event_type AS unq
+FROM events
+WHERE event_id < 2000
+"""
+
+
+JSON_FUNCTIONS_EXTENDED_SQL = _json_ext_sql()
+
+QUERIES["json_functions_extended"] = json_functions_extended
+ORACLE["json_functions_extended"] = JSON_FUNCTIONS_EXTENDED_SQL
+
+
+def collation_unicode_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF8MB4_UNICODE_CI grouping (Collator.h:28-60 UCACICollator): case-
+    and accent-insensitive with PadSpace, via Spark 4's ICU UNICODE_CI_AI
+    collation. Accent variants are synthesized deterministically from
+    p_type (testdata is ASCII); the group representative is the binary-min
+    member, so the output is engine-independent."""
+    from tiflash_spark.functions.collation import UNICODE_CI, collation_key
+
+    p = load_table(spark, sf_dir, "part")
+    mixed = (
+        F.when(F.col("p_partkey") % 3 == 0, F.upper("p_type"))
+        .when(F.col("p_partkey") % 3 == 1, F.translate("p_type", "ae", "äé"))
+        .otherwise(F.concat(F.col("p_type"), F.lit(" ")))
+    )
+    return (
+        p.select(mixed.alias("t"))
+        .groupBy(collation_key(F.col("t"), UNICODE_CI).alias("_k"))
+        .agg(F.min("t").alias("rep"), F.count(F.lit(1)).alias("n"))
+        .select(F.col("rep"), F.col("n"))
+        .orderBy("rep")
+    )
+
+
+COLLATION_UNICODE_CI_SQL = """
+SELECT MIN(t) AS rep, COUNT(*) AS n
+FROM (
+  SELECT CASE WHEN p_partkey % 3 = 0 THEN UPPER(p_type)
+              WHEN p_partkey % 3 = 1 THEN REPLACE(REPLACE(p_type,'a','ä'),'e','é')
+              ELSE p_type || ' ' END AS t
+  FROM part
+) s
+GROUP BY LOWER(STRIP_ACCENTS(RTRIM(t)))
+ORDER BY rep
+"""
+
+QUERIES["collation_unicode_ci"] = collation_unicode_ci
+ORACLE["collation_unicode_ci"] = COLLATION_UNICODE_CI_SQL

@@ -118,7 +118,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "BRAZIL", vol).otherwise(0.0))
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
                 / F.sum(vol),
                 6,
             ).alias("mkt_share")
@@ -129,7 +129,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_SQL = """
 SELECT YEAR(o_orderdate) AS o_year,
-       ROUND(SUM(CASE WHEN n2.n_name = 'BRAZIL'
+       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
              / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
 FROM lineitem
@@ -321,14 +321,18 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar-subquery threshold + anti join + agg.
     Catalyst: broadcast the 1-row average; null-safe anti join on orders."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
     rich_idle = (
         c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("ab"))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
     )
+    # cntrycode analogue: the customer-number low digits (synthetic names
+    # are 'Customer#0000NNNNN'; a fixed-prefix substring would be constant
+    # → zero verification value)
+    code = F.substring("c_name", -2, 2)
     return (
-        rich_idle.groupBy(F.substring("c_name", 1, 10).alias("cntrycode"))
+        rich_idle.groupBy(code.alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
@@ -339,12 +343,13 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q22_SQL = """
-SELECT SUBSTRING(c_name, 1, 10) AS cntrycode,
+SELECT RIGHT(c_name, 2) AS cntrycode,
        COUNT(*) AS numcust,
        ROUND(SUM(c_acctbal), 2) AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 300000)
 GROUP BY 1
 ORDER BY cntrycode
 LIMIT 25
@@ -388,8 +393,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     pair = (
-        ((F.col("cust_nation") == "FRANCE") & (F.col("supp_nation") == "GERMANY"))
-        | ((F.col("cust_nation") == "GERMANY") & (F.col("supp_nation") == "FRANCE"))
+        ((F.col("cust_nation") == "NATION_3") & (F.col("supp_nation") == "NATION_8"))
+        | ((F.col("cust_nation") == "NATION_8") & (F.col("supp_nation") == "NATION_3"))
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -414,8 +419,8 @@ JOIN customer ON o_custkey = c_custkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation n1 ON c_nationkey = n1.n_nationkey
 JOIN nation n2 ON s_nationkey = n2.n_nationkey
-WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-   OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
 GROUP BY 1, 2, 3
 ORDER BY supp_nation, cust_nation, l_year
 """
@@ -502,42 +507,112 @@ LIMIT 20
 
 
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: per-part value share vs a global scalar threshold
-    (HAVING against a correlated-free subquery — Catalyst broadcasts the
-    1-row global aggregate)."""
-    l = load_table(spark, sf_dir, "lineitem")
+    """TPC-H Q11 (true shape over synthesized partsupp): per-part stock
+    value in one nation's suppliers vs a global share threshold (HAVING
+    against a correlated-free subquery — Catalyst broadcasts the 1-row
+    global aggregate; the per-part agg shuffles once on ps_partkey)."""
+    from tiflash_spark.catalog import synth_partsupp
+
+    ps = synth_partsupp(spark, sf_dir)
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "CHINA")
-    value = F.col("l_extendedprice") * F.col("l_quantity")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    value = F.col("ps_supplycost") * F.col("ps_availqty")
     scoped = (
-        l.join(s, l.l_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
     )
-    per_part = scoped.groupBy("l_partkey").agg(F.sum(value).alias("part_value"))
-    total = per_part.agg((F.sum("part_value") * 0.001).alias("threshold"))
+    per_part = scoped.groupBy("ps_partkey").agg(F.sum(value).alias("part_value"))
+    total = per_part.agg((F.sum("part_value") * 0.01).alias("threshold"))
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > F.col("threshold"))
-        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
-        .orderBy(F.col("part_value").desc(), "l_partkey")
+        .select("ps_partkey", F.round("part_value", 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
     )
 
 
 Q11_SQL = """
-WITH scoped AS (
-  SELECT l_partkey, l_extendedprice * l_quantity AS value
-  FROM lineitem
-  JOIN supplier ON l_suppkey = s_suppkey
+WITH {partsupp},
+scoped AS (
+  SELECT ps_partkey, ps_supplycost * ps_availqty AS value
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
-  WHERE n_name = 'CHINA'
+  WHERE n_name = 'NATION_3'
 ),
 per_part AS (
-  SELECT l_partkey, SUM(value) AS part_value FROM scoped GROUP BY l_partkey
+  SELECT ps_partkey, SUM(value) AS part_value FROM scoped GROUP BY ps_partkey
 )
-SELECT l_partkey, ROUND(part_value, 2) AS part_value
+SELECT ps_partkey, ROUND(part_value, 2) AS part_value
 FROM per_part
-WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM per_part)
-ORDER BY part_value DESC, l_partkey
+WHERE part_value > (SELECT SUM(part_value) * 0.01 FROM per_part)
+ORDER BY part_value DESC, ps_partkey
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (true shape over synthesized partsupp): for each part of a
+    size/region slice, the supplier(s) offering the regional minimum
+    supplycost — the correlated-min-over-suppliers shape.
+
+    Plan: the eligible (region-scoped) partsupp is aggregated to a
+    per-part min (one shuffle on ps_partkey), then joined back on
+    (ps_partkey, cost) — co-partitioned with the agg, so no extra
+    exchange of the big side; nation/region broadcast."""
+    from tiflash_spark.catalog import synth_partsupp
+
+    ps = synth_partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size").between(10, 20))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    min_cost = eligible.groupBy(
+        F.col("ps_partkey").alias("_mk")
+    ).agg(F.min("ps_supplycost").alias("min_cost"))
+    return (
+        eligible.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("_mk"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .join(p, eligible.ps_partkey == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            "ps_supplycost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_MIN_COST_SQL = """
+WITH {partsupp}
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+FROM partsupp
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN part ON ps_partkey = p_partkey
+WHERE r_name = 'EUROPE'
+  AND p_size BETWEEN 10 AND 20
+  AND ps_supplycost = (
+      SELECT MIN(ps_supplycost)
+      FROM partsupp ps2
+      JOIN supplier s2 ON ps2.ps_suppkey = s2.s_suppkey
+      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE ps2.ps_partkey = partsupp.ps_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
 """
 
 
@@ -651,11 +726,14 @@ ORDER BY s_name
 """
 
 
+from tiflash_spark.catalog import PARTSUPP_SQL_CTE as _PS_CTE  # noqa: E402
+
 for _n, _f, _s in [
     ("q7_volume_shipping", q7_volume_shipping, Q7_SQL),
     ("q9_product_profit", q9_product_profit, Q9_SQL),
     ("q10_returned_items", q10_returned_items, Q10_SQL),
-    ("q11_important_stock", q11_important_stock, Q11_SQL),
+    ("q11_important_stock", q11_important_stock, Q11_SQL.format(partsupp=_PS_CTE)),
+    ("q2_min_cost_supplier", q2_min_cost_supplier, Q2_MIN_COST_SQL.format(partsupp=_PS_CTE)),
     ("q15_top_supplier", q15_top_supplier, Q15_SQL),
     ("q16_parts_supplier", q16_parts_supplier, Q16_SQL),
     ("q20_potential_promotion", q20_potential_promotion, Q20_SQL),
