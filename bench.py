@@ -48,6 +48,8 @@ PIPELINE_HEADLINE = [
     "dedup_minhash",
     "text_analysis",
     "ann_cosine_topk",
+    "fulltext_search",
+    "q2_min_cost_supplier",
 ]
 
 

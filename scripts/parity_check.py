@@ -24,10 +24,21 @@ def main() -> None:
     print(f"[{time.time() - t0:6.1f}s] session up", flush=True)
 
     con = duckdb_connection(sf)
-    qs, osql = e.queries(), e.oracle_sql()
+    # sweep BOTH registries: the fine-grained per-operator queries
+    # (row-level fidelity) and the driver-facing ≤50 set (what the gate
+    # records, incl. digest merges) — a digest bug or a fine-query bug
+    # each fails its own row here.
+    qs = dict(e.extended_queries())
+    osql = dict(e.extended_oracle_sql())
+    for name, fn in e.queries().items():
+        if name not in qs:
+            qs[f"driver:{name}"] = fn
+    for name, sql in e.oracle_sql().items():
+        if name not in osql:
+            osql[f"driver:{name}"] = sql
     n_ok = n_fail = 0
     for name, fn in qs.items():
-        if only and name not in only:
+        if only and name not in only and name.removeprefix("driver:") not in only:
             continue
         t1 = time.time()
         try:

@@ -176,3 +176,38 @@ def test_json_object_array_builders(spark):
     assert r.o == '{"a":1,"b":"x"}'
     assert r.ar == "[1,2,null]"
     assert r.u == "hi"
+
+
+def test_mysql_zero_date_and_unsigned_casts(spark):
+    """Zero-date '0000-00-00' → NULL (non-strict tidb_cast); unsigned cast
+    wraps negatives mod 2^64 and signed cast wraps back (reference
+    FunctionsTiDBConversion.cpp)."""
+    from decimal import Decimal
+
+    from pyspark.sql import Row, functions as F
+
+    from tiflash_spark.functions.mysql_compat import (
+        is_zero_date,
+        mysql_cast_signed,
+        mysql_cast_unsigned,
+        mysql_str_to_date,
+    )
+
+    df = spark.createDataFrame(
+        [Row(s="0000-00-00", x=-1), Row(s="1996-06-15", x=5),
+         Row(s="0000-00-00 00:00:00", x=-9223372036854775808),
+         Row(s="garbage", x=0)]
+    )
+    out = df.select(
+        mysql_str_to_date("s").alias("d"),
+        is_zero_date("s").alias("z"),
+        mysql_cast_unsigned("x").alias("u"),
+        mysql_cast_signed(mysql_cast_unsigned("x")).alias("rt"),
+    ).collect()
+    assert [r.d is None for r in out] == [True, False, True, True]
+    assert [r.z for r in out] == [True, False, True, False]
+    assert out[0].u == Decimal("18446744073709551615")
+    assert out[2].u == Decimal("9223372036854775808")
+    assert out[3].u == Decimal(0)
+    # unsigned→signed round-trips to the original two's-complement value
+    assert [r.rt for r in out] == [-1, 5, -9223372036854775808, 0]

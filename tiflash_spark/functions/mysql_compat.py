@@ -128,3 +128,54 @@ def mysql_str_to_number(s: Column) -> Column:
 def mysql_str_to_int(s: Column) -> Column:
     """MySQL string→integer soft parse (truncates the fractional part)."""
     return mysql_str_to_number(s).cast("long")
+
+
+# --- MySQL zero-date & unsigned cast semantics ------------------------------
+# Reference: dbms/src/Functions/FunctionsTiDBConversion.cpp (tidb_cast),
+# FunctionsDateTime.cpp (MyDateTime supports the 0000-00-00 sentinel that
+# Gregorian timestamp types cannot represent).
+
+ZERO_DATE = "0000-00-00"
+ZERO_DATETIME = "0000-00-00 00:00:00"
+_UINT64_MODULUS = "18446744073709551616"  # 2^64, > 2^63-1 so built via DECIMAL
+
+
+def mysql_str_to_date(c: Column | str) -> Column:
+    """String→date cast with MySQL zero-date handling: '0000-00-00' (and
+    the datetime form) is a legal MySQL value but unrepresentable in a
+    Gregorian DATE — under non-strict mode TiFlash surfaces it as NULL
+    when the target can't hold it. Everything else is soft-parsed
+    (NULL on garbage, never an error — tidb_cast)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (
+        F.when(F.trim(col).isin(ZERO_DATE, ZERO_DATETIME), F.lit(None).cast("date"))
+        .otherwise(col.try_cast("date"))
+    )
+
+
+def is_zero_date(c: Column | str) -> Column:
+    """Predicate for the MySQL zero-date sentinel in a string column."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.trim(col).isin(ZERO_DATE, ZERO_DATETIME)
+
+
+def mysql_cast_unsigned(c: Column | str) -> Column:
+    """CAST(x AS UNSIGNED) with MySQL wrap-around: a negative signed 64-bit
+    value becomes x + 2^64 (e.g. -1 → 18446744073709551615). Spark has no
+    unsigned type, so the result is DECIMAL(20,0) — exact for the full
+    uint64 range."""
+    col = (F.col(c) if isinstance(c, str) else c).cast("long").cast("decimal(20,0)")
+    modulus = F.expr(f"CAST('{_UINT64_MODULUS}' AS DECIMAL(21,0))")
+    return F.when(col < 0, (col + modulus).cast("decimal(20,0)")).otherwise(col)
+
+
+def mysql_cast_signed(c: Column | str) -> Column:
+    """CAST(x AS SIGNED) of an unsigned DECIMAL(20,0): values above
+    2^63-1 wrap back to negative (two's complement reinterpretation)."""
+    col = (F.col(c) if isinstance(c, str) else c).cast("decimal(21,0)")
+    modulus = F.expr(f"CAST('{_UINT64_MODULUS}' AS DECIMAL(21,0))")
+    signed_max = F.expr("CAST('9223372036854775807' AS DECIMAL(21,0))")
+    return (
+        F.when(col > signed_max, (col - modulus).cast("long"))
+        .otherwise(col.cast("long"))
+    )

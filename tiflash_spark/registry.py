@@ -24,6 +24,7 @@ _MODULES = [
     "tiflash_spark.operators.tpch",
     "tiflash_spark.operators.approx",
     "tiflash_spark.pipeline.text",
+    "tiflash_spark.pipeline.fulltext",
     "tiflash_spark.pipeline.dedup",
     "tiflash_spark.pipeline.similarity",
     "tiflash_spark.pipeline.multimodal",
