@@ -211,3 +211,31 @@ def test_mysql_zero_date_and_unsigned_casts(spark):
     assert out[3].u == Decimal(0)
     # unsigned→signed round-trips to the original two's-complement value
     assert [r.rt for r in out] == [-1, 5, -9223372036854775808, 0]
+
+
+def test_mysql_sql_function_registry(spark):
+    """MySQL-named SQL UDF surface (Catalyst-inlined, no Python in the
+    plan): DIV NULL-on-zero, JSON_DEPTH recursion rule, zero-date cast,
+    unsigned wrap, inet round-trip."""
+    from tiflash_spark.functions.sql_registry import register_mysql_functions
+
+    register_mysql_functions(spark)
+    r = spark.sql(
+        "SELECT mysql_div(7, 2) AS d, mysql_div(7, 0) AS dz,"
+        " json_depth('{\"a\":[1,[2]]}') AS jd, json_depth('{}') AS jd0,"
+        " json_unquote('\"hi\"') AS ju,"
+        " mysql_str_to_date('0000-00-00') AS zd,"
+        " cast_unsigned(-1) AS u,"
+        " inet_ntoa(inet_aton('10.0.0.255')) AS ip,"
+        " sec_to_time(3661) AS st, mysql_format(1234567.891, 2) AS fmt"
+    ).collect()[0]
+    assert (r.d, r.dz) == (3, None)
+    assert (r.jd, r.jd0) == (4, 1)
+    assert r.ju == "hi"
+    assert r.zd is None
+    assert str(r.u) == "18446744073709551615"
+    assert r.ip == "10.0.0.255"
+    assert (r.st, r.fmt) == ("01:01:01", "1,234,567.89")
+    # SQL UDFs must inline — no BatchEvalPython/ArrowEvalPython in the plan
+    plan = spark.sql("SELECT json_depth(props) FROM (SELECT '{\"k\":1}' AS props)")
+    assert "Python" not in plan._jdf.queryExecution().executedPlan().toString()

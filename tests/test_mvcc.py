@@ -154,3 +154,58 @@ def test_segmented_compaction_and_point_reads(spark, tmp_path):
         spark.createDataFrame([(2, "new")], schema=f"{HANDLE} long, v string"), version=99
     )
     assert {r[HANDLE]: r["v"] for r in store.read_handles([2]).collect()} == {2: "new"}
+
+
+def test_range_segments_manifest_pruning_and_incremental_compact(spark, tmp_path):
+    """PK-range segments (the reference's actual Segment model): manifest
+    prunes range reads to overlapping segments; incremental compaction
+    rewrites ONLY segments with delta rows and leaves cold segment files
+    untouched on disk."""
+    import os
+
+    from pyspark.sql import Row, functions as F
+
+    from tiflash_spark.sources.delta_store import DeltaStore
+
+    store = DeltaStore(spark, str(tmp_path / "rstore"))
+    base = spark.createDataFrame(
+        [Row(**{"_tidb_rowid": h, "v": h * 10}) for h in range(0, 400)]
+    )
+    store.write_batch(base, version=1)
+    n = store.compact_range_segments(ts=1, num_segments=4)
+    assert n == 400
+
+    # range read returns exact rows and prunes at plan level
+    out = store.read_range(150, 160, ts=None)
+    assert sorted(r.v for r in out.collect()) == [h * 10 for h in range(150, 160)]
+
+    # hot write into segment 1 only (handles 100..199), plus one delete
+    store.write_batch(
+        spark.createDataFrame([Row(**{"_tidb_rowid": 150, "v": 9999})]), version=2
+    )
+    store.write_batch(
+        spark.createDataFrame([Row(**{"_tidb_rowid": 151, "v": 0})]), version=3,
+        delete=True,
+    )
+    seg_dir = lambda s: str(tmp_path / "rstore" / "stable" / f"_seg={s}")  # noqa: E731
+    cold_mtime = {
+        s: sorted(os.listdir(seg_dir(s))) for s in (0, 2, 3)
+    }
+    rewritten, total = store.compact_segments_incremental(ts=3)
+    assert (rewritten, total) == (1, 4)
+    # cold segments: identical file listing (not rewritten)
+    for s in (0, 2, 3):
+        assert sorted(os.listdir(seg_dir(s))) == cold_mtime[s]
+    # merged values visible, delete applied
+    out = {r["_tidb_rowid"]: r.v for r in store.read_range(140, 160).collect()}
+    assert out[150] == 9999
+    assert 151 not in out
+    assert out[149] == 1490
+
+    # delta rows beyond the old handle range widen the pruning bounds
+    store.write_batch(
+        spark.createDataFrame([Row(**{"_tidb_rowid": 999, "v": 42})]), version=4
+    )
+    rewritten, _ = store.compact_segments_incremental(ts=4)
+    assert rewritten == 1  # clamped into the top segment
+    assert [r.v for r in store.read_range(990, 1000).collect()] == [42]

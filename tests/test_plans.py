@@ -77,3 +77,20 @@ def test_q18_having_side_copartitioned(spark):
     # groupBy(l_orderkey) then join on o_orderkey = l_orderkey: the big-order
     # side must not re-shuffle after its aggregation — one exchange total
     assert exchange_count(df) == 1
+
+
+def test_set_operations_single_shuffle_rewrite(spark):
+    """The driver's set_operations is the one-pass conditional-agg rewrite:
+    identical rows to the chained INTERSECT/EXCEPT form, but one shuffle
+    on o_custkey (+1 for the orderBy) instead of 4+."""
+    from tiflash_spark.operators.relational import (
+        set_operations,
+        set_operations_chained,
+    )
+
+    fast = set_operations(spark, SF_SMALL)
+    slow = set_operations_chained(spark, SF_SMALL)
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+    assert exchange_count(fast) <= 2
+    assert exchange_count(slow) > exchange_count(fast)

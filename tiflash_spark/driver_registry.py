@@ -221,6 +221,7 @@ PASSTHROUGH = [
     "q10_returned_items",
     "q11_important_stock",
     "q12_shipmode",
+    "q13_customer_distribution",
     "q14_promo_effect",
     "q15_top_supplier",
     "q16_parts_supplier",

@@ -1,0 +1,130 @@
+"""MySQL-named SQL function surface via Spark 4 SQL UDFs.
+
+The reference exposes the MySQL function namespace to every query
+(DAGUtils.cpp's scalar-function map); Spark covers most names natively
+(ifnull, if, conv, crc32, find_in_set, ...). This module registers the
+missing MySQL names as *SQL* functions — CREATE TEMPORARY FUNCTION ...
+RETURN <expr> — so a user can write MySQL-ish SQL through spark.sql()
+directly. SQL UDFs are inlined into the plan by Catalyst (no Python, no
+serialization — they stay in whole-stage codegen), unlike spark.udf
+registrations.
+
+Python-side Column helpers stay in mysql_compat/json_fns; this is the
+spark.sql-surface rendering of the same semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+_DEPTH_PREP = (
+    r"""regexp_replace(regexp_replace(regexp_replace(doc,"""
+    r"""'"([^"\\\\]|\\\\.)*"', '"s"'), '\\s', ''), '\\{\\}|\\[\\]', '0')"""
+)
+
+# name -> (arg signature, return type, body SQL). Bodies may call other
+# functions registered earlier in this ordered dict.
+MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
+    "mysql_div": (
+        "a BIGINT, b BIGINT",
+        "BIGINT",
+        "CASE WHEN b = 0 THEN NULL ELSE CAST((a - a % b) / b AS BIGINT) END",
+    ),
+    "mysql_mod": (
+        "a DOUBLE, b DOUBLE",
+        "DOUBLE",
+        "CASE WHEN b = 0 THEN NULL ELSE a % b END",
+    ),
+    "json_unquote": (
+        "doc STRING",
+        "STRING",
+        "get_json_object(doc, '$')",
+    ),
+    "json_contains_path_one": (
+        "doc STRING, p STRING",
+        "BOOLEAN",
+        "get_json_object(doc, p) IS NOT NULL",
+    ),
+    "json_keys_sorted": (
+        "doc STRING",
+        "ARRAY<STRING>",
+        "array_sort(json_object_keys(doc))",
+    ),
+    "json_length_obj": (
+        "doc STRING",
+        "INT",
+        "size(json_object_keys(doc))",
+    ),
+    "_json_depth_prepared": (
+        "doc STRING",
+        "STRING",
+        _DEPTH_PREP,
+    ),
+    "json_depth": (
+        "doc STRING",
+        "INT",
+        # max running bracket nesting (+1) of the prepared doc — the MySQL
+        # JSON_DEPTH recursion rule (see functions/json_fns.json_depth)
+        "COALESCE(array_max(transform(sequence(1, length(_json_depth_prepared(doc))),"
+        " i -> (length(substring(_json_depth_prepared(doc), 1, i))"
+        "       - length(translate(substring(_json_depth_prepared(doc), 1, i), '{[', '')))"
+        "    - (length(substring(_json_depth_prepared(doc), 1, i))"
+        "       - length(translate(substring(_json_depth_prepared(doc), 1, i), '}]', ''))))),"
+        " 0) + 1",
+    ),
+    "mysql_str_to_date": (
+        "s STRING",
+        "DATE",
+        "CASE WHEN trim(s) IN ('0000-00-00', '0000-00-00 00:00:00') THEN NULL"
+        " ELSE try_cast(s AS DATE) END",
+    ),
+    "cast_unsigned": (
+        "x BIGINT",
+        "DECIMAL(20,0)",
+        "CASE WHEN x < 0 THEN CAST(CAST(x AS DECIMAL(21,0))"
+        " + CAST('18446744073709551616' AS DECIMAL(21,0)) AS DECIMAL(20,0))"
+        " ELSE CAST(x AS DECIMAL(20,0)) END",
+    ),
+    "inet_aton": (
+        "ip STRING",
+        "BIGINT",
+        "CASE WHEN ip RLIKE '^([0-9]{1,3}\\\\.){3}[0-9]{1,3}$' THEN"
+        " CAST(split(ip, '\\\\.')[0] AS BIGINT) * 16777216"
+        " + CAST(split(ip, '\\\\.')[1] AS BIGINT) * 65536"
+        " + CAST(split(ip, '\\\\.')[2] AS BIGINT) * 256"
+        " + CAST(split(ip, '\\\\.')[3] AS BIGINT)"
+        " ELSE NULL END",
+    ),
+    "inet_ntoa": (
+        "n BIGINT",
+        "STRING",
+        "concat_ws('.', CAST(n div 16777216 % 256 AS STRING),"
+        " CAST(n div 65536 % 256 AS STRING), CAST(n div 256 % 256 AS STRING),"
+        " CAST(n % 256 AS STRING))",
+    ),
+    "sec_to_time": (
+        "s BIGINT",
+        "STRING",
+        "concat(lpad(CAST(s div 3600 AS STRING), 2, '0'), ':',"
+        " lpad(CAST(s div 60 % 60 AS STRING), 2, '0'), ':',"
+        " lpad(CAST(s % 60 AS STRING), 2, '0'))",
+    ),
+    "mysql_format": (
+        "x DOUBLE, d INT",
+        "STRING",
+        "format_number(x, d)",
+    ),
+}
+
+
+def register_mysql_functions(spark: SparkSession) -> list[str]:
+    """Register the MySQL-name surface as temporary SQL functions on this
+    session. Returns the registered names."""
+    names = []
+    for name, (sig, ret, body) in MYSQL_SQL_FUNCTIONS.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "
+            f"RETURNS {ret} RETURN {body}"
+        )
+        names.append(name)
+    return names

@@ -251,9 +251,12 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def set_operations_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION / INTERSECT / EXCEPT surface (TiDB-side in the reference —
-    SURVEY.md §2.1 'Set operations'; free Spark built-ins here)."""
+    SURVEY.md §2.1 'Set operations'; free Spark built-ins here): the
+    literal chained form, 4+ full-width shuffles of the same projection.
+    Kept as the set-op API surface; the driver query uses the one-shuffle
+    rewrite below (tests pin both forms equal)."""
     o = load_table(spark, sf_dir, "orders")
     big = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
@@ -262,6 +265,29 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         big.intersect(urgent).intersect(big.intersect(medium))
     )
     return result.distinct().orderBy("o_custkey")
+
+
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as set_operations_chained — (big∩urgent) ∪ (big∩medium);
+    the EXCEPT ALL leg only strips the duplicate copy the UNION ALL
+    introduces, so the chain reduces to big ∧ (urgent ∨ medium) — planned
+    scale-first: ONE pass of conditional aggregation over orders (map-side
+    partial max flags, one shuffle on o_custkey) instead of 4+
+    distinct/intersect shuffles. The oracle stays the INTERSECT/EXCEPT
+    formulation, proving the rewrite."""
+    o = load_table(spark, sf_dir, "orders")
+    flags = o.groupBy("o_custkey").agg(
+        F.max((F.col("o_totalprice") > 100000).cast("int")).alias("big"),
+        F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("urg"),
+        F.max((F.col("o_orderpriority") == "3-MEDIUM").cast("int")).alias("med"),
+    )
+    return (
+        flags.filter(
+            (F.col("big") == 1) & ((F.col("urg") == 1) | (F.col("med") == 1))
+        )
+        .select("o_custkey")
+        .orderBy("o_custkey")
+    )
 
 
 SET_OPERATIONS_SQL = """

@@ -726,6 +726,42 @@ ORDER BY s_name
 """
 
 
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer order counts, with a
+    residual condition on the LEFT join (orders below a priority class
+    still count the customer with c_count = 0). Two-level aggregation:
+    shuffle on c_custkey, then the tiny c_count histogram."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 from tiflash_spark.catalog import PARTSUPP_SQL_CTE as _PS_CTE  # noqa: E402
 
 for _n, _f, _s in [
@@ -733,6 +769,7 @@ for _n, _f, _s in [
     ("q9_product_profit", q9_product_profit, Q9_SQL),
     ("q10_returned_items", q10_returned_items, Q10_SQL),
     ("q11_important_stock", q11_important_stock, Q11_SQL.format(partsupp=_PS_CTE)),
+    ("q13_customer_distribution", q13_customer_distribution, Q13_SQL),
     ("q2_min_cost_supplier", q2_min_cost_supplier, Q2_MIN_COST_SQL.format(partsupp=_PS_CTE)),
     ("q15_top_supplier", q15_top_supplier, Q15_SQL),
     ("q16_parts_supplier", q16_parts_supplier, Q16_SQL),
