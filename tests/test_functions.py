@@ -239,3 +239,22 @@ def test_mysql_sql_function_registry(spark):
     # SQL UDFs must inline — no BatchEvalPython/ArrowEvalPython in the plan
     plan = spark.sql("SELECT json_depth(props) FROM (SELECT '{\"k\":1}' AS props)")
     assert "Python" not in plan._jdf.queryExecution().executedPlan().toString()
+
+
+def test_mysql_date_format_iso_week_tokens(spark):
+    """%v/%x ISO week tokens (MySQL week mode 3): year boundary weeks land
+    in the adjacent ISO year — 2021-01-01 is 2020-W53; 2024-12-30 is
+    2025-W01."""
+    from pyspark.sql import Row, functions as F
+
+    from tiflash_spark.functions.mysql_compat import mysql_date_format
+
+    df = spark.createDataFrame(
+        [Row(d="2021-01-01"), Row(d="2024-12-30"), Row(d="1996-06-15")]
+    ).select(F.col("d").cast("date").alias("d"))
+    out = [r.s for r in df.select(mysql_date_format("d", "%x-W%v (%Y-%m-%d)").alias("s")).collect()]
+    assert out == [
+        "2020-W53 (2021-01-01)",
+        "2025-W01 (2024-12-30)",
+        "1996-W24 (1996-06-15)",
+    ]

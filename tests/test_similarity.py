@@ -67,3 +67,46 @@ def test_ivf_recall_vs_brute_force(spark):
         assert math.isclose(exact[vid], ivf[vid], abs_tol=1e-9)
     # probing 4/16 clusters: expect >= ~25% recall on uniform data
     assert len(overlap) >= 2, f"IVF recall too low: {len(overlap)}/{TOP_K}"
+
+
+def test_kmeans_refinement_deterministic_and_valid(spark):
+    """refine_centroids: fixed Lloyd iterations are reproducible run-to-run
+    and strictly reduce (or hold) the within-cluster L2 cost vs the raw
+    seed centroids — the k-means invariant."""
+    from tiflash_spark.catalog import load_table
+    from tiflash_spark.pipeline.similarity import (
+        _as_double,
+        _assign,
+        _centroids,
+        refine_centroids,
+    )
+    from tiflash_spark.functions.vector import vec_l2_distance
+
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seeds = _centroids(e)
+
+    def cost(cents):
+        scored = (
+            e.select("vec_id", "embedding")
+            .crossJoin(F.broadcast(cents))
+            .withColumn(
+                "d", vec_l2_distance(_as_double(F.col("embedding")), F.col("cvec"))
+            )
+        )
+        return (
+            scored.groupBy("vec_id").agg(F.min("d").alias("d"))
+            .agg(F.round(F.sum("d"), 3).alias("c")).collect()[0].c
+        )
+
+    r1 = refine_centroids(e, seeds, iterations=2)
+    r2 = refine_centroids(e, seeds, iterations=2)
+    v1 = sorted((r.cid, tuple(round(x, 8) for x in r.cvec)) for r in r1.collect())
+    v2 = sorted((r.cid, tuple(round(x, 8) for x in r.cvec)) for r in r2.collect())
+    assert v1 == v2  # deterministic
+    assert cost(r1) <= cost(seeds)  # Lloyd never increases the objective
+    # every vector still assigned to exactly one cluster
+    assigned = _assign(e, r1)
+    assert assigned.count() == e.count()
+    assert assigned.select("cluster").distinct().count() <= 16

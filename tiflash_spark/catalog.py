@@ -172,14 +172,16 @@ def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic partsupp synthesis — testdata has no partsupp table,
     but the reference's canonical perf workload is full TPC-H
     (release-linux-llvm/scripts/perf-autofdo-llvm.py:196-199), whose Q2/Q11
-    shapes need it. Uses the dbgen supplier-assignment formula: part k gets
-    4 suppliers at stride i*(S/4 + (k-1)/S) mod S (integer division), so the
-    derivation is reproducible in any engine; availqty/supplycost are hash-
-    like functions of (partkey, suppkey). DISTINCT because a small S can
-    collide strides (dbgen guarantees distinctness only at real scale).
+    shapes need it. Part k gets 4 suppliers at (k*4 + i) mod S — like
+    dbgen's stride assignment this spreads parts across suppliers, but the
+    consecutive-offset form is collision-free BY CONSTRUCTION for S >= 4,
+    so no dedup shuffle is needed (dbgen's stride formula collides at
+    small S and would force a distinct() — a full-width exchange that the
+    Q2/Q11 plans would each pay twice). availqty/supplycost are hash-like
+    functions of (partkey, suppkey), reproducible in any engine.
 
     Scale note: this is a narrow projection of part × a 4-element explode —
-    O(|part|) rows, no shuffle; the supplier count is a broadcast scalar.
+    O(|part|) rows, ZERO shuffles; the supplier count is a broadcast scalar.
     """
     from pyspark.sql import functions as F
 
@@ -193,17 +195,12 @@ def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("_i"),
         )
     )
-    suppkey = (
-        F.col("p_partkey")
-        + F.col("_i")
-        * (F.expr("_s_n div 4") + F.expr("(p_partkey - 1) div _s_n"))
-    ) % F.col("_s_n") + 1
+    suppkey = (F.col("p_partkey") * 4 + F.col("_i")) % F.col("_s_n") + 1
     return (
         exploded.select(
             F.col("p_partkey").alias("ps_partkey"),
             suppkey.cast("long").alias("ps_suppkey"),
         )
-        .distinct()
         .select(
             "ps_partkey",
             "ps_suppkey",
@@ -227,9 +224,8 @@ def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 PARTSUPP_SQL_CTE = """
 _s AS (SELECT COUNT(*) AS s_n FROM supplier),
 _ps0 AS (
-  SELECT DISTINCT p_partkey AS ps_partkey,
-         CAST(((p_partkey + i.i * (s_n // 4 + (p_partkey - 1) // s_n)) % s_n) + 1
-              AS BIGINT) AS ps_suppkey
+  SELECT p_partkey AS ps_partkey,
+         CAST((p_partkey * 4 + i.i) % s_n + 1 AS BIGINT) AS ps_suppkey
   FROM part, _s, (SELECT UNNEST(GENERATE_SERIES(0, 3)) AS i) i
 ),
 partsupp AS (

@@ -75,9 +75,47 @@ def _quote_literal(ch: str) -> str:
     return "''" if ch == "'" else f"'{ch}'"
 
 
+def _iso_weekday(c: Column) -> Column:
+    """Mon=1..Sun=7 (Spark dayofweek is Sun=1..Sat=7)."""
+    return (F.dayofweek(c) + 5) % 7 + 1
+
+
+def _iso_week_year(c: Column) -> Column:
+    """ISO week-numbering year: the year of the week's Thursday."""
+    return F.year(F.date_add(c, 4 - _iso_weekday(c)))
+
+
 def mysql_date_format(col: Column | str, mysql_fmt: str) -> Column:
-    """MySQL DATE_FORMAT(col, '%Y-%m-%d') on Spark."""
-    return F.date_format(col, mysql_format_to_spark(mysql_fmt))
+    """MySQL DATE_FORMAT(col, '%Y-%m-%d') on Spark.
+
+    %v (ISO week 01-53) and %x (ISO week-numbering year) can't ride the
+    Java pattern — Spark bans week-based pattern letters ('Y'/'w') since
+    3.0 — so the format is split at those tokens and they are computed as
+    expressions (weekofyear is ISO in Spark), concat'd between
+    date_format segments."""
+    c = F.col(col) if isinstance(col, str) else col
+    computed = {
+        "%v": lambda: F.lpad(F.weekofyear(c).cast("string"), 2, "0"),
+        "%x": lambda: _iso_week_year(c).cast("string"),
+    }
+    pieces: list[Column] = []
+    buf = ""
+    i = 0
+    while i < len(mysql_fmt):
+        tok = mysql_fmt[i : i + 2]
+        if tok in computed:
+            if buf:
+                pieces.append(F.date_format(c, mysql_format_to_spark(buf)))
+                buf = ""
+            pieces.append(computed[tok]())
+            i += 2
+        else:
+            step = 2 if mysql_fmt[i] == "%" and i + 1 < len(mysql_fmt) else 1
+            buf += mysql_fmt[i : i + step]
+            i += step
+    if buf:
+        pieces.append(F.date_format(c, mysql_format_to_spark(buf)))
+    return pieces[0] if len(pieces) == 1 else F.concat(*pieces)
 
 
 def mysql_div(a: Column, b: Column) -> Column:

@@ -574,12 +574,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_cost = eligible.groupBy(
         F.col("ps_partkey").alias("_mk")
     ).agg(F.min("ps_supplycost").alias("min_cost"))
+    # join back on the SINGLE agg key (co-partitioned with the groupBy —
+    # no reshuffle) and take the cost match as a filter, not a join key
     return (
-        eligible.join(
-            min_cost,
-            (F.col("ps_partkey") == F.col("_mk"))
-            & (F.col("ps_supplycost") == F.col("min_cost")),
-        )
+        eligible.join(min_cost, F.col("ps_partkey") == F.col("_mk"))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .join(p, eligible.ps_partkey == p.p_partkey)
         .select(
             "s_acctbal",

@@ -150,28 +150,29 @@ def _seeded_hash(seed: int):
     return lambda s: F.xxhash64(F.lit(seed), s)
 
 
-def minhash_signature(shingles: Column) -> Column:
+def minhash_signature(shingles: Column, k: int = NUM_HASHES) -> Column:
     """K minhashes as an array<long>: min over xxhash64(seed_i, shingle).
     JVM-side, one pass over the shingle array per hash function."""
     return F.array(
-        *[
-            F.array_min(F.transform(shingles, _seeded_hash(i)))
-            for i in range(NUM_HASHES)
-        ]
+        *[F.array_min(F.transform(shingles, _seeded_hash(i))) for i in range(k)]
     )
 
 
-def minhash_bands(sig: Column) -> Column:
-    """Split the signature into NUM_BANDS band-hashes (array<long>)."""
+def minhash_bands(sig: Column, bands: int = NUM_BANDS, rows: int = ROWS_PER_BAND) -> Column:
+    """Split the signature into band-hashes (array<long>). The (bands,
+    rows) split sets the LSH s-curve threshold ≈ (1/bands)^(1/rows);
+    scripts/minhash_curve.py records the measured recall/cost trade."""
     return F.array(
         *[
-            F.xxhash64(*[sig[b * ROWS_PER_BAND + r] for r in range(ROWS_PER_BAND)])
-            for b in range(NUM_BANDS)
+            F.xxhash64(*[sig[b * rows + r] for r in range(rows)])
+            for b in range(bands)
         ]
     )
 
 
-def minhash_candidates(docs: DataFrame) -> DataFrame:
+def minhash_candidates(
+    docs: DataFrame, bands: int = NUM_BANDS, rows: int = ROWS_PER_BAND
+) -> DataFrame:
     """docs(doc_id, sh) → candidate (doc_a, doc_b) id-pairs via band join.
 
     Explode band index+hash, self-join on (band, hash): only documents
@@ -185,9 +186,14 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     # node evaluates its child expression interpreted (outside codegen), so an
     # inlined 16-hash signature would be recomputed per emitted band row
     # (measured 7.1 s vs 0.4 s for the projection itself at 5k docs)
-    sigs = docs.select("doc_id", minhash_signature(F.col("sh")).alias("sig")).persist()
+    sigs = docs.select(
+        "doc_id", minhash_signature(F.col("sh"), k=bands * rows).alias("sig")
+    ).persist()
     banded = sigs.select(
-        "doc_id", F.posexplode(minhash_bands(F.col("sig"))).alias("band", "bh")
+        "doc_id",
+        F.posexplode(minhash_bands(F.col("sig"), bands=bands, rows=rows)).alias(
+            "band", "bh"
+        ),
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (

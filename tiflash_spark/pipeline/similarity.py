@@ -245,6 +245,46 @@ def _centroids(e: DataFrame) -> DataFrame:
     )
 
 
+def refine_centroids(e: DataFrame, cents: DataFrame, iterations: int = 2) -> DataFrame:
+    """Deterministic Lloyd iterations over the seed centroids: assign every
+    vector to its nearest centroid (min_by, map-side partial agg), then
+    recompute each centroid as the element-wise mean of its members —
+    posexplode to (cluster, dim, value), avg per (cluster, dim), re-pack
+    with sorted collect. Fixed iteration count keeps it reproducible; a
+    drained cluster keeps its previous centroid (classic k-means guard).
+
+    Scale: per iteration one (vec_id) shuffle for the argmin and one
+    (cluster, dim) shuffle whose cardinality is N_CENTROIDS×dims — tiny.
+    The member side streams; nothing is collected to the driver."""
+    for _ in range(iterations):
+        assigned = _assign(e, cents)
+        dims = assigned.select(
+            "cluster", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "x")
+        )
+        means = (
+            dims.groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ).alias("pm")
+            )
+            .select(
+                F.col("cluster").alias("new_cid"),
+                F.transform(F.col("pm"), lambda s: s.m).alias("new_cvec"),
+            )
+        )
+        cents = (
+            cents.join(means, cents.cid == means.new_cid, "left")
+            .select(
+                "cid",
+                F.coalesce(F.col("new_cvec"), F.col("cvec")).alias("cvec"),
+            )
+        )
+    return cents
+
+
 def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     """Assign every vector to its nearest centroid: broadcast the centroid
     table, argmin over L2 via min_by aggregation.
@@ -282,7 +322,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline. tests/test_similarity.py measures recall vs brute force.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    cents = _centroids(e).persist()
+    cents = refine_centroids(e, _centroids(e), iterations=2).persist()
     assigned = _assign(e, cents)
     q = _query_vector(spark, sf_dir)
     probe = (
