@@ -97,3 +97,40 @@ def test_clusters_match_union_find(spark):
     # component label is the min member (hash-min convergence property)
     for comp, members in got.items():
         assert comp == min(members)
+
+
+def test_embedding_dedup_lsh_recall_on_planted_neardups(spark):
+    """Multi-table hyperplane LSH must recover planted near-duplicates:
+    100 deterministic pseudo-random base vectors + 20 small perturbations
+    (cosine ≈ 0.99 to their source). The OR-construction over 4 tables
+    should catch >= 80% of the planted pairs; the exact tier catches all."""
+    import math
+
+    from pyspark.sql import Row
+
+    from tiflash_spark.pipeline.dedup import embedding_lsh_pairs
+
+    def prng(seed):
+        x = seed
+        while True:
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            yield ((x >> 33) / float(1 << 31)) - 1.0
+
+    rows = []
+    planted = set()
+    for i in range(100):
+        g = prng(i + 1)
+        v = [next(g) for _ in range(64)]
+        rows.append(Row(vec_id=i, embedding=v))
+        if i < 20:
+            # small deterministic perturbation: cosine stays ~0.99+
+            p = [x + 0.02 * ((j % 5) - 2) for j, x in enumerate(v)]
+            rows.append(Row(vec_id=1000 + i, embedding=p))
+            planted.add((i, 1000 + i))
+    df = spark.createDataFrame(rows)
+    pairs = embedding_lsh_pairs(df).filter("cos_sim >= 0.95")
+    found = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    hit = planted & found
+    assert len(hit) >= 16, f"planted recall too low: {len(hit)}/20"
+    # and no garbage: every surfaced >=0.95 pair is a planted one here
+    assert found <= planted

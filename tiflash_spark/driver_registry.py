@@ -46,6 +46,9 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
          ["SUM(cnt + cnt_col + ndv_supp + first_part)",
           "ROUND(SUM(sum_qty + avg_price + min_max_mix), 2)",
           "SUM(YEAR(min_ship) + YEAR(max_ship))"]),
+        ("agg_functions_extended",
+         ["ROUND(SUM(var_p + var_s + std_p + std_s), 2)",
+          "SUM(band + bor + bxor)", "ROUND(SUM(median_qty + p90_qty), 2)"]),
         ("group_concat",
          ["SUM(LENGTH(nations) + LENGTH(initials))", "SUM(LENGTH(r_name))"]),
         ("group_concat_ordered",
@@ -165,6 +168,9 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
         ("events_json_enrich",
          ["SUM(min_k + max_k)", "ROUND(SUM(avg_k), 4)",
           "ROUND(SUM(k_value_corr), 4)"]),
+        ("events_session_window_native",
+         ["SUM(n_sessions + max_events)", "ROUND(SUM(avg_events), 4)",
+          "ROUND(SUM(total_value), 2)"]),
     ],
     "text_corpus": [
         ("text_analysis",
@@ -179,6 +185,8 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
     "ann_brute": [
         ("ann_cosine_topk", ["SUM(vec_id + label)", "ROUND(SUM(cos_sim), 4)"]),
         ("ann_l2_topk", ["SUM(vec_id)", "ROUND(SUM(l2_dist), 4)"]),
+        ("dedup_embedding_cosine",
+         ["SUM(vec_a + vec_b)", "ROUND(SUM(cos_sim), 4)"]),
     ],
 }
 
@@ -195,6 +203,8 @@ ROWS_ONLY_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
     "ann_indexed": [
         ("ann_lsh_topk", ["SUM(vec_id + label)", "ROUND(SUM(cos_sim), 4)"]),
         ("ann_ivf_topk", ["SUM(vec_id + label)", "ROUND(SUM(cos_sim), 4)"]),
+        ("dedup_embedding_lsh",
+         ["SUM(vec_a + vec_b)", "ROUND(SUM(cos_sim), 4)"]),
     ],
     "approx_sketches": [
         ("approx_count_distinct",

@@ -211,3 +211,59 @@ ORACLE = {
     "events_funnel": EVENTS_FUNNEL_SQL,
     "events_json_enrich": EVENTS_JSON_ENRICH_SQL,
 }
+
+
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native SessionWindow operator in batch mode (the same
+    operator Structured Streaming uses for stateful sessionization —
+    SURVEY.md §2.6): session_window(ts, gap) per user, then a global
+    summary. Semantics note: native windows merge while the next event
+    starts strictly BEFORE prev_ts + gap, so a gap of exactly 1800 s
+    starts a new session — the oracle flags starts with >= 1800."""
+    e = load_table(spark, sf_dir, "events")
+    per_session = (
+        e.groupBy("user_id", F.session_window("ts", "1800 seconds").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+    return per_session.groupBy().agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg("n_events"), 6).alias("avg_events"),
+        F.max("n_events").alias("max_events"),
+        F.round(F.sum("session_value"), 4).alias("total_value"),
+    )
+
+
+EVENTS_SESSION_WINDOW_NATIVE_SQL = """
+WITH flagged AS (
+  SELECT user_id, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR EPOCH(CAST(ts AS TIMESTAMP))
+                      - EPOCH(CAST(LAG(ts) OVER w AS TIMESTAMP)) >= 1800
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, value,
+         SUM(is_start) OVER (PARTITION BY user_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events,
+         ROUND(SUM(value), 4) AS session_value
+  FROM sessions GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_sessions,
+       ROUND(AVG(n_events), 6) AS avg_events,
+       MAX(n_events) AS max_events,
+       ROUND(SUM(session_value), 4) AS total_value
+FROM per_session
+"""
+
+QUERIES["events_session_window_native"] = events_session_window_native
+ORACLE["events_session_window_native"] = EVENTS_SESSION_WINDOW_NATIVE_SQL

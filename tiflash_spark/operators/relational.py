@@ -202,6 +202,48 @@ ORDER BY l_returnflag
 """
 
 
+def agg_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TiDB's statistical/bitwise aggregate surface (SURVEY.md §2.2;
+    reference AggregateFunctionsStatisticsSimple.h, bit aggregates via
+    TiDB): VAR_POP/VAR_SAMP/STDDEV_POP/STDDEV_SAMP, BIT_AND/OR/XOR, and
+    exact interpolated PERCENTILE (TiDB PERCENTILE_CONT). All map-side
+    combinable built-ins — one shuffle on the group key."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_linestatus")
+        .agg(
+            F.round(F.var_pop("l_quantity"), 4).alias("var_p"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_s"),
+            F.round(F.stddev_pop("l_extendedprice"), 4).alias("std_p"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_s"),
+            F.bit_and(F.col("l_linenumber")).alias("band"),
+            F.bit_or(F.col("l_linenumber")).alias("bor"),
+            F.bit_xor(F.col("l_linenumber")).alias("bxor"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+AGG_FUNCTIONS_EXTENDED_SQL = """
+SELECT
+  l_linestatus,
+  ROUND(VAR_POP(l_quantity), 4) AS var_p,
+  ROUND(VAR_SAMP(l_quantity), 4) AS var_s,
+  ROUND(STDDEV_POP(l_extendedprice), 4) AS std_p,
+  ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_s,
+  BIT_AND(l_linenumber) AS band,
+  BIT_OR(l_linenumber) AS bor,
+  BIT_XOR(l_linenumber) AS bxor,
+  ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS median_qty,
+  ROUND(QUANTILE_CONT(l_quantity, 0.9), 4) AS p90_qty
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
 def group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GroupConcat with ORDER BY + separator, and the DISTINCT variant.
 
@@ -379,6 +421,7 @@ QUERIES = {
     "q3_filter_project": q3_filter_project_limit,
     "q6_forecast_revenue": q6_forecast_revenue,
     "agg_functions": agg_functions,
+    "agg_functions_extended": agg_functions_extended,
     "group_concat": group_concat,
     "distinct": distinct_op,
     "set_operations": set_operations,
@@ -392,6 +435,7 @@ ORACLE = {
     "q3_filter_project": Q3_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "agg_functions": AGG_FUNCTIONS_SQL,
+    "agg_functions_extended": AGG_FUNCTIONS_EXTENDED_SQL,
     "group_concat": GROUP_CONCAT_SQL,
     "distinct": DISTINCT_SQL,
     "set_operations": SET_OPERATIONS_SQL,

@@ -401,3 +401,135 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dedup_clusters"] = dedup_clusters  # iterative: rows-only driver check
+
+
+# --- 5. Embedding-cosine near-dup ------------------------------------------
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup: top-20 most-similar vector pairs by
+    cosine (the synthetic embeddings have no pairs above ~0.48, so a
+    fixed threshold would select nothing and verify nothing — top-k keeps
+    the check non-trivial at every scale factor).
+
+    This is the exact O(n²) ORACLE tier — norms are precomputed once per
+    side so the pair loop is a single fused dot product. The scale path
+    is dedup_embedding_lsh: hyperplane-bucketed candidates, sum of
+    bucket² pairs, identical re-rank."""
+    from tiflash_spark.functions.vector import vec_inner_product
+    from tiflash_spark.pipeline.similarity import _as_double
+
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = e.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("emb"),
+    ).withColumn("nrm", F.sqrt(vec_inner_product(F.col("emb"), F.col("emb"))))
+    a = norms.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = norms.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                vec_inner_product(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+        .limit(20)
+    )
+
+
+DEDUP_EMBEDDING_COSINE_SQL = """
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.emb, b.emb), p -> p[1] * p[2]))
+             / (a.nrm * b.nrm), 6) AS cos_sim
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+ORDER BY cos_sim DESC, vec_a, vec_b
+LIMIT 20
+"""
+
+
+EMB_LSH_TABLES = 4  # L independent hash tables: recall = 1-(1-p)^L
+EMB_LSH_BITS = 6  # 6 hyperplane bits per table → 64 buckets each
+
+
+def embedding_lsh_pairs(e: DataFrame, dim: int = 64) -> DataFrame:
+    """Multi-table hyperplane LSH candidate pairs + exact cosine re-rank.
+
+    One 24-plane signature per vector, sliced into EMB_LSH_TABLES 6-bit
+    bucket keys; a pair is a candidate if it collides in ANY table (the
+    standard OR-construction — single-table recall p becomes 1-(1-p)^L).
+    The join carries only (table, bucket, vec_id, emb-by-reference); pair
+    count is the sum of per-bucket² across tables, never n²."""
+    from tiflash_spark.functions.vector import vec_inner_product
+    from tiflash_spark.pipeline.similarity import _as_double, rp_signature
+
+    n_planes = EMB_LSH_TABLES * EMB_LSH_BITS
+    sig = rp_signature(F.col("embedding"), dim, n_planes=n_planes)
+    base = e.select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb"), sig.alias("sig")
+    ).withColumn("nrm", F.sqrt(vec_inner_product(F.col("emb"), F.col("emb"))))
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.shiftright("sig", t * EMB_LSH_BITS)
+                .bitwiseAND(F.lit(2**EMB_LSH_BITS - 1))
+                .alias("b"),
+            )
+            for t in range(EMB_LSH_TABLES)
+        ]
+    )
+    bucketed = base.select(
+        "vec_id", "emb", "nrm", F.explode(keys).alias("k")
+    ).persist()
+    a = bucketed.select(
+        F.col("k").alias("ka"), F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = bucketed.select(
+        F.col("k").alias("kb"), F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(b, (F.col("ka") == F.col("kb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                vec_inner_product(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .distinct()  # a pair may collide in several tables
+    )
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
+    """Scale tier of embedding near-dup: multi-table LSH candidates, top-20
+    by exact cosine of the candidate set. tests/test_dedup.py measures
+    recall on planted near-duplicates. Rows-only driver check
+    (approximate by construction)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        embedding_lsh_pairs(e, dim)
+        .orderBy(F.col("cos_sim").desc(), "vec_a", "vec_b")
+        .limit(20)
+    )
+
+
+QUERIES["dedup_embedding_cosine"] = dedup_embedding_cosine
+QUERIES["dedup_embedding_lsh"] = dedup_embedding_lsh  # rows-only
+ORACLE["dedup_embedding_cosine"] = DEDUP_EMBEDDING_COSINE_SQL
