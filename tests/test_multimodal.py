@@ -10,8 +10,16 @@ from pyspark.sql import types as T
 from tests.conftest import SF_SMALL
 from tiflash_spark.pipeline.multimodal import (
     DECODED_SCHEMA,
+    FEATURE_DIM,
+    FEATURES_SCHEMA,
+    FRAMES_SCHEMA,
+    RESIZED_SCHEMA,
     decode_media,
+    extract_features,
     multimodal_decode,
+    multimodal_stages,
+    resize_media,
+    sample_frames,
     synthetic_media,
 )
 
@@ -58,3 +66,80 @@ def test_multimodal_rollup_totals(spark):
     n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
     assert sum(r.n for r in out.values()) == n_docs
     assert all(r.n_ok == r.n for r in out.values())
+
+
+def test_resize_byte_budget(spark):
+    media = synthetic_media(spark, SF_SMALL)
+    resized = resize_media(media, target_w=224, target_h=224)
+    assert resized.schema == RESIZED_SCHEMA
+    joined = (
+        resized.alias("r")
+        .join(media.alias("m"), "media_id")
+        .select(
+            "media_id",
+            F.octet_length("r.payload").alias("out_bytes"),
+            F.octet_length("m.payload").alias("in_bytes"),
+            F.col("m.meta.declared_w").alias("dw"),
+            F.col("m.meta.declared_h").alias("dh"),
+            "r.width",
+            "r.height",
+        )
+        .collect()
+    )
+    assert len(joined) > 0
+    for r in joined:
+        assert (r.width, r.height) == (224, 224)
+        # resize never grows the payload, and shrinks it proportionally
+        assert r.out_bytes <= r.in_bytes
+        if r.in_bytes > 0:
+            assert r.out_bytes >= 1
+            src_px = max(1, r.dw * r.dh)
+            expect = max(1, int(r.in_bytes * min(1.0, 224 * 224 / src_px)))
+            assert r.out_bytes == expect
+
+
+def test_frame_sampling_fans_out(spark):
+    media = synthetic_media(spark, SF_SMALL)
+    # divisor 1 → one frame per 64 payload bytes, so sf0.001's short
+    # documents still exercise the 1-row→N-rows fan-out path
+    frames = sample_frames(media, fps_divisor=1, max_frames=8)
+    assert frames.schema == FRAMES_SCHEMA
+    per_media = (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_no").alias("max_frame"),
+            F.min("ts_ms").alias("min_ts"),
+        )
+        .collect()
+    )
+    n_media = media.count()
+    assert len(per_media) == n_media  # every input row yields >=1 frame
+    assert all(1 <= r.n_frames <= 8 for r in per_media)
+    assert all(r.max_frame == r.n_frames - 1 for r in per_media)
+    assert all(r.min_ts == 0 for r in per_media)
+    # fan-out actually happens: bigger payloads produce multiple frames
+    assert any(r.n_frames > 1 for r in per_media)
+
+
+def test_feature_vectors_unit_norm(spark):
+    media = synthetic_media(spark, SF_SMALL)
+    feats = extract_features(media)
+    assert feats.schema == FEATURES_SCHEMA
+    rows = feats.limit(20).collect()
+    assert rows
+    for r in rows:
+        assert len(r.feature) == FEATURE_DIM
+        nrm = sum(x * x for x in r.feature)
+        assert abs(nrm - 1.0) < 1e-5
+        assert all(x > 0 for x in r.feature)  # +1 smoothing keeps bins positive
+
+
+def test_multimodal_stages_rollup(spark):
+    out = {r.media_type: r for r in multimodal_stages(spark, SF_SMALL).collect()}
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert sum(r.n_media for r in out.values()) == n_docs
+    for r in out.values():
+        assert r.n_frames >= r.n_media  # >=1 frame per media row
+        assert r.frame_bytes <= r.resized_bytes
+        assert 0.0 < r.avg_f1 < 1.0

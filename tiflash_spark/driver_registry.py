@@ -181,6 +181,21 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
         ("vocab_topk", ["SUM(tf + df)", "SUM(LENGTH(tok))"]),
         ("doc_length_histogram",
          ["SUM(len_bucket + n_docs)", "ROUND(SUM(avg_quality), 4)"]),
+        ("token_stats_bpe",
+         ["SUM(n_docs + total_ws + total_bpe)", "ROUND(SUM(bpe_inflation), 4)"]),
+    ],
+    "tpch_correlated": [
+        ("q5_local_supplier",
+         ["SUM(LENGTH(n_name))", "ROUND(SUM(revenue), 2)"]),
+        ("q17_small_quantity", ["ROUND(SUM(avg_yearly), 2)"]),
+    ],
+    "multimodal_pipeline": [
+        ("multimodal_decode",
+         ["SUM(n + n_ok + max_w)", "SUM(total_bytes + hist0_sum)"]),
+        ("multimodal_stages",
+         ["SUM(n_media + n_frames)",
+          "SUM(resized_bytes + frame_bytes + ts_ms_sum)",
+          "ROUND(SUM(avg_f1), 4)"]),
     ],
     "ann_brute": [
         ("ann_cosine_topk", ["SUM(vec_id + label)", "ROUND(SUM(cos_sim), 4)"]),
@@ -247,7 +262,6 @@ PASSTHROUGH = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "vector_functions",
-    "multimodal_decode",
 ]
 
 DRIVER_LIMIT = 50

@@ -761,6 +761,100 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: local-supplier volume — customer and supplier must share
+    a nation inside one region. The nation⋈region pre-join is 25 rows →
+    broadcast; customer/supplier are O(sf) so they hash-join (no forced
+    hint — AQE may still choose broadcast from runtime stats at small SF).
+    The c_nationkey = s_nationkey equality rides the supplier join as a
+    second key, so no extra shuffle for the locality constraint."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(nr), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: small-quantity-order revenue — correlated scalar
+    subquery (0.2 × per-part avg quantity) decorrelated into a per-part
+    aggregate joined back on p_partkey. The part filter (one brand,
+    size bound; container adapted to p_size — testdata part has no
+    p_container) prunes ~24/25 of lineitem before the agg, and the
+    per-part average is a window over p_partkey rather than an agg +
+    re-join: ONE lineitem scan instead of two, and the window's
+    partitionBy matches the join's hash partitioning so no extra
+    exchange — just the sort the merge join half-provides."""
+    from pyspark.sql import Window
+
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#13") & (F.col("p_size") < 20))
+        .select("p_partkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lp = l.join(p, l.l_partkey == p.p_partkey)
+    qty_limit = (F.avg("l_quantity").over(Window.partitionBy("p_partkey")) * 0.2)
+    return (
+        lp.withColumn("qty_limit", qty_limit)
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND p_size < 20
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l_quantity)
+    FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
 from tiflash_spark.catalog import PARTSUPP_SQL_CTE as _PS_CTE  # noqa: E402
 
 for _n, _f, _s in [
@@ -773,6 +867,8 @@ for _n, _f, _s in [
     ("q15_top_supplier", q15_top_supplier, Q15_SQL),
     ("q16_parts_supplier", q16_parts_supplier, Q16_SQL),
     ("q20_potential_promotion", q20_potential_promotion, Q20_SQL),
+    ("q5_local_supplier", q5_local_supplier, Q5_SQL),
+    ("q17_small_quantity", q17_small_quantity, Q17_SQL),
 ]:
     QUERIES[_n] = _f
     ORACLE[_n] = _s

@@ -198,3 +198,245 @@ QUERIES = {
 ORACLE = {
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
 }
+
+
+def multimodal_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full media pipeline: synthesize → resize → {frame-sample, feature-
+    extract}, aggregated per media_type. Every stage fake is deterministic,
+    so the whole mapInPandas chain is oracle-checkable in plain SQL.
+
+    At scale the ``resized`` frame feeds three consumers — persist it (or
+    write it to a staging table) so the resize pass runs once, not per
+    consumer; at test SF recomputation is cheaper than the cache."""
+    media = synthetic_media(spark, sf_dir)
+    resized = resize_media(media)
+    # frame/feature outputs drop media_type; media_id % 3 reconstructs it
+    # (synthetic_media's own definition — not derivable for real media).
+    mt = (
+        F.when(F.col("media_id") % 3 == 0, "image/png")
+        .when(F.col("media_id") % 3 == 1, "image/jpeg")
+        .otherwise("audio/wav")
+    )
+    r_agg = resized.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum(F.octet_length("payload")).cast("long").alias("resized_bytes"),
+    )
+    f_agg = (
+        sample_frames(resized)
+        .groupBy(mt.alias("media_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum("ts_ms").cast("long").alias("ts_ms_sum"),
+            F.sum(F.octet_length("frame_payload")).cast("long").alias("frame_bytes"),
+        )
+    )
+    feat_agg = (
+        extract_features(resized)
+        .groupBy(mt.alias("media_type"))
+        .agg(F.round(F.avg(F.element_at("feature", 1)), 4).alias("avg_f1"))
+    )
+    return (
+        r_agg.join(f_agg, "media_type")
+        .join(feat_agg, "media_type")
+        .orderBy("media_type")
+    )
+
+
+# The SQL mirrors each fake bit-for-bit: resize keeps a
+# floor(len * min(1, 224*224/(w*h)))-byte prefix; frame sampling slices
+# min(8, max(1, len//640)) chunks of len//n bytes with ts i*10000//30;
+# features are a 16-bin byte histogram (+1 smoothing) L2-normalized.
+# Text payloads are pure ASCII so ASCII(SUBSTRING(text,i,1)) == byte i.
+MULTIMODAL_STAGES_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'image/jpeg'
+              ELSE 'audio/wav' END AS media_type,
+         text,
+         OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+         CAST(n_chars % 640 AS BIGINT) AS dw,
+         CAST(n_chars % 480 AS BIGINT) AS dh
+  FROM documents
+),
+resized AS (
+  SELECT media_id, media_type, text,
+         CASE WHEN n_bytes = 0 THEN 0
+              ELSE GREATEST(1, CAST(FLOOR(
+                n_bytes * LEAST(1.0, 50176.0 / GREATEST(1, dw * dh))
+              ) AS BIGINT))
+         END AS keep
+  FROM media
+),
+framed AS (
+  SELECT media_type, keep,
+         LEAST(8, GREATEST(1, keep // 640)) AS n_frames,
+         GREATEST(1, keep // LEAST(8, GREATEST(1, keep // 640))) AS step
+  FROM resized
+),
+frame_stats AS (
+  SELECT media_type,
+         CAST(SUM(n_frames) AS BIGINT) AS n_frames,
+         CAST(SUM(LIST_SUM(LIST_TRANSFORM(
+           GENERATE_SERIES(0, CAST(n_frames - 1 AS INT)),
+           i -> (10000 * i) // 30))) AS BIGINT) AS ts_ms_sum,
+         CAST(SUM(LEAST(keep, n_frames * step)) AS BIGINT) AS frame_bytes
+  FROM framed GROUP BY media_type
+),
+feat_hist AS (
+  SELECT media_type,
+         LIST_TRANSFORM(GENERATE_SERIES(0, 15), k ->
+           1.0 + LEN(LIST_FILTER(
+             LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEAST(keep, 4096) AS INT)),
+                            i -> ASCII(SUBSTRING(text, i, 1)) % 16),
+             b -> b = k))) AS hist
+  FROM resized
+),
+feat AS (
+  SELECT media_type,
+         hist[1] / SQRT(LIST_SUM(LIST_TRANSFORM(hist, h -> h * h))) AS f1
+  FROM feat_hist
+)
+SELECT r.media_type, r.n_media, r.resized_bytes,
+       f.n_frames, f.ts_ms_sum, f.frame_bytes,
+       ft.avg_f1
+FROM (SELECT media_type, COUNT(*) AS n_media,
+             CAST(SUM(keep) AS BIGINT) AS resized_bytes
+      FROM resized GROUP BY media_type) r
+JOIN frame_stats f USING (media_type)
+JOIN (SELECT media_type, ROUND(AVG(f1), 4) AS avg_f1
+      FROM feat GROUP BY media_type) ft USING (media_type)
+ORDER BY media_type
+"""
+
+QUERIES["multimodal_stages"] = multimodal_stages
+ORACLE["multimodal_stages"] = MULTIMODAL_STAGES_SQL
+
+
+# --- resize / frame-sample / feature-extract plumbing ----------------------
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Resize stage over MEDIA_SCHEMA rows (mapInPandas, Arrow batches).
+
+    REAL IMPLEMENTATION SITE: `PIL.Image.resize((target_w, target_h))` on
+    the decoded pixels. The deterministic fake keeps a byte-budget
+    contract real resizing also obeys: output payload is a prefix slice
+    proportional to the pixel-count ratio, so downstream partition sizing
+    (bytes per task) behaves like real thumbnails.
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # decoder/scaler init once per task — not per row
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = row.payload or b""
+                src_w = (row.meta.get("declared_w") or 0) if row.meta else 0
+                src_h = (row.meta.get("declared_h") or 0) if row.meta else 0
+                src_px = max(1, src_w * src_h)
+                ratio = min(1.0, (target_w * target_h) / src_px)
+                keep = max(1, int(len(payload) * ratio)) if payload else 0
+                out.append(
+                    {
+                        "media_id": row.media_id,
+                        "media_type": row.media_type,
+                        "width": target_w,
+                        "height": target_h,
+                        "payload": payload[:keep],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, fps_divisor: int = 10, max_frames: int = 8) -> DataFrame:
+    """Frame sampling for video payloads: one input row fans out to N
+    frame rows (mapInPandas may yield MORE rows than it receives — the
+    correct Spark shape for demux, vs a UDF which is 1:1).
+
+    REAL IMPLEMENTATION SITE: pyav/ffmpeg demux at `keep every
+    fps_divisor-th keyframe`. The fake slices the payload into equal
+    chunks with deterministic timestamps so row counts, schemas and
+    per-frame byte budgets match a real demux."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = row.payload or b""
+                n_frames = min(max_frames, max(1, len(payload) // (64 * fps_divisor)))
+                step = max(1, len(payload) // n_frames)
+                for i in range(n_frames):
+                    out.append(
+                        {
+                            "media_id": row.media_id,
+                            "frame_no": i,
+                            "ts_ms": i * 1000 * fps_divisor // 30,
+                            "frame_payload": payload[i * step : (i + 1) * step],
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(frame_batches, schema=FRAMES_SCHEMA)
+
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature-extraction stage: payload → fixed-dim float vector
+    (mapInPandas; REAL IMPLEMENTATION SITE: a CLIP/ViT forward pass —
+    the model would be loaded once per task, exactly where the comment
+    sits, never per row). Deterministic fake: byte-histogram projection,
+    L2-normalized, so downstream ANN plumbing gets realistic unit
+    vectors."""
+    import math
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # model = load_model()  # once per task
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = row.payload or b""
+                hist = [1.0] * FEATURE_DIM
+                for b in payload[:4096]:
+                    hist[b % FEATURE_DIM] += 1.0
+                nrm = math.sqrt(sum(x * x for x in hist))
+                out.append(
+                    {
+                        "media_id": row.media_id,
+                        "feature": [x / nrm for x in hist],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(feature_batches, schema=FEATURES_SCHEMA)

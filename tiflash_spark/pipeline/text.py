@@ -222,3 +222,61 @@ QUERIES["vocab_topk"] = vocab_topk
 QUERIES["doc_length_histogram"] = doc_length_histogram
 ORACLE["vocab_topk"] = VOCAB_TOPK_SQL
 ORACLE["doc_length_histogram"] = DOC_LENGTH_HISTOGRAM_SQL
+
+
+# BPE-style pre-tokenizer: letter runs / digit runs / punctuation runs,
+# each optionally space-prefixed — the GPT-2 pretokenizer shape minus
+# lookahead (RE2 in the DuckDB oracle has no lookahead; pattern text is
+# shared verbatim between engines so counts match by construction).
+BPE_ISH_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def bpe_ish_token_count(col_name: str) -> Column:
+    """Count of BPE-ish pre-tokens — the practical LLM-cost estimator
+    (whitespace counts undercount punctuation-heavy text)."""
+    return F.size(
+        F.expr(
+            f"regexp_extract_all(lower({col_name}), "
+            f"' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)"
+        )
+    )
+
+
+def token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per document + the corpus-level
+    inflation ratio — the token-budget estimate an LLM-data pipeline runs
+    before training."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws"),
+        bpe_ish_token_count("text").alias("n_bpe"),
+    )
+    return (
+        per_doc.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").cast("long").alias("total_ws"),
+            F.sum("n_bpe").cast("long").alias("total_bpe"),
+            F.round(F.sum("n_bpe") / F.sum("n_ws"), 6).alias("bpe_inflation"),
+        )
+    )
+
+
+TOKEN_STATS_BPE_SQL = """
+WITH per_doc AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +')) END AS n_ws,
+         LEN(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS n_bpe
+  FROM documents
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(n_ws) AS BIGINT) AS total_ws,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe,
+       ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws), 6) AS bpe_inflation
+FROM per_doc
+"""
+
+QUERIES["token_stats_bpe"] = token_stats_bpe
+ORACLE["token_stats_bpe"] = TOKEN_STATS_BPE_SQL
