@@ -1,0 +1,83 @@
+"""Curation-op tests: decontamination n-gram semantics, PII redaction
+counts, stratified-sample determinism and plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from tiflash_spark.pipeline.curation import (
+    decontaminate,
+    pii_redaction,
+    redact_pii,
+    sample_stratified,
+    word_ngrams,
+)
+
+
+def test_word_ngrams_literal(spark):
+    df = spark.createDataFrame(
+        [Row(t="a b c d e f"), Row(t="too short"), Row(t="")]
+    )
+    out = df.select(word_ngrams(F.col("t")).alias("g")).collect()
+    assert out[0].g == ["a b c d e", "b c d e f"]
+    assert out[1].g == []
+    assert out[2].g == []
+
+
+def test_decontaminate_counts(spark):
+    rows = decontaminate(spark, SF_SMALL).collect()
+    assert rows
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    n_eval = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .filter(F.col("doc_id") % 97 == 0)
+        .count()
+    )
+    assert sum(r.n_train for r in rows) == n_docs - n_eval
+    for r in rows:
+        assert 0 <= r.n_contaminated <= r.n_train
+        assert 0.0 <= r.contamination_rate <= 1.0
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    plan = decontaminate(spark, SF_SMALL)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # the eval n-gram set must be the broadcast side of a semi join —
+    # shuffling the train corpus against it would be the 100 TB killer
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_redact_pii_literal(spark):
+    df = spark.createDataFrame(
+        [Row(t="mail me at bob.smith@corp.example.org or call 555-0199 now")]
+    )
+    out = df.select(redact_pii(F.col("t")).alias("r")).collect()[0].r
+    assert out == "mail me at <EMAIL> or call <PHONE> now"
+
+
+def test_pii_redaction_totals(spark):
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    n_even = d.filter(F.col("doc_id") % 2 == 0).count()
+    n_third = d.filter(F.col("doc_id") % 3 == 0).count()
+    rows = pii_redaction(spark, SF_SMALL).collect()
+    assert sum(r.n_docs for r in rows) == d.count()
+    assert sum(r.emails_redacted for r in rows) == n_even
+    assert sum(r.phones_redacted for r in rows) == n_third
+    assert all(r.bytes_saved >= 0 for r in rows)
+
+
+def test_sample_stratified_deterministic(spark):
+    a = {r.lang: r for r in sample_stratified(spark, SF_SMALL).collect()}
+    b = {r.lang: r for r in sample_stratified(spark, SF_SMALL).collect()}
+    assert a.keys() == b.keys()
+    for lang in a:
+        assert a[lang].n_sampled == b[lang].n_sampled  # hash sampling, no RNG
+        assert 0 <= a[lang].n_sampled <= a[lang].n_orig
+    # the smallest stratum keeps everything (keep_frac == 1.0)
+    smallest = min(a.values(), key=lambda r: r.n_orig)
+    assert smallest.keep_frac == 1.0
+    assert smallest.n_sampled == smallest.n_orig

@@ -189,6 +189,24 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
          ["SUM(LENGTH(n_name))", "ROUND(SUM(revenue), 2)"]),
         ("q17_small_quantity", ["ROUND(SUM(avg_yearly), 2)"]),
     ],
+    "tpch_filters": [
+        ("q12_shipmode",
+         ["SUM(high_line_count + low_line_count)", "SUM(LENGTH(l_linestatus))"]),
+        ("q14_promo_effect", ["ROUND(SUM(promo_revenue), 4)"]),
+        ("q19_disjunctive", ["ROUND(SUM(revenue), 2)", "SUM(n_lines)"]),
+        ("q22_global_sales",
+         ["SUM(numcust)", "ROUND(SUM(totacctbal), 2)", "SUM(LENGTH(cntrycode))"]),
+    ],
+    "curation": [
+        ("decontaminate",
+         ["SUM(n_train + n_contaminated)", "ROUND(SUM(contamination_rate), 4)",
+          "SUM(LENGTH(source))"]),
+        ("pii_redaction",
+         ["SUM(n_docs + emails_redacted + phones_redacted)", "SUM(bytes_saved)"]),
+        ("sample_stratified",
+         ["SUM(n_orig + n_sampled)", "ROUND(SUM(keep_frac), 4)",
+          "SUM(LENGTH(lang))"]),
+    ],
     "multimodal_pipeline": [
         ("multimodal_decode",
          ["SUM(n + n_ok + max_w)", "SUM(total_bytes + hist0_sum)"]),
@@ -245,16 +263,12 @@ PASSTHROUGH = [
     "q9_product_profit",
     "q10_returned_items",
     "q11_important_stock",
-    "q12_shipmode",
     "q13_customer_distribution",
-    "q14_promo_effect",
     "q15_top_supplier",
     "q16_parts_supplier",
     "q18_large_orders",
-    "q19_disjunctive",
     "q20_potential_promotion",
     "q21_waiting_orders",
-    "q22_global_sales",
     "join_inner_broadcast",
     "join_self_agg",
     "join_salted_skew",

@@ -1,0 +1,308 @@
+"""Corpus-curation operators: decontamination, PII redaction, and
+deterministic stratified sampling — the steps between dedup and training
+in an LLM data pipeline.
+
+All three are JVM-side expression plans (zero Python in the hot path) and
+every one is deterministic, so each has a full DuckDB oracle.
+
+100 TB design notes:
+- decontamination: the benchmark/eval side is tiny by construction (a
+  benchmark suite is megabytes), so the overlap check is a broadcast
+  left-semi join against the exploded train n-grams — one narrow pass
+  over the corpus, no wide shuffle of the 100 TB side.
+- PII redaction: pure per-row regexp work inside whole-stage codegen;
+  scales linearly, no shuffle at all.
+- stratified sampling: threshold-on-hash keeps the filter NARROW (no
+  per-stratum window sort, which would shuffle the full corpus); only the
+  per-stratum counts (one small agg) cross the wire, then come back as a
+  broadcast join of ~|strata| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiflash_spark.catalog import load_table
+from tiflash_spark.pipeline.text import tokens
+
+# --- decontamination --------------------------------------------------------
+
+NGRAM_N = 5
+
+
+def word_ngrams(text: Column, n: int = NGRAM_N) -> Column:
+    """Word n-grams as strings (empty array when the doc is shorter than
+    n tokens). Gram strings, not hashes, so the oracle can reproduce them
+    verbatim; at scale you'd map to xxhash64(gram) right after this to
+    shrink the shuffle/broadcast payload."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    5-gram with the held-out eval set (doc_id % 97 == 0 stands in for the
+    benchmark suite). Reports per-source contamination, the number every
+    training run has to publish.
+
+    Reference analogue: the semi-join shape is the engine's Semi join
+    (dbms/src/Parsers/ASTTablesInSelectQuery.h:94-121); the operator
+    itself is pipeline surface beyond the reference."""
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_grams = (
+        d.filter(is_eval)
+        .select(F.explode(word_ngrams(F.col("text"))).alias("gram"))
+        .distinct()
+    )
+    train = d.filter(~is_eval)
+    train_grams = train.select(
+        "doc_id", "source", F.explode(word_ngrams(F.col("text"))).alias("gram")
+    )
+    contaminated = (
+        train_grams.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    per_source = (
+        train.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_train"))
+        .join(
+            contaminated.groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias("n_contaminated")
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_train",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+    )
+    return per_source.withColumn(
+        "contamination_rate",
+        F.round(F.col("n_contaminated") / F.col("n_train"), 4),
+    ).orderBy("source")
+
+
+DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, doc_id % 97 = 0 AS is_eval,
+         REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +') AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, is_eval, g.gram
+  FROM toks,
+       LATERAL (
+         SELECT UNNEST(CASE WHEN LEN(tk) >= 5 THEN LIST_TRANSFORM(
+             GENERATE_SERIES(1, LEN(tk) - 4),
+             i -> ARRAY_TO_STRING(tk[i:i+4], ' '))
+           ELSE [] END) AS gram
+       ) g
+),
+eval_grams AS (SELECT DISTINCT gram FROM grams WHERE is_eval),
+contaminated AS (
+  SELECT DISTINCT doc_id, source FROM grams
+  WHERE NOT is_eval AND gram IN (SELECT gram FROM eval_grams)
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(COALESCE(MAX(c.n_c), 0) AS BIGINT) AS n_contaminated,
+       ROUND(COALESCE(MAX(c.n_c), 0) * 1.0 / COUNT(*), 4) AS contamination_rate
+FROM toks t
+LEFT JOIN (SELECT source, COUNT(*) AS n_c FROM contaminated GROUP BY source) c
+  ON t.source = c.source
+WHERE NOT t.is_eval
+GROUP BY t.source
+ORDER BY t.source
+"""
+
+
+# --- PII redaction -----------------------------------------------------------
+
+EMAIL_RX = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+PHONE_RX = "555-[0-9][0-9][0-9][0-9]"
+
+
+def redact_pii(text: Column) -> Column:
+    """Mask emails and 555-prefixed phone fragments. Both patterns are in
+    the RE2-compatible subset so Java (Spark) and RE2 (DuckDB) agree."""
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RX, "<EMAIL>"), PHONE_RX, "<PHONE>"
+    )
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus. The synthetic docs carry no natural PII,
+    so a deterministic injector plants an email on every even doc_id and a
+    phone fragment on every doc_id % 3 == 0 first — then the scrubber is
+    measured: per-source counts of redacted items plus the byte delta,
+    exactly what a compliance report wants."""
+    d = load_table(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit(" contact u"), F.col("doc_id"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" call 555-"), F.lpad(F.col("doc_id") % 10000, 4, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    # F.regexp_extract_all with lit patterns — routing the regex through an
+    # F.expr SQL string would strip the \\. escape at parse time
+    scanned = injected.select(
+        "source",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RX), F.lit(0))).alias(
+            "n_email"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PHONE_RX), F.lit(0))).alias(
+            "n_phone"
+        ),
+        (F.length("text") - F.length(redact_pii(F.col("text")))).alias("bytes_saved"),
+    )
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_email").cast("long").alias("emails_redacted"),
+            F.sum("n_phone").cast("long").alias("phones_redacted"),
+            F.sum("bytes_saved").cast("long").alias("bytes_saved"),
+        )
+        .orderBy("source")
+    )
+
+
+PII_REDACTION_SQL = """
+WITH injected AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' contact u' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' call 555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END AS text
+  FROM documents
+),
+scanned AS (
+  SELECT source,
+         LEN(REGEXP_EXTRACT_ALL(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS n_email,
+         LEN(REGEXP_EXTRACT_ALL(text, '555-[0-9][0-9][0-9][0-9]')) AS n_phone,
+         LENGTH(text) - LENGTH(
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+',
+                            '<EMAIL>', 'g'),
+             '555-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g')) AS bytes_saved
+  FROM injected
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_email) AS BIGINT) AS emails_redacted,
+       CAST(SUM(n_phone) AS BIGINT) AS phones_redacted,
+       CAST(SUM(bytes_saved) AS BIGINT) AS bytes_saved
+FROM scanned
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- stratified sampling -----------------------------------------------------
+
+
+def _portable_hash(key: Column) -> Column:
+    """Deterministic 31-bit hash from integer keys using only arithmetic
+    both engines evaluate identically (no xxhash64 in DuckDB). Knuth-style
+    LCG step; inputs are bounded so the multiply stays inside int64."""
+    return (key * 1103515245 + 12345) % 2147483648
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-allocation stratified sample over the lang strata: every
+    stratum is downsampled toward the size of the SMALLEST stratum by
+    thresholding a deterministic per-doc hash — the narrow-plan
+    alternative to per-stratum row_number windows (which would sort the
+    whole corpus per stratum). Sample membership never shuffles the
+    corpus; only the |strata|-row count table moves (broadcast back).
+
+    Threshold sampling is approximate-count by nature (binomial around
+    the target) but exactly reproducible — the oracle reproduces the
+    same arithmetic, and re-runs select identical rows."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_orig"))
+    target = counts.agg(F.min("n_orig").alias("target"))
+    quota = counts.crossJoin(F.broadcast(target)).select(
+        "lang",
+        "n_orig",
+        # FLOOR on both engines: DuckDB CAST(double AS BIGINT) rounds,
+        # Spark truncates — floor first so they agree
+        F.floor(F.col("target") * F.lit(1_000_000) / F.col("n_orig"))
+        .cast("long")
+        .alias("keep_millionths"),
+    )
+    kept = (
+        d.join(F.broadcast(quota), "lang")
+        .filter(_portable_hash(F.col("doc_id")) % 1_000_000 < F.col("keep_millionths"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+    return (
+        quota.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_orig",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.round(F.col("keep_millionths") / 1_000_000.0, 4).alias("keep_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+SAMPLE_STRATIFIED_SQL = """
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_orig FROM documents GROUP BY lang
+),
+quota AS (
+  SELECT lang, n_orig,
+         CAST(FLOOR((SELECT MIN(n_orig) FROM counts) * 1000000.0 / n_orig)
+              AS BIGINT) AS keep_millionths
+  FROM counts
+),
+kept AS (
+  SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+  FROM documents d JOIN quota q ON d.lang = q.lang
+  WHERE (d.doc_id * 1103515245 + 12345) % 2147483648 % 1000000 < q.keep_millionths
+  GROUP BY d.lang
+)
+SELECT q.lang, q.n_orig,
+       CAST(COALESCE(k.n_sampled, 0) AS BIGINT) AS n_sampled,
+       ROUND(q.keep_millionths / 1000000.0, 4) AS keep_frac
+FROM quota q LEFT JOIN kept k ON q.lang = k.lang
+ORDER BY q.lang
+"""
+
+
+QUERIES = {
+    "decontaminate": decontaminate,
+    "pii_redaction": pii_redaction,
+    "sample_stratified": sample_stratified,
+}
+
+ORACLE = {
+    "decontaminate": DECONTAMINATE_SQL,
+    "pii_redaction": PII_REDACTION_SQL,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
+}

@@ -28,6 +28,7 @@ _MODULES = [
     "tiflash_spark.pipeline.dedup",
     "tiflash_spark.pipeline.similarity",
     "tiflash_spark.pipeline.multimodal",
+    "tiflash_spark.pipeline.curation",
 ]
 
 
