@@ -84,6 +84,11 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
          ["SUM(n)", "SUM(CASE WHEN not_in_flag THEN n ELSE 0 END)",
           "SUM(CASE WHEN not_in_flag IS NULL THEN n ELSE 0 END)"]),
         ("join_cross", ["SUM(n_foreign)", "SUM(LENGTH(r_name))"]),
+        ("join_cross_semi", ["SUM(n)", "ROUND(SUM(total), 2)"]),
+        ("join_cross_anti", ["SUM(n)", "ROUND(SUM(max_price), 2)"]),
+        ("join_cross_left_outer",
+         ["SUM(n_higher)", "SUM(CASE WHEN has_higher THEN 1 ELSE 0 END)",
+          "SUM(LENGTH(n_name))"]),
     ],
     "window_functions": [
         ("window_ranking",

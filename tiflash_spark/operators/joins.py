@@ -633,3 +633,105 @@ QUERIES["join_na_left_outer_semi"] = join_na_left_outer_semi
 QUERIES["join_na_left_outer_anti"] = join_na_left_outer_anti
 ORACLE["join_na_left_outer_semi"] = JOIN_NA_LEFT_OUTER_SEMI_SQL
 ORACLE["join_na_left_outer_anti"] = JOIN_NA_LEFT_OUTER_ANTI_SQL
+
+# --- Cross_* kinds: non-equi semi / anti / outer (nested-loop family) -------
+#
+# Reference join kinds Cross_Semi / Cross_Anti / Cross_LeftOuter /
+# Cross_LeftOuterSemi (dbms/src/Parsers/ASTTablesInSelectQuery.h:94-121)
+# run nested-loop probes with only "other conditions" (no equi keys).
+# Spark plans these as BroadcastNestedLoopJoin — which is ALSO the only
+# sane 100 TB shape: the build side must be broadcast-small because a
+# non-equi condition can't hash-partition. All three queries keep the
+# build side at dim-table size (region, 5 rows) on purpose.
+
+
+def join_cross_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross_Semi: EXISTS with a pure non-equi condition — orders whose
+    price clears at least one region-derived threshold. Plans as
+    BroadcastNestedLoopJoin LeftSemi (build side broadcast, probe
+    streams)."""
+    o = load_table(spark, sf_dir, "orders")
+    r = load_table(spark, sf_dir, "region")
+    cond = F.col("o_totalprice") > (F.col("r_regionkey") + 1) * 100000.0
+    return (
+        o.join(F.broadcast(r), cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+JOIN_CROSS_SEMI_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+WHERE EXISTS (SELECT 1 FROM region
+              WHERE o_totalprice > (r_regionkey + 1) * 100000.0)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def join_cross_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross_Anti: NOT EXISTS with a pure non-equi condition — orders
+    below every region threshold. BroadcastNestedLoopJoin LeftAnti."""
+    o = load_table(spark, sf_dir, "orders")
+    r = load_table(spark, sf_dir, "region")
+    cond = F.col("o_totalprice") > (F.col("r_regionkey") + 1) * 100000.0
+    return (
+        o.join(F.broadcast(r), cond, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+JOIN_CROSS_ANTI_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n, ROUND(MAX(o_totalprice), 2) AS max_price
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM region
+                  WHERE o_totalprice > (r_regionkey + 1) * 100000.0)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def join_cross_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross_LeftOuter + Cross_LeftOuterSemi in one shape: nations LEFT
+    JOIN regions on a strict non-equi condition (region key above the
+    nation's own); unmatched nations keep a NULL side. n_higher counts
+    matches (LeftOuter semantics), has_higher is the match flag the
+    Cross_LeftOuterSemi kind surfaces as a select-list column."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), F.col("r_regionkey") > F.col("n_regionkey"), "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("r_regionkey").cast("long").alias("n_higher"),
+            (F.count("r_regionkey") > 0).alias("has_higher"),
+        )
+        .orderBy("n_name")
+    )
+
+
+JOIN_CROSS_LEFT_OUTER_SQL = """
+SELECT n_name,
+       CAST(COUNT(r_regionkey) AS BIGINT) AS n_higher,
+       COUNT(r_regionkey) > 0 AS has_higher
+FROM nation LEFT JOIN region ON r_regionkey > n_regionkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+QUERIES["join_cross_semi"] = join_cross_semi
+QUERIES["join_cross_anti"] = join_cross_anti
+QUERIES["join_cross_left_outer"] = join_cross_left_outer
+ORACLE["join_cross_semi"] = JOIN_CROSS_SEMI_SQL
+ORACLE["join_cross_anti"] = JOIN_CROSS_ANTI_SQL
+ORACLE["join_cross_left_outer"] = JOIN_CROSS_LEFT_OUTER_SQL
