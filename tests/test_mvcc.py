@@ -209,3 +209,34 @@ def test_range_segments_manifest_pruning_and_incremental_compact(spark, tmp_path
     rewritten, _ = store.compact_segments_incremental(ts=4)
     assert rewritten == 1  # clamped into the top segment
     assert [r.v for r in store.read_range(990, 1000).collect()] == [42]
+
+
+def test_hash_compact_after_range_compact_clears_manifest(spark, tmp_path):
+    """Regression: compact() after compact_range_segments() must retire the
+    range _MANIFEST — otherwise read_range prunes hash-assigned _seg ids
+    with range bounds and silently drops rows."""
+    import os
+
+    from pyspark.sql import Row
+
+    from tiflash_spark.sources.delta_store import DeltaStore
+
+    store = DeltaStore(spark, str(tmp_path / "mstore"))
+    rows = [Row(**{"_tidb_rowid": h, "v": h * 10}) for h in range(0, 200)]
+    store.write_batch(spark.createDataFrame(rows), version=1)
+    store.compact_range_segments(ts=1, num_segments=4)
+    assert os.path.exists(tmp_path / "mstore" / "_MANIFEST")
+
+    # now hash-compact: _seg ids become hash buckets, range bounds invalid
+    store.write_batch(
+        spark.createDataFrame([Row(**{"_tidb_rowid": 500, "v": 5000})]), version=2
+    )
+    n = store.compact(ts=2, num_segments=4)
+    assert n == 201
+    assert not os.path.exists(tmp_path / "mstore" / "_MANIFEST")
+    out = {r["_tidb_rowid"]: r.v for r in store.read_range(100, 140).collect()}
+    assert out == {h: h * 10 for h in range(100, 140)}
+    # flat compact also clears a stale manifest
+    store.compact_range_segments(ts=2, num_segments=4)
+    store.compact(ts=2)
+    assert not os.path.exists(tmp_path / "mstore" / "_MANIFEST")

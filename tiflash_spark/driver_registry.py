@@ -286,10 +286,59 @@ PASSTHROUGH = [
 DRIVER_LIMIT = 50
 
 
+_DIGEST_PRIMES = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53,
+                  59, 61, 67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109]
+
+
+def _prime_weight_sums(expr: str) -> str:
+    """Rewrite every multi-term ``SUM(a + b + ...)`` in a digest expression
+    to ``SUM((a)*3 + (b)*5 + ...)`` with unequal prime weights, so
+    offsetting drifts between member columns can no longer cancel to the
+    same digest value. The rewritten SQL is what BOTH engines evaluate
+    (Spark selectExpr and the DuckDB oracle wrapper), so parity is
+    unaffected by construction."""
+    out, i = [], 0
+    while True:
+        j = expr.find("SUM(", i)
+        if j < 0 or (j > 0 and (expr[j - 1].isalnum() or expr[j - 1] == "_")):
+            if j < 0:
+                out.append(expr[i:])
+                return "".join(out)
+            out.append(expr[i : j + 4])  # an identifier like CHECKSUM( — skip
+            i = j + 4
+            continue
+        # find the matching close paren of this SUM(
+        depth, k = 1, j + 4
+        while k < len(expr) and depth:
+            depth += {"(": 1, ")": -1}.get(expr[k], 0)
+            k += 1
+        arg = expr[j + 4 : k - 1]
+        # split the argument on top-level '+' only
+        terms, buf, d = [], "", 0
+        for ch in arg:
+            d += {"(": 1, ")": -1}.get(ch, 0)
+            if ch == "+" and d == 0:
+                terms.append(buf)
+                buf = ""
+            else:
+                buf += ch
+        terms.append(buf)
+        if len(terms) > 1:
+            if len(terms) > len(_DIGEST_PRIMES):
+                raise ValueError(f"digest SUM has {len(terms)} terms; extend _DIGEST_PRIMES")
+            weighted = " + ".join(
+                f"({t.strip()})*{p}" for t, p in zip(terms, _DIGEST_PRIMES)
+            )
+            out.append(expr[i:j] + f"SUM({weighted})")
+        else:
+            out.append(expr[i:k])
+        i = k
+
+
 def _digest_select(label: str, exprs: list[str], width: int) -> list[str]:
     sel = [f"'{label}' AS q", "CAST(COUNT(*) AS BIGINT) AS n_rows"]
     for i, e in enumerate(exprs, 1):
-        sel.append(f"CAST({e} AS DOUBLE) AS d{i}")
+        sel.append(f"CAST({_prime_weight_sums(e)} AS DOUBLE) AS d{i}")
     for i in range(len(exprs) + 1, width + 1):
         sel.append(f"CAST(NULL AS DOUBLE) AS d{i}")
     return sel

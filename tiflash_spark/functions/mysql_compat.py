@@ -119,9 +119,12 @@ def mysql_date_format(col: Column | str, mysql_fmt: str) -> Column:
 
 
 def mysql_div(a: Column, b: Column) -> Column:
-    """MySQL integer DIV: NULL on zero divisor, truncated quotient."""
+    """MySQL integer DIV: NULL on zero divisor, truncated quotient.
+
+    Uses Spark's integral divide (`div`) — `(a - a % b) / b` round-trips
+    through double and loses precision above 2^53."""
     return F.when(b == 0, F.lit(None)).otherwise(
-        (a - a % b) / b
+        F.call_function("div", a, b)
     ).cast("long")
 
 

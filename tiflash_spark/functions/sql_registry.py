@@ -28,7 +28,7 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "mysql_div": (
         "a BIGINT, b BIGINT",
         "BIGINT",
-        "CASE WHEN b = 0 THEN NULL ELSE CAST((a - a % b) / b AS BIGINT) END",
+        "CASE WHEN b = 0 THEN NULL ELSE a DIV b END",
     ),
     "mysql_mod": (
         "a DOUBLE, b DOUBLE",

@@ -523,29 +523,38 @@ def null_aware_in_flag(
     hash join on the non-null keys, exactly the reference's NA-join
     "null row broadcast" special path, with no row blowup.
     """
-    keys = right.select(F.col(right_col).alias("_k"))
+    # internal column names must not collide with the caller's schema —
+    # suffix with the first token that is free on BOTH sides
+    i = 0
+    while any(
+        f"{base}{i}" in left.columns or f"{base}{i}" in right.columns
+        for base in ("_k", "_n_sub", "_sub_has_null")
+    ):
+        i += 1
+    k, n_sub, has_null = f"_k{i}", f"_n_sub{i}", f"_sub_has_null{i}"
+    keys = right.select(F.col(right_col).alias(k))
     summary = F.broadcast(
         keys.agg(
-            F.count(F.lit(1)).alias("_n_sub"),
-            F.max(F.col("_k").isNull().cast("int")).alias("_sub_has_null"),
+            F.count(F.lit(1)).alias(n_sub),
+            F.max(F.col(k).isNull().cast("int")).alias(has_null),
         )
     )
-    matched = keys.filter(F.col("_k").isNotNull()).distinct()
+    matched = keys.filter(F.col(k).isNotNull()).distinct()
     out = (
-        left.join(matched, left[left_col] == F.col("_k"), "left")
+        left.join(matched, left[left_col] == F.col(k), "left")
         .crossJoin(summary)
         .withColumn(
             flag,
-            F.when(F.col("_k").isNotNull(), F.lit(True))
-            .when(F.col("_n_sub") == 0, F.lit(False))
+            F.when(F.col(k).isNotNull(), F.lit(True))
+            .when(F.col(n_sub) == 0, F.lit(False))
             .when(
-                F.col(left_col).isNull() | (F.col("_sub_has_null") == 1),
+                F.col(left_col).isNull() | (F.col(has_null) == 1),
                 F.lit(None).cast("boolean"),
             )
             .otherwise(F.lit(False)),
         )
     )
-    return out.drop("_k", "_n_sub", "_sub_has_null")
+    return out.drop(k, n_sub, has_null)
 
 
 def null_aware_not_in_flag(
@@ -553,8 +562,12 @@ def null_aware_not_in_flag(
 ) -> DataFrame:
     """NullAware_LeftOuterAnti: `left_col NOT IN (subquery)` flag — the
     3-valued negation of the IN flag (NULL stays NULL)."""
-    out = null_aware_in_flag(left, left_col, right, right_col, flag="_in")
-    return out.withColumn(flag, ~F.col("_in")).drop("_in")
+    i = 0
+    while f"_in{i}" in left.columns:
+        i += 1
+    tmp = f"_in{i}"
+    out = null_aware_in_flag(left, left_col, right, right_col, flag=tmp)
+    return out.withColumn(flag, ~F.col(tmp)).drop(tmp)
 
 
 def _na_flag_inputs(spark: SparkSession, sf_dir: str):

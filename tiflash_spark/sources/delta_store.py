@@ -156,6 +156,12 @@ class DeltaStore:
                 fh.write(str(num_segments))
         elif os.path.exists(seg_meta):
             os.remove(seg_meta)
+        # a stale range _MANIFEST must not survive a hash (or flat) compact:
+        # read_range would prune hash-assigned _seg ids with range bounds
+        # and silently drop rows
+        manifest = os.path.join(self.path, "_MANIFEST")
+        if os.path.exists(manifest):
+            os.remove(manifest)
         self._refresh()
         return n
 

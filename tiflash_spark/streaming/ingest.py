@@ -42,10 +42,11 @@ def start_ingest(
             is_del = f"coalesce({delete_col}, false)"
             dels = batch.filter(is_del).drop(delete_col)
             ups = batch.filter(f"NOT {is_del}").drop(delete_col)
-            if ups.limit(1).count():
-                store.write_batch(ups, version, delete=False)
-            if dels.limit(1).count():
-                store.write_batch(dels, version + 1, delete=True)
+            # write unconditionally: an empty-side append is a no-op-sized
+            # parquet file, cheaper than a limit(1).count() probe job per
+            # side per micro-batch at high batch rates
+            store.write_batch(ups, version, delete=False)
+            store.write_batch(dels, version + 1, delete=True)
         else:
             store.write_batch(batch, version, delete=False)
 

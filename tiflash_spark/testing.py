@@ -48,14 +48,10 @@ def _norm_cell(v: Any) -> Any:
             return None
         # kill last-ulp noise from different summation orders
         return ("f", round(v, 9))
-    if hasattr(v, "tolist"):  # numpy scalars / arrays
-        v = v.tolist()
+    if hasattr(v, "tolist"):  # numpy scalars / arrays → python, renormalize
+        return _norm_cell(v.tolist())
     if isinstance(v, list):
         return tuple(_norm_cell(x) for x in v)
-    if isinstance(v, bool):
-        return v
-    if isinstance(v, float):
-        return None if math.isnan(v) else ("f", round(v, 9))
     if isinstance(v, int):
         return ("i", v)
     import datetime
