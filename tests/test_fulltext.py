@@ -76,3 +76,95 @@ def test_bucketed_postings_join_no_shuffle(spark, postings, tmp_path):
     assert exchange_count(term_join) == 0
     assert joined.count() >= 1
     spark.sql("DROP TABLE IF EXISTS ft_idx_test")
+
+
+def test_keyword_search_on_bucketed_index_is_lookup_shaped(spark, postings, tmp_path):
+    """The MEASURED search plan over the at-rest index: bucket-pruned term
+    filter + one doc_id agg + TopN — at most 2 exchanges, no full-corpus
+    rescan (the index build is amortized at write time)."""
+    from tiflash_spark.pipeline.fulltext import save_postings_bucketed
+    from tiflash_spark.plans.explain import exchange_count
+
+    save_postings_bucketed(postings, "ft_idx_plan", buckets=4)
+    idx = spark.table("ft_idx_plan")
+    q = keyword_search(idx, ["quick", "fox"], mode="all", k=5)
+    assert exchange_count(q) <= 2
+    assert {r.doc_id for r in q.collect()} == {1, 2, 4}
+    spark.sql("DROP TABLE IF EXISTS ft_idx_plan")
+
+
+def test_bm25_scores_and_ranking_divergence(spark):
+    """BM25 vs raw-tf ranking on a pinned fixture: a doc spamming one
+    common term outranks on total_tf but loses on BM25 to a doc matching
+    the rare term; scores match a hand computation."""
+    import math
+
+    from tiflash_spark.pipeline.fulltext import bm25_search, build_doc_lengths
+
+    docs = [
+        Row(doc_id=1, text="common common common common common common"),
+        Row(doc_id=2, text="common rare"),
+        Row(doc_id=3, text="common filler filler"),
+        Row(doc_id=4, text="filler filler filler filler"),
+    ]
+    postings = build_postings(spark.createDataFrame(docs)).persist()
+    doclen = build_doc_lengths(postings)
+    got = {
+        r.doc_id: (r.n_terms, r.bm25)
+        for r in bm25_search(postings, doclen, ["common", "rare"], k=10).collect()
+    }
+
+    # hand computation (k1=1.2, b=0.75; N=4, avgdl=(6+2+3+4)/4)
+    def score(tf_by_term, dl, df_by_term, n=4, avgdl=15 / 4, k1=1.2, b=0.75):
+        s = 0.0
+        for t, tf in tf_by_term.items():
+            idf = math.log(1 + (n - df_by_term[t] + 0.5) / (df_by_term[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        return round(s, 4)
+
+    df_by = {"common": 3, "rare": 1}
+    assert got[1][1] == pytest.approx(score({"common": 6}, 6, df_by), abs=1e-4)
+    assert got[2][1] == pytest.approx(score({"common": 1, "rare": 1}, 2, df_by), abs=1e-4)
+    assert got[2] == (2, got[2][1])
+    # ranking divergence: doc 1 wins on raw tf, doc 2 wins on BM25
+    tf_rank = [r.doc_id for r in keyword_search(postings, ["common", "rare"], "any", 10).collect()]
+    bm_rank = sorted(got, key=lambda d: (-got[d][1], d))
+    assert tf_rank[0] == 1
+    assert bm_rank[0] == 2
+
+
+def test_index_tables_reregister_from_files(spark, tmp_path, monkeypatch):
+    """index_tables survives a catalog wipe: dropping the (external) table
+    entries and calling again re-registers from the on-disk bucketed files
+    — no rebuild, bucket locality preserved."""
+    import os
+
+    from tiflash_spark.pipeline import fulltext as ft
+    from tiflash_spark.plans.explain import exchange_count
+
+    docs = spark.createDataFrame(DOCS)
+    monkeypatch.setattr(
+        ft, "load_table", lambda _s, _d, _n: docs
+    )
+    sf_dir = str(tmp_path / "sfX")
+    p1, d1 = ft.index_tables(spark, sf_dir)
+    n_postings = p1.count()
+    wh = ft._warehouse_path(spark)
+    loc = os.path.join(wh, f"ft_postings_{ft._sf_tag(sf_dir)}".lower())
+    assert os.path.isdir(loc)
+    # external tables: DROP keeps files
+    spark.sql(f"DROP TABLE ft_postings_{ft._sf_tag(sf_dir)}")
+    spark.sql(f"DROP TABLE ft_doclen_{ft._sf_tag(sf_dir)}")
+    assert os.path.isdir(loc)
+    p2, d2 = ft.index_tables(spark, sf_dir)
+    assert p2.count() == n_postings
+    assert d2.count() == len({r.doc_id for r in p1.select("doc_id").collect()})
+    # re-registered table still answers lookup-shaped plans
+    q = keyword_search(p2, ["quick", "fox"], mode="all", k=5)
+    assert exchange_count(q) <= 2
+    assert {r.doc_id for r in q.collect()} == {1, 2, 4}
+    import shutil
+
+    for t in (f"ft_postings_{ft._sf_tag(sf_dir)}", f"ft_doclen_{ft._sf_tag(sf_dir)}"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t.lower()), ignore_errors=True)

@@ -258,6 +258,7 @@ PASSTHROUGH = [
     "mvcc_fast_scan",
     "events_funnel",
     "fulltext_search",
+    "fulltext_bm25",
     "q2_min_cost_supplier",
     "q1_pricing_summary",
     "q6_forecast_revenue",
