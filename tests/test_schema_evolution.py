@@ -1,0 +1,163 @@
+"""Online DDL / schema evolution on DeltaStore (reference
+dbms/src/TiDB/Schema/SchemaBuilder.cpp, TiDBSchemaSyncer.cpp; storage side
+dbms/src/Storages/DeltaMerge/SchemaUpdate.cpp): versioned schema manifest,
+add/drop column between delta batches, reads reconciling old files to the
+current schema (missing -> NULL, dropped -> pruned), compaction rewriting
+to the latest schema — the reference's online-DDL storage test flow
+(write v1 rows, alter, write v2 rows, snapshot-read both sides, compact,
+re-read)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from tiflash_spark.operators.mvcc import HANDLE
+from tiflash_spark.sources.delta_store import DeltaStore
+
+
+def _rows(spark, pairs, schema):
+    return spark.createDataFrame(pairs, schema=schema)
+
+
+def test_add_column_old_rows_read_null(spark, tmp_path):
+    store = DeltaStore(spark, str(tmp_path / "s1"))
+    store.write_batch(
+        _rows(spark, [(1, "a"), (2, "b")], f"{HANDLE} long, name string"), version=1
+    )
+    assert store.schema_version() is None  # legacy until first DDL
+    v = store.add_column("score", "bigint")
+    assert v == 2  # v1 bootstrapped from observed schema
+    store.write_batch(
+        _rows(spark, [(3, "c", 30)], f"{HANDLE} long, name string, score bigint"),
+        version=2,
+    )
+    out = {r[HANDLE]: (r["name"], r["score"]) for r in store.read().collect()}
+    assert out == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}
+    # snapshot BEFORE the ddl-era write still surfaces the current schema
+    old = {r[HANDLE]: (r["name"], r["score"]) for r in store.read(1).collect()}
+    assert old == {1: ("a", None), 2: ("b", None)}
+    assert [f.name for f in store.read().schema.fields] == [HANDLE, "name", "score"]
+
+
+def test_lagging_writer_conformed_and_unknown_column_rejected(spark, tmp_path):
+    store = DeltaStore(spark, str(tmp_path / "s2"))
+    store.write_batch(_rows(spark, [(1, "a")], f"{HANDLE} long, name string"), version=1)
+    store.add_column("score", "bigint")
+    # a writer one DDL behind: missing column becomes NULL
+    store.write_batch(_rows(spark, [(2, "b")], f"{HANDLE} long, name string"), version=2)
+    assert {r[HANDLE]: r["score"] for r in store.read().collect()} == {1: None, 2: None}
+    # unknown column = hard error, never silent loss
+    with pytest.raises(ValueError, match="not in schema"):
+        store.write_batch(
+            _rows(spark, [(3, "c", 1)], f"{HANDLE} long, name string, bogus int"),
+            version=3,
+        )
+
+
+def test_drop_column_pruned_everywhere_and_compact_rewrites(spark, tmp_path):
+    store = DeltaStore(spark, str(tmp_path / "s3"))
+    store.write_batch(
+        _rows(spark, [(1, "a", 1.5), (2, "b", 2.5)],
+              f"{HANDLE} long, name string, weight double"),
+        version=1,
+    )
+    store.add_column("score", "bigint")
+    store.write_batch(
+        _rows(spark, [(3, "c", 3.5, 30)],
+              f"{HANDLE} long, name string, weight double, score bigint"),
+        version=2,
+    )
+    store.drop_column("weight")
+    before = {r[HANDLE]: (r["name"], r["score"]) for r in store.read().collect()}
+    assert "weight" not in store.read().columns
+    assert before == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}
+
+    # compaction rewrites stable to the LATEST schema: dropped column's
+    # bytes gone from the physical files, added column materialized
+    n = store.compact(ts=2)
+    assert n == 3
+    physical = spark.read.parquet(os.path.join(str(tmp_path / "s3"), "stable"))
+    assert "weight" not in physical.columns
+    assert "score" in physical.columns
+    after = {r[HANDLE]: (r["name"], r["score"]) for r in store.read().collect()}
+    assert after == before
+    # writes after the rewrite keep working
+    store.write_batch(
+        _rows(spark, [(1, "a2", 99)], f"{HANDLE} long, name string, score bigint"),
+        version=9,
+    )
+    assert {r[HANDLE]: r["score"] for r in store.read().collect()}[1] == 99
+
+
+def test_readd_dropped_name_requires_same_type(spark, tmp_path):
+    store = DeltaStore(spark, str(tmp_path / "s4"))
+    store.write_batch(_rows(spark, [(1, 10)], f"{HANDLE} long, x bigint"), version=1)
+    store.drop_column("x")
+    with pytest.raises(ValueError, match="existed as bigint"):
+        store.add_column("x", "string")
+    store.add_column("x", "bigint")  # same type: old values resurface
+    assert {r[HANDLE]: r["x"] for r in store.read().collect()} == {1: 10}
+    with pytest.raises(ValueError, match="already exists"):
+        store.add_column("x", "bigint")
+    with pytest.raises(ValueError, match="not in current schema"):
+        store.drop_column("nope")
+    with pytest.raises(ValueError, match="internal"):
+        store.add_column(HANDLE, "long")
+
+
+def test_ddl_across_incremental_segment_compaction(spark, tmp_path):
+    """DDL between a range compaction and an incremental one: cold
+    segments keep their old-schema files (reads fill NULL); only the hot
+    segment is rewritten — with the new schema."""
+    store = DeltaStore(spark, str(tmp_path / "s5"))
+    base = spark.createDataFrame(
+        [Row(**{HANDLE: h, "v": h * 10}) for h in range(0, 400)]
+    )
+    store.write_batch(base, version=1)
+    store.compact_range_segments(ts=1, num_segments=4)
+
+    store.add_column("tag", "string")
+    store.write_batch(
+        _rows(spark, [(150, 1500, "hot")], f"{HANDLE} long, v long, tag string"),
+        version=2,
+    )
+    seg_dir = lambda s: str(tmp_path / "s5" / "stable" / f"_seg={s}")  # noqa: E731
+    cold_files = {s: sorted(os.listdir(seg_dir(s))) for s in (0, 2, 3)}
+    rewritten, total = store.compact_segments_incremental(ts=2)
+    assert (rewritten, total) == (1, 4)
+    for s in (0, 2, 3):
+        assert sorted(os.listdir(seg_dir(s))) == cold_files[s]
+    # hot segment: new schema on disk; cold segment reads: tag IS NULL
+    hot = spark.read.parquet(seg_dir(1))
+    assert "tag" in hot.columns
+    out = {r[HANDLE]: (r["v"], r["tag"]) for r in store.read_range(148, 152).collect()}
+    assert out == {148: (1480, None), 149: (1490, None), 150: (1500, "hot"),
+                   151: (1510, None)}
+    cold = {r[HANDLE]: r["tag"] for r in store.read_range(0, 3).collect()}
+    assert cold == {0: None, 1: None, 2: None}
+
+
+def test_point_reads_and_full_compact_after_ddl_on_hash_segments(spark, tmp_path):
+    store = DeltaStore(spark, str(tmp_path / "s6"))
+    store.write_batch(
+        _rows(spark, [(h, f"x{h}") for h in range(20)], f"{HANDLE} long, v string"),
+        version=1,
+    )
+    store.compact(ts=1, num_segments=4)
+    store.add_column("extra", "int")
+    store.write_batch(
+        _rows(spark, [(5, "new", 7)], f"{HANDLE} long, v string, extra int"), version=2
+    )
+    got = {r[HANDLE]: (r["v"], r["extra"]) for r in store.read_handles([3, 5]).collect()}
+    assert got == {3: ("x3", None), 5: ("new", 7)}
+    # full hash re-compact folds everything into the new schema
+    store.compact(ts=2, num_segments=4)
+    physical = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(str(tmp_path / "s6"), "stable")
+    )
+    assert "extra" in physical.columns
+    got = {r[HANDLE]: (r["v"], r["extra"]) for r in store.read_handles([3, 5]).collect()}
+    assert got == {3: ("x3", None), 5: ("new", 7)}

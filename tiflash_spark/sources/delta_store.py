@@ -36,12 +36,121 @@ from pyspark.sql import functions as F
 from tiflash_spark.operators.mvcc import DELMARK, HANDLE, VERSION, snapshot_read
 
 
+_INTERNAL_COLS = (VERSION, DELMARK, "_seg")
+
+
 class DeltaStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
         os.makedirs(os.path.join(path, "delta"), exist_ok=True)
         os.makedirs(os.path.join(path, "stable"), exist_ok=True)
+
+    # --- schema evolution (online DDL) -------------------------------------
+    #
+    # Reference: DDL is synced into DeltaMerge as versioned table schemas
+    # (dbms/src/TiDB/Schema/SchemaBuilder.cpp, TiDBSchemaSyncer.cpp; storage
+    # side dbms/src/Storages/DeltaMerge/SchemaUpdate.cpp) — data files keep
+    # the schema they were written under, reads reconcile to the CURRENT
+    # schema (added column missing in old files → NULL; dropped column in
+    # old files → pruned), and delta merge rewrites to the latest schema.
+    #
+    # Spark-first: a `_SCHEMA` manifest records [[name, ddl_type], ...] per
+    # version. Layers are read with parquet schema merging, then every read
+    # and every compaction projects to the current version's columns. The
+    # handle column is implicit and immutable.
+
+    def _schema_versions(self) -> list[dict]:
+        import json
+
+        p = os.path.join(self.path, "_SCHEMA")
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)["versions"]
+        return []
+
+    def _write_schema_versions(self, versions: list[dict]) -> None:
+        import json
+
+        with open(os.path.join(self.path, "_SCHEMA"), "w") as fh:
+            json.dump({"versions": versions}, fh)
+
+    def schema_version(self) -> int | None:
+        vs = self._schema_versions()
+        return vs[-1]["v"] if vs else None
+
+    def current_fields(self) -> list[tuple[str, str]] | None:
+        """Current user columns as (name, ddl type), handle excluded;
+        None when the store has no schema manifest (legacy mode: reads
+        surface whatever the files contain)."""
+        vs = self._schema_versions()
+        return [tuple(f) for f in vs[-1]["fields"]] if vs else None
+
+    def _bootstrap_versions(self) -> list[dict]:
+        """First DDL on a manifest-less store snapshots the observed file
+        schema as v1 (the pre-DDL table definition)."""
+        vs = self._schema_versions()
+        if vs:
+            return vs
+        fields = [
+            [f.name, f.dataType.simpleString()]
+            for f in self.log().schema.fields
+            if f.name != HANDLE and f.name not in _INTERNAL_COLS
+        ]
+        return [{"v": 1, "fields": fields}]
+
+    def _check_mutable(self, name: str) -> None:
+        if name == HANDLE or name in _INTERNAL_COLS:
+            raise ValueError(f"column {name!r} is internal/immutable")
+
+    def add_column(self, name: str, dtype: str) -> int:
+        """ALTER TABLE ADD COLUMN: rows written before this version read
+        as NULL (reference SchemaUpdate — no file rewrite). Re-adding a
+        previously dropped name requires the SAME type: old files still
+        hold the old values and parquet won't re-interpret them."""
+        self._check_mutable(name)
+        vs = self._bootstrap_versions()
+        if any(n == name for n, _ in vs[-1]["fields"]):
+            raise ValueError(f"column {name!r} already exists")
+        for v in vs:
+            for n, t in v["fields"]:
+                if n == name and t != dtype:
+                    raise ValueError(
+                        f"column {name!r} existed as {t}; re-adding as {dtype} "
+                        "would mis-read old files — pick a new name"
+                    )
+        vs = vs + [{"v": vs[-1]["v"] + 1, "fields": vs[-1]["fields"] + [[name, dtype]]}]
+        self._write_schema_versions(vs)
+        return vs[-1]["v"]
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN: reads prune it everywhere immediately;
+        the bytes in already-written files are reclaimed at the next
+        compaction (reference: drop is a schema-only change)."""
+        self._check_mutable(name)
+        vs = self._bootstrap_versions()
+        if not any(n == name for n, _ in vs[-1]["fields"]):
+            raise ValueError(f"column {name!r} not in current schema")
+        fields = [f for f in vs[-1]["fields"] if f[0] != name]
+        vs = vs + [{"v": vs[-1]["v"] + 1, "fields": fields}]
+        self._write_schema_versions(vs)
+        return vs[-1]["v"]
+
+    def _conform(self, df: DataFrame, internal: bool) -> DataFrame:
+        """Project a frame to the current schema version: handle first,
+        missing columns → typed NULL, dropped columns pruned, then (for
+        write paths) the MVCC internals."""
+        fields = self.current_fields()
+        if fields is None:
+            return df
+        cols = [F.col(HANDLE)]
+        for n, t in fields:
+            cols.append(
+                (F.col(n).cast(t) if n in df.columns else F.lit(None).cast(t)).alias(n)
+            )
+        if internal:
+            cols += [F.col(VERSION), F.col(DELMARK)]
+        return df.select(*cols)
 
     # --- write path --------------------------------------------------------
 
@@ -50,19 +159,44 @@ class DeltaStore:
 
         ``df`` must carry the handle column; version stamps every row
         (≈ commit-ts of the Raft batch, reference PartitionStreams.cpp
-        writeRegionDataToStorage).
+        writeRegionDataToStorage). With a schema manifest the batch is
+        conformed to the current version (an in-flight writer may lag one
+        DDL behind: its missing new columns become NULL); columns outside
+        the current schema are an error, not silent data loss.
         """
+        fields = self.current_fields()
+        if fields is not None:
+            known = {n for n, _ in fields} | {HANDLE}
+            extra = [c for c in df.columns if c not in known]
+            if extra:
+                raise ValueError(
+                    f"batch columns {extra} not in schema v{self.schema_version()}"
+                )
+            df = self._conform_user_write(df, fields)
         out = df.withColumn(VERSION, F.lit(version).cast("long")).withColumn(
             DELMARK, F.lit(1 if delete else 0).cast("int")
         )
         out.write.mode("append").parquet(os.path.join(self.path, "delta"))
+
+    def _conform_user_write(self, df: DataFrame, fields) -> DataFrame:
+        cols = [F.col(HANDLE)]
+        for n, t in fields:
+            cols.append(
+                (F.col(n).cast(t) if n in df.columns else F.lit(None).cast(t)).alias(n)
+            )
+        return df.select(*cols)
 
     # --- read path ---------------------------------------------------------
 
     def _layer(self, name: str) -> DataFrame | None:
         p = os.path.join(self.path, name)
         try:
-            df = self.spark.read.parquet(p)
+            r = self.spark.read
+            if self._schema_versions():
+                # files span schema versions → merge footers so added
+                # columns are visible regardless of which file is sampled
+                r = r.option("mergeSchema", "true")
+            df = r.parquet(p)
             return df if df.columns else None
         except Exception:
             return None  # empty layer
@@ -90,9 +224,11 @@ class DeltaStore:
         return df
 
     def read(self, ts: int | None = None) -> DataFrame:
-        """Snapshot-consistent read at version ts (None = everything)."""
+        """Snapshot-consistent read at version ts (None = everything),
+        reconciled to the CURRENT schema version when one exists."""
         out = snapshot_read(self.log(), read_ts=ts).drop(VERSION, DELMARK)
-        return out.drop("_seg") if "_seg" in out.columns else out
+        out = out.drop("_seg") if "_seg" in out.columns else out
+        return self._conform(out, internal=False)
 
     # --- maintenance -------------------------------------------------------
 
@@ -125,6 +261,10 @@ class DeltaStore:
         merged = mvcc_compact(self.log(), ts).filter(
             ~((F.col(DELMARK) == 1) & (F.col(VERSION) <= ts))
         )
+        # delta merge rewrites stable to the LATEST schema version: dropped
+        # columns' bytes are reclaimed, added columns materialize as NULL
+        # (reference SchemaUpdate.cpp — merge writes the current schema)
+        merged = self._conform(merged, internal=True)
         tmp = os.path.join(self.path, f"stable_new_{int(time.time() * 1000)}")
         if num_segments:
             (
@@ -197,7 +337,7 @@ class DeltaStore:
             log = log.filter(F.col("_seg").isin(*wanted) | F.col("_seg").isNull())
         out = snapshot_read(log.filter(F.col(HANDLE).isin(*handles)), read_ts=ts)
         drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
-        return out.drop(*drop_cols)
+        return self._conform(out.drop(*drop_cols), internal=False)
 
     # --- PK-range segments + incremental compaction -------------------------
 
@@ -224,6 +364,7 @@ class DeltaStore:
         )
         if "_seg" in merged.columns:
             merged = merged.drop("_seg")
+        merged = self._conform(merged, internal=True)  # rewrite to latest schema
         lo, hi = merged.agg(F.min(HANDLE), F.max(HANDLE)).collect()[0]
         if lo is None:
             lo, hi = 0, 0
@@ -291,7 +432,7 @@ class DeltaStore:
             log.filter((F.col(HANDLE) >= lo) & (F.col(HANDLE) < hi)), read_ts=ts
         )
         drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
-        return out.drop(*drop_cols)
+        return self._conform(out.drop(*drop_cols), internal=False)
 
     def compact_segments_incremental(self, ts: int) -> tuple[int, int]:
         """Incremental delta merge: rewrite ONLY the range segments whose
@@ -330,9 +471,19 @@ class DeltaStore:
         # materialize the delta handle range NOW — the df is lazy and the
         # backing files are deleted below
         dlo, dhi = delta.agg(F.min(HANDLE), F.max(HANDLE)).collect()[0]
-        stable = self.spark.read.parquet(os.path.join(self.path, "stable"))
-        part = stable.filter(F.col("_seg").isin(dirty)).drop("_seg").unionByName(
-            delta.withColumn("_seg", seg_of).filter(F.col("_seg").isin(dirty)).drop("_seg")
+        stable_r = self.spark.read
+        if self._schema_versions():
+            # cold segments may predate a DDL — merge footers so the union
+            # below sees every column, then conform both sides
+            stable_r = stable_r.option("mergeSchema", "true")
+        stable = stable_r.parquet(os.path.join(self.path, "stable"))
+        part = self._conform(
+            stable.filter(F.col("_seg").isin(dirty)).drop("_seg"), internal=True
+        ).unionByName(
+            self._conform(
+                delta.withColumn("_seg", seg_of).filter(F.col("_seg").isin(dirty)).drop("_seg"),
+                internal=True,
+            )
         )
         merged = mvcc_compact(part, ts).filter(
             ~((F.col(DELMARK) == 1) & (F.col(VERSION) <= ts))
