@@ -49,6 +49,7 @@ PIPELINE_HEADLINE = [
     "text_analysis",
     "ann_cosine_topk",
     "fulltext_search",
+    "fulltext_bm25",
     "q2_min_cost_supplier",
 ]
 
@@ -69,17 +70,24 @@ def main() -> None:
     # warm the JVM/session so q1 doesn't pay one-time startup costs
     spark.range(1_000_000).selectExpr("count(*)").collect()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
-        # two runs, report the min: first-run cost is one-time whole-stage
-        # codegen compilation (~2s/query), irrelevant at scale where it
-        # amortizes over minutes of execution; min-of-2 is the steady state
-        best = float("inf")
-        for _ in range(2):
+        # n runs, report the min: run 1 pays one-time whole-stage-codegen
+        # compilation (~2s/query), irrelevant at scale where it amortizes
+        # over minutes of execution; this box also shows ±30% run-to-run
+        # noise, so min-of-n(>=5) is the denoised steady state. The spread
+        # (max/min over the non-first runs) is reported so a regression
+        # can be told apart from noise.
+        runs = []
+        for _ in range(n_runs):
             t0 = time.time()
             qs[name](spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        steady = runs[1:] if len(runs) > 1 else runs
+        timings[name] = round(min(runs), 3)
+        spreads[name] = round(max(steady) / max(min(steady), 1e-9), 2)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -89,6 +97,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs_per_query": n_runs,
+                "spread_max_over_min": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         ),

@@ -77,6 +77,39 @@ def test_unknown_collation_rejected():
         collation_key("s", "latin1_swedish_ci")
 
 
+def test_named_collation_aliases_pad_behavior(spark):
+    """Collator.h:28-60 named collations: ascii_bin/latin1_bin are
+    PadSpace (≡ utf8mb4_bin), utf8mb4_0900_bin is the NoPad raw binary
+    (≡ 'binary'), utf8mb4_0900_ai_ci folds accent+case but does NOT pad.
+    The pinned divergence: 'a ' vs 'a' equal under every PadSpace
+    collation, distinct under both 0900/NoPad ones."""
+    from tiflash_spark.functions.collation import (
+        AI_CI_0900,
+        ASCII_BIN,
+        BIN_0900,
+        LATIN1_BIN,
+        UNICODE_CI,
+    )
+
+    df = spark.createDataFrame([Row(a="abc ", b="abc")])
+
+    def eq(collation):
+        return df.select(
+            collated_eq(F.col("a"), F.col("b"), collation).alias("e")
+        ).collect()[0].e
+
+    assert eq(ASCII_BIN) and eq(LATIN1_BIN) and eq(BIN) and eq(UNICODE_CI)
+    assert not eq(BIN_0900)
+    assert not eq(AI_CI_0900)
+    # 0900_ai_ci still folds case and accents (NoPad ≠ case-sensitive)
+    df2 = spark.createDataFrame([Row(a="Ábc", b="abc")])
+    r = df2.select(
+        collated_eq(F.col("a"), F.col("b"), AI_CI_0900).alias("ai"),
+        collated_eq(F.col("a"), F.col("b"), BIN_0900).alias("raw"),
+    ).collect()[0]
+    assert r.ai and not r.raw
+
+
 def test_unicode_ci_accent_and_case_fold(spark):
     """UTF8MB4_UNICODE_CI (UCACICollator): accent- and case-insensitive,
     PadSpace. 'Ä', 'ä', 'a ', 'A' all one group; 'b' separate."""

@@ -51,6 +51,43 @@ def test_decontaminate_broadcasts_eval_side(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
 
 
+def test_contaminated_ids_broadcast_vs_shuffle_paths(spark):
+    """The scale guard: identical contamination verdicts whether the eval
+    gram set is broadcast (benchmark-sized) or joined via shuffle (eval
+    side too big to broadcast); the plan actually switches."""
+    from tiflash_spark.pipeline.curation import contaminated_ids
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, source="web", text=f"intro {shared} outro tail words"),
+            Row(doc_id=2, source="web", text="totally different content here now ok"),
+            Row(doc_id=3, source="book", text=f"prefix {shared}"),
+        ]
+    )
+    eval_docs = spark.createDataFrame(
+        [Row(doc_id=100, source="eval", text=f"{shared} and some more")]
+    )
+
+    def plan_of(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+
+    bc = contaminated_ids(train, eval_docs, broadcast_limit=10_000)
+    sh = contaminated_ids(train, eval_docs, broadcast_limit=0)
+    assert "BroadcastHashJoin" in plan_of(bc)
+    assert "BroadcastHashJoin" not in plan_of(sh)
+    assert "LeftSemi" in plan_of(sh)
+    expected = {(1, "web"), (3, "book")}
+    assert {(r.doc_id, r.source) for r in bc.collect()} == expected
+    assert {(r.doc_id, r.source) for r in sh.collect()} == expected
+    # eval_grams_hint skips the counting job but picks the same path
+    hinted = contaminated_ids(train, eval_docs, eval_grams_hint=1)
+    assert "BroadcastHashJoin" in plan_of(hinted)
+    assert {(r.doc_id, r.source) for r in hinted.collect()} == expected
+
+
 def test_redact_pii_literal(spark):
     df = spark.createDataFrame(
         [Row(t="mail me at bob.smith@corp.example.org or call 555-0199 now")]

@@ -163,6 +163,31 @@ def test_json_depth_mysql_rule_table(spark):
     assert got == [d for _, d in cases]
 
 
+def test_json_valid_matches_duckdb_strictness(spark):
+    """json_valid agrees with DuckDB/MySQL on every pinned case — in
+    particular trailing garbage ('{\"k\":1}}'), which Spark's Jackson-based
+    try-parse alone would accept."""
+    import duckdb
+
+    from pyspark.sql import Row
+
+    from tiflash_spark.functions.json_fns import json_valid
+
+    cases = [
+        '{"k":1}', '{"k":1}}', '{"k":1} x', '{"k":1}{"j":2}', '[1,2]]',
+        '{"k":}', '  {"k":1}  ', '{}', '[]', '[[]]', '123', '0123',
+        '-1.5e3', '123abc', 'abc', '"a"', '"a', 'true', 'false', 'null',
+        '{"s":"}{"}', None,
+    ]
+    df = spark.createDataFrame([Row(doc=c) for c in cases])
+    got = [r.v for r in df.select(json_valid("doc").alias("v")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute("SELECT json_valid(?)", [c]).fetchone()[0] for c in cases
+    ]
+    assert got == want, list(zip(cases, got, want))
+
+
 def test_json_object_array_builders(spark):
     from pyspark.sql import functions as F
 

@@ -1,0 +1,112 @@
+"""Spill-under-pressure verification (reference
+dbms/src/Flash/tests/gtest_spill_aggregation.cpp, gtest_spill_join.cpp,
+gtest_spill_sort.cpp): the reference pins that agg/join/sort survive
+memory pressure by spilling. Spark's spill is built-in; this pins that it
+actually ENGAGES and the queries COMPLETE correctly under a deliberately
+tiny memory budget — "verified, not assumed" (SCALING.md).
+
+Runs in a subprocess: executor/driver memory is fixed at JVM launch, so
+the shared test session can't be shrunk in-process. A low
+force-spill threshold makes the spill deterministic on a big box — it
+exercises the same ExternalSorter/UnsafeExternalSorter spill path that
+real memory pressure hits, without needing to exhaust 128 GiB."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+SCRIPT = r"""
+import json, os, sys
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+event_dir = sys.argv[1] if len(sys.argv) > 1 else os.getcwd()
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("spill-pin")
+    .config("spark.driver.memory", "700m")
+    .config("spark.eventLog.enabled", "true")
+    .config("spark.eventLog.dir", f"file://{event_dir}")
+    .config("spark.eventLog.compress", "false")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+    .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    # force the external sorters to spill early and deterministically —
+    # the same code path real memory exhaustion takes
+    .config("spark.shuffle.spill.numElementsForceSpillThreshold", "50000")
+    .config("spark.sql.ui.retainedExecutions", "2")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+N = 2_000_000
+base = spark.range(N).select(
+    F.col("id"),
+    (F.col("id") % 1_000_000).alias("k"),
+    F.concat(F.lit("payload-"), F.col("id").cast("string"),
+             F.lit("-" * 40)).alias("pad"),
+)
+
+# 1) high-cardinality aggregation (1M groups over 2M rows)
+agg = base.groupBy("k").agg(
+    F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")
+)
+agg_rows = agg.count()
+assert agg_rows == 1_000_000, agg_rows
+
+# 2) fact-fact sort-merge join (broadcast disabled) + sort
+j = base.alias("a").join(base.alias("b"), F.col("a.k") == F.col("b.k"))
+j_cnt = j.count()
+assert j_cnt >= N, j_cnt
+top = base.orderBy(F.col("pad").desc()).limit(5).collect()
+assert len(top) == 5
+
+# spill metrics from the event log (the same numbers the UI reports)
+app_id = spark.sparkContext.applicationId
+spark.stop()
+mem_spill = disk_spill = 0
+# Spark 4 writes rolling v2 logs: a dir named eventlog_v2_<appId> holding
+# events_* part files (plain <appId> file on older layouts)
+candidates = [f for f in os.listdir(event_dir) if app_id in f]
+assert candidates, (app_id, os.listdir(event_dir))
+path = os.path.join(event_dir, candidates[0])
+files = (
+    [os.path.join(path, f) for f in os.listdir(path) if f.startswith("events")]
+    if os.path.isdir(path)
+    else [path]
+)
+for fp in files:
+    with open(fp) as fh:
+        for line in fh:
+            ev = json.loads(line)
+            tm = ev.get("Task Metrics")
+            if ev.get("Event") == "SparkListenerTaskEnd" and tm:
+                mem_spill += tm.get("Memory Bytes Spilled", 0)
+                disk_spill += tm.get("Disk Bytes Spilled", 0)
+print(json.dumps({"agg_rows": agg_rows, "join_rows": j_cnt,
+                  "memoryBytesSpilled": mem_spill,
+                  "diskBytesSpilled": disk_spill}))
+"""
+
+
+def test_agg_join_sort_complete_and_spill_under_small_memory(tmp_path):
+    env = dict(os.environ)
+    env.pop("SPARK_HOME", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", SCRIPT, str(tmp_path)],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+        cwd=str(tmp_path),  # keep derby/warehouse litter out of the repo
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    metrics = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert metrics["agg_rows"] == 1_000_000
+    assert metrics["join_rows"] >= 2_000_000
+    # the point: the run spilled (and still finished with exact results)
+    assert metrics["memoryBytesSpilled"] + metrics["diskBytesSpilled"] > 0, metrics

@@ -159,12 +159,18 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
           "SUM(LENGTH(COALESCE(missing_val, '')) + LENGTH(built_json))"]),
         ("json_functions_extended",
          ["SUM(depth_nested + depth_flat + n_keys)",
-          "SUM(CAST(has_k AS INT) + CAST(has_missing AS INT))",
+          "SUM(CAST(has_k AS INT) + CAST(has_missing AS INT)"
+          " + CAST(valid_props AS INT) + CAST(valid_broken AS INT)"
+          " + CAST(valid_scalar AS INT)"
+          " + CASE WHEN valid_null IS NULL THEN 1 ELSE 0 END)",
           "SUM(LENGTH(keys_csv) + LENGTH(obj) + LENGTH(arr) + LENGTH(unq))"]),
     ],
     "collation_surface": [
         ("collation_group", ["SUM(n)", "SUM(LENGTH(type_ci))"]),
         ("collation_unicode_ci", ["SUM(n)", "SUM(LENGTH(rep))"]),
+        ("collation_aliases",
+         ["SUM(n_binary + n_bin + n_ascii_bin + n_latin1_bin)",
+          "SUM(n_0900_bin + n_0900_ai_ci + n_unicode_ci)"]),
     ],
     "events_agg": [
         ("events_tumbling_window",

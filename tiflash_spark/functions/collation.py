@@ -25,7 +25,24 @@ BINARY = "binary"
 BIN = "utf8mb4_bin"
 GENERAL_CI = "utf8mb4_general_ci"
 UNICODE_CI = "utf8mb4_unicode_ci"
-_SUPPORTED = (BINARY, BIN, GENERAL_CI, UNICODE_CI)
+
+# Named collations of the reference's Collator.h:28-60 enum, mapped onto
+# the four key functions above. The pad/weight differences that matter:
+#   ascii_bin / latin1_bin — single-byte charsets, PadSpace binary
+#     (reference BinCollator<char, padding=true>) → same key as
+#     utf8mb4_bin (rtrim).
+#   utf8mb4_0900_bin      — the ONLY NoPad binary collation: raw bytes,
+#     trailing spaces significant → same key as 'binary'.
+#   utf8mb4_0900_ai_ci    — NoPad accent/case-insensitive (UCA-9.0.0):
+#     ICU fold WITHOUT the rtrim that PadSpace collations apply.
+ASCII_BIN = "ascii_bin"
+LATIN1_BIN = "latin1_bin"
+BIN_0900 = "utf8mb4_0900_bin"
+AI_CI_0900 = "utf8mb4_0900_ai_ci"
+
+_ALIASES = {ASCII_BIN: BIN, LATIN1_BIN: BIN, BIN_0900: BINARY}
+_SUPPORTED = (BINARY, BIN, GENERAL_CI, UNICODE_CI,
+              ASCII_BIN, LATIN1_BIN, BIN_0900, AI_CI_0900)
 
 
 def collation_key(col: Column | str, collation: str = BIN) -> Column:
@@ -36,8 +53,13 @@ def collation_key(col: Column | str, collation: str = BIN) -> Column:
     trailing-space-only differences compare equal. Only the 'binary'
     collation (and 0900_bin) is NoPad raw-byte comparison."""
     c = F.col(col) if isinstance(col, str) else col
+    collation = _ALIASES.get(collation, collation)
     if collation == BINARY:
         return c
+    if collation == AI_CI_0900:
+        # NoPad: no rtrim — 'a' and 'a ' are DISTINCT under 0900_ai_ci,
+        # unlike unicode_ci (PadSpace); accents/case fold identically
+        return F.collate(c, "UNICODE_CI_AI")
     if collation == BIN:
         return F.rtrim(c)
     if collation == GENERAL_CI:

@@ -97,6 +97,50 @@ def json_unquote(c: Column | str) -> Column:
     return F.get_json_object(F.col(c) if isinstance(c, str) else c, "$")
 
 
+# one full JSON scalar token (number / true / false / null / string)
+_SCALAR_DOC_RE = (
+    r'^(-?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)?'
+    r'|true|false|null'
+    r'|"([^"\\]|\\.)*")$'
+)
+
+
+def json_valid(c: Column | str) -> Column:
+    """JSON_VALID(doc) (DAGUtils.cpp:471-498, FunctionsJson.cpp): NULL for
+    NULL input, TRUE iff the string is exactly one JSON document — scalars
+    included, trailing garbage rejected — matching MySQL and DuckDB.
+
+    Spark's variant try-parse is Jackson-based and STOPS at the end of the
+    first value ('{"k":1}}' parses), so parseability alone is too lenient.
+    Strictness is restored JVM-side: for container docs the bracket
+    nesting (strings stripped, whitespace removed) must first return to
+    zero exactly at the last character; scalar docs must be one whole
+    scalar token."""
+    c = F.col(c) if isinstance(c, str) else c
+    t = F.trim(c)
+    cleaned = F.regexp_replace(F.regexp_replace(t, _STRING_LIT, '"s"'), r"\s", "")
+    n = F.length(cleaned)
+    prefix = lambda i: F.substring(cleaned, 1, i)  # noqa: E731
+    nest_at = lambda i: (  # noqa: E731
+        F.length(prefix(i)) - F.length(F.translate(prefix(i), "{[", ""))
+    ) - (F.length(prefix(i)) - F.length(F.translate(prefix(i), "}]", "")))
+    zero_positions = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+            lambda i: F.struct(i.alias("i"), nest_at(i).alias("d")),
+        ),
+        lambda s: s["d"] == 0,
+    )
+    closes_at_end = F.element_at(zero_positions, 1)["i"] == n
+    strict = F.when(
+        F.substring(cleaned, 1, 1).isin("{", "["),
+        F.coalesce(closes_at_end, F.lit(False)),
+    ).otherwise(t.rlike(_SCALAR_DOC_RE))
+    return F.when(c.isNull(), F.lit(None).cast("boolean")).otherwise(
+        F.try_parse_json(c).isNotNull() & strict
+    )
+
+
 def json_object(*pairs: tuple[str, Column]) -> Column:
     """JSON_OBJECT('k1', v1, ...): compact {"k1":v1,...} text."""
     return F.to_json(F.struct(*[v.alias(k) for k, v in pairs]))

@@ -471,6 +471,51 @@ QUERIES["collation_group"] = collation_group
 ORACLE["collation_group"] = COLLATION_GROUP_SQL
 
 
+def collation_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-collation surface (reference Collator.h:28-60 enum): distinct
+    key counts under each collation over strings with trailing-space, case
+    and accent variants — pinning the pad/weight differences (PadSpace bin
+    family vs NoPad 0900_bin; PadSpace unicode_ci vs NoPad 0900_ai_ci)."""
+    from tiflash_spark.functions import collation as coll
+
+    p = load_table(spark, sf_dir, "part")
+    s = (
+        F.when(F.col("p_partkey") % 3 == 0, F.concat(F.upper("p_type"), F.lit("  ")))
+        .when(F.col("p_partkey") % 3 == 1, F.replace("p_type", F.lit("a"), F.lit("á")))
+        .otherwise(F.lower("p_type"))
+    )
+    return p.select(s.alias("s")).agg(
+        F.countDistinct(coll.collation_key(F.col("s"), coll.BINARY)).alias("n_binary"),
+        F.countDistinct(coll.collation_key(F.col("s"), coll.BIN)).alias("n_bin"),
+        F.countDistinct(coll.collation_key(F.col("s"), coll.ASCII_BIN)).alias("n_ascii_bin"),
+        F.countDistinct(coll.collation_key(F.col("s"), coll.LATIN1_BIN)).alias("n_latin1_bin"),
+        F.countDistinct(coll.collation_key(F.col("s"), coll.BIN_0900)).alias("n_0900_bin"),
+        F.countDistinct(coll.collation_key(F.col("s"), coll.AI_CI_0900)).alias("n_0900_ai_ci"),
+        F.countDistinct(coll.collation_key(F.col("s"), coll.UNICODE_CI)).alias("n_unicode_ci"),
+    )
+
+
+COLLATION_ALIASES_SQL = """
+WITH b AS (
+  SELECT CASE WHEN p_partkey % 3 = 0 THEN UPPER(p_type) || '  '
+              WHEN p_partkey % 3 = 1 THEN REPLACE(p_type, 'a', 'á')
+              ELSE LOWER(p_type) END AS s
+  FROM part
+)
+SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS n_binary,
+       CAST(COUNT(DISTINCT RTRIM(s)) AS BIGINT) AS n_bin,
+       CAST(COUNT(DISTINCT RTRIM(s)) AS BIGINT) AS n_ascii_bin,
+       CAST(COUNT(DISTINCT RTRIM(s)) AS BIGINT) AS n_latin1_bin,
+       CAST(COUNT(DISTINCT s) AS BIGINT) AS n_0900_bin,
+       CAST(COUNT(DISTINCT LOWER(STRIP_ACCENTS(s))) AS BIGINT) AS n_0900_ai_ci,
+       CAST(COUNT(DISTINCT LOWER(STRIP_ACCENTS(RTRIM(s)))) AS BIGINT) AS n_unicode_ci
+FROM b
+"""
+
+QUERIES["collation_aliases"] = collation_aliases
+ORACLE["collation_aliases"] = COLLATION_ALIASES_SQL
+
+
 def json_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extended JSON signature set (DAGUtils.cpp:471-498; FunctionsJson.cpp):
     depth / keys / length / contains_path / object / array / unquote.
@@ -485,6 +530,7 @@ def json_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         json_length_object,
         json_object,
         json_unquote,
+        json_valid,
     )
 
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
@@ -503,6 +549,10 @@ def json_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         json_object(("id", F.col("event_id")), ("ev", F.col("event_type"))).alias("obj"),
         json_array(F.col("event_id"), k_val).alias("arr"),
         json_unquote(F.concat(F.lit('"'), F.col("event_type"), F.lit('"'))).alias("unq"),
+        json_valid("props").alias("valid_props"),
+        json_valid(F.concat(F.col("props"), F.lit("}"))).alias("valid_broken"),
+        json_valid(F.lit("123")).alias("valid_scalar"),
+        json_valid(F.when(F.col("event_id") < 0, F.col("props"))).alias("valid_null"),
     )
 
 
@@ -521,7 +571,11 @@ SELECT
   json_extract_string(props, '$.missing') IS NOT NULL AS has_missing,
   CAST(json_object('id', event_id, 'ev', event_type) AS VARCHAR) AS obj,
   CAST(json_array(event_id, CAST(json_extract_string(props, '$.k') AS BIGINT)) AS VARCHAR) AS arr,
-  event_type AS unq
+  event_type AS unq,
+  json_valid(props) AS valid_props,
+  json_valid(props || '}}') AS valid_broken,
+  json_valid('123') AS valid_scalar,
+  json_valid(CASE WHEN event_id < 0 THEN props END) AS valid_null
 FROM events
 WHERE event_id < 2000
 """

@@ -46,6 +46,53 @@ def word_ngrams(text: Column, n: int = NGRAM_N) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+# above this many distinct eval grams (~8 bytes each hashed, so ~16 MB)
+# the broadcast is replaced by a shuffle left-semi join — a benchmark
+# suite never gets here, but an eval side that GROWS with the corpus
+# (like the synthetic %97 split) must not OOM every executor at scale
+BROADCAST_GRAM_LIMIT = 2_000_000
+
+
+def contaminated_ids(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id", "source"),
+    broadcast_limit: int = BROADCAST_GRAM_LIMIT,
+    eval_grams_hint: int | None = None,
+) -> DataFrame:
+    """Training docs sharing any word 5-gram with the eval corpus.
+
+    Scale guards (both sides of the join):
+    - grams travel as xxhash64 values, not strings — ~10× smaller payload
+      for typical 5-grams, and the distinct/join shuffles shrink with it.
+      (Collision risk is n²/2⁶⁴ — immaterial against real corpora.)
+    - the eval side is broadcast ONLY while its distinct gram count stays
+      under ``broadcast_limit``; beyond that the join degrades gracefully
+      to a shuffle left-semi instead of OOMing every executor. Pass
+      ``eval_grams_hint`` when the benchmark size is known a priori to
+      skip the counting job.
+    """
+    eval_grams = (
+        eval_docs.select(F.explode(word_ngrams(F.col(text_col))).alias("gram"))
+        .select(F.xxhash64("gram").alias("gram_h"))
+        .distinct()
+    )
+    n_eval = eval_grams_hint if eval_grams_hint is not None else eval_grams.count()
+    if n_eval <= broadcast_limit:
+        eval_side = F.broadcast(eval_grams)
+    else:
+        eval_side = eval_grams
+    train_grams = train.select(
+        *id_cols, F.explode(word_ngrams(F.col(text_col))).alias("gram")
+    ).select(*id_cols, F.xxhash64("gram").alias("gram_h"))
+    return (
+        train_grams.join(eval_side, "gram_h", "left_semi")
+        .select(*id_cols)
+        .distinct()
+    )
+
+
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training docs sharing any word
     5-gram with the held-out eval set (doc_id % 97 == 0 stands in for the
@@ -57,20 +104,8 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is pipeline surface beyond the reference."""
     d = load_table(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % 97 == 0
-    eval_grams = (
-        d.filter(is_eval)
-        .select(F.explode(word_ngrams(F.col("text"))).alias("gram"))
-        .distinct()
-    )
     train = d.filter(~is_eval)
-    train_grams = train.select(
-        "doc_id", "source", F.explode(word_ngrams(F.col("text"))).alias("gram")
-    )
-    contaminated = (
-        train_grams.join(F.broadcast(eval_grams), "gram", "left_semi")
-        .select("doc_id", "source")
-        .distinct()
-    )
+    contaminated = contaminated_ids(train, d.filter(is_eval))
     per_source = (
         train.groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_train"))
