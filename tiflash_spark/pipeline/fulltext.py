@@ -267,16 +267,32 @@ def fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     index build, which is amortized at write time exactly as in the
     reference's storage-layer index."""
     postings, _ = index_tables(spark, sf_dir)
-    kw = keyword_search(postings, SEARCH_TERMS, mode="all", k=20)
-    ph = phrase_search(postings, PHRASE, k=None).withColumnRenamed(
-        "n_occurrences", "phrase_hits"
+    t1, t2 = PHRASE
+    lookup = sorted(set(SEARCH_TERMS) | set(PHRASE))
+    # ONE index lookup for all five terms, ONE shuffle (the doc_id agg):
+    # keyword tf/term counts and the two phrase-term position arrays come
+    # out of the same aggregate, and the phrase count is a codegen array
+    # intersection — no second scan, no kw↔phrase join.
+    hits = postings.filter(F.col("term").isin(*lookup))
+    is_kw = F.col("term").isin(*SEARCH_TERMS)
+    per_doc = hits.groupBy("doc_id").agg(
+        F.countDistinct(F.when(is_kw, F.col("term"))).alias("n_terms"),
+        F.sum(F.when(is_kw, F.col("tf"))).cast("long").alias("total_tf"),
+        F.first(F.when(F.col("term") == t1, F.col("positions")), ignorenulls=True).alias("_p1"),
+        F.first(F.when(F.col("term") == t2, F.col("positions")), ignorenulls=True).alias("_p2"),
     )
-    out = (
-        kw.join(ph, "doc_id", "left")
-        .withColumn("phrase_hits", F.coalesce("phrase_hits", F.lit(0)))
+    phrase_hits = F.when(
+        F.col("_p1").isNull() | F.col("_p2").isNull(), F.lit(0)
+    ).otherwise(
+        F.size(F.filter(F.col("_p1"), lambda p: F.array_contains(F.col("_p2"), p + 1)))
+    )
+    return (
+        per_doc.filter(F.col("n_terms") == len(set(SEARCH_TERMS)))
+        .withColumn("phrase_hits", phrase_hits.cast("long"))
         .orderBy(F.col("total_tf").desc(), F.col("doc_id"))
+        .limit(20)
+        .select("doc_id", "n_terms", "total_tf", "phrase_hits")
     )
-    return out.select("doc_id", "n_terms", "total_tf", "phrase_hits")
 
 
 FULLTEXT_SEARCH_SQL = """
