@@ -50,6 +50,8 @@ PIPELINE_HEADLINE = [
     "ann_cosine_topk",
     "fulltext_search",
     "fulltext_bm25",
+    "asof_join_events",
+    "range_join_incidents",
     "q2_min_cost_supplier",
 ]
 

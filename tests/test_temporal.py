@@ -1,0 +1,176 @@
+"""As-of join and binned range join (operators/temporal.py).
+
+The reference lowers such queries to theta/cartesian joins
+(DAGUtils.cpp join surface); here they are first-class scale-safe ops:
+as-of is a single window pass (one shuffle, no blowup), range join is an
+equi-join on time bins (no cross product). Plan shapes are pinned along
+with the semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tiflash_spark.operators.temporal import asof_join, range_join_binned
+from tiflash_spark.plans.explain import exchange_count, formatted_plan
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def quotes(spark):
+    # right side: per-key reference values at known times
+    return spark.createDataFrame(
+        [
+            Row(k=1, t=ts("2024-01-01 10:00:00"), px=100.0),
+            Row(k=1, t=ts("2024-01-01 10:05:00"), px=105.0),
+            Row(k=1, t=ts("2024-01-01 10:10:00"), px=110.0),
+            Row(k=2, t=ts("2024-01-01 09:00:00"), px=900.0),
+        ]
+    )
+
+
+@pytest.fixture()
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            # before any quote → no match
+            Row(trade_id=1, k=1, t=ts("2024-01-01 09:59:59"), qty=5),
+            # exactly AT a quote ts → inclusive match (that quote)
+            Row(trade_id=2, k=1, t=ts("2024-01-01 10:05:00"), qty=7),
+            # between quotes → earlier quote
+            Row(trade_id=3, k=1, t=ts("2024-01-01 10:07:30"), qty=9),
+            # after all → last quote
+            Row(trade_id=4, k=1, t=ts("2024-01-01 23:00:00"), qty=11),
+            # different key
+            Row(trade_id=5, k=2, t=ts("2024-01-01 09:30:00"), qty=13),
+            # key with no quotes at all
+            Row(trade_id=6, k=3, t=ts("2024-01-01 12:00:00"), qty=17),
+        ]
+    )
+
+
+def test_asof_backward_semantics(spark, trades, quotes):
+    out = asof_join(
+        trades, quotes, by="k", left_ts="t", right_ts="t", right_cols=("px",)
+    )
+    got = {r.trade_id: (r.ref_px, r.ref_t) for r in out.collect()}
+    assert got[1] == (None, None)
+    assert got[2] == (105.0, ts("2024-01-01 10:05:00"))  # inclusive
+    assert got[3] == (105.0, ts("2024-01-01 10:05:00"))
+    assert got[4] == (110.0, ts("2024-01-01 10:10:00"))
+    assert got[5] == (900.0, ts("2024-01-01 09:00:00"))
+    assert got[6] == (None, None)
+    # left schema passes through untouched
+    assert {"trade_id", "k", "t", "qty", "ref_t", "ref_px"} == set(out.columns)
+
+
+def test_asof_forward_semantics(spark, trades, quotes):
+    out = asof_join(
+        trades, quotes, by="k", left_ts="t", right_ts="t",
+        right_cols=("px",), direction="forward",
+    )
+    got = {r.trade_id: r.ref_px for r in out.collect()}
+    assert got[1] == 100.0  # next quote after 09:59:59
+    assert got[2] == 105.0  # inclusive at equal ts
+    assert got[3] == 110.0
+    assert got[4] is None  # nothing after 23:00
+    assert got[6] is None
+
+
+def test_asof_matches_duckdb_asof_join(spark, trades, quotes):
+    """Pin against DuckDB's native ASOF LEFT JOIN on the same rows."""
+    import duckdb
+
+    out = asof_join(
+        trades, quotes, by="k", left_ts="t", right_ts="t", right_cols=("px",)
+    )
+    got = sorted((r.trade_id, r.ref_px) for r in out.collect())
+    con = duckdb.connect()
+    con.register("tr", trades.toPandas())
+    con.register("q", quotes.toPandas())
+    want = sorted(
+        (int(a), b)
+        for a, b in con.execute(
+            "SELECT tr.trade_id, q.px FROM tr ASOF LEFT JOIN q "
+            "ON tr.k = q.k AND tr.t >= q.t"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_asof_single_shuffle_no_join(spark, trades, quotes):
+    """The scale property: as-of is ONE exchange (the window) and contains
+    no join operator at all — no range join, no cross product."""
+    out = asof_join(
+        trades, quotes, by="k", left_ts="t", right_ts="t", right_cols=("px",)
+    )
+    plan = formatted_plan(out)
+    assert exchange_count(out) == 1
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+
+
+def test_asof_internal_names_do_not_collide(spark):
+    """Left frames owning _k/_ord/_r/_is_left style names still work —
+    internals are derived via select aliases, not withColumn on left."""
+    left = spark.createDataFrame(
+        [Row(_k="user", _ord=9, t=ts("2024-01-01 10:01:00"), g=1)]
+    )
+    right = spark.createDataFrame(
+        [Row(g=1, t=ts("2024-01-01 10:00:00"), v=42.0)]
+    )
+    out = asof_join(left, right, by="g", left_ts="t", right_ts="t", right_cols=("v",))
+    r = out.collect()[0]
+    assert r.ref_v == 42.0 and r._k == "user" and r._ord == 9
+
+
+def test_range_join_binned_vs_naive(spark):
+    """Binned equi-join == naive cross-filter on a case set covering:
+    interval spanning multiple bins, point exactly at start (included),
+    exactly at end (excluded), event in interval's last partial bin."""
+    events = spark.createDataFrame(
+        [Row(eid=i, t=ts(f"2024-01-01 10:{m:02d}:00"), v=float(i))
+         for i, m in enumerate([0, 4, 10, 15, 21, 35, 59])]
+    )
+    iv = spark.createDataFrame(
+        [
+            Row(iid=1, s=ts("2024-01-01 10:00:00"), e=ts("2024-01-01 10:10:00")),
+            Row(iid=2, s=ts("2024-01-01 10:04:00"), e=ts("2024-01-01 10:35:00")),
+            Row(iid=3, s=ts("2024-01-01 11:30:00"), e=ts("2024-01-01 11:40:00")),
+        ]
+    )
+    got = sorted(
+        (r.iid, r.eid)
+        for r in range_join_binned(
+            events, iv, ts_col="t", start_col="s", end_col="e", bin_seconds=600
+        ).collect()
+    )
+    naive = sorted(
+        (r.iid, r.eid)
+        for r in events.crossJoin(iv)
+        .filter((F.col("t") >= F.col("s")) & (F.col("t") < F.col("e")))
+        .collect()
+    )
+    assert got == naive
+    assert (1, 0) in got and (1, 2) not in got  # start inclusive, end exclusive
+    assert (3, 6) not in got  # empty interval region
+
+
+def test_range_join_no_cross_product(spark):
+    events = spark.createDataFrame(
+        [Row(eid=1, t=ts("2024-01-01 10:00:00"), v=1.0)]
+    )
+    iv = spark.createDataFrame(
+        [Row(iid=1, s=ts("2024-01-01 09:55:00"), e=ts("2024-01-01 10:05:00"))]
+    )
+    out = range_join_binned(events, iv, "t", "s", "e", bin_seconds=600)
+    plan = formatted_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

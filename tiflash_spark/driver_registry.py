@@ -208,6 +208,14 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
         ("q22_global_sales",
          ["SUM(numcust)", "ROUND(SUM(totacctbal), 2)", "SUM(LENGTH(cntrycode))"]),
     ],
+    "temporal_join": [
+        ("asof_join_events",
+         ["SUM(event_id + user_id)",
+          "SUM(COALESCE(gap_s, 0) + CASE WHEN ref_ts IS NULL THEN 1 ELSE 0 END)",
+          "ROUND(SUM(COALESCE(ref_value, 0)), 2)"]),
+        ("range_join_incidents",
+         ["SUM(inc_id + n_events)", "ROUND(SUM(total_value), 2)"]),
+    ],
     "curation": [
         ("decontaminate",
          ["SUM(n_train + n_contaminated)", "ROUND(SUM(contamination_rate), 4)",

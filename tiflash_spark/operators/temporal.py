@@ -1,0 +1,239 @@
+"""Temporal joins: as-of join and interval (range) join.
+
+The reference has no dedicated as-of/range operators — TiDB lowers such
+queries to NonEquiJoin / CartesianJoin over sorted streams
+(reference join surface: dbms/src/Flash/Coprocessor/DAGUtils.cpp join
+types; Cross+theta handled in operators/joins.py). A training-data /
+event-analytics engine needs both as first-class, *scale-safe* ops, so
+they are implemented here Spark-first:
+
+- ``asof_join`` — NOT a join at all on Spark: union both sides with a
+  side marker, one window pass per key carries the latest right-side row
+  forward (``last(..., ignorenulls=True)``), then keep left rows. ONE
+  shuffle on the key, zero row blowup, no range predicate — the plan
+  that survives a billion events per key-day. (A sort-merge band join
+  would re-sort per range; the union trick rides a single sort.)
+
+- ``range_join_binned`` — interval containment without an equi-key:
+  bin the time axis, explode each interval to the bins it covers, then
+  an EQUI-join on the bin plus an exact residual filter. Shuffle volume
+  is O(rows + intervals × bins-per-interval); no cross product ever
+  materializes. This is the classic bin/bucket range-join used by every
+  distributed engine that lacks an interval index.
+
+Correctness oracle: DuckDB's native ``ASOF LEFT JOIN`` and its IEJoin
+inequality join — the Spark plans must reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiflash_spark.catalog import load_table
+
+__all__ = ["asof_join", "range_join_binned"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: tuple[str, ...],
+    prefix: str = "ref_",
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach ``right_cols`` from the single right row
+    with the largest ``right_ts`` <= ``left_ts`` (direction='backward',
+    inclusive — DuckDB/pandas ``merge_asof`` semantics) or the smallest
+    ``right_ts`` >= ``left_ts`` ('forward') within the same ``by`` key.
+    Unmatched left rows keep NULLs.
+
+    One shuffle (window over ``by``), no row blowup: the union carries
+    each right row once, and the carried payload is a single struct so
+    all attached columns always come from the SAME right row.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    payload = F.struct(
+        F.col(right_ts).alias("_ts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    r2 = right.select(
+        F.col(by).alias("_k"),
+        F.col(right_ts).alias("_ord"),
+        F.lit(False).alias("_is_left"),
+        payload.alias("_r"),
+        *[F.lit(None).cast(t.dataType).alias(f"_l_{t.name}") for t in left.schema.fields],
+    )
+    l2 = left.select(
+        F.col(by).alias("_k"),
+        F.col(left_ts).alias("_ord"),
+        F.lit(True).alias("_is_left"),
+        F.lit(None).cast(r2.schema["_r"].dataType).alias("_r"),
+        *[F.col(c).alias(f"_l_{c}") for c in left.columns],
+    )
+    u = l2.unionByName(r2)
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal ts → inclusive match
+        w = Window.partitionBy("_k").orderBy(
+            F.col("_ord").asc(), F.col("_is_left").asc()
+        )
+        carried = F.last("_r", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = Window.partitionBy("_k").orderBy(
+            F.col("_ord").desc(), F.col("_is_left").asc()
+        )
+        carried = F.last("_r", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    out = (
+        u.withColumn("_match", carried)
+        .filter(F.col("_is_left"))
+        .select(
+            *[F.col(f"_l_{c}").alias(c) for c in left.columns],
+            *[F.col("_match")[c].alias(f"{prefix}{c}") for c in ("_ts", *right_cols)],
+        )
+        .withColumnRenamed(f"{prefix}_ts", f"{prefix}{right_ts}")
+    )
+    return out
+
+
+def range_join_binned(
+    left: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int = 600,
+) -> DataFrame:
+    """Inner-join left rows to every interval containing their timestamp
+    (``start <= ts < end``), with NO equi-key — the no-key range join.
+
+    Left rows get one bin (their own); each interval explodes to the bins
+    it covers (ceil(len/bin)+1 rows, small for bounded intervals); the
+    join is a plain equi-join on the bin followed by the exact residual
+    range filter. Every (row, interval) pair meets in exactly one bin, so
+    no dedup is needed. Pick ``bin_seconds`` ≈ typical interval length:
+    shuffle volume stays O(n + m·len/bin) instead of O(n·m).
+    """
+    lb = left.withColumn(
+        "_bin", F.floor(F.unix_timestamp(F.col(ts_col)) / bin_seconds)
+    )
+    ib = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / bin_seconds),
+                # end is exclusive but a row in end's bin can still precede
+                # it — cover through the bin holding the last included µs
+                F.floor(F.unix_timestamp(F.col(end_col)) / bin_seconds),
+            )
+        ),
+    )
+    return lb.join(ib, "_bin").filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    ).drop("_bin")
+
+
+# --- driver queries ---------------------------------------------------------
+
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click event annotated with the same user's most recent prior
+    (or simultaneous) error event — the canonical as-of join. Matches
+    DuckDB's native ASOF LEFT JOIN exactly, including unmatched clicks."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, errors, by="user_id", left_ts="ts", right_ts="ts",
+        right_cols=("value",),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ref_ts"),
+        F.round("ref_value", 2).alias("ref_value"),
+        F.when(
+            F.col("ref_ts").isNotNull(),
+            (F.unix_timestamp("ts") - F.unix_timestamp("ref_ts")).cast("long"),
+        ).alias("gap_s"),
+    ).orderBy("event_id")
+
+
+ASOF_JOIN_EVENTS_SQL = """
+SELECT a.event_id,
+       a.user_id,
+       a.ts,
+       b.ts AS ref_ts,
+       ROUND(b.value, 2) AS ref_value,
+       CASE WHEN b.ts IS NOT NULL
+            THEN CAST(DATE_DIFF('second', b.ts, a.ts) AS BIGINT) END AS gap_s
+FROM (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'click') a
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'error') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+ORDER BY a.event_id
+"""
+
+
+def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every error event opens a 10-minute incident window; count ALL
+    events (any user — deliberately no equi-key) falling inside each
+    window and sum their value. A pure interval-containment join that the
+    binned plan answers without a cross product."""
+    e = load_table(spark, sf_dir, "events")
+    incidents = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("inc_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    hits = range_join_binned(
+        e.select("event_id", "ts", "value"),
+        incidents,
+        ts_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bin_seconds=600,
+    )
+    return (
+        hits.groupBy("inc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("inc_id")
+    )
+
+
+RANGE_JOIN_INCIDENTS_SQL = """
+SELECT i.inc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(e.value), 2) AS total_value
+FROM (SELECT event_id AS inc_id, ts AS w_start,
+             ts + INTERVAL 10 MINUTE AS w_end
+      FROM events WHERE event_type = 'error') i
+JOIN events e ON e.ts >= i.w_start AND e.ts < i.w_end
+GROUP BY i.inc_id
+ORDER BY i.inc_id
+"""
+
+
+QUERIES = {
+    "asof_join_events": asof_join_events,
+    "range_join_incidents": range_join_incidents,
+}
+ORACLE = {
+    "asof_join_events": ASOF_JOIN_EVENTS_SQL,
+    "range_join_incidents": RANGE_JOIN_INCIDENTS_SQL,
+}
