@@ -1,0 +1,56 @@
+"""Runtime-filter join: result parity with the plain join, and the
+scan-level pushdown that is its whole point (reference behavior pinned by
+dbms/src/Flash/tests/gtest_runtime_filter_executor.cpp and
+tests/fullstack-test/expr/runtime_filter.test)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from tiflash_spark.catalog import load_table
+from tiflash_spark.operators.runtime_filter import (
+    build_runtime_filter,
+    join_runtime_filter,
+    runtime_filter_join,
+)
+from tiflash_spark.plans.explain import pushed_filters
+
+
+def test_in_filter_pushed_to_probe_scan(spark):
+    df = join_runtime_filter(spark, SF_SMALL)
+    # the lineitem scan must carry an In(l_partkey, ...) pushed filter —
+    # this is what prunes parquet row groups at 100 TB
+    filters = pushed_filters(df)
+    assert any("In(l_partkey" in f for f in filters), filters
+
+
+def test_result_identical_to_plain_join(spark):
+    part = load_table(spark, SF_SMALL, "part").where(F.col("p_size") == 1)
+    li = load_table(spark, SF_SMALL, "lineitem")
+    rf = runtime_filter_join(li, part, "l_partkey", "p_partkey")
+    plain = li.join(part, li.l_partkey == part.p_partkey, "inner")
+    assert rf.count() == plain.count()
+    a = rf.agg(F.sum("l_extendedprice")).collect()[0][0]
+    b = plain.agg(F.sum("l_extendedprice")).collect()[0][0]
+    assert abs(a - b) < 1e-6
+
+
+def test_min_max_fallback_when_in_set_overflows(spark):
+    part = load_table(spark, SF_SMALL, "part")  # every key: overflows max_in=5
+    rf = build_runtime_filter(part, "p_partkey", max_in_values=5)
+    assert rf["type"] == "MIN_MAX"
+    assert rf["min"] is not None and rf["max"] >= rf["min"]
+    li = load_table(spark, SF_SMALL, "lineitem")
+    out = runtime_filter_join(li, part, "l_partkey", "p_partkey", max_in_values=5)
+    plain = li.join(part, li.l_partkey == part.p_partkey, "inner")
+    assert out.count() == plain.count()
+
+
+def test_in_set_respects_null_keys(spark):
+    # NULL build keys never enter the IN set (inner join drops them anyway)
+    build = spark.createDataFrame(
+        [(1,), (None,), (2,)], "k: int"
+    )
+    rf = build_runtime_filter(build, "k")
+    assert rf == {"type": "IN", "values": [1, 2]}

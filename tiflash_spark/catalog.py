@@ -138,14 +138,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # parquet stores ts as TIMESTAMP(NANOS), illegal for Spark's reader;
-        # read it as long (runtime-settable legacy conf — the caller's session
-        # may not have it) and convert ns → µs, exact since data is µs-precision.
+        # ts has shipped as TIMESTAMP(NANOS) (read as long under the legacy
+        # conf, ns → µs conversion needed) and as plain TIMESTAMP(MICROS)
+        # (read as timestamp/timestamp_ntz natively) in different testdata
+        # generations — normalize whatever we got to session-TZ TimestampType.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # nanos-as-long layout: exact, data is µs-precision
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, T.TimestampNTZType):
+            # wall-clock µs layout: reinterpret as UTC (session TZ is UTC)
+            return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(path)
 
 

@@ -71,6 +71,9 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
         ("join_right_semi", ["SUM(n)", "ROUND(SUM(total), 2)"]),
         ("join_right_anti", ["SUM(n)"]),
         ("join_null_aware_anti", ["SUM(n)"]),
+        ("join_runtime_filter",
+         ["SUM(n_lines)", "ROUND(SUM(sum_qty + revenue), 2)",
+          "SUM(LENGTH(p_type))"]),
     ],
     "join_flags_cross": [
         ("join_left_outer_semi",
@@ -194,6 +197,11 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
          ["SUM(len_bucket + n_docs)", "ROUND(SUM(avg_quality), 4)"]),
         ("token_stats_bpe",
          ["SUM(n_docs + total_ws + total_bpe)", "ROUND(SUM(bpe_inflation), 4)"]),
+        ("quality_signals",
+         ["SUM(doc_id + n_tokens + CAST(keep AS INT))",
+          "ROUND(SUM(top_word_frac + dup_bigram_frac + dup_trigram_frac"
+          " + mean_word_len), 4)",
+          "SUM(LENGTH(source))"]),
     ],
     "tpch_correlated": [
         ("q5_local_supplier",

@@ -1,0 +1,137 @@
+"""Runtime filters: build-side join keys pushed into the probe-side scan.
+
+Reference: TiFlash runtime filters build an IN-value set (or min/max
+bounds) from the hash-join build side and push it into the DeltaMerge
+probe scan as a rough-set filter before the join executes
+(dbms/src/DataStreams/RuntimeFilter.h:32-99, RuntimeFilter.cpp;
+lifecycle managed by dbms/src/Flash/Coprocessor/RuntimeFilterMgr.h:30;
+behavior pinned by dbms/src/Flash/tests/gtest_runtime_filter_executor.cpp
+and tests/fullstack-test/expr/runtime_filter.test).
+
+Spark-first translation, two tiers:
+
+- ``runtime_filter_join`` — explicit IN/MIN_MAX filter: one tiny action
+  aggregates the build side's distinct keys (bounded by
+  ``max_in_values``); if the set fits, the probe gains an ``isin``
+  predicate that Catalyst pushes into the parquet scan
+  (``PushedFilters: [In(col, [...])]`` — row groups whose column stats
+  miss the set are never read, the analogue of the reference's
+  RSOperator skip). If the set overflows, only min/max bounds are
+  pushed (the reference's MIN_MAX filter type). Semantics are exactly
+  the underlying inner join — the filter only removes rows the join
+  would drop anyway.
+
+- Spark's own ``spark.sql.optimizer.runtime.bloomFilter.enabled`` (set
+  in session.py) injects bloom-filter semi-joins without any action —
+  the zero-effort tier that needs no collected values. The explicit
+  tier exists because at 100 TB a *scan-level* In/range pushdown prunes
+  parquet row groups at file-listing/footer time, which a post-scan
+  bloom probe cannot.
+
+Scale notes: the build side of a runtime filter is by definition small
+(a filtered dimension); the action is bounded to ``max_in_values + 1``
+distinct keys via LIMIT before any row reaches the driver, so the
+collect can never exceed ~10k scalars regardless of input size. The
+min/max fallback collects exactly one row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiflash_spark.catalog import load_table
+
+__all__ = ["runtime_filter_join", "build_runtime_filter"]
+
+DEFAULT_MAX_IN = 10_000
+
+
+def build_runtime_filter(
+    build: DataFrame, build_key: str, max_in_values: int = DEFAULT_MAX_IN
+) -> dict:
+    """Aggregate the build side into a runtime-filter description:
+    ``{"type": "IN", "values": [...]}`` when the distinct key set fits
+    ``max_in_values``, else ``{"type": "MIN_MAX", "min": x, "max": y}``.
+    Mirrors RuntimeFilter::updateValues / finalize (RuntimeFilter.cpp):
+    overflow of the IN set degrades to bounds instead of failing."""
+    distinct = build.select(F.col(build_key).alias("k")).where(
+        F.col("k").isNotNull()
+    ).distinct()
+    head = distinct.limit(max_in_values + 1).collect()
+    if len(head) <= max_in_values:
+        return {"type": "IN", "values": sorted(r.k for r in head)}
+    row = build.agg(
+        F.min(build_key).alias("lo"), F.max(build_key).alias("hi")
+    ).collect()[0]
+    return {"type": "MIN_MAX", "min": row.lo, "max": row.hi}
+
+
+def runtime_filter_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    max_in_values: int = DEFAULT_MAX_IN,
+    broadcast_build: bool = True,
+) -> DataFrame:
+    """Inner join ``probe ⋈ build`` with the build side's key domain
+    pushed into the probe scan first. Result is IDENTICAL to the plain
+    inner join; the filter is pure pruning, so the DuckDB oracle is the
+    plain join SQL."""
+    rf = build_runtime_filter(build, build_key, max_in_values)
+    if rf["type"] == "IN":
+        filtered = probe.where(F.col(probe_key).isin(rf["values"]))
+    else:
+        filtered = probe.where(
+            (F.col(probe_key) >= F.lit(rf["min"]))
+            & (F.col(probe_key) <= F.lit(rf["max"]))
+        )
+    b = F.broadcast(build) if broadcast_build else build
+    return filtered.join(b, filtered[probe_key] == b[build_key], "inner")
+
+
+# --- driver query -----------------------------------------------------------
+
+
+def join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue of lineitems whose part has size 1 (~2% of parts): the
+    small filtered part set becomes an IN runtime filter on l_partkey, so
+    the lineitem scan skips row groups containing no qualifying part
+    before the join runs (scan-level pruning the reference gets from its
+    RSOperator index)."""
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_size") == 1
+    ).select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    joined = runtime_filter_join(li, part, "l_partkey", "p_partkey")
+    return (
+        joined.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("p_type")
+    )
+
+
+JOIN_RUNTIME_FILTER_SQL = """
+SELECT p.p_type,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(l.l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size = 1
+GROUP BY p.p_type
+ORDER BY p.p_type
+"""
+
+
+QUERIES = {"join_runtime_filter": join_runtime_filter}
+ORACLE = {"join_runtime_filter": JOIN_RUNTIME_FILTER_SQL}

@@ -280,3 +280,124 @@ FROM per_doc
 
 QUERIES["token_stats_bpe"] = token_stats_bpe
 ORACLE["token_stats_bpe"] = TOKEN_STATS_BPE_SQL
+
+
+# --- Gopher/C4-style repetition & quality-filter signals --------------------
+#
+# The published web-corpus filters (Gopher's repetition rules, C4's doc
+# rules) reduce to per-document signals computable as pure array
+# expressions: top-word fraction, duplicate n-gram fraction, mean word
+# length, then a conjunctive keep rule. All JVM-side codegen — no
+# shuffle, no UDF; cost is O(tokens · distinct-tokens) per row, which is
+# fine for bounded documents (this corpus ≤ ~120 tokens). For book-length
+# docs swap the top-word signal for the explode + groupBy variant — the
+# rule evaluation is unchanged.
+
+
+def word_grams(toks: Column, n: int) -> Column:
+    """Adjacent word n-grams as strings (positions kept, duplicates kept —
+    repetition measurement needs the multiset, unlike dedup shingles)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(n)]
+        ),
+    )
+
+
+def top_word_frac(toks: Column) -> Column:
+    """Fraction of tokens taken by the single most frequent word —
+    Gopher drops docs where this exceeds ~0.2 (boilerplate/spam)."""
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda w: F.size(F.filter(toks, lambda t: t == w)),
+    )
+    return F.array_max(counts) / F.size(toks)
+
+
+def dup_gram_frac(toks: Column, n: int) -> Column:
+    """1 − distinct/total adjacent n-grams: the fraction of repeated
+    n-grams (Gopher's duplicate n-gram family)."""
+    grams = word_grams(toks, n)
+    return F.when(
+        F.size(grams) > 0,
+        1 - F.size(F.array_distinct(grams)) / F.size(grams),
+    ).otherwise(F.lit(0.0))
+
+
+def mean_word_len(toks: Column) -> Column:
+    return F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    ) / F.size(toks)
+
+
+def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition/quality signals + the conjunctive keep rule
+    (thresholds adapted to this corpus's length scale; the rule SHAPE is
+    Gopher's: length window ∧ mean-word-length window ∧ repetition caps)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = token_count(F.col("text"))
+    twf = top_word_frac(toks)
+    dup2 = dup_gram_frac(toks, 2)
+    dup3 = dup_gram_frac(toks, 3)
+    mwl = mean_word_len(toks)
+    keep = (
+        (n >= 10) & (n <= 100_000)
+        & (mwl >= 3) & (mwl <= 10)
+        & (twf <= 0.2)
+        & (dup3 <= 0.2)
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        n.alias("n_tokens"),
+        F.round(twf, 6).alias("top_word_frac"),
+        F.round(dup2, 6).alias("dup_bigram_frac"),
+        F.round(dup3, 6).alias("dup_trigram_frac"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        keep.alias("keep"),
+    )
+
+
+QUALITY_SIGNALS_SQL = """
+WITH tok AS (
+  SELECT doc_id, source,
+         REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, w,
+         LEN(w) AS n,
+         LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 0, 0) + 1),
+                        i -> w[i]) AS g1,
+         LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 1, 0) + 1),
+                        i -> w[i] || ' ' || w[i+1]) AS g2,
+         LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 2, 0) + 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+  FROM tok
+), sig AS (
+  SELECT doc_id, source, n,
+         CAST(LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(w),
+                d -> LEN(LIST_FILTER(w, t -> t = d)))) AS DOUBLE) / n AS twf,
+         CASE WHEN LEN(g2) > 0
+              THEN 1 - CAST(LEN(LIST_DISTINCT(g2)) AS DOUBLE) / LEN(g2)
+              ELSE 0.0 END AS dup2,
+         CASE WHEN LEN(g3) > 0
+              THEN 1 - CAST(LEN(LIST_DISTINCT(g3)) AS DOUBLE) / LEN(g3)
+              ELSE 0.0 END AS dup3,
+         CAST(LIST_SUM(LIST_TRANSFORM(w, t -> LENGTH(t))) AS DOUBLE) / n AS mwl
+  FROM grams
+)
+SELECT doc_id, source, n AS n_tokens,
+       ROUND(twf, 6) AS top_word_frac,
+       ROUND(dup2, 6) AS dup_bigram_frac,
+       ROUND(dup3, 6) AS dup_trigram_frac,
+       ROUND(mwl, 6) AS mean_word_len,
+       (n >= 10 AND n <= 100000 AND mwl >= 3 AND mwl <= 10
+        AND twf <= 0.2 AND dup3 <= 0.2) AS keep
+FROM sig
+ORDER BY doc_id
+"""
+
+QUERIES["quality_signals"] = quality_signals
+ORACLE["quality_signals"] = QUALITY_SIGNALS_SQL

@@ -24,6 +24,7 @@ _MODULES = [
     "tiflash_spark.operators.tpch",
     "tiflash_spark.operators.approx",
     "tiflash_spark.operators.temporal",
+    "tiflash_spark.operators.runtime_filter",
     "tiflash_spark.pipeline.text",
     "tiflash_spark.pipeline.fulltext",
     "tiflash_spark.pipeline.dedup",
