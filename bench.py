@@ -53,6 +53,11 @@ PIPELINE_HEADLINE = [
     "asof_join_events",
     "range_join_incidents",
     "q2_min_cost_supplier",
+    "join_runtime_filter",
+    "quality_signals",
+    "pack_sequences",
+    "sample_temperature",
+    "ann_quantized_topk",
 ]
 
 

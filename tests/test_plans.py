@@ -94,3 +94,22 @@ def test_set_operations_single_shuffle_rewrite(spark):
     assert slow.exceptAll(fast).count() == 0
     assert exchange_count(fast) <= 2
     assert exchange_count(slow) > exchange_count(fast)
+
+
+def test_window_topk_map_side_group_limit(spark):
+    """Per-group top-k (row_number <= k) must plan a PARTIAL
+    WindowGroupLimit below the shuffle — each map task keeps only k rows
+    per group before the exchange, the behavior that makes per-key top-k
+    viable on a 100 TB fact table (the analogue of the reference's
+    TopN pushdown through the window executor)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tiflash_spark.catalog import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(F.col("l_extendedprice").desc())
+    df = li.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("WindowGroupLimit")[2]  # map-side copy exists

@@ -110,3 +110,18 @@ def test_kmeans_refinement_deterministic_and_valid(spark):
     assigned = _assign(e, r1)
     assert assigned.count() == e.count()
     assert assigned.select("cluster").distinct().count() <= 16
+
+
+def test_quantized_topk_tracks_exact(spark):
+    """int8 quantization must preserve the neighborhood: top-10 by
+    quantized cosine overlaps exact top-10 heavily, and the per-pair
+    score error stays within the quantization step's reach."""
+    from tiflash_spark.pipeline.similarity import ann_cosine_topk, ann_quantized_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = [r.vec_id for r in ann_cosine_topk(spark, sf).collect()]
+    quant = ann_quantized_topk(spark, sf).collect()
+    q_ids = [r.vec_id for r in quant]
+    assert len(set(exact) & set(q_ids)) >= 8  # recall@10 >= 0.8
+    for r in quant:
+        assert abs(r.cos_sim_q - r.cos_sim_exact) < 0.02, r

@@ -1,0 +1,102 @@
+"""Streaming dedup (state-store backed, watermark-bounded) and
+stream-static enrichment — the ingest-side guarantees the reference gets
+from DeltaTree (handle, version) folding (SURVEY.md §1.5, §2.6)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tiflash_spark.streaming.dedup import enrich_stream, streaming_dedup
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.StringType()),
+    ]
+)
+
+
+def _write(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run(stream_df, out, ckpt):
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_dedup_drops_redelivery(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    _write(
+        f"{src}/b0.json",
+        [
+            {"ts": "2024-01-01 00:01:00", "doc_id": 1, "payload": "a"},
+            {"ts": "2024-01-01 00:01:30", "doc_id": 1, "payload": "a-dup"},
+            {"ts": "2024-01-01 00:02:00", "doc_id": 2, "payload": "b"},
+        ],
+    )
+    deduped = streaming_dedup(
+        spark.readStream.schema(SCHEMA).json(src), ["doc_id"], "ts"
+    )
+    _run(deduped, out, ckpt)
+
+    # a re-delivery in a LATER batch still within the watermark delay
+    # must also fold away (state persisted across batches via checkpoint)
+    _write(
+        f"{src}/b1.json",
+        [
+            {"ts": "2024-01-01 00:03:00", "doc_id": 2, "payload": "b-dup"},
+            {"ts": "2024-01-01 00:04:00", "doc_id": 3, "payload": "c"},
+        ],
+    )
+    deduped2 = streaming_dedup(
+        spark.readStream.schema(SCHEMA).json(src), ["doc_id"], "ts"
+    )
+    _run(deduped2, out, ckpt)
+
+    rows = spark.read.schema(SCHEMA).parquet(out).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.doc_id, []).append(r.payload)
+    assert sorted(by_id) == [1, 2, 3]
+    assert all(len(v) == 1 for v in by_id.values()), by_id
+    assert by_id[1] == ["a"] and by_id[2] == ["b"]
+
+
+def test_stream_static_enrichment_broadcasts(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    _write(
+        f"{src}/b0.json",
+        [
+            {"ts": "2024-01-01 00:01:00", "doc_id": 10, "payload": "x"},
+            {"ts": "2024-01-01 00:02:00", "doc_id": 11, "payload": "y"},
+        ],
+    )
+    dim = spark.createDataFrame(
+        [(10, "news"), (12, "web")], "doc_id: long, source: string"
+    )
+    enriched = enrich_stream(
+        spark.readStream.schema(SCHEMA).json(src), dim, "doc_id"
+    ).select("doc_id", "payload", "source")
+    _run(enriched, out, ckpt)
+
+    got = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {10: "news", 11: None}

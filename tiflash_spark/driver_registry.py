@@ -233,6 +233,14 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
         ("sample_stratified",
          ["SUM(n_orig + n_sampled)", "ROUND(SUM(keep_frac), 4)",
           "SUM(LENGTH(lang))"]),
+        ("sample_temperature",
+         ["SUM(n_orig + n_sampled)",
+          "ROUND(SUM(weight + keep_frac), 4)", "SUM(LENGTH(source))"]),
+        ("dedup_incremental",
+         ["SUM(n_batch + n_kept + n_dropped)", "SUM(LENGTH(source))"]),
+        ("pack_sequences",
+         ["SUM(chunk_id + n_docs + n_straddlers)",
+          "SUM(n_tokens_started)", "SUM(LENGTH(source))"]),
     ],
     "multimodal_pipeline": [
         ("multimodal_decode",
@@ -247,6 +255,9 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
         ("ann_l2_topk", ["SUM(vec_id)", "ROUND(SUM(l2_dist), 4)"]),
         ("dedup_embedding_cosine",
          ["SUM(vec_a + vec_b)", "ROUND(SUM(cos_sim), 4)"]),
+        ("ann_quantized_topk",
+         ["SUM(vec_id + label)",
+          "ROUND(SUM(cos_sim_q + cos_sim_exact), 4)"]),
     ],
 }
 

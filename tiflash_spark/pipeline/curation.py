@@ -341,3 +341,185 @@ ORACLE = {
     "pii_redaction": PII_REDACTION_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
 }
+
+
+# --- temperature-weighted mixture sampling -----------------------------------
+
+
+MIX_TEMPERATURE = 0.7  # classic multilingual-mixing temperature
+MIX_BUDGET_FRAC = 0.5  # sample half the corpus, redistributed by weight
+
+
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing: source s gets sampling weight
+    ∝ n_s^(1/T) (T<1 flattens the source distribution — the standard
+    multilingual/multi-source rebalancing), then a deterministic
+    hash-threshold draw fills a total token budget. Two tiny aggregates
+    (per-source counts, one global sum) move across the cluster; the
+    corpus itself is filtered in place with zero shuffles — the same
+    narrow plan as sample_stratified.
+
+    keep_frac caps at 1.0: sources whose quota exceeds their size are
+    taken whole (upsampling-by-replication is a writer-side concern)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orig")
+    )
+    weighted = counts.select(
+        "source", "n_orig",
+        F.pow(F.col("n_orig").cast("double"), F.lit(1.0 / MIX_TEMPERATURE))
+        .alias("w_raw"),
+    )
+    total = weighted.agg(
+        F.sum("w_raw").alias("w_sum"),
+        F.sum("n_orig").cast("long").alias("n_total"),
+    )
+    quota = weighted.crossJoin(F.broadcast(total)).select(
+        "source", "n_orig",
+        F.round(F.col("w_raw") / F.col("w_sum"), 9).alias("weight"),
+        F.least(
+            F.lit(1_000_000),
+            F.floor(
+                F.col("n_total") * F.lit(MIX_BUDGET_FRAC)
+                * (F.col("w_raw") / F.col("w_sum"))
+                * F.lit(1_000_000) / F.col("n_orig")
+            ).cast("long"),
+        ).alias("keep_millionths"),
+    )
+    kept = (
+        d.join(F.broadcast(quota), "source")
+        .filter(
+            _portable_hash(F.col("doc_id")) % 1_000_000
+            < F.col("keep_millionths")
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+    return (
+        quota.join(kept, "source", "left")
+        .select(
+            "source", "n_orig",
+            F.round("weight", 6).alias("weight"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.round(F.col("keep_millionths") / 1_000_000.0, 4).alias("keep_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+SAMPLE_TEMPERATURE_SQL = """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_orig FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT source, n_orig, POWER(CAST(n_orig AS DOUBLE), 1.0 / 0.7) AS w_raw
+  FROM counts
+),
+total AS (
+  SELECT SUM(w_raw) AS w_sum, CAST(SUM(n_orig) AS BIGINT) AS n_total
+  FROM weighted
+),
+quota AS (
+  SELECT w.source, w.n_orig,
+         ROUND(w.w_raw / t.w_sum, 9) AS weight,
+         LEAST(1000000,
+               CAST(FLOOR(t.n_total * 0.5 * (w.w_raw / t.w_sum)
+                          * 1000000 / w.n_orig) AS BIGINT)) AS keep_millionths
+  FROM weighted w CROSS JOIN total t
+),
+kept AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_sampled
+  FROM documents d JOIN quota q ON d.source = q.source
+  WHERE (d.doc_id * 1103515245 + 12345) % 2147483648 % 1000000
+        < q.keep_millionths
+  GROUP BY d.source
+)
+SELECT q.source, q.n_orig,
+       ROUND(q.weight, 6) AS weight,
+       CAST(COALESCE(k.n_sampled, 0) AS BIGINT) AS n_sampled,
+       ROUND(q.keep_millionths / 1000000.0, 4) AS keep_frac
+FROM quota q LEFT JOIN kept k ON q.source = k.source
+ORDER BY q.source
+"""
+
+
+# --- sequence packing (concat-and-chunk) -------------------------------------
+
+
+PACK_CAPACITY = 2048  # tokens per training sequence
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each source shard the
+    token stream (docs concatenated in doc_id order) is cut into
+    fixed-capacity training sequences. Each document is assigned the
+    chunk where it STARTS; docs whose span crosses a chunk boundary are
+    counted as straddlers (the loss-masking / doc-breaking cases).
+
+    Scale: the cumulative sum windows over (source) — each shard packs
+    independently, so parallelism = number of shards and no global sort
+    ever happens (a single global pack order would serialize the world;
+    real pipelines pack per shard exactly like this)."""
+    from pyspark.sql import Window
+
+    from tiflash_spark.pipeline.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    placed = per_doc.select(
+        "source",
+        "n_tok",
+        (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_off"),
+    ).select(
+        "source",
+        "n_tok",
+        F.floor(F.col("start_off") / PACK_CAPACITY).cast("long").alias("chunk_id"),
+        (
+            F.floor((F.col("start_off") + F.col("n_tok") - 1) / PACK_CAPACITY)
+            > F.floor(F.col("start_off") / PACK_CAPACITY)
+        ).alias("straddles"),
+    )
+    return (
+        placed.groupBy("source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens_started"),
+            F.sum(F.col("straddles").cast("int")).cast("long").alias("n_straddlers"),
+        )
+        .orderBy("source", "chunk_id")
+    )
+
+
+PACK_SEQUENCES_SQL = """
+WITH per_doc AS (
+  SELECT doc_id, source,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +')) END AS n_tok
+  FROM documents
+),
+placed AS (
+  SELECT source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+  FROM per_doc
+)
+SELECT source,
+       CAST(FLOOR(start_off / 2048) AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens_started,
+       CAST(SUM(CASE WHEN FLOOR((start_off + n_tok - 1) / 2048)
+                          > FLOOR(start_off / 2048)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+FROM placed
+GROUP BY source, FLOOR(start_off / 2048)
+ORDER BY source, chunk_id
+"""
+
+
+QUERIES["sample_temperature"] = sample_temperature
+QUERIES["pack_sequences"] = pack_sequences
+ORACLE["sample_temperature"] = SAMPLE_TEMPERATURE_SQL
+ORACLE["pack_sequences"] = PACK_SEQUENCES_SQL

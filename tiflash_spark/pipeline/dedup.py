@@ -533,3 +533,93 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str, dim: int = 64) -> Data
 QUERIES["dedup_embedding_cosine"] = dedup_embedding_cosine
 QUERIES["dedup_embedding_lsh"] = dedup_embedding_lsh  # rows-only
 ORACLE["dedup_embedding_cosine"] = DEDUP_EMBEDDING_COSINE_SQL
+
+
+# --- incremental dedup (new batch vs historical corpus) ---------------------
+
+
+def incremental_dedup(new_docs: DataFrame, history_fps: DataFrame) -> DataFrame:
+    """Fold a NEW ingest batch against an already-deduped historical
+    corpus: (1) in-batch exact dedup keeps min(doc_id) per fingerprint,
+    (2) a left-anti join against the history fingerprint table drops docs
+    the corpus already has. The anti join shuffles only (fp, doc_id)
+    pairs — at 100 TB the history side is a bucketed fingerprint table
+    and Spark's runtime bloom filter (session.py) prefilters the batch
+    before the shuffle; the batch side is micro-batch-sized by
+    construction."""
+    w_batch = new_docs.select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("fp")
+    )
+    keeper = w_batch.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    in_batch = w_batch.join(keeper, "fp").where(
+        F.col("doc_id") == F.col("keep_id")
+    ).select("doc_id", "source", "fp")
+    return in_batch.join(history_fps, "fp", "left_anti")
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: docs with doc_id % 10 < 8 are the historical corpus,
+    the rest the incoming batch; report per-source batch/kept/dropped
+    counts. (The split is synthetic; the operator is the real surface.)"""
+    d = load_table(spark, sf_dir, "documents")
+    history = d.where(F.col("doc_id") % 10 < 8)
+    batch = d.where(F.col("doc_id") % 10 >= 8)
+    history_fps = history.select(
+        fingerprint(F.col("text")).alias("fp")
+    ).distinct()
+    kept = incremental_dedup(batch, history_fps)
+    batch_counts = batch.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch")
+    )
+    kept_counts = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    return (
+        batch_counts.join(kept_counts, "source", "left")
+        .select(
+            "source",
+            "n_batch",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_batch") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH fp_all AS (
+  SELECT doc_id, source,
+         MD5(REGEXP_REPLACE(LOWER(TRIM(text)), ' +', ' ', 'g')) AS fp,
+         doc_id % 10 >= 8 AS is_batch
+  FROM documents
+),
+history_fps AS (
+  SELECT DISTINCT fp FROM fp_all WHERE NOT is_batch
+),
+in_batch AS (
+  SELECT f.doc_id, f.source, f.fp
+  FROM fp_all f
+  JOIN (SELECT fp, MIN(doc_id) AS keep_id FROM fp_all
+        WHERE is_batch GROUP BY fp) k
+    ON f.fp = k.fp AND f.doc_id = k.keep_id
+  WHERE f.is_batch
+),
+kept AS (
+  SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM in_batch b
+  WHERE NOT EXISTS (SELECT 1 FROM history_fps h WHERE h.fp = b.fp)
+  GROUP BY b.source
+),
+batch_counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_batch
+  FROM fp_all WHERE is_batch GROUP BY source
+)
+SELECT bc.source, bc.n_batch,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(bc.n_batch - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped
+FROM batch_counts bc LEFT JOIN kept k ON bc.source = k.source
+ORDER BY bc.source
+"""
+
+QUERIES["dedup_incremental"] = dedup_incremental
+ORACLE["dedup_incremental"] = DEDUP_INCREMENTAL_SQL

@@ -350,3 +350,121 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_ivf_topk"] = ann_ivf_topk  # approximate: rows-only driver check
+
+
+# --- int8 scalar quantization (memory-scale path) ---------------------------
+#
+# Per-dimension affine int8 quantization of the embedding column: the
+# standard 4× memory shrink that makes a 100 TB vector corpus fit its
+# serving tier (the reference's vector index stores quantized vectors the
+# same way). Everything is deterministic double arithmetic shared
+# verbatim with the DuckDB oracle: scales from per-dim MIN/MAX (exact —
+# no summation), codes via FLOOR (ROUND is half-even-vs-half-away
+# engine-dependent), similarity on the dequantized vectors.
+
+QUANT_DIM = 64
+QUANT_LEVELS = 255
+
+
+def _quant_scales(e: DataFrame) -> DataFrame:
+    """One-row frame (mins: array, maxs: array) from 2·dim simple
+    aggregates — map-side partial agg, no explode, no shuffle of vectors."""
+    emb = F.col("embedding")
+    return e.agg(
+        F.array(*[
+            F.min(emb[i].cast("double")) for i in range(QUANT_DIM)
+        ]).alias("mins"),
+        F.array(*[
+            F.max(emb[i].cast("double")) for i in range(QUANT_DIM)
+        ]).alias("maxs"),
+    )
+
+
+def _dequantized(emb: Column, mins: Column, maxs: Column) -> Column:
+    """quantize-then-dequantize: code = clamp(floor((v-mn)·255/(mx-mn))),
+    back to mn + code·(mx-mn)/255. transform() with index keeps it one
+    codegen expression per row."""
+    def deq(x: Column, i: Column) -> Column:
+        mn = F.element_at(mins, i + 1)
+        mx = F.element_at(maxs, i + 1)
+        code = F.least(
+            F.lit(float(QUANT_LEVELS)),
+            F.greatest(
+                F.lit(0.0),
+                F.floor((x.cast("double") - mn) * QUANT_LEVELS / (mx - mn)),
+            ),
+        )
+        return mn + code * (mx - mn) / QUANT_LEVELS
+
+    return F.transform(emb, deq)
+
+
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over int8-dequantized vectors vs the vec_id=0 query,
+    with the exact cosine alongside — the quantization-error report a
+    vector-serving deployment signs off on. Plan: two tiny broadcast
+    rows (scales, query) against one narrow scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    scales = _quant_scales(e)
+    q = (
+        e.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(scales))
+        .select(
+            _dequantized(F.col("embedding"), F.col("mins"), F.col("maxs")).alias("qv_q"),
+            _as_double(F.col("embedding")).alias("qv"),
+        )
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(scales))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                vec_cosine_similarity(
+                    _dequantized(F.col("embedding"), F.col("mins"), F.col("maxs")),
+                    F.col("qv_q"),
+                ),
+                6,
+            ).alias("cos_sim_q"),
+            F.round(
+                vec_cosine_similarity(_as_double(F.col("embedding")), F.col("qv")), 6
+            ).alias("cos_sim_exact"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim_q").desc(), F.col("vec_id")).limit(TOP_K)
+
+
+_MINS_SQL = ", ".join(f"MIN(CAST(embedding[{i+1}] AS DOUBLE))" for i in range(QUANT_DIM))
+_MAXS_SQL = ", ".join(f"MAX(CAST(embedding[{i+1}] AS DOUBLE))" for i in range(QUANT_DIM))
+
+ANN_QUANTIZED_TOPK_SQL = f"""
+WITH scales AS (
+  SELECT [{_MINS_SQL}] AS mins, [{_MAXS_SQL}] AS maxs
+  FROM embeddings
+),
+deq AS (
+  SELECT e.vec_id, e.label,
+         LIST_TRANSFORM(RANGE(1, {QUANT_DIM + 1}), i ->
+           s.mins[i] + LEAST({QUANT_LEVELS}.0, GREATEST(0.0,
+             FLOOR((CAST(e.embedding[i] AS DOUBLE) - s.mins[i]) * {QUANT_LEVELS}
+                   / (s.maxs[i] - s.mins[i]))))
+           * (s.maxs[i] - s.mins[i]) / {QUANT_LEVELS}) AS emb_q,
+         CAST(e.embedding AS DOUBLE[]) AS emb
+  FROM embeddings e CROSS JOIN scales s
+),
+q AS (
+  SELECT emb_q AS qv_q, emb AS qv FROM deq WHERE vec_id = 0
+)
+SELECT d.vec_id, d.label,
+       ROUND(LIST_COSINE_SIMILARITY(d.emb_q, q.qv_q), 6) AS cos_sim_q,
+       ROUND(LIST_COSINE_SIMILARITY(d.emb, q.qv), 6) AS cos_sim_exact
+FROM deq d, q
+WHERE d.vec_id <> 0
+ORDER BY cos_sim_q DESC, d.vec_id
+LIMIT {TOP_K}
+"""
+
+QUERIES["ann_quantized_topk"] = ann_quantized_topk
+ORACLE["ann_quantized_topk"] = ANN_QUANTIZED_TOPK_SQL
