@@ -58,6 +58,9 @@ PIPELINE_HEADLINE = [
     "pack_sequences",
     "sample_temperature",
     "ann_quantized_topk",
+    "lm_perplexity",
+    "dedup_incremental",
+    "ann_ivf_topk",
 ]
 
 

@@ -125,3 +125,18 @@ def test_quantized_topk_tracks_exact(spark):
     assert len(set(exact) & set(q_ids)) >= 8  # recall@10 >= 0.8
     for r in quant:
         assert abs(r.cos_sim_q - r.cos_sim_exact) < 0.02, r
+
+
+def test_ivf_reads_persisted_index_with_partition_pruning(spark):
+    """The n-probe query must prune non-probed clusters at the scan:
+    the assignment table is partitioned by cluster and the plan carries
+    a PartitionFilters entry on it (file-listing-level pruning)."""
+    from tiflash_spark.pipeline.similarity import ann_ivf_topk
+
+    sf = "/root/testdata/sf0.001"
+    df = ann_ivf_topk(spark, sf)  # builds the index on first call
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+    # second call hits the persisted index (no rebuild): same result
+    again = ann_ivf_topk(spark, sf)
+    assert [r.vec_id for r in df.collect()] == [r.vec_id for r in again.collect()]

@@ -202,6 +202,9 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
           "ROUND(SUM(top_word_frac + dup_bigram_frac + dup_trigram_frac"
           " + mean_word_len), 4)",
           "SUM(LENGTH(source))"]),
+        ("lm_perplexity",
+         ["SUM(n_docs)", "ROUND(SUM(avg_nll + ppl), 3)",
+          "SUM(LENGTH(source))"]),
     ],
     "tpch_correlated": [
         ("q5_local_supplier",

@@ -313,28 +313,60 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def vector_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The at-rest IVF index pair: a centroid table and the full corpus
+    re-written PARTITIONED BY its cluster assignment. Built at most once
+    per scale factor — exactly the reference's VectorIndex contract
+    (Storages/DeltaMerge/Index/VectorIndex: built at write/compaction
+    time by LocalIndexWriter, read as a storage index, never per query).
+    Partitioning by cluster means an n-probe query prunes non-probed
+    clusters at FILE LISTING time (PartitionFilters in the scan), the
+    distributed analogue of only opening the probed posting lists."""
+    import os
+
+    from tiflash_spark.pipeline.fulltext import _sf_tag, _warehouse_path
+
+    tag = _sf_tag(sf_dir)
+    wh = _warehouse_path(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    if wh:
+        cloc = os.path.join(wh, f"ivf_cents_{tag}")
+        aloc = os.path.join(wh, f"ivf_assign_{tag}")
+        if not (os.path.isdir(cloc) and os.path.isdir(aloc)):
+            cents = refine_centroids(e, _centroids(e), iterations=2)
+            cents.coalesce(1).write.mode("overwrite").parquet(cloc)
+            _assign(e, spark.read.parquet(cloc)).write.mode(
+                "overwrite"
+            ).partitionBy("cluster").parquet(aloc)
+        return spark.read.parquet(cloc), spark.read.parquet(aloc)
+    # no local warehouse (remote URI session): build inline, same plan shape
+    cents = refine_centroids(e, _centroids(e), iterations=2).persist()
+    return cents, _assign(e, cents)
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: probe only the N_PROBE clusters nearest the query, exact
-    re-rank inside them.
-
-    At 100 TB the assignment is a materialized column (partition key!) so a
-    query touches N_PROBE/N_CENTROIDS of the data — here it's computed
-    inline. tests/test_similarity.py measures recall vs brute force.
-    """
-    e = load_table(spark, sf_dir, "embeddings")
-    cents = refine_centroids(e, _centroids(e), iterations=2).persist()
-    assigned = _assign(e, cents)
+    re-rank inside them — reading the PERSISTED index, so the measured
+    cost is the n-probe lookup (N_PROBE/N_CENTROIDS of the corpus at
+    file-listing level), not the index build.
+    tests/test_similarity.py measures recall vs brute force and pins the
+    partition pruning."""
+    cents, assigned = vector_index(spark, sf_dir)
     q = _query_vector(spark, sf_dir)
-    probe = (
-        cents.crossJoin(F.broadcast(q))
+    probe_ids = [
+        r.cid
+        for r in cents.crossJoin(F.broadcast(q))
         .withColumn("qdist", vec_l2_distance(F.col("cvec"), F.col("qv")))
         .orderBy(F.col("qdist").asc(), F.col("cid").asc())
         .limit(N_PROBE)
         .select("cid")
+        .collect()
+    ]
+    cands = assigned.where(
+        F.col("cluster").isin(probe_ids) & (F.col("vec_id") != 0)
     )
-    cands = assigned.join(
-        F.broadcast(probe), assigned.cluster == F.col("cid")
-    ).filter(F.col("vec_id") != 0)
     return (
         cands.crossJoin(F.broadcast(q))
         .select(

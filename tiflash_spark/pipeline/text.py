@@ -401,3 +401,92 @@ ORDER BY doc_id
 
 QUERIES["quality_signals"] = quality_signals
 ORACLE["quality_signals"] = QUALITY_SIGNALS_SQL
+
+
+# --- unigram LM perplexity scoring (CCNet-style quality signal) -------------
+#
+# The classic corpus-quality scorer: train a unigram LM on the corpus
+# itself, score each document by bits-per-token; outlier-high perplexity
+# = noise/gibberish, outlier-low = boilerplate. Two passes:
+#   1) vocabulary probabilities (one explode + token groupBy — the same
+#      shuffle vocab_topk already pays), kept to the top-V tokens with an
+#      out-of-vocabulary floor, so the model side is BOUNDED regardless
+#      of corpus size and always broadcastable;
+#   2) per-token scoring via explode → broadcast join → per-doc mean
+#      (one doc_id shuffle; at 100 TB this is the narrow two-column
+#      explode, never the documents themselves).
+
+LM_TOP_V = 1000
+LM_OOV_PROB = 1e-6
+
+
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-LM stats: mean bits-per-token and perplexity.
+    ln/exp only (log2 ulp behavior differs across engines more than ln's
+    summed error, and ROUND(,4) absorbs what remains)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("tok"))
+        .limit(LM_TOP_V)
+    )
+    total = vocab.agg(F.sum("tf").alias("total"))
+    probs = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", (F.col("tf") / F.col("total")).alias("p")
+    )
+    scored = (
+        toks.join(F.broadcast(probs), "tok", "left")
+        .select(
+            "doc_id",
+            "source",
+            (-F.log(F.coalesce(F.col("p"), F.lit(LM_OOV_PROB)))).alias("nll"),
+        )
+        .groupBy("doc_id", "source")
+        .agg(F.avg("nll").alias("doc_nll"))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("doc_nll"), 4).alias("avg_nll"),
+            F.round(F.exp(F.avg("doc_nll")), 2).alias("ppl"),
+        )
+        .orderBy("source")
+    )
+
+
+LM_PERPLEXITY_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, COUNT(*) AS tf
+  FROM toks GROUP BY tok
+  ORDER BY tf DESC, tok
+  LIMIT 1000
+),
+probs AS (
+  SELECT tok, CAST(tf AS DOUBLE) / (SELECT SUM(tf) FROM vocab) AS p
+  FROM vocab
+),
+scored AS (
+  SELECT t.doc_id, t.source,
+         AVG(-LN(COALESCE(p.p, 1e-6))) AS doc_nll
+  FROM toks t LEFT JOIN probs p ON t.tok = p.tok
+  GROUP BY t.doc_id, t.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(doc_nll), 4) AS avg_nll,
+       ROUND(EXP(AVG(doc_nll)), 2) AS ppl
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["lm_perplexity"] = lm_perplexity
+ORACLE["lm_perplexity"] = LM_PERPLEXITY_SQL

@@ -526,3 +526,84 @@ class DeltaStore:
                 json.dump(man, fh)
         self._refresh()
         return (len(dirty), n)
+
+    def ingest_snapshot(self, df: DataFrame, version: int) -> int:
+        """Bulk-load a snapshot DIRECTLY into the stable layer, bypassing
+        the delta — the reference's SST ingest path
+        (Storages/DeltaMerge/DeltaMergeStore_Ingest.cpp,
+        Decode/SSTFilesToBlockInputStream.h): pre-built files land as
+        stable data in one move instead of trickling through the write
+        path. MVCC semantics are preserved — rows are stamped with
+        ``version`` and snapshot reads still resolve newest-per-handle, so
+        ingesting over an existing handle upserts exactly like a delta
+        write would.
+
+        Files are laid out to match the CURRENT stable layout (hash
+        segments via the persisted ``_SEGMENTS`` modulus, range segments
+        via the ``_MANIFEST`` clamp — whose pruning bounds widen to cover
+        the new handle span — or flat), so every pruning path stays
+        sound. Returns rows ingested."""
+        import json
+
+        from pyspark.sql import functions as F
+
+        fields = self.current_fields()
+        if fields is not None:
+            known = {n for n, _ in fields} | {HANDLE}
+            extra = [c for c in df.columns if c not in known]
+            if extra:
+                raise ValueError(
+                    f"snapshot columns {extra} not in schema v{self.schema_version()}"
+                )
+            df = self._conform_user_write(df, fields)
+        out = df.withColumn(VERSION, F.lit(version).cast("long")).withColumn(
+            DELMARK, F.lit(0).cast("int")
+        )
+        stable = os.path.join(self.path, "stable")
+        man = self._manifest()
+        n_seg = self._num_segments()
+        if man:
+            lo, width, n = man["lo"], man["width"], man["n"]
+            seg_of = F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(n - 1),
+                    F.floor((F.col(HANDLE) - F.lit(lo)) / width).cast("int"),
+                ),
+            )
+            dlo, dhi = out.agg(F.min(HANDLE), F.max(HANDLE)).collect()[0]
+            (
+                out.withColumn("_seg", seg_of)
+                .repartition("_seg")
+                .sortWithinPartitions(HANDLE)
+                .write.partitionBy("_seg")
+                .mode("append")
+                .parquet(stable)
+            )
+            if dlo is not None:
+                b0 = man["bounds"][str(min(int(k) for k in man["bounds"]))]
+                btop = man["bounds"][str(max(int(k) for k in man["bounds"]))]
+                b0[0] = min(b0[0], int(dlo))
+                btop[1] = max(btop[1], int(dhi) + 1)
+                with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
+                    json.dump(man, fh)
+        elif n_seg:
+            (
+                out.withColumn(
+                    "_seg", F.pmod(F.xxhash64(F.col(HANDLE)), F.lit(n_seg))
+                )
+                .repartition("_seg")
+                .sortWithinPartitions(HANDLE)
+                .write.partitionBy("_seg")
+                .mode("append")
+                .parquet(stable)
+            )
+        else:
+            (
+                out.repartition(HANDLE)
+                .sortWithinPartitions(HANDLE)
+                .write.mode("append")
+                .parquet(stable)
+            )
+        self._refresh()
+        return out.count()
