@@ -61,6 +61,7 @@ PIPELINE_HEADLINE = [
     "lm_perplexity",
     "dedup_incremental",
     "ann_ivf_topk",
+    "curation_pipeline",
 ]
 
 

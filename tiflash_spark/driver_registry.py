@@ -241,6 +241,9 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
           "ROUND(SUM(weight + keep_frac), 4)", "SUM(LENGTH(source))"]),
         ("dedup_incremental",
          ["SUM(n_batch + n_kept + n_dropped)", "SUM(LENGTH(source))"]),
+        ("curation_pipeline",
+         ["SUM(n_raw + n_quality + n_unique + n_clean)",
+          "SUM(n_tokens + n_chunks)", "SUM(LENGTH(source))"]),
         ("pack_sequences",
          ["SUM(chunk_id + n_docs + n_straddlers)",
           "SUM(n_tokens_started)", "SUM(LENGTH(source))"]),

@@ -523,3 +523,162 @@ QUERIES["sample_temperature"] = sample_temperature
 QUERIES["pack_sequences"] = pack_sequences
 ORACLE["sample_temperature"] = SAMPLE_TEMPERATURE_SQL
 ORACLE["pack_sequences"] = PACK_SEQUENCES_SQL
+
+
+# --- end-to-end curation pipeline composition --------------------------------
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-curation chain as ONE query: quality keep-rule →
+    exact dedup (min-doc_id keeper) → benchmark decontamination →
+    sequence packing, reported per source with counts after every stage.
+    Composing the stages proves they stack without surprise shuffles:
+    quality/fingerprint/grams are narrow projections, dedup adds one fp
+    shuffle, decontamination one gram semi-join, packing one per-shard
+    window — the same plan elements each stage showed alone.
+
+    Eval set = doc_id % 97 == 0 (the decontaminate fixture); packing uses
+    PACK_CAPACITY-token chunks."""
+    from tiflash_spark.pipeline.dedup import fingerprint
+    from tiflash_spark.pipeline.text import quality_signals, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = quality_signals(spark, sf_dir).select("doc_id", "keep")
+    quality = (
+        d.join(sig, "doc_id")
+        .where((F.col("keep")) & (F.col("doc_id") % 97 != 0))
+        .select("doc_id", "source", "text")
+    )
+    keeper = (
+        quality.groupBy(fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    unique = quality.join(
+        keeper,
+        (fingerprint(F.col("text")) == F.col("fp"))
+        & (F.col("doc_id") == F.col("keep_id")),
+    ).select("doc_id", "source", "text")
+    eval_docs = d.where(F.col("doc_id") % 97 == 0)
+    dirty = contaminated_ids(unique, eval_docs).select("doc_id")
+    clean = unique.join(dirty, "doc_id", "left_anti")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    placed = clean.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tok")
+    ).select(
+        "source",
+        "n_tok",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_CAPACITY
+        ).cast("long").alias("chunk_id"),
+    )
+    raw_counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
+    q_counts = quality.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_quality"))
+    u_counts = unique.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_unique"))
+    packed = placed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clean"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        (F.max("chunk_id") + 1).cast("long").alias("n_chunks"),
+    )
+    return (
+        raw_counts.join(q_counts, "source", "left")
+        .join(u_counts, "source", "left")
+        .join(packed, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+        )
+        .orderBy("source")
+    )
+
+
+CURATION_PIPELINE_SQL = """
+WITH tok AS (
+  SELECT doc_id, source, text,
+         REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +') AS w
+  FROM documents
+), topw AS (
+  SELECT doc_id, MAX(c) AS top_count
+  FROM (SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(w) AS t FROM tok) GROUP BY doc_id, t)
+  GROUP BY doc_id
+), sig AS (
+  SELECT t.doc_id,
+         (LEN(w) >= 10 AND LEN(w) <= 100000
+          AND CAST(LIST_SUM(LIST_TRANSFORM(w, x -> LENGTH(x))) AS DOUBLE) / LEN(w)
+              BETWEEN 3 AND 10
+          AND CAST(p.top_count AS DOUBLE) / LEN(w) <= 0.2
+          AND (CASE WHEN LEN(w) > 2 THEN
+                 1 - CAST(LEN(LIST_DISTINCT(
+                       LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                     )) AS DOUBLE) / (LEN(w) - 2)
+               ELSE 0.0 END) <= 0.2) AS keep
+  FROM tok t JOIN topw p ON t.doc_id = p.doc_id
+), quality AS (
+  SELECT t.doc_id, t.source, t.text, t.w
+  FROM tok t JOIN sig s ON t.doc_id = s.doc_id
+  WHERE s.keep AND t.doc_id % 97 <> 0
+), uniq AS (
+  SELECT q.doc_id, q.source, q.text, q.w
+  FROM quality q
+  JOIN (SELECT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), ' +', ' ', 'g')) AS fp,
+               MIN(doc_id) AS keep_id
+        FROM quality GROUP BY 1) k
+    ON MD5(REGEXP_REPLACE(LOWER(TRIM(q.text)), ' +', ' ', 'g')) = k.fp
+       AND q.doc_id = k.keep_id
+), eval_grams AS (
+  SELECT DISTINCT UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 4, 0) + 1),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                || ' ' || w[i+4])) AS gram
+  FROM tok WHERE doc_id % 97 = 0 AND LEN(w) >= 5
+), dirty AS (
+  SELECT DISTINCT u.doc_id
+  FROM (SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 4, 0) + 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                      || ' ' || w[i+4])) AS gram
+        FROM uniq WHERE LEN(w) >= 5) u
+  JOIN eval_grams e ON u.gram = e.gram
+), clean AS (
+  SELECT u.doc_id, u.source,
+         CASE WHEN LENGTH(TRIM(u.text)) = 0 THEN 0 ELSE LEN(u.w) END AS n_tok
+  FROM uniq u
+  WHERE NOT EXISTS (SELECT 1 FROM dirty x WHERE x.doc_id = u.doc_id)
+), placed AS (
+  SELECT source, n_tok,
+         CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok)
+                    / 2048) AS BIGINT) AS chunk_id
+  FROM clean
+), packed AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_clean,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         CAST(MAX(chunk_id) + 1 AS BIGINT) AS n_chunks
+  FROM placed GROUP BY source
+)
+SELECT r.source,
+       CAST(r.n_raw AS BIGINT) AS n_raw,
+       CAST(COALESCE(q.n_quality, 0) AS BIGINT) AS n_quality,
+       CAST(COALESCE(u.n_unique, 0) AS BIGINT) AS n_unique,
+       CAST(COALESCE(p.n_clean, 0) AS BIGINT) AS n_clean,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks
+FROM (SELECT source, COUNT(*) AS n_raw FROM documents GROUP BY source) r
+LEFT JOIN (SELECT source, COUNT(*) AS n_quality FROM quality GROUP BY source) q
+  ON r.source = q.source
+LEFT JOIN (SELECT source, COUNT(*) AS n_unique FROM uniq GROUP BY source) u
+  ON r.source = u.source
+LEFT JOIN packed p ON r.source = p.source
+ORDER BY r.source
+"""
+
+QUERIES["curation_pipeline"] = curation_pipeline
+ORACLE["curation_pipeline"] = CURATION_PIPELINE_SQL
