@@ -143,3 +143,39 @@ def test_multimodal_stages_rollup(spark):
         assert r.n_frames >= r.n_media  # >=1 frame per media row
         assert r.frame_bytes <= r.resized_bytes
         assert 0.0 < r.avg_f1 < 1.0
+
+
+def test_feature_extraction_feeds_ann(spark):
+    """Multimodal features flow straight into the ANN machinery: the
+    mapInPandas stage boundary must not break the broadcast topk plan,
+    and the chain is deterministic end to end."""
+    from pyspark.sql import functions as F
+
+    from tiflash_spark.functions.vector import vec_cosine_similarity
+    from tiflash_spark.pipeline.multimodal import extract_features, synthetic_media
+
+    sf = "/root/testdata/sf0.001"
+    media = synthetic_media(spark, sf)
+    feats = extract_features(media)
+    q = feats.filter(F.col("media_id") == 0).select(
+        F.col("feature").alias("qf")
+    )
+    deq = F.transform(F.col("feature"), lambda x: x.cast("double"))
+    dq = F.transform(F.col("qf"), lambda x: x.cast("double"))
+    top = (
+        feats.filter(F.col("media_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "media_id",
+            F.round(vec_cosine_similarity(deq, dq), 6).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("media_id"))
+        .limit(5)
+    )
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    r1 = [(r.media_id, r.sim) for r in top.collect()]
+    r2 = [(r.media_id, r.sim) for r in top.collect()]
+    assert r1 == r2 and len(r1) == 5
+    assert all(-1.0 <= s <= 1.0 for _, s in r1)

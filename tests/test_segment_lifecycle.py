@@ -1,0 +1,111 @@
+"""Segment split/merge lifecycle (reference Segment::split / merge,
+DeltaMergeStore.h segment tree): bounds stay contiguous, only the touched
+partition dirs are rewritten, and every read/assignment path keeps
+working mid-lifecycle."""
+
+from __future__ import annotations
+
+import os
+
+from tiflash_spark.operators.mvcc import HANDLE
+from tiflash_spark.sources.delta_store import DeltaStore
+
+
+def _store(spark, tmp_path, n=40):
+    store = DeltaStore(spark, str(tmp_path / "s"))
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(n)], f"{HANDLE} long, v string"
+    )
+    store.write_batch(df, version=1)
+    store.compact_range_segments(ts=1, num_segments=2)
+    return store
+
+
+def _seg_dirs(store):
+    d = os.path.join(store.path, "stable")
+    return sorted(x for x in os.listdir(d) if x.startswith("_seg="))
+
+
+def test_split_largest_segment(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    old, new = store.split_segment()
+    man = store._manifest()
+    assert man["n"] == 3 and len(man["bounds"]) == 3
+    # bounds stay contiguous over the whole handle span
+    bounds = sorted(man["bounds"].values())
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(bounds, bounds[1:]):
+        assert a_hi == b_lo
+    assert len(_seg_dirs(store)) == 3
+    # all rows still read, ranges prune correctly
+    assert store.read().count() == 40
+    assert store.read_range(0, 40).count() == 40
+    assert {r[HANDLE] for r in store.read_range(5, 9).collect()} == {5, 6, 7, 8}
+
+
+def test_split_then_write_routes_to_new_bounds(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    store.split_segment()
+    # delta writes + incremental compaction must use the SPLIT bounds
+    df = spark.createDataFrame([(3, "updated"), (38, "also")], f"{HANDLE} long, v string")
+    store.write_batch(df, version=2)
+    dirty, total = store.compact_segments_incremental(ts=2)
+    assert total == 3 and dirty >= 1
+    got = {r[HANDLE]: r.v for r in store.read_handles([3, 38]).collect()}
+    assert got == {3: "updated", 38: "also"}
+
+
+def test_merge_adjacent_segments(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    old, new = store.split_segment()
+    man = store._manifest()
+    # merge the pair produced by the split (they are adjacent by construction)
+    survivor = store.merge_segments(old, new)
+    assert survivor == old
+    man2 = store._manifest()
+    assert man2["n"] == 2
+    assert store.read().count() == 40
+    assert store.read_range(0, 40).count() == 40
+
+
+def test_merge_rejects_non_adjacent(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    store.split_segment()
+    man = store._manifest()
+    by_lo = sorted(man["bounds"].items(), key=lambda kv: kv[1][0])
+    first, last = int(by_lo[0][0]), int(by_lo[-1][0])
+    try:
+        store.merge_segments(first, last)
+        raise AssertionError("expected non-adjacent merge to fail")
+    except ValueError:
+        pass
+
+
+def test_bulk_ingest_after_split_respects_bounds(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    store.split_segment()
+    extra = spark.createDataFrame(
+        [(100, "far"), (7, "upsert")], f"{HANDLE} long, v string"
+    )
+    store.ingest_snapshot(extra, version=3)
+    got = {r[HANDLE]: r.v for r in store.read_handles([7, 100]).collect()}
+    assert got == {7: "upsert", 100: "far"}
+    assert store.read_range(90, 110).count() == 1
+
+
+def test_rebalance_policy_converges(spark, tmp_path):
+    store = _store(spark, tmp_path, n=60)  # 2 segments x ~30 rows
+    splits, merges = store.rebalance_segments(max_rows=20)
+    assert splits >= 2  # both 30-row segments exceeded the cap
+    man = store._manifest()
+    counts = {}
+    stable = spark.read.parquet(os.path.join(store.path, "stable"))
+    from pyspark.sql import functions as F
+    for r in stable.groupBy(F.col("_seg").alias("s")).agg(F.count(F.lit(1)).alias("n")).collect():
+        counts[r.s] = r.n
+    assert all(n <= 20 for n in counts.values()), counts
+    assert store.read().count() == 60
+    # now fold the small pieces back together
+    s2, m2 = store.rebalance_segments(max_rows=100, min_rows=100)
+    assert m2 >= 1
+    assert store.read().count() == 60
+    assert store.read_range(0, 60).count() == 60

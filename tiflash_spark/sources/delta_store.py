@@ -412,6 +412,25 @@ class DeltaStore:
                 return json.load(fh)
         return None
 
+    def _seg_assign_expr(self, man: dict):
+        """Handle → segment id from the manifest BOUNDS (not the original
+        equal-width formula): a CASE over the sorted upper bounds, with
+        both ends clamped into the outermost segments. Equal to the old
+        formula while bounds are the equal-width originals, and — unlike
+        the formula — still correct after a segment split/merge reshapes
+        them (reference: Segment::split/merge keep the range→segment map
+        in DeltaMergeStore's segment tree, DeltaMergeStore.h:107)."""
+        from pyspark.sql import functions as F
+
+        ordered = sorted(
+            ((int(s), blo, bhi) for s, (blo, bhi) in man["bounds"].items()),
+            key=lambda t: t[1],
+        )
+        expr = F.lit(ordered[-1][0])  # >= last upper bound → last segment
+        for s, _blo, bhi in reversed(ordered[:-1]):
+            expr = F.when(F.col(HANDLE) < F.lit(bhi), F.lit(s)).otherwise(expr)
+        return expr.cast("int")
+
     def read_range(self, lo: int, hi: int, ts: int | None = None) -> DataFrame:
         """Range read [lo, hi): with a range-segmented stable layer only
         the overlapping segments are listed/scanned (manifest pruning —
@@ -456,13 +475,10 @@ class DeltaStore:
         delta = self._layer("delta")
         if delta is None:
             return (0, man["n"])
-        lo, width, n = man["lo"], man["width"], man["n"]
-        # clamp both ends: handles below the manifest lo land in segment 0,
-        # beyond the top in segment n-1 (manifest bounds widen below)
-        seg_of = F.greatest(
-            F.lit(0),
-            F.least(F.lit(n - 1), F.floor((F.col(HANDLE) - F.lit(lo)) / width).cast("int")),
-        )
+        n = man["n"]
+        # bounds-driven assignment (clamped at both ends) — stays correct
+        # after split/merge reshapes the segment ranges
+        seg_of = self._seg_assign_expr(man)
         dirty = sorted(
             r.s for r in delta.select(seg_of.alias("s")).distinct().collect()
         )
@@ -515,11 +531,11 @@ class DeltaStore:
         # widen the outer manifest bounds to any new handle range the delta
         # introduced, so read_range pruning stays sound
         if dlo is not None:
-            # NOTE: man["lo"]/width are the fixed segment-assignment params
-            # and must never change once written (they define where every
-            # already-written row lives); only the pruning BOUNDS widen.
-            b0 = man["bounds"][str(min(int(k) for k in man["bounds"]))]
-            btop = man["bounds"][str(max(int(k) for k in man["bounds"]))]
+            # assignment is bounds-driven (_seg_assign_expr), so widening
+            # the outermost bounds both fixes pruning AND routes future
+            # out-of-range handles consistently
+            b0 = min(man["bounds"].values(), key=lambda b: b[0])
+            btop = max(man["bounds"].values(), key=lambda b: b[1])
             b0[0] = min(b0[0], int(dlo))
             btop[1] = max(btop[1], int(dhi) + 1)
             with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
@@ -563,14 +579,7 @@ class DeltaStore:
         man = self._manifest()
         n_seg = self._num_segments()
         if man:
-            lo, width, n = man["lo"], man["width"], man["n"]
-            seg_of = F.greatest(
-                F.lit(0),
-                F.least(
-                    F.lit(n - 1),
-                    F.floor((F.col(HANDLE) - F.lit(lo)) / width).cast("int"),
-                ),
-            )
+            seg_of = self._seg_assign_expr(man)
             dlo, dhi = out.agg(F.min(HANDLE), F.max(HANDLE)).collect()[0]
             (
                 out.withColumn("_seg", seg_of)
@@ -581,8 +590,8 @@ class DeltaStore:
                 .parquet(stable)
             )
             if dlo is not None:
-                b0 = man["bounds"][str(min(int(k) for k in man["bounds"]))]
-                btop = man["bounds"][str(max(int(k) for k in man["bounds"]))]
+                b0 = min(man["bounds"].values(), key=lambda b: b[0])
+                btop = max(man["bounds"].values(), key=lambda b: b[1])
                 b0[0] = min(b0[0], int(dlo))
                 btop[1] = max(btop[1], int(dhi) + 1)
                 with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
@@ -607,3 +616,174 @@ class DeltaStore:
             )
         self._refresh()
         return out.count()
+
+    # --- segment lifecycle: split / merge -----------------------------------
+
+    def split_segment(self, seg_id: int | None = None) -> tuple[int, int]:
+        """Split one range segment in two at its median handle — the
+        reference's Segment::split, triggered there when a segment
+        outgrows its target size (DeltaMergeStore.h segment lifecycle;
+        Segment.cpp split paths). Only the chosen segment's partition dir
+        is rewritten; every other segment's files are untouched, and the
+        manifest bounds stay contiguous so reads/pruning/assignment keep
+        working mid-lifecycle.
+
+        ``seg_id=None`` picks the largest segment (row count — one tiny
+        per-segment count aggregate). The split point is the exact median
+        handle via a distributed percentile (never a driver-side sort).
+        Returns (old_seg_id, new_seg_id)."""
+        import json
+        import shutil
+
+        man = self._manifest()
+        if not man:
+            raise ValueError("segment split needs range segments "
+                             "(run compact_range_segments first)")
+        stable = self.spark.read.parquet(os.path.join(self.path, "stable"))
+        if seg_id is None:
+            counts = {
+                r.s: r.n
+                for r in stable.groupBy(F.col("_seg").alias("s"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            if not counts:
+                raise ValueError("empty stable layer — nothing to split")
+            seg_id = max(counts, key=lambda s: (counts[s], -s))
+        key = str(seg_id)
+        if key not in man["bounds"]:
+            raise ValueError(f"segment {seg_id} not in manifest")
+        blo, bhi = man["bounds"][key]
+        rows = stable.filter(F.col("_seg") == seg_id).drop("_seg")
+        mid = rows.agg(
+            F.expr(f"CAST(percentile({HANDLE}, 0.5) AS LONG)").alias("m")
+        ).collect()[0].m
+        if mid is None or mid <= blo or mid >= bhi:
+            raise ValueError(
+                f"segment {seg_id} cannot split: median {mid} not strictly "
+                f"inside [{blo}, {bhi})"
+            )
+        new_id = max(int(k) for k in man["bounds"]) + 1
+        tmp = os.path.join(self.path, f"seg_split_{int(time.time() * 1000)}")
+        (
+            rows.withColumn(
+                "_seg",
+                F.when(F.col(HANDLE) < mid, F.lit(seg_id)).otherwise(F.lit(new_id)),
+            )
+            .repartition("_seg")
+            .sortWithinPartitions(HANDLE)
+            .write.partitionBy("_seg")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        stable_dir = os.path.join(self.path, "stable")
+        for s in (seg_id, new_id):
+            src = os.path.join(tmp, f"_seg={s}")
+            dst = os.path.join(stable_dir, f"_seg={s}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.exists(src):
+                os.rename(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        man["bounds"][key] = [blo, int(mid)]
+        man["bounds"][str(new_id)] = [int(mid), bhi]
+        man["n"] = len(man["bounds"])
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
+            json.dump(man, fh)
+        self._refresh()
+        return (seg_id, new_id)
+
+    def merge_segments(self, left_id: int, right_id: int) -> int:
+        """Merge two RANGE-ADJACENT segments into the left one — the
+        reference's Segment::merge (undersized neighbors fold together so
+        the segment count tracks data size both ways). Rewrites only the
+        two partition dirs into one; returns the surviving segment id."""
+        import json
+        import shutil
+
+        man = self._manifest()
+        if not man:
+            raise ValueError("segment merge needs range segments")
+        lk, rk = str(left_id), str(right_id)
+        if lk not in man["bounds"] or rk not in man["bounds"]:
+            raise ValueError(f"segments {left_id}/{right_id} not in manifest")
+        (llo, lhi), (rlo, rhi) = man["bounds"][lk], man["bounds"][rk]
+        if lhi != rlo:
+            raise ValueError(
+                f"segments not range-adjacent: [{llo},{lhi}) vs [{rlo},{rhi})"
+            )
+        stable_dir = os.path.join(self.path, "stable")
+        stable = self.spark.read.parquet(stable_dir)
+        rows = stable.filter(F.col("_seg").isin([left_id, right_id])).drop("_seg")
+        tmp = os.path.join(self.path, f"seg_merge_{int(time.time() * 1000)}")
+        (
+            rows.withColumn("_seg", F.lit(left_id))
+            .repartition("_seg")
+            .sortWithinPartitions(HANDLE)
+            .write.partitionBy("_seg")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        for s in (left_id, right_id):
+            shutil.rmtree(os.path.join(stable_dir, f"_seg={s}"), ignore_errors=True)
+        src = os.path.join(tmp, f"_seg={left_id}")
+        if os.path.exists(src):
+            os.rename(src, os.path.join(stable_dir, f"_seg={left_id}"))
+        shutil.rmtree(tmp, ignore_errors=True)
+        man["bounds"][lk] = [llo, rhi]
+        del man["bounds"][rk]
+        man["n"] = len(man["bounds"])
+        with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
+            json.dump(man, fh)
+        self._refresh()
+        return left_id
+
+    def rebalance_segments(
+        self, max_rows: int, min_rows: int | None = None, max_ops: int = 16
+    ) -> tuple[int, int]:
+        """The background policy the reference runs over its segment tree:
+        split any segment whose row count exceeds ``max_rows`` (largest
+        first), then fold range-adjacent neighbors whose COMBINED count
+        stays under ``min_rows``. Each pass costs one tiny per-segment
+        count aggregate; ``max_ops`` bounds total rewrites per call (a
+        real deployment spreads this over background cycles). Returns
+        (splits, merges)."""
+        splits = merges = 0
+
+        def seg_counts() -> dict[int, int]:
+            stable = self.spark.read.parquet(os.path.join(self.path, "stable"))
+            return {
+                r.s: r.n
+                for r in stable.groupBy(F.col("_seg").alias("s"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+
+        while splits + merges < max_ops:
+            counts = seg_counts()
+            over = [s for s, n in counts.items() if n > max_rows]
+            if not over:
+                break
+            target = max(over, key=lambda s: (counts[s], -s))
+            try:
+                self.split_segment(target)
+                splits += 1
+            except ValueError:
+                break  # unsplittable (single-handle segment) — stop
+        if min_rows:
+            while splits + merges < max_ops:
+                counts = seg_counts()
+                man = self._manifest()
+                ordered = sorted(
+                    ((int(k), blo, bhi) for k, (blo, bhi) in man["bounds"].items()),
+                    key=lambda t: t[1],
+                )
+                pair = None
+                for (ls, _, lhi), (rs, rlo, _) in zip(ordered, ordered[1:]):
+                    if lhi == rlo and counts.get(ls, 0) + counts.get(rs, 0) < min_rows:
+                        pair = (ls, rs)
+                        break
+                if not pair:
+                    break
+                self.merge_segments(*pair)
+                merges += 1
+        return (splits, merges)
