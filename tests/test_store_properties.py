@@ -1,0 +1,87 @@
+"""Property-based MVCC store testing (beyond the reference — SURVEY §5
+notes it has none): random op sequences (delta upserts/deletes, bulk
+ingests, compactions at random safe-points, segment reshapes) must always
+agree with a trivial in-memory model of newest-version-wins semantics.
+
+Kept deliberately small (examples × ops) — every op is a real Spark
+job; the value is the random INTERLEAVING, which directed tests can't
+cover."""
+
+from __future__ import annotations
+
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tiflash_spark.operators.mvcc import HANDLE
+from tiflash_spark.sources.delta_store import DeltaStore
+
+_counter = itertools.count()
+
+HANDLES = st.integers(min_value=0, max_value=9)
+
+
+@st.composite
+def op_sequences(draw):
+    n_ops = draw(st.integers(min_value=3, max_value=7))
+    ops, version = [], 0
+    for _ in range(n_ops):
+        version += 1
+        kind = draw(st.sampled_from(["write", "delete", "ingest", "compact"]))
+        if kind in ("write", "ingest"):
+            hs = draw(st.lists(HANDLES, min_size=1, max_size=4, unique=True))
+            ops.append((kind, version, hs))
+        elif kind == "delete":
+            hs = draw(st.lists(HANDLES, min_size=1, max_size=2, unique=True))
+            ops.append((kind, version, hs))
+        else:
+            ops.append(("compact", version, draw(st.booleans())))  # segmented?
+    return ops
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(ops=op_sequences())
+def test_random_op_sequences_match_model(spark, tmp_path, ops):
+    store = DeltaStore(spark, str(tmp_path / f"s{next(_counter)}"))
+    model: dict[int, tuple[int, str | None]] = {}  # handle -> (version, value|None=deleted)
+    wrote = False
+    for kind, version, arg in ops:
+        if kind in ("write", "ingest", "delete"):
+            hs = arg
+            rows = [(h, f"{kind}{version}h{h}") for h in hs]
+            df = spark.createDataFrame(rows, f"{HANDLE} long, v string")
+            if kind == "write":
+                store.write_batch(df, version=version)
+                for h, v in rows:
+                    model[h] = (version, v)
+            elif kind == "ingest":
+                store.ingest_snapshot(df, version=version)
+                for h, v in rows:
+                    model[h] = (version, v)
+            else:
+                store.write_batch(df, version=version, delete=True)
+                for h, _ in rows:
+                    model[h] = (version, None)
+            wrote = True
+        else:
+            if not wrote:
+                continue  # compacting an empty store is a separate unit test
+            if arg:
+                store.compact(ts=version, num_segments=3)
+            else:
+                store.compact(ts=version)
+        live = {h: v for h, (_, v) in model.items() if v is not None}
+        got = {r[HANDLE]: r.v for r in store.read().collect()}
+        assert got == live, f"after {kind}@{version}: {got} != {live}"
+    # point reads agree with the final model too
+    if model:
+        some = sorted(model)[:3]
+        live = {h: model[h][1] for h in some if model[h][1] is not None}
+        got = {r[HANDLE]: r.v for r in store.read_handles(some).collect()}
+        assert got == live
