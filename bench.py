@@ -62,6 +62,7 @@ PIPELINE_HEADLINE = [
     "dedup_incremental",
     "ann_ivf_topk",
     "curation_pipeline",
+    "events_resample",
 ]
 
 

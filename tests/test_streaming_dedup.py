@@ -100,3 +100,46 @@ def test_stream_static_enrichment_broadcasts(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {10: "news", 11: None}
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join with event-time range + watermarks — the
+    stateful two-sided join (purchases attributed to a click within 10
+    minutes). State on both sides is watermark-bounded."""
+    clicks_src, buys_src, out, ckpt = (
+        str(tmp_path / d) for d in ("clicks", "buys", "out", "ckpt")
+    )
+    _write(
+        f"{clicks_src}/b0.json",
+        [
+            {"ts": "2024-01-01 00:01:00", "doc_id": 1, "payload": "c1"},
+            {"ts": "2024-01-01 00:30:00", "doc_id": 2, "payload": "c2"},
+        ],
+    )
+    _write(
+        f"{buys_src}/b0.json",
+        [
+            {"ts": "2024-01-01 00:05:00", "doc_id": 1, "payload": "b1"},  # +4min: match
+            {"ts": "2024-01-01 00:50:00", "doc_id": 2, "payload": "b2"},  # +20min: no match
+        ],
+    )
+    clicks = (
+        spark.readStream.schema(SCHEMA).json(clicks_src)
+        .withWatermark("ts", "1 hour")
+        .select(F.col("doc_id").alias("user"), F.col("ts").alias("click_ts"))
+    )
+    buys = (
+        spark.readStream.schema(SCHEMA).json(buys_src)
+        .withWatermark("ts", "1 hour")
+        .select(F.col("doc_id").alias("buser"), F.col("ts").alias("buy_ts"))
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("user") == F.col("buser"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("user", "click_ts", "buy_ts")
+    _run(joined, out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    assert [(r.user,) for r in rows] == [(1,)], rows

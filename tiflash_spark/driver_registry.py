@@ -226,6 +226,10 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
           "ROUND(SUM(COALESCE(ref_value, 0)), 2)"]),
         ("range_join_incidents",
          ["SUM(inc_id + n_events)", "ROUND(SUM(total_value), 2)"]),
+        ("events_resample",
+         ["SUM(n_events + CAST(is_gap AS INT))",
+          "ROUND(SUM(COALESCE(avg_value_ffill, 0)), 2)",
+          "SUM(YEAR(h) + MONTH(h) + DAY(h) + HOUR(h))"]),
     ],
     "curation": [
         ("decontaminate",

@@ -237,3 +237,83 @@ ORACLE = {
     "asof_join_events": ASOF_JOIN_EVENTS_SQL,
     "range_join_incidents": RANGE_JOIN_INCIDENTS_SQL,
 }
+
+
+def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the event stream onto a regular hourly grid with
+    forward-fill — the time-series gap-filling operator (absent in the
+    reference, which leaves time bucketing to TiDB; first-class in every
+    time-series engine). Plan: one agg shuffle for the hourly rollup, a
+    generated grid (O(span x types) rows — bounded by calendar time, not
+    data volume), a left join, and one carry-forward window per type.
+    At extreme spans partition the fill by (type, day) with a per-day
+    seed row to keep windows bounded."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.avg("value").alias("av"),
+        )
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        bounds.select(
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h")
+        )
+        .crossJoin(e.select("event_type").distinct())
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(hourly, ["event_type", "h"], "left")
+    return (
+        joined.select(
+            "event_type",
+            "h",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.round(
+                F.last("av", ignorenulls=True).over(w), 4
+            ).alias("avg_value_ffill"),
+            F.col("n_events").isNull().alias("is_gap"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
+EVENTS_RESAMPLE_SQL = """
+WITH bounds AS (
+  SELECT DATE_TRUNC('hour', MIN(ts)) AS lo, DATE_TRUNC('hour', MAX(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 HOUR)) AS h
+              FROM bounds) g
+),
+hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n_events, AVG(value) AS av
+  FROM events GROUP BY 1, 2
+)
+SELECT g.event_type, g.h,
+       CAST(COALESCE(hr.n_events, 0) AS BIGINT) AS n_events,
+       ROUND(LAST_VALUE(hr.av IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.h
+         ROWS UNBOUNDED PRECEDING), 4) AS avg_value_ffill,
+       hr.n_events IS NULL AS is_gap
+FROM grid g LEFT JOIN hourly hr
+  ON g.event_type = hr.event_type AND g.h = hr.h
+ORDER BY g.event_type, g.h
+"""
+
+QUERIES["events_resample"] = events_resample
+ORACLE["events_resample"] = EVENTS_RESAMPLE_SQL
