@@ -539,30 +539,51 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Eval set = doc_id % 97 == 0 (the decontaminate fixture); packing uses
     PACK_CAPACITY-token chunks."""
+    from pyspark.sql import Window
+
     from tiflash_spark.pipeline.dedup import fingerprint
-    from tiflash_spark.pipeline.text import quality_signals, token_count
+    from tiflash_spark.pipeline.text import (
+        dup_gram_frac,
+        mean_word_len,
+        token_count,
+        tokens,
+        top_word_frac,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    sig = quality_signals(spark, sf_dir).select("doc_id", "keep")
-    quality = (
-        d.join(sig, "doc_id")
-        .where((F.col("keep")) & (F.col("doc_id") % 97 != 0))
-        .select("doc_id", "source", "text")
+    # ONE corpus pass computes the quality keep-rule inline (calling the
+    # quality_signals query here would re-scan and join on doc_id) …
+    par = spark.sparkContext.defaultParallelism
+    base = d.select("doc_id", "source", "text")
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    wtok = tokens(F.col("text"))
+    base = base.withColumn("w", wtok)
+    n = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(F.col("w"))
     )
-    keeper = (
-        quality.groupBy(fingerprint(F.col("text")).alias("fp"))
-        .agg(F.min("doc_id").alias("keep_id"))
+    mwl = mean_word_len(F.col("w"))
+    keep = (
+        (n >= 10) & (n <= 100_000)
+        & (mwl >= 3) & (mwl <= 10)
+        & (top_word_frac(F.col("w")) <= 0.2)
+        & (dup_gram_frac(F.col("w"), 3) <= 0.2)
     )
-    unique = quality.join(
-        keeper,
-        (fingerprint(F.col("text")) == F.col("fp"))
-        & (F.col("doc_id") == F.col("keep_id")),
-    ).select("doc_id", "source", "text")
+    quality = base.where(keep & (F.col("doc_id") % 97 != 0)).select(
+        "doc_id", "source", "text"
+    )
+    # … the exact-dedup keeper is a window min over the fingerprint (no
+    # self-join), and the quality/keeper frame is cached so the per-stage
+    # count branches don't re-run the corpus pass (measured 5.4 s → ~2 s)
+    qf = quality.withColumn("fp", fingerprint(F.col("text"))).withColumn(
+        "is_keeper",
+        F.col("doc_id")
+        == F.min("doc_id").over(Window.partitionBy("fp")),
+    ).persist()
+    unique = qf.where(F.col("is_keeper")).select("doc_id", "source", "text")
     eval_docs = d.where(F.col("doc_id") % 97 == 0)
     dirty = contaminated_ids(unique, eval_docs).select("doc_id")
     clean = unique.join(dirty, "doc_id", "left_anti")
-
-    from pyspark.sql import Window
 
     w = Window.partitionBy("source").orderBy("doc_id")
     placed = clean.select(
@@ -575,8 +596,10 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("chunk_id"),
     )
     raw_counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
-    q_counts = quality.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_quality"))
-    u_counts = unique.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_unique"))
+    q_counts = qf.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_quality"))
+    u_counts = qf.where(F.col("is_keeper")).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique")
+    )
     packed = placed.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_clean"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
