@@ -113,3 +113,24 @@ def test_window_topk_map_side_group_limit(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan.split("WindowGroupLimit")[2]  # map-side copy exists
+
+
+def test_execution_profile_proves_partial_agg(spark):
+    """Runtime-metrics surface (reference ExecutionSummaryHelper.cpp —
+    per-operator rows/bytes shipped back for EXPLAIN ANALYZE): the
+    executed q1 plan must show map-side combining EMPIRICALLY — the
+    shuffle carries ~#groups records, orders of magnitude below the
+    filtered input row count."""
+    from tiflash_spark.operators.relational import q1_pricing_summary
+    from tiflash_spark.plans.explain import execution_profile
+
+    prof = execution_profile(q1_pricing_summary(spark, SF_SMALL))
+    by_node = {}
+    for p in prof:
+        by_node.setdefault(p["node"], []).append(p["metrics"])
+    scan_rows = max(m["numOutputRows"] for m in by_node["FileSourceScan"])
+    shuffled = max(
+        m["shuffleRecordsWritten"] for m in by_node["ShuffleExchange"]
+    )
+    assert scan_rows > 1000
+    assert 0 < shuffled <= 64, (scan_rows, shuffled)  # ~#groups, not #rows

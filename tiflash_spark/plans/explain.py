@@ -63,3 +63,45 @@ def has_filter_pushdown(df: DataFrame) -> bool:
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Count WholeStageCodegen spans — wider is better (fewer breaks)."""
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))
+
+
+def execution_profile(df: DataFrame) -> list[dict]:
+    """Per-operator runtime metrics after executing ``df`` — the engine's
+    ExecutionSummary surface (reference dbms/src/Flash/Statistics/:
+    ExecutionSummaryHelper.cpp collects per-executor rows/bytes/time and
+    ships them back to TiDB for EXPLAIN ANALYZE). Spark records the same
+    numbers as SQLMetrics on every physical node; this walks the executed
+    plan (inside AQE's final plan) and surfaces them as
+    [{node, metrics: {name: value}}, ...] in pre-order.
+
+    Triggers execution via collect() — metrics exist only after THIS
+    query execution ran (count() would execute a different, rewritten
+    plan and leave these nodes' metrics empty)."""
+    df.collect()
+    jplan = df._jdf.queryExecution().executedPlan()
+    # unwrap AdaptiveSparkPlanExec to its final physical plan
+    if jplan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        jplan = jplan.executedPlan()
+
+    out: list[dict] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName().removesuffix("Exec")
+        metrics = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            metric = kv._2()
+            metrics[kv._1()] = metric.value()
+        out.append({"node": name, "metrics": metrics})
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+        # follow reused/inner plans of query-stage wrappers (AQE)
+        simple = node.getClass().getSimpleName()
+        if simple in ("ShuffleQueryStageExec", "BroadcastQueryStageExec",
+                      "TableCacheQueryStageExec", "ResultQueryStageExec"):
+            walk(node.plan())
+
+    walk(jplan)
+    return out
