@@ -36,7 +36,10 @@ def op_sequences(draw):
             hs = draw(st.lists(HANDLES, min_size=1, max_size=2, unique=True))
             ops.append((kind, version, hs))
         else:
-            ops.append(("compact", version, draw(st.booleans())))  # segmented?
+            ops.append(
+                ("compact", version,
+                 draw(st.sampled_from(["flat", "hash", "range"])))
+            )
     return ops
 
 
@@ -72,16 +75,23 @@ def test_random_op_sequences_match_model(spark, tmp_path, ops):
         else:
             if not wrote:
                 continue  # compacting an empty store is a separate unit test
-            if arg:
+            if arg == "hash":
                 store.compact(ts=version, num_segments=3)
+            elif arg == "range":
+                store.compact_range_segments(ts=version, num_segments=2)
             else:
                 store.compact(ts=version)
         live = {h: v for h, (_, v) in model.items() if v is not None}
         got = {r[HANDLE]: r.v for r in store.read().collect()}
         assert got == live, f"after {kind}@{version}: {got} != {live}"
-    # point reads agree with the final model too
+    # point and range reads agree with the final model too
     if model:
         some = sorted(model)[:3]
         live = {h: model[h][1] for h in some if model[h][1] is not None}
         got = {r[HANDLE]: r.v for r in store.read_handles(some).collect()}
         assert got == live
+        live_rng = {
+            h: v for h, (_, v) in model.items() if v is not None and 2 <= h < 8
+        }
+        got_rng = {r[HANDLE]: r.v for r in store.read_range(2, 8).collect()}
+        assert got_rng == live_rng

@@ -188,6 +188,24 @@ class DeltaStore:
 
     # --- read path ---------------------------------------------------------
 
+    def _write_stable_schema(self, schema) -> None:
+        """Sidecar with the stable layer's schema: a compaction that
+        garbage-collects EVERY row (fully-tombstoned table) writes zero
+        parquet files, and without this the store would become unreadable
+        (UNABLE_TO_INFER_SCHEMA) instead of reading as empty. Found by
+        the property-based op-sequence test."""
+        with open(os.path.join(self.path, "_STABLE_SCHEMA"), "w") as fh:
+            fh.write(schema.json())
+
+    def _stable_schema(self):
+        p = os.path.join(self.path, "_STABLE_SCHEMA")
+        if os.path.exists(p):
+            from pyspark.sql import types as T
+
+            with open(p) as fh:
+                return T.StructType.fromJson(__import__("json").load(fh))
+        return None
+
     def _layer(self, name: str) -> DataFrame | None:
         p = os.path.join(self.path, name)
         try:
@@ -199,6 +217,12 @@ class DeltaStore:
             df = r.parquet(p)
             return df if df.columns else None
         except Exception:
+            if name == "stable":
+                schema = self._stable_schema()
+                if schema is not None:
+                    # all rows GC'd at the last compaction: a valid,
+                    # EMPTY table — not an error
+                    return self.spark.createDataFrame([], schema)
             return None  # empty layer
 
 
@@ -282,7 +306,8 @@ class DeltaStore:
                 .write.mode("overwrite")
                 .parquet(tmp)
             )
-        n = self.spark.read.parquet(tmp).count()
+        n = self.spark.read.schema(merged.schema).parquet(tmp).count()
+        self._write_stable_schema(merged.schema)
         # atomic-ish swap: retire old layers, promote the new stable
         import shutil
 
@@ -381,7 +406,8 @@ class DeltaStore:
             .mode("overwrite")
             .parquet(tmp)
         )
-        n = self.spark.read.parquet(tmp).count()
+        n = self.spark.read.schema(merged.schema).parquet(tmp).count()
+        self._write_stable_schema(merged.schema)
         import shutil
 
         for name in ("stable", "delta"):
