@@ -1,0 +1,77 @@
+"""Property-based scalar-expression parity (extends the directed
+test_expression_matrix): random rows flow through a battery of scalar
+expressions whose SQL text is SHARED verbatim between Spark SQL and
+DuckDB — any divergence in math/string/conditional semantics on the
+random inputs fails the hash compare.
+
+Inputs are constrained to the domain where the two engines (and MySQL)
+agree by design: finite doubles away from int64 edges, ASCII strings.
+Engine-specific edges (overflow wrap, locale case folding) are covered
+by the directed mysql_compat tests instead — this suite guards the
+COMMON surface against regressions."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tiflash_spark.testing import normalize_rows
+
+SAFE_INT = st.integers(min_value=-(10**9), max_value=10**9)
+SAFE_DOUBLE = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+ASCII = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=24
+)
+
+EXPRS = """
+  i, d, s,
+  ABS(i)                            AS abs_i,
+  CAST(FLOOR(d) AS BIGINT)          AS floor_d,
+  CAST(CEIL(d) AS BIGINT)           AS ceil_d,
+  ROUND(d, 2)                       AS round_d,
+  SQRT(ABS(d))                      AS sqrt_d,
+  LN(1.5 + ABS(d))                  AS ln_d,
+  CAST(POWER(ABS(d), 0.5) AS DOUBLE) AS pow_d,
+  CAST(SIGN(i) AS BIGINT)           AS sign_i,
+  GREATEST(i, 0)                    AS gr_i,
+  LEAST(i, 0)                       AS le_i,
+  LENGTH(s)                         AS len_s,
+  UPPER(s)                          AS up_s,
+  LOWER(s)                          AS lo_s,
+  TRIM(s)                           AS tr_s,
+  SUBSTR(s, 2, 5)                   AS sub_s,
+  REVERSE(s)                        AS rev_s,
+  REPLACE(s, 'a', 'b')              AS repl_s,
+  CONCAT(s, '|', s)                 AS cat_s,
+  COALESCE(NULLIF(s, ''), '<empty>') AS nz_s,
+  CASE WHEN i > 0 THEN 'pos' WHEN i < 0 THEN 'neg' ELSE 'zero' END AS band,
+  CAST(i % 97 AS BIGINT)            AS mod_i
+"""
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(SAFE_INT, SAFE_DOUBLE, ASCII), min_size=1, max_size=20
+    )
+)
+def test_scalar_expressions_agree_on_random_rows(spark, rows):
+    pdf = pd.DataFrame(rows, columns=["i", "d", "s"])
+    spark.createDataFrame(pdf.assign(d=pdf.d.astype("float64"))).createOrReplaceTempView(
+        "fuzz_t"
+    )
+    sql = f"SELECT {EXPRS} FROM fuzz_t"
+    sp = spark.sql(sql).toPandas()
+    con = duckdb.connect()
+    con.register("fuzz_t", pdf)
+    du = con.execute(sql).fetchdf()
+    assert normalize_rows(sp) == normalize_rows(du)
