@@ -95,3 +95,97 @@ def test_random_op_sequences_match_model(spark, tmp_path, ops):
         }
         got_rng = {r[HANDLE]: r.v for r in store.read_range(2, 8).collect()}
         assert got_rng == live_rng
+
+
+@st.composite
+def ddl_op_sequences(draw):
+    """Op sequences that interleave online DDL (add/drop of one extra
+    column) with writes, ingests, and compactions."""
+    n_ops = draw(st.integers(min_value=4, max_value=8))
+    ops, version, has_x, added_ever = [], 0, False, False
+    for _ in range(n_ops):
+        version += 1
+        kind = draw(st.sampled_from(
+            ["write", "ingest", "compact", "addcol", "dropcol"]
+        ))
+        if kind in ("write", "ingest"):
+            hs = draw(st.lists(HANDLES, min_size=1, max_size=3, unique=True))
+            ops.append((kind, version, hs))
+        elif kind == "addcol":
+            # at most one add per sequence: re-adding a dropped column
+            # resurfaces old file values (documented same-type-re-add
+            # behavior), which the flat model here doesn't track
+            if has_x or added_ever:
+                continue
+            has_x = added_ever = True
+            ops.append(("addcol", version, None))
+        elif kind == "dropcol":
+            if not has_x:
+                continue
+            has_x = False
+            ops.append(("dropcol", version, None))
+        else:
+            ops.append(("compact", version,
+                        draw(st.sampled_from(["flat", "hash"]))))
+    return ops
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(ops=ddl_op_sequences())
+def test_random_ddl_interleavings_match_model(spark, tmp_path, ops):
+    """Online DDL between writes/ingests/compactions: reads must always
+    reflect the CURRENT schema (added column NULL for pre-DDL rows,
+    dropped column pruned), at any interleaving."""
+    store = DeltaStore(spark, str(tmp_path / f"d{next(_counter)}"))
+    # bootstrap one row so the schema manifest can snapshot v1
+    store.write_batch(
+        spark.createDataFrame([(99, "seed")], f"{HANDLE} long, v string"),
+        version=1,
+    )
+    model: dict[int, dict] = {99: {"v": "seed", "x": None}}
+    has_x, wrote = False, True
+    for kind, version, arg in ops:
+        version += 1  # leave room for the seed write at v1
+        if kind in ("write", "ingest"):
+            if has_x:
+                rows = [(h, f"w{version}h{h}", version * 10 + h) for h in arg]
+                df = spark.createDataFrame(
+                    rows, f"{HANDLE} long, v string, x int"
+                )
+                for h, v, x in rows:
+                    model[h] = {"v": v, "x": x}
+            else:
+                rows = [(h, f"w{version}h{h}") for h in arg]
+                df = spark.createDataFrame(rows, f"{HANDLE} long, v string")
+                for h, v in rows:
+                    model[h] = {"v": v, "x": None}
+            if kind == "write":
+                store.write_batch(df, version=version)
+            else:
+                store.ingest_snapshot(df, version=version)
+        elif kind == "addcol":
+            store.add_column("x", "int")
+            has_x = True
+            for st_row in model.values():
+                st_row["x"] = None  # pre-DDL rows read as NULL
+        elif kind == "dropcol":
+            store.drop_column("x")
+            has_x = False
+        else:
+            if arg == "hash":
+                store.compact(ts=version, num_segments=2)
+            else:
+                store.compact(ts=version)
+        rows_now = store.read().collect()
+        got_v = {r[HANDLE]: r.v for r in rows_now}
+        assert got_v == {h: m["v"] for h, m in model.items()}, (kind, version)
+        if has_x:
+            got_x = {r[HANDLE]: r.x for r in rows_now}
+            assert got_x == {h: m["x"] for h, m in model.items()}, (kind, version)
+        else:
+            assert all("x" not in r.asDict() for r in rows_now), (kind, version)
