@@ -75,3 +75,44 @@ def test_scalar_expressions_agree_on_random_rows(spark, rows):
     con.register("fuzz_t", pdf)
     du = con.execute(sql).fetchdf()
     assert normalize_rows(sp) == normalize_rows(du)
+
+
+TS = st.datetimes(
+    min_value=pd.Timestamp("1990-01-03").to_pydatetime(),
+    max_value=pd.Timestamp("2030-12-28").to_pydatetime(),
+)
+
+DT_EXPRS = """
+  ts,
+  CAST(YEAR(ts) AS BIGINT)    AS y,
+  CAST(MONTH(ts) AS BIGINT)   AS mo,
+  CAST(DAY(ts) AS BIGINT)     AS d,
+  CAST(HOUR(ts) AS BIGINT)    AS h,
+  CAST(MINUTE(ts) AS BIGINT)  AS mi,
+  CAST(SECOND(ts) AS BIGINT)  AS sec,
+  DATE_TRUNC('day', ts)       AS day_start,
+  DATE_TRUNC('hour', ts)      AS hour_start,
+  ts + INTERVAL 3 DAY         AS plus3d,
+  ts - INTERVAL 2 HOUR        AS minus2h,
+  CAST(LAST_DAY(CAST(ts AS DATE)) AS TIMESTAMP) AS eom,
+  CAST(CAST(ts AS DATE) AS TIMESTAMP) AS just_date,
+  GREATEST(ts, TIMESTAMP '2000-01-01 00:00:00') AS clamped
+"""
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(rows=st.lists(TS, min_size=1, max_size=15))
+def test_datetime_expressions_agree_on_random_timestamps(spark, rows):
+    pdf = pd.DataFrame({"ts": [t.replace(microsecond=0) for t in rows]})
+    spark.createDataFrame(pdf).createOrReplaceTempView("fuzz_ts")
+    sql = f"SELECT {DT_EXPRS} FROM fuzz_ts"
+    sp = spark.sql(sql).toPandas()
+    con = duckdb.connect()
+    con.register("fuzz_ts", pdf)
+    du = con.execute(sql).fetchdf()
+    assert normalize_rows(sp) == normalize_rows(du)
