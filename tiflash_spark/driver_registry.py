@@ -291,6 +291,8 @@ ROWS_ONLY_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
         ("approx_count_distinct",
          ["SUM(approx_parts + exact_parts)", "ROUND(SUM(rel_err), 4)"]),
         ("approx_quantiles", ["ROUND(SUM(p50 + p95 + lo + hi), 2)"]),
+        ("approx_heavy_hitters",
+         ["SUM(est + exact)", "SUM(LENGTH(tok))"]),
     ],
 }
 

@@ -61,3 +61,54 @@ QUERIES = {
 }
 
 ORACLE: dict[str, str] = {}
+
+
+def approx_heavy_hitters(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Heavy hitters via count-min sketch: ONE ungrouped aggregate builds
+    the CMS over every token (per-task sketches merge map-side — the
+    whole corpus contributes without a token shuffle), then the driver
+    deserializes the sketch (bounded: ~KBs) and estimates counts for the
+    exact top-k tokens so the result carries estimate vs truth side by
+    side. The CMS guarantee (est >= exact, overcount <= eps·N w.p.
+    confidence) is pinned in tests/test_approx.py.
+
+    rows-only driver check: DuckDB has no CMS (sketch family, like HLL).
+    """
+    from pyspark.sql import types as T
+
+    from tiflash_spark.pipeline.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    sk_row = toks.agg(
+        F.expr("count_min_sketch(tok, 0.001d, 0.99d, 42)").alias("sk"),
+        F.count(F.lit(1)).alias("n_total"),
+    ).collect()[0]
+    jvm = spark.sparkContext._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk_row.sk)
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .orderBy(F.col("exact").desc(), F.col("tok"))
+        .limit(k)
+        .collect()
+    )
+    rows = [
+        (r.tok, int(sketch.estimateCount(r.tok)), int(r.exact),
+         int(sk_row.n_total))
+        for r in exact
+    ]
+    return spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("tok", T.StringType()),
+            T.StructField("est", T.LongType()),
+            T.StructField("exact", T.LongType()),
+            T.StructField("n_total", T.LongType()),
+        ]),
+    ).orderBy(F.col("exact").desc(), F.col("tok"))
+
+
+QUERIES["approx_heavy_hitters"] = approx_heavy_hitters  # sketch: rows-only
