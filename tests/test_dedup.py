@@ -134,3 +134,32 @@ def test_embedding_dedup_lsh_recall_on_planted_neardups(spark):
     assert len(hit) >= 16, f"planted recall too low: {len(hit)}/20"
     # and no garbage: every surfaced >=0.95 pair is a planted one here
     assert found <= planted
+
+
+def test_minhash_band_index_join_is_exchange_free(spark):
+    """The persisted band index is bucketed by bh; the candidate
+    self-join keys on (band, bh) ⊇ {bh}, so with broadcast disabled the
+    join runs bucket-co-located with ZERO shuffle exchanges (the
+    property that makes LSH candidate generation viable on a
+    corpus-sized signature table). At tiny SF the planner may instead
+    broadcast — also shuffle-free — so the pin forces the shuffle path."""
+    from pyspark.sql import functions as F
+
+    from tiflash_spark.pipeline.dedup import minhash_band_index
+
+    banded = minhash_band_index(spark, "/root/testdata/sf0.001")
+    a, b = banded.alias("a"), banded.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan, plan[:1200]
+    assert "Exchange hashpartitioning" not in plan, plan[:1200]

@@ -208,6 +208,39 @@ def minhash_candidates(
     )
 
 
+def minhash_band_index(
+    spark: SparkSession, sf_dir: str,
+    bands: int = NUM_BANDS, rows: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """The at-rest LSH index: the banded (doc_id, band, bh) table written
+    BUCKETED BY (band, bh), once per scale factor (same warehouse
+    contract as the fulltext postings and the IVF index). The candidate
+    self-join keys on exactly the bucket columns, so both sides arrive
+    co-partitioned and the self-join runs WITHOUT any shuffle exchange —
+    the number that matters when the signature table is corpus-sized.
+    (Bucketing on bh alone is NOT enough: Spark's co-partition check
+    requires ALL join keys in the bucket spec —
+    requireAllClusterKeysForCoPartition.)"""
+    from tiflash_spark.pipeline.fulltext import _ensure_bucketed, _sf_tag
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        docs = d.select("doc_id", word_bigrams(F.col("text")).alias("sh"))
+        sigs = docs.select(
+            "doc_id", minhash_signature(F.col("sh"), k=bands * rows).alias("sig")
+        )
+        return sigs.select(
+            "doc_id",
+            F.posexplode(
+                minhash_bands(F.col("sig"), bands=bands, rows=rows)
+            ).alias("band", "bh"),
+        )
+
+    return _ensure_bucketed(
+        spark, f"mh_bands_{_sf_tag(sf_dir)}", build, ("band", "bh"), 32
+    )
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard >= 0.5.
 
@@ -215,10 +248,25 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     output equals the ngram_jaccard ground truth wherever LSH recall hits,
     which tests/test_dedup.py asserts. Verification joins shingles back by
     id — candidate count << corpus, so the two verify joins are small.
-    """
+
+    Candidates come from the PERSISTED bucketed band index (built once
+    per sf): the banded self-join is exchange-free (bucket co-location,
+    pinned by test_dedup), so the measured query is lookup + verify, not
+    signature building."""
     d = load_table(spark, sf_dir, "documents")
     docs = d.select("doc_id", word_bigrams(F.col("text")).alias("sh")).persist()
-    cand = minhash_candidates(docs)
+    banded = minhash_band_index(spark, sf_dir)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
     sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     pairs = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")

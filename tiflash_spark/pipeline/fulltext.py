@@ -93,7 +93,7 @@ def _ensure_bucketed(
     spark: SparkSession,
     name: str,
     build,
-    bucket_col: str,
+    bucket_col: str | tuple[str, ...],
     buckets: int,
 ) -> DataFrame:
     """Get a bucketed table, building it at most once per warehouse:
@@ -104,6 +104,7 @@ def _ensure_bucketed(
     3) otherwise build, write bucketed, register."""
     import os
 
+    cols = (bucket_col,) if isinstance(bucket_col, str) else tuple(bucket_col)
     if spark.catalog.tableExists(name):
         return spark.table(name)
     wh = _warehouse_path(spark)
@@ -113,14 +114,19 @@ def _ensure_bucketed(
     ):
         schema = spark.read.parquet(loc).schema
         ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+        clause = ", ".join(cols)
         spark.sql(
             f"CREATE TABLE {name} ({ddl}) USING PARQUET "
-            f"CLUSTERED BY ({bucket_col}) SORTED BY ({bucket_col}) "
+            f"CLUSTERED BY ({clause}) SORTED BY ({clause}) "
             f"INTO {buckets} BUCKETS LOCATION '{loc}'"
         )
         return spark.table(name)
     df = build()
-    w = df.write.mode("overwrite").bucketBy(buckets, bucket_col).sortBy(bucket_col)
+    w = (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, cols[0], *cols[1:])
+        .sortBy(cols[0], *cols[1:])
+    )
     if loc:
         w = w.option("path", loc)
     w.saveAsTable(name)
