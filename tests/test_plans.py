@@ -134,3 +134,26 @@ def test_execution_profile_proves_partial_agg(spark):
     )
     assert scan_rows > 1000
     assert 0 < shuffled <= 64, (scan_rows, shuffled)  # ~#groups, not #rows
+
+
+def test_round3_query_shuffle_ceilings(spark):
+    """Exchange-count ceilings for the round-3 operators — regression
+    fence so a future edit can't silently add data-sized shuffles. The
+    tiny-table exchanges (source/count frames of ≤ |sources| rows) are
+    included in the count, so ceilings sit at the measured value."""
+    from tiflash_spark.plans.explain import exchange_count
+    from tiflash_spark.registry import all_queries
+
+    qs = all_queries()
+    ceilings = {
+        "quality_signals": 1,      # conditional repartition only
+        "pack_sequences": 2,       # per-shard window + final agg
+        "ann_quantized_topk": 0,   # persisted scales + broadcast q
+        "events_resample": 4,      # rollup, grid, fill window, sort
+        "dedup_incremental": 5,    # fp agg + anti join + counts
+        "lm_perplexity": 5,        # vocab, total, score, rollup, sort
+        "sample_temperature": 8,   # two tiny aggs + quota joins (rows ≤ |sources|)
+    }
+    for name, cap in ceilings.items():
+        got = exchange_count(qs[name](spark, SF_SMALL))
+        assert got <= cap, (name, got, cap)

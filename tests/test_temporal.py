@@ -174,3 +174,49 @@ def test_range_join_no_cross_product(spark):
     plan = formatted_plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_tolerance_matches_pandas(spark):
+    """tolerance_s semantics pinned against pandas merge_asof."""
+    import pandas as pd
+
+    from tiflash_spark.operators.temporal import asof_join
+
+    left_rows = [
+        (1, "2024-01-01 00:10:00"), (1, "2024-01-01 01:00:00"),
+        (2, "2024-01-01 00:05:00"),
+    ]
+    right_rows = [
+        (1, "2024-01-01 00:00:00", 10.0), (1, "2024-01-01 00:50:00", 20.0),
+        (2, "2024-01-01 00:04:00", 30.0),
+    ]
+    left = spark.createDataFrame(
+        [(k, pd.Timestamp(t).to_pydatetime()) for k, t in left_rows],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, pd.Timestamp(t).to_pydatetime(), v) for k, t, v in right_rows],
+        "k long, ts timestamp, v double",
+    )
+    got = {
+        (r.k, r.ts): r.ref_v
+        for r in asof_join(
+            left, right, by="k", left_ts="ts", right_ts="ts",
+            right_cols=("v",), tolerance_s=600,
+        ).collect()
+    }
+    lp = pd.DataFrame(
+        [(k, pd.Timestamp(t)) for k, t in left_rows], columns=["k", "ts"]
+    ).sort_values("ts")
+    rp = pd.DataFrame(
+        [(k, pd.Timestamp(t), v) for k, t, v in right_rows],
+        columns=["k", "ts", "v"],
+    ).sort_values("ts")
+    exp_df = pd.merge_asof(
+        lp, rp, on="ts", by="k", tolerance=pd.Timedelta(seconds=600)
+    )
+    exp = {
+        (r.k, r.ts.to_pydatetime()): (None if pd.isna(r.v) else r.v)
+        for r in exp_df.itertuples()
+    }
+    assert got == exp, (got, exp)

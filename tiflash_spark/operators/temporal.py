@@ -44,12 +44,17 @@ def asof_join(
     right_cols: tuple[str, ...],
     prefix: str = "ref_",
     direction: str = "backward",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
     """For each left row, attach ``right_cols`` from the single right row
     with the largest ``right_ts`` <= ``left_ts`` (direction='backward',
     inclusive — DuckDB/pandas ``merge_asof`` semantics) or the smallest
     ``right_ts`` >= ``left_ts`` ('forward') within the same ``by`` key.
-    Unmatched left rows keep NULLs.
+    Unmatched left rows keep NULLs. ``tolerance_s`` bounds the match
+    age like pandas ``merge_asof(tolerance=...)``: a carried right row
+    further than that many seconds from the left timestamp reverts to
+    NULLs (evaluated as a post-carry expression — the single-window plan
+    is unchanged).
 
     One shuffle (window over ``by``), no row blowup: the union carries
     each right row once, and the carried payload is a single struct so
@@ -90,8 +95,20 @@ def asof_join(
         carried = F.last("_r", ignorenulls=True).over(
             w.rowsBetween(Window.unboundedPreceding, 0)
         )
+    matched = u.withColumn("_match", carried)
+    if tolerance_s is not None:
+        gap = (
+            F.unix_timestamp(F.col("_ord"))
+            - F.unix_timestamp(F.col("_match")["_ts"])
+            if direction == "backward"
+            else F.unix_timestamp(F.col("_match")["_ts"])
+            - F.unix_timestamp(F.col("_ord"))
+        )
+        matched = matched.withColumn(
+            "_match", F.when(gap <= tolerance_s, F.col("_match"))
+        )
     out = (
-        u.withColumn("_match", carried)
+        matched
         .filter(F.col("_is_left"))
         .select(
             *[F.col(f"_l_{c}").alias(c) for c in left.columns],
