@@ -179,3 +179,21 @@ def test_feature_extraction_feeds_ann(spark):
     r2 = [(r.media_id, r.sim) for r in top.collect()]
     assert r1 == r2 and len(r1) == 5
     assert all(-1.0 <= s <= 1.0 for _, s in r1)
+
+
+def test_multimodal_ann_chain_topk_and_plan(spark):
+    """resize → extract_features → cosine topk as one plan: exact top-10,
+    and the mapInPandas boundary must not introduce any shuffle — the only
+    exchange is the 1-row query broadcast, the sink is TakeOrderedAndProject."""
+    from tiflash_spark.pipeline.multimodal import multimodal_ann_chain
+    from tiflash_spark.plans.explain import count_operator, exchange_count
+
+    df = multimodal_ann_chain(spark, SF_SMALL)
+    rows = df.collect()
+    assert len(rows) == 10
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r.media_id != 0 for r in rows)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+    assert exchange_count(df) == 0
+    assert count_operator(df, "TakeOrderedAndProject") >= 1

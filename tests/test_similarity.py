@@ -140,3 +140,54 @@ def test_ivf_reads_persisted_index_with_partition_pruning(spark):
     # second call hits the persisted index (no rebuild): same result
     again = ann_ivf_topk(spark, sf)
     assert [r.vec_id for r in df.collect()] == [r.vec_id for r in again.collect()]
+
+
+def test_filtered_topk_predicate_and_order(spark):
+    """Pre-filter ANN (reference: ann_query_info + filter bitmap): every hit
+    satisfies the pushed predicate, ranking is exact-descending."""
+    from tiflash_spark.pipeline.similarity import FILTER_LABEL, ann_filtered_topk
+
+    rows = ann_filtered_topk(spark, SF_MEDIUM).collect()
+    assert 0 < len(rows) <= TOP_K
+    for r in rows:
+        assert r.label == FILTER_LABEL and r.vec_id % 2 == 1
+    sims = [r.cos_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_filtered_is_postfilter_of_probe(spark):
+    """Post-filter IVF tier: all rows satisfy the predicate and carry the
+    same exact similarity the pre-filter tier computes; under-fill below k
+    is the documented over-fetch trade-off, never wrong rows."""
+    from tiflash_spark.pipeline.similarity import (
+        FILTER_LABEL,
+        ann_filtered_topk,
+        ann_ivf_filtered,
+    )
+
+    exact = {
+        r.vec_id: r.cos_sim for r in ann_filtered_topk(spark, SF_MEDIUM).collect()
+    }
+    post = ann_ivf_filtered(spark, SF_MEDIUM).collect()
+    assert len(post) <= TOP_K
+    for r in post:
+        assert r.label == FILTER_LABEL and r.vec_id % 2 == 1
+        if r.vec_id in exact:
+            assert math.isclose(r.cos_sim, exact[r.vec_id], abs_tol=1e-9)
+
+
+def test_hybrid_rrf_fusion_invariants(spark):
+    """RRF output: descending fused score, every row from at least one
+    candidate list, score arithmetic matches 1/(K+rank) exactly."""
+    from tiflash_spark.pipeline.similarity import RRF_K, hybrid_search_rrf
+
+    rows = hybrid_search_rrf(spark, SF_MEDIUM).collect()
+    assert len(rows) == TOP_K
+    rrfs = [r.rrf for r in rows]
+    assert rrfs == sorted(rrfs, reverse=True)
+    for r in rows:
+        assert r.bm25_rank is not None or r.vec_rank is not None
+        expected = (1.0 / (RRF_K + r.bm25_rank) if r.bm25_rank else 0.0) + (
+            1.0 / (RRF_K + r.vec_rank) if r.vec_rank else 0.0
+        )
+        assert abs(r.rrf - expected) < 1e-6

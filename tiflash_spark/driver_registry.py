@@ -259,6 +259,9 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
          ["SUM(n_media + n_frames)",
           "SUM(resized_bytes + frame_bytes + ts_ms_sum)",
           "ROUND(SUM(avg_f1), 4)"]),
+        ("multimodal_ann_chain",
+         ["SUM(media_id)", "ROUND(SUM(cos_sim), 4)",
+          "SUM(LENGTH(media_type))"]),
     ],
     "ann_brute": [
         ("ann_cosine_topk", ["SUM(vec_id + label)", "ROUND(SUM(cos_sim), 4)"]),
@@ -268,6 +271,11 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
         ("ann_quantized_topk",
          ["SUM(vec_id + label)",
           "ROUND(SUM(cos_sim_q + cos_sim_exact), 4)"]),
+        ("ann_filtered_topk",
+         ["SUM(vec_id + label)", "ROUND(SUM(cos_sim), 4)"]),
+        ("hybrid_search_rrf",
+         ["SUM(doc_id + COALESCE(bm25_rank, 0) + COALESCE(vec_rank, 0))",
+          "ROUND(SUM(rrf), 4)"]),
     ],
 }
 
@@ -286,6 +294,8 @@ ROWS_ONLY_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
         ("ann_ivf_topk", ["SUM(vec_id + label)", "ROUND(SUM(cos_sim), 4)"]),
         ("dedup_embedding_lsh",
          ["SUM(vec_a + vec_b)", "ROUND(SUM(cos_sim), 4)"]),
+        ("ann_ivf_filtered",
+         ["SUM(vec_id + label)", "ROUND(SUM(cos_sim), 4)"]),
     ],
     "approx_sketches": [
         ("approx_count_distinct",

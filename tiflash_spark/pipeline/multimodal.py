@@ -440,3 +440,105 @@ def extract_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(feature_batches, schema=FEATURES_SCHEMA)
+
+
+# --- multimodal → ANN chain -------------------------------------------------
+#
+# TODO-r4 item: the feature-extraction output feeding vector search as one
+# chained plan, pinning that the mapInPandas stage boundary composes with
+# the broadcast + TakeOrderedAndProject ANN shape (reference analogue:
+# decoded media -> vector column -> VectorIndex query,
+# dbms/src/Storages/DeltaMerge/Index/VectorIndex/).
+
+
+def multimodal_ann_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media → resize (mapInPandas) → extract_features (mapInPandas) →
+    exact cosine top-k vs media_id 0's feature.
+
+    Exactness across engines: the Python fake computes features in double
+    and Arrow rounds them to float32 (FEATURES_SCHEMA); the oracle mirrors
+    that with an explicit CAST(... AS FLOAT[]) of the same double values —
+    identical nearest-float32 rounding — then both engines score in double.
+
+    Scale shape: the feature stage runs twice here (query row + corpus);
+    a real deployment writes the feature table once (the IVF/vector-index
+    at-rest treatment in pipeline/similarity.py) and this query becomes a
+    pure index-side scan. The fusion itself is a 1-row broadcast against
+    one narrow mapInPandas stage → TakeOrderedAndProject: no wide shuffle.
+    """
+    from tiflash_spark.functions.vector import vec_cosine_similarity
+
+    feats = extract_features(resize_media(synthetic_media(spark, sf_dir)))
+    as_double = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    q = feats.filter(F.col("media_id") == 0).select(
+        as_double(F.col("feature")).alias("qv")
+    )
+    mt = (
+        F.when(F.col("media_id") % 3 == 0, "image/png")
+        .when(F.col("media_id") % 3 == 1, "image/jpeg")
+        .otherwise("audio/wav")
+    )
+    scored = (
+        feats.filter(F.col("media_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "media_id",
+            mt.alias("media_type"),
+            F.round(
+                vec_cosine_similarity(as_double(F.col("feature")), F.col("qv")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("media_id")).limit(10)
+
+
+MULTIMODAL_ANN_CHAIN_SQL = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         text,
+         OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+         CAST(n_chars % 640 AS BIGINT) AS dw,
+         CAST(n_chars % 480 AS BIGINT) AS dh
+  FROM documents
+),
+resized AS (
+  SELECT media_id, text,
+         CASE WHEN n_bytes = 0 THEN 0
+              ELSE GREATEST(1, CAST(FLOOR(
+                n_bytes * LEAST(1.0, 50176.0 / GREATEST(1, dw * dh))
+              ) AS BIGINT))
+         END AS keep
+  FROM media
+),
+feat_hist AS (
+  SELECT media_id,
+         LIST_TRANSFORM(GENERATE_SERIES(0, 15), k ->
+           1.0 + LEN(LIST_FILTER(
+             LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEAST(keep, 4096) AS INT)),
+                            i -> ASCII(SUBSTRING(text, i, 1)) % 16),
+             b -> b = k))) AS hist
+  FROM resized
+),
+feat AS (
+  -- double → float32 → double round-trip mirrors Arrow's cast of the
+  -- Python-computed doubles into FEATURES_SCHEMA's array<float>
+  SELECT media_id,
+         CAST(CAST(LIST_TRANSFORM(hist, h ->
+           h / SQRT(LIST_SUM(LIST_TRANSFORM(hist, x -> x * x))))
+           AS FLOAT[]) AS DOUBLE[]) AS f
+  FROM feat_hist
+),
+q AS (SELECT f AS qv FROM feat WHERE media_id = 0)
+SELECT fe.media_id,
+       CASE WHEN fe.media_id % 3 = 0 THEN 'image/png'
+            WHEN fe.media_id % 3 = 1 THEN 'image/jpeg'
+            ELSE 'audio/wav' END AS media_type,
+       ROUND(LIST_COSINE_SIMILARITY(fe.f, q.qv), 6) AS cos_sim
+FROM feat fe, q
+WHERE fe.media_id <> 0
+ORDER BY cos_sim DESC, fe.media_id
+LIMIT 10
+"""
+
+QUERIES["multimodal_ann_chain"] = multimodal_ann_chain
+ORACLE["multimodal_ann_chain"] = MULTIMODAL_ANN_CHAIN_SQL

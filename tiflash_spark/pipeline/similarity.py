@@ -482,6 +482,240 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cos_sim_q").desc(), F.col("vec_id")).limit(TOP_K)
 
 
+# --- filtered ANN (predicate + vector top-k) --------------------------------
+#
+# The reference's vector index accepts a pushed-down predicate: the ANN
+# search runs only over rows surviving the filter bitmap
+# (dbms/src/Storages/DeltaMerge/Filter/PushDownExecutor.h:48 ann_query_info;
+# the MVCC/filter bitmap is applied to the index scan). Two strategies, as
+# in any production vector store:
+#   pre-filter  — evaluate the predicate first, exact-score the survivors.
+#     Correct for any selectivity; at 100 TB it is one narrow filtered scan
+#     (predicate and column pruning reach parquet) + TakeOrderedAndProject.
+#   post-filter — probe the ANN index, then apply the predicate to the
+#     candidates with an over-fetch factor. Cheaper when the predicate is
+#     weak; can under-fill k when it is strong — so the exact pre-filter
+#     path below is the driver-checked tier, the IVF post-filter variant is
+#     the rows-only scale tier.
+
+FILTER_LABEL = 1
+
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pre-filter ANN: cosine top-k vs the vec_id=0 query among rows
+    with label = FILTER_LABEL and an odd vec_id — the predicate is pushed
+    into the scan (PushedFilters), then one narrow score+TopN stage."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    scored = (
+        e.filter(
+            (F.col("vec_id") != 0)
+            & (F.col("label") == FILTER_LABEL)
+            & (F.col("vec_id") % 2 == 1)
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                vec_cosine_similarity(_as_double(F.col("embedding")), F.col("qv")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(TOP_K)
+
+
+ANN_FILTERED_TOPK_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id, label,
+       ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), qv), 6) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0 AND label = {FILTER_LABEL} AND vec_id % 2 = 1
+ORDER BY cos_sim DESC, vec_id
+LIMIT {TOP_K}
+"""
+
+QUERIES["ann_filtered_topk"] = ann_filtered_topk
+ORACLE["ann_filtered_topk"] = ANN_FILTERED_TOPK_SQL
+
+OVERFETCH = 4
+
+
+def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-filter IVF ANN: probe the persisted index's nearest N_PROBE
+    clusters with k·OVERFETCH candidates, then apply the predicate —
+    the strategy a vector store picks when the predicate is weak enough
+    that over-fetching beats a full filtered scan. Approximate (probing
+    misses clusters), so rows-only in the driver gate; recall vs the exact
+    pre-filter tier is measured in tests/test_similarity.py."""
+    cents, assigned = vector_index(spark, sf_dir)
+    q = _query_vector(spark, sf_dir)
+    probe_ids = [
+        r.cid
+        for r in cents.crossJoin(F.broadcast(q))
+        .withColumn("qdist", vec_l2_distance(F.col("cvec"), F.col("qv")))
+        .orderBy(F.col("qdist").asc(), F.col("cid").asc())
+        .limit(N_PROBE)
+        .select("cid")
+        .collect()
+    ]
+    cands = (
+        assigned.where(F.col("cluster").isin(probe_ids) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                vec_cosine_similarity(_as_double(F.col("embedding")), F.col("qv")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K * OVERFETCH)
+    )
+    return (
+        cands.filter((F.col("label") == FILTER_LABEL) & (F.col("vec_id") % 2 == 1))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+QUERIES["ann_ivf_filtered"] = ann_ivf_filtered  # approximate: rows-only driver check
+
+
+# --- hybrid retrieval: BM25 + vector, reciprocal-rank fusion ----------------
+#
+# Beyond the reference (which ships full-text and vector indexes separately);
+# fusing them is what an LLM-retrieval corpus actually runs. Both candidate
+# lists are top-N results (N rows each), so the fusion join is trivially
+# broadcastable at any corpus size — the expensive parts are the two index
+# lookups, each already verified scale-shaped on its own.
+
+RRF_K = 60
+N_CAND = 50
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of BM25 keyword search (persisted inverted
+    index) and cosine ANN (doc_id ≡ vec_id in the testdata):
+    rrf(d) = Σ_lists 1/(RRF_K + rank_d). Deterministic: both ranks order by
+    (rounded score desc, doc_id)."""
+    from pyspark.sql import Window
+
+    from tiflash_spark.pipeline.fulltext import SEARCH_TERMS, bm25_search, index_tables
+
+    postings, doclen = index_tables(spark, sf_dir)
+    bm = bm25_search(postings, doclen, SEARCH_TERMS, k=N_CAND).select("doc_id", "bm25")
+    bm_r = bm.withColumn(
+        "bm25_rank",
+        F.row_number().over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))),
+    ).select("doc_id", "bm25_rank")
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    vec = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                vec_cosine_similarity(_as_double(F.col("embedding")), F.col("qv")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
+        .limit(N_CAND)
+    )
+    vec_r = vec.withColumn(
+        "vec_rank",
+        F.row_number().over(Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id"))),
+    ).select("doc_id", "vec_rank")
+
+    fused = (
+        bm_r.join(vec_r, "doc_id", "full")
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "vec_rank",
+            F.round(
+                F.coalesce(1.0 / (F.lit(RRF_K) + F.col("bm25_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(TOP_K)
+
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in ["spark", "window", "hash"])
+
+HYBRID_SEARCH_RRF_SQL = f"""
+WITH lst AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, toks[i] AS term
+  FROM lst, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(toks))) AS i) g
+),
+postings AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY term, doc_id
+),
+doclen AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id
+),
+corpus AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM doclen
+),
+dft AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df
+  FROM postings WHERE term IN ({_TERMS_SQL})
+  GROUP BY term
+),
+scored AS (
+  SELECT p.doc_id,
+         ROUND(SUM(
+           LN(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / c.avgdl))
+         ), 4) AS bm25
+  FROM postings p
+  JOIN dft d ON p.term = d.term
+  JOIN doclen l ON p.doc_id = l.doc_id
+  CROSS JOIN corpus c
+  GROUP BY p.doc_id
+),
+bm_r AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS bm25_rank
+  FROM scored
+  QUALIFY bm25_rank <= {N_CAND}
+),
+vec AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id <> 0
+),
+vec_r AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS vec_rank
+  FROM vec
+  QUALIFY vec_rank <= {N_CAND}
+)
+SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+       b.bm25_rank, v.vec_rank,
+       ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + b.bm25_rank), 0.0)
+             + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + v.vec_rank), 0.0), 6) AS rrf
+FROM bm_r b FULL JOIN vec_r v ON b.doc_id = v.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT {TOP_K}
+"""
+
+QUERIES["hybrid_search_rrf"] = hybrid_search_rrf
+ORACLE["hybrid_search_rrf"] = HYBRID_SEARCH_RRF_SQL
+
+
 _MINS_SQL = ", ".join(f"MIN(CAST(embedding[{i+1}] AS DOUBLE))" for i in range(QUANT_DIM))
 _MAXS_SQL = ", ".join(f"MAX(CAST(embedding[{i+1}] AS DOUBLE))" for i in range(QUANT_DIM))
 
