@@ -240,3 +240,40 @@ def test_hash_compact_after_range_compact_clears_manifest(spark, tmp_path):
     store.compact_range_segments(ts=2, num_segments=4)
     store.compact(ts=2)
     assert not os.path.exists(tmp_path / "mstore" / "_MANIFEST")
+
+
+def test_bitmap_scan_matches_snapshot_read(spark, log):
+    """Bitmap mode (agg + semi-join, ReadMode.h:39) must return exactly the
+    Normal-mode visible set at every snapshot ts, including delete-wins
+    version ties and tombstoned handles."""
+    from tiflash_spark.operators.mvcc import bitmap_scan
+
+    for ts in (1, 2, 3, 4, 5, 6, 7, 8, None):
+        normal = sorted(
+            tuple(r) for r in snapshot_read(log, ts).collect()
+        )
+        bitmap = sorted(tuple(r) for r in bitmap_scan(log, ts).collect())
+        assert bitmap == normal, f"ts={ts}"
+
+
+def test_bitmap_scan_delete_wins_on_version_tie(spark):
+    """A same-version upsert/delete pair resolves to deleted in both modes."""
+    from tiflash_spark.operators.mvcc import bitmap_scan
+
+    tied = _log(spark, [(1, 2, 0, 10), (1, 2, 1, None), (2, 1, 0, 20)])
+    vis_n = {r[HANDLE] for r in snapshot_read(tied, 5).collect()}
+    vis_b = {r[HANDLE] for r in bitmap_scan(tied, 5).collect()}
+    assert vis_n == vis_b == {2}
+
+
+def test_bitmap_scan_plan_uses_partial_agg_not_window(spark, log):
+    """The scale rationale: bitmap mode's winner pick is an aggregate with a
+    map-side partial stage (two aggregate nodes around the exchange), and
+    the plan has no Window operator."""
+    from tiflash_spark.operators.mvcc import bitmap_scan
+    from tiflash_spark.plans.explain import count_operator
+
+    df = bitmap_scan(log, 8)
+    assert count_operator(df, "Window") == 0
+    n_aggs = count_operator(df, "SortAggregate") + count_operator(df, "HashAggregate")
+    assert n_aggs >= 2  # partial + final

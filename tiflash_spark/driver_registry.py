@@ -175,6 +175,14 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
          ["SUM(n_binary + n_bin + n_ascii_bin + n_latin1_bin)",
           "SUM(n_0900_bin + n_0900_ai_ci + n_unicode_ci)"]),
     ],
+    "mvcc_modes": [
+        ("mvcc_snapshot",
+         ["SUM(n_visible + n_handles)", "SUM(sum_a)", "ROUND(SUM(sum_b), 2)"]),
+        ("mvcc_bitmap_scan",
+         ["SUM(n_visible + n_handles)", "SUM(sum_a)", "ROUND(SUM(sum_b), 2)"]),
+        ("mvcc_fast_scan",
+         ["SUM(n_rows + n_handles)", "SUM(sum_a)"]),
+    ],
     "events_agg": [
         ("events_tumbling_window",
          ["SUM(n + n_users)", "ROUND(SUM(total_value), 2)",
@@ -309,8 +317,6 @@ ROWS_ONLY_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
 # Fine-grained queries that stay 1:1 driver entries (full fidelity),
 # in gate order: previously-red rows first, then new surface, then TPC-H.
 PASSTHROUGH = [
-    "mvcc_snapshot",
-    "mvcc_fast_scan",
     "events_funnel",
     "fulltext_search",
     "fulltext_bm25",

@@ -54,6 +54,43 @@ def snapshot_read(
     )
 
 
+def bitmap_scan(
+    log: DataFrame, read_ts: int | None = None, tiebreak: list[str] | None = None
+) -> DataFrame:
+    """Bitmap read mode (ReadMode.h:39; docs/design/
+    2022-12-08-support-MVCC-bitmap-filter.md): same visible-row semantics as
+    snapshot_read, different physical strategy — phase 1 computes the
+    per-handle winner key as a bitmap-like narrow frame (handle, winning
+    version key), phase 2 semi-joins the full-width rows against it.
+
+    Why it exists at scale: the winner is a ``max(struct(version, delmark,
+    tiebreaks))`` aggregate (SortAggregate — struct buffers aren't
+    hash-aggregable), which still gets map-side partial aggregation: each
+    task reduces its own versions of a handle before the shuffle, so the
+    winner exchange carries ~one NARROW row per handle instead of every
+    full-width version (the window form shuffles the entire log at full
+    width, then sorts it). On a log with deep version chains (hot handles)
+    this is the plan you want; on a mostly-compacted log the window form
+    avoids scanning twice. Both modes are offered, like the reference's
+    Normal vs Bitmap.
+
+    Struct-max ordering (version, delmark, tiebreaks) reproduces
+    snapshot_read's (version DESC, delmark DESC, ...) pick exactly,
+    including delete-wins on version ties. As with snapshot_read, the pick
+    is total only if (handle, version) is unique or ``tiebreak`` makes it
+    so."""
+    if read_ts is not None:
+        log = log.filter(F.col(VERSION) <= read_ts)
+    keycols = [VERSION, DELMARK] + [c for c in (tiebreak or []) if c != DELMARK]
+    win = log.groupBy(HANDLE).agg(
+        F.max(F.struct(*[F.col(c) for c in keycols])).alias("_mvcc_win")
+    )
+    visible = win.filter(F.col(f"_mvcc_win.{DELMARK}") == 0).select(
+        HANDLE, *[F.col(f"_mvcc_win.{c}").alias(c) for c in keycols]
+    )
+    return log.join(visible, on=[HANDLE, *keycols], how="left_semi")
+
+
 def fast_scan(log: DataFrame) -> DataFrame:
     """Fast read mode: skip the sort-merge MVCC dedup, just drop delete rows
     (ReadMode.h:27-33 — trades snapshot consistency for throughput)."""
@@ -155,12 +192,30 @@ WHERE l_returnflag <> 'R'
 """
 
 
+def mvcc_bitmap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-mode read of the same snapshot as mvcc_snapshot — identical
+    visible rows (same oracle), different physical plan (agg + semi-join
+    instead of window sort; see bitmap_scan)."""
+    snap = bitmap_scan(
+        _synthetic_log(spark, sf_dir), read_ts=4, tiebreak=[DELMARK, "a", "b"]
+    )
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_visible"),
+        F.sum("a").alias("sum_a"),
+        F.round(F.sum("b"), 2).alias("sum_b"),
+        F.countDistinct(HANDLE).alias("n_handles"),
+    )
+
+
 QUERIES = {
     "mvcc_snapshot": mvcc_snapshot,
     "mvcc_fast_scan": mvcc_fast_scan,
+    "mvcc_bitmap_scan": mvcc_bitmap_scan,
 }
 
 ORACLE = {
     "mvcc_snapshot": MVCC_SNAPSHOT_SQL,
     "mvcc_fast_scan": MVCC_FAST_SCAN_SQL,
+    # bitmap mode answers the same snapshot question — same oracle
+    "mvcc_bitmap_scan": MVCC_SNAPSHOT_SQL,
 }
