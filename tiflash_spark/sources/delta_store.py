@@ -23,6 +23,14 @@ cadence controls it); snapshot reads shuffle only the delta+stable rows of
 the handles being read after partition pruning. Writes are blind appends —
 no read-modify-write, so streaming ingestion (streaming/ingest.py) needs
 no locks, matching the reference's Raft-apply write path.
+
+Handle types: int64 (`_tidb_rowid`) or a STRING common handle for
+clustered-index tables (order-preserving composite-PK encoding,
+sources/common_handle.py — reference `is_common_handle` paths and
+tests/fullstack-test2/clustered_index/). Every mechanism works on both;
+range-segment boundaries for string handles come from ntile at compaction
+instead of width arithmetic, manifest bounds stay half-open and
+lexicographic.
 """
 
 from __future__ import annotations
@@ -353,9 +361,12 @@ class DeltaStore:
         if "_seg" in log.columns and n_seg:
             # one tiny job computes the wanted segment ids with the SAME
             # hash expression (and persisted modulus) used at write time
+            htype = "string" if isinstance(handles[0], str) else "long"
             wanted = {
                 r.s
-                for r in self.spark.createDataFrame([(h,) for h in handles], f"{HANDLE} long")
+                for r in self.spark.createDataFrame(
+                    [(h,) for h in handles], f"{HANDLE} {htype}"
+                )
                 .select(F.pmod(F.xxhash64(F.col(HANDLE)), F.lit(n_seg)).alias("s"))
                 .collect()
             }
@@ -390,39 +401,82 @@ class DeltaStore:
         if "_seg" in merged.columns:
             merged = merged.drop("_seg")
         merged = self._conform(merged, internal=True)  # rewrite to latest schema
-        lo, hi = merged.agg(F.min(HANDLE), F.max(HANDLE)).collect()[0]
-        if lo is None:
-            lo, hi = 0, 0
-        width = max(1, (hi - lo) // num_segments + 1)
-        seg = F.least(
-            F.lit(num_segments - 1), ((F.col(HANDLE) - F.lit(lo)) / width).cast("int")
-        )
+        string_handle = dict(merged.dtypes)[HANDLE] == "string"
+        if string_handle:
+            # Common-handle (clustered index) table: no width arithmetic on
+            # strings — derive equal-COUNT boundaries with ntile over the
+            # handle order. The global sort is confined to compaction (which
+            # rewrites everything anyway); at larger scale, sample
+            # boundaries instead of ntile-ing every row.
+            from pyspark.sql import Window
+
+            merged = merged.withColumn(
+                "_seg", F.ntile(num_segments).over(Window.orderBy(HANDLE)) - 1
+            )
+        else:
+            lo, hi = merged.agg(F.min(HANDLE), F.max(HANDLE)).collect()[0]
+            if lo is None:
+                lo, hi = 0, 0
+            width = max(1, (hi - lo) // num_segments + 1)
+            seg = F.least(
+                F.lit(num_segments - 1),
+                ((F.col(HANDLE) - F.lit(lo)) / width).cast("int"),
+            )
+            merged = merged.withColumn("_seg", seg)
         tmp = os.path.join(self.path, f"stable_new_{int(time.time() * 1000)}")
         (
-            merged.withColumn("_seg", seg)
-            .repartition("_seg")
+            merged.repartition("_seg")
             .sortWithinPartitions(HANDLE)
             .write.partitionBy("_seg")
             .mode("overwrite")
             .parquet(tmp)
         )
         n = self.spark.read.schema(merged.schema).parquet(tmp).count()
-        self._write_stable_schema(merged.schema)
+        self._write_stable_schema(merged.drop("_seg").schema)
         import shutil
+
+        if string_handle:
+            # bounds from the written files: [min handle, next seg's min),
+            # last hi = max + NUL (a string strictly above every handle
+            # with that prefix); half-open just like the int manifest, so
+            # assignment/pruning/split/merge code is shared
+            per_seg = {
+                r.s: (r.mn, r.mx)
+                for r in self.spark.read.parquet(tmp)
+                .groupBy(F.col("_seg").alias("s"))
+                .agg(F.min(HANDLE).alias("mn"), F.max(HANDLE).alias("mx"))
+                .collect()
+            }
+            seg_ids = sorted(per_seg)
+            bounds = {}
+            for i, s in enumerate(seg_ids):
+                b_lo = per_seg[s][0]
+                b_hi = (
+                    per_seg[seg_ids[i + 1]][0]
+                    if i + 1 < len(seg_ids)
+                    else per_seg[s][1] + "\x00"
+                )
+                bounds[s] = [b_lo, b_hi]
+            if not bounds:  # fully-tombstoned table: one empty segment
+                bounds = {0: ["", "\x00"]}
+            man = {"kind": "range", "n": len(bounds), "bounds": bounds,
+                   "handle": "string"}
+        else:
+            # manifest: half-open [lo, hi) bounds per segment id
+            bounds = {
+                s: [int(lo + s * width), int(lo + (s + 1) * width)]
+                for s in range(num_segments)
+            }
+            bounds[num_segments - 1][1] = int(hi) + 1
+            man = {"kind": "range", "lo": int(lo), "width": int(width),
+                   "n": num_segments, "bounds": bounds}
 
         for name in ("stable", "delta"):
             shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
         os.rename(tmp, os.path.join(self.path, "stable"))
         os.makedirs(os.path.join(self.path, "delta"), exist_ok=True)
-        # manifest: closed [lo, hi) bounds per segment id
-        bounds = {
-            s: [int(lo + s * width), int(lo + (s + 1) * width)]
-            for s in range(num_segments)
-        }
-        bounds[num_segments - 1][1] = int(hi) + 1
         with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
-            json.dump({"kind": "range", "lo": int(lo), "width": int(width),
-                       "n": num_segments, "bounds": bounds}, fh)
+            json.dump(man, fh)
         seg_meta = os.path.join(self.path, "_SEGMENTS")
         if os.path.exists(seg_meta):
             os.remove(seg_meta)  # hash metadata no longer applies
@@ -562,8 +616,12 @@ class DeltaStore:
             # out-of-range handles consistently
             b0 = min(man["bounds"].values(), key=lambda b: b[0])
             btop = max(man["bounds"].values(), key=lambda b: b[1])
-            b0[0] = min(b0[0], int(dlo))
-            btop[1] = max(btop[1], int(dhi) + 1)
+            if isinstance(dlo, str):
+                b0[0] = min(b0[0], dlo)
+                btop[1] = max(btop[1], dhi + "\x00")
+            else:
+                b0[0] = min(b0[0], int(dlo))
+                btop[1] = max(btop[1], int(dhi) + 1)
             with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
                 json.dump(man, fh)
         self._refresh()
@@ -618,8 +676,12 @@ class DeltaStore:
             if dlo is not None:
                 b0 = min(man["bounds"].values(), key=lambda b: b[0])
                 btop = max(man["bounds"].values(), key=lambda b: b[1])
-                b0[0] = min(b0[0], int(dlo))
-                btop[1] = max(btop[1], int(dhi) + 1)
+                if isinstance(dlo, str):
+                    b0[0] = min(b0[0], dlo)
+                    btop[1] = max(btop[1], dhi + "\x00")
+                else:
+                    b0[0] = min(b0[0], int(dlo))
+                    btop[1] = max(btop[1], int(dhi) + 1)
                 with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
                     json.dump(man, fh)
         elif n_seg:
@@ -681,9 +743,22 @@ class DeltaStore:
             raise ValueError(f"segment {seg_id} not in manifest")
         blo, bhi = man["bounds"][key]
         rows = stable.filter(F.col("_seg") == seg_id).drop("_seg")
-        mid = rows.agg(
-            F.expr(f"CAST(percentile({HANDLE}, 0.5) AS LONG)").alias("m")
-        ).collect()[0].m
+        if isinstance(blo, str):
+            # common-handle segment: median = smallest handle of the upper
+            # half (an actual key, so strictly inside when splittable)
+            from pyspark.sql import Window
+
+            mid = (
+                rows.withColumn("_half", F.ntile(2).over(Window.orderBy(HANDLE)))
+                .filter(F.col("_half") == 2)
+                .agg(F.min(HANDLE).alias("m"))
+                .collect()[0]
+                .m
+            )
+        else:
+            mid = rows.agg(
+                F.expr(f"CAST(percentile({HANDLE}, 0.5) AS LONG)").alias("m")
+            ).collect()[0].m
         if mid is None or mid <= blo or mid >= bhi:
             raise ValueError(
                 f"segment {seg_id} cannot split: median {mid} not strictly "
@@ -710,8 +785,9 @@ class DeltaStore:
             if os.path.exists(src):
                 os.rename(src, dst)
         shutil.rmtree(tmp, ignore_errors=True)
-        man["bounds"][key] = [blo, int(mid)]
-        man["bounds"][str(new_id)] = [int(mid), bhi]
+        mid = mid if isinstance(mid, str) else int(mid)
+        man["bounds"][key] = [blo, mid]
+        man["bounds"][str(new_id)] = [mid, bhi]
         man["n"] = len(man["bounds"])
         with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
             json.dump(man, fh)
