@@ -151,7 +151,8 @@ def test_round3_query_shuffle_ceilings(spark):
         "ann_quantized_topk": 0,   # persisted scales + broadcast q
         "events_resample": 4,      # rollup, grid, fill window, sort
         "dedup_incremental": 5,    # fp agg + anti join + counts
-        "lm_perplexity": 5,        # vocab, total, score, rollup, sort
+        "lm_perplexity": 3,        # score + rollup + sort (vocab is bucket-local)
+        "vocab_topk": 0,           # bucket-local groupBy(tok) + TakeOrdered
         "sample_temperature": 8,   # two tiny aggs + quota joins (rows ≤ |sources|)
     }
     for name, cap in ceilings.items():

@@ -149,18 +149,38 @@ ORACLE = {
 }
 
 
+def ws_token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-rest whitespace-token table: (doc_id, source, tok, tf),
+    bucketed by tok — ONE corpus tokenize+explode paid at build time and
+    shared by every token-level consumer (vocab_topk, lm_perplexity). The
+    same amortization the inverted index and IVF index get: at 100 TB the
+    raw explode is the dominant cost, and each query should pay the
+    (pre-aggregated, ~10× smaller) doc-term table instead. tok-bucketing
+    makes the vocabulary groupBy and any term join exchange-free."""
+    from tiflash_spark.pipeline.fulltext import _ensure_bucketed, _sf_tag
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        return (
+            d.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok"))
+            .groupBy("doc_id", "source", "tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        )
+
+    return _ensure_bucketed(spark, f"ws_tokens_{_sf_tag(sf_dir)}", build, "tok", 32)
+
+
 def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary statistics: explode tokens → count/doc-frequency →
-    top 50 terms. The canonical corpus-profiling pass (vocab build, stopword
-    discovery, TF-IDF prep). Plan: explode stays narrow, one shuffle on the
-    token, TakeOrderedAndProject for the top-k."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    """Corpus vocabulary statistics: top 50 terms by corpus tf with doc
+    frequency — read off the persisted doc-term table ((doc_id, tok) is
+    unique there, so df = COUNT(*)). Plan: bucket-local groupBy(tok) →
+    TakeOrderedAndProject; zero wide shuffles."""
+    t = ws_token_table(spark, sf_dir)
     return (
-        toks.groupBy("tok")
+        t.groupBy("tok")
         .agg(
-            F.count(F.lit(1)).alias("tf"),
-            F.countDistinct("doc_id").alias("df"),
+            F.sum("tf").cast("long").alias("tf"),
+            F.count(F.lit(1)).cast("long").alias("df"),
         )
         .orderBy(F.col("tf").desc(), F.col("tok"))
         .limit(50)
@@ -448,14 +468,14 @@ ORACLE["quality_signals"] = QUALITY_SIGNALS_SQL
 #
 # The classic corpus-quality scorer: train a unigram LM on the corpus
 # itself, score each document by bits-per-token; outlier-high perplexity
-# = noise/gibberish, outlier-low = boilerplate. Two passes:
-#   1) vocabulary probabilities (one explode + token groupBy — the same
-#      shuffle vocab_topk already pays), kept to the top-V tokens with an
-#      out-of-vocabulary floor, so the model side is BOUNDED regardless
-#      of corpus size and always broadcastable;
-#   2) per-token scoring via explode → broadcast join → per-doc mean
-#      (one doc_id shuffle; at 100 TB this is the narrow two-column
-#      explode, never the documents themselves).
+# = noise/gibberish, outlier-low = boilerplate. Both passes read the
+# PERSISTED doc-term table (ws_token_table — explode paid once at build):
+#   1) vocabulary probabilities: bucket-local groupBy(tok), kept to the
+#      top-V tokens with an out-of-vocabulary floor, so the model side is
+#      BOUNDED regardless of corpus size and always broadcastable;
+#   2) scoring: broadcast probs join (bucket-co-located on tok) → per-doc
+#      tf-weighted mean — identical to the per-instance mean, at doc-term
+#      cardinality instead of token-instance cardinality.
 
 LM_TOP_V = 1000
 LM_OOV_PROB = 1e-6
@@ -464,12 +484,13 @@ LM_OOV_PROB = 1e-6
 def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source unigram-LM stats: mean bits-per-token and perplexity.
     ln/exp only (log2 ulp behavior differs across engines more than ln's
-    summed error, and ROUND(,4) absorbs what remains)."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok"))
+    summed error, and ROUND(,4) absorbs what remains). The tf-weighted
+    per-doc mean is written identically in the oracle so both engines sum
+    the same terms."""
+    t = ws_token_table(spark, sf_dir)
     vocab = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        t.groupBy("tok")
+        .agg(F.sum("tf").alias("tf"))
         .orderBy(F.col("tf").desc(), F.col("tok"))
         .limit(LM_TOP_V)
     )
@@ -478,14 +499,17 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok", (F.col("tf") / F.col("total")).alias("p")
     )
     scored = (
-        toks.join(F.broadcast(probs), "tok", "left")
+        t.join(F.broadcast(probs), "tok", "left")
         .select(
             "doc_id",
             "source",
-            (-F.log(F.coalesce(F.col("p"), F.lit(LM_OOV_PROB)))).alias("nll"),
+            "tf",
+            (F.col("tf") * -F.log(F.coalesce(F.col("p"), F.lit(LM_OOV_PROB)))).alias(
+                "nll_sum"
+            ),
         )
         .groupBy("doc_id", "source")
-        .agg(F.avg("nll").alias("doc_nll"))
+        .agg((F.sum("nll_sum") / F.sum("tf")).alias("doc_nll"))
     )
     return (
         scored.groupBy("source")
@@ -499,14 +523,18 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LM_PERPLEXITY_SQL = """
-WITH toks AS (
-  SELECT doc_id, source,
-         UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +')) AS tok
-  FROM documents
+WITH dt AS (
+  SELECT doc_id, source, tok, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id, source,
+           UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +')) AS tok
+    FROM documents
+  ) t
+  GROUP BY doc_id, source, tok
 ),
 vocab AS (
-  SELECT tok, COUNT(*) AS tf
-  FROM toks GROUP BY tok
+  SELECT tok, SUM(tf) AS tf
+  FROM dt GROUP BY tok
   ORDER BY tf DESC, tok
   LIMIT 1000
 ),
@@ -515,10 +543,10 @@ probs AS (
   FROM vocab
 ),
 scored AS (
-  SELECT t.doc_id, t.source,
-         AVG(-LN(COALESCE(p.p, 1e-6))) AS doc_nll
-  FROM toks t LEFT JOIN probs p ON t.tok = p.tok
-  GROUP BY t.doc_id, t.source
+  SELECT d.doc_id, d.source,
+         SUM(d.tf * -LN(COALESCE(p.p, 1e-6))) / SUM(d.tf) AS doc_nll
+  FROM dt d LEFT JOIN probs p ON d.tok = p.tok
+  GROUP BY d.doc_id, d.source
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
