@@ -259,6 +259,9 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
         ("pack_sequences",
          ["SUM(chunk_id + n_docs + n_straddlers)",
           "SUM(n_tokens_started)", "SUM(LENGTH(source))"]),
+        ("boilerplate_lines",
+         ["SUM(n_docs + total_lines + kept_lines)",
+          "ROUND(SUM(avg_drop_frac), 4)", "SUM(clean_chars)"]),
     ],
     "multimodal_pipeline": [
         ("multimodal_decode",

@@ -705,3 +705,141 @@ ORDER BY r.source
 
 QUERIES["curation_pipeline"] = curation_pipeline
 ORACLE["curation_pipeline"] = CURATION_PIPELINE_SQL
+
+
+# --- boilerplate line removal (cross-document line dedup) -------------------
+#
+# RefinedWeb/CCNet-style boilerplate stripping: a "line" that appears in
+# many distinct documents (headers, footers, nav text, license blurbs) is
+# removed from every document while the in-order remainder is kept. The
+# driver's synthetic documents have no newlines, so a line here is a
+# fixed-width window of LINE_W consecutive tokens — the splitter is the
+# only corpus-specific piece (swap in split('\n') for real text); the
+# dedup/reassembly machinery is the real surface.
+#
+# Scale shape: one narrow posexplode (doc_id, source, pos, line), one
+# line-keyed aggregation for document frequency, one anti join back, one
+# doc-keyed aggregation to reassemble. No corpus-wide sort; the common-line
+# set is df-thresholded (boilerplate is by definition high-df, so that set
+# is small and broadcastable — Spark picks broadcast from its stats).
+
+LINE_W = 3
+BOILER_DF = 5
+
+
+def _line_array(text: Column) -> Column:
+    toks = tokens(text)
+    n_lines = F.ceil(F.size(toks) / F.lit(LINE_W)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(toks, i * LINE_W + 1, F.lit(LINE_W)), " "),
+    )
+
+
+def remove_boilerplate_lines(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_lines, n_kept, clean_text): drop every line whose
+    document frequency >= BOILER_DF, reassemble the rest in order."""
+    lines = docs.select(
+        "doc_id", "source", F.posexplode(_line_array(F.col("text"))).alias("pos", "line")
+    )
+    common = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df_docs"))
+        .filter(F.col("df_docs") >= BOILER_DF)
+        .select("line")
+    )
+    kept = lines.join(common, "line", "left_anti")
+    clean = kept.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = lines.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    return totals.join(clean, ["doc_id", "source"], "left").select(
+        "doc_id",
+        "source",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: per-source boilerplate-removal report with a strong
+    content digest (total clean-text length) so the oracle pins the
+    reassembled text, not just the counts."""
+    d = load_table(spark, sf_dir, "documents")
+    out = remove_boilerplate_lines(d)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_lines").cast("long").alias("total_lines"),
+            F.sum("n_kept").cast("long").alias("kept_lines"),
+            F.round(
+                F.avg(1.0 - F.col("n_kept") / F.col("n_lines")), 4
+            ).alias("avg_drop_frac"),
+            F.sum(F.length("clean_text")).cast("long").alias("clean_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+BOILERPLATE_LINES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +') AS tk
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, source, i AS pos,
+         ARRAY_TO_STRING(tk[(i*{LINE_W}+1):(i*{LINE_W}+{LINE_W})], ' ') AS line
+  FROM toks, LATERAL (
+    SELECT UNNEST(GENERATE_SERIES(0,
+      CAST(CEIL(LEN(tk) / {LINE_W}.0) AS INT) - 1)) AS i
+  ) g
+),
+common AS (
+  SELECT line FROM lines GROUP BY line
+  HAVING COUNT(DISTINCT doc_id) >= {BOILER_DF}
+),
+kept AS (
+  SELECT l.* FROM lines l
+  WHERE NOT EXISTS (SELECT 1 FROM common c WHERE c.line = l.line)
+),
+clean AS (
+  SELECT doc_id, source,
+         CAST(COUNT(*) AS BIGINT) AS n_kept,
+         ARRAY_TO_STRING(LIST(line ORDER BY pos), ' ') AS clean_text
+  FROM kept GROUP BY doc_id, source
+),
+totals AS (
+  SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lines GROUP BY doc_id, source
+),
+per_doc AS (
+  SELECT t.doc_id, t.source, t.n_lines,
+         COALESCE(c.n_kept, 0) AS n_kept,
+         COALESCE(c.clean_text, '') AS clean_text
+  FROM totals t LEFT JOIN clean c
+    ON t.doc_id = c.doc_id AND t.source = c.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_lines) AS BIGINT) AS total_lines,
+       CAST(SUM(n_kept) AS BIGINT) AS kept_lines,
+       ROUND(AVG(1.0 - CAST(n_kept AS DOUBLE) / n_lines), 4) AS avg_drop_frac,
+       CAST(SUM(LENGTH(clean_text)) AS BIGINT) AS clean_chars
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["boilerplate_lines"] = boilerplate_lines
+ORACLE["boilerplate_lines"] = BOILERPLATE_LINES_SQL
