@@ -108,6 +108,9 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
         ("window_extended",
          ["SUM(quartile + COALESCE(second_order, 0))",
           "ROUND(SUM(pct_rank + cdist), 4)"]),
+        ("events_time_range_window",
+         ["SUM(user_id + n_events + max_trail_n)",
+          "ROUND(SUM(sum_trail_v), 2)"]),
     ],
     "grouping_expand": [
         ("rollup_revenue", ["SUM(n + g_flag + g_status)", "ROUND(SUM(sum_qty), 2)"]),

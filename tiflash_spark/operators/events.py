@@ -267,3 +267,61 @@ FROM per_session
 
 QUERIES["events_session_window_native"] = events_session_window_native
 ORACLE["events_session_window_native"] = EVENTS_SESSION_WINDOW_NATIVE_SQL
+
+
+def events_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event TIME: per user, trailing-one-hour event count
+    and value sum at every event — the reference's RANGE frame with an
+    auxiliary comparison column (WindowDescription.h:87-94: non-numeric
+    ORDER BY gets a comparison column; here epoch seconds is exactly that
+    auxiliary column, making Spark's numeric rangeBetween applicable to
+    timestamps). Rolled up per user so the result is compact; the frame
+    math is pinned by max/sum of the trailing stats."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    epoch = F.col("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3599, 0)  # trailing hour, inclusive
+    )
+    trail = e.select(
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+        F.sum("value").over(w).alias("trail_v"),
+    )
+    return (
+        trail.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("trail_n").cast("long").alias("max_trail_n"),
+            F.round(F.sum("trail_v"), 2).alias("sum_trail_v"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_TIME_RANGE_SQL = """
+WITH trail AS (
+  SELECT user_id,
+         COUNT(*) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT)
+           RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS trail_n,
+         SUM(value) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT)
+           RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS trail_v
+  FROM events
+  WHERE user_id < 200
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(trail_n) AS BIGINT) AS max_trail_n,
+       ROUND(SUM(trail_v), 2) AS sum_trail_v
+FROM trail
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+QUERIES["events_time_range_window"] = events_time_range_window
+ORACLE["events_time_range_window"] = EVENTS_TIME_RANGE_SQL
