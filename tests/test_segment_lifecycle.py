@@ -109,3 +109,42 @@ def test_rebalance_policy_converges(spark, tmp_path):
     assert m2 >= 1
     assert store.read().count() == 60
     assert store.read_range(0, 60).count() == 60
+
+
+def test_maintain_policy_cycle(spark, tmp_path):
+    """The background-thread analogue: below the delta threshold maintain()
+    is a no-op; above it the delta folds (incrementally when range
+    segments exist) and oversized segments split — reads identical
+    before/after each cycle."""
+    from pyspark.sql import Row
+
+    from tiflash_spark.operators.mvcc import HANDLE
+    from tiflash_spark.sources.delta_store import DeltaStore
+
+    store = DeltaStore(spark, str(tmp_path / "maint"))
+    rows = [Row(**{HANDLE: i, "v": i * 2}) for i in range(400)]
+    store.write_batch(spark.createDataFrame(rows), version=1)
+    store.compact_range_segments(1, num_segments=2)
+
+    store.write_batch(
+        spark.createDataFrame([Row(**{HANDLE: i, "v": -i}) for i in range(50)]),
+        version=2,
+    )
+    # small delta: nothing happens
+    r1 = store.maintain(2, delta_threshold=1000)
+    assert r1 == {"compacted": False, "segments_rewritten": 0,
+                  "splits": 0, "merges": 0}
+    assert store.delta_rows() == 50
+    before = {r[HANDLE]: r.v for r in store.read(2).collect()}
+    # low threshold: incremental fold + split of oversized segments
+    r2 = store.maintain(2, delta_threshold=10, max_rows=150, min_rows=20)
+    assert r2["compacted"] and r2["segments_rewritten"] >= 1
+    assert r2["splits"] >= 1
+    assert store.delta_rows() == 0
+    after = {r[HANDLE]: r.v for r in store.read(2).collect()}
+    assert after == before
+    assert all(after[i] == -i for i in range(50))
+    # steady state: second cycle is a no-op
+    r3 = store.maintain(2, delta_threshold=10, max_rows=150, min_rows=20)
+    assert r3 == {"compacted": False, "segments_rewritten": 0,
+                  "splits": 0, "merges": 0}

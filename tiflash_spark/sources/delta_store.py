@@ -839,6 +839,42 @@ class DeltaStore:
         self._refresh()
         return left_id
 
+    def delta_rows(self) -> int:
+        """Size of the un-compacted delta tail (rows)."""
+        delta = self._layer("delta")
+        return delta.count() if delta is not None else 0
+
+    def maintain(
+        self,
+        ts: int,
+        delta_threshold: int = 10_000,
+        max_rows: int | None = None,
+        min_rows: int | None = None,
+    ) -> dict:
+        """One cycle of the reference's background storage thread
+        (DeltaMergeStore background tasks: delta merge when a segment's
+        delta outgrows its limit, then segment split/merge — Segment.cpp
+        lifecycle): fold the delta when it exceeds ``delta_threshold``
+        rows (incremental per-segment merge when a range manifest exists,
+        full compact otherwise), then rebalance segment sizes when bounds
+        are configured. Idempotent and safe to call on any cadence —
+        exactly how a scheduled Spark job would run it. Returns what it
+        did: {compacted, segments_rewritten, splits, merges}."""
+        report = {"compacted": False, "segments_rewritten": 0,
+                  "splits": 0, "merges": 0}
+        n_delta = self.delta_rows()
+        if n_delta > delta_threshold:
+            if self._manifest():
+                rewritten, _ = self.compact_segments_incremental(ts)
+                report["segments_rewritten"] = rewritten
+            else:
+                self.compact(ts, num_segments=self._num_segments())
+            report["compacted"] = True
+        if max_rows and self._manifest():
+            s, m = self.rebalance_segments(max_rows, min_rows)
+            report["splits"], report["merges"] = s, m
+        return report
+
     def rebalance_segments(
         self, max_rows: int, min_rows: int | None = None, max_ops: int = 16
     ) -> tuple[int, int]:
