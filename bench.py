@@ -63,6 +63,11 @@ PIPELINE_HEADLINE = [
     "ann_ivf_topk",
     "curation_pipeline",
     "events_resample",
+    "ann_filtered_topk",
+    "hybrid_search_rrf",
+    "boilerplate_lines",
+    "mvcc_bitmap_scan",
+    "events_time_range_window",
 ]
 
 

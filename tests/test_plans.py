@@ -154,6 +154,13 @@ def test_round3_query_shuffle_ceilings(spark):
         "lm_perplexity": 3,        # score + rollup + sort (vocab is bucket-local)
         "vocab_topk": 0,           # bucket-local groupBy(tok) + TakeOrdered
         "sample_temperature": 8,   # two tiny aggs + quota joins (rows ≤ |sources|)
+        # round-4 operators
+        "boilerplate_lines": 5,    # line df agg + flag join + doc agg + rollup/sort
+        "hybrid_search_rrf": 2,    # two index lookups; fusion is broadcast-sized
+        "ann_filtered_topk": 0,    # pushed filter + broadcast q + TakeOrdered
+        "events_time_range_window": 2,  # user window + rollup
+        "mvcc_bitmap_scan": 3,     # winner agg + semi join + final agg
+        "multimodal_ann_chain": 0,  # mapInPandas stages + broadcast q + TakeOrdered
     }
     for name, cap in ceilings.items():
         got = exchange_count(qs[name](spark, SF_SMALL))

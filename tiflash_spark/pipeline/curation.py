@@ -738,7 +738,12 @@ def _line_array(text: Column) -> Column:
 
 def remove_boilerplate_lines(docs: DataFrame) -> DataFrame:
     """(doc_id, source, n_lines, n_kept, clean_text): drop every line whose
-    document frequency >= BOILER_DF, reassemble the rest in order."""
+    document frequency >= BOILER_DF, reassemble the rest in order.
+
+    One explode for the df agg, one for the flag join, one doc-keyed
+    agg. collect_list skips the NULLed-out common lines, which also keeps
+    all-lines-dropped docs in the output with clean_text = '' — no
+    separate totals branch or outer join."""
     lines = docs.select(
         "doc_id", "source", F.posexplode(_line_array(F.col("text"))).alias("pos", "line")
     )
@@ -746,28 +751,19 @@ def remove_boilerplate_lines(docs: DataFrame) -> DataFrame:
         lines.groupBy("line")
         .agg(F.countDistinct("doc_id").alias("df_docs"))
         .filter(F.col("df_docs") >= BOILER_DF)
-        .select("line")
+        .select("line", F.lit(True).alias("_boiler"))
     )
-    kept = lines.join(common, "line", "left_anti")
-    clean = kept.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    flagged = lines.join(common, "line", "left")
+    kept_line = F.when(F.col("_boiler").isNull(), F.struct("pos", "line"))
+    return flagged.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.count(kept_line).cast("long").alias("n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
+                F.array_sort(F.collect_list(kept_line)), lambda s: s["line"]
             ),
             " ",
         ).alias("clean_text"),
-    )
-    totals = lines.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_lines")
-    )
-    return totals.join(clean, ["doc_id", "source"], "left").select(
-        "doc_id",
-        "source",
-        "n_lines",
-        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
 
 
