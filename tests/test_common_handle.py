@@ -138,3 +138,74 @@ def test_clustered_store_schema_evolution(spark, ch_store):
     ch_store.compact_range_segments(4, num_segments=2)
     rows2 = {r[HANDLE]: r for r in ch_store.read().collect()}
     assert rows2[k_new].extra == "new" and len(rows2) == 13
+
+
+def test_streaming_ingest_into_clustered_store(spark, tmp_path):
+    """Raft-apply analogue into a clustered-index table: file-source stream
+    of composite-PK rows upserts through foreachBatch; snapshot read sees
+    the merged state keyed by the encoded handle."""
+    src = tmp_path / "feed"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    store = DeltaStore(spark, str(tmp_path / "ch_stream"))
+
+    from tiflash_spark.streaming.ingest import start_ingest
+
+    b1 = spark.createDataFrame(
+        [("ant", 1, 10, False), ("bee", 1, 20, False), ("bee", 2, 30, False)],
+        "name string, seq long, payload long, is_del boolean",
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    stream = (
+        spark.readStream.schema(
+            "name string, seq long, payload long, is_del boolean"
+        )
+        .parquet(str(src))
+        .select(
+            encode_common_handle((F.col("name"), "string"), (F.col("seq"), "long"))
+            .alias(HANDLE),
+            "payload",
+            "is_del",
+        )
+    )
+    start_ingest(stream, store, ck, delete_col="is_del").awaitTermination(120)
+    got = {r[HANDLE]: r.payload for r in store.read().collect()}
+    assert got == {
+        encode_common_handle_py("ant", 1): 10,
+        encode_common_handle_py("bee", 1): 20,
+        encode_common_handle_py("bee", 2): 30,
+    }
+    # batch 2: update + delete, then restart the stream from checkpoint
+    b2 = spark.createDataFrame(
+        [("bee", 2, 99, False), ("ant", 1, 0, True)],
+        "name string, seq long, payload long, is_del boolean",
+    )
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    start_ingest(stream, store, ck, delete_col="is_del").awaitTermination(120)
+    got2 = {r[HANDLE]: r.payload for r in store.read().collect()}
+    assert got2 == {
+        encode_common_handle_py("bee", 1): 20,
+        encode_common_handle_py("bee", 2): 99,
+    }
+
+
+def test_encoder_order_property(spark):
+    """Property-based: for arbitrary (string, int64) tuples — including
+    NULs, high codepoints, and int boundaries — encoded string order
+    equals tuple order (Python side; Spark binary UTF-8 order matches
+    code-point order, pinned by the engine-identical test above)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ints = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    texts = st.text(
+        alphabet=st.characters(min_codepoint=0, max_codepoint=0x2FF), max_size=12
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.tuples(texts, ints), st.tuples(texts, ints))
+    def check(a, b):
+        ea, eb = encode_common_handle_py(*a), encode_common_handle_py(*b)
+        assert (a < b) == (ea < eb) and (a == b) == (ea == eb)
+
+    check()
