@@ -1,0 +1,177 @@
+"""Rough-set zone map on DeltaStore segments (reference per-pack
+MinMaxIndex — dbms/src/Storages/DeltaMerge/Index/MinMaxIndex.h:31 — and
+the RoughCheck filter built from pushed-down predicates,
+Index/RoughCheck.h + FilterParser/FilterParser.cpp): per-segment
+[min, max] on non-key columns prunes whole segment directories at
+file-listing time, and staleness can only cost performance, never rows
+(absent entry ⇒ scan)."""
+
+from __future__ import annotations
+
+import os
+
+from tiflash_spark.operators.mvcc import HANDLE
+from tiflash_spark.sources.delta_store import DeltaStore
+
+
+def _store(spark, tmp_path, n=400, segs=4):
+    """Handles 0..n-1; `ts_col` correlated with handle (each range segment
+    owns a disjoint ts band), `noise` deliberately uncorrelated."""
+    store = DeltaStore(spark, str(tmp_path / "zm"))
+    rows = [(i, i * 10, i % 7, f"d{i}") for i in range(n)]
+    df = spark.createDataFrame(
+        rows, f"{HANDLE} long, ts_col long, noise int, v string"
+    )
+    store.write_batch(df, version=1)
+    store.compact_range_segments(ts=1, num_segments=segs)
+    store.build_zonemap(["ts_col", "noise"])
+    return store
+
+
+def test_read_where_matches_full_scan(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    got = {r[HANDLE] for r in store.read_where("ts_col", 500, 990).collect()}
+    want = {
+        r[HANDLE]
+        for r in store.read().filter("ts_col >= 500 and ts_col <= 990").collect()
+    }
+    assert got == want and len(got) == 50
+
+
+def test_pruning_skips_non_overlapping_segments(spark, tmp_path):
+    store = _store(spark, tmp_path, n=400, segs=4)
+    # segment width = 100 handles = ts band of 1000; [0, 400] lives
+    # entirely in segment 0
+    pruned = store._zm_pruned_segs("ts_col", 0, 400)
+    assert len(pruned) == 3
+    # file-listing-level pruning: the scan plans a PartitionFilters entry
+    # on _seg (not merely a data filter above the scan)
+    from tiflash_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(store.read_where("ts_col", 0, 400))
+    assert "PartitionFilters" in plan
+    assert "_seg" in plan.split("PartitionFilters", 1)[1][:300]
+    # uncorrelated column: rough check proves nothing, scans everything
+    assert store._zm_pruned_segs("noise", 2, 3) == []
+    assert store.read_where("noise", 2, 3).count() == store.read().filter(
+        "noise between 2 and 3"
+    ).count()
+
+
+def test_one_sided_bounds(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    assert store.read_where("ts_col", lo=3900).count() == 10
+    assert store.read_where("ts_col", hi=90).count() == 10
+    assert len(store._zm_pruned_segs("ts_col", 3900, None)) == 3
+    assert len(store._zm_pruned_segs("ts_col", None, 90)) == 3
+
+
+def test_delta_rows_always_consulted(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    # updates land in the delta with ts_col values OUTSIDE their segment's
+    # stable band — pruning must not hide them
+    upd = spark.createDataFrame(
+        [(399, 5, 0, "moved")], f"{HANDLE} long, ts_col long, noise int, v string"
+    )
+    store.write_batch(upd, version=2)
+    got = {r[HANDLE]: r.v for r in store.read_where("ts_col", 0, 90).collect()}
+    assert got[399] == "moved"
+    # and the OLD value of handle 399 (ts_col=3990) must no longer appear
+    assert 399 not in {r[HANDLE] for r in store.read_where("ts_col", 3900, 4000).collect()}
+
+
+def test_bulk_ingest_masked_delta_row_rescued(spark, tmp_path):
+    """A pruned segment can hold the NEWEST version of a handle that also
+    has delta rows (bulk ingest stamps versions straight into stable);
+    dropping the segment would resurrect the stale delta row."""
+    store = _store(spark, tmp_path)
+    # delta write at version 2: moves handle 0 into the [500,990] band
+    store.write_batch(
+        spark.createDataFrame(
+            [(0, 700, 0, "stale")], f"{HANDLE} long, ts_col long, noise int, v string"
+        ),
+        version=2,
+    )
+    # bulk ingest at version 3 goes STRAIGHT to stable (segment 3's band)
+    store.ingest_snapshot(
+        spark.createDataFrame(
+            [(0, 3500, 0, "newest")], f"{HANDLE} long, ts_col long, noise int, v string"
+        ),
+        version=3,
+    )
+    # query the [500,990] band: segment 3 is range-pruned for this band
+    # BUT handle 0's newest version lives there — the rescue semi-join
+    # must keep it visible to the MVCC merge, so "stale" never surfaces
+    got = {r[HANDLE] for r in store.read_where("ts_col", 500, 990).collect()}
+    assert 0 not in got
+    # and the newest version is found where it now belongs
+    got_hi = {r[HANDLE]: r.v for r in store.read_where("ts_col", 3400, 3600).collect()}
+    assert got_hi[0] == "newest"
+
+
+def test_incremental_compaction_refreshes_dirty_entries(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    # move handle 399 (segment 3) into the low band, then fold the delta
+    store.write_batch(
+        spark.createDataFrame(
+            [(399, 50, 0, "low")], f"{HANDLE} long, ts_col long, noise int, v string"
+        ),
+        version=2,
+    )
+    store.compact_segments_incremental(ts=2)
+    zm = store._zonemap()
+    # segment 3's entry widened down to 50 — it can no longer be pruned
+    assert zm["segs"]["3"]["ts_col"][0] == 50
+    assert 3 not in store._zm_pruned_segs("ts_col", 0, 90)
+    got = {r[HANDLE]: r.v for r in store.read_where("ts_col", 0, 90).collect()}
+    assert got[399] == "low"
+
+
+def test_split_and_merge_keep_entries_fresh(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    old, new = store.split_segment(0)
+    zm = store._zonemap()
+    assert str(new) in zm["segs"] and str(old) in zm["segs"]
+    lo_old, hi_old = zm["segs"][str(old)]["ts_col"]
+    lo_new, hi_new = zm["segs"][str(new)]["ts_col"]
+    assert lo_old == 0 and hi_new == 990 and hi_old < lo_new
+    # merge back: pure-metadata union
+    surv = store.merge_segments(old, new)
+    zm = store._zonemap()
+    assert zm["segs"][str(surv)]["ts_col"] == [0, 990]
+    assert str(new) not in zm["segs"]
+    assert store.read_where("ts_col", 0, 400).count() == 41
+
+
+def test_full_compact_rebuilds_map(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    store.write_batch(
+        spark.createDataFrame(
+            [(1000, 10_000, 0, "tail")], f"{HANDLE} long, ts_col long, noise int, v string"
+        ),
+        version=2,
+    )
+    store.compact_range_segments(ts=2, num_segments=4)
+    zm = store._zonemap()
+    assert set(zm["cols"]) == {"ts_col", "noise"}
+    # the outlier handle makes one equal-width band empty: no dir → no
+    # entry (missing always means scan, and there is nothing to scan)
+    assert len(zm["segs"]) == 3
+    assert store.read_where("ts_col", 9_000, 11_000).count() == 1
+    # un-segmented compact drops the map (no segment level to index)
+    store.compact(ts=2)
+    assert store._zonemap() is None
+    # reads still work without it
+    assert store.read_where("ts_col", 0, 90).count() == 10
+
+
+def test_all_null_segment_pruned(spark, tmp_path):
+    store = DeltaStore(spark, str(tmp_path / "zn"))
+    rows = [(i, None if i < 100 else i * 10, f"d{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, f"{HANDLE} long, ts_col long, v string")
+    store.write_batch(df, version=1)
+    store.compact_range_segments(ts=1, num_segments=2)
+    store.build_zonemap(["ts_col"])
+    # segment 0 is all-NULL for ts_col: a range predicate matches nothing
+    assert 0 in store._zm_pruned_segs("ts_col", 0, 10_000)
+    assert store.read_where("ts_col", 1000, 1090).count() == 10

@@ -293,6 +293,10 @@ class DeltaStore:
         merged = mvcc_compact(self.log(), ts).filter(
             ~((F.col(DELMARK) == 1) & (F.col(VERSION) <= ts))
         )
+        if "_seg" in merged.columns:
+            # a previously-segmented stable contributes _seg as a data
+            # column; it is re-derived below (or absent for a flat layout)
+            merged = merged.drop("_seg")
         # delta merge rewrites stable to the LATEST schema version: dropped
         # columns' bytes are reclaimed, added columns materialize as NULL
         # (reference SchemaUpdate.cpp — merge writes the current schema)
@@ -336,6 +340,9 @@ class DeltaStore:
         if os.path.exists(manifest):
             os.remove(manifest)
         self._refresh()
+        # full stable rewrite invalidates every zone-map entry; rebuild in
+        # place (the reference writes MinMaxIndex as part of each new DMFile)
+        self._rebuild_zonemap()
         return n
 
     def _num_segments(self) -> int | None:
@@ -481,6 +488,7 @@ class DeltaStore:
         if os.path.exists(seg_meta):
             os.remove(seg_meta)  # hash metadata no longer applies
         self._refresh()
+        self._rebuild_zonemap()
         return n
 
     def _manifest(self) -> dict | None:
@@ -625,6 +633,8 @@ class DeltaStore:
             with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
                 json.dump(man, fh)
         self._refresh()
+        # only the rewritten segments' min/max can have changed
+        self._zonemap_refresh_segs(dirty)
         return (len(dirty), n)
 
     def ingest_snapshot(self, df: DataFrame, version: int) -> int:
@@ -703,6 +713,18 @@ class DeltaStore:
                 .parquet(stable)
             )
         self._refresh()
+        if self._zonemap() is not None and (man or n_seg):
+            # bulk-loaded files widen the touched segments' value ranges
+            seg_of = (
+                self._seg_assign_expr(man)
+                if man
+                else F.pmod(F.xxhash64(F.col(HANDLE)), F.lit(n_seg))
+            )
+            touched = [
+                int(r.s)
+                for r in out.select(seg_of.alias("s")).distinct().collect()
+            ]
+            self._zonemap_refresh_segs(touched)
         return out.count()
 
     # --- segment lifecycle: split / merge -----------------------------------
@@ -792,6 +814,7 @@ class DeltaStore:
         with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
             json.dump(man, fh)
         self._refresh()
+        self._zonemap_refresh_segs([seg_id, new_id])
         return (seg_id, new_id)
 
     def merge_segments(self, left_id: int, right_id: int) -> int:
@@ -837,12 +860,234 @@ class DeltaStore:
         with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
             json.dump(man, fh)
         self._refresh()
+        zm = self._zonemap()
+        if zm:
+            # pure-metadata merge: union of the two entries, no file scan
+            le, re_ = zm["segs"].get(lk), zm["segs"].get(rk)
+            if le is not None and re_ is not None:
+                merged_ent = {}
+                for c in set(le) & set(re_):
+                    mns = [v for v in (le[c][0], re_[c][0]) if v is not None]
+                    mxs = [v for v in (le[c][1], re_[c][1]) if v is not None]
+                    merged_ent[c] = [
+                        min(mns) if mns else None,
+                        max(mxs) if mxs else None,
+                    ]
+                zm["segs"][lk] = merged_ent
+            else:
+                zm["segs"].pop(lk, None)
+            zm["segs"].pop(rk, None)
+            self._write_zonemap(zm)
         return left_id
 
     def delta_rows(self) -> int:
         """Size of the un-compacted delta tail (rows)."""
         delta = self._layer("delta")
         return delta.count() if delta is not None else 0
+
+    # --- rough-set filter: per-segment zone map (min-max index) -------------
+    #
+    # Reference: every DMFile pack carries a per-column min-max index
+    # (dbms/src/Storages/DeltaMerge/Index/MinMaxIndex.h:31) consulted by the
+    # rough-set filter (Index/RoughCheck.h; RSResult.h Some/All/None verdicts)
+    # that FilterParser builds from the pushed-down predicate
+    # (FilterParser/FilterParser.cpp) — packs whose value range cannot match
+    # are never read. Spark-first: parquet row-group stats already give
+    # pack-level skipping INSIDE a file for free; this zone map adds the
+    # level above — per-SEGMENT min/max on arbitrary NON-KEY columns, so a
+    # predicate on e.g. an event-time column prunes whole partition
+    # directories at file-listing time. At 100 TB (millions of files) the
+    # listing-level skip is the one that matters: row-group stats still cost
+    # a footer read per file.
+
+    _ZM_TYPES = {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "string", "date", "timestamp", "timestamp_ntz",
+    }
+
+    def _zonemap_path(self) -> str:
+        return os.path.join(self.path, "_ZONEMAP")
+
+    def _zonemap(self) -> dict | None:
+        import json
+
+        p = self._zonemap_path()
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return None
+
+    def _write_zonemap(self, zm: dict) -> None:
+        import json
+
+        with open(self._zonemap_path(), "w") as fh:
+            json.dump(zm, fh)
+
+    def _remove_zonemap(self) -> None:
+        p = self._zonemap_path()
+        if os.path.exists(p):
+            os.remove(p)
+
+    def _zm_agg_exprs(self, cols: dict[str, str]) -> list:
+        exprs = []
+        for c, t in cols.items():
+            base = t.split("(")[0]
+            # temporal mins/maxes stored as ISO strings (JSON-portable;
+            # lexicographic order == chronological for a fixed format)
+            col = (
+                F.col(c).cast("string")
+                if base in ("date", "timestamp", "timestamp_ntz")
+                else F.col(c)
+            )
+            exprs.append(F.min(col).alias(f"__mn_{c}"))
+            exprs.append(F.max(col).alias(f"__mx_{c}"))
+        return exprs
+
+    def build_zonemap(self, cols: list[str]) -> int:
+        """Index the given non-key columns with per-segment [min, max]
+        (reference MinMaxIndex, written per DMFile at compaction time).
+        Requires a segmented stable layer (hash or range). One map-side
+        partial aggregation over stable; returns segments indexed."""
+        stable = self._layer("stable")
+        if stable is None or "_seg" not in stable.columns:
+            raise ValueError("zone map needs a segmented stable layer "
+                             "(compact with num_segments / range segments)")
+        dtypes = dict(stable.dtypes)
+        for c in cols:
+            if c not in dtypes:
+                raise ValueError(f"column {c!r} not in stable layer")
+            if dtypes[c].split("(")[0] not in self._ZM_TYPES:
+                raise ValueError(
+                    f"column {c!r} type {dtypes[c]} not zone-mappable"
+                )
+        zm = {"cols": {c: dtypes[c] for c in cols}, "segs": {}}
+        self._write_zonemap(zm)
+        segs = [
+            int(r.s)
+            for r in stable.select(F.col("_seg").alias("s")).distinct().collect()
+        ]
+        self._zonemap_refresh_segs(segs)
+        return len(segs)
+
+    def _zonemap_refresh_segs(self, segs: list[int]) -> None:
+        """Recompute zone-map entries for the given segments from their
+        current stable files (the analogue of the reference rewriting a
+        DMFile's MinMaxIndex when the file is rewritten). Segments with no
+        stable rows left lose their entry; a missing entry always means
+        'must scan', so staleness can only cost performance, never rows."""
+        zm = self._zonemap()
+        if not zm or not segs:
+            return
+        stable = self._layer("stable")
+        entries: dict[str, dict] = {}
+        if stable is not None and "_seg" in stable.columns:
+            dtypes = dict(stable.dtypes)
+            present = {
+                c: zm["cols"][c] for c in zm["cols"] if c in dtypes
+            }
+            if present:
+                rows = (
+                    stable.filter(F.col("_seg").isin([int(s) for s in segs]))
+                    .groupBy(F.col("_seg").alias("s"))
+                    .agg(*self._zm_agg_exprs(present))
+                    .collect()
+                )
+                for r in rows:
+                    entries[str(int(r.s))] = {
+                        c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in present
+                    }
+        for s in segs:
+            k = str(int(s))
+            if k in entries:
+                zm["segs"][k] = entries[k]
+            else:
+                zm["segs"].pop(k, None)
+        self._write_zonemap(zm)
+
+    def _rebuild_zonemap(self) -> None:
+        """Full rebuild after a whole-stable rewrite, keeping the indexed
+        column set (minus columns a DDL dropped). Removes the map when the
+        layout is no longer segmented."""
+        zm = self._zonemap()
+        if not zm:
+            return
+        stable = self._layer("stable")
+        if stable is None or "_seg" not in stable.columns:
+            self._remove_zonemap()
+            return
+        dtypes = dict(stable.dtypes)
+        cols = [
+            c
+            for c in zm["cols"]
+            if c in dtypes and dtypes[c].split("(")[0] in self._ZM_TYPES
+        ]
+        if not cols:
+            self._remove_zonemap()
+            return
+        self.build_zonemap(cols)
+
+    def _zm_pruned_segs(self, col: str, lo, hi) -> list[int]:
+        """Segment ids the rough check proves CANNOT contain a row with
+        ``lo <= col <= hi`` (RSResult::None). Unknown segments are never
+        returned — absent entry ⇒ scan."""
+        zm = self._zonemap()
+        log_cols_ok = zm and col in zm.get("cols", {})
+        if not log_cols_ok:
+            return []
+        base = zm["cols"][col].split("(")[0]
+        as_str = base in ("date", "timestamp", "timestamp_ntz")
+        qlo = str(lo) if (as_str and lo is not None) else lo
+        qhi = str(hi) if (as_str and hi is not None) else hi
+        pruned = []
+        for k, ent in zm["segs"].items():
+            if col not in ent:
+                continue
+            mn, mx = ent[col]
+            if mn is None:
+                # every row in the segment is NULL for this column — a
+                # range predicate matches none of them
+                pruned.append(int(k))
+            elif (qhi is not None and mn > qhi) or (qlo is not None and mx < qlo):
+                pruned.append(int(k))
+        return pruned
+
+    def read_where(self, col: str, lo=None, hi=None, ts: int | None = None) -> DataFrame:
+        """Snapshot read with a range predicate ``lo <= col <= hi`` on an
+        arbitrary column (either bound optional), rough-set-pruned by the
+        zone map when one covers ``col`` — the reference's
+        MinMaxIndex + RoughCheck path for pushed-down filters.
+
+        MVCC-sound by construction: the rough filter only skips SEGMENTS,
+        never overrides the version merge (reference RSResult semantics).
+        A pruned segment could still hold the newest version of a handle
+        that also has rows in the delta (e.g. after a bulk ingest_snapshot
+        stamped a high version straight into stable); dropping it would
+        resurrect the masked delta row. Those handles are rescued with a
+        broadcast semi-join of the pruned segments against the delta's
+        handle set — the delta is small by compaction cadence, and with an
+        empty delta the rescue scan is skipped entirely."""
+        if lo is None and hi is None:
+            raise ValueError("read_where needs at least one bound")
+        log = self.log()
+        pruned = self._zm_pruned_segs(col, lo, hi) if "_seg" in log.columns else []
+        if pruned:
+            keep = log.filter(
+                ~F.col("_seg").isin(pruned) | F.col("_seg").isNull()
+            )
+            if self.delta_rows() > 0:
+                delta_handles = self._layer("delta").select(HANDLE).distinct()
+                rescue = log.filter(F.col("_seg").isin(pruned)).join(
+                    F.broadcast(delta_handles), HANDLE, "left_semi"
+                )
+                keep = keep.unionByName(rescue, allowMissingColumns=True)
+            log = keep
+        out = snapshot_read(log, read_ts=ts)
+        if lo is not None:
+            out = out.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col(col) <= F.lit(hi))
+        drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
+        return self._conform(out.drop(*drop_cols), internal=False)
 
     def maintain(
         self,
