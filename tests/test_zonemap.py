@@ -175,3 +175,92 @@ def test_all_null_segment_pruned(spark, tmp_path):
     # segment 0 is all-NULL for ts_col: a range predicate matches nothing
     assert 0 in store._zm_pruned_segs("ts_col", 0, 10_000)
     assert store.read_where("ts_col", 1000, 1090).count() == 10
+
+
+def test_temporal_bounds_render_like_spark(spark, tmp_path):
+    """Sub-second timestamps: Spark's cast-to-string trims trailing
+    fractional zeros ('…00.123') while Python's str() pads microseconds
+    ('…00.123000'). The query bound must be rendered through Spark so an
+    equal instant never compares as stored_max < bound and wrongly
+    prunes the segment holding the row (silent row loss)."""
+    import datetime as dt
+
+    store = DeltaStore(spark, str(tmp_path / "zt"))
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(seconds=i, microseconds=123000), f"d{i}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, f"{HANDLE} long, ev_ts timestamp, v string")
+    store.write_batch(df, version=1)
+    store.compact_range_segments(ts=1, num_segments=2)
+    store.build_zonemap(["ev_ts"])
+    # segment 0 holds handles 0..99 → max ev_ts = base+99s.123000; Spark
+    # stores its string as '…:01:39.123'. Query with lo equal to that
+    # exact instant (Python datetime, str() would give '…123000' > the
+    # stored max and prune segment 0, losing handle 99).
+    lo = base + dt.timedelta(seconds=99, microseconds=123000)
+    got = {r[HANDLE] for r in store.read_where("ev_ts", lo=lo, hi=lo).collect()}
+    assert got == {99}
+    # pruning still fires when sound: a band fully inside segment 1
+    lo2 = base + dt.timedelta(seconds=150)
+    assert store._zm_pruned_segs("ev_ts", lo2, None) == [0]
+    # string bounds rendered identically (same normalization both sides)
+    got_s = {
+        r[HANDLE]
+        for r in store.read_where(
+            "ev_ts", lo="2024-03-01 12:01:39.123", hi="2024-03-01 12:01:39.123"
+        ).collect()
+    }
+    assert got_s == {99}
+
+
+def test_uninterpretable_temporal_bound_scans(spark, tmp_path):
+    """An epoch-int bound on a timestamp column cannot be compared with
+    the stored ISO-string min/max — the absent verdict must mean scan,
+    never a TypeError and never a silent prune."""
+    import datetime as dt
+
+    store = DeltaStore(spark, str(tmp_path / "zu"))
+    base = dt.datetime(2024, 3, 1)
+    rows = [(i, base + dt.timedelta(hours=i), f"d{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, f"{HANDLE} long, ev_ts timestamp, v string")
+    store.write_batch(df, version=1)
+    store.compact_range_segments(ts=1, num_segments=2)
+    store.build_zonemap(["ev_ts"])
+    assert store._zm_pruned_segs("ev_ts", int(base.timestamp()), None) == []
+    # garbage string Spark can't parse as a timestamp → also scan
+    assert store._zm_pruned_segs("ev_ts", "not-a-time", None) == []
+
+
+def test_incomparable_bound_type_degrades_to_scan(spark, tmp_path):
+    """An int bound on a STRING column: read_where's Spark filter accepts
+    it via implicit cast, so the zone map must degrade to 'cannot prune'
+    instead of raising TypeError on int-vs-str comparison."""
+    store = DeltaStore(spark, str(tmp_path / "zi"))
+    rows = [(i, f"{i:04d}", f"d{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, f"{HANDLE} long, code string, v string")
+    store.write_batch(df, version=1)
+    store.compact_range_segments(ts=1, num_segments=2)
+    store.build_zonemap(["code"])
+    assert store._zm_pruned_segs("code", 10, 20) == []  # no TypeError
+    got = store.read_where("code", 10, 20).count()
+    want = store.read().filter("code >= 10 and code <= 20").count()
+    assert got == want
+
+
+def test_read_where_skips_count_job_but_keeps_rescue(spark, tmp_path):
+    """The rescue-join decision uses a driver-side file-listing probe,
+    not a delta.count() Spark job; a non-empty delta still rescues."""
+    store = _store(spark, tmp_path)
+    assert store._delta_has_files() is False  # compacted: delta retired
+    store.write_batch(
+        spark.createDataFrame(
+            [(399, 5, 0, "moved")],
+            f"{HANDLE} long, ts_col long, noise int, v string",
+        ),
+        version=2,
+    )
+    assert store._delta_has_files() is True
+    got = {r[HANDLE]: r.v for r in store.read_where("ts_col", 0, 90).collect()}
+    assert got[399] == "moved"

@@ -523,7 +523,11 @@ class DeltaStore:
         """Range read [lo, hi): with a range-segmented stable layer only
         the overlapping segments are listed/scanned (manifest pruning —
         the reference's segment-range read tasks); the delta tail is
-        always consulted (it is small by compaction cadence)."""
+        always consulted (it is small by compaction cadence).
+
+        The returned DataFrame is a PLAN-TIME SNAPSHOT (see read_where):
+        manifest pruning and file listings are resolved at construction,
+        so mutate-then-collect sees the pre-mutation store."""
         from pyspark.sql import functions as F
 
         log = self.log()
@@ -885,6 +889,18 @@ class DeltaStore:
         delta = self._layer("delta")
         return delta.count() if delta is not None else 0
 
+    def _delta_has_files(self) -> bool:
+        """Cheap driver-side emptiness probe: does the delta dir hold any
+        data file? Listing beats a delta.count() Spark job when the only
+        question is 'is there a tail at all' (read_where's rescue-join
+        decision). Conservative: any parquet file ⇒ True, even if every
+        row in it is a tombstone — a false True only adds a no-op join."""
+        droot = os.path.join(self.path, "delta")
+        for dirpath, _dirnames, filenames in os.walk(droot):
+            if any(f.endswith(".parquet") for f in filenames):
+                return True
+        return False
+
     # --- rough-set filter: per-segment zone map (min-max index) -------------
     #
     # Reference: every DMFile pack carries a per-column min-max index
@@ -1026,18 +1042,57 @@ class DeltaStore:
             return
         self.build_zonemap(cols)
 
+    def _zm_render_bound(self, bound, col_type: str):
+        """Render a query bound EXACTLY the way the stored temporal
+        min/max were rendered: through Spark's own cast-to-string on a
+        one-row frame. Python's str(datetime) pads microseconds
+        ('…00.123000') while Spark trims trailing zeros ('…00.123'), so
+        a Python-side str() would compare unequal for the same instant
+        and wrongly prune. Returns None when Spark cannot interpret the
+        bound as the column's type (epoch int vs timestamp, etc.) —
+        callers must treat that as 'cannot prune'."""
+        import datetime as _dt
+
+        if not isinstance(bound, (str, _dt.date, _dt.datetime)):
+            # epoch ints/floats: read_where's Spark filter may coerce
+            # them differently than a string render — never prune
+            return None
+        try:
+            row = (
+                self.spark.range(1)
+                .select(F.lit(bound).cast(col_type).cast("string").alias("b"))
+                .first()
+            )
+            return row.b
+        except Exception:
+            return None
+
     def _zm_pruned_segs(self, col: str, lo, hi) -> list[int]:
         """Segment ids the rough check proves CANNOT contain a row with
         ``lo <= col <= hi`` (RSResult::None). Unknown segments are never
-        returned — absent entry ⇒ scan."""
+        returned — absent entry ⇒ scan, and a bound that cannot be
+        compared with the stored min/max (wrong Python type, temporal
+        rendering mismatch) also ⇒ scan: the absent verdict must mean
+        scan, never a silent prune (reference RSResult semantics)."""
         zm = self._zonemap()
         log_cols_ok = zm and col in zm.get("cols", {})
         if not log_cols_ok:
             return []
-        base = zm["cols"][col].split("(")[0]
+        col_type = zm["cols"][col]
+        base = col_type.split("(")[0]
         as_str = base in ("date", "timestamp", "timestamp_ntz")
-        qlo = str(lo) if (as_str and lo is not None) else lo
-        qhi = str(hi) if (as_str and hi is not None) else hi
+        qlo, qhi = lo, hi
+        if as_str:
+            if lo is not None:
+                qlo = self._zm_render_bound(lo, col_type)
+                if qlo is None:
+                    lo = None  # uninterpretable bound: never prune on it
+            if hi is not None:
+                qhi = self._zm_render_bound(hi, col_type)
+                if qhi is None:
+                    hi = None
+            if lo is None and hi is None:
+                return []
         pruned = []
         for k, ent in zm["segs"].items():
             if col not in ent:
@@ -1047,8 +1102,17 @@ class DeltaStore:
                 # every row in the segment is NULL for this column — a
                 # range predicate matches none of them
                 pruned.append(int(k))
-            elif (qhi is not None and mn > qhi) or (qlo is not None and mx < qlo):
-                pruned.append(int(k))
+                continue
+            try:
+                if (qhi is not None and mn > qhi) or (
+                    qlo is not None and mx < qlo
+                ):
+                    pruned.append(int(k))
+            except TypeError:
+                # bound not comparable with the stored min/max (e.g. int
+                # bound on a string column that read_where's Spark filter
+                # would accept via implicit cast) — cannot prune
+                continue
         return pruned
 
     def read_where(self, col: str, lo=None, hi=None, ts: int | None = None) -> DataFrame:
@@ -1065,7 +1129,15 @@ class DeltaStore:
         resurrect the masked delta row. Those handles are rescued with a
         broadcast semi-join of the pruned segments against the delta's
         handle set — the delta is small by compaction cadence, and with an
-        empty delta the rescue scan is skipped entirely."""
+        empty delta the rescue scan is skipped entirely.
+
+        Like read_range, the returned DataFrame is a PLAN-TIME SNAPSHOT:
+        segment pruning and the delta-emptiness probe are resolved here,
+        on the driver, so a mutation between construction and action
+        (an ingest_snapshot into a pruned segment, a delta write after
+        the emptiness check) is not reflected at collect time. Re-call
+        read_where after mutating, exactly as the reference takes a new
+        storage snapshot per query."""
         if lo is None and hi is None:
             raise ValueError("read_where needs at least one bound")
         log = self.log()
@@ -1074,7 +1146,7 @@ class DeltaStore:
             keep = log.filter(
                 ~F.col("_seg").isin(pruned) | F.col("_seg").isNull()
             )
-            if self.delta_rows() > 0:
+            if self._delta_has_files():
                 delta_handles = self._layer("delta").select(HANDLE).distinct()
                 rescue = log.filter(F.col("_seg").isin(pruned)).join(
                     F.broadcast(delta_handles), HANDLE, "left_semi"
