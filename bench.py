@@ -107,21 +107,58 @@ def main() -> None:
         spreads[name] = round(max(steady) / max(min(steady), 1e-9), 2)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs_per_query": n_runs,
-                "spread_max_over_min": spreads,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        ),
-        flush=True,
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs_per_query": n_runs,
+        "spread_max_over_min": spreads,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    prev = _prev_round_timings()
+    if prev:
+        common = sorted(set(timings) & set(prev))
+        if common:
+            now_s = sum(timings[q] for q in common)
+            then_s = sum(prev[q] for q in common)
+            out["vs_prev_common_ratio"] = round(now_s / max(then_s, 1e-9), 3)
+            out["vs_prev_common_n"] = len(common)
+    print(json.dumps(out), flush=True)
     spark.stop()
+
+
+def _prev_round_timings() -> dict[str, float] | None:
+    """Per-query timings from the newest BENCH_r{N}.json the driver left in
+    the repo, so every bench run reports its common-query ratio directly."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if not best:
+        return None
+    try:
+        with open(best) as fh:
+            data = json.load(fh)
+        parsed = data.get("parsed") or data
+        q = parsed.get("queries")
+        if q:
+            return {k: float(v) for k, v in q.items()}
+        # the driver's older capture kept only a tail of stdout (progress
+        # bars truncated the JSON head): recover the complete (name, sec)
+        # pairs of the FIRST dict fragment — a partial but apples-to-apples
+        # comparison set; vs_prev_common_n reports how partial
+        tail = data.get("tail", "")
+        frag = tail.split("}", 1)[0]
+        pairs = re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', frag)
+        return {k: float(v) for k, v in pairs} or None
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":

@@ -277,3 +277,29 @@ def test_bitmap_scan_plan_uses_partial_agg_not_window(spark, log):
     assert count_operator(df, "Window") == 0
     n_aggs = count_operator(df, "SortAggregate") + count_operator(df, "HashAggregate")
     assert n_aggs >= 2  # partial + final
+
+
+def test_bitmap_scan_fully_duplicated_rows_multiplicity(spark):
+    """A log with FULLY-duplicated rows (same handle/version/delmark/payload
+    — impossible under commit-ts uniqueness, possible in synthetic logs):
+    the plain semi-join keeps every copy; dedup_exact=True restores the
+    window form's exactly-one-row-per-winner multiplicity."""
+    from tiflash_spark.operators.mvcc import bitmap_scan
+
+    dup = _log(
+        spark,
+        [
+            (1, 2, 0, 10),
+            (1, 2, 0, 10),  # exact duplicate of the winner
+            (1, 1, 0, 5),
+            (2, 1, 0, 20),
+        ],
+    )
+    normal = sorted(tuple(r) for r in snapshot_read(dup, 5).collect())
+    plain = sorted(tuple(r) for r in bitmap_scan(dup, 5).collect())
+    deduped = sorted(
+        tuple(r) for r in bitmap_scan(dup, 5, dedup_exact=True).collect()
+    )
+    assert len(normal) == 2          # one row per handle
+    assert len(plain) == 3           # documented divergence: both copies
+    assert deduped == normal         # contract: dedup_exact ≡ window form

@@ -55,7 +55,10 @@ def snapshot_read(
 
 
 def bitmap_scan(
-    log: DataFrame, read_ts: int | None = None, tiebreak: list[str] | None = None
+    log: DataFrame,
+    read_ts: int | None = None,
+    tiebreak: list[str] | None = None,
+    dedup_exact: bool = False,
 ) -> DataFrame:
     """Bitmap read mode (ReadMode.h:39; docs/design/
     2022-12-08-support-MVCC-bitmap-filter.md): same visible-row semantics as
@@ -78,7 +81,16 @@ def bitmap_scan(
     snapshot_read's (version DESC, delmark DESC, ...) pick exactly,
     including delete-wins on version ties. As with snapshot_read, the pick
     is total only if (handle, version) is unique or ``tiebreak`` makes it
-    so."""
+    so.
+
+    MULTIPLICITY CONTRACT: when the log contains FULLY-duplicated rows
+    (identical handle, version, delmark AND tiebreaks — impossible in a
+    real commit-ts log, possible in synthetic ones), the semi-join keeps
+    every copy of the winning row, where the window form keeps exactly
+    one. Pass ``dedup_exact=True`` to restore one-row-per-winner parity;
+    it costs one extra exchange over the (already MVCC-deduped, ≈ one
+    row per handle) output, so the narrow winner shuffle that motivates
+    bitmap mode is preserved."""
     if read_ts is not None:
         log = log.filter(F.col(VERSION) <= read_ts)
     keycols = [VERSION, DELMARK] + [c for c in (tiebreak or []) if c != DELMARK]
@@ -88,7 +100,8 @@ def bitmap_scan(
     visible = win.filter(F.col(f"_mvcc_win.{DELMARK}") == 0).select(
         HANDLE, *[F.col(f"_mvcc_win.{c}").alias(c) for c in keycols]
     )
-    return log.join(visible, on=[HANDLE, *keycols], how="left_semi")
+    out = log.join(visible, on=[HANDLE, *keycols], how="left_semi")
+    return out.dropDuplicates() if dedup_exact else out
 
 
 def fast_scan(log: DataFrame) -> DataFrame:

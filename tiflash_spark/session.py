@@ -57,5 +57,8 @@ def get_spark(app_name: str = "tiflash_spark", master: str | None = None) -> Spa
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # Progress bars interleave with stdout and can truncate the one-line
+        # JSON contract bench.py prints (the driver parses it).
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
