@@ -142,7 +142,7 @@ def test_segmented_compaction_and_point_reads(spark, tmp_path):
     # segment dirs exist
     import os as _os
 
-    segs = [d for d in _os.listdir(tmp_path / "t3" / "stable") if d.startswith("_seg=")]
+    segs = [d for d in _os.listdir(store.stable_path()) if d.startswith("_seg=")]
     assert len(segs) >= 2
     after = {r[HANDLE]: r["v"] for r in store.read().collect()}
     assert after == before
@@ -187,7 +187,7 @@ def test_range_segments_manifest_pruning_and_incremental_compact(spark, tmp_path
         spark.createDataFrame([Row(**{"_tidb_rowid": 151, "v": 0})]), version=3,
         delete=True,
     )
-    seg_dir = lambda s: str(tmp_path / "rstore" / "stable" / f"_seg={s}")  # noqa: E731
+    seg_dir = lambda s: os.path.join(store.stable_path(), f"_seg={s}")  # noqa: E731
     cold_mtime = {
         s: sorted(os.listdir(seg_dir(s))) for s in (0, 2, 3)
     }
@@ -225,7 +225,7 @@ def test_hash_compact_after_range_compact_clears_manifest(spark, tmp_path):
     rows = [Row(**{"_tidb_rowid": h, "v": h * 10}) for h in range(0, 200)]
     store.write_batch(spark.createDataFrame(rows), version=1)
     store.compact_range_segments(ts=1, num_segments=4)
-    assert os.path.exists(tmp_path / "mstore" / "_MANIFEST")
+    assert os.path.exists(os.path.join(store.stable_path(), "_MANIFEST"))
 
     # now hash-compact: _seg ids become hash buckets, range bounds invalid
     store.write_batch(
@@ -233,13 +233,13 @@ def test_hash_compact_after_range_compact_clears_manifest(spark, tmp_path):
     )
     n = store.compact(ts=2, num_segments=4)
     assert n == 201
-    assert not os.path.exists(tmp_path / "mstore" / "_MANIFEST")
+    assert not os.path.exists(os.path.join(store.stable_path(), "_MANIFEST"))
     out = {r["_tidb_rowid"]: r.v for r in store.read_range(100, 140).collect()}
     assert out == {h: h * 10 for h in range(100, 140)}
     # flat compact also clears a stale manifest
     store.compact_range_segments(ts=2, num_segments=4)
     store.compact(ts=2)
-    assert not os.path.exists(tmp_path / "mstore" / "_MANIFEST")
+    assert not os.path.exists(os.path.join(store.stable_path(), "_MANIFEST"))
 
 
 def test_bitmap_scan_matches_snapshot_read(spark, log):

@@ -79,7 +79,7 @@ def test_drop_column_pruned_everywhere_and_compact_rewrites(spark, tmp_path):
     # bytes gone from the physical files, added column materialized
     n = store.compact(ts=2)
     assert n == 3
-    physical = spark.read.parquet(os.path.join(str(tmp_path / "s3"), "stable"))
+    physical = spark.read.parquet(store.stable_path())
     assert "weight" not in physical.columns
     assert "score" in physical.columns
     after = {r[HANDLE]: (r["name"], r["score"]) for r in store.read().collect()}
@@ -124,7 +124,7 @@ def test_ddl_across_incremental_segment_compaction(spark, tmp_path):
         _rows(spark, [(150, 1500, "hot")], f"{HANDLE} long, v long, tag string"),
         version=2,
     )
-    seg_dir = lambda s: str(tmp_path / "s5" / "stable" / f"_seg={s}")  # noqa: E731
+    seg_dir = lambda s: os.path.join(store.stable_path(), f"_seg={s}")  # noqa: E731
     cold_files = {s: sorted(os.listdir(seg_dir(s))) for s in (0, 2, 3)}
     rewritten, total = store.compact_segments_incremental(ts=2)
     assert (rewritten, total) == (1, 4)
@@ -155,9 +155,7 @@ def test_point_reads_and_full_compact_after_ddl_on_hash_segments(spark, tmp_path
     assert got == {3: ("x3", None), 5: ("new", 7)}
     # full hash re-compact folds everything into the new schema
     store.compact(ts=2, num_segments=4)
-    physical = spark.read.option("mergeSchema", "true").parquet(
-        os.path.join(str(tmp_path / "s6"), "stable")
-    )
+    physical = spark.read.option("mergeSchema", "true").parquet(store.stable_path())
     assert "extra" in physical.columns
     got = {r[HANDLE]: (r["v"], r["extra"]) for r in store.read_handles([3, 5]).collect()}
     assert got == {3: ("x3", None), 5: ("new", 7)}

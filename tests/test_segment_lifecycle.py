@@ -22,7 +22,7 @@ def _store(spark, tmp_path, n=40):
 
 
 def _seg_dirs(store):
-    d = os.path.join(store.path, "stable")
+    d = store.stable_path()
     return sorted(x for x in os.listdir(d) if x.startswith("_seg="))
 
 
@@ -98,7 +98,7 @@ def test_rebalance_policy_converges(spark, tmp_path):
     assert splits >= 2  # both 30-row segments exceeded the cap
     man = store._manifest()
     counts = {}
-    stable = spark.read.parquet(os.path.join(store.path, "stable"))
+    stable = spark.read.parquet(store.stable_path())
     from pyspark.sql import functions as F
     for r in stable.groupBy(F.col("_seg").alias("s")).agg(F.count(F.lit(1)).alias("n")).collect():
         counts[r.s] = r.n

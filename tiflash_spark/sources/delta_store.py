@@ -8,15 +8,22 @@ DeltaMerge.h). Hidden per-row columns: handle `_tidb_rowid`, commit
 version `_INTERNAL_VERSION`, delete mark `_INTERNAL_DELMARK`
 (dbms/src/Storages/MutableSupport.h:44-54).
 
-Spark-first layout:
-- ``stable/`` — compacted parquet, one row per live handle, sorted by
-  handle within files (parquet row-group stats ≈ the pack min-max index).
-- ``delta/``  — append-only upsert/delete log parquet; each write job
-  appends one batch directory, never rewrites.
+Spark-first layout (crash-safe, versioned):
+- ``stable_v<N>/`` — compacted parquet, one row per live handle, sorted
+  by handle within files (row-group stats ≈ the pack min-max index);
+  layout metadata (_SEGMENTS/_MANIFEST/_ZONEMAP/_STABLE_SCHEMA) lives
+  INSIDE the version dir it describes.
+- ``delta_v<K>/`` — append-only upsert/delete log parquet; each write
+  job appends one batch directory, never rewrites.
+- ``_CURRENT``    — superblock naming the live dirs; replaced atomically
+  (tmp + os.replace) as the LAST step of every swap, so a crash at any
+  point leaves a complete old or complete new snapshot, never half.
 - read(ts)   — union(stable, delta) → window-dedup by handle on newest
   version <= ts, drop delmarks (operators/mvcc.py.snapshot_read).
-- compact(ts)— fold delta into a new stable snapshot; readers pick the new
-  version dir atomically (_CURRENT pointer file).
+- compact(ts)— fold delta into a staged stable version dir, promote via
+  the _CURRENT swap, GC retired dirs after; incremental ops hardlink
+  unchanged segment files into the next version (storage shared, never
+  copied).
 
 Scale notes: the delta tail stays small relative to stable (compaction
 cadence controls it); snapshot reads shuffle only the delta+stable rows of
@@ -51,8 +58,151 @@ class DeltaStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
-        os.makedirs(os.path.join(path, "delta"), exist_ok=True)
-        os.makedirs(os.path.join(path, "stable"), exist_ok=True)
+        # failure-injection hook (reference FailPoint.h / the
+        # fault-inject fullstack suites): tests add point names here and
+        # mutation ops raise at that point, so crash-consistency is
+        # provable at every step of a layer swap
+        self.failpoints: set[str] = set()
+        os.makedirs(path, exist_ok=True)
+        if self._superblock() is None:
+            legacy_stable = os.path.join(path, "stable")
+            legacy_delta = os.path.join(path, "delta")
+            if os.path.isdir(legacy_stable) or os.path.isdir(legacy_delta):
+                # adopt a pre-superblock store: the legacy dir names
+                # become version dirs; top-level layout sidecars move
+                # into the stable dir where later versions keep them
+                os.makedirs(legacy_stable, exist_ok=True)
+                os.makedirs(legacy_delta, exist_ok=True)
+                for m in ("_SEGMENTS", "_MANIFEST", "_ZONEMAP", "_STABLE_SCHEMA"):
+                    src = os.path.join(path, m)
+                    if os.path.exists(src):
+                        os.replace(src, os.path.join(legacy_stable, m))
+                sb = {"epoch": 0, "stable": "stable", "delta": "delta"}
+            else:
+                os.makedirs(os.path.join(path, "stable_v1"), exist_ok=True)
+                os.makedirs(os.path.join(path, "delta_v1"), exist_ok=True)
+                sb = {"epoch": 1, "stable": "stable_v1", "delta": "delta_v1"}
+            self._commit_superblock(sb)
+
+    # --- versioned layers / crash-safe superblock ---------------------------
+    #
+    # Reference: PageStorage gives every read an immutable snapshot and
+    # commits meta changes atomically (dbms/src/Storages/Page/); the
+    # fault-inject test suites (tests/fullstack-test/fault-inject/) prove
+    # a crash mid-operation never exposes a half state. Spark-first
+    # equivalent: layer data lives in versioned dirs (stable_v<N>/,
+    # delta_v<K>/) whose files are immutable once the dir is promoted; a
+    # single `_CURRENT` superblock file names the live dirs and is
+    # replaced atomically (tmp + os.replace) as the LAST step of every
+    # swap. Layout metadata (_SEGMENTS, _MANIFEST, _ZONEMAP,
+    # _STABLE_SCHEMA) lives INSIDE the stable version dir it describes —
+    # Spark ignores non-partition paths starting with "_" — so data and
+    # metadata can never be observed out of sync. Old dirs are GC'd only
+    # after the pointer moves; a crash at any point leaves `_CURRENT`
+    # naming a complete old or complete new snapshot, plus at worst some
+    # orphan dirs the next mutation sweeps.
+
+    def _superblock(self) -> dict | None:
+        import json
+
+        p = os.path.join(self.path, "_CURRENT")
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _commit_superblock(self, sb: dict) -> None:
+        import json
+
+        p = os.path.join(self.path, "_CURRENT")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(sb, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, p)
+
+    def stable_path(self) -> str:
+        return os.path.join(self.path, self._superblock()["stable"])
+
+    def delta_path(self) -> str:
+        return os.path.join(self.path, self._superblock()["delta"])
+
+    def _fail(self, point: str) -> None:
+        if point in self.failpoints:
+            raise RuntimeError(f"injected failure at {point!r}")
+
+    def _stage_dir(self, tag: str = "stage") -> str:
+        import uuid
+
+        return os.path.join(self.path, f"_stage_{tag}_{uuid.uuid4().hex[:12]}")
+
+    @staticmethod
+    def _link_tree(src: str, dst: str, skip: set[str] | None = None) -> None:
+        """Hardlink every file under ``src`` into ``dst`` with the same
+        relative layout — new version dirs share the unchanged files'
+        storage instead of copying them (files are immutable once their
+        dir is promoted, so sharing is safe). ``skip`` names relative
+        entries (segment dirs / sidecar files / nested index partitions
+        like '_INVIDX_c/_seg=3') to leave out."""
+        skip = skip or set()
+        for root, dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            if rel != "." and (rel in skip or rel.split(os.sep)[0] in skip):
+                dirs[:] = []
+                continue
+            tdir = dst if rel == "." else os.path.join(dst, rel)
+            os.makedirs(tdir, exist_ok=True)
+            for f in files:
+                if rel == "." and f in skip:
+                    continue
+                os.link(os.path.join(root, f), os.path.join(tdir, f))
+
+    def _promote(self, staged_stable: str, retire_delta: bool) -> None:
+        """Swap a fully-built stable dir (and, when the delta was folded
+        into it, a fresh empty delta) to current. The `_CURRENT` replace
+        is the commit point; everything before is invisible to readers,
+        everything after is garbage collection."""
+        import shutil
+
+        sb = self._superblock()
+        epoch = sb["epoch"] + 1
+        new_stable = f"stable_v{epoch}"
+        target = os.path.join(self.path, new_stable)
+        if os.path.exists(target):
+            # orphan of a promote that crashed before its commit —
+            # unreferenced by _CURRENT, safe to clear
+            shutil.rmtree(target, ignore_errors=True)
+        os.rename(staged_stable, target)
+        newsb = {"epoch": epoch, "stable": new_stable, "delta": sb["delta"]}
+        if retire_delta:
+            newsb["delta"] = f"delta_v{epoch}"
+            dtarget = os.path.join(self.path, newsb["delta"])
+            if os.path.exists(dtarget):
+                shutil.rmtree(dtarget, ignore_errors=True)
+            os.makedirs(dtarget, exist_ok=True)
+        self._fail("before_commit")
+        self._commit_superblock(newsb)
+        self._fail("after_commit")
+        self._gc_orphans()
+        self._refresh()
+
+    def _gc_orphans(self) -> None:
+        """Delete version/staging dirs the superblock no longer
+        references. Only our own naming patterns are touched. Best-effort:
+        a crash mid-GC just leaves orphans for the next sweep."""
+        import shutil
+
+        sb = self._superblock()
+        keep = {sb["stable"], sb["delta"]}
+        for name in os.listdir(self.path):
+            if name in keep:
+                continue
+            full = os.path.join(self.path, name)
+            if os.path.isdir(full) and name.startswith(
+                ("stable", "delta", "_stage_", "seg_")
+            ):
+                shutil.rmtree(full, ignore_errors=True)
 
     # --- schema evolution (online DDL) -------------------------------------
     #
@@ -184,7 +334,7 @@ class DeltaStore:
         out = df.withColumn(VERSION, F.lit(version).cast("long")).withColumn(
             DELMARK, F.lit(1 if delete else 0).cast("int")
         )
-        out.write.mode("append").parquet(os.path.join(self.path, "delta"))
+        out.write.mode("append").parquet(self.delta_path())
 
     def _conform_user_write(self, df: DataFrame, fields) -> DataFrame:
         cols = [F.col(HANDLE)]
@@ -196,17 +346,22 @@ class DeltaStore:
 
     # --- read path ---------------------------------------------------------
 
-    def _write_stable_schema(self, schema) -> None:
+    def _write_stable_schema(self, schema, layer_dir: str | None = None) -> None:
         """Sidecar with the stable layer's schema: a compaction that
         garbage-collects EVERY row (fully-tombstoned table) writes zero
         parquet files, and without this the store would become unreadable
         (UNABLE_TO_INFER_SCHEMA) instead of reading as empty. Found by
-        the property-based op-sequence test."""
-        with open(os.path.join(self.path, "_STABLE_SCHEMA"), "w") as fh:
+        the property-based op-sequence test. Lives inside the stable
+        version dir (``layer_dir`` stages it into a not-yet-promoted
+        dir)."""
+        p = os.path.join(layer_dir or self.stable_path(), "_STABLE_SCHEMA")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
             fh.write(schema.json())
+        os.replace(tmp, p)
 
     def _stable_schema(self):
-        p = os.path.join(self.path, "_STABLE_SCHEMA")
+        p = os.path.join(self.stable_path(), "_STABLE_SCHEMA")
         if os.path.exists(p):
             from pyspark.sql import types as T
 
@@ -215,7 +370,7 @@ class DeltaStore:
         return None
 
     def _layer(self, name: str) -> DataFrame | None:
-        p = os.path.join(self.path, name)
+        p = self.stable_path() if name == "stable" else self.delta_path()
         try:
             r = self.spark.read
             if self._schema_versions():
@@ -235,12 +390,13 @@ class DeltaStore:
 
 
     def _refresh(self) -> None:
-        """Invalidate Spark's cached file listings for this store — after a
-        compaction swap the old delta/stable files are gone and any cached
-        FileIndex would read deleted paths."""
-        for name in ("stable", "delta"):
+        """Invalidate Spark's cached file listings for the live layer
+        dirs. Versioned dirs get fresh names per swap, so staleness is
+        mostly impossible by construction; the delta dir is the one path
+        that accumulates files under a fixed name between swaps."""
+        for p in (self.stable_path(), self.delta_path()):
             try:
-                self.spark.catalog.refreshByPath(os.path.join(self.path, name))
+                self.spark.catalog.refreshByPath(p)
             except Exception:
                 pass
 
@@ -301,7 +457,7 @@ class DeltaStore:
         # columns' bytes are reclaimed, added columns materialize as NULL
         # (reference SchemaUpdate.cpp — merge writes the current schema)
         merged = self._conform(merged, internal=True)
-        tmp = os.path.join(self.path, f"stable_new_{int(time.time() * 1000)}")
+        stage = self._stage_dir("compact")
         if num_segments:
             (
                 merged.withColumn("_seg", F.pmod(F.xxhash64(F.col(HANDLE)), F.lit(num_segments)))
@@ -309,40 +465,35 @@ class DeltaStore:
                 .sortWithinPartitions(HANDLE)
                 .write.partitionBy("_seg")
                 .mode("overwrite")
-                .parquet(tmp)
+                .parquet(stage)
             )
         else:
             (
                 merged.repartition(HANDLE)
                 .sortWithinPartitions(HANDLE)
                 .write.mode("overwrite")
-                .parquet(tmp)
+                .parquet(stage)
             )
-        n = self.spark.read.schema(merged.schema).parquet(tmp).count()
-        self._write_stable_schema(merged.schema)
-        # atomic-ish swap: retire old layers, promote the new stable
-        import shutil
-
-        for name in ("stable", "delta"):
-            shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
-        os.rename(tmp, os.path.join(self.path, "stable"))
-        os.makedirs(os.path.join(self.path, "delta"), exist_ok=True)
-        seg_meta = os.path.join(self.path, "_SEGMENTS")
+        n = self.spark.read.schema(merged.schema).parquet(stage).count()
+        # layout metadata is staged INTO the new version dir: promoting
+        # the dir promotes the metadata with it, atomically. A hash/flat
+        # compact simply carries no _MANIFEST — the stale range manifest
+        # dies with the old version dir instead of needing a delete that
+        # could be observed early.
+        self._write_stable_schema(merged.schema, layer_dir=stage)
         if num_segments:
-            with open(seg_meta, "w") as fh:
+            with open(os.path.join(stage, "_SEGMENTS"), "w") as fh:
                 fh.write(str(num_segments))
-        elif os.path.exists(seg_meta):
-            os.remove(seg_meta)
-        # a stale range _MANIFEST must not survive a hash (or flat) compact:
-        # read_range would prune hash-assigned _seg ids with range bounds
-        # and silently drop rows
-        manifest = os.path.join(self.path, "_MANIFEST")
-        if os.path.exists(manifest):
-            os.remove(manifest)
-        self._refresh()
-        # full stable rewrite invalidates every zone-map entry; rebuild in
-        # place (the reference writes MinMaxIndex as part of each new DMFile)
-        self._rebuild_zonemap()
+        prior_zm = self._zonemap()
+        prior_idx = list(self._invidx_meta())
+        self._fail("staged")
+        self._promote(stage, retire_delta=True)
+        # full stable rewrite invalidates every zone-map / inverted-index
+        # entry; rebuild (the reference writes its indexes as part of each
+        # new DMFile). A crash before this leaves NO index in the new dir
+        # — scan, never a stale prune.
+        self._rebuild_zonemap(prior_zm)
+        self._rebuild_invidx(prior_idx)
         return n
 
     def _num_segments(self) -> int | None:
@@ -350,7 +501,7 @@ class DeltaStore:
         from observed _seg values (max+1) is wrong when the top segment
         happens to be empty — pruning would then use a different modulus
         than the writer and silently miss handles."""
-        seg_meta = os.path.join(self.path, "_SEGMENTS")
+        seg_meta = os.path.join(self.stable_path(), "_SEGMENTS")
         if os.path.exists(seg_meta):
             with open(seg_meta) as fh:
                 return int(fh.read().strip())
@@ -430,18 +581,16 @@ class DeltaStore:
                 ((F.col(HANDLE) - F.lit(lo)) / width).cast("int"),
             )
             merged = merged.withColumn("_seg", seg)
-        tmp = os.path.join(self.path, f"stable_new_{int(time.time() * 1000)}")
+        stage = self._stage_dir("range")
         (
             merged.repartition("_seg")
             .sortWithinPartitions(HANDLE)
             .write.partitionBy("_seg")
             .mode("overwrite")
-            .parquet(tmp)
+            .parquet(stage)
         )
-        n = self.spark.read.schema(merged.schema).parquet(tmp).count()
-        self._write_stable_schema(merged.drop("_seg").schema)
-        import shutil
-
+        n = self.spark.read.schema(merged.schema).parquet(stage).count()
+        self._write_stable_schema(merged.drop("_seg").schema, layer_dir=stage)
         if string_handle:
             # bounds from the written files: [min handle, next seg's min),
             # last hi = max + NUL (a string strictly above every handle
@@ -449,7 +598,7 @@ class DeltaStore:
             # assignment/pruning/split/merge code is shared
             per_seg = {
                 r.s: (r.mn, r.mx)
-                for r in self.spark.read.parquet(tmp)
+                for r in self.spark.read.parquet(stage)
                 .groupBy(F.col("_seg").alias("s"))
                 .agg(F.min(HANDLE).alias("mn"), F.max(HANDLE).alias("mx"))
                 .collect()
@@ -478,23 +627,24 @@ class DeltaStore:
             man = {"kind": "range", "lo": int(lo), "width": int(width),
                    "n": num_segments, "bounds": bounds}
 
-        for name in ("stable", "delta"):
-            shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
-        os.rename(tmp, os.path.join(self.path, "stable"))
-        os.makedirs(os.path.join(self.path, "delta"), exist_ok=True)
-        with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
+        # the manifest is part of the staged version dir: the range
+        # layout's bounds and its data commit in one pointer swap (no
+        # hash _SEGMENTS is staged, so that metadata dies with the old
+        # version dir)
+        with open(os.path.join(stage, "_MANIFEST"), "w") as fh:
             json.dump(man, fh)
-        seg_meta = os.path.join(self.path, "_SEGMENTS")
-        if os.path.exists(seg_meta):
-            os.remove(seg_meta)  # hash metadata no longer applies
-        self._refresh()
-        self._rebuild_zonemap()
+        prior_zm = self._zonemap()
+        prior_idx = list(self._invidx_meta())
+        self._fail("staged")
+        self._promote(stage, retire_delta=True)
+        self._rebuild_zonemap(prior_zm)
+        self._rebuild_invidx(prior_idx)
         return n
 
     def _manifest(self) -> dict | None:
         import json
 
-        p = os.path.join(self.path, "_MANIFEST")
+        p = os.path.join(self.stable_path(), "_MANIFEST")
         if os.path.exists(p):
             with open(p) as fh:
                 return json.load(fh)
@@ -553,8 +703,11 @@ class DeltaStore:
 
         Requires a prior compact_range_segments. Dirty segments are found
         with one tiny aggregation over the delta (cheap: the delta IS the
-        small layer); each dirty segment's stable partition is rewritten
-        via dynamic partition overwrite, then the delta is retired.
+        small layer). Crash-safe like the full compact: a new stable
+        version dir is built with the COLD segments' files HARDLINKED
+        (shared storage, no copy — they are immutable) and only the dirty
+        segments' files written fresh, then the `_CURRENT` pointer swap
+        retires the old stable + delta in one atomic step.
         """
         from pyspark.sql import functions as F
 
@@ -584,7 +737,7 @@ class DeltaStore:
             # cold segments may predate a DDL — merge footers so the union
             # below sees every column, then conform both sides
             stable_r = stable_r.option("mergeSchema", "true")
-        stable = stable_r.parquet(os.path.join(self.path, "stable"))
+        stable = stable_r.parquet(self.stable_path())
         part = self._conform(
             stable.filter(F.col("_seg").isin(dirty)).drop("_seg"), internal=True
         ).unionByName(
@@ -596,13 +749,10 @@ class DeltaStore:
         merged = mvcc_compact(part, ts).filter(
             ~((F.col(DELMARK) == 1) & (F.col(VERSION) <= ts))
         ).withColumn("_seg", seg_of)
-        # stage in a tmp dir (Spark refuses to overwrite a path it reads),
-        # then swap ONLY the dirty segment partition dirs — cold segments'
-        # files are untouched, which is the whole point
         import json
         import shutil
 
-        tmp = os.path.join(self.path, f"seg_rewrite_{int(time.time() * 1000)}")
+        tmp = self._stage_dir("segdata")
         (
             merged.repartition("_seg")
             .sortWithinPartitions(HANDLE)
@@ -610,18 +760,25 @@ class DeltaStore:
             .mode("overwrite")
             .parquet(tmp)
         )
-        stable_dir = os.path.join(self.path, "stable")
+        # build the next stable version: cold segments hardlinked, dirty
+        # segment dirs moved in from the Spark output (a segment that went
+        # all-tombstone simply has no dir in the new version)
+        stage = self._stage_dir("incr")
+        dirty_set = {f"_seg={s}" for s in dirty}
+        idx_skip = self._stage_invidx(stage, dirty)
+        self._link_tree(
+            self.stable_path(),
+            stage,
+            skip=dirty_set | {"_ZONEMAP", "_MANIFEST"} | idx_skip,
+        )
         for s in dirty:
             src = os.path.join(tmp, f"_seg={s}")
-            dst = os.path.join(stable_dir, f"_seg={s}")
-            shutil.rmtree(dst, ignore_errors=True)
             if os.path.exists(src):
-                os.rename(src, dst)  # segment went all-tombstone → stays gone
+                os.rename(src, os.path.join(stage, f"_seg={s}"))
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(os.path.join(self.path, "delta"), ignore_errors=True)
-        os.makedirs(os.path.join(self.path, "delta"), exist_ok=True)
         # widen the outer manifest bounds to any new handle range the delta
-        # introduced, so read_range pruning stays sound
+        # introduced, so read_range pruning stays sound; staged into the
+        # new version dir so bounds and data commit together
         if dlo is not None:
             # assignment is bounds-driven (_seg_assign_expr), so widening
             # the outermost bounds both fixes pruning AND routes future
@@ -634,11 +791,22 @@ class DeltaStore:
             else:
                 b0[0] = min(b0[0], int(dlo))
                 btop[1] = max(btop[1], int(dhi) + 1)
-            with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
-                json.dump(man, fh)
-        self._refresh()
-        # only the rewritten segments' min/max can have changed
+        with open(os.path.join(stage, "_MANIFEST"), "w") as fh:
+            json.dump(man, fh)
+        # zone map: carry the cold segments' entries, DROP the dirty ones
+        # — a crash between promote and refresh leaves them absent, which
+        # means scan (safe), never a stale prune (row loss)
+        zm = self._zonemap()
+        if zm:
+            zm = dict(zm, segs={
+                k: v for k, v in zm["segs"].items() if int(k) not in set(dirty)
+            })
+            self._write_zonemap(zm, layer_dir=stage)
+        self._fail("staged")
+        self._promote(stage, retire_delta=True)
+        # only the rewritten segments' index entries can have changed
         self._zonemap_refresh_segs(dirty)
+        self._invidx_refresh_segs(dirty)
         return (len(dirty), n)
 
     def ingest_snapshot(self, df: DataFrame, version: int) -> int:
@@ -673,9 +841,15 @@ class DeltaStore:
         out = df.withColumn(VERSION, F.lit(version).cast("long")).withColumn(
             DELMARK, F.lit(0).cast("int")
         )
-        stable = os.path.join(self.path, "stable")
         man = self._manifest()
         n_seg = self._num_segments()
+        # write the new files into a staging dir, then build the next
+        # stable version as hardlinks-of-current + the staged files, and
+        # commit with one pointer swap (the ingest either fully happened
+        # or didn't — the reference applies an SST ingest atomically per
+        # region too)
+        tmp = self._stage_dir("ingestdata")
+        dlo = dhi = None
         if man:
             seg_of = self._seg_assign_expr(man)
             dlo, dhi = out.agg(F.min(HANDLE), F.max(HANDLE)).collect()[0]
@@ -684,20 +858,9 @@ class DeltaStore:
                 .repartition("_seg")
                 .sortWithinPartitions(HANDLE)
                 .write.partitionBy("_seg")
-                .mode("append")
-                .parquet(stable)
+                .mode("overwrite")
+                .parquet(tmp)
             )
-            if dlo is not None:
-                b0 = min(man["bounds"].values(), key=lambda b: b[0])
-                btop = max(man["bounds"].values(), key=lambda b: b[1])
-                if isinstance(dlo, str):
-                    b0[0] = min(b0[0], dlo)
-                    btop[1] = max(btop[1], dhi + "\x00")
-                else:
-                    b0[0] = min(b0[0], int(dlo))
-                    btop[1] = max(btop[1], int(dhi) + 1)
-                with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
-                    json.dump(man, fh)
         elif n_seg:
             (
                 out.withColumn(
@@ -706,19 +869,20 @@ class DeltaStore:
                 .repartition("_seg")
                 .sortWithinPartitions(HANDLE)
                 .write.partitionBy("_seg")
-                .mode("append")
-                .parquet(stable)
+                .mode("overwrite")
+                .parquet(tmp)
             )
         else:
             (
                 out.repartition(HANDLE)
                 .sortWithinPartitions(HANDLE)
-                .write.mode("append")
-                .parquet(stable)
+                .write.mode("overwrite")
+                .parquet(tmp)
             )
-        self._refresh()
-        if self._zonemap() is not None and (man or n_seg):
-            # bulk-loaded files widen the touched segments' value ranges
+        touched: list[int] = []
+        if (man or n_seg) and (
+            self._zonemap() is not None or self._invidx_meta()
+        ):
             seg_of = (
                 self._seg_assign_expr(man)
                 if man
@@ -728,8 +892,59 @@ class DeltaStore:
                 int(r.s)
                 for r in out.select(seg_of.alias("s")).distinct().collect()
             ]
+        stage = self._stage_dir("ingest")
+        skip = {"_MANIFEST"} if man else set()
+        zm = self._zonemap()
+        if zm and touched:
+            skip.add("_ZONEMAP")
+        if touched:
+            skip |= self._stage_invidx(stage, touched)
+        self._link_tree(self.stable_path(), stage, skip=skip)
+        self._merge_staged_files(tmp, stage)
+        if man:
+            if dlo is not None:
+                b0 = min(man["bounds"].values(), key=lambda b: b[0])
+                btop = max(man["bounds"].values(), key=lambda b: b[1])
+                if isinstance(dlo, str):
+                    b0[0] = min(b0[0], dlo)
+                    btop[1] = max(btop[1], dhi + "\x00")
+                else:
+                    b0[0] = min(b0[0], int(dlo))
+                    btop[1] = max(btop[1], int(dhi) + 1)
+            with open(os.path.join(stage, "_MANIFEST"), "w") as fh:
+                json.dump(man, fh)
+        if zm and touched:
+            # drop touched entries in the staged map: absent ⇒ scan until
+            # the post-promote refresh lands (safe either way)
+            zm = dict(zm, segs={
+                k: v for k, v in zm["segs"].items() if int(k) not in set(touched)
+            })
+            self._write_zonemap(zm, layer_dir=stage)
+        self._fail("staged")
+        self._promote(stage, retire_delta=False)
+        if touched:
             self._zonemap_refresh_segs(touched)
+            self._invidx_refresh_segs(touched)
         return out.count()
+
+    @staticmethod
+    def _merge_staged_files(src: str, dst: str) -> None:
+        """Move the data files of a staged Spark write into an
+        under-construction version dir (same relative layout, partition
+        dirs created as needed). Hidden files (_SUCCESS etc.) are
+        skipped; Spark part-file names embed a job UUID so collisions
+        with hardlinked existing files cannot happen."""
+        import shutil
+
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            tdir = dst if rel == "." else os.path.join(dst, rel)
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                os.makedirs(tdir, exist_ok=True)
+                os.rename(os.path.join(root, f), os.path.join(tdir, f))
+        shutil.rmtree(src, ignore_errors=True)
 
     # --- segment lifecycle: split / merge -----------------------------------
 
@@ -753,7 +968,7 @@ class DeltaStore:
         if not man:
             raise ValueError("segment split needs range segments "
                              "(run compact_range_segments first)")
-        stable = self.spark.read.parquet(os.path.join(self.path, "stable"))
+        stable = self.spark.read.parquet(self.stable_path())
         if seg_id is None:
             counts = {
                 r.s: r.n
@@ -791,7 +1006,7 @@ class DeltaStore:
                 f"inside [{blo}, {bhi})"
             )
         new_id = max(int(k) for k in man["bounds"]) + 1
-        tmp = os.path.join(self.path, f"seg_split_{int(time.time() * 1000)}")
+        tmp = self._stage_dir("splitdata")
         (
             rows.withColumn(
                 "_seg",
@@ -803,22 +1018,42 @@ class DeltaStore:
             .mode("overwrite")
             .parquet(tmp)
         )
-        stable_dir = os.path.join(self.path, "stable")
+        # next stable version: every other segment hardlinked, the two
+        # halves moved in, updated manifest staged alongside — one
+        # pointer swap commits the split (reference Segment::split is a
+        # meta-atomic segment-tree update the same way)
+        stage = self._stage_dir("split")
+        idx_skip = self._stage_invidx(stage, [seg_id, new_id])
+        self._link_tree(
+            self.stable_path(),
+            stage,
+            skip={f"_seg={seg_id}", f"_seg={new_id}", "_MANIFEST", "_ZONEMAP"}
+            | idx_skip,
+        )
         for s in (seg_id, new_id):
             src = os.path.join(tmp, f"_seg={s}")
-            dst = os.path.join(stable_dir, f"_seg={s}")
-            shutil.rmtree(dst, ignore_errors=True)
             if os.path.exists(src):
-                os.rename(src, dst)
+                os.rename(src, os.path.join(stage, f"_seg={s}"))
         shutil.rmtree(tmp, ignore_errors=True)
         mid = mid if isinstance(mid, str) else int(mid)
         man["bounds"][key] = [blo, mid]
         man["bounds"][str(new_id)] = [mid, bhi]
         man["n"] = len(man["bounds"])
-        with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
+        with open(os.path.join(stage, "_MANIFEST"), "w") as fh:
             json.dump(man, fh)
-        self._refresh()
+        zm = self._zonemap()
+        if zm:
+            # both halves' entries recomputed post-promote; absent ⇒ scan
+            zm = dict(zm, segs={
+                k: v
+                for k, v in zm["segs"].items()
+                if int(k) not in (seg_id, new_id)
+            })
+            self._write_zonemap(zm, layer_dir=stage)
+        self._fail("staged")
+        self._promote(stage, retire_delta=False)
         self._zonemap_refresh_segs([seg_id, new_id])
+        self._invidx_refresh_segs([seg_id, new_id])
         return (seg_id, new_id)
 
     def merge_segments(self, left_id: int, right_id: int) -> int:
@@ -840,10 +1075,9 @@ class DeltaStore:
             raise ValueError(
                 f"segments not range-adjacent: [{llo},{lhi}) vs [{rlo},{rhi})"
             )
-        stable_dir = os.path.join(self.path, "stable")
-        stable = self.spark.read.parquet(stable_dir)
+        stable = self.spark.read.parquet(self.stable_path())
         rows = stable.filter(F.col("_seg").isin([left_id, right_id])).drop("_seg")
-        tmp = os.path.join(self.path, f"seg_merge_{int(time.time() * 1000)}")
+        tmp = self._stage_dir("mergedata")
         (
             rows.withColumn("_seg", F.lit(left_id))
             .repartition("_seg")
@@ -852,21 +1086,28 @@ class DeltaStore:
             .mode("overwrite")
             .parquet(tmp)
         )
-        for s in (left_id, right_id):
-            shutil.rmtree(os.path.join(stable_dir, f"_seg={s}"), ignore_errors=True)
+        stage = self._stage_dir("merge")
+        idx_skip = self._stage_invidx(stage, [left_id, right_id])
+        self._link_tree(
+            self.stable_path(),
+            stage,
+            skip={f"_seg={left_id}", f"_seg={right_id}", "_MANIFEST", "_ZONEMAP"}
+            | idx_skip,
+        )
         src = os.path.join(tmp, f"_seg={left_id}")
         if os.path.exists(src):
-            os.rename(src, os.path.join(stable_dir, f"_seg={left_id}"))
+            os.rename(src, os.path.join(stage, f"_seg={left_id}"))
         shutil.rmtree(tmp, ignore_errors=True)
         man["bounds"][lk] = [llo, rhi]
         del man["bounds"][rk]
         man["n"] = len(man["bounds"])
-        with open(os.path.join(self.path, "_MANIFEST"), "w") as fh:
+        with open(os.path.join(stage, "_MANIFEST"), "w") as fh:
             json.dump(man, fh)
-        self._refresh()
         zm = self._zonemap()
         if zm:
             # pure-metadata merge: union of the two entries, no file scan
+            # — exact for the merged rows, so it can be staged pre-swap
+            zm = dict(zm, segs=dict(zm["segs"]))
             le, re_ = zm["segs"].get(lk), zm["segs"].get(rk)
             if le is not None and re_ is not None:
                 merged_ent = {}
@@ -881,7 +1122,10 @@ class DeltaStore:
             else:
                 zm["segs"].pop(lk, None)
             zm["segs"].pop(rk, None)
-            self._write_zonemap(zm)
+            self._write_zonemap(zm, layer_dir=stage)
+        self._fail("staged")
+        self._promote(stage, retire_delta=False)
+        self._invidx_refresh_segs([left_id])
         return left_id
 
     def delta_rows(self) -> int:
@@ -895,7 +1139,7 @@ class DeltaStore:
         question is 'is there a tail at all' (read_where's rescue-join
         decision). Conservative: any parquet file ⇒ True, even if every
         row in it is a tombstone — a false True only adds a no-op join."""
-        droot = os.path.join(self.path, "delta")
+        droot = self.delta_path()
         for dirpath, _dirnames, filenames in os.walk(droot):
             if any(f.endswith(".parquet") for f in filenames):
                 return True
@@ -921,8 +1165,8 @@ class DeltaStore:
         "string", "date", "timestamp", "timestamp_ntz",
     }
 
-    def _zonemap_path(self) -> str:
-        return os.path.join(self.path, "_ZONEMAP")
+    def _zonemap_path(self, layer_dir: str | None = None) -> str:
+        return os.path.join(layer_dir or self.stable_path(), "_ZONEMAP")
 
     def _zonemap(self) -> dict | None:
         import json
@@ -933,11 +1177,14 @@ class DeltaStore:
                 return json.load(fh)
         return None
 
-    def _write_zonemap(self, zm: dict) -> None:
+    def _write_zonemap(self, zm: dict, layer_dir: str | None = None) -> None:
         import json
 
-        with open(self._zonemap_path(), "w") as fh:
+        p = self._zonemap_path(layer_dir)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(zm, fh)
+        os.replace(tmp, p)
 
     def _remove_zonemap(self) -> None:
         p = self._zonemap_path()
@@ -1020,11 +1267,12 @@ class DeltaStore:
                 zm["segs"].pop(k, None)
         self._write_zonemap(zm)
 
-    def _rebuild_zonemap(self) -> None:
+    def _rebuild_zonemap(self, prior: dict | None = None) -> None:
         """Full rebuild after a whole-stable rewrite, keeping the indexed
-        column set (minus columns a DDL dropped). Removes the map when the
-        layout is no longer segmented."""
-        zm = self._zonemap()
+        column set (minus columns a DDL dropped). ``prior`` carries the
+        pre-swap map when the old version dir (where it lived) is already
+        retired. Removes the map when the layout is no longer segmented."""
+        zm = prior if prior is not None else self._zonemap()
         if not zm:
             return
         stable = self._layer("stable")
@@ -1143,21 +1391,235 @@ class DeltaStore:
         log = self.log()
         pruned = self._zm_pruned_segs(col, lo, hi) if "_seg" in log.columns else []
         if pruned:
-            keep = log.filter(
-                ~F.col("_seg").isin(pruned) | F.col("_seg").isNull()
-            )
-            if self._delta_has_files():
-                delta_handles = self._layer("delta").select(HANDLE).distinct()
-                rescue = log.filter(F.col("_seg").isin(pruned)).join(
-                    F.broadcast(delta_handles), HANDLE, "left_semi"
-                )
-                keep = keep.unionByName(rescue, allowMissingColumns=True)
-            log = keep
+            log = self._log_minus_segments(log, pruned)
         out = snapshot_read(log, read_ts=ts)
         if lo is not None:
             out = out.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
             out = out.filter(F.col(col) <= F.lit(hi))
+        drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
+        return self._conform(out.drop(*drop_cols), internal=False)
+
+    def _log_minus_segments(self, log: DataFrame, pruned: list[int]) -> DataFrame:
+        """Drop the pruned segments from the log, rescuing any handle the
+        delta also touches (see read_where's MVCC-soundness note)."""
+        keep = log.filter(~F.col("_seg").isin(pruned) | F.col("_seg").isNull())
+        if self._delta_has_files():
+            delta_handles = self._layer("delta").select(HANDLE).distinct()
+            rescue = log.filter(F.col("_seg").isin(pruned)).join(
+                F.broadcast(delta_handles), HANDLE, "left_semi"
+            )
+            keep = keep.unionByName(rescue, allowMissingColumns=True)
+        return keep
+
+    # --- scalar inverted index ---------------------------------------------
+    #
+    # Reference: a storage-layer inverted index over arbitrary scalar
+    # columns serves equality/IN predicates where the min-max rough check
+    # cannot (dbms/src/Storages/DeltaMerge/Index/InvertedIndex/Reader.h,
+    # schema dbms/src/TiDB/Schema/InvertedIndex.h). On a high-NDV column
+    # with no handle correlation the zone map excludes almost nothing —
+    # every segment's [min,max] spans the whole domain — while the
+    # inverted index knows exactly which segments CONTAIN a value.
+    #
+    # Spark-first: per indexed column, a parquet sidecar dir
+    # ``_INVIDX_<col>/_seg=K/`` inside the stable version dir holds the
+    # DISTINCT (value, segment) pairs, sorted by value within files so a
+    # point lookup prunes at parquet row-group level too. The `_INVIDX`
+    # meta file lists which segments each column's index covers —
+    # presence semantics: only a COVERED segment with no matching index
+    # row may be pruned; everything else scans (RSResult's absent ⇒
+    # scan, same as the zone map). MVCC-sound via the same delta-handle
+    # rescue. At 100 TB the index is itself just a parquet table at
+    # rest, maintained per-segment by the same incremental machinery as
+    # the data (only dirty segments' partitions are rebuilt).
+
+    def _invidx_dir(self, col: str, layer_dir: str | None = None) -> str:
+        return os.path.join(layer_dir or self.stable_path(), f"_INVIDX_{col}")
+
+    def _invidx_meta(self, layer_dir: str | None = None) -> dict:
+        import json
+
+        p = os.path.join(layer_dir or self.stable_path(), "_INVIDX")
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return {}
+
+    def _write_invidx_meta(self, meta: dict, layer_dir: str | None = None) -> None:
+        import json
+
+        d = layer_dir or self.stable_path()
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, "_INVIDX")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, p)
+
+    def build_inverted_index(self, cols: list[str]) -> int:
+        """Index the given non-key columns for equality/IN pruning.
+        Requires a segmented stable layer. One distinct-shuffle per
+        column over stable (compaction-time cost, like the reference
+        building the index when a DMFile is written). Returns segments
+        covered."""
+        stable = self._layer("stable")
+        if stable is None or "_seg" not in stable.columns:
+            raise ValueError("inverted index needs a segmented stable layer "
+                             "(compact with num_segments / range segments)")
+        dtypes = dict(stable.dtypes)
+        for c in cols:
+            if c == HANDLE or c in _INTERNAL_COLS:
+                raise ValueError(f"column {c!r} is internal — index a user column")
+            if c not in dtypes:
+                raise ValueError(f"column {c!r} not in stable layer")
+        meta = self._invidx_meta()
+        for c in cols:
+            meta.setdefault(c, [])
+        self._write_invidx_meta(meta)
+        segs = [
+            int(r.s)
+            for r in stable.select(F.col("_seg").alias("s")).distinct().collect()
+        ]
+        self._invidx_refresh_segs(segs)
+        return len(segs)
+
+    def _invidx_refresh_segs(self, segs: list[int]) -> None:
+        """Rebuild the index partitions for the given segments from the
+        current stable files. Crash-safe ordering: segments are first
+        UNREGISTERED from the meta (absent ⇒ scan), partitions rewritten,
+        then re-registered — a crash anywhere leaves them merely
+        unindexed, never stale-indexed (which could wrongly prune)."""
+        import shutil
+
+        meta = self._invidx_meta()
+        if not meta or not segs:
+            return
+        stable = self._layer("stable")
+        if stable is None or "_seg" not in stable.columns:
+            self._drop_inverted_indexes()
+            return
+        seg_ids = [int(s) for s in segs]
+        self._write_invidx_meta(
+            {c: sorted(set(v) - set(seg_ids)) for c, v in meta.items()}
+        )
+        present = stable.filter(F.col("_seg").isin(seg_ids))
+        have = {
+            int(r.s)
+            for r in present.select(F.col("_seg").alias("s")).distinct().collect()
+        }
+        final = {}
+        for c in list(meta):
+            if c not in stable.columns:
+                # DDL dropped the column — retire its index
+                shutil.rmtree(self._invidx_dir(c), ignore_errors=True)
+                continue
+            idx_dir = self._invidx_dir(c)
+            tmp = self._stage_dir("invidx")
+            (
+                present.select(F.col(c).alias("v"), "_seg")
+                .distinct()
+                .repartition("_seg")
+                .sortWithinPartitions("v")
+                .write.partitionBy("_seg")
+                .mode("overwrite")
+                .parquet(tmp)
+            )
+            for s in seg_ids:
+                dst = os.path.join(idx_dir, f"_seg={s}")
+                shutil.rmtree(dst, ignore_errors=True)
+                src = os.path.join(tmp, f"_seg={s}")
+                if os.path.exists(src):
+                    os.makedirs(idx_dir, exist_ok=True)
+                    os.rename(src, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            final[c] = sorted((set(meta[c]) - set(seg_ids)) | have)
+        self._write_invidx_meta(final)
+
+    def _drop_inverted_indexes(self) -> None:
+        import shutil
+
+        for c in list(self._invidx_meta()):
+            shutil.rmtree(self._invidx_dir(c), ignore_errors=True)
+        p = os.path.join(self.stable_path(), "_INVIDX")
+        if os.path.exists(p):
+            os.remove(p)
+
+    def _rebuild_invidx(self, prior_cols: list[str]) -> None:
+        """Full rebuild after a whole-stable rewrite, keeping the
+        previously-indexed column set minus columns a DDL dropped.
+        No-op (index gone) when the new layout is not segmented."""
+        if not prior_cols:
+            return
+        stable = self._layer("stable")
+        if stable is None or "_seg" not in stable.columns:
+            return  # index died with the old version dir — nothing to do
+        cols = [c for c in prior_cols if c in stable.columns]
+        if cols:
+            self.build_inverted_index(cols)
+
+    def _stage_invidx(self, stage: str, dirty: list[int]) -> set[str]:
+        """Stage the inverted-index metadata for a mutation that rewrites
+        ``dirty`` segments: their partitions are excluded from the
+        hardlink pass and unregistered in the staged meta, so a crash
+        after the promote leaves them unindexed (scan), never stale.
+        Returns the extra `_link_tree` skip entries."""
+        meta = self._invidx_meta()
+        if not meta:
+            return set()
+        dirty_set = {int(s) for s in dirty}
+        skip = {"_INVIDX"}
+        staged = {}
+        for c, covered in meta.items():
+            skip |= {
+                os.path.join(f"_INVIDX_{c}", f"_seg={s}") for s in dirty_set
+            }
+            staged[c] = sorted(set(covered) - dirty_set)
+        os.makedirs(stage, exist_ok=True)
+        self._write_invidx_meta(staged, layer_dir=stage)
+        return skip
+
+    def _invidx_pruned_segs(self, col: str, values: list) -> list[int]:
+        """Segment ids the inverted index PROVES cannot contain any of
+        ``values``: covered by the index and absent from its postings.
+        Unknown/uncovered segments are never returned."""
+        meta = self._invidx_meta()
+        covered = {int(s) for s in meta.get(col, [])}
+        if not covered:
+            return []
+        try:
+            idx = self.spark.read.parquet(self._invidx_dir(col))
+            hit = {
+                int(r.s)
+                for r in idx.filter(F.col("v").isin(list(values)))
+                .select(F.col("_seg").alias("s"))
+                .distinct()
+                .collect()
+            }
+        except Exception:
+            return []  # unreadable index must mean scan, never prune
+        return sorted(covered - hit)
+
+    def read_where_in(self, col: str, values: list, ts: int | None = None) -> DataFrame:
+        """Snapshot read with an equality/IN predicate on an arbitrary
+        column, pruned by the scalar inverted index when one covers
+        ``col`` (reference InvertedIndex/Reader.h point-lookup path). The
+        lookup itself is one tiny scan of the sorted postings sidecar —
+        row-group stats narrow it to the blocks containing the probed
+        values. Same plan-time-snapshot contract and MVCC delta-rescue as
+        read_where."""
+        if not values:
+            raise ValueError("read_where_in needs at least one value")
+        values = list(values)
+        log = self.log()
+        pruned = (
+            self._invidx_pruned_segs(col, values)
+            if "_seg" in log.columns
+            else []
+        )
+        if pruned:
+            log = self._log_minus_segments(log, pruned)
+        out = snapshot_read(log, read_ts=ts).filter(F.col(col).isin(values))
         drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
         return self._conform(out.drop(*drop_cols), internal=False)
 
@@ -1205,7 +1667,7 @@ class DeltaStore:
         splits = merges = 0
 
         def seg_counts() -> dict[int, int]:
-            stable = self.spark.read.parquet(os.path.join(self.path, "stable"))
+            stable = self.spark.read.parquet(self.stable_path())
             return {
                 r.s: r.n
                 for r in stable.groupBy(F.col("_seg").alias("s"))
