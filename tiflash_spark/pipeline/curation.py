@@ -736,17 +736,14 @@ def _line_array(text: Column) -> Column:
     )
 
 
-def remove_boilerplate_lines(docs: DataFrame) -> DataFrame:
-    """(doc_id, source, n_lines, n_kept, clean_text): drop every line whose
-    document frequency >= BOILER_DF, reassemble the rest in order.
+def _dedup_lines(lines: DataFrame) -> DataFrame:
+    """Core cross-doc line dedup over a (doc_id, source, pos, line) frame:
+    drop every line whose document frequency >= BOILER_DF, reassemble
+    the rest in order.
 
-    One explode for the df agg, one for the flag join, one doc-keyed
-    agg. collect_list skips the NULLed-out common lines, which also keeps
+    collect_list skips the NULLed-out common lines, which also keeps
     all-lines-dropped docs in the output with clean_text = '' — no
     separate totals branch or outer join."""
-    lines = docs.select(
-        "doc_id", "source", F.posexplode(_line_array(F.col("text"))).alias("pos", "line")
-    )
     common = (
         lines.groupBy("line")
         .agg(F.countDistinct("doc_id").alias("df_docs"))
@@ -767,12 +764,43 @@ def remove_boilerplate_lines(docs: DataFrame) -> DataFrame:
     )
 
 
+def remove_boilerplate_lines(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_lines, n_kept, clean_text) from an arbitrary
+    documents frame — the ad-hoc path: one posexplode feeding both the
+    df agg and the flag join."""
+    lines = docs.select(
+        "doc_id", "source", F.posexplode(_line_array(F.col("text"))).alias("pos", "line")
+    )
+    return _dedup_lines(lines)
+
+
+def line_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-rest (doc_id, source, pos, line) table, bucketed by line —
+    the ws_token_table treatment (text.py) for line-level consumers: the
+    corpus tokenize + posexplode is paid ONCE at build time, and both
+    legs of the boilerplate query (line-df aggregation AND flag join)
+    read the pre-exploded table with bucket-local exchanges instead of
+    re-Generating the corpus twice per run. At 100 TB the explode is the
+    dominant scan cost, so this is a 2× cut on the heaviest stage."""
+    from tiflash_spark.pipeline.fulltext import _ensure_bucketed, _sf_tag
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id",
+            "source",
+            F.posexplode(_line_array(F.col("text"))).alias("pos", "line"),
+        )
+
+    return _ensure_bucketed(spark, f"doc_lines_{_sf_tag(sf_dir)}", build, "line", 32)
+
+
 def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: per-source boilerplate-removal report with a strong
     content digest (total clean-text length) so the oracle pins the
-    reassembled text, not just the counts."""
-    d = load_table(spark, sf_dir, "documents")
-    out = remove_boilerplate_lines(d)
+    reassembled text, not just the counts. Reads the persisted line
+    table — one corpus Generate at build time, zero per query."""
+    out = _dedup_lines(line_table(spark, sf_dir))
     return (
         out.groupBy("source")
         .agg(
