@@ -68,3 +68,73 @@ def test_overflow_returns_null_non_ansi(spark):
     )
     r = df.select((F.col("d") * F.col("d")).alias("sq")).collect()[0]
     assert r.sq is None
+
+
+def test_p38_sum_overflow_contract(spark):
+    """TiDB supports DECIMAL up to p=65 (SURVEY.md §1.2 documents the
+    gap); Spark caps at p=38. The boundary contract, pinned executable:
+    sum over decimal(38, s) gets NO widening headroom (38+10 caps back
+    to 38), so a sum that exceeds 38 digits returns NULL under the
+    engine's non-ANSI conf — never a wrong value, never an exception. A
+    user porting p>38 schemas sees NULL-on-overflow, not TiDB's
+    Decimal256 result."""
+    from decimal import Decimal
+
+    big = Decimal("9" * 38)  # max decimal(38,0)
+    df = spark.createDataFrame(
+        [(big,), (big,)], T.StructType([T.StructField("d", T.DecimalType(38, 0))])
+    )
+    out = df.agg(F.sum("d").alias("s"))
+    assert out.schema["s"].dataType == T.DecimalType(38, 0)  # no headroom left
+    assert out.collect()[0].s is None  # overflow → NULL, silently
+    # the SAME sum at p=28 still has widening room and is exact
+    df2 = spark.createDataFrame(
+        [(Decimal("9" * 28),), (Decimal("9" * 28),)],
+        T.StructType([T.StructField("d", T.DecimalType(28, 0))]),
+    )
+    assert df2.agg(F.sum("d")).collect()[0][0] == Decimal(2 * int("9" * 28))
+
+
+def test_p38_multiply_loses_scale_not_digits(spark):
+    """decimal(38,10) * decimal(38,10): the unbounded result type would
+    be (77,20); Spark clamps to (38,6) — integral digits are preserved
+    by SACRIFICING scale (spark.sql.decimalOperations.allowPrecisionLoss
+    default). Values whose integral part still fits return rounded, a
+    true integral overflow returns NULL."""
+    from decimal import Decimal
+
+    schema = T.StructType([T.StructField("d", T.DecimalType(38, 10))])
+    df = spark.createDataFrame(
+        [(Decimal("1234567890.1234567891"),)], schema
+    )
+    out = df.select((F.col("d") * F.col("d")).alias("m"))
+    t = out.schema["m"].dataType
+    assert (t.precision, t.scale) == (38, 6)
+    got = out.collect()[0].m
+    import decimal
+
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60  # exact reference square, then round to s=6
+        exp = (
+            Decimal(12345678901234567891**2).scaleb(-20)
+        ).quantize(Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP)
+    assert got == exp
+    # integral overflow → NULL
+    big = spark.createDataFrame([(Decimal("9" * 28 + "." + "0" * 10),)], schema)
+    assert big.select((F.col("d") * F.col("d")).alias("m")).collect()[0].m is None
+
+
+def test_p38_avg_at_boundary(spark):
+    """avg over decimal(38,0): result scale +4 forces precision loss at
+    the cap — type is (38,4); values near the cap stay exact in the
+    integral part."""
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(Decimal("9" * 30),), (Decimal("1"),)],
+        T.StructType([T.StructField("d", T.DecimalType(38, 0))]),
+    )
+    out = df.agg(F.avg("d").alias("a"))
+    t = out.schema["a"].dataType
+    assert (t.precision, t.scale) == (38, 4)
+    assert out.collect()[0].a == (Decimal("9" * 30) + 1) / 2

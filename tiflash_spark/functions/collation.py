@@ -45,13 +45,24 @@ _SUPPORTED = (BINARY, BIN, GENERAL_CI, UNICODE_CI,
               ASCII_BIN, LATIN1_BIN, BIN_0900, AI_CI_0900)
 
 
-def collation_key(col: Column | str, collation: str = BIN) -> Column:
+def collation_key(col: Column | str, collation: str = BIN, strict: bool = False) -> Column:
     """The comparison key a collation induces. PadSpace: MySQL's
     UTF8MB4_BIN is a *padding* binary collator — the reference
     instantiates it as BinCollator<Rune, padding=true> and rtrims both
     sides before comparing (Collator.h:415, CollatorCompare.h:70-89) — so
     trailing-space-only differences compare equal. Only the 'binary'
-    collation (and 0900_bin) is NoPad raw-byte comparison."""
+    collation (and 0900_bin) is NoPad raw-byte comparison.
+
+    GENERAL_CI fidelity knob: the default key is lower(rtrim(...)) — a
+    deterministic representative that is exact on the ASCII/Latin bulk
+    but keeps accents distinct, where the reference's per-char LUT
+    (CollationLUT.cpp GeneralCI::weight_lut) folds most Latin accents to
+    the base letter (é=e, İ=i, ß=s). ``strict=True`` switches to Spark's
+    ICU UNICODE_CI_AI key, which restores accent-insensitivity — the
+    practically-important divergence class — at the cost of different
+    edge folds than the LUT (UCA: ß=ss, ﬃ=ffi, fullwidth=ASCII). The
+    exact per-case behavior of both keys is pinned executable in
+    tests/test_collation.py::test_general_ci_divergence_matrix."""
     c = F.col(col) if isinstance(col, str) else col
     collation = _ALIASES.get(collation, collation)
     if collation == BINARY:
@@ -63,6 +74,8 @@ def collation_key(col: Column | str, collation: str = BIN) -> Column:
     if collation == BIN:
         return F.rtrim(c)
     if collation == GENERAL_CI:
+        if strict:
+            return F.collate(F.rtrim(c), "UNICODE_CI_AI")
         return F.lower(F.rtrim(c))
     if collation == UNICODE_CI:
         # UCA primary-weight comparison (Collator.h UTF8MB4_UNICODE_CI →
