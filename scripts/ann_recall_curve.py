@@ -1,0 +1,177 @@
+"""Measure the recall/latency trade of every ANN tier against brute force.
+
+The four tiers (pipeline/similarity.py) answer the same top-k question at
+different scale points: brute force (exact, full scan), LSH prefix bucket
+(~1/2^PREFIX_BITS of the corpus), IVF n-probe over the persisted
+cluster-partitioned index (N_PROBE/N_CENTROIDS at file-listing level),
+and int8 scalar-quantized re-rank (4x memory). This script scores them
+over NUM_QUERIES query vectors: mean recall@K vs the exact answer and
+mean per-query wall seconds. Results go into SCALING.md's ANN section —
+the justification minhash_curve.py gives the dedup sketch tiers.
+
+Usage: python scripts/ann_recall_curve.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+NUM_QUERIES = 16
+PROBE_SWEEP = (1, 2, 4, 8)
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from tiflash_spark.catalog import load_table
+    from tiflash_spark.functions.vector import vec_cosine_similarity, vec_l2_distance
+    from tiflash_spark.pipeline.similarity import (
+        NUM_TABLES,
+        PREFIX_BITS,
+        TOP_K,
+        _as_double,
+        _dequantized,
+        _quant_scales,
+        lsh_buckets,
+        vector_index,
+    )
+    from tiflash_spark.session import get_spark
+
+    spark = get_spark("ann_recall_curve", master="local[16]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    e = load_table(spark, sf, "embeddings").persist()
+    n = e.count()
+    qids = [r.vec_id for r in e.select("vec_id").orderBy("vec_id").limit(NUM_QUERIES).collect()]
+
+    def qvec(qid):
+        return e.filter(F.col("vec_id") == qid).select(
+            _as_double(F.col("embedding")).alias("qv")
+        )
+
+    def topk_ids(scored) -> list[int]:
+        return [
+            r.vec_id
+            for r in scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+            .limit(TOP_K)
+            .collect()
+        ]
+
+    def brute(qid) -> list[int]:
+        scored = (
+            e.filter(F.col("vec_id") != qid)
+            .crossJoin(F.broadcast(qvec(qid)))
+            .select(
+                "vec_id",
+                vec_cosine_similarity(_as_double(F.col("embedding")), F.col("qv")).alias("cos_sim"),
+            )
+        )
+        return topk_ids(scored)
+
+    tabbed = e.select(
+        "vec_id", "embedding",
+        F.posexplode(lsh_buckets(F.col("embedding"), 64)).alias("t", "bucket"),
+    ).persist()
+    tabbed.count()
+
+    def lsh(qid) -> list[int]:
+        q = tabbed.filter(F.col("vec_id") == qid).select(
+            F.col("t").alias("qt"),
+            F.col("bucket").alias("qbucket"),
+            _as_double(F.col("embedding")).alias("qv"),
+        )
+        cands = (
+            tabbed.filter(F.col("vec_id") != qid)
+            .join(
+                F.broadcast(q),
+                (F.col("t") == F.col("qt")) & (F.col("bucket") == F.col("qbucket")),
+            )
+            .dropDuplicates(["vec_id"])
+        )
+        return topk_ids(
+            cands.select(
+                "vec_id",
+                vec_cosine_similarity(_as_double(F.col("embedding")), F.col("qv")).alias("cos_sim"),
+            )
+        )
+
+    cents, assigned = vector_index(spark, sf)
+
+    def ivf(qid, n_probe) -> list[int]:
+        probe_ids = [
+            r.cid
+            for r in cents.crossJoin(F.broadcast(qvec(qid)))
+            .withColumn("qdist", vec_l2_distance(F.col("cvec"), F.col("qv")))
+            .orderBy(F.col("qdist").asc(), F.col("cid").asc())
+            .limit(n_probe)
+            .select("cid")
+            .collect()
+        ]
+        cands = assigned.where(
+            F.col("cluster").isin(probe_ids) & (F.col("vec_id") != qid)
+        )
+        return topk_ids(
+            cands.crossJoin(F.broadcast(qvec(qid))).select(
+                "vec_id",
+                vec_cosine_similarity(_as_double(F.col("embedding")), F.col("qv")).alias("cos_sim"),
+            )
+        )
+
+    scales = _quant_scales(e).persist()
+    scales.count()
+
+    def quant(qid) -> list[int]:
+        q = (
+            e.filter(F.col("vec_id") == qid)
+            .crossJoin(F.broadcast(scales))
+            .select(
+                _dequantized(F.col("embedding"), F.col("mins"), F.col("maxs")).alias("qv_q")
+            )
+        )
+        scored = (
+            e.filter(F.col("vec_id") != qid)
+            .crossJoin(F.broadcast(scales))
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                vec_cosine_similarity(
+                    _dequantized(F.col("embedding"), F.col("mins"), F.col("maxs")),
+                    F.col("qv_q"),
+                ).alias("cos_sim"),
+            )
+        )
+        return topk_ids(scored)
+
+    # truth + baseline latency
+    t0 = time.time()
+    truth = {qid: set(brute(qid)) for qid in qids}
+    brute_s = (time.time() - t0) / len(qids)
+
+    tiers: list[tuple[str, float, float]] = [("brute (exact)", 1.0, brute_s)]
+
+    def score(name, fn):
+        t0 = time.time()
+        rec = []
+        for qid in qids:
+            got = set(fn(qid))
+            rec.append(len(got & truth[qid]) / TOP_K)
+        tiers.append((name, sum(rec) / len(rec), (time.time() - t0) / len(qids)))
+
+    score(f"LSH {NUM_TABLES}x{PREFIX_BITS}-bit tables", lsh)
+    for p in PROBE_SWEEP:
+        score(f"IVF n_probe={p}", lambda qid, p=p: ivf(qid, p))
+    score("int8 quantized", quant)
+
+    print(f"\nANN recall@{TOP_K} over {len(qids)} queries, {n} vectors ({sf}):\n")
+    print("| tier | recall@10 | s/query |")
+    print("|---|---|---|")
+    for name, rec, secs in tiers:
+        print(f"| {name} | {rec:.3f} | {secs:.2f} |")
+
+
+if __name__ == "__main__":
+    main()

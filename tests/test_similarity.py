@@ -191,3 +191,14 @@ def test_hybrid_rrf_fusion_invariants(spark):
             1.0 / (RRF_K + r.vec_rank) if r.vec_rank else 0.0
         )
         assert abs(r.rrf - expected) < 1e-6
+
+
+def test_lsh_default_recall_bound(spark):
+    """The multi-table default (NUM_TABLES x PREFIX_BITS) must hold a
+    recall floor vs brute force — the bar scripts/ann_recall_curve.py
+    measures at sf0.1 (0.88 mean recall@10 over 16 queries; 1.0 for the
+    vec_id=0 query at this sf). A config regression (fewer tables,
+    longer hashes) fails here before it ships."""
+    exact = {r.vec_id for r in ann_cosine_topk(spark, SF_MEDIUM).collect()}
+    lsh = {r.vec_id for r in ann_lsh_topk(spark, SF_MEDIUM).collect()}
+    assert len(lsh & exact) / len(exact) >= 0.8
