@@ -158,11 +158,19 @@ class DeltaStore:
                     continue
                 os.link(os.path.join(root, f), os.path.join(tdir, f))
 
-    def _promote(self, staged_stable: str, retire_delta: bool) -> None:
+    def _promote(
+        self,
+        staged_stable: str,
+        retire_delta: bool,
+        carry_range_dels: list[dict] | None = None,
+    ) -> None:
         """Swap a fully-built stable dir (and, when the delta was folded
         into it, a fresh empty delta) to current. The `_CURRENT` replace
         is the commit point; everything before is invisible to readers,
-        everything after is garbage collection."""
+        everything after is garbage collection. ``carry_range_dels``:
+        range tombstones newer than the compaction safe-point, written
+        into the fresh delta dir BEFORE the commit — losing them would
+        resurrect deleted rows."""
         import shutil
 
         sb = self._superblock()
@@ -181,6 +189,8 @@ class DeltaStore:
             if os.path.exists(dtarget):
                 shutil.rmtree(dtarget, ignore_errors=True)
             os.makedirs(dtarget, exist_ok=True)
+            if carry_range_dels:
+                self._write_range_dels(carry_range_dels, delta_dir=dtarget)
         self._fail("before_commit")
         self._commit_superblock(newsb)
         self._fail("after_commit")
@@ -344,6 +354,77 @@ class DeltaStore:
             )
         return df.select(*cols)
 
+    # --- range deletes ------------------------------------------------------
+    #
+    # Reference: DeltaMergeStore::deleteRange (DeltaMergeStore.cpp:812)
+    # writes a DeleteRange entry into every overlapping segment's delta;
+    # the merge-on-read hides rows the range covers that were written
+    # BEFORE it, and delta merge applies it physically then garbage-
+    # collects the entry. Spark-first: the tombstone list is metadata in
+    # the DELTA version dir (`_RANGE_DELS`, atomically replaced) — a
+    # range delete is O(1) metadata, never a scan — and every snapshot
+    # read applies the list as one codegen predicate after the MVCC
+    # winner pick. Compaction applies tombstones with version <= the
+    # GC-safe-point physically and carries newer ones into the fresh
+    # delta dir BEFORE the pointer swap (crash-safe: a lost carry would
+    # resurrect deleted rows).
+
+    def delete_range(self, lo, hi, version: int) -> None:
+        """Delete every row with ``lo <= handle < hi`` whose version is
+        <= ``version`` (delete-wins on the tie, matching point
+        tombstones). Rows written to the range AFTER this version are
+        unaffected — exactly the reference's Raft delete-range
+        semantics. O(1): appends one tombstone to the delta metadata."""
+        if lo is None or hi is None:
+            raise ValueError("delete_range needs both bounds (half-open [lo, hi))")
+        dels = self._range_dels()
+        dels.append({"lo": lo, "hi": hi, "v": int(version)})
+        self._write_range_dels(dels)
+
+    def _range_dels(self, delta_dir: str | None = None) -> list[dict]:
+        import json
+
+        p = os.path.join(delta_dir or self.delta_path(), "_RANGE_DELS")
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return []
+
+    def _write_range_dels(self, dels: list[dict], delta_dir: str | None = None) -> None:
+        import json
+
+        d = delta_dir or self.delta_path()
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, "_RANGE_DELS")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(dels, fh)
+        os.replace(tmp, p)
+
+    def _range_del_filter(self, ts: int | None):
+        """One codegen predicate hiding rows covered by a visible range
+        tombstone: handle in [lo, hi) AND row version <= tombstone
+        version (and tombstone version <= read ts). None when there are
+        no applicable tombstones. The list is small by construction —
+        compaction GCs applied entries, like the reference."""
+        cond = None
+        for d in self._range_dels():
+            if ts is not None and d["v"] > ts:
+                continue  # tombstone not visible at this snapshot
+            covered = (
+                (F.col(HANDLE) >= F.lit(d["lo"]))
+                & (F.col(HANDLE) < F.lit(d["hi"]))
+                & (F.col(VERSION) <= F.lit(d["v"]))
+            )
+            cond = covered if cond is None else (cond | covered)
+        return None if cond is None else ~cond
+
+    def _apply_range_dels(self, df: DataFrame, ts: int | None) -> DataFrame:
+        """Apply tombstones to a frame that still carries VERSION (call
+        after the MVCC winner pick, before dropping internals)."""
+        flt = self._range_del_filter(ts)
+        return df if flt is None else df.filter(flt)
+
     # --- read path ---------------------------------------------------------
 
     def _write_stable_schema(self, schema, layer_dir: str | None = None) -> None:
@@ -414,7 +495,8 @@ class DeltaStore:
     def read(self, ts: int | None = None) -> DataFrame:
         """Snapshot-consistent read at version ts (None = everything),
         reconciled to the CURRENT schema version when one exists."""
-        out = snapshot_read(self.log(), read_ts=ts).drop(VERSION, DELMARK)
+        out = self._apply_range_dels(snapshot_read(self.log(), read_ts=ts), ts)
+        out = out.drop(VERSION, DELMARK)
         out = out.drop("_seg") if "_seg" in out.columns else out
         return self._conform(out, internal=False)
 
@@ -449,6 +531,13 @@ class DeltaStore:
         merged = mvcc_compact(self.log(), ts).filter(
             ~((F.col(DELMARK) == 1) & (F.col(VERSION) <= ts))
         )
+        # apply range tombstones at/below the safe-point physically (the
+        # reference's delta merge does the same, then GCs the entry);
+        # newer tombstones are carried into the fresh delta dir
+        rd_flt = self._range_del_filter(ts)
+        if rd_flt is not None:
+            merged = merged.filter(rd_flt)
+        rd_carry = [d for d in self._range_dels() if d["v"] > ts]
         if "_seg" in merged.columns:
             # a previously-segmented stable contributes _seg as a data
             # column; it is re-derived below (or absent for a flat layout)
@@ -487,7 +576,7 @@ class DeltaStore:
         prior_zm = self._zonemap()
         prior_idx = list(self._invidx_meta())
         self._fail("staged")
-        self._promote(stage, retire_delta=True)
+        self._promote(stage, retire_delta=True, carry_range_dels=rd_carry)
         # full stable rewrite invalidates every zone-map / inverted-index
         # entry; rebuild (the reference writes its indexes as part of each
         # new DMFile). A crash before this leaves NO index in the new dir
@@ -529,7 +618,9 @@ class DeltaStore:
                 .collect()
             }
             log = log.filter(F.col("_seg").isin(*wanted) | F.col("_seg").isNull())
-        out = snapshot_read(log.filter(F.col(HANDLE).isin(*handles)), read_ts=ts)
+        out = self._apply_range_dels(
+            snapshot_read(log.filter(F.col(HANDLE).isin(*handles)), read_ts=ts), ts
+        )
         drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
         return self._conform(out.drop(*drop_cols), internal=False)
 
@@ -556,6 +647,10 @@ class DeltaStore:
         merged = mvcc_compact(self.log(), ts).filter(
             ~((F.col(DELMARK) == 1) & (F.col(VERSION) <= ts))
         )
+        rd_flt = self._range_del_filter(ts)
+        if rd_flt is not None:
+            merged = merged.filter(rd_flt)
+        rd_carry = [d for d in self._range_dels() if d["v"] > ts]
         if "_seg" in merged.columns:
             merged = merged.drop("_seg")
         merged = self._conform(merged, internal=True)  # rewrite to latest schema
@@ -636,7 +731,7 @@ class DeltaStore:
         prior_zm = self._zonemap()
         prior_idx = list(self._invidx_meta())
         self._fail("staged")
-        self._promote(stage, retire_delta=True)
+        self._promote(stage, retire_delta=True, carry_range_dels=rd_carry)
         self._rebuild_zonemap(prior_zm)
         self._rebuild_invidx(prior_idx)
         return n
@@ -689,8 +784,11 @@ class DeltaStore:
                 if blo < hi and bhi > lo  # overlap
             ]
             log = log.filter(F.col("_seg").isin(wanted) | F.col("_seg").isNull())
-        out = snapshot_read(
-            log.filter((F.col(HANDLE) >= lo) & (F.col(HANDLE) < hi)), read_ts=ts
+        out = self._apply_range_dels(
+            snapshot_read(
+                log.filter((F.col(HANDLE) >= lo) & (F.col(HANDLE) < hi)), read_ts=ts
+            ),
+            ts,
         )
         drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
         return self._conform(out.drop(*drop_cols), internal=False)
@@ -718,20 +816,39 @@ class DeltaStore:
             raise ValueError("incremental compaction needs range segments "
                              "(run compact_range_segments first)")
         delta = self._layer("delta")
-        if delta is None:
+        rd_applied = [d for d in self._range_dels() if d["v"] <= ts]
+        rd_carry = [d for d in self._range_dels() if d["v"] > ts]
+        if delta is None and not rd_applied:
             return (0, man["n"])
         n = man["n"]
         # bounds-driven assignment (clamped at both ends) — stays correct
         # after split/merge reshapes the segment ranges
         seg_of = self._seg_assign_expr(man)
-        dirty = sorted(
-            r.s for r in delta.select(seg_of.alias("s")).distinct().collect()
-        )
+        dirty_set: set[int] = set()
+        if delta is not None:
+            dirty_set |= {
+                int(r.s)
+                for r in delta.select(seg_of.alias("s")).distinct().collect()
+            }
+        # a range tombstone at/below the safe-point dirties every segment
+        # its range overlaps — those partitions must be rewritten with
+        # the tombstone applied so the entry can be GC'd afterwards
+        for d in rd_applied:
+            for s, (blo, bhi) in man["bounds"].items():
+                if blo < d["hi"] and bhi > d["lo"]:
+                    dirty_set.add(int(s))
+        dirty = sorted(dirty_set)
         if not dirty:
+            # nothing to rewrite; applied tombstones covered no segment —
+            # still retire them from the metadata
+            if rd_applied:
+                self._write_range_dels(rd_carry)
             return (0, n)
         # materialize the delta handle range NOW — the df is lazy and the
         # backing files are deleted below
-        dlo, dhi = delta.agg(F.min(HANDLE), F.max(HANDLE)).collect()[0]
+        dlo = dhi = None
+        if delta is not None:
+            dlo, dhi = delta.agg(F.min(HANDLE), F.max(HANDLE)).collect()[0]
         stable_r = self.spark.read
         if self._schema_versions():
             # cold segments may predate a DDL — merge footers so the union
@@ -740,15 +857,21 @@ class DeltaStore:
         stable = stable_r.parquet(self.stable_path())
         part = self._conform(
             stable.filter(F.col("_seg").isin(dirty)).drop("_seg"), internal=True
-        ).unionByName(
-            self._conform(
-                delta.withColumn("_seg", seg_of).filter(F.col("_seg").isin(dirty)).drop("_seg"),
-                internal=True,
-            )
         )
+        if delta is not None:
+            part = part.unionByName(
+                self._conform(
+                    delta.withColumn("_seg", seg_of).filter(F.col("_seg").isin(dirty)).drop("_seg"),
+                    internal=True,
+                )
+            )
         merged = mvcc_compact(part, ts).filter(
             ~((F.col(DELMARK) == 1) & (F.col(VERSION) <= ts))
-        ).withColumn("_seg", seg_of)
+        )
+        rd_flt = self._range_del_filter(ts)
+        if rd_flt is not None:
+            merged = merged.filter(rd_flt)
+        merged = merged.withColumn("_seg", seg_of)
         import json
         import shutil
 
@@ -803,7 +926,7 @@ class DeltaStore:
             })
             self._write_zonemap(zm, layer_dir=stage)
         self._fail("staged")
-        self._promote(stage, retire_delta=True)
+        self._promote(stage, retire_delta=True, carry_range_dels=rd_carry)
         # only the rewritten segments' index entries can have changed
         self._zonemap_refresh_segs(dirty)
         self._invidx_refresh_segs(dirty)
@@ -1392,7 +1515,7 @@ class DeltaStore:
         pruned = self._zm_pruned_segs(col, lo, hi) if "_seg" in log.columns else []
         if pruned:
             log = self._log_minus_segments(log, pruned)
-        out = snapshot_read(log, read_ts=ts)
+        out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts)
         if lo is not None:
             out = out.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
@@ -1619,7 +1742,9 @@ class DeltaStore:
         )
         if pruned:
             log = self._log_minus_segments(log, pruned)
-        out = snapshot_read(log, read_ts=ts).filter(F.col(col).isin(values))
+        out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts).filter(
+            F.col(col).isin(values)
+        )
         drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
         return self._conform(out.drop(*drop_cols), internal=False)
 
