@@ -575,6 +575,7 @@ class DeltaStore:
                 fh.write(str(num_segments))
         prior_zm = self._zonemap()
         prior_idx = list(self._invidx_meta())
+        prior_vec = self._vecidx_meta()
         self._fail("staged")
         self._promote(stage, retire_delta=True, carry_range_dels=rd_carry)
         # full stable rewrite invalidates every zone-map / inverted-index
@@ -583,6 +584,7 @@ class DeltaStore:
         # — scan, never a stale prune.
         self._rebuild_zonemap(prior_zm)
         self._rebuild_invidx(prior_idx)
+        self._rebuild_vecidx(prior_vec)
         return n
 
     def _num_segments(self) -> int | None:
@@ -730,10 +732,12 @@ class DeltaStore:
             json.dump(man, fh)
         prior_zm = self._zonemap()
         prior_idx = list(self._invidx_meta())
+        prior_vec = self._vecidx_meta()
         self._fail("staged")
         self._promote(stage, retire_delta=True, carry_range_dels=rd_carry)
         self._rebuild_zonemap(prior_zm)
         self._rebuild_invidx(prior_idx)
+        self._rebuild_vecidx(prior_vec)
         return n
 
     def _manifest(self) -> dict | None:
@@ -889,6 +893,7 @@ class DeltaStore:
         stage = self._stage_dir("incr")
         dirty_set = {f"_seg={s}" for s in dirty}
         idx_skip = self._stage_invidx(stage, dirty)
+        idx_skip |= self._stage_vecidx(stage, dirty)
         self._link_tree(
             self.stable_path(),
             stage,
@@ -930,6 +935,7 @@ class DeltaStore:
         # only the rewritten segments' index entries can have changed
         self._zonemap_refresh_segs(dirty)
         self._invidx_refresh_segs(dirty)
+        self._vecidx_refresh_segs(dirty)
         return (len(dirty), n)
 
     def ingest_snapshot(self, df: DataFrame, version: int) -> int:
@@ -1004,7 +1010,9 @@ class DeltaStore:
             )
         touched: list[int] = []
         if (man or n_seg) and (
-            self._zonemap() is not None or self._invidx_meta()
+            self._zonemap() is not None
+            or self._invidx_meta()
+            or self._vecidx_meta()
         ):
             seg_of = (
                 self._seg_assign_expr(man)
@@ -1022,6 +1030,7 @@ class DeltaStore:
             skip.add("_ZONEMAP")
         if touched:
             skip |= self._stage_invidx(stage, touched)
+            skip |= self._stage_vecidx(stage, touched)
         self._link_tree(self.stable_path(), stage, skip=skip)
         self._merge_staged_files(tmp, stage)
         if man:
@@ -1048,6 +1057,7 @@ class DeltaStore:
         if touched:
             self._zonemap_refresh_segs(touched)
             self._invidx_refresh_segs(touched)
+            self._vecidx_refresh_segs(touched)
         return out.count()
 
     @staticmethod
@@ -1147,6 +1157,7 @@ class DeltaStore:
         # meta-atomic segment-tree update the same way)
         stage = self._stage_dir("split")
         idx_skip = self._stage_invidx(stage, [seg_id, new_id])
+        idx_skip |= self._stage_vecidx(stage, [seg_id, new_id])
         self._link_tree(
             self.stable_path(),
             stage,
@@ -1177,6 +1188,7 @@ class DeltaStore:
         self._promote(stage, retire_delta=False)
         self._zonemap_refresh_segs([seg_id, new_id])
         self._invidx_refresh_segs([seg_id, new_id])
+        self._vecidx_refresh_segs([seg_id, new_id])
         return (seg_id, new_id)
 
     def merge_segments(self, left_id: int, right_id: int) -> int:
@@ -1211,6 +1223,7 @@ class DeltaStore:
         )
         stage = self._stage_dir("merge")
         idx_skip = self._stage_invidx(stage, [left_id, right_id])
+        idx_skip |= self._stage_vecidx(stage, [left_id, right_id])
         self._link_tree(
             self.stable_path(),
             stage,
@@ -1249,6 +1262,7 @@ class DeltaStore:
         self._fail("staged")
         self._promote(stage, retire_delta=False)
         self._invidx_refresh_segs([left_id])
+        self._vecidx_refresh_segs([left_id])
         return left_id
 
     def delta_rows(self) -> int:
@@ -1747,6 +1761,321 @@ class DeltaStore:
         )
         drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
         return self._conform(out.drop(*drop_cols), internal=False)
+
+    # --- vector index (storage-layer ANN) -----------------------------------
+    #
+    # Reference: the vector index is a STORAGE index — built per DMFile
+    # by LocalIndexWriter at write/compaction time
+    # (dbms/src/Storages/DeltaMerge/Index/VectorIndex/,
+    # LocalIndexWriter.cpp), queried through the DeltaTree read path with
+    # the MVCC/filter bitmap applied, and the un-indexed delta tail
+    # searched exactly, so ANN results are snapshot-consistent. Spark-
+    # first: an IVF posting sidecar `_VECIDX_<col>/_seg=K/_cl=C/` inside
+    # the stable version dir holds (handle, vector) copies partitioned by
+    # coarse cluster — probing n clusters prunes posting files at listing
+    # level. A query (a) takes over-fetched candidates from the probed
+    # postings, (b) VALIDATES them through read_handles (full MVCC:
+    # updates win, tombstones and range deletes apply, values re-scored
+    # from the CURRENT rows), (c) exact-scores the delta tail's handles
+    # and any uncovered segments, and (d) merges. Presence semantics as
+    # the other indexes: an uncovered segment is searched exactly, so a
+    # crash or partial refresh costs recall work, never correctness.
+
+    VECIDX_CENTROIDS = 8
+    VECIDX_PROBE = 2
+    VECIDX_OVERFETCH = 4
+
+    def _vecidx_dir(self, col: str, layer_dir: str | None = None) -> str:
+        return os.path.join(layer_dir or self.stable_path(), f"_VECIDX_{col}")
+
+    def _vecidx_meta(self, layer_dir: str | None = None) -> dict:
+        import json
+
+        p = os.path.join(layer_dir or self.stable_path(), "_VECIDX")
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return {}
+
+    def _write_vecidx_meta(self, meta: dict, layer_dir: str | None = None) -> None:
+        import json
+
+        d = layer_dir or self.stable_path()
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, "_VECIDX")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, p)
+
+    @staticmethod
+    def _vec_dist2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def _vecidx_assign_expr(self, col: str, centroids: list[list[float]]):
+        """argmin-L2 cluster id as one codegen expression (centroid count
+        is small by design — the coarse quantizer)."""
+        from tiflash_spark.functions.vector import vec_l2_distance
+
+        dists = [
+            vec_l2_distance(
+                F.transform(F.col(col), lambda x: x.cast("double")),
+                F.array(*[F.lit(float(v)) for v in c]),
+            )
+            for c in centroids
+        ]
+        best = F.lit(0)
+        best_d = dists[0]
+        for i in range(1, len(dists)):
+            cond = dists[i] < best_d
+            best = F.when(cond, F.lit(i)).otherwise(best)
+            best_d = F.when(cond, dists[i]).otherwise(best_d)
+        return best.cast("int")
+
+    def build_vector_index(
+        self, col: str, n_centroids: int | None = None, iterations: int = 2
+    ) -> int:
+        """Build the IVF posting sidecar for an array<float/double>
+        column. Deterministic coarse quantizer: seeds = the vectors of
+        the n smallest handles, refined with ``iterations`` Lloyd steps
+        (means collected to the driver — n_centroids × dim scalars).
+        Returns segments covered."""
+        n_centroids = n_centroids or self.VECIDX_CENTROIDS
+        stable = self._layer("stable")
+        if stable is None or "_seg" not in stable.columns:
+            raise ValueError("vector index needs a segmented stable layer")
+        if col not in stable.columns:
+            raise ValueError(f"column {col!r} not in stable layer")
+        rows = stable.filter(F.col(col).isNotNull())
+        seeds = [
+            [float(v) for v in r.vec]
+            for r in rows.select(F.col(col).alias("vec"))
+            .orderBy(F.col(HANDLE))
+            .limit(n_centroids)
+            .collect()
+        ]
+        if not seeds:
+            raise ValueError(f"no non-null vectors in {col!r}")
+        cents = seeds
+        dim = len(cents[0])
+        for _ in range(iterations):
+            assign = self._vecidx_assign_expr(col, cents)
+            means = (
+                rows.select(assign.alias("_cl"), F.col(col).alias("vec"))
+                .groupBy("_cl")
+                .agg(
+                    *[F.avg(F.col("vec")[i].cast("double")).alias(f"m{i}") for i in range(dim)]
+                )
+                .collect()
+            )
+            new = list(cents)
+            for r in means:
+                new[r._cl] = [float(r[f"m{i}"]) for i in range(dim)]
+            cents = new
+        meta = self._vecidx_meta()
+        meta[col] = {"centroids": cents, "segs": []}
+        self._write_vecidx_meta(meta)
+        segs = [
+            int(r.s)
+            for r in stable.select(F.col("_seg").alias("s")).distinct().collect()
+        ]
+        self._vecidx_refresh_segs(segs)
+        return len(segs)
+
+    def _vecidx_refresh_segs(self, segs: list[int]) -> None:
+        """Rebuild posting partitions for the given segments. Same
+        crash-safe ordering as the inverted index: unregister → rewrite
+        → re-register, so postings are never stale, only absent (an
+        absent segment is searched exactly)."""
+        import shutil
+
+        meta = self._vecidx_meta()
+        if not meta or not segs:
+            return
+        stable = self._layer("stable")
+        if stable is None or "_seg" not in stable.columns:
+            self._drop_vector_indexes()
+            return
+        seg_ids = [int(s) for s in segs]
+        self._write_vecidx_meta(
+            {
+                c: {**m, "segs": sorted(set(m["segs"]) - set(seg_ids))}
+                for c, m in meta.items()
+            }
+        )
+        present = stable.filter(F.col("_seg").isin(seg_ids))
+        have = {
+            int(r.s)
+            for r in present.select(F.col("_seg").alias("s")).distinct().collect()
+        }
+        final = {}
+        for c, m in list(meta.items()):
+            if c not in stable.columns:
+                shutil.rmtree(self._vecidx_dir(c), ignore_errors=True)
+                continue
+            assign = self._vecidx_assign_expr(c, m["centroids"])
+            idx_dir = self._vecidx_dir(c)
+            tmp = self._stage_dir("vecidx")
+            (
+                present.filter(F.col(c).isNotNull())
+                .select(HANDLE, F.col(c).alias("vec"), "_seg", assign.alias("_cl"))
+                .repartition("_seg", "_cl")
+                .write.partitionBy("_seg", "_cl")
+                .mode("overwrite")
+                .parquet(tmp)
+            )
+            for s in seg_ids:
+                dst = os.path.join(idx_dir, f"_seg={s}")
+                shutil.rmtree(dst, ignore_errors=True)
+                src = os.path.join(tmp, f"_seg={s}")
+                if os.path.exists(src):
+                    os.makedirs(idx_dir, exist_ok=True)
+                    os.rename(src, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            final[c] = {**m, "segs": sorted((set(m["segs"]) - set(seg_ids)) | have)}
+        self._write_vecidx_meta(final)
+
+    def _drop_vector_indexes(self) -> None:
+        import shutil
+
+        for c in list(self._vecidx_meta()):
+            shutil.rmtree(self._vecidx_dir(c), ignore_errors=True)
+        p = os.path.join(self.stable_path(), "_VECIDX")
+        if os.path.exists(p):
+            os.remove(p)
+
+    def _rebuild_vecidx(self, prior: dict) -> None:
+        """After a whole-stable rewrite: rebuild each indexed column with
+        a fresh quantizer (the data may have shifted)."""
+        if not prior:
+            return
+        stable = self._layer("stable")
+        if stable is None or "_seg" not in stable.columns:
+            return
+        for c, m in prior.items():
+            if c in stable.columns:
+                try:
+                    self.build_vector_index(c, n_centroids=len(m["centroids"]))
+                except ValueError:
+                    continue  # e.g. all vectors gone
+
+    def _stage_vecidx(self, stage: str, dirty: list[int]) -> set[str]:
+        """Staged-meta + skip entries for a mutation rewriting ``dirty``
+        segments (mirrors _stage_invidx)."""
+        meta = self._vecidx_meta()
+        if not meta:
+            return set()
+        dirty_set = {int(s) for s in dirty}
+        skip = {"_VECIDX"}
+        staged = {}
+        for c, m in meta.items():
+            skip |= {
+                os.path.join(f"_VECIDX_{c}", f"_seg={s}") for s in dirty_set
+            }
+            staged[c] = {**m, "segs": sorted(set(m["segs"]) - dirty_set)}
+        os.makedirs(stage, exist_ok=True)
+        self._write_vecidx_meta(staged, layer_dir=stage)
+        return skip
+
+    def ann_topk(
+        self,
+        col: str,
+        query: list[float],
+        k: int = 10,
+        n_probe: int | None = None,
+        ts: int | None = None,
+        overfetch: int | None = None,
+    ) -> DataFrame:
+        """Snapshot-consistent approximate top-k by cosine similarity:
+        (handle, score) for the k most similar VISIBLE rows. Index
+        candidates are validated and re-scored through the MVCC read
+        path (updates win, deletes and range tombstones apply); the
+        delta tail and uncovered segments are scored exactly. Like any
+        validated-ANN, heavy deletion in the top region can under-fill
+        k — raise ``overfetch`` to compensate (the documented posture of
+        the filtered-ANN tier)."""
+        from tiflash_spark.functions.vector import vec_cosine_similarity
+
+        n_probe = n_probe or self.VECIDX_PROBE
+        overfetch = overfetch or self.VECIDX_OVERFETCH
+        meta = self._vecidx_meta().get(col)
+        qlit = F.array(*[F.lit(float(v)) for v in query])
+
+        def scored(df: DataFrame) -> DataFrame:
+            return df.select(
+                HANDLE,
+                F.round(
+                    vec_cosine_similarity(
+                        F.transform(F.col(col), lambda x: x.cast("double")), qlit
+                    ),
+                    6,
+                ).alias("score"),
+            )
+
+        if not meta or not meta["segs"]:
+            # no index: exact scan of the snapshot (brute-force tier)
+            return (
+                scored(self.read(ts).filter(F.col(col).isNotNull()))
+                .orderBy(F.col("score").desc(), F.col(HANDLE))
+                .limit(k)
+            )
+        covered = {int(s) for s in meta["segs"]}
+        probe = sorted(
+            range(len(meta["centroids"])),
+            key=lambda i: self._vec_dist2(meta["centroids"][i], query),
+        )[:n_probe]
+        idx = self.spark.read.parquet(self._vecidx_dir(col)).filter(
+            F.col("_cl").isin(probe) & F.col("_seg").isin(list(covered))
+        )
+        cand_handles = [
+            r[HANDLE]
+            for r in scored(idx.withColumnRenamed("vec", col))
+            .orderBy(F.col("score").desc(), F.col(HANDLE))
+            .limit(k * overfetch)
+            .collect()
+        ]
+        # delta handles: new/updated rows the postings don't know about
+        delta = self._layer("delta")
+        delta_handles = (
+            [r[HANDLE] for r in delta.select(HANDLE).distinct().collect()]
+            if delta is not None
+            else []
+        )
+        pool = list(dict.fromkeys(cand_handles + delta_handles))
+        legs = []
+        if pool:
+            legs.append(
+                scored(
+                    self.read_handles(pool, ts=ts).filter(F.col(col).isNotNull())
+                )
+            )
+        uncovered = self._all_seg_ids() - covered
+        if uncovered:
+            # exact leg over segments the index does not cover; handles
+            # with delta rows are already in the pool leg (full MVCC), so
+            # exclude them here rather than double-score stale copies
+            log = self.log().filter(F.col("_seg").isin(list(uncovered)))
+            if delta_handles:
+                log = log.filter(~F.col(HANDLE).isin(delta_handles))
+            vis = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts)
+            legs.append(scored(vis.filter(F.col(col).isNotNull())))
+        out = legs[0]
+        for leg in legs[1:]:
+            out = out.unionByName(leg)
+        return (
+            out.dropDuplicates([HANDLE])
+            .orderBy(F.col("score").desc(), F.col(HANDLE))
+            .limit(k)
+        )
+
+    def _all_seg_ids(self) -> set[int]:
+        stable = self._layer("stable")
+        if stable is None or "_seg" not in stable.columns:
+            return set()
+        return {
+            int(r.s)
+            for r in stable.select(F.col("_seg").alias("s")).distinct().collect()
+        }
 
     def maintain(
         self,
