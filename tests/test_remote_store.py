@@ -1,0 +1,180 @@
+"""Disaggregated storage/compute: checkpoint upload, stateless read
+nodes, WN-tail freshness, FastAddPeer restore, checkpoint GC — the
+Spark-side analogue of the reference's cloud-native architecture
+(docs/design/2023-02-23-cloud-native-architecture.md,
+Storages/S3/CheckpointManifestS3Set.h, DeltaMerge/Remote/DisaggSnapshot.h)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import Row
+
+from tiflash_spark.operators.mvcc import HANDLE
+from tiflash_spark.sources.delta_store import DeltaStore
+from tiflash_spark.sources import remote_store as rs
+from tiflash_spark.sources.remote_store import ReadNodeStore, ReadOnlyStoreError
+
+
+def _rows(spark, items):
+    return spark.createDataFrame([Row(**{HANDLE: h, "v": v}) for h, v in items])
+
+
+def _snap(store, ts=None):
+    return {r[HANDLE]: r.v for r in store.read(ts).collect()}
+
+
+@pytest.fixture()
+def wn(spark, tmp_path):
+    """A write node with a compacted stable layer + a delta tail."""
+    store = DeltaStore(spark, str(tmp_path / "wn"))
+    store.write_batch(_rows(spark, [(h, h * 10) for h in range(50)]), version=1)
+    store.compact_range_segments(ts=1, num_segments=4)
+    store.write_batch(_rows(spark, [(3, 333), (60, 600)]), version=2)
+    return store
+
+
+def test_read_node_matches_write_node(spark, wn, tmp_path):
+    remote = str(tmp_path / "s3")
+    m = rs.checkpoint(wn, remote, version=2)
+    assert m["v"] == 1 and m["watermark"] == 2
+    rn = ReadNodeStore(spark, remote)
+    assert _snap(rn) == _snap(wn)
+    # historical MVCC snapshot served identically from the checkpoint
+    assert _snap(rn, ts=1) == _snap(wn, ts=1)
+
+
+def test_read_node_is_pinned_until_refresh(spark, wn, tmp_path):
+    remote = str(tmp_path / "s3")
+    rs.checkpoint(wn, remote, version=2)
+    rn = ReadNodeStore(spark, remote)
+    before = _snap(rn)
+    # WN keeps writing after the upload: the pinned snapshot must not move
+    wn.write_batch(_rows(spark, [(3, 3333), (70, 700)]), version=3)
+    assert _snap(rn) == before
+    # a new checkpoint + refresh re-pins
+    rs.checkpoint(wn, remote, version=3)
+    m = rn.refresh()
+    assert m["v"] == 2
+    assert _snap(rn) == _snap(wn)
+
+
+def test_tail_fetch_gives_read_your_writes(spark, wn, tmp_path):
+    remote = str(tmp_path / "s3")
+    rs.checkpoint(wn, remote, version=2)
+    rn = ReadNodeStore(spark, remote, tail_from=wn)
+    wn.write_batch(_rows(spark, [(3, 3333), (70, 700)]), version=3)
+    assert _snap(rn) == _snap(wn)  # fresh rows merged from the WN delta
+    # a delete in the tail masks a checkpointed row
+    wn.write_batch(_rows(spark, [(5, 0)]), version=4, delete=True)
+    assert 5 not in _snap(rn)
+    # and a range tombstone newer than the watermark applies too
+    wn.delete_range(10, 20, version=5)
+    got = _snap(rn)
+    assert all(h not in got for h in range(10, 20))
+    assert got == _snap(wn)
+    # historical read below the tail still matches
+    assert _snap(rn, ts=2) == _snap(wn, ts=2)
+
+
+def test_read_node_rejects_mutation(spark, wn, tmp_path):
+    remote = str(tmp_path / "s3")
+    rs.checkpoint(wn, remote, version=2)
+    rn = ReadNodeStore(spark, remote)
+    with pytest.raises(ReadOnlyStoreError):
+        rn.write_batch(_rows(spark, [(1, 1)]), version=9)
+    with pytest.raises(ReadOnlyStoreError):
+        rn.compact(ts=9)
+    with pytest.raises(ReadOnlyStoreError):
+        rn.delete_range(0, 1, version=9)
+
+
+def test_read_node_pruned_reads_work_from_checkpoint(spark, wn, tmp_path):
+    remote = str(tmp_path / "s3")
+    rs.checkpoint(wn, remote, version=2)
+    rn = ReadNodeStore(spark, remote)
+    got = {r[HANDLE]: r.v for r in rn.read_range(10, 20).collect()}
+    assert got == {h: h * 10 for h in range(10, 20)}
+    one = rn.read_handles([7]).collect()
+    assert len(one) == 1 and one[0].v == 70
+
+
+def test_checkpoint_crash_before_manifest_is_invisible(spark, wn, tmp_path):
+    remote = str(tmp_path / "s3")
+    rs.checkpoint(wn, remote, version=2)
+    wn.write_batch(_rows(spark, [(3, 3333)]), version=3)
+    for point in ("ckpt_staged", "ckpt_renamed"):
+        wn.failpoints = {point}
+        with pytest.raises(RuntimeError, match=point):
+            rs.checkpoint(wn, remote, version=3)
+        wn.failpoints = set()
+        # the commit point is the manifest: read nodes still pin v1
+        assert rs.latest_manifest(remote, "store_1")["v"] == 1
+        rn = ReadNodeStore(spark, remote)
+        assert 3333 not in _snap(rn).values()
+    # the next successful upload sweeps the orphan dirs and commits
+    m = rs.checkpoint(wn, remote, version=3)
+    assert m["v"] == 2
+    sdir = os.path.join(remote, "store_1")
+    dirs = {n for n in os.listdir(sdir) if os.path.isdir(os.path.join(sdir, n))}
+    assert dirs == {"ckpt_v1", "ckpt_v2"}
+
+
+def test_checkpoints_share_unchanged_files(wn, tmp_path):
+    remote = str(tmp_path / "s3")
+    rs.checkpoint(wn, remote, version=2)
+    rs.checkpoint(wn, remote, version=2)  # nothing changed in between
+    sdir = os.path.join(remote, "store_1")
+
+    def inodes(ck):
+        out = {}
+        for root, _d, files in os.walk(os.path.join(sdir, ck, "stable")):
+            for f in files:
+                rel = os.path.relpath(os.path.join(root, f), os.path.join(sdir, ck))
+                out[rel] = os.stat(os.path.join(root, f)).st_ino
+        return out
+
+    a, b = inodes("ckpt_v1"), inodes("ckpt_v2")
+    assert a and a == b  # same inodes: uploaded once, referenced twice
+
+
+def test_restore_store_is_writable_fap(spark, wn, tmp_path):
+    remote = str(tmp_path / "s3")
+    rs.checkpoint(wn, remote, version=2)
+    restored = rs.restore_store(spark, remote, "store_1", str(tmp_path / "wn2"))
+    assert _snap(restored) == _snap(wn)
+    restored.write_batch(_rows(spark, [(99, 9900)]), version=3)
+    assert _snap(restored)[99] == 9900
+    # the original WN and the remote checkpoint are untouched
+    assert 99 not in _snap(wn) or _snap(wn)[99] != 9900
+    rn = ReadNodeStore(spark, remote)
+    assert 99 not in _snap(rn)
+    # and the restored node can re-checkpoint under its own id
+    rs.checkpoint(restored, remote, store_id="store_2", version=3)
+    rn2 = ReadNodeStore(spark, remote, store_id="store_2")
+    assert _snap(rn2)[99] == 9900
+
+
+def test_gc_checkpoints_keeps_newest(spark, wn, tmp_path):
+    remote = str(tmp_path / "s3")
+    for v in (2, 2, 2):
+        rs.checkpoint(wn, remote, version=v)
+    assert rs.gc_checkpoints(remote, "store_1", keep=1) == 2
+    ms = rs.list_manifests(remote, "store_1")
+    assert [m["v"] for m in ms] == [3]
+    rn = ReadNodeStore(spark, remote)
+    assert _snap(rn) == _snap(wn)
+
+
+def test_checkpoint_carries_schema_evolution(spark, tmp_path):
+    store = DeltaStore(spark, str(tmp_path / "wn_ddl"))
+    store.write_batch(_rows(spark, [(1, 10), (2, 20)]), version=1)
+    store.add_column("tag", "string")
+    remote = str(tmp_path / "s3")
+    rs.checkpoint(store, remote, version=1)
+    rn = ReadNodeStore(spark, remote)
+    assert rn.schema_version() == store.schema_version()
+    got = rn.read().orderBy(HANDLE).collect()
+    assert [r.tag for r in got] == [None, None]  # pre-DDL rows read as NULL

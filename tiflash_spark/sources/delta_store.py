@@ -401,14 +401,16 @@ class DeltaStore:
             json.dump(dels, fh)
         os.replace(tmp, p)
 
-    def _range_del_filter(self, ts: int | None):
+    def _range_del_filter(self, ts: int | None, dels: list[dict] | None = None):
         """One codegen predicate hiding rows covered by a visible range
         tombstone: handle in [lo, hi) AND row version <= tombstone
         version (and tombstone version <= read ts). None when there are
         no applicable tombstones. The list is small by construction —
-        compaction GCs applied entries, like the reference."""
+        compaction GCs applied entries, like the reference. ``dels``
+        overrides the store's own list (read nodes merge a write node's
+        newer tombstones into a pinned checkpoint snapshot)."""
         cond = None
-        for d in self._range_dels():
+        for d in self._range_dels() if dels is None else dels:
             if ts is not None and d["v"] > ts:
                 continue  # tombstone not visible at this snapshot
             covered = (
@@ -419,10 +421,12 @@ class DeltaStore:
             cond = covered if cond is None else (cond | covered)
         return None if cond is None else ~cond
 
-    def _apply_range_dels(self, df: DataFrame, ts: int | None) -> DataFrame:
+    def _apply_range_dels(
+        self, df: DataFrame, ts: int | None, dels: list[dict] | None = None
+    ) -> DataFrame:
         """Apply tombstones to a frame that still carries VERSION (call
         after the MVCC winner pick, before dropping internals)."""
-        flt = self._range_del_filter(ts)
+        flt = self._range_del_filter(ts, dels)
         return df if flt is None else df.filter(flt)
 
     # --- read path ---------------------------------------------------------

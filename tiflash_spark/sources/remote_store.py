@@ -1,0 +1,314 @@
+"""Disaggregated storage/compute for DeltaStore (reference cloud-native
+architecture).
+
+Reference: TiFlash splits into **Write Nodes** (ingest Raft, flush the
+DeltaTree locally, periodically upload everything to S3) and stateless
+**Read Nodes** (pin a remote snapshot, query S3 data directly, ask the
+WN only for the not-yet-uploaded memtable tail) —
+docs/design/2023-02-23-cloud-native-architecture.md,
+dbms/src/Storages/S3/CheckpointManifestS3Set.h (the manifest set: the
+latest manifest defines which uploaded files form a consistent
+snapshot), dbms/src/Storages/DeltaMerge/Remote/DisaggSnapshot.h (the
+pinned per-query snapshot a read node resolves), RNSegmentInputStream /
+RNDataProvider (read-node scans over remote segment data), and
+FastAddPeer (a new write node bootstraps from the latest S3 checkpoint
+instead of re-syncing the full region from upstream —
+dbms/src/Storages/Page/V3/CheckpointFile/, FAP in
+dbms/src/Storages/KVStore/MultiRaft/Disagg/FastAddPeer.cpp).
+
+Spark-first model — the "remote object store" is a directory tree (in
+production: S3A/an object-store filesystem; every operation below is
+rename/immutable-file based so the layout maps 1:1 onto object keys):
+
+- ``checkpoint(store, remote_root)`` uploads the write node's current
+  layer snapshot as ``<root>/<store_id>/ckpt_v<N>/`` — a COMPLETE,
+  self-describing, immutable DeltaStore directory (its own ``_CURRENT``
+  superblock, stable+delta layers, schema manifest, zone-map /
+  inverted-index / vector-index sidecars all inside). Files are
+  hardlinked from the write node when possible, so an upload shares
+  storage with the live store and with prior checkpoints instead of
+  copying (the analogue of the reference's ref-pages / S3 object reuse:
+  unchanged DMFiles are uploaded once and referenced by later
+  manifests).
+- ``manifest_v<N>.json`` is written LAST, atomically — the commit
+  point, exactly like the reference's checkpoint-manifest upload
+  protocol: a crash mid-upload leaves an orphan data dir that the next
+  checkpoint sweeps, never a manifest naming missing files.
+- ``ReadNodeStore`` pins the latest manifest at construction (a
+  DisaggSnapshot): all reads — full MVCC scans, handle/range/equality
+  pruned reads, ANN — serve that immutable snapshot with the exact
+  same code paths as a local store, because the checkpoint IS a valid
+  store directory. ``refresh()`` re-pins; ``tail_from=<write node>``
+  additionally merges the WN's delta rows and range tombstones NEWER
+  than the checkpoint watermark into full reads, the RN→WN memtable
+  fetch from the design doc.
+- ``restore_store`` is FastAddPeer: materialize a brand-new WRITABLE
+  write node from the latest checkpoint in O(hardlink) time.
+
+Scale notes: a checkpoint never reads or shuffles data (pure metadata +
+link/copy of immutable files); read nodes scale horizontally because
+they hold no state beyond the pinned manifest; the watermark guarantees
+tail-merge correctness (a delta row is merged from the WN iff its
+commit version is strictly above what the checkpoint already contains,
+so a row is never double-counted — MVCC winner-pick dedups the overlap
+anyway, making the filter an optimization AND a correctness fence for
+delete tombstones).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiflash_spark.operators.mvcc import DELMARK, VERSION, snapshot_read
+from tiflash_spark.sources.delta_store import DeltaStore
+
+
+class ReadOnlyStoreError(RuntimeError):
+    """A mutation was attempted on a read node's pinned snapshot."""
+
+
+def _link_or_copy_tree(src: str, dst: str) -> None:
+    """Mirror ``src`` under ``dst``, hardlinking files when the
+    filesystem allows (uploads share storage with the live store and
+    with earlier checkpoints) and copying otherwise."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        tdir = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(tdir, exist_ok=True)
+        for f in files:
+            s, t = os.path.join(root, f), os.path.join(tdir, f)
+            try:
+                os.link(s, t)
+            except OSError:
+                shutil.copy2(s, t)
+
+
+def _store_dir(remote_root: str, store_id: str) -> str:
+    return os.path.join(remote_root, store_id)
+
+
+def list_manifests(remote_root: str, store_id: str) -> list[dict]:
+    """All committed checkpoint manifests, oldest → newest."""
+    d = _store_dir(remote_root, store_id)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if name.startswith("manifest_v") and name.endswith(".json"):
+            with open(os.path.join(d, name)) as fh:
+                out.append(json.load(fh))
+    out.sort(key=lambda m: m["v"])
+    return out
+
+
+def latest_manifest(remote_root: str, store_id: str) -> dict | None:
+    ms = list_manifests(remote_root, store_id)
+    return ms[-1] if ms else None
+
+
+def checkpoint(
+    store: DeltaStore,
+    remote_root: str,
+    store_id: str = "store_1",
+    version: int | None = None,
+) -> dict:
+    """Upload the write node's current snapshot as an immutable remote
+    checkpoint; returns the committed manifest.
+
+    ``version`` is the checkpoint watermark — the highest commit version
+    the snapshot is known to contain (the reference records the Raft
+    applied index per checkpoint). When omitted it is computed from the
+    data with one small max() aggregate. The manifest write is the
+    commit point; everything before it is invisible to read nodes.
+    """
+    sdir = _store_dir(remote_root, store_id)
+    os.makedirs(sdir, exist_ok=True)
+    # sweep orphans of checkpoints that crashed before their manifest
+    committed = {m["dir"] for m in list_manifests(remote_root, store_id)}
+    for name in os.listdir(sdir):
+        full = os.path.join(sdir, name)
+        if os.path.isdir(full) and name not in committed:
+            shutil.rmtree(full, ignore_errors=True)
+
+    if version is None:
+        try:
+            row = store.log().agg(F.max(F.col(VERSION)).alias("v")).collect()[0]
+            version = int(row["v"]) if row["v"] is not None else 0
+        except ValueError:  # empty store
+            version = 0
+
+    sb = store._superblock()
+    prev = latest_manifest(remote_root, store_id)
+    v = (prev["v"] + 1) if prev else 1
+    ckpt_name = f"ckpt_v{v}"
+    stage = os.path.join(sdir, f"_upload_{uuid.uuid4().hex[:12]}")
+    try:
+        _link_or_copy_tree(store.stable_path(), os.path.join(stage, "stable"))
+        _link_or_copy_tree(store.delta_path(), os.path.join(stage, "delta"))
+        schema_p = os.path.join(store.path, "_SCHEMA")
+        if os.path.exists(schema_p):
+            shutil.copy2(schema_p, os.path.join(stage, "_SCHEMA"))
+        # the checkpoint is itself a complete store directory: write its
+        # superblock so read nodes open it with the ordinary store code
+        with open(os.path.join(stage, "_CURRENT"), "w") as fh:
+            json.dump({"epoch": sb["epoch"], "stable": "stable", "delta": "delta"}, fh)
+        store._fail("ckpt_staged")
+        os.rename(stage, os.path.join(sdir, ckpt_name))
+        store._fail("ckpt_renamed")
+    except Exception:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    manifest = {
+        "v": v,
+        "dir": ckpt_name,
+        "store_id": store_id,
+        "wn_epoch": sb["epoch"],
+        "watermark": version,
+        "schema_version": store.schema_version(),
+    }
+    mp = os.path.join(sdir, f"manifest_v{v}.json")
+    tmp = mp + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, mp)  # commit point
+    return manifest
+
+
+def gc_checkpoints(remote_root: str, store_id: str, keep: int = 2) -> int:
+    """Drop all but the newest ``keep`` checkpoints (manifest first, so
+    a crash mid-GC leaves an unreferenced dir, never a dangling
+    manifest). Hardlink sharing means deleting an old checkpoint only
+    reclaims files no newer checkpoint references. Returns #removed."""
+    ms = list_manifests(remote_root, store_id)
+    drop = ms[:-keep] if keep > 0 else ms
+    sdir = _store_dir(remote_root, store_id)
+    for m in drop:
+        os.remove(os.path.join(sdir, f"manifest_v{m['v']}.json"))
+        shutil.rmtree(os.path.join(sdir, m["dir"]), ignore_errors=True)
+    return len(drop)
+
+
+def restore_store(
+    spark: SparkSession, remote_root: str, store_id: str, dest_path: str
+) -> DeltaStore:
+    """FastAddPeer: materialize a new WRITABLE write node from the
+    latest remote checkpoint — O(hardlink), no upstream re-sync. The
+    restored store's first layer swap naturally un-shares it from the
+    checkpoint (version dirs get fresh names; immutable files stay
+    shared until GC'd on one side)."""
+    m = latest_manifest(remote_root, store_id)
+    if m is None:
+        raise ValueError(f"no checkpoint for {store_id!r} under {remote_root}")
+    if os.path.exists(dest_path) and os.listdir(dest_path):
+        raise ValueError(f"restore target {dest_path!r} is not empty")
+    ckpt = os.path.join(_store_dir(remote_root, store_id), m["dir"])
+    os.makedirs(dest_path, exist_ok=True)
+    stage_marker = os.path.join(dest_path, "_CURRENT")
+    _link_or_copy_tree(os.path.join(ckpt, "stable"), os.path.join(dest_path, "stable"))
+    _link_or_copy_tree(os.path.join(ckpt, "delta"), os.path.join(dest_path, "delta"))
+    schema_p = os.path.join(ckpt, "_SCHEMA")
+    if os.path.exists(schema_p):
+        shutil.copy2(schema_p, os.path.join(dest_path, "_SCHEMA"))
+    # superblock written LAST: a crash mid-restore leaves a dir the
+    # DeltaStore constructor will adopt as legacy layers or that the
+    # caller re-runs; never a superblock naming missing layers
+    tmp = stage_marker + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"epoch": m["wn_epoch"], "stable": "stable", "delta": "delta"}, fh)
+    os.replace(tmp, stage_marker)
+    return DeltaStore(spark, dest_path)
+
+
+class ReadNodeStore:
+    """A stateless read node: serves MVCC reads from a pinned remote
+    checkpoint (DisaggSnapshot analogue). All pruned/indexed read paths
+    of :class:`DeltaStore` work unchanged because the checkpoint is a
+    complete store directory; mutations raise :class:`ReadOnlyStoreError`.
+
+    ``tail_from``: the live write node. Full ``read()``s then merge the
+    WN's delta rows and range tombstones with commit version strictly
+    above the checkpoint watermark — the design doc's "RN asks WN for
+    the memtable tail" — giving read-your-writes freshness without
+    re-uploading. Indexed reads (``read_range``/``read_where``/...)
+    deliberately serve the pinned snapshot only: their pruning metadata
+    lives in the checkpoint, and the reference likewise bounds staleness
+    by the upload cadence plus explicit snapshot pinning.
+    """
+
+    _MUTATORS = (
+        "write_batch", "delete_range", "compact", "compact_range_segments",
+        "compact_segments_incremental", "ingest_snapshot", "split_segment",
+        "merge_segments", "add_column", "drop_column", "build_zonemap",
+        "build_inverted_index", "build_vector_index",
+    )
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        remote_root: str,
+        store_id: str = "store_1",
+        tail_from: DeltaStore | None = None,
+    ):
+        self.spark = spark
+        self.remote_root = remote_root
+        self.store_id = store_id
+        self._tail = tail_from
+        self.manifest: dict | None = None
+        self._ds: DeltaStore | None = None
+        self.refresh()
+
+    def refresh(self) -> dict:
+        """Re-pin the newest committed checkpoint."""
+        m = latest_manifest(self.remote_root, self.store_id)
+        if m is None:
+            raise ValueError(
+                f"no checkpoint for {self.store_id!r} under {self.remote_root}"
+            )
+        if self.manifest is None or m["v"] != self.manifest["v"]:
+            self.manifest = m
+            ckpt = os.path.join(_store_dir(self.remote_root, self.store_id), m["dir"])
+            self._ds = DeltaStore(self.spark, ckpt)
+        return m
+
+    @property
+    def watermark(self) -> int:
+        return self.manifest["watermark"]
+
+    def __getattr__(self, name: str):
+        # delegate the read/introspection surface of DeltaStore;
+        # mutators are blocked by name, not by omission
+        if name in ReadNodeStore._MUTATORS:
+            raise ReadOnlyStoreError(
+                f"{name} is a write-node operation; read nodes serve a "
+                "pinned immutable checkpoint"
+            )
+        return getattr(self._ds, name)
+
+    def read(self, ts: int | None = None) -> DataFrame:
+        """Snapshot read at ``ts`` over checkpoint ∪ write-node tail."""
+        log = self._ds.log()
+        tail_dels: list[dict] = []
+        if self._tail is not None:
+            wm = self.watermark
+            tail = self._tail._layer("delta")
+            if tail is not None:
+                log = log.unionByName(
+                    tail.filter(F.col(VERSION) > F.lit(wm)),
+                    allowMissingColumns=True,
+                )
+            tail_dels = [d for d in self._tail._range_dels() if d["v"] > wm]
+        out = snapshot_read(log, read_ts=ts)
+        out = self._ds._apply_range_dels(out, ts)
+        if tail_dels:
+            out = self._ds._apply_range_dels(out, ts, dels=tail_dels)
+        out = out.drop(VERSION, DELMARK)
+        out = out.drop("_seg") if "_seg" in out.columns else out
+        return self._ds._conform(out, internal=False)
