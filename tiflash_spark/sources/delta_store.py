@@ -1766,6 +1766,125 @@ class DeltaStore:
         drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
         return self._conform(out.drop(*drop_cols), internal=False)
 
+    # --- late materialization -----------------------------------------------
+    #
+    # Reference: LateMaterializationBlockInputStream
+    # (dbms/src/Storages/DeltaMerge/LateMaterializationBlockInputStream.h:25-31):
+    # the scan reads ONLY the pushed-filter columns first, evaluates the
+    # filter into a bitmap, then reads the remaining (often wide) columns
+    # just for the surviving packs/rows — heavy column bytes are never
+    # decoded for rows the filter kills. Spark-first two-phase read:
+    #
+    #   phase 1  narrow scan [handle, filter col] over index-pruned
+    #            segments → MVCC winner pick → predicate → surviving
+    #            handles (the "bitmap"), plus one tiny (count, min, max)
+    #            aggregate.
+    #   phase 2  payload columns for the survivors only:
+    #            - few survivors (selective filter — LM's sweet spot):
+    #              a handle IN-list pushed INTO the payload scan
+    #              (PushedFilters + row-group skip on the handle-sorted
+    #              stable) — no join at all, exactly read_handles;
+    #            - many survivors: payload scan bounded to the survivor
+    #              handle range (row-group skip) + a handle semi-join,
+    #              AQE free to broadcast the narrow survivor side.
+    #
+    # Column pruning keeps phase 1's ReadSchema to the filter column —
+    # the payload bytes are read once, for winners only, matching the
+    # reference's pack-skip semantics at parquet row-group granularity.
+
+    LM_INLIST_LIMIT = 8192
+
+    def read_late(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        values: list | None = None,
+        payload_cols: list[str] | None = None,
+        ts: int | None = None,
+    ) -> DataFrame:
+        """Two-phase late-materialized snapshot read: filter on ``col``
+        (range ``lo``/``hi`` or equality ``values``), fetch
+        ``payload_cols`` (default: all user columns) only for surviving
+        handles. Result rows/values are identical to
+        ``read_where``/``read_where_in`` projected to the payload — the
+        difference is plan shape and bytes read. Same plan-time-snapshot
+        contract as read_where (phase 1 runs eagerly here, on the
+        driver's snapshot)."""
+        if values is None and lo is None and hi is None:
+            raise ValueError("read_late needs a range bound or a values list")
+        fields = self.current_fields()
+        all_cols = (
+            [n for n, _ in fields]
+            if fields is not None
+            else [
+                c
+                for c in self.log().columns
+                if c not in (HANDLE, *_INTERNAL_COLS)
+            ]
+        )
+        payload_cols = list(payload_cols) if payload_cols is not None else all_cols
+        unknown = [c for c in payload_cols if c not in all_cols]
+        if unknown:
+            raise ValueError(f"payload columns {unknown} not in current schema")
+
+        log = self.log()
+        if "_seg" in log.columns:
+            pruned = (
+                self._invidx_pruned_segs(col, list(values))
+                if values is not None
+                else self._zm_pruned_segs(col, lo, hi)
+            )
+            if pruned:
+                log = self._log_minus_segments(log, pruned)
+
+        # phase 1: the filter-column stream — narrow by construction
+        narrow_cols = [HANDLE, VERSION, DELMARK] + ([col] if col in log.columns else [])
+        narrow = log.select(*narrow_cols)
+        if col not in narrow.columns:  # column added by DDL, no file has it yet
+            narrow = narrow.withColumn(col, F.lit(None))
+        surv = self._apply_range_dels(snapshot_read(narrow, read_ts=ts), ts)
+        if values is not None:
+            surv = surv.filter(F.col(col).isin(list(values)))
+        else:
+            if lo is not None:
+                surv = surv.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                surv = surv.filter(F.col(col) <= F.lit(hi))
+        surv = surv.select(HANDLE)
+        stats = surv.agg(
+            F.count("*").alias("n"),
+            F.min(HANDLE).alias("lo"),
+            F.max(HANDLE).alias("hi"),
+        ).collect()[0]
+
+        def _project(df: DataFrame) -> DataFrame:
+            cols = [F.col(HANDLE)]
+            types = dict(fields) if fields is not None else {}
+            for n in payload_cols:
+                if n in df.columns:
+                    cols.append(F.col(n))
+                else:
+                    cols.append(F.lit(None).cast(types.get(n, "string")).alias(n))
+            return df.select(*cols)
+
+        if stats["n"] == 0:
+            return _project(self.read(ts).limit(0))
+        if stats["n"] <= self.LM_INLIST_LIMIT:
+            handles = [r[HANDLE] for r in surv.collect()]
+            return _project(self.read_handles(handles, ts))
+
+        # phase 2, many-survivor form: bounded payload scan + semi-join
+        pl = log.filter(
+            (F.col(HANDLE) >= F.lit(stats["lo"])) & (F.col(HANDLE) <= F.lit(stats["hi"]))
+        )
+        keep = [HANDLE, VERSION, DELMARK] + [c for c in payload_cols if c in pl.columns]
+        rows = self._apply_range_dels(
+            snapshot_read(pl.select(*dict.fromkeys(keep)), read_ts=ts), ts
+        )
+        out = rows.join(surv, HANDLE, "left_semi")
+        return _project(out)
+
     # --- vector index (storage-layer ANN) -----------------------------------
     #
     # Reference: the vector index is a STORAGE index — built per DMFile
