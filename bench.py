@@ -68,6 +68,7 @@ PIPELINE_HEADLINE = [
     "boilerplate_lines",
     "mvcc_bitmap_scan",
     "events_time_range_window",
+    "dedup_exact_substring",
 ]
 
 

@@ -163,3 +163,49 @@ def test_minhash_band_index_join_is_exchange_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "Bucketed: true" in plan, plan[:1200]
     assert "Exchange hashpartitioning" not in plan, plan[:1200]
+
+
+def test_exact_substring_span_semantics(spark, tmp_path):
+    """Constructed corpus pins the ExactSubstr drop-all semantics: a
+    duplicated K-gram marks all its occurrences; overlapping duplicated
+    positions merge into one span; unique text survives untouched."""
+    import os
+
+    from pyspark.sql import Row
+
+    from tiflash_spark.pipeline.dedup import EXACT_SUBSTR_K, dedup_exact_substring
+
+    K = EXACT_SUBSTR_K
+    shared = " ".join(f"s{i}" for i in range(K + 2))      # K+2 shared tokens
+    uniq_a = " ".join(f"a{i}" for i in range(5))
+    uniq_b = " ".join(f"b{i}" for i in range(5))
+    uniq_c = " ".join(f"c{i}" for i in range(K + 5))
+    docs = [
+        Row(doc_id=1, text=f"{uniq_a} {shared}", lang="en", source="s1",
+            n_chars=0),
+        Row(doc_id=2, text=f"{shared} {uniq_b}", lang="en", source="s1",
+            n_chars=0),
+        Row(doc_id=3, text=uniq_c, lang="en", source="s1", n_chars=0),
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(docs).write.parquet(os.path.join(sf, "documents.parquet"))
+    got = {r.source: r for r in dedup_exact_substring(spark, sf).collect()}
+    r = got["s1"]
+    # docs 1+2 share a (K+2)-token run → 3 duplicated gram positions each,
+    # merging to one span of K+2 removed tokens per doc; doc 3 untouched
+    assert r.n_docs == 3 and r.n_affected == 2
+    assert r.n_dup_positions == 6
+    assert r.removed_tokens == 2 * (K + 2)
+    assert r.kept_tokens == (5 + K + 2) * 2 + (K + 5) - 2 * (K + 2)
+
+
+def test_exact_substring_shuffle_shape(spark):
+    """Scale fence: one gram-window shuffle, one doc groupBy, one source
+    agg + sort — no self-join, no cartesian anywhere."""
+    from tiflash_spark.plans.explain import exchange_count, formatted_plan
+    from tiflash_spark.pipeline.dedup import dedup_exact_substring
+
+    df = dedup_exact_substring(spark, "/root/testdata/sf0.001")
+    assert exchange_count(df) <= 5
+    assert "CartesianProduct" not in formatted_plan(df)

@@ -265,6 +265,10 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
         ("boilerplate_lines",
          ["SUM(n_docs + total_lines + kept_lines)",
           "ROUND(SUM(avg_drop_frac), 4)", "SUM(clean_chars)"]),
+        ("dedup_exact_substring",
+         ["SUM(n_docs + n_affected + n_dup_positions)",
+          "SUM(n_grams + removed_tokens + kept_tokens)",
+          "SUM(LENGTH(source))"]),
     ],
     "multimodal_pipeline": [
         ("multimodal_decode",

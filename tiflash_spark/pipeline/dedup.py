@@ -692,3 +692,151 @@ ORDER BY bc.source
 
 QUERIES["dedup_incremental"] = dedup_incremental
 ORACLE["dedup_incremental"] = DEDUP_INCREMENTAL_SQL
+
+
+# --- 7. exact-substring span dedup (Lee et al. 2021) ------------------------
+#
+# "Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+# arXiv:2107.06499) ExactSubstr: verbatim token spans that occur more
+# than once in the corpus are removed, not whole documents — the paper
+# uses a corpus-level suffix array. Spark-first reformulation: a sliding
+# K-token gram with its position is O(total tokens) rows; a gram
+# occurring >1 time marks every position it covers; per-document covered
+# spans are merged with a sort-free array fold. One window shuffle on the
+# gram key, one groupBy on doc_id — never a suffix array, never O(n²).
+#
+# Semantics note (deliberate divergence, documented): the paper keeps ONE
+# canonical occurrence of each duplicated span; with overlapping grams a
+# keep-one rule needs byte-level suffix-array bookkeeping, so this
+# operator implements the drop-ALL-occurrences variant — deterministic,
+# SQL-expressible, and the variant most common in Spark-based curation
+# stacks. At 100 TB the gram STRING key is replaced by xxhash64(gram)
+# (collision odds ~n²/2⁶⁴ are acceptable for dedup) and the window count
+# becomes a groupBy + bloom-filter semi-join; the string key is kept here
+# for exact oracle parity.
+
+EXACT_SUBSTR_K = 8  # tokens per gram (paper uses 50; testdata docs are short)
+
+
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source report of duplicated-substring removal: eligible docs,
+    affected docs, gram positions, duplicated positions, tokens removed
+    by merged spans, tokens kept."""
+    from pyspark.sql import Window
+
+    K = EXACT_SUBSTR_K
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.where(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", "source", tokens(F.col("text")).alias("w"))
+        .where(F.size("w") >= K)
+        .select("doc_id", "source", "w", F.size("w").cast("long").alias("n_tok"))
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {K}),"
+                f" i -> struct(CAST(i AS BIGINT) AS pos,"
+                f" concat_ws(' ', slice(w, i + 1, {K})) AS gram))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "source", "n_tok", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    dup_pos = grams.withColumn(
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    ).where(F.col("n_occ") > 1)
+    per_doc = dup_pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pos"),
+        F.sort_array(F.collect_list("pos")).alias("ps"),
+    ).select(
+        "doc_id",
+        "n_dup_pos",
+        F.aggregate(
+            "ps",
+            F.struct(F.lit(0).cast("long").alias("cov"), F.lit(-1).cast("long").alias("fin")),
+            lambda acc, p: F.struct(
+                (
+                    acc.cov
+                    + F.greatest(F.lit(0).cast("long"), p + K - F.greatest(acc.fin, p))
+                ).alias("cov"),
+                F.greatest(acc.fin, p + K).alias("fin"),
+            ),
+            lambda acc: acc.cov,
+        ).alias("removed"),
+    )
+    return (
+        toks.select("doc_id", "source", "n_tok")
+        .join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n_dup_pos").isNotNull()).cast("int")).cast("long").alias("n_affected"),
+            F.sum(F.col("n_tok") - K + 1).cast("long").alias("n_grams"),
+            F.sum(F.coalesce("n_dup_pos", F.lit(0))).cast("long").alias("n_dup_positions"),
+            F.sum(F.coalesce("removed", F.lit(0))).cast("long").alias("removed_tokens"),
+            F.sum(F.col("n_tok") - F.coalesce("removed", F.lit(0))).cast("long").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_EXACT_SUBSTRING_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +') AS w
+  FROM documents
+  WHERE LENGTH(TRIM(text)) > 0
+    AND LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +')) >= 8
+),
+sized AS (
+  SELECT doc_id, source, w, CAST(LEN(w) AS BIGINT) AS n_tok FROM toks
+),
+grams AS (
+  SELECT doc_id, source, CAST(t.i AS BIGINT) AS pos,
+         ARRAY_TO_STRING(w[CAST(t.i + 1 AS BIGINT):CAST(t.i + 8 AS BIGINT)], ' ') AS gram
+  FROM sized, UNNEST(RANGE(0, LEN(w) - 7)) AS t(i)
+),
+dup_pos AS (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gram) AS n_occ FROM grams)
+  WHERE n_occ > 1
+),
+islands AS (
+  SELECT doc_id, pos,
+         CASE WHEN MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR pos > MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM dup_pos
+),
+spans AS (
+  SELECT doc_id, pos,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM islands
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(n_pos) AS BIGINT) AS n_dup_pos,
+         CAST(SUM(span_len) AS BIGINT) AS removed
+  FROM (SELECT doc_id, island_id, MAX(pos) + 8 - MIN(pos) AS span_len,
+               COUNT(*) AS n_pos
+        FROM spans GROUP BY doc_id, island_id)
+  GROUP BY doc_id
+)
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
+       CAST(SUM(s.n_tok - 7) AS BIGINT) AS n_grams,
+       CAST(SUM(COALESCE(p.n_dup_pos, 0)) AS BIGINT) AS n_dup_positions,
+       CAST(SUM(COALESCE(p.removed, 0)) AS BIGINT) AS removed_tokens,
+       CAST(SUM(s.n_tok - COALESCE(p.removed, 0)) AS BIGINT) AS kept_tokens
+FROM sized s LEFT JOIN per_doc p ON s.doc_id = p.doc_id
+GROUP BY s.source
+ORDER BY s.source
+"""
+
+QUERIES["dedup_exact_substring"] = dedup_exact_substring
+ORACLE["dedup_exact_substring"] = DEDUP_EXACT_SUBSTRING_SQL
