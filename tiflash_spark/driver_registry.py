@@ -294,6 +294,10 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
         ("hybrid_search_rrf",
          ["SUM(doc_id + COALESCE(bm25_rank, 0) + COALESCE(vec_rank, 0))",
           "ROUND(SUM(rrf), 4)"]),
+        ("dedup_semantic",
+         ["SUM(cluster_id + n_members)",
+          "ROUND(SUM(avg_cos_centroid + COALESCE(top_cos, 0)), 4)",
+          "SUM(COALESCE(top_a, 0) + COALESCE(top_b, 0))"]),
     ],
 }
 

@@ -840,3 +840,151 @@ ORDER BY s.source
 
 QUERIES["dedup_exact_substring"] = dedup_exact_substring
 ORACLE["dedup_exact_substring"] = DEDUP_EXACT_SUBSTRING_SQL
+
+
+# --- 8. semantic dedup (SemDeDup, Abbas et al. 2023) ------------------------
+#
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication" (arXiv:2303.09540): k-means the embedding space, then
+# compare pairs ONLY within a cluster — the cluster count grows with the
+# corpus, so per-cluster pairwise work stays constant and the global
+# cost is linear-ish, never O(n²). Spark-first: deterministic seed
+# centroids (the first C vectors — oracle-reproducible, standing in for
+# a k-means fit), zero-shuffle assignment (centroids folded into a
+# codegen argmax expression, the IVF-centroid-broadcast treatment from
+# similarity.py), then a within-cluster self-join on the cluster id.
+# At 100 TB: C scales with n (SemDeDup uses ~100k clusters for LAION),
+# the assignment stays a broadcast argmax, and the self-join shuffles on
+# cluster_id with AQE skew splitting — the exact shape of
+# dedup_embedding_lsh's bucket join.
+
+SEMDEDUP_CLUSTERS = 8
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster semantic-dedup report: member count, mean cosine to
+    the centroid, and the most-similar intra-cluster pair (the dedup
+    candidate SemDeDup would drop at its threshold)."""
+    from pyspark.sql import Window
+
+    from tiflash_spark.functions.vector import vec_inner_product
+    from tiflash_spark.pipeline.similarity import _as_double
+
+    C = SEMDEDUP_CLUSTERS
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    ).withColumn("nrm", F.sqrt(vec_inner_product(F.col("emb"), F.col("emb"))))
+    # bounded driver-side collect (C rows), like IVF's n-probe centroids
+    cents = sorted(
+        (r.vec_id, r.emb, r.nrm) for r in e.filter(F.col("vec_id") < C).collect()
+    )
+    choices = F.array(
+        *[
+            F.struct(
+                (
+                    vec_inner_product(
+                        F.col("emb"), F.array(*[F.lit(x) for x in cemb])
+                    )
+                    / (F.col("nrm") * F.lit(cnrm))
+                ).alias("cos"),
+                F.lit(-cid).alias("negc"),
+            )
+            for cid, cemb, cnrm in cents
+        ]
+    )
+    # argmax cosine; ties resolve to the SMALLEST centroid id (negc max)
+    best = F.array_max(choices)
+    members = e.select(
+        "vec_id",
+        "emb",
+        "nrm",
+        (-best["negc"]).cast("long").alias("cluster_id"),
+        F.round(best["cos"], 6).alias("cos_c"),
+    )
+    report = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(F.avg("cos_c"), 4).alias("avg_cos_centroid"),
+    )
+    a = members.select(
+        F.col("cluster_id"), F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = members.select(
+        F.col("cluster_id"), F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "cluster_id", "vec_a", "vec_b",
+            F.round(
+                vec_inner_product(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("top_cos"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("top_cos").desc(), "vec_a", "vec_b"
+    )
+    top = pairs.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    return (
+        report.join(top, "cluster_id", "left")
+        .select(
+            "cluster_id", "n_members", "avg_cos_centroid",
+            F.col("vec_a").alias("top_a"), F.col("vec_b").alias("top_b"),
+            "top_cos",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+DEDUP_SEMANTIC_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         SQRT(LIST_SUM(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+  FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS c_id, emb AS cemb, nrm AS cnrm FROM e WHERE vec_id < 8
+),
+assign AS (
+  SELECT vec_id, emb, nrm, c_id,
+         ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(emb, cemb), p -> p[1] * p[2]))
+               / (nrm * cnrm), 6) AS cos_c,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY LIST_SUM(LIST_TRANSFORM(LIST_ZIP(emb, cemb), p -> p[1] * p[2]))
+                    / (nrm * cnrm) DESC, c_id) AS rn
+  FROM e CROSS JOIN cents
+),
+members AS (
+  SELECT vec_id, emb, nrm, CAST(c_id AS BIGINT) AS cluster_id, cos_c
+  FROM assign WHERE rn = 1
+),
+report AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         ROUND(AVG(cos_c), 4) AS avg_cos_centroid
+  FROM members GROUP BY cluster_id
+),
+pairs AS (
+  SELECT a.cluster_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.emb, b.emb), p -> p[1] * p[2]))
+               / (a.nrm * b.nrm), 6) AS top_cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.cluster_id
+           ORDER BY LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.emb, b.emb), p -> p[1] * p[2]))
+                    / (a.nrm * b.nrm) DESC, a.vec_id, b.vec_id) AS rn
+  FROM members a JOIN members b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+)
+SELECT r.cluster_id, r.n_members, r.avg_cos_centroid,
+       p.vec_a AS top_a, p.vec_b AS top_b, p.top_cos
+FROM report r LEFT JOIN (SELECT * FROM pairs WHERE rn = 1) p
+  ON r.cluster_id = p.cluster_id
+ORDER BY r.cluster_id
+"""
+
+QUERIES["dedup_semantic"] = dedup_semantic
+ORACLE["dedup_semantic"] = DEDUP_SEMANTIC_SQL
