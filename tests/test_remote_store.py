@@ -178,3 +178,62 @@ def test_checkpoint_carries_schema_evolution(spark, tmp_path):
     assert rn.schema_version() == store.schema_version()
     got = rn.read().orderBy(HANDLE).collect()
     assert [r.tag for r in got] == [None, None]  # pre-DDL rows read as NULL
+
+
+def test_remote_compaction_worker_and_adoption(spark, wn, tmp_path):
+    """Compaction offload round-trip: worker compacts the checkpoint in
+    scratch space, WN adopts the stable layer + keeps only its
+    post-watermark tail; results identical before/after, fold work done
+    off-node."""
+    remote = str(tmp_path / "s3")
+    wn.delete_range(30, 35, version=2)          # applied physically by worker
+    rs.checkpoint(wn, remote, version=2)
+    wn.write_batch(_rows(spark, [(3, 7777), (80, 800)]), version=3)  # tail
+    wn.delete_range(40, 42, version=4)          # tombstone after upload
+    before = _snap(wn)
+    m = rs.remote_compact(spark, remote, "store_1", ts=2,
+                          work_dir=str(tmp_path / "scratch"), num_segments=4)
+    assert m["compacted"] and m["v"] == 2 and m["watermark"] == 2
+    epoch0 = wn._superblock()["epoch"]
+    new_epoch = rs.adopt_remote_compaction(wn, remote, "store_1")
+    assert new_epoch == epoch0 + 1
+    assert _snap(wn) == before
+    # the adopted delta holds ONLY the post-watermark tail
+    assert wn.delta_rows() == 2
+    # tombstones: <= safe-point applied physically, newer ones survive
+    assert all(h not in _snap(wn) for h in range(30, 35))
+    assert all(h not in _snap(wn) for h in range(40, 42))
+    # WN remains fully functional: new writes and a local compact
+    wn.write_batch(_rows(spark, [(500, 5000)]), version=5)
+    assert _snap(wn)[500] == 5000
+    wn.compact(ts=5, num_segments=4)
+    assert _snap(wn)[500] == 5000 and 3 in _snap(wn)
+
+
+def test_adoption_rejected_after_local_swap(spark, wn, tmp_path):
+    remote = str(tmp_path / "s3")
+    rs.checkpoint(wn, remote, version=2)
+    rs.remote_compact(spark, remote, "store_1", ts=2,
+                      work_dir=str(tmp_path / "scratch"))
+    wn.compact(ts=2)  # local swap bumps the epoch
+    with pytest.raises(ValueError, match="cannot adopt"):
+        rs.adopt_remote_compaction(wn, remote, "store_1")
+
+
+def test_adoption_crash_keeps_old_snapshot(spark, wn, tmp_path):
+    remote = str(tmp_path / "s3")
+    rs.checkpoint(wn, remote, version=2)
+    wn.write_batch(_rows(spark, [(3, 7777)]), version=3)
+    rs.remote_compact(spark, remote, "store_1", ts=2,
+                      work_dir=str(tmp_path / "scratch"))
+    before = _snap(wn)
+    for point in ("adopt_staged", "before_commit"):
+        wn.failpoints = {point}
+        with pytest.raises(RuntimeError, match=point):
+            rs.adopt_remote_compaction(wn, remote, "store_1")
+        wn.failpoints = set()
+        reopened = DeltaStore(spark, wn.path)
+        assert _snap(reopened) == before
+    # and adoption still works afterwards
+    assert rs.adopt_remote_compaction(wn, remote, "store_1") > 0
+    assert _snap(wn) == before

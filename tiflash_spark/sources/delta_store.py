@@ -163,6 +163,7 @@ class DeltaStore:
         staged_stable: str,
         retire_delta: bool,
         carry_range_dels: list[dict] | None = None,
+        staged_delta: str | None = None,
     ) -> None:
         """Swap a fully-built stable dir (and, when the delta was folded
         into it, a fresh empty delta) to current. The `_CURRENT` replace
@@ -170,7 +171,9 @@ class DeltaStore:
         everything after is garbage collection. ``carry_range_dels``:
         range tombstones newer than the compaction safe-point, written
         into the fresh delta dir BEFORE the commit — losing them would
-        resurrect deleted rows."""
+        resurrect deleted rows. ``staged_delta``: a pre-built replacement
+        delta dir (remote-compaction adoption carries the post-watermark
+        tail this way) — mutually exclusive with carry_range_dels."""
         import shutil
 
         sb = self._superblock()
@@ -188,9 +191,12 @@ class DeltaStore:
             dtarget = os.path.join(self.path, newsb["delta"])
             if os.path.exists(dtarget):
                 shutil.rmtree(dtarget, ignore_errors=True)
-            os.makedirs(dtarget, exist_ok=True)
-            if carry_range_dels:
-                self._write_range_dels(carry_range_dels, delta_dir=dtarget)
+            if staged_delta is not None:
+                os.rename(staged_delta, dtarget)
+            else:
+                os.makedirs(dtarget, exist_ok=True)
+                if carry_range_dels:
+                    self._write_range_dels(carry_range_dels, delta_dir=dtarget)
         self._fail("before_commit")
         self._commit_superblock(newsb)
         self._fail("after_commit")

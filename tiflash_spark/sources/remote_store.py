@@ -117,6 +117,7 @@ def checkpoint(
     remote_root: str,
     store_id: str = "store_1",
     version: int | None = None,
+    extra: dict | None = None,
 ) -> dict:
     """Upload the write node's current snapshot as an immutable remote
     checkpoint; returns the committed manifest.
@@ -171,6 +172,7 @@ def checkpoint(
         "wn_epoch": sb["epoch"],
         "watermark": version,
         "schema_version": store.schema_version(),
+        **(extra or {}),
     }
     mp = os.path.join(sdir, f"manifest_v{v}.json")
     tmp = mp + ".tmp"
@@ -225,6 +227,95 @@ def restore_store(
         json.dump({"epoch": m["wn_epoch"], "stable": "stable", "delta": "delta"}, fh)
     os.replace(tmp, stage_marker)
     return DeltaStore(spark, dest_path)
+
+
+def remote_compact(
+    spark: SparkSession,
+    remote_root: str,
+    store_id: str,
+    ts: int,
+    work_dir: str,
+    num_segments: int | None = None,
+) -> dict:
+    """Compaction Worker (cloud-native design doc §Basic ideas #3 and
+    Storages/S3/ remote-compaction flow): a STATELESS worker restores
+    the latest checkpoint into scratch space, folds its delta into a
+    fresh stable at GC-safe-point ``ts``, and uploads the result as the
+    next checkpoint — marked ``compacted`` so the write node knows it
+    can adopt the layer instead of redoing the merge. The worker never
+    talks to the write node; its only shared state is the remote
+    manifest set. Returns the committed manifest."""
+    import shutil
+
+    prev = latest_manifest(remote_root, store_id)
+    if prev is None:
+        raise ValueError(f"no checkpoint for {store_id!r} under {remote_root}")
+    worker = restore_store(spark, remote_root, store_id, work_dir)
+    if num_segments is not None:
+        worker.compact_range_segments(ts=ts, num_segments=num_segments)
+    else:
+        worker.compact(ts=ts)
+    try:
+        return checkpoint(
+            worker,
+            remote_root,
+            store_id,
+            version=prev["watermark"],
+            extra={
+                "compacted": True,
+                "safe_point": ts,
+                "based_on": prev["v"],
+                "base_wn_epoch": prev["wn_epoch"],
+            },
+        )
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def adopt_remote_compaction(
+    store: DeltaStore, remote_root: str, store_id: str = "store_1"
+) -> int:
+    """Write node adopts a remotely-compacted checkpoint: the worker's
+    stable layer is hardlinked in as the next local stable version and
+    the local delta is rebuilt as only the tail written AFTER the
+    checkpoint watermark — the fold work happened off-node, the WN pays
+    one hardlink pass plus a (small) tail rewrite. Reference: the write
+    node downloads/references the compacted S3 files and updates its
+    local meta, it never re-merges (design doc "triggers remote
+    compaction as appropriate"; FastAddPeer file-reference semantics).
+
+    Preconditions (checked): the newest manifest is ``compacted`` and
+    was based on THIS store's current epoch — a local layer swap since
+    the upload invalidates adoption (versions written since the
+    checkpoint must exceed its watermark, which monotonic commit
+    versions guarantee). Returns the new epoch."""
+    m = latest_manifest(remote_root, store_id)
+    if m is None or not m.get("compacted"):
+        raise ValueError("latest checkpoint is not a compacted one")
+    sb = store._superblock()
+    base_epoch = m.get("base_wn_epoch", m["wn_epoch"])
+    if sb["epoch"] != base_epoch:
+        raise ValueError(
+            f"store epoch {sb['epoch']} != checkpoint base epoch "
+            f"{base_epoch}: local swap since upload, cannot adopt"
+        )
+    wm = m["watermark"]
+    ckpt = os.path.join(_store_dir(remote_root, store_id), m["dir"])
+    stage_stable = store._stage_dir("adopt_stable")
+    _link_or_copy_tree(os.path.join(ckpt, "stable"), stage_stable)
+    # rebuild the delta as the post-watermark tail + surviving tombstones
+    stage_delta = store._stage_dir("adopt_delta")
+    os.makedirs(stage_delta, exist_ok=True)
+    tail_dels = [d for d in store._range_dels() if d["v"] > m.get("safe_point", wm)]
+    delta = store._layer("delta")
+    if delta is not None:
+        tail = delta.filter(F.col(VERSION) > F.lit(wm))
+        tail.write.mode("append").parquet(stage_delta)
+    if tail_dels:
+        store._write_range_dels(tail_dels, delta_dir=stage_delta)
+    store._fail("adopt_staged")
+    store._promote(stage_stable, retire_delta=True, staged_delta=stage_delta)
+    return store._superblock()["epoch"]
 
 
 class ReadNodeStore:
