@@ -107,3 +107,24 @@ def test_phase2_semi_join_plan_is_handle_bounded(store):
 def test_added_column_filter_reads_empty(store):
     store.add_column("new_flag", "int")
     assert store.read_late("new_flag", values=[1]).count() == 0
+
+
+def test_read_late_on_common_handle_store(spark, tmp_path):
+    """Late materialization on a clustered-index (string-handle) store:
+    survivor min/max bounds are lexicographic, read_handles takes string
+    handles — the whole two-phase path must be handle-type-agnostic."""
+    from tiflash_spark.sources.common_handle import encode_common_handle_py
+
+    s = DeltaStore(spark, str(tmp_path / "lm_ch"))
+    rows = [
+        Row(**{HANDLE: encode_common_handle_py(f"u{i % 5}", i),
+               "k": i % 20, "wide": f"w{i}" * 10})
+        for i in range(500)
+    ]
+    s.write_batch(spark.createDataFrame(rows), version=1)
+    s.compact_range_segments(ts=1, num_segments=4)
+    want = _by_handle(s.read_where("k", 2, 3).select(HANDLE, "k", "wide"))
+    got = _by_handle(s.read_late("k", 2, 3))
+    assert got == want and len(got) == 50
+    s.LM_INLIST_LIMIT = 1  # force the bounded semi-join form on strings
+    assert _by_handle(s.read_late("k", 2, 3)) == want

@@ -237,3 +237,59 @@ def test_adoption_crash_keeps_old_snapshot(spark, wn, tmp_path):
     # and adoption still works afterwards
     assert rs.adopt_remote_compaction(wn, remote, "store_1") > 0
     assert _snap(wn) == before
+
+
+def test_read_node_serves_index_backed_reads(spark, tmp_path):
+    """Checkpoints carry the storage indexes (zone map, inverted index,
+    vector index) inside the stable dir — a read node serves
+    index-pruned and ANN reads with zero rebuild."""
+    store = DeltaStore(spark, str(tmp_path / "wn_idx"))
+    rows = [
+        Row(**{HANDLE: i, "cat": f"c{i % 40}",
+               "emb": [float(10 * (i % 4) == 10 * d) * 10.0 + (i % 7) * 0.1
+                       for d in range(8)]})
+        for i in range(400)
+    ]
+    store.write_batch(spark.createDataFrame(rows), version=1)
+    store.compact_range_segments(ts=1, num_segments=4)
+    store.build_inverted_index(["cat"])
+    store.build_vector_index("emb")
+    remote = str(tmp_path / "s3")
+    rs.checkpoint(store, remote, version=1)
+    rn = ReadNodeStore(spark, remote)
+    want = {r[HANDLE] for r in store.read_where_in("cat", ["c7"]).collect()}
+    assert {r[HANDLE] for r in rn.read_where_in("cat", ["c7"]).collect()} == want
+    q = [10.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    want_ann = [r[HANDLE] for r in store.ann_topk("emb", q, k=5).collect()]
+    assert [r[HANDLE] for r in rn.ann_topk("emb", q, k=5).collect()] == want_ann
+    with pytest.raises(ReadOnlyStoreError):
+        rn.build_inverted_index(["cat"])
+
+
+def test_streaming_ingest_to_checkpoint_to_read_node(spark, tmp_path):
+    """End-to-end disaggregated replication: a streaming source applies
+    micro-batches into the write node (Raft-apply analogue), a
+    checkpoint uploads, and a stateless read node serves the result —
+    the full WN→S3→RN path from the design doc."""
+    import json as _json
+
+    from tiflash_spark.streaming.ingest import start_ingest
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    with open(os.path.join(src, "b1.json"), "w") as fh:
+        for h in range(20):
+            fh.write(_json.dumps({"_tidb_rowid": h, "v": h * 10, "del": False}) + "\n")
+        fh.write(_json.dumps({"_tidb_rowid": 5, "v": 0, "del": True}) + "\n")
+    wn2 = DeltaStore(spark, str(tmp_path / "wn_stream"))
+    stream = (
+        spark.readStream.schema("_tidb_rowid LONG, v LONG, del BOOLEAN")
+        .json(src)
+    )
+    q = start_ingest(stream, wn2, str(tmp_path / "ckpt_stream"), delete_col="del")
+    q.awaitTermination(60)
+    remote = str(tmp_path / "s3")
+    rs.checkpoint(wn2, remote)
+    rn = ReadNodeStore(spark, remote)
+    got = _snap(rn)
+    assert got == {h: h * 10 for h in range(20) if h != 5}
