@@ -114,7 +114,6 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "runs_per_query": n_runs,
-        "spread_max_over_min": spreads,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     prev = _prev_round_timings()
@@ -125,6 +124,9 @@ def main() -> None:
             then_s = sum(prev[q] for q in common)
             out["vs_prev_common_ratio"] = round(now_s / max(then_s, 1e-9), 3)
             out["vs_prev_common_n"] = len(common)
+    # spreads go to stderr: diagnostics only, and keeping the stdout JSON
+    # line short guarantees the driver's tail-capture parses it whole
+    print(json.dumps({"spread_max_over_min": spreads}), file=sys.stderr, flush=True)
     print(json.dumps(out), flush=True)
     spark.stop()
 

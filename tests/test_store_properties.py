@@ -189,3 +189,86 @@ def test_random_ddl_interleavings_match_model(spark, tmp_path, ops):
             assert got_x == {h: m["x"] for h, m in model.items()}, (kind, version)
         else:
             assert all("x" not in r.asDict() for r in rows_now), (kind, version)
+
+
+# --- disaggregated ops interleaved with local mutations ----------------------
+
+
+@st.composite
+def disagg_op_sequences(draw):
+    """Local writes/deletes/compactions interleaved with checkpoint
+    uploads, remote compactions + adoption attempts, and read-node
+    verification against the model."""
+    n_ops = draw(st.integers(min_value=4, max_value=8))
+    ops, version = [], 0
+    for _ in range(n_ops):
+        version += 1
+        kind = draw(
+            st.sampled_from(
+                ["write", "delete", "compact", "checkpoint", "remote_compact"]
+            )
+        )
+        if kind in ("write", "delete"):
+            hs = draw(st.lists(HANDLES, min_size=1, max_size=3, unique=True))
+            ops.append((kind, version, hs))
+        else:
+            ops.append((kind, version, None))
+    return ops
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(ops=disagg_op_sequences())
+def test_random_disagg_interleavings_match_model(spark, tmp_path, ops):
+    from tiflash_spark.sources import remote_store as rs
+    from tiflash_spark.sources.remote_store import ReadNodeStore
+
+    run = next(_counter)
+    store = DeltaStore(spark, str(tmp_path / f"d{run}"))
+    remote = str(tmp_path / f"r{run}")
+    model: dict[int, tuple[int, str | None]] = {}
+    ckpt_model: dict[int, str] | None = None  # live rows at last checkpoint
+    wrote = False
+    n_scratch = itertools.count()
+    for kind, version, arg in ops:
+        if kind in ("write", "delete"):
+            rows = [(h, f"{kind}{version}h{h}") for h in arg]
+            df = spark.createDataFrame(rows, f"{HANDLE} long, v string")
+            store.write_batch(df, version=version, delete=(kind == "delete"))
+            for h, v in rows:
+                model[h] = (version, None if kind == "delete" else v)
+            wrote = True
+        elif kind == "compact":
+            if wrote:
+                store.compact(ts=version, num_segments=2)
+        elif kind == "checkpoint":
+            if not wrote:
+                continue
+            rs.checkpoint(store, remote, store_id="p")
+            ckpt_model = {h: v for h, (_, v) in model.items() if v is not None}
+        else:  # remote_compact + adoption attempt
+            if ckpt_model is None:
+                continue
+            rs.remote_compact(
+                spark, remote, "p", ts=version,
+                work_dir=str(tmp_path / f"w{run}_{next(n_scratch)}"),
+            )
+            try:
+                rs.adopt_remote_compaction(store, remote, "p")
+            except ValueError:
+                pass  # local swap since upload — refusing is the contract
+        if not wrote:
+            continue  # nothing ingested yet: empty-store read is a unit test
+        live = {h: v for h, (_, v) in model.items() if v is not None}
+        got = {r[HANDLE]: r.v for r in store.read().collect()}
+        assert got == live, f"after {kind}@{version}: {got} != {live}"
+        if ckpt_model is not None:
+            rn = ReadNodeStore(spark, remote, store_id="p")
+            got_rn = {r[HANDLE]: r.v for r in rn.read().collect()}
+            assert got_rn == ckpt_model, (
+                f"read node after {kind}@{version}: {got_rn} != {ckpt_model}"
+            )
