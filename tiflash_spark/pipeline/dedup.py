@@ -732,10 +732,10 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("w") >= K)
         .select("doc_id", "source", "w", F.size("w").cast("long").alias("n_tok"))
     )
+    # gram leg carries ONLY (doc_id, pos, gram) — source/n_tok re-join via
+    # toks at the end, so rider bytes never cross the gram shuffle
     grams = toks.select(
         "doc_id",
-        "source",
-        "n_tok",
         F.explode(
             F.expr(
                 f"transform(sequence(0, size(w) - {K}),"
@@ -743,7 +743,15 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" concat_ws(' ', slice(w, i + 1, {K})) AS gram))"
             )
         ).alias("g"),
-    ).select("doc_id", "source", "n_tok", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    # one window shuffle on the gram key finds every duplicated position
+    # in a single corpus pass (measured against a two-pass xxhash64
+    # prefilter + string-confirm join: the prefilter halves shuffle bytes
+    # but re-runs or caches the explode, and loses — 1.7-2.8 s vs 1.5 s
+    # at sf0.1). The per-partition sort is spillable, so a hot boilerplate
+    # gram degrades to disk, never to OOM; at 100 TB the prefilter wins
+    # only with the gram table materialized at rest (the ws_tokens
+    # treatment), which this corpus does not warrant
     dup_pos = grams.withColumn(
         "n_occ", F.count(F.lit(1)).over(Window.partitionBy("gram"))
     ).where(F.col("n_occ") > 1)
