@@ -293,3 +293,31 @@ def test_streaming_ingest_to_checkpoint_to_read_node(spark, tmp_path):
     rn = ReadNodeStore(spark, remote)
     got = _snap(rn)
     assert got == {h: h * 10 for h in range(20) if h != 5}
+
+
+def test_streaming_periodic_checkpoint_upload(spark, tmp_path):
+    """Write node uploads a checkpoint every N micro-batches (the design
+    doc's periodic S3 upload); read nodes see each upload after refresh."""
+    import json as _json
+
+    from tiflash_spark.streaming.ingest import start_ingest
+
+    src = str(tmp_path / "feed")
+    os.makedirs(src)
+    for b in range(3):
+        with open(os.path.join(src, f"b{b}.json"), "w") as fh:
+            fh.write(_json.dumps({"_tidb_rowid": b, "v": b * 10}) + "\n")
+    wn = DeltaStore(spark, str(tmp_path / "wn_up"))
+    stream = (
+        spark.readStream.schema("_tidb_rowid LONG, v LONG")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    remote = str(tmp_path / "s3")
+    q = start_ingest(stream, wn, str(tmp_path / "ck"), remote_root=remote,
+                     upload_every=1)
+    q.awaitTermination(90)
+    ms = rs.list_manifests(remote, "store_1")
+    assert len(ms) == 3  # one upload per micro-batch
+    rn = ReadNodeStore(spark, remote)
+    assert _snap(rn) == _snap(wn) == {0: 0, 1: 10, 2: 20}

@@ -545,6 +545,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiflash_spark.pipeline.text import (
         dup_gram_frac,
         mean_word_len,
+        scan_underparallelized,
         token_count,
         tokens,
         top_word_frac,
@@ -555,7 +556,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quality_signals query here would re-scan and join on doc_id) …
     par = spark.sparkContext.defaultParallelism
     base = d.select("doc_id", "source", "text")
-    if base.rdd.getNumPartitions() < par:
+    if scan_underparallelized(base, par):
         base = base.repartition(par)
     wtok = tokens(F.col("text"))
     base = base.withColumn("w", wtok)

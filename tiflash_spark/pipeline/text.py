@@ -19,6 +19,15 @@ from tiflash_spark.catalog import load_table
 STOPWORDS = ("the", "a", "of", "and", "to")
 
 
+def scan_underparallelized(df, parallelism: int) -> bool:
+    """True when a file-backed scan would yield fewer tasks than cores
+    (few small files locally; at scale file count parallelizes
+    naturally). Uses the file listing — no RDD handle, no job. A
+    non-file-backed frame (inputFiles() == []) is left alone."""
+    files = df.inputFiles()
+    return 0 < len(files) < parallelism
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization of already-normalized text."""
     return F.split(F.trim(text), " +")
@@ -390,7 +399,7 @@ def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression work before computing."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
+    if scan_underparallelized(d, par):
         d = d.repartition(par)
     d = d.withColumn("w", tokens(F.col("text")))
     w = F.col("w")

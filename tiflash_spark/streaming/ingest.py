@@ -22,11 +22,22 @@ def start_ingest(
     checkpoint: str,
     delete_col: str | None = None,
     base_version: int = 0,
+    remote_root: str | None = None,
+    store_id: str = "store_1",
+    upload_every: int = 5,
 ) -> StreamingQuery:
     """Attach a streaming DataFrame to a DeltaStore as its replication feed.
 
     ``delete_col``: optional boolean column marking delete events (the KV
     decode path distinguishes PUT/DELETE the same way).
+
+    ``remote_root``: when set, the write node uploads a remote checkpoint
+    every ``upload_every`` micro-batches — the cloud-native design doc's
+    periodic S3 upload ("we upload data periodically, for example 30s"),
+    keyed to batch cadence rather than wall clock so resume semantics
+    stay exactly-once: a replayed micro-batch re-uploads the same
+    snapshot, and the manifest-last commit keeps read nodes consistent
+    either way.
     """
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
@@ -49,6 +60,10 @@ def start_ingest(
             store.write_batch(dels, version + 1, delete=True)
         else:
             store.write_batch(batch, version, delete=False)
+        if remote_root is not None and (batch_id + 1) % upload_every == 0:
+            from tiflash_spark.sources.remote_store import checkpoint as rs_ckpt
+
+            rs_ckpt(store, remote_root, store_id=store_id, version=version + 1)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)
