@@ -69,6 +69,7 @@ PIPELINE_HEADLINE = [
     "mvcc_bitmap_scan",
     "events_time_range_window",
     "dedup_exact_substring",
+    "fulltext_boolean",
 ]
 
 

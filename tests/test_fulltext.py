@@ -168,3 +168,31 @@ def test_index_tables_reregister_from_files(spark, tmp_path, monkeypatch):
     for t in (f"ft_postings_{ft._sf_tag(sf_dir)}", f"ft_doclen_{ft._sf_tag(sf_dir)}"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(os.path.join(wh, t.lower()), ignore_errors=True)
+
+
+def test_boolean_search_semantics(spark):
+    """Constructed postings pin must/should/must_not semantics: must
+    intersects, should boosts rank, must_not anti-joins out."""
+    from pyspark.sql import Row
+
+    from tiflash_spark.pipeline.fulltext import boolean_search
+
+    rows = [
+        # doc 1: must + both should
+        Row(term="spark", doc_id=1, tf=2), Row(term="window", doc_id=1, tf=1),
+        Row(term="hash", doc_id=1, tf=1),
+        # doc 2: must + one should, higher tf
+        Row(term="spark", doc_id=2, tf=9), Row(term="window", doc_id=2, tf=5),
+        # doc 3: must only, but excluded by must_not
+        Row(term="spark", doc_id=3, tf=7), Row(term="bad", doc_id=3, tf=1),
+        # doc 4: should terms only — no must, dropped
+        Row(term="window", doc_id=4, tf=8),
+    ]
+    postings = spark.createDataFrame(rows)
+    got = boolean_search(
+        postings, must=["spark"], should=["window", "hash"], must_not=["bad"], k=10
+    ).collect()
+    assert [r.doc_id for r in got] == [1, 2]  # 2 should-matches outrank tf
+    assert got[0].n_should == 2 and got[1].n_should == 1
+    with pytest.raises(ValueError, match="must term"):
+        boolean_search(postings, must=[])

@@ -242,6 +242,14 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
           "ROUND(SUM(COALESCE(avg_value_ffill, 0)), 2)",
           "SUM(YEAR(h) + MONTH(h) + DAY(h) + HOUR(h))"]),
     ],
+    "fulltext_surface": [
+        ("fulltext_search",
+         ["SUM(doc_id + n_terms + phrase_hits)", "SUM(total_tf)"]),
+        ("fulltext_bm25",
+         ["SUM(doc_id + n_terms)", "ROUND(SUM(bm25), 4)"]),
+        ("fulltext_boolean",
+         ["SUM(doc_id + n_should)", "SUM(total_tf)"]),
+    ],
     "curation": [
         ("decontaminate",
          ["SUM(n_train + n_contaminated)", "ROUND(SUM(contamination_rate), 4)",
@@ -332,8 +340,6 @@ ROWS_ONLY_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
 # in gate order: previously-red rows first, then new surface, then TPC-H.
 PASSTHROUGH = [
     "events_funnel",
-    "fulltext_search",
-    "fulltext_bm25",
     "q2_min_cost_supplier",
     "q1_pricing_summary",
     "q6_forecast_revenue",

@@ -394,3 +394,93 @@ ORACLE = {
     "fulltext_search": FULLTEXT_SEARCH_SQL,
     "fulltext_bm25": FULLTEXT_BM25_SQL,
 }
+
+
+def boolean_search(
+    postings: DataFrame,
+    must: list[str],
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Lucene-style boolean retrieval over the inverted index: ``must``
+    terms all required (posting intersection), ``should`` terms optional
+    but boost rank, ``must_not`` docs excluded by anti-join. Ranked by
+    (#should matched, total tf), doc_id tiebreak.
+
+    Scale: one bucket-pruned lookup for must+should, one doc_id agg, and
+    one anti-join whose build side is only the must_not terms' postings
+    — no corpus scan anywhere (reference FullTextIndex/Reader.h query
+    model)."""
+    should = list(should or [])
+    must_not = list(must_not or [])
+    if not must:
+        raise ValueError("boolean_search needs at least one must term")
+    lookup = sorted(set(must) | set(should))
+    hits = postings.filter(F.col("term").isin(*lookup)).select("term", "doc_id", "tf")
+    is_must = F.col("term").isin(*must)
+    per_doc = hits.groupBy("doc_id").agg(
+        F.countDistinct(F.when(is_must, F.col("term"))).alias("n_must"),
+        F.countDistinct(
+            F.when(~is_must, F.col("term")) if should else F.lit(None)
+        ).cast("long").alias("n_should"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    ).filter(F.col("n_must") == len(set(must)))
+    if must_not:
+        excl = postings.filter(F.col("term").isin(*must_not)).select("doc_id").distinct()
+        per_doc = per_doc.join(excl, "doc_id", "left_anti")
+    return (
+        per_doc.select("doc_id", "n_should", "total_tf")
+        .orderBy(F.col("n_should").desc(), F.col("total_tf").desc(), F.col("doc_id"))
+        .limit(k)
+    )
+
+
+BOOL_MUST = ["spark"]
+BOOL_SHOULD = ["window", "hash"]
+BOOL_MUST_NOT = ["table"]
+
+
+def fulltext_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval driver query: must/should/must_not over the
+    persisted index."""
+    postings, _ = index_tables(spark, sf_dir)
+    return boolean_search(postings, BOOL_MUST, BOOL_SHOULD, BOOL_MUST_NOT, k=20)
+
+
+FULLTEXT_BOOLEAN_SQL = """
+WITH lst AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, toks[i] AS term
+  FROM lst, LATERAL (SELECT UNNEST(GENERATE_SERIES(1, LEN(toks))) AS i) g
+),
+postings AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY term, doc_id
+),
+per_doc AS (
+  SELECT doc_id,
+         COUNT(DISTINCT CASE WHEN term IN ('spark') THEN term END) AS n_must,
+         CAST(COUNT(DISTINCT CASE WHEN term IN ('window', 'hash') THEN term END)
+              AS BIGINT) AS n_should,
+         CAST(SUM(tf) AS BIGINT) AS total_tf
+  FROM postings
+  WHERE term IN ('spark', 'window', 'hash')
+  GROUP BY doc_id
+  HAVING COUNT(DISTINCT CASE WHEN term IN ('spark') THEN term END) = 1
+)
+SELECT p.doc_id, p.n_should, p.total_tf
+FROM per_doc p
+WHERE NOT EXISTS (
+  SELECT 1 FROM postings x WHERE x.doc_id = p.doc_id AND x.term IN ('table')
+)
+ORDER BY p.n_should DESC, p.total_tf DESC, p.doc_id
+LIMIT 20
+"""
+
+QUERIES["fulltext_boolean"] = fulltext_boolean
+ORACLE["fulltext_boolean"] = FULLTEXT_BOOLEAN_SQL
