@@ -283,3 +283,21 @@ def test_mysql_date_format_iso_week_tokens(spark):
         "2025-W01 (2024-12-30)",
         "1996-W24 (1996-06-15)",
     ]
+
+
+def test_open_catalog_sql_complete_session(spark):
+    """open_catalog: tables + MySQL function names usable purely via
+    spark.sql — the reference user's TiDB-SQL driving model."""
+    import tiflash_spark
+
+    tiflash_spark.open_catalog(spark, "/root/testdata/sf0.001")
+    row = spark.sql(
+        """
+        SELECT mysql_div(SUM(l_quantity), 10) AS q10,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        """
+    ).collect()[0]
+    assert row.n > 0 and row.q10 is not None
+    assert spark.sql("SELECT COUNT(*) AS n FROM partsupp").collect()[0].n > 0

@@ -95,6 +95,12 @@ def test_random_op_sequences_match_model(spark, tmp_path, ops):
         }
         got_rng = {r[HANDLE]: r.v for r in store.read_range(2, 8).collect()}
         assert got_rng == live_rng
+        # late-materialized value probe agrees with the model too
+        vals = sorted({v for _, v in model.values() if v is not None})[:2]
+        if vals:
+            got_lm = {r[HANDLE]: r.v for r in store.read_late("v", values=vals).collect()}
+            live_lm = {h: v for h, (_, v) in model.items() if v in vals}
+            assert got_lm == live_lm
 
 
 @st.composite

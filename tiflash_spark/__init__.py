@@ -13,5 +13,31 @@ all expressed as declarative DataFrame plans that Catalyst optimizes.
 
 from tiflash_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def __getattr__(name: str):
+    # lazy re-exports: the public API surface without import-time cost
+    if name == "open_catalog":
+        from tiflash_spark.catalog import open_catalog
+
+        return open_catalog
+    if name == "DeltaStore":
+        from tiflash_spark.sources.delta_store import DeltaStore
+
+        return DeltaStore
+    if name in ("ReadNodeStore", "checkpoint", "restore_store", "remote_compact"):
+        from tiflash_spark.sources import remote_store
+
+        return getattr(remote_store, name)
+    raise AttributeError(name)
+
+
+__all__ = [
+    "get_spark",
+    "open_catalog",
+    "DeltaStore",
+    "ReadNodeStore",
+    "checkpoint",
+    "restore_store",
+    "remote_compact",
+]
 __version__ = "0.1.0"

@@ -168,6 +168,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def open_catalog(spark: SparkSession, sf_dir: str) -> None:
+    """One call makes the session SQL-complete for a reference user:
+    every table registered as a temp view (including the synthesized
+    partsupp), plus the MySQL-named SQL function surface — after this,
+    queries can be written purely through ``spark.sql`` with MySQL-ish
+    function names, the way the reference is driven through TiDB."""
+    from tiflash_spark.functions.sql_registry import register_mysql_functions
+
+    register_views(spark, sf_dir)
+    synth_partsupp(spark, sf_dir).createOrReplaceTempView("partsupp")
+    register_mysql_functions(spark)
+
+
 def validate_schema(df: DataFrame, name: str) -> None:
     """Assert a loaded table matches the declared catalog schema by name/type."""
     declared = {f.name: f.dataType.simpleString() for f in SCHEMAS[name].fields}
