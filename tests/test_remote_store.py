@@ -89,6 +89,8 @@ def test_read_node_rejects_mutation(spark, wn, tmp_path):
         rn.compact(ts=9)
     with pytest.raises(ReadOnlyStoreError):
         rn.delete_range(0, 1, version=9)
+    with pytest.raises(ReadOnlyStoreError):
+        rn.maintain()
 
 
 def test_read_node_pruned_reads_work_from_checkpoint(spark, wn, tmp_path):

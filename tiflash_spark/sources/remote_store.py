@@ -337,8 +337,8 @@ class ReadNodeStore:
     _MUTATORS = (
         "write_batch", "delete_range", "compact", "compact_range_segments",
         "compact_segments_incremental", "ingest_snapshot", "split_segment",
-        "merge_segments", "add_column", "drop_column", "build_zonemap",
-        "build_inverted_index", "build_vector_index",
+        "merge_segments", "maintain", "add_column", "drop_column",
+        "build_zonemap", "build_inverted_index", "build_vector_index",
     )
 
     def __init__(
