@@ -323,3 +323,38 @@ def test_streaming_periodic_checkpoint_upload(spark, tmp_path):
     assert len(ms) == 3  # one upload per micro-batch
     rn = ReadNodeStore(spark, remote)
     assert _snap(rn) == _snap(wn) == {0: 0, 1: 10, 2: 20}
+
+
+def test_tail_aware_ann_on_read_node(spark, tmp_path):
+    """RN ANN with a write-node tail: a brand-new best vector written
+    after the upload ranks first, a tail delete knocks out the old
+    winner, and the pinned (no-tail) RN is unaffected."""
+    dim = 8
+
+    def vec(i):
+        return [10.0 if d == i % 4 else 0.1 * ((i + d) % 5) for d in range(dim)]
+
+    store = DeltaStore(spark, str(tmp_path / "wn_ann"))
+    rows = [Row(**{HANDLE: i, "emb": vec(i)}) for i in range(200)]
+    store.write_batch(spark.createDataFrame(rows), version=1)
+    store.compact_range_segments(ts=1, num_segments=4)
+    store.build_vector_index("emb")
+    remote = str(tmp_path / "s3")
+    rs.checkpoint(store, remote, version=1)
+    q = [10.0] + [0.0] * (dim - 1)
+    rn_pin = ReadNodeStore(spark, remote)
+    rn_tail = ReadNodeStore(spark, remote, tail_from=store)
+    before = [r[HANDLE] for r in rn_pin.ann_topk("emb", q, k=3).collect()]
+    # tail: a perfect-match vector + delete the prior best
+    store.write_batch(
+        spark.createDataFrame([Row(**{HANDLE: 999, "emb": q})]), version=2
+    )
+    store.write_batch(
+        spark.createDataFrame([Row(**{HANDLE: before[0], "emb": q})]),
+        version=3, delete=True,
+    )
+    got = [r[HANDLE] for r in rn_tail.ann_topk("emb", q, k=3).collect()]
+    assert got[0] == 999 and before[0] not in got
+    assert len(got) == 3  # over-fetch refills k despite the delete
+    # pinned RN still serves the checkpoint snapshot
+    assert [r[HANDLE] for r in rn_pin.ann_topk("emb", q, k=3).collect()] == before

@@ -65,7 +65,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tiflash_spark.operators.mvcc import DELMARK, VERSION, snapshot_read
+from tiflash_spark.operators.mvcc import DELMARK, HANDLE, VERSION, snapshot_read
 from tiflash_spark.sources.delta_store import DeltaStore
 
 
@@ -382,6 +382,61 @@ class ReadNodeStore:
                 "pinned immutable checkpoint"
             )
         return getattr(self._ds, name)
+
+    def ann_topk(self, col: str, query: list[float], k: int = 10, **kw) -> DataFrame:
+        """Snapshot-consistent ANN over checkpoint ∪ write-node tail:
+        the checkpoint index supplies candidates (over-fetched so tail
+        deletes cannot under-fill k), the tail's handles are scored
+        exactly, and everything is re-scored through the tail-merged
+        MVCC view — updates win, deletes drop, brand-new vectors rank.
+        This is the reference read-node model: index candidates + exact
+        search of the un-indexed memtable, merged under one snapshot
+        (DeltaMerge/Remote/RNSegmentInputStream + the vector-index
+        delta-exact-search posture)."""
+        if self._tail is None:
+            return self._ds.ann_topk(col, query, k=k, **kw)
+        from tiflash_spark.functions.vector import vec_cosine_similarity
+
+        wm = self.watermark
+        tail = self._tail._layer("delta")
+        tail_handles = (
+            [
+                r[HANDLE]
+                for r in tail.filter(F.col(VERSION) > F.lit(wm))
+                .select(HANDLE)
+                .distinct()
+                .collect()
+            ]
+            if tail is not None
+            else []
+        )
+        tail_dels = [d for d in self._tail._range_dels() if d["v"] > wm]
+        base = self._ds.ann_topk(col, query, k=k * 4, **kw)
+        if not tail_handles and not tail_dels:
+            return base.limit(k)
+        pool = list(
+            dict.fromkeys([r[HANDLE] for r in base.select(HANDLE).collect()]
+                          + tail_handles)
+        )
+        if not pool:
+            return base.limit(0)
+        qlit = F.array(*[F.lit(float(v)) for v in query])
+        vis = self.read().filter(
+            F.col(HANDLE).isin(pool) & F.col(col).isNotNull()
+        )
+        return (
+            vis.select(
+                HANDLE,
+                F.round(
+                    vec_cosine_similarity(
+                        F.transform(F.col(col), lambda x: x.cast("double")), qlit
+                    ),
+                    6,
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col(HANDLE))
+            .limit(k)
+        )
 
     def read(self, ts: int | None = None) -> DataFrame:
         """Snapshot read at ``ts`` over checkpoint ∪ write-node tail."""
