@@ -128,3 +128,29 @@ def test_read_late_on_common_handle_store(spark, tmp_path):
     assert got == want and len(got) == 50
     s.LM_INLIST_LIMIT = 1  # force the bounded semi-join form on strings
     assert _by_handle(s.read_late("k", 2, 3)) == want
+
+
+def test_conjunction_parity_and_pruning_union(store):
+    """Multi-column conjunction: result equals the composed single-scan
+    filters, and segment pruning takes the union of each conjunct's
+    prunable segments."""
+    want = _by_handle(
+        store.read_where("k", 0, 10)
+        .filter("wide LIKE 'payload-00%'")
+        .select(HANDLE, "k", "wide")
+    )
+    got = _by_handle(
+        store.read_late_conj(
+            [("k", 0, 10), ("wide", None, "payload-00999zz")],
+        )
+    )
+    # range on wide <= 'payload-00999zz' == LIKE 'payload-00%' for this data
+    assert got == want and len(got) > 0
+    # mixed range + IN conjunct
+    got2 = _by_handle(store.read_late_conj([("k", 0, 10), ("k", [3, 5])]))
+    want2 = _by_handle(store.read_where_in("k", [3, 5]).select(HANDLE, "k", "wide"))
+    assert got2 == want2
+    with pytest.raises(ValueError, match="at least one predicate"):
+        store.read_late_conj([])
+    with pytest.raises(ValueError, match="unbounded"):
+        store.read_late_conj([("k", None, None)])

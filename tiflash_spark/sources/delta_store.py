@@ -1819,6 +1819,40 @@ class DeltaStore:
         driver's snapshot)."""
         if values is None and lo is None and hi is None:
             raise ValueError("read_late needs a range bound or a values list")
+        pred = (col, values) if values is not None else (col, lo, hi)
+        return self.read_late_conj([pred], payload_cols=payload_cols, ts=ts)
+
+    def read_late_conj(
+        self,
+        preds: list[tuple],
+        payload_cols: list[str] | None = None,
+        ts: int | None = None,
+    ) -> DataFrame:
+        """Conjunction form of late materialization — the reference
+        pushes the WHOLE pushable filter conjunction into the scan
+        (Filter/PushDownExecutor + LateMaterializationBlockInputStream),
+        not one predicate. ``preds``: list of ``(col, lo, hi)`` range
+        triples (either bound may be None) or ``(col, values)`` IN
+        pairs. Segment pruning takes the UNION of every predicate's
+        prunable segments (a segment any conjunct excludes cannot hold a
+        surviving row); phase 1 scans only the filter columns; phase 2
+        fetches payload for survivors of the full conjunction."""
+        if not preds:
+            raise ValueError("read_late_conj needs at least one predicate")
+        norm: list[tuple] = []
+        for p in preds:
+            if len(p) == 2:
+                c, vals = p
+                if not vals:
+                    raise ValueError(f"empty IN list for column {c!r}")
+                norm.append((c, "in", list(vals)))
+            elif len(p) == 3:
+                c, lo, hi = p
+                if lo is None and hi is None:
+                    raise ValueError(f"unbounded range predicate on {c!r}")
+                norm.append((c, "range", (lo, hi)))
+            else:
+                raise ValueError(f"bad predicate {p!r}")
         fields = self.current_fields()
         all_cols = (
             [n for n, _ in fields]
@@ -1836,27 +1870,34 @@ class DeltaStore:
 
         log = self.log()
         if "_seg" in log.columns:
-            pruned = (
-                self._invidx_pruned_segs(col, list(values))
-                if values is not None
-                else self._zm_pruned_segs(col, lo, hi)
-            )
+            pruned: set[int] = set()
+            for c, kind, arg in norm:
+                if kind == "in":
+                    pruned |= set(self._invidx_pruned_segs(c, arg))
+                else:
+                    pruned |= set(self._zm_pruned_segs(c, arg[0], arg[1]))
             if pruned:
-                log = self._log_minus_segments(log, pruned)
+                log = self._log_minus_segments(log, sorted(pruned))
 
         # phase 1: the filter-column stream — narrow by construction
-        narrow_cols = [HANDLE, VERSION, DELMARK] + ([col] if col in log.columns else [])
-        narrow = log.select(*narrow_cols)
-        if col not in narrow.columns:  # column added by DDL, no file has it yet
-            narrow = narrow.withColumn(col, F.lit(None))
+        filter_cols = list(dict.fromkeys(c for c, _, _ in norm))
+        narrow = log.select(
+            HANDLE, VERSION, DELMARK,
+            *[c for c in filter_cols if c in log.columns],
+        )
+        for c in filter_cols:  # column added by DDL, no file has it yet
+            if c not in narrow.columns:
+                narrow = narrow.withColumn(c, F.lit(None))
         surv = self._apply_range_dels(snapshot_read(narrow, read_ts=ts), ts)
-        if values is not None:
-            surv = surv.filter(F.col(col).isin(list(values)))
-        else:
-            if lo is not None:
-                surv = surv.filter(F.col(col) >= F.lit(lo))
-            if hi is not None:
-                surv = surv.filter(F.col(col) <= F.lit(hi))
+        for c, kind, arg in norm:
+            if kind == "in":
+                surv = surv.filter(F.col(c).isin(arg))
+            else:
+                lo, hi = arg
+                if lo is not None:
+                    surv = surv.filter(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    surv = surv.filter(F.col(c) <= F.lit(hi))
         surv = surv.select(HANDLE)
         stats = surv.agg(
             F.count("*").alias("n"),
