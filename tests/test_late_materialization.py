@@ -89,7 +89,7 @@ def test_phase2_plan_pushes_handle_inlist(store):
 
 def test_phase2_semi_join_plan_is_handle_bounded(store):
     store.LM_INLIST_LIMIT = 1
-    df = store.read_late("k", 0, 50)
+    df = store.read_late("k", 0, 40)  # ~41% survive: below the fallback
     plan = formatted_plan(df)
     # survivor leg: a scan whose ReadSchema has the filter col but NOT the
     # payload col — the wide bytes are only decoded on the payload leg
@@ -154,3 +154,17 @@ def test_conjunction_parity_and_pruning_union(store):
         store.read_late_conj([])
     with pytest.raises(ValueError, match="unbounded"):
         store.read_late_conj([("k", None, None)])
+
+
+def test_low_selectivity_falls_back_to_single_scan(store):
+    """Survivor fraction above LM_SELECTIVITY_FALLBACK → one full-width
+    scan, no semi-join (the reference's LM enablement threshold)."""
+    store.LM_INLIST_LIMIT = 1  # keep the IN-list path out of the way
+    want = _by_handle(store.read_where("k", 0, 98).select(HANDLE, "k", "wide"))
+    df = store.read_late("k", 0, 98)  # ~99% of rows survive
+    assert _by_handle(df) == want
+    plan = formatted_plan(df)
+    assert "Join" not in plan  # single-scan fallback, not semi-join
+    # a selective predicate on the same store still takes the LM path
+    sel = store.read_late("k", 0, 3)
+    assert "Join" in formatted_plan(sel)

@@ -1799,6 +1799,7 @@ class DeltaStore:
     # reference's pack-skip semantics at parquet row-group granularity.
 
     LM_INLIST_LIMIT = 8192
+    LM_SELECTIVITY_FALLBACK = 0.5  # above this survivor fraction, single-scan
 
     def read_late(
         self,
@@ -1888,21 +1889,29 @@ class DeltaStore:
         for c in filter_cols:  # column added by DDL, no file has it yet
             if c not in narrow.columns:
                 narrow = narrow.withColumn(c, F.lit(None))
-        surv = self._apply_range_dels(snapshot_read(narrow, read_ts=ts), ts)
+        pred = None
         for c, kind, arg in norm:
             if kind == "in":
-                surv = surv.filter(F.col(c).isin(arg))
+                term = F.col(c).isin(arg)
             else:
                 lo, hi = arg
+                term = None
                 if lo is not None:
-                    surv = surv.filter(F.col(c) >= F.lit(lo))
+                    term = F.col(c) >= F.lit(lo)
                 if hi is not None:
-                    surv = surv.filter(F.col(c) <= F.lit(hi))
-        surv = surv.select(HANDLE)
-        stats = surv.agg(
-            F.count("*").alias("n"),
-            F.min(HANDLE).alias("lo"),
-            F.max(HANDLE).alias("hi"),
+                    upper = F.col(c) <= F.lit(hi)
+                    term = upper if term is None else (term & upper)
+            pred = term if pred is None else (pred & term)
+        vis = self._apply_range_dels(snapshot_read(narrow, read_ts=ts), ts)
+        surv = vis.filter(pred).select(HANDLE)
+        # one pass yields survivor count, handle bounds, AND the visible
+        # total — the selectivity estimate the reference derives from its
+        # rough index before enabling LM
+        stats = vis.agg(
+            F.count("*").alias("total"),
+            F.count(F.when(pred, 1)).alias("n"),
+            F.min(F.when(pred, F.col(HANDLE))).alias("lo"),
+            F.max(F.when(pred, F.col(HANDLE))).alias("hi"),
         ).collect()[0]
 
         def _project(df: DataFrame) -> DataFrame:
@@ -1920,6 +1929,26 @@ class DeltaStore:
         if stats["n"] <= self.LM_INLIST_LIMIT:
             handles = [r[HANDLE] for r in surv.collect()]
             return _project(self.read_handles(handles, ts))
+
+        if stats["n"] > self.LM_SELECTIVITY_FALLBACK * stats["total"]:
+            # low selectivity: most rows survive, so a second pass +
+            # semi-join reads the payload bytes anyway and adds join
+            # cost — fall back to ONE full-width scan (the reference
+            # likewise enables LM only below a selectivity threshold;
+            # tidb-ci/force_enable_lm exists precisely to override it)
+            keep = [HANDLE, VERSION, DELMARK] + [
+                c
+                for c in dict.fromkeys(payload_cols + filter_cols)
+                if c in log.columns
+            ]
+            wide = log.select(*dict.fromkeys(keep))
+            for c in filter_cols:
+                if c not in wide.columns:
+                    wide = wide.withColumn(c, F.lit(None))
+            out = self._apply_range_dels(
+                snapshot_read(wide, read_ts=ts), ts
+            ).filter(pred)
+            return _project(out)
 
         # phase 2, many-survivor form: bounded payload scan + semi-join
         pl = log.filter(
