@@ -358,3 +358,37 @@ def test_tail_aware_ann_on_read_node(spark, tmp_path):
     assert len(got) == 3  # over-fetch refills k despite the delete
     # pinned RN still serves the checkpoint snapshot
     assert [r[HANDLE] for r in rn_pin.ann_topk("emb", q, k=3).collect()] == before
+
+
+def test_tail_aware_pruned_reads(spark, wn, tmp_path):
+    """Pruned reads with a WN tail: index-served from the checkpoint,
+    tail post-merged — updates win, deletes drop, new rows appear, and
+    newer range tombstones hide checkpointed rows; historical reads at
+    the watermark stay pinned."""
+    remote = str(tmp_path / "s3")
+    rs.checkpoint(wn, remote, version=2)
+    rn = ReadNodeStore(spark, remote, tail_from=wn)
+    wn.write_batch(_rows(spark, [(12, 1200012), (70, 700)]), version=3)
+    wn.write_batch(_rows(spark, [(15, 0)]), version=4, delete=True)
+    wn.delete_range(44, 46, version=5)
+
+    rng = {r[HANDLE]: r.v for r in rn.read_range(10, 80).collect()}
+    want = {r[HANDLE]: r.v for r in wn.read_range(10, 80).collect()}
+    assert rng == want
+    assert rng[12] == 1200012 and rng[70] == 700
+    assert 15 not in rng and 44 not in rng and 45 not in rng
+
+    got = {r[HANDLE]: r.v for r in rn.read_handles([12, 15, 20]).collect()}
+    assert got == {12: 1200012, 20: 200}
+
+    # value-predicate read picks up the tail update's NEW value
+    hv = {r[HANDLE]: r.v for r in rn.read_where("v", 1200000, 1300000).collect()}
+    assert hv == {12: 1200012}
+    # and the updated row leaves its OLD value's match set
+    old = {r[HANDLE] for r in rn.read_where_in("v", [120, 150]).collect()}
+    assert old == set()  # 12 updated away, 15 deleted
+
+    # historical read at the watermark: pinned snapshot only
+    hist = {r[HANDLE]: r.v for r in rn.read_range(10, 80, ts=2).collect()}
+    assert hist == {r[HANDLE]: r.v for r in wn.read_range(10, 80, ts=2).collect()}
+    assert hist[12] == 120 and 15 in hist and 44 in hist

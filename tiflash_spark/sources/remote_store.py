@@ -324,14 +324,15 @@ class ReadNodeStore:
     of :class:`DeltaStore` work unchanged because the checkpoint is a
     complete store directory; mutations raise :class:`ReadOnlyStoreError`.
 
-    ``tail_from``: the live write node. Full ``read()``s then merge the
-    WN's delta rows and range tombstones with commit version strictly
-    above the checkpoint watermark — the design doc's "RN asks WN for
-    the memtable tail" — giving read-your-writes freshness without
-    re-uploading. Indexed reads (``read_range``/``read_where``/...)
-    deliberately serve the pinned snapshot only: their pruning metadata
-    lives in the checkpoint, and the reference likewise bounds staleness
-    by the upload cadence plus explicit snapshot pinning.
+    ``tail_from``: the live write node. Reads then merge the WN's delta
+    rows and range tombstones with commit version strictly above the
+    checkpoint watermark — the design doc's "RN asks WN for the
+    memtable tail" — giving read-your-writes freshness without
+    re-uploading. Pruned/indexed reads stay index-served from the
+    checkpoint and post-merge the (small) tail at result level
+    (``_tail_merge``); ANN over-fetches checkpoint candidates and
+    re-scores through the merged view. Historical reads at or below the
+    watermark are served wholly by the pinned snapshot.
     """
 
     _MUTATORS = (
@@ -382,6 +383,77 @@ class ReadNodeStore:
                 "pinned immutable checkpoint"
             )
         return getattr(self._ds, name)
+
+    def _tail_state(self, ts: int | None) -> tuple[list, list[dict]]:
+        """Handles and range tombstones the WN tail contributes beyond
+        the checkpoint watermark (visible at ``ts``). Empty when there
+        is no tail or the read is at/below the watermark — historical
+        reads are served wholly by the pinned snapshot."""
+        if self._tail is None:
+            return [], []
+        wm = self.watermark
+        if ts is not None and ts <= wm:
+            return [], []
+        tail = self._tail._layer("delta")
+        handles = []
+        if tail is not None:
+            flt = F.col(VERSION) > F.lit(wm)
+            if ts is not None:
+                flt = flt & (F.col(VERSION) <= F.lit(ts))
+            handles = [
+                r[HANDLE]
+                for r in tail.filter(flt).select(HANDLE).distinct().collect()
+            ]
+        dels = [
+            d
+            for d in self._tail._range_dels()
+            if d["v"] > wm and (ts is None or d["v"] <= ts)
+        ]
+        return handles, dels
+
+    def _tail_merge(self, base: DataFrame, pred, ts: int | None) -> DataFrame:
+        """Merge the WN tail into a pruned read's result: checkpoint
+        rows of tail-touched handles are replaced by their tail-merged
+        MVCC winners (updates win, deletes drop, new rows appear), and
+        tombstones newer than the watermark hide checkpoint rows — every
+        checkpoint row's version is <= the watermark, so a newer range
+        tombstone covers it unconditionally within its handle range."""
+        handles, dels = self._tail_state(ts)
+        if not handles and not dels:
+            return base
+        out = base
+        for d in dels:
+            out = out.filter(
+                ~((F.col(HANDLE) >= F.lit(d["lo"])) & (F.col(HANDLE) < F.lit(d["hi"])))
+            )
+        if handles:
+            out = out.filter(~F.col(HANDLE).isin(handles))
+            fresh = self.read(ts).filter(F.col(HANDLE).isin(handles)).filter(pred)
+            out = out.unionByName(fresh)
+        return out
+
+    def read_range(self, lo, hi, ts: int | None = None) -> DataFrame:
+        base = self._ds.read_range(lo, hi, ts)
+        return self._tail_merge(
+            base, (F.col(HANDLE) >= F.lit(lo)) & (F.col(HANDLE) < F.lit(hi)), ts
+        )
+
+    def read_handles(self, handles: list, ts: int | None = None) -> DataFrame:
+        base = self._ds.read_handles(handles, ts)
+        return self._tail_merge(base, F.col(HANDLE).isin(list(handles)), ts)
+
+    def read_where(self, col: str, lo=None, hi=None, ts: int | None = None) -> DataFrame:
+        base = self._ds.read_where(col, lo, hi, ts)
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+        return self._tail_merge(base, pred, ts)
+
+    def read_where_in(self, col: str, values: list, ts: int | None = None) -> DataFrame:
+        base = self._ds.read_where_in(col, values, ts)
+        return self._tail_merge(base, F.col(col).isin(list(values)), ts)
 
     def ann_topk(self, col: str, query: list[float], k: int = 10, **kw) -> DataFrame:
         """Snapshot-consistent ANN over checkpoint ∪ write-node tail:
