@@ -132,13 +132,13 @@ def test_split_and_merge_keep_entries_fresh(spark, tmp_path):
     old, new = store.split_segment(0)
     zm = store._zonemap()
     assert str(new) in zm["segs"] and str(old) in zm["segs"]
-    lo_old, hi_old = zm["segs"][str(old)]["ts_col"]
-    lo_new, hi_new = zm["segs"][str(new)]["ts_col"]
+    lo_old, hi_old = zm["segs"][str(old)]["ts_col"][:2]
+    lo_new, hi_new = zm["segs"][str(new)]["ts_col"][:2]
     assert lo_old == 0 and hi_new == 990 and hi_old < lo_new
     # merge back: pure-metadata union
     surv = store.merge_segments(old, new)
     zm = store._zonemap()
-    assert zm["segs"][str(surv)]["ts_col"] == [0, 990]
+    assert zm["segs"][str(surv)]["ts_col"] == [0, 990, 0]
     assert str(new) not in zm["segs"]
     assert store.read_where("ts_col", 0, 400).count() == 41
 
@@ -264,3 +264,36 @@ def test_read_where_skips_count_job_but_keeps_rescue(spark, tmp_path):
     assert store._delta_has_files() is True
     got = {r[HANDLE]: r.v for r in store.read_where("ts_col", 0, 90).collect()}
     assert got[399] == "moved"
+
+
+def test_null_aware_zonemap_prunes_is_null(spark, tmp_path):
+    """has_null enrichment (2022-10-20 design doc): segments proven
+    NULL-free are pruned for IS NULL reads; the MVCC delta rescue keeps
+    a later NULL-write visible even when its segment is pruned."""
+    from pyspark.sql import Row
+
+    store = DeltaStore(spark, str(tmp_path / "nullzm"))
+    rows = [
+        Row(**{HANDLE: h, "c": (None if h < 250 and h % 5 == 0 else h)})
+        for h in range(1000)
+    ]
+    store.write_batch(spark.createDataFrame(rows), version=1)
+    store.compact_range_segments(ts=1, num_segments=4)  # seg 0 holds h<250
+    store.build_zonemap(["c"])
+    pruned = store._zm_null_pruned_segs("c")
+    assert len(pruned) == 3  # segments 1..3 proven NULL-free
+    want = {h for h in range(1000) if h < 250 and h % 5 == 0}
+    got = {r[HANDLE] for r in store.read_where_null("c").collect()}
+    assert got == want
+    # delta write puts a NULL into a PRUNED segment's handle: the rescue
+    # semi-join must surface it despite the segment being skipped
+    store.write_batch(
+        spark.createDataFrame([(900, None)], f"{HANDLE} long, c long"), version=2
+    )
+    got2 = {r[HANDLE] for r in store.read_where_null("c").collect()}
+    assert got2 == want | {900}
+    # and un-NULLing a rescued row removes it again
+    store.write_batch(
+        spark.createDataFrame([Row(**{HANDLE: 900, "c": 9})]), version=3
+    )
+    assert 900 not in {r[HANDLE] for r in store.read_where_null("c").collect()}

@@ -1264,6 +1264,10 @@ class DeltaStore:
                         min(mns) if mns else None,
                         max(mxs) if mxs else None,
                     ]
+                    if len(le[c]) >= 3 and len(re_[c]) >= 3:
+                        # null counts union by sum; a legacy 2-element
+                        # side leaves the merged entry null-unknown
+                        merged_ent[c].append(le[c][2] + re_[c][2])
                 zm["segs"][lk] = merged_ent
             else:
                 zm["segs"].pop(lk, None)
@@ -1351,6 +1355,13 @@ class DeltaStore:
             )
             exprs.append(F.min(col).alias(f"__mn_{c}"))
             exprs.append(F.max(col).alias(f"__mx_{c}"))
+            # null count per segment: the reference's has_null enrichment
+            # (docs/design/2022-10-20-enhance-null-value-support-for-
+            # minmax-index.md) — lets IS NULL predicates prove a segment
+            # cannot match (n_null == 0), symmetric with the range check
+            exprs.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}")
+            )
         return exprs
 
     def build_zonemap(self, cols: list[str]) -> int:
@@ -1404,7 +1415,8 @@ class DeltaStore:
                 )
                 for r in rows:
                     entries[str(int(r.s))] = {
-                        c: [r[f"__mn_{c}"], r[f"__mx_{c}"]] for c in present
+                        c: [r[f"__mn_{c}"], r[f"__mx_{c}"], int(r[f"__nn_{c}"])]
+                        for c in present
                     }
         for s in segs:
             k = str(int(s))
@@ -1492,7 +1504,7 @@ class DeltaStore:
         for k, ent in zm["segs"].items():
             if col not in ent:
                 continue
-            mn, mx = ent[col]
+            mn, mx = ent[col][0], ent[col][1]
             if mn is None:
                 # every row in the segment is NULL for this column — a
                 # range predicate matches none of them
@@ -1509,6 +1521,36 @@ class DeltaStore:
                 # would accept via implicit cast) — cannot prune
                 continue
         return pruned
+
+    def _zm_null_pruned_segs(self, col: str) -> list[int]:
+        """Segments PROVEN to hold no NULL for ``col`` (n_null == 0) —
+        prunable for an IS NULL predicate. Entries written before the
+        null count existed (2-element [min, max]) cannot prove anything
+        and are never pruned (absent verdict ⇒ scan)."""
+        zm = self._zonemap()
+        if not zm or col not in zm.get("cols", {}):
+            return []
+        return [
+            int(k)
+            for k, ent in zm["segs"].items()
+            if col in ent and len(ent[col]) >= 3 and ent[col][2] == 0
+        ]
+
+    def read_where_null(self, col: str, ts: int | None = None) -> DataFrame:
+        """Snapshot read of rows where ``col`` IS NULL, pruned by the
+        zone map's per-segment null counts (reference has_null MinMax
+        enrichment, docs/design/2022-10-20). Same plan-time-snapshot
+        contract and MVCC delta rescue as read_where."""
+        log = self.log()
+        pruned = self._zm_null_pruned_segs(col) if "_seg" in log.columns else []
+        if pruned:
+            log = self._log_minus_segments(log, pruned)
+        out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts)
+        out = out.filter(
+            F.col(col).isNull() if col in out.columns else F.lit(True)
+        )
+        drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
+        return self._conform(out.drop(*drop_cols), internal=False)
 
     def read_where(self, col: str, lo=None, hi=None, ts: int | None = None) -> DataFrame:
         """Snapshot read with a range predicate ``lo <= col <= hi`` on an
