@@ -70,6 +70,7 @@ PIPELINE_HEADLINE = [
     "events_time_range_window",
     "dedup_exact_substring",
     "fulltext_boolean",
+    "ccnet_buckets",
 ]
 
 

@@ -150,3 +150,20 @@ def test_boilerplate_line_removal_reassembly(spark):
     for r in out[:3]:
         expect = " ".join(l for l in doc_lines[r.doc_id] if l not in common)
         assert r.clean_text == expect
+
+
+def test_ccnet_buckets_invariants(spark):
+    """Terciles partition each language; head has the lowest mean NLL
+    (best modeled by the unigram LM), tail the highest."""
+    from tiflash_spark.pipeline.text import ccnet_buckets
+
+    rows = ccnet_buckets(spark, "/root/testdata/sf0.001").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}, lang
+        assert b["head"].avg_nll <= b["middle"].avg_nll <= b["tail"].avg_nll
+        # ntile balance: sizes differ by at most 1
+        sizes = [b[k].n_docs for k in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1

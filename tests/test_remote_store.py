@@ -392,3 +392,20 @@ def test_tail_aware_pruned_reads(spark, wn, tmp_path):
     hist = {r[HANDLE]: r.v for r in rn.read_range(10, 80, ts=2).collect()}
     assert hist == {r[HANDLE]: r.v for r in wn.read_range(10, 80, ts=2).collect()}
     assert hist[12] == 120 and 15 in hist and 44 in hist
+
+
+def test_gc_of_pinned_checkpoint_recovers_via_refresh(spark, wn, tmp_path):
+    """Operational contract: gc_checkpoints can remove a checkpoint an
+    RN still pins (no distributed ref-counting, like S3 lifecycle
+    rules); the RN's reads then fail fast and refresh() re-pins the
+    newest surviving checkpoint."""
+    remote = str(tmp_path / "s3")
+    rs.checkpoint(wn, remote, version=2)
+    rn = ReadNodeStore(spark, remote)
+    wn.write_batch(_rows(spark, [(3, 3333)]), version=3)
+    rs.checkpoint(wn, remote, version=3)
+    rs.gc_checkpoints(remote, "store_1", keep=1)  # drops the pinned v1
+    with pytest.raises(Exception):
+        _snap(rn)  # pinned dir is gone: fail, never silently wrong
+    rn.refresh()
+    assert _snap(rn) == _snap(wn)

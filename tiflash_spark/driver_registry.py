@@ -277,6 +277,9 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
          ["SUM(n_docs + n_affected + n_dup_positions)",
           "SUM(n_grams + removed_tokens + kept_tokens)",
           "SUM(LENGTH(source))"]),
+        ("ccnet_buckets",
+         ["SUM(n_docs)", "ROUND(SUM(avg_nll), 4)",
+          "SUM(LENGTH(lang) + LENGTH(bucket))"]),
     ],
     "multimodal_pipeline": [
         ("multimodal_decode",

@@ -490,12 +490,10 @@ LM_TOP_V = 1000
 LM_OOV_PROB = 1e-6
 
 
-def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source unigram-LM stats: mean bits-per-token and perplexity.
-    ln/exp only (log2 ulp behavior differs across engines more than ln's
-    summed error, and ROUND(,4) absorbs what remains). The tf-weighted
-    per-doc mean is written identically in the oracle so both engines sum
-    the same terms."""
+def _unigram_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc tf-weighted mean negative log-likelihood under the
+    bounded top-V unigram LM (shared by lm_perplexity and the CCNet
+    bucketing): (doc_id, source, doc_nll)."""
     t = ws_token_table(spark, sf_dir)
     vocab = (
         t.groupBy("tok")
@@ -507,7 +505,7 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     probs = vocab.crossJoin(F.broadcast(total)).select(
         "tok", (F.col("tf") / F.col("total")).alias("p")
     )
-    scored = (
+    return (
         t.join(F.broadcast(probs), "tok", "left")
         .select(
             "doc_id",
@@ -520,6 +518,15 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source")
         .agg((F.sum("nll_sum") / F.sum("tf")).alias("doc_nll"))
     )
+
+
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-LM stats: mean bits-per-token and perplexity.
+    ln/exp only (log2 ulp behavior differs across engines more than ln's
+    summed error, and ROUND(,4) absorbs what remains). The tf-weighted
+    per-doc mean is written identically in the oracle so both engines sum
+    the same terms."""
+    scored = _unigram_doc_nll(spark, sf_dir)
     return (
         scored.groupBy("source")
         .agg(
@@ -568,3 +575,96 @@ ORDER BY source
 
 QUERIES["lm_perplexity"] = lm_perplexity
 ORACLE["lm_perplexity"] = LM_PERPLEXITY_SQL
+
+
+# --- CCNet-style perplexity bucketing ----------------------------------------
+#
+# CCNet (Wenzek et al., arXiv:1911.00359) splits each language's corpus
+# into head/middle/tail by LM perplexity terciles — the standard quality
+# stratification for web-scale pretraining data. Rank-based terciles
+# (NTILE over per-language perplexity order, doc_id tiebreak, nll
+# rounded before ranking so ties are exact) keep the cut deterministic
+# and engine-portable where an interpolated percentile would drift by
+# ulps. Scale: one doc-level window per language partition over the
+# (1 row/doc) score table — the corpus explode is paid by the shared
+# at-rest token table, never here.
+
+
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, bucket) report: document counts and mean NLL for the
+    head/middle/tail perplexity terciles of each language."""
+    from pyspark.sql import Window
+
+    scored = _unigram_doc_nll(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    langd = scored.join(d, "doc_id").select(
+        "doc_id", "lang", F.round("doc_nll", 6).alias("doc_nll")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_nll", "doc_id")
+    b = langd.withColumn("nt", F.ntile(3).over(w))
+    return (
+        b.groupBy("lang", "nt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("doc_nll"), 4).alias("avg_nll"),
+        )
+        .select(
+            "lang",
+            F.when(F.col("nt") == 1, "head")
+            .when(F.col("nt") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "avg_nll",
+        )
+        .orderBy("lang", F.when(F.col("bucket") == "head", 1)
+                 .when(F.col("bucket") == "middle", 2).otherwise(3))
+    )
+
+
+CCNET_BUCKETS_SQL = """
+WITH dt AS (
+  SELECT doc_id, source, tok, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id, source,
+           UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +')) AS tok
+    FROM documents
+  ) t
+  GROUP BY doc_id, source, tok
+),
+vocab AS (
+  SELECT tok, SUM(tf) AS tf
+  FROM dt GROUP BY tok
+  ORDER BY tf DESC, tok
+  LIMIT 1000
+),
+probs AS (
+  SELECT tok, CAST(tf AS DOUBLE) / (SELECT SUM(tf) FROM vocab) AS p
+  FROM vocab
+),
+scored AS (
+  SELECT d.doc_id,
+         ROUND(SUM(d.tf * -LN(COALESCE(p.p, 1e-6))) / SUM(d.tf), 6) AS doc_nll
+  FROM dt d LEFT JOIN probs p ON d.tok = p.tok
+  GROUP BY d.doc_id
+),
+langd AS (
+  SELECT s.doc_id, doc.lang, s.doc_nll
+  FROM scored s JOIN documents doc ON s.doc_id = doc.doc_id
+),
+b AS (
+  SELECT lang, doc_nll,
+         NTILE(3) OVER (PARTITION BY lang ORDER BY doc_nll, doc_id) AS nt
+  FROM langd
+)
+SELECT lang,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(doc_nll), 4) AS avg_nll
+FROM b
+GROUP BY lang, nt
+ORDER BY lang, nt
+"""
+
+QUERIES["ccnet_buckets"] = ccnet_buckets
+ORACLE["ccnet_buckets"] = CCNET_BUCKETS_SQL
