@@ -409,3 +409,43 @@ def test_gc_of_pinned_checkpoint_recovers_via_refresh(spark, wn, tmp_path):
         _snap(rn)  # pinned dir is gone: fail, never silently wrong
     rn.refresh()
     assert _snap(rn) == _snap(wn)
+
+
+def test_ddl_after_checkpoint_with_tail_merge(spark, tmp_path):
+    """WN runs DDL AFTER the upload and writes tail rows with the new
+    column. A checkpoint WITH a schema manifest pins its schema version
+    (tail rows conform, the post-upload column stays invisible until
+    re-upload + refresh); a manifest-less checkpoint is legacy mode —
+    reads surface whatever the merged files contain."""
+    remote = str(tmp_path / "s3")
+    # manifest-ful: DDL before upload snapshots the schema into _SCHEMA
+    wn = DeltaStore(spark, str(tmp_path / "wn_ddl2"))
+    wn.write_batch(_rows(spark, [(1, 10), (2, 20)]), version=1)
+    wn.add_column("pre", "int")
+    rs.checkpoint(wn, remote, version=1)
+    rn = ReadNodeStore(spark, remote, tail_from=wn)
+    wn.add_column("tag", "string")
+    wn.write_batch(
+        spark.createDataFrame(
+            [(3, 30, None, "x")], f"{HANDLE} long, v long, pre int, tag string"
+        ),
+        version=2,
+    )
+    got = rn.read().orderBy(HANDLE).collect()
+    assert [r[HANDLE] for r in got] == [1, 2, 3]
+    assert "tag" not in rn.read().columns  # checkpoint schema version pinned
+    rs.checkpoint(wn, remote, version=2)
+    rn.refresh()
+    got2 = {r[HANDLE]: r.tag for r in rn.read().collect()}
+    assert got2 == {1: None, 2: None, 3: "x"}
+    # manifest-less: legacy mode, merged files define the visible schema
+    wn2 = DeltaStore(spark, str(tmp_path / "wn_legacy"))
+    wn2.write_batch(_rows(spark, [(1, 10)]), version=1)
+    rs.checkpoint(wn2, str(tmp_path / "s3b"), version=1)
+    rn2 = ReadNodeStore(spark, str(tmp_path / "s3b"), tail_from=wn2)
+    wn2.write_batch(
+        spark.createDataFrame([(2, 20, "y")], f"{HANDLE} long, v long, tag string"),
+        version=2,
+    )
+    got3 = {r[HANDLE]: r.tag for r in rn2.read().collect()}
+    assert got3 == {1: None, 2: "y"}
