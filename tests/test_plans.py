@@ -161,6 +161,11 @@ def test_round3_query_shuffle_ceilings(spark):
         "events_time_range_window": 2,  # user window + rollup
         "mvcc_bitmap_scan": 3,     # winner agg + semi join + final agg
         "multimodal_ann_chain": 0,  # mapInPandas stages + broadcast q + TakeOrdered
+        # round-4 additions
+        "dedup_exact_substring": 5,  # gram window + doc agg + source agg/sort
+        "dedup_semantic": 5,         # cluster pair join + rank + report join
+        "fulltext_boolean": 3,       # posting agg + anti join + sort
+        "ccnet_buckets": 4,          # doc score agg + lang window + rollup
     }
     for name, cap in ceilings.items():
         got = exchange_count(qs[name](spark, SF_SMALL))
