@@ -296,8 +296,14 @@ def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "h",
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            # +1e-9 before ROUND in BOTH engines: the ffill average is a
+            # float mean that can land exactly on a .xxxx5 half-way point
+            # where Spark (HALF_UP on doubles) and DuckDB disagree (seen
+            # at sf0.1); the epsilon pushes every half-way point one way
+            # consistently, and engine ulp differences (~1e-14 here)
+            # cannot cross it
             F.round(
-                F.last("av", ignorenulls=True).over(w), 4
+                F.last("av", ignorenulls=True).over(w) + F.lit(1e-9), 4
             ).alias("avg_value_ffill"),
             F.col("n_events").isNull().alias("is_gap"),
         )
@@ -325,7 +331,7 @@ SELECT g.event_type, g.h,
        CAST(COALESCE(hr.n_events, 0) AS BIGINT) AS n_events,
        ROUND(LAST_VALUE(hr.av IGNORE NULLS) OVER (
          PARTITION BY g.event_type ORDER BY g.h
-         ROWS UNBOUNDED PRECEDING), 4) AS avg_value_ffill,
+         ROWS UNBOUNDED PRECEDING) + 1e-9, 4) AS avg_value_ffill,
        hr.n_events IS NULL AS is_gap
 FROM grid g LEFT JOIN hourly hr
   ON g.event_type = hr.event_type AND g.h = hr.h
