@@ -73,6 +73,113 @@ class ReadOnlyStoreError(RuntimeError):
     """A mutation was attempted on a read node's pinned snapshot."""
 
 
+class ArrowFsRemote:
+    """A remote root on a pyarrow filesystem (S3FileSystem,
+    GcsFileSystem, HadoopFileSystem, or LocalFileSystem for tests) —
+    the minimal object-store surface the checkpoint protocol needs.
+    Every operation is immutable-object + manifest-last, so the mapping
+    to real object stores is PUT/GET/LIST/DELETE; no rename is ever
+    required on the remote (staging happens on the WRITER'S local disk,
+    and the manifest upload is the commit point).
+
+    Spark executors never read through this class: read nodes SYNC a
+    pinned checkpoint into a local cache directory first (the
+    reference's read-node FileCache, Storages/S3/FileCache.h — "RN can
+    use the local disk as an LRU cache") and serve every query from
+    local parquet."""
+
+    def __init__(self, fs, root: str):
+        self.fs = fs
+        self.root = root.rstrip("/")
+
+    def _p(self, *parts: str) -> str:
+        return "/".join((self.root, *[p.strip("/") for p in parts if p]))
+
+    def listdir(self, rel: str = "") -> list[str]:
+        from pyarrow import fs as pafs
+
+        try:
+            infos = self.fs.get_file_info(
+                pafs.FileSelector(self._p(rel), recursive=False)
+            )
+        except (FileNotFoundError, OSError):
+            return []
+        return [i.path.rsplit("/", 1)[-1] for i in infos]
+
+    def read_text(self, rel: str) -> str:
+        with self.fs.open_input_stream(self._p(rel)) as f:
+            return f.read().decode()
+
+    def write_text(self, rel: str, data: str) -> None:
+        # a single-object PUT is atomic on object stores; pyarrow's
+        # local impl writes in place, which is fine because the
+        # checkpoint protocol only ever writes a manifest ONCE
+        target = self._p(rel)
+        parent = target.rsplit("/", 1)[0]
+        self.fs.create_dir(parent, recursive=True)
+        with self.fs.open_output_stream(target) as f:
+            f.write(data.encode())
+
+    def delete(self, rel: str) -> None:
+        try:
+            self.fs.delete_file(self._p(rel))
+        except (FileNotFoundError, OSError):
+            pass
+
+    def delete_tree(self, rel: str) -> None:
+        try:
+            self.fs.delete_dir(self._p(rel))
+        except (FileNotFoundError, OSError):
+            pass
+
+    def upload_tree(self, local_src: str, rel_dst: str) -> None:
+        for root_dir, _dirs, files in os.walk(local_src):
+            rel = os.path.relpath(root_dir, local_src)
+            for f in files:
+                key = self._p(rel_dst, "" if rel == "." else rel, f)
+                self.fs.create_dir(key.rsplit("/", 1)[0], recursive=True)
+                with open(os.path.join(root_dir, f), "rb") as src_f, \
+                        self.fs.open_output_stream(key) as dst_f:
+                    shutil.copyfileobj(src_f, dst_f)
+
+    def sync_tree_to_local(
+        self, rel_src: str, local_dst: str, reuse_from: str | None = None
+    ) -> int:
+        """Download a checkpoint into a local cache dir, skipping files
+        already present with a matching size, and hardlinking
+        rel-path+size matches from ``reuse_from`` (a previously cached
+        checkpoint) instead of re-downloading — the read-node FileCache
+        dedup (Storages/S3/FileCache.h; 2026-03-24 disagg filecache-dedup
+        design doc). Sound because checkpoint objects are immutable and
+        unchanged layer files keep their names across uploads. Returns
+        #files actually downloaded."""
+        from pyarrow import fs as pafs
+
+        base = self._p(rel_src)
+        infos = self.fs.get_file_info(pafs.FileSelector(base, recursive=True))
+        # the superblock lands LAST: an interrupted sync leaves a tree
+        # the store constructor won't mistake for a complete snapshot
+        infos = sorted(infos, key=lambda i: i.path.endswith("/_CURRENT"))
+        copied = 0
+        for i in infos:
+            if i.type != pafs.FileType.File:
+                continue
+            rel = i.path[len(base):].lstrip("/")
+            dst = os.path.join(local_dst, rel)
+            if os.path.exists(dst) and os.path.getsize(dst) == i.size:
+                continue
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if reuse_from is not None:
+                cand = os.path.join(reuse_from, rel)
+                if os.path.exists(cand) and os.path.getsize(cand) == i.size:
+                    os.link(cand, dst)
+                    continue
+            with self.fs.open_input_stream(i.path) as src_f, open(dst, "wb") as dst_f:
+                shutil.copyfileobj(src_f, dst_f)
+            copied += 1
+        return copied
+
+
 def _link_or_copy_tree(src: str, dst: str) -> None:
     """Mirror ``src`` under ``dst``, hardlinking files when the
     filesystem allows (uploads share storage with the live store and
@@ -93,16 +200,22 @@ def _store_dir(remote_root: str, store_id: str) -> str:
     return os.path.join(remote_root, store_id)
 
 
-def list_manifests(remote_root: str, store_id: str) -> list[dict]:
-    """All committed checkpoint manifests, oldest → newest."""
-    d = _store_dir(remote_root, store_id)
-    if not os.path.isdir(d):
-        return []
+def list_manifests(remote_root, store_id: str) -> list[dict]:
+    """All committed checkpoint manifests, oldest → newest.
+    ``remote_root``: a local directory path or an :class:`ArrowFsRemote`."""
     out = []
-    for name in sorted(os.listdir(d)):
-        if name.startswith("manifest_v") and name.endswith(".json"):
-            with open(os.path.join(d, name)) as fh:
-                out.append(json.load(fh))
+    if isinstance(remote_root, ArrowFsRemote):
+        for name in remote_root.listdir(store_id):
+            if name.startswith("manifest_v") and name.endswith(".json"):
+                out.append(json.loads(remote_root.read_text(f"{store_id}/{name}")))
+    else:
+        d = _store_dir(remote_root, store_id)
+        if not os.path.isdir(d):
+            return []
+        for name in sorted(os.listdir(d)):
+            if name.startswith("manifest_v") and name.endswith(".json"):
+                with open(os.path.join(d, name)) as fh:
+                    out.append(json.load(fh))
     out.sort(key=lambda m: m["v"])
     return out
 
@@ -127,15 +240,27 @@ def checkpoint(
     applied index per checkpoint). When omitted it is computed from the
     data with one small max() aggregate. The manifest write is the
     commit point; everything before it is invisible to read nodes.
+
+    ``remote_root`` may be an :class:`ArrowFsRemote` (object store):
+    the snapshot stages on the writer's LOCAL disk and uploads as
+    immutable objects under final keys — no remote rename anywhere,
+    manifest PUT last, orphan objects of crashed uploads swept by the
+    next successful one.
     """
-    sdir = _store_dir(remote_root, store_id)
-    os.makedirs(sdir, exist_ok=True)
-    # sweep orphans of checkpoints that crashed before their manifest
+    remote = remote_root if isinstance(remote_root, ArrowFsRemote) else None
     committed = {m["dir"] for m in list_manifests(remote_root, store_id)}
-    for name in os.listdir(sdir):
-        full = os.path.join(sdir, name)
-        if os.path.isdir(full) and name not in committed:
-            shutil.rmtree(full, ignore_errors=True)
+    if remote is not None:
+        for name in remote.listdir(store_id):
+            if not name.startswith("manifest_v") and name not in committed:
+                remote.delete_tree(f"{store_id}/{name}")
+    else:
+        sdir = _store_dir(remote_root, store_id)
+        os.makedirs(sdir, exist_ok=True)
+        # sweep orphans of checkpoints that crashed before their manifest
+        for name in os.listdir(sdir):
+            full = os.path.join(sdir, name)
+            if os.path.isdir(full) and name not in committed:
+                shutil.rmtree(full, ignore_errors=True)
 
     if version is None:
         try:
@@ -148,7 +273,8 @@ def checkpoint(
     prev = latest_manifest(remote_root, store_id)
     v = (prev["v"] + 1) if prev else 1
     ckpt_name = f"ckpt_v{v}"
-    stage = os.path.join(sdir, f"_upload_{uuid.uuid4().hex[:12]}")
+    stage_parent = store.path if remote is not None else _store_dir(remote_root, store_id)
+    stage = os.path.join(stage_parent, f"_upload_{uuid.uuid4().hex[:12]}")
     try:
         _link_or_copy_tree(store.stable_path(), os.path.join(stage, "stable"))
         _link_or_copy_tree(store.delta_path(), os.path.join(stage, "delta"))
@@ -160,7 +286,11 @@ def checkpoint(
         with open(os.path.join(stage, "_CURRENT"), "w") as fh:
             json.dump({"epoch": sb["epoch"], "stable": "stable", "delta": "delta"}, fh)
         store._fail("ckpt_staged")
-        os.rename(stage, os.path.join(sdir, ckpt_name))
+        if remote is not None:
+            remote.upload_tree(stage, f"{store_id}/{ckpt_name}")
+            shutil.rmtree(stage, ignore_errors=True)
+        else:
+            os.rename(stage, os.path.join(stage_parent, ckpt_name))
         store._fail("ckpt_renamed")
     except Exception:
         shutil.rmtree(stage, ignore_errors=True)
@@ -174,27 +304,35 @@ def checkpoint(
         "schema_version": store.schema_version(),
         **(extra or {}),
     }
-    mp = os.path.join(sdir, f"manifest_v{v}.json")
-    tmp = mp + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, mp)  # commit point
+    if remote is not None:
+        remote.write_text(f"{store_id}/manifest_v{v}.json", json.dumps(manifest))
+    else:
+        mp = os.path.join(stage_parent, f"manifest_v{v}.json")
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, mp)  # commit point
     return manifest
 
 
-def gc_checkpoints(remote_root: str, store_id: str, keep: int = 2) -> int:
+def gc_checkpoints(remote_root, store_id: str, keep: int = 2) -> int:
     """Drop all but the newest ``keep`` checkpoints (manifest first, so
     a crash mid-GC leaves an unreferenced dir, never a dangling
     manifest). Hardlink sharing means deleting an old checkpoint only
     reclaims files no newer checkpoint references. Returns #removed."""
     ms = list_manifests(remote_root, store_id)
     drop = ms[:-keep] if keep > 0 else ms
-    sdir = _store_dir(remote_root, store_id)
-    for m in drop:
-        os.remove(os.path.join(sdir, f"manifest_v{m['v']}.json"))
-        shutil.rmtree(os.path.join(sdir, m["dir"]), ignore_errors=True)
+    if isinstance(remote_root, ArrowFsRemote):
+        for m in drop:
+            remote_root.delete(f"{store_id}/manifest_v{m['v']}.json")
+            remote_root.delete_tree(f"{store_id}/{m['dir']}")
+    else:
+        sdir = _store_dir(remote_root, store_id)
+        for m in drop:
+            os.remove(os.path.join(sdir, f"manifest_v{m['v']}.json"))
+            shutil.rmtree(os.path.join(sdir, m["dir"]), ignore_errors=True)
     return len(drop)
 
 
@@ -211,8 +349,16 @@ def restore_store(
         raise ValueError(f"no checkpoint for {store_id!r} under {remote_root}")
     if os.path.exists(dest_path) and os.listdir(dest_path):
         raise ValueError(f"restore target {dest_path!r} is not empty")
-    ckpt = os.path.join(_store_dir(remote_root, store_id), m["dir"])
     os.makedirs(dest_path, exist_ok=True)
+    if isinstance(remote_root, ArrowFsRemote):
+        # object store: download to a staging dir, rename into place —
+        # a crash mid-download never leaves a half tree at dest_path
+        tmpd = dest_path.rstrip("/") + f"._sync_{uuid.uuid4().hex[:8]}"
+        remote_root.sync_tree_to_local(f"{store_id}/{m['dir']}", tmpd)
+        os.rmdir(dest_path)
+        os.rename(tmpd, dest_path)
+        return DeltaStore(spark, dest_path)
+    ckpt = os.path.join(_store_dir(remote_root, store_id), m["dir"])
     stage_marker = os.path.join(dest_path, "_CURRENT")
     _link_or_copy_tree(os.path.join(ckpt, "stable"), os.path.join(dest_path, "stable"))
     _link_or_copy_tree(os.path.join(ckpt, "delta"), os.path.join(dest_path, "delta"))
@@ -300,9 +446,15 @@ def adopt_remote_compaction(
             f"{base_epoch}: local swap since upload, cannot adopt"
         )
     wm = m["watermark"]
-    ckpt = os.path.join(_store_dir(remote_root, store_id), m["dir"])
     stage_stable = store._stage_dir("adopt_stable")
-    _link_or_copy_tree(os.path.join(ckpt, "stable"), stage_stable)
+    if isinstance(remote_root, ArrowFsRemote):
+        # object store: the WN downloads the worker's compacted stable
+        # ("migration is completed by downloading or referencing the S3
+        # file directly" — cloud-native design doc)
+        remote_root.sync_tree_to_local(f"{store_id}/{m['dir']}/stable", stage_stable)
+    else:
+        ckpt = os.path.join(_store_dir(remote_root, store_id), m["dir"])
+        _link_or_copy_tree(os.path.join(ckpt, "stable"), stage_stable)
     # rebuild the delta as the post-watermark tail + surviving tombstones
     stage_delta = store._stage_dir("adopt_delta")
     os.makedirs(stage_delta, exist_ok=True)
@@ -345,29 +497,54 @@ class ReadNodeStore:
     def __init__(
         self,
         spark: SparkSession,
-        remote_root: str,
+        remote_root,
         store_id: str = "store_1",
         tail_from: DeltaStore | None = None,
+        cache_dir: str | None = None,
     ):
         self.spark = spark
         self.remote_root = remote_root
         self.store_id = store_id
         self._tail = tail_from
+        self.cache_dir = cache_dir
         self.manifest: dict | None = None
         self._ds: DeltaStore | None = None
         self.refresh()
 
     def refresh(self) -> dict:
-        """Re-pin the newest committed checkpoint."""
+        """Re-pin the newest committed checkpoint. On an object-store
+        remote the checkpoint syncs into ``cache_dir`` first (the read
+        node's local FileCache, Storages/S3/FileCache.h) — files already
+        cached with matching size are NOT re-downloaded, so refreshes
+        pay only the delta since the last pinned checkpoint."""
         m = latest_manifest(self.remote_root, self.store_id)
         if m is None:
             raise ValueError(
                 f"no checkpoint for {self.store_id!r} under {self.remote_root}"
             )
         if self.manifest is None or m["v"] != self.manifest["v"]:
+            if isinstance(self.remote_root, ArrowFsRemote):
+                if self.cache_dir is None:
+                    raise ValueError(
+                        "object-store read nodes need a local cache_dir "
+                        "(the RN FileCache) to serve Spark scans from"
+                    )
+                local = os.path.join(self.cache_dir, self.store_id, m["dir"])
+                prev_local = (
+                    os.path.join(self.cache_dir, self.store_id, self.manifest["dir"])
+                    if self.manifest is not None
+                    else None
+                )
+                self.last_sync_downloads = self.remote_root.sync_tree_to_local(
+                    f"{self.store_id}/{m['dir']}", local, reuse_from=prev_local
+                )
+                self._ds = DeltaStore(self.spark, local)
+            else:
+                ckpt = os.path.join(
+                    _store_dir(self.remote_root, self.store_id), m["dir"]
+                )
+                self._ds = DeltaStore(self.spark, ckpt)
             self.manifest = m
-            ckpt = os.path.join(_store_dir(self.remote_root, self.store_id), m["dir"])
-            self._ds = DeltaStore(self.spark, ckpt)
         return m
 
     @property
