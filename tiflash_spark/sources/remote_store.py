@@ -253,6 +253,11 @@ def checkpoint(
         for name in remote.listdir(store_id):
             if not name.startswith("manifest_v") and name not in committed:
                 remote.delete_tree(f"{store_id}/{name}")
+        # stale local staging dirs of hard-crashed uploads (the happy
+        # and error paths both clean up; only a process kill leaves one)
+        for name in os.listdir(store.path):
+            if name.startswith("_upload_"):
+                shutil.rmtree(os.path.join(store.path, name), ignore_errors=True)
     else:
         sdir = _store_dir(remote_root, store_id)
         os.makedirs(sdir, exist_ok=True)
