@@ -159,3 +159,23 @@ def test_point_reads_and_full_compact_after_ddl_on_hash_segments(spark, tmp_path
     assert "extra" in physical.columns
     got = {r[HANDLE]: (r["v"], r["extra"]) for r in store.read_handles([3, 5]).collect()}
     assert got == {3: ("x3", None), 5: ("new", 7)}
+
+
+def test_store_as_sql_view(spark, tmp_path):
+    """as_view: SQL over the replicated table, incl. a stale-read view
+    pinned at an earlier version."""
+    from pyspark.sql import Row
+
+    from tiflash_spark.operators.mvcc import HANDLE
+    from tiflash_spark.sources.delta_store import DeltaStore
+
+    s = DeltaStore(spark, str(tmp_path / "v"))
+    s.write_batch(
+        spark.createDataFrame([Row(**{HANDLE: 1, "v": 10}), Row(**{HANDLE: 2, "v": 20})]),
+        version=1,
+    )
+    s.write_batch(spark.createDataFrame([Row(**{HANDLE: 2, "v": 99})]), version=2)
+    s.as_view("repl_now")
+    s.as_view("repl_stale", ts=1)
+    assert spark.sql("SELECT SUM(v) AS s FROM repl_now").collect()[0].s == 109
+    assert spark.sql("SELECT SUM(v) AS s FROM repl_stale").collect()[0].s == 30

@@ -510,6 +510,14 @@ class DeltaStore:
         out = out.drop("_seg") if "_seg" in out.columns else out
         return self._conform(out, internal=False)
 
+    def as_view(self, name: str, ts: int | None = None) -> None:
+        """Register a snapshot read as a temp view so spark.sql queries
+        the replicated table by name — the TiDB-side `SELECT ...` over a
+        TiFlash replica. Plan-time snapshot: re-register after mutations
+        (or at a fixed ts for a stable-read view, the reference's stale
+        read — docs/design/2023-02-21-tiflash-supports-stale-read.md)."""
+        self.read(ts).createOrReplaceTempView(name)
+
     # --- maintenance -------------------------------------------------------
 
     def compact(self, ts: int, num_segments: int | None = None) -> int:
