@@ -71,6 +71,7 @@ PIPELINE_HEADLINE = [
     "dedup_exact_substring",
     "fulltext_boolean",
     "ccnet_buckets",
+    "decontaminate_fuzzy",
 ]
 
 

@@ -167,3 +167,17 @@ def test_ccnet_buckets_invariants(spark):
         # ntile balance: sizes differ by at most 1
         sizes = [b[k].n_docs for k in ("head", "middle", "tail")]
         assert max(sizes) - min(sizes) <= 1
+
+
+def test_fuzzy_decontamination_flags_cross_split_near_dup(spark):
+    """Non-vacuity: at sf0.01 the %13 eval split crosses exactly one
+    near-dup family, so the fuzzy tier must flag at least one doc the
+    exact 5-gram check could miss under mutation."""
+    from tiflash_spark.pipeline.curation import decontaminate_fuzzy
+
+    rows = decontaminate_fuzzy(spark, "/root/testdata/sf0.01").collect()
+    assert sum(r.n_fuzzy_contaminated for r in rows) >= 1
+    for r in rows:
+        assert 0 <= r.contamination_rate <= 1
+        if r.n_fuzzy_contaminated:
+            assert r.avg_jaccard >= 0.5

@@ -280,6 +280,10 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
         ("ccnet_buckets",
          ["SUM(n_docs)", "ROUND(SUM(avg_nll), 4)",
           "SUM(LENGTH(lang) + LENGTH(bucket))"]),
+        ("decontaminate_fuzzy",
+         ["SUM(n_train + n_fuzzy_contaminated)",
+          "ROUND(SUM(contamination_rate + avg_jaccard), 4)",
+          "SUM(LENGTH(source))"]),
     ],
     "multimodal_pipeline": [
         ("multimodal_decode",

@@ -868,3 +868,118 @@ ORDER BY source
 
 QUERIES["boilerplate_lines"] = boilerplate_lines
 ORACLE["boilerplate_lines"] = BOILERPLATE_LINES_SQL
+
+
+# --- fuzzy decontamination (near-dup eval overlap) ---------------------------
+#
+# Exact n-gram decontamination (above) misses lightly mutated eval
+# leakage — the case GPT-3's post-hoc analysis and every later data
+# card worries about. Fuzzy tier: word-bigram Jaccard against the eval
+# set over prefix-blocked candidates — the dedup_ngram_jaccard oracle
+# shape, pointed across the train/eval boundary. At 100 TB the blocking
+# key swaps for the MinHash band index (pipeline/dedup.py
+# minhash_band_index): band-collide train docs against eval bands, then
+# the same exact-Jaccard verify on candidates only.
+
+FUZZY_DECON_THRESHOLD = 0.5
+
+
+def decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source report of training docs whose bigram Jaccard vs ANY
+    eval doc reaches the threshold. Eval split = doc_id % 13 == 0 — a
+    coarser split than exact decontamination's % 97, chosen because it
+    is the smallest fixture split that actually CROSSES the synthetic
+    corpus's near-dup families (measured: %97 crosses zero of the 25
+    Jaccard>=0.5 pairs at sf0.01; %13 crosses one) — a vacuous
+    always-zero check would verify nothing."""
+    from tiflash_spark.pipeline.dedup import word_bigrams
+
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 13 == 0
+    docs = d.select(
+        "doc_id", "source",
+        F.substring("text", 1, 32).alias("blk"),
+        word_bigrams(F.col("text")).alias("sh"),
+    )
+    train = docs.filter(~is_eval)
+    ev = docs.filter(is_eval).select(
+        F.col("blk"), F.col("doc_id").alias("eval_id"), F.col("sh").alias("esh")
+    )
+    inter = F.size(F.array_intersect(F.col("sh"), F.col("esh")))
+    union = F.size(F.col("sh")) + F.size(F.col("esh")) - inter
+    flagged = (
+        train.join(ev, "blk")
+        .select(
+            "doc_id", "source",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= FUZZY_DECON_THRESHOLD)
+        .groupBy("doc_id", "source")
+        .agg(F.max("jaccard").alias("best_j"))
+    )
+    totals = train.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_train")
+    )
+    per_src = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fuzzy_contaminated"),
+        F.round(F.avg("best_j"), 4).alias("avg_jaccard"),
+    )
+    return (
+        totals.join(per_src, "source", "left")
+        .select(
+            "source",
+            "n_train",
+            F.coalesce("n_fuzzy_contaminated", F.lit(0)).alias("n_fuzzy_contaminated"),
+            F.round(
+                F.coalesce("n_fuzzy_contaminated", F.lit(0)) / F.col("n_train"), 6
+            ).alias("contamination_rate"),
+            F.coalesce("avg_jaccard", F.lit(0.0)).alias("avg_jaccard"),
+        )
+        .orderBy("source")
+    )
+
+
+DECONTAMINATE_FUZZY_SQL = """
+WITH docs AS (
+  SELECT doc_id, source,
+         SUBSTRING(text, 1, 32) AS blk,
+         LIST_DISTINCT(LIST_TRANSFORM(
+           GENERATE_SERIES(1, LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +')) - 1),
+           i -> REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +')[i] || ' ' ||
+                REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +')[i+1]
+         )) AS sh
+  FROM documents
+),
+train AS (SELECT * FROM docs WHERE doc_id % 13 <> 0),
+ev AS (SELECT blk, doc_id AS eval_id, sh AS esh FROM docs WHERE doc_id % 13 = 0),
+pairs AS (
+  SELECT t.doc_id, t.source,
+         ROUND(CAST(LEN(LIST_INTERSECT(t.sh, e.esh)) AS DOUBLE)
+               / (LEN(t.sh) + LEN(e.esh) - LEN(LIST_INTERSECT(t.sh, e.esh))),
+               6) AS jaccard
+  FROM train t JOIN ev e ON t.blk = e.blk
+),
+flagged AS (
+  SELECT doc_id, source, MAX(jaccard) AS best_j
+  FROM pairs WHERE jaccard >= 0.5
+  GROUP BY doc_id, source
+),
+totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train FROM train GROUP BY source
+),
+per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fuzzy_contaminated,
+         ROUND(AVG(best_j), 4) AS avg_jaccard
+  FROM flagged GROUP BY source
+)
+SELECT t.source, t.n_train,
+       CAST(COALESCE(p.n_fuzzy_contaminated, 0) AS BIGINT) AS n_fuzzy_contaminated,
+       ROUND(COALESCE(p.n_fuzzy_contaminated, 0) / CAST(t.n_train AS DOUBLE), 6)
+         AS contamination_rate,
+       COALESCE(p.avg_jaccard, 0.0) AS avg_jaccard
+FROM totals t LEFT JOIN per_src p ON t.source = p.source
+ORDER BY t.source
+"""
+
+QUERIES["decontaminate_fuzzy"] = decontaminate_fuzzy
+ORACLE["decontaminate_fuzzy"] = DECONTAMINATE_FUZZY_SQL
