@@ -238,17 +238,21 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_SESSION_WINDOW_NATIVE_SQL = """
 WITH flagged AS (
-  SELECT user_id, value,
+  SELECT user_id, value, ts, event_id,
          CASE WHEN LAG(ts) OVER w IS NULL
-                   OR EPOCH(CAST(ts AS TIMESTAMP))
-                      - EPOCH(CAST(LAG(ts) OVER w AS TIMESTAMP)) >= 1800
+                   OR EPOCH_US(CAST(ts AS TIMESTAMP))
+                      - EPOCH_US(CAST(LAG(ts) OVER w AS TIMESTAMP)) >= 1800000000
               THEN 1 ELSE 0 END AS is_start
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sessions AS (
+  -- the running sum MUST repeat the event order: a frame with no ORDER
+  -- BY leaves intra-partition row order engine-chosen, and DuckDB's
+  -- parallel window occasionally delivered rows out of event order,
+  -- splitting one session into two (observed: 95466 vs 95465 at sf0.1)
   SELECT user_id, value,
-         SUM(is_start) OVER (PARTITION BY user_id
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS session_id
   FROM flagged
