@@ -197,3 +197,30 @@ def test_multimodal_ann_chain_topk_and_plan(spark):
     assert all(-1.0 <= s <= 1.0 for s in sims)
     assert exchange_count(df) == 0
     assert count_operator(df, "TakeOrderedAndProject") >= 1
+
+
+def test_phash_stub_mean_threshold():
+    """Integer mean-threshold construction: uniform bytes -> no bit set
+    (nothing strictly above the mean); a single dominant bucket -> only
+    that bit; empty payload -> 0."""
+    from tiflash_spark.pipeline.multimodal import phash_stub
+
+    assert phash_stub(b"") == 0
+    assert phash_stub(None) == 0
+    assert phash_stub(bytes(range(16)) * 4) == 0  # perfectly uniform
+    assert phash_stub(bytes([3]) * 100) == 1 << 3  # one hot bucket
+
+
+def test_multimodal_phash_report_consistency(spark):
+    """Exact-dup members >= 2 per group; banded candidate pairs include
+    every exact-dup pair (Hamming 0 shares all bands); counts bounded by
+    n_media."""
+    from tests.conftest import SF_SMALL
+    from tiflash_spark.pipeline.multimodal import multimodal_phash_dedup
+
+    r = multimodal_phash_dedup(spark, SF_SMALL).collect()[0]
+    assert r.n_sigs <= r.n_media
+    assert r.n_dup_media >= 2 * r.n_dup_groups
+    # every exact-dup group of size n contributes C(n,2) band pairs
+    min_pairs = r.n_dup_media - r.n_dup_groups  # sum (n-1) <= sum C(n,2)
+    assert r.n_band_pairs >= min_pairs

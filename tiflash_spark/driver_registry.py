@@ -284,6 +284,13 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
          ["SUM(n_train + n_fuzzy_contaminated)",
           "ROUND(SUM(contamination_rate + avg_jaccard), 4)",
           "SUM(LENGTH(source))"]),
+        ("shard_training_order",
+         ["SUM(shard + n_docs + first_doc)",
+          "SUM(n_tokens + order_digest)"]),
+        ("mix_token_budget",
+         ["SUM(docs_kept + tokens_kept + quota_tokens)",
+          "ROUND(SUM(fill_ratio), 4)",
+          "SUM(order_digest + LENGTH(source))"]),
     ],
     "multimodal_pipeline": [
         ("multimodal_decode",
@@ -295,6 +302,9 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
         ("multimodal_ann_chain",
          ["SUM(media_id)", "ROUND(SUM(cos_sim), 4)",
           "SUM(LENGTH(media_type))"]),
+        ("multimodal_phash",
+         ["SUM(n_media + n_sigs + n_dup_groups + n_dup_media)",
+          "SUM(n_band_pairs + sig_digest)"]),
     ],
     "ann_brute": [
         ("ann_cosine_topk", ["SUM(vec_id + label)", "ROUND(SUM(cos_sim), 4)"]),

@@ -525,6 +525,249 @@ ORACLE["sample_temperature"] = SAMPLE_TEMPERATURE_SQL
 ORACLE["pack_sequences"] = PACK_SEQUENCES_SQL
 
 
+# --- deterministic training-order shuffle + shard assignment -----------------
+#
+# A training run needs the corpus in a SHUFFLED but REPRODUCIBLE order,
+# cut into shards a data loader can stream independently. Doing this with
+# a global orderBy(rand()) is both nondeterministic and a full sort of
+# the world; the standard trick is a seeded hash: order key
+# h = hash(seed, doc_id) gives every worker the same permutation with no
+# coordination, and shard = high_bits(h) % N balances shards without a
+# count pass. Re-shuffling for epoch k = changing the seed.
+
+N_TRAIN_SHARDS = 8
+SHUFFLE_SEED = 20240817
+
+
+def _order_hash(key: Column) -> Column:
+    """Seeded deterministic permutation key (portable LCG, both engines)."""
+    return _portable_hash(key + F.lit(SHUFFLE_SEED))
+
+
+def shard_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a (shard, position) in a seeded pseudo-random
+    training order and report per shard: doc/token counts, the first doc,
+    and an order digest SUM(pos * doc_id) that pins the exact permutation
+    (any swap of two docs changes the digest).
+
+    Shard id uses the HIGH bits of the hash (h // 65536): the LCG's low
+    bits cycle with a short period over consecutive doc_ids, which would
+    degenerate shard = h % N into round-robin. Within-shard order is
+    (h, doc_id) — total, since the tiebreak is unique.
+
+    Scale: one hash shuffle on shard + a per-shard sort. Parallelism =
+    N_TRAIN_SHARDS, so at cluster scale N is set to O(thousands) (shards
+    are loader-sized, ~a few GB each at 100 TB); the plan shape is
+    identical. No global sort, no driver round-trip."""
+    from pyspark.sql import Window
+
+    from tiflash_spark.pipeline.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+        _order_hash(F.col("doc_id")).alias("h"),
+    ).withColumn(
+        "shard", ((F.col("h") / 65536).cast("long") % N_TRAIN_SHARDS).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    ordered = docs.select(
+        "shard", "doc_id", "n_tok", F.row_number().over(w).alias("pos")
+    )
+    return (
+        ordered.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min(F.when(F.col("pos") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("first_doc"),
+            F.sum(F.col("pos") * F.col("doc_id")).cast("long").alias("order_digest"),
+        )
+        .orderBy("shard")
+    )
+
+
+SHARD_TRAINING_ORDER_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +')) END AS n_tok,
+         ((doc_id + 20240817) * 1103515245 + 12345) % 2147483648 AS h
+  FROM documents
+),
+ordered AS (
+  SELECT (h // 65536) % 8 AS shard, doc_id, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY (h // 65536) % 8
+                            ORDER BY h, doc_id) AS pos
+  FROM docs
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(MIN(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS first_doc,
+       CAST(SUM(pos * doc_id) AS BIGINT) AS order_digest
+FROM ordered
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+# --- exact token-budget mixing (deterministic greedy quota fill) -------------
+#
+# sample_temperature above is the PROBABILISTIC mixer: a hash-threshold
+# draw whose doc-count quota is hit only in expectation. Dataset assembly
+# for a training run usually wants the EXACT version: per-source TOKEN
+# quotas (temperature-weighted), filled greedily in a seeded
+# pseudo-random priority order so the result is reproducible and the
+# budget is met to within one document. This is the two-tier pattern the
+# dedup family uses: sample_temperature = cheap zero-shuffle screen,
+# mix_token_budget = exact assembler.
+
+MIX_BUCKETS = 64  # sub-source cumsum parallelism (see scale note)
+
+
+def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill temperature-weighted per-source TOKEN quotas exactly: source s
+    gets quota_s = B * tok_s^(1/T) / Σ tok^(1/T) tokens of the global
+    budget B (half the corpus), and docs are admitted greedily in seeded
+    hash order until the quota boundary — a doc is kept iff it STARTS
+    before the boundary, so the overshoot is < 1 doc.
+
+    Scale: the naive form is a running sum over ONE window per source —
+    a single reducer per source, the classic skew trap. Instead the
+    cumsum is two-level, the same decomposition MPP engines use for
+    global prefix sums: docs land in MIX_BUCKETS sub-buckets of the
+    priority order (bucket = high bits of the hash, so (bucket, h) IS
+    the priority order), per-(source,bucket) token subtotals (tiny: a
+    map-side-combined agg) become broadcast bucket offsets, and the
+    window only runs within (source, bucket) — parallelism is
+    MIX_BUCKETS per source instead of 1, and nothing global is sorted.
+    The oracle computes the same thing with one flat window."""
+    from pyspark.sql import Window
+
+    from tiflash_spark.pipeline.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("long").alias("n_tok"),
+        _order_hash(F.col("doc_id")).alias("h"),
+    ).withColumn(
+        "bucket", ((F.col("h") / 65536).cast("long") % MIX_BUCKETS).cast("long")
+    )
+    bt = docs.groupBy("source", "bucket").agg(
+        F.sum("n_tok").cast("long").alias("btok")
+    )
+    woff = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = bt.select(
+        "source",
+        "bucket",
+        F.coalesce(F.sum("btok").over(woff), F.lit(0)).cast("long").alias("off"),
+    )
+    totals = bt.groupBy("source").agg(F.sum("btok").cast("long").alias("tok_s"))
+    budget = totals.agg(
+        F.sum("tok_s").cast("long").alias("tok_total"),
+        F.sum(F.pow(F.col("tok_s").cast("double"), F.lit(1.0 / MIX_TEMPERATURE)))
+        .alias("w_sum"),
+    )
+    quota = totals.crossJoin(F.broadcast(budget)).select(
+        "source",
+        "tok_s",
+        F.floor(
+            F.col("tok_total")
+            * F.lit(MIX_BUDGET_FRAC)
+            * F.pow(F.col("tok_s").cast("double"), F.lit(1.0 / MIX_TEMPERATURE))
+            / F.col("w_sum")
+        )
+        .cast("long")
+        .alias("quota_tokens"),
+    )
+    wcum = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    placed = (
+        docs.join(F.broadcast(offs), ["source", "bucket"])
+        .join(F.broadcast(quota), "source")
+        .select(
+            "source",
+            "n_tok",
+            "quota_tokens",
+            "tok_s",
+            (F.col("off") + F.sum("n_tok").over(wcum)).alias("cum"),
+        )
+    )
+    kept = placed.filter(F.col("cum") - F.col("n_tok") < F.col("quota_tokens"))
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_kept"),
+            F.sum("n_tok").cast("long").alias("tokens_kept"),
+            F.min("quota_tokens").cast("long").alias("quota_tokens"),
+            F.round(F.sum("n_tok") / F.min("quota_tokens"), 4).alias("fill_ratio"),
+            F.sum("cum").cast("long").alias("order_digest"),
+        )
+        .orderBy("source")
+    )
+
+
+MIX_TOKEN_BUDGET_SQL = """
+WITH docs AS (
+  SELECT doc_id, source,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +')) END AS n_tok,
+         ((doc_id + 20240817) * 1103515245 + 12345) % 2147483648 AS h
+  FROM documents
+),
+totals AS (
+  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tok_s FROM docs GROUP BY source
+),
+budget AS (
+  SELECT CAST(SUM(tok_s) AS BIGINT) AS tok_total,
+         SUM(POWER(CAST(tok_s AS DOUBLE), 1.0 / 0.7)) AS w_sum
+  FROM totals
+),
+quota AS (
+  SELECT t.source, t.tok_s,
+         CAST(FLOOR(b.tok_total * 0.5
+                    * POWER(CAST(t.tok_s AS DOUBLE), 1.0 / 0.7)
+                    / b.w_sum) AS BIGINT) AS quota_tokens
+  FROM totals t CROSS JOIN budget b
+),
+placed AS (
+  SELECT d.source, d.n_tok, q.quota_tokens,
+         SUM(d.n_tok) OVER (PARTITION BY d.source
+                            ORDER BY (d.h // 65536) % 64, d.h, d.doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM docs d JOIN quota q ON d.source = q.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs_kept,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
+       CAST(MIN(quota_tokens) AS BIGINT) AS quota_tokens,
+       ROUND(CAST(SUM(n_tok) AS DOUBLE) / MIN(quota_tokens), 4) AS fill_ratio,
+       CAST(SUM(cum) AS BIGINT) AS order_digest
+FROM placed
+WHERE cum - n_tok < quota_tokens
+GROUP BY source
+ORDER BY source
+"""
+
+
+QUERIES["shard_training_order"] = shard_training_order
+QUERIES["mix_token_budget"] = mix_token_budget
+ORACLE["shard_training_order"] = SHARD_TRAINING_ORDER_SQL
+ORACLE["mix_token_budget"] = MIX_TOKEN_BUDGET_SQL
+
+
 # --- end-to-end curation pipeline composition --------------------------------
 
 

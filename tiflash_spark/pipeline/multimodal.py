@@ -542,3 +542,172 @@ LIMIT 10
 
 QUERIES["multimodal_ann_chain"] = multimodal_ann_chain
 ORACLE["multimodal_ann_chain"] = MULTIMODAL_ANN_CHAIN_SQL
+
+
+# --- perceptual-hash near-dup over decoded media ----------------------------
+#
+# Image dedup in a training pipeline is pHash/dHash over DECODED pixels —
+# exact byte dedup misses re-encodes; embedding dedup needs a model. The
+# Spark shape is the SimHash machinery from pipeline/dedup.py applied to
+# a hash computed inside the media decode stage: mapInPandas produces a
+# 16-bit signature per media, exact-signature groupBy finds duplicates,
+# and 4-bit band buckets give Hamming-tolerant candidates without any
+# all-pairs join. REAL IMPLEMENTATION SITE: the signature fn below would
+# be a DCT low-frequency pHash over decoded pixels; the deterministic
+# fake (byte-histogram threshold bits) keeps the plumbing testable and
+# SQL-mirrorable.
+
+PHASH_BITS = 16
+PHASH_BANDS = 4  # 4 bands x 4 bits: candidates within Hamming<=3 of a band
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def phash_stub(payload: bytes) -> int:
+    """Deterministic fake perceptual hash: bit k of the signature is set
+    iff byte-bucket k's count exceeds the mean bucket count (the same
+    mean-threshold construction real pHash applies to DCT coefficients).
+    Integer-only, so the SQL mirror is exact with no float round-trip."""
+    payload = payload or b""
+    hist = [0] * PHASH_BITS
+    for b in payload[:4096]:
+        hist[b % PHASH_BITS] += 1
+    total = sum(hist)
+    sig = 0
+    for k in range(PHASH_BITS):
+        if PHASH_BITS * hist[k] > total:  # hist[k] > mean, integer-exact
+            sig |= 1 << k
+    return sig
+
+
+def phash_media(df: DataFrame) -> DataFrame:
+    """mapInPandas signature stage over MEDIA_SCHEMA rows (decode and
+    hash share one task: at scale the expensive decode runs once and
+    every per-media signal — pHash, features, dims — is derived in the
+    same pass)."""
+
+    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                out.append(
+                    {
+                        "media_id": row.media_id,
+                        "media_type": row.media_type,
+                        "phash": phash_stub(row.payload),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(phash_batches, schema=PHASH_SCHEMA)
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media → pHash (mapInPandas) → exact-signature dup groups + banded
+    near-dup candidate pairs. One-row report: media/signature counts,
+    exact-dup group/member counts, distinct banded candidate pairs, and
+    SUM(phash) pinning every signature value.
+
+    Scale: signature groupBy is a 2-byte-key shuffle with map-side
+    combine; the band join shuffles (band, value) buckets — the LSH
+    shape, never all-pairs. Candidate pair volume is bounded by bucket
+    sizes exactly as in dedup.py's SimHash path."""
+    sigs = phash_media(synthetic_media(spark, sf_dir)).select("media_id", "phash")
+    by_sig = sigs.groupBy("phash").agg(F.count(F.lit(1)).alias("n"))
+    exact = by_sig.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sigs"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).cast("long").alias("n_dup_groups"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_media"),
+    )
+    base = sigs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_media"),
+        F.sum("phash").cast("long").alias("sig_digest"),
+    )
+    bands = sigs.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("b"),
+                        F.shiftright("phash", 4 * i).bitwiseAND(15).alias("v"),
+                    )
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("media_id", "bv.b", "bv.v")
+    pairs = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.b") == F.col("r.b"))
+            & (F.col("l.v") == F.col("r.v"))
+            & (F.col("l.media_id") < F.col("r.media_id")),
+        )
+        .select(
+            F.col("l.media_id").alias("a"), F.col("r.media_id").alias("bm")
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_band_pairs"))
+    )
+    return (
+        base.crossJoin(exact)
+        .crossJoin(pairs)
+        .select(
+            "n_media", "n_sigs", "n_dup_groups", "n_dup_media",
+            "n_band_pairs", "sig_digest",
+        )
+    )
+
+
+MULTIMODAL_PHASH_SQL = """
+WITH hist AS (
+  SELECT doc_id AS media_id,
+         LIST_TRANSFORM(GENERATE_SERIES(0, 15), k ->
+           LEN(LIST_FILTER(
+             LIST_TRANSFORM(GENERATE_SERIES(1, CAST(LEAST(OCTET_LENGTH(ENCODE(text)), 4096) AS INT)),
+                            i -> ASCII(SUBSTRING(text, i, 1)) % 16),
+             b -> b = k))) AS h
+  FROM documents
+),
+sigs AS (
+  SELECT media_id,
+         CAST(LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 16), k ->
+           CASE WHEN 16 * h[k] > LIST_SUM(h) THEN 1 << (k - 1) ELSE 0 END))
+           AS BIGINT) AS phash
+  FROM hist
+),
+by_sig AS (
+  SELECT phash, COUNT(*) AS n FROM sigs GROUP BY phash
+),
+bands AS (
+  SELECT media_id, i AS b, (phash >> (4 * CAST(i AS INT))) & 15 AS v
+  FROM sigs, UNNEST(GENERATE_SERIES(0, 3)) AS t(i)
+),
+pairs AS (
+  SELECT COUNT(DISTINCT l.media_id * 16777216 + r.media_id) AS n_band_pairs
+  FROM bands l JOIN bands r
+    ON l.b = r.b AND l.v = r.v AND l.media_id < r.media_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sigs) AS n_media,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM by_sig) AS n_sigs,
+       (SELECT CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) FROM by_sig)
+         AS n_dup_groups,
+       (SELECT CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) FROM by_sig)
+         AS n_dup_media,
+       (SELECT CAST(n_band_pairs AS BIGINT) FROM pairs) AS n_band_pairs,
+       (SELECT CAST(SUM(phash) AS BIGINT) FROM sigs) AS sig_digest
+"""
+
+QUERIES["multimodal_phash"] = multimodal_phash_dedup
+ORACLE["multimodal_phash"] = MULTIMODAL_PHASH_SQL
