@@ -148,3 +148,33 @@ def test_maintain_policy_cycle(spark, tmp_path):
     r3 = store.maintain(2, delta_threshold=10, max_rows=150, min_rows=20)
     assert r3 == {"compacted": False, "segments_rewritten": 0,
                   "splits": 0, "merges": 0}
+
+
+def test_ingest_bounds_follow_assignment(spark, tmp_path):
+    """Degenerate manifest regression (hypothesis-found): a range
+    compaction of a single-handle store mints an empty trailing segment
+    ({0: [0,1), 1: [1,1)}). An ingest of an out-of-range-high handle must
+    widen the bounds of the SAME segment the assignment expression routes
+    it into — otherwise read_range prunes the segment that holds the row."""
+    store = DeltaStore(spark, str(tmp_path / "s"))
+    store.write_batch(
+        spark.createDataFrame([(0, "w1h0")], f"{HANDLE} long, v string"), version=1
+    )
+    store.compact(ts=2)
+    store.compact_range_segments(ts=3, num_segments=2)
+    store.ingest_snapshot(
+        spark.createDataFrame([(2, "ingest4h2")], f"{HANDLE} long, v string"),
+        version=4,
+    )
+    assert {r[HANDLE]: r.v for r in store.read_range(2, 8).collect()} == {
+        2: "ingest4h2"
+    }
+    # full read and a low-side out-of-range ingest stay consistent too
+    assert {r[HANDLE] for r in store.read().collect()} == {0, 2}
+    store.ingest_snapshot(
+        spark.createDataFrame([(-5, "ingest5hm5")], f"{HANDLE} long, v string"),
+        version=5,
+    )
+    assert {r[HANDLE]: r.v for r in store.read_range(-10, 0).collect()} == {
+        -5: "ingest5hm5"
+    }

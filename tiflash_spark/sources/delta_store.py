@@ -786,6 +786,30 @@ class DeltaStore:
             expr = F.when(F.col(HANDLE) < F.lit(bhi), F.lit(s)).otherwise(expr)
         return expr.cast("int")
 
+    @staticmethod
+    def _widen_outer_bounds(man: dict, dlo, dhi) -> None:
+        """Widen the manifest's outermost bounds to cover an ingested
+        [dlo, dhi], choosing the outer segments by THE SAME rule as
+        _seg_assign_expr (sorted by lower bound, stable: first segment
+        absorbs low out-of-range handles, last absorbs high ones).
+
+        Choosing by max-upper-bound instead diverges on degenerate
+        manifests — a near-empty compaction can mint an empty trailing
+        range like {0: [0,1), 1: [1,1)} where max-by-bhi ties onto
+        segment 0 while the assignment routes new high handles into
+        segment 1; read_range would then prune the segment that actually
+        holds them (silent row loss; pinned by
+        test_store_properties.py::test_random_op_sequences_match_model
+        and test_segment_lifecycle.py::test_ingest_bounds_follow_assignment)."""
+        ordered = sorted(man["bounds"].values(), key=lambda b: b[0])
+        b0, btop = ordered[0], ordered[-1]
+        if isinstance(dlo, str):
+            b0[0] = min(b0[0], dlo)
+            btop[1] = max(btop[1], dhi + "\x00")
+        else:
+            b0[0] = min(b0[0], int(dlo))
+            btop[1] = max(btop[1], int(dhi) + 1)
+
     def read_range(self, lo: int, hi: int, ts: int | None = None) -> DataFrame:
         """Range read [lo, hi): with a range-segmented stable layer only
         the overlapping segments are listed/scanned (manifest pruning —
@@ -929,14 +953,7 @@ class DeltaStore:
             # assignment is bounds-driven (_seg_assign_expr), so widening
             # the outermost bounds both fixes pruning AND routes future
             # out-of-range handles consistently
-            b0 = min(man["bounds"].values(), key=lambda b: b[0])
-            btop = max(man["bounds"].values(), key=lambda b: b[1])
-            if isinstance(dlo, str):
-                b0[0] = min(b0[0], dlo)
-                btop[1] = max(btop[1], dhi + "\x00")
-            else:
-                b0[0] = min(b0[0], int(dlo))
-                btop[1] = max(btop[1], int(dhi) + 1)
+            self._widen_outer_bounds(man, dlo, dhi)
         with open(os.path.join(stage, "_MANIFEST"), "w") as fh:
             json.dump(man, fh)
         # zone map: carry the cold segments' entries, DROP the dirty ones
@@ -1053,14 +1070,7 @@ class DeltaStore:
         self._merge_staged_files(tmp, stage)
         if man:
             if dlo is not None:
-                b0 = min(man["bounds"].values(), key=lambda b: b[0])
-                btop = max(man["bounds"].values(), key=lambda b: b[1])
-                if isinstance(dlo, str):
-                    b0[0] = min(b0[0], dlo)
-                    btop[1] = max(btop[1], dhi + "\x00")
-                else:
-                    b0[0] = min(b0[0], int(dlo))
-                    btop[1] = max(btop[1], int(dhi) + 1)
+                self._widen_outer_bounds(man, dlo, dhi)
             with open(os.path.join(stage, "_MANIFEST"), "w") as fh:
                 json.dump(man, fh)
         if zm and touched:
