@@ -72,6 +72,9 @@ PIPELINE_HEADLINE = [
     "fulltext_boolean",
     "ccnet_buckets",
     "decontaminate_fuzzy",
+    "shard_training_order",
+    "mix_token_budget",
+    "multimodal_phash",
 ]
 
 

@@ -212,15 +212,14 @@ def test_phash_stub_mean_threshold():
 
 
 def test_multimodal_phash_report_consistency(spark):
-    """Exact-dup members >= 2 per group; banded candidate pairs include
-    every exact-dup pair (Hamming 0 shares all bands); counts bounded by
-    n_media."""
+    """Exact-dup members >= 2 per group; banded candidates are DISTINCT
+    SIGNATURE pairs (exact dups are grouped before banding — banding raw
+    rows is the quadratic blow-up the docstring forbids), bounded by
+    C(n_sigs, 2)."""
     from tests.conftest import SF_SMALL
     from tiflash_spark.pipeline.multimodal import multimodal_phash_dedup
 
     r = multimodal_phash_dedup(spark, SF_SMALL).collect()[0]
     assert r.n_sigs <= r.n_media
     assert r.n_dup_media >= 2 * r.n_dup_groups
-    # every exact-dup group of size n contributes C(n,2) band pairs
-    min_pairs = r.n_dup_media - r.n_dup_groups  # sum (n-1) <= sum C(n,2)
-    assert r.n_band_pairs >= min_pairs
+    assert 0 <= r.n_band_sig_pairs <= r.n_sigs * (r.n_sigs - 1) // 2

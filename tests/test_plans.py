@@ -170,3 +170,27 @@ def test_round3_query_shuffle_ceilings(spark):
     for name, cap in ceilings.items():
         got = exchange_count(qs[name](spark, SF_SMALL))
         assert got <= cap, (name, got, cap)
+
+
+def test_scan_data_sharing_reused_exchange(spark):
+    """Scan/data sharing across consumers (reference design doc
+    2022-07-25-read-thread-pool-and-data-sharing.md: one storage read
+    feeds multiple query threads). Spark analogue: identical exchange
+    subtrees are computed ONCE and re-read (ReusedExchange). Pin it on a
+    self-join of an aggregate with itself — the shuffled agg must appear
+    once, the second consumer as ReusedExchange, not a second scan."""
+    from pyspark.sql import functions as F
+    from tiflash_spark.catalog import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("qty"))
+    joined = per_part.alias("a").hint("merge").join(
+        per_part.alias("b"),
+        (F.col("a.l_partkey") == F.col("b.l_partkey"))
+        & (F.col("a.qty") <= F.col("b.qty")),
+    )
+    # AQE applies exchange/stage reuse at runtime — the pin must read the
+    # EXECUTED plan (the initial explain still shows two exchanges)
+    joined.collect()
+    jplan = joined._jdf.queryExecution().executedPlan()
+    assert "ReusedExchange" in jplan.toString()

@@ -611,14 +611,18 @@ def phash_media(df: DataFrame) -> DataFrame:
 
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """media → pHash (mapInPandas) → exact-signature dup groups + banded
-    near-dup candidate pairs. One-row report: media/signature counts,
-    exact-dup group/member counts, distinct banded candidate pairs, and
-    SUM(phash) pinning every signature value.
+    near-dup candidate SIGNATURE pairs. One-row report: media/signature
+    counts, exact-dup group/member counts, distinct banded candidate
+    signature pairs, and SUM(phash) pinning every signature value.
 
     Scale: signature groupBy is a 2-byte-key shuffle with map-side
-    combine; the band join shuffles (band, value) buckets — the LSH
-    shape, never all-pairs. Candidate pair volume is bounded by bucket
-    sizes exactly as in dedup.py's SimHash path."""
+    combine. The band join runs over DISTINCT signatures, never rows —
+    banding raw media rows would put every copy of a popular signature
+    in the same 4-bit bucket and the join would blow up quadratically in
+    the duplicate counts (measured: 13 s vs 0.3 s at sf0.1). Exact
+    duplicates are already grouped by the groupBy; the banded join's job
+    is only to propose near-miss signature pairs for Hamming
+    verification, and there are at most 2^PHASH_BITS nodes."""
     sigs = phash_media(synthetic_media(spark, sf_dir)).select("media_id", "phash")
     by_sig = sigs.groupBy("phash").agg(F.count(F.lit(1)).alias("n"))
     exact = by_sig.agg(
@@ -632,8 +636,8 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_media"),
         F.sum("phash").cast("long").alias("sig_digest"),
     )
-    bands = sigs.select(
-        "media_id",
+    bands = by_sig.select(
+        "phash",
         F.explode(
             F.array(
                 *[
@@ -645,27 +649,25 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bv"),
-    ).select("media_id", "bv.b", "bv.v")
+    ).select("phash", "bv.b", "bv.v")
     pairs = (
         bands.alias("l")
         .join(
             bands.alias("r"),
             (F.col("l.b") == F.col("r.b"))
             & (F.col("l.v") == F.col("r.v"))
-            & (F.col("l.media_id") < F.col("r.media_id")),
+            & (F.col("l.phash") < F.col("r.phash")),
         )
-        .select(
-            F.col("l.media_id").alias("a"), F.col("r.media_id").alias("bm")
-        )
+        .select(F.col("l.phash").alias("a"), F.col("r.phash").alias("bs"))
         .distinct()
-        .agg(F.count(F.lit(1)).cast("long").alias("n_band_pairs"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_band_sig_pairs"))
     )
     return (
         base.crossJoin(exact)
         .crossJoin(pairs)
         .select(
             "n_media", "n_sigs", "n_dup_groups", "n_dup_media",
-            "n_band_pairs", "sig_digest",
+            "n_band_sig_pairs", "sig_digest",
         )
     )
 
@@ -691,13 +693,13 @@ by_sig AS (
   SELECT phash, COUNT(*) AS n FROM sigs GROUP BY phash
 ),
 bands AS (
-  SELECT media_id, i AS b, (phash >> (4 * CAST(i AS INT))) & 15 AS v
-  FROM sigs, UNNEST(GENERATE_SERIES(0, 3)) AS t(i)
+  SELECT phash, i AS b, (phash >> (4 * CAST(i AS INT))) & 15 AS v
+  FROM by_sig, UNNEST(GENERATE_SERIES(0, 3)) AS t(i)
 ),
 pairs AS (
-  SELECT COUNT(DISTINCT l.media_id * 16777216 + r.media_id) AS n_band_pairs
+  SELECT COUNT(DISTINCT l.phash * 65536 + r.phash) AS n_band_sig_pairs
   FROM bands l JOIN bands r
-    ON l.b = r.b AND l.v = r.v AND l.media_id < r.media_id
+    ON l.b = r.b AND l.v = r.v AND l.phash < r.phash
 )
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sigs) AS n_media,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM by_sig) AS n_sigs,
@@ -705,7 +707,7 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sigs) AS n_media,
          AS n_dup_groups,
        (SELECT CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) FROM by_sig)
          AS n_dup_media,
-       (SELECT CAST(n_band_pairs AS BIGINT) FROM pairs) AS n_band_pairs,
+       (SELECT CAST(n_band_sig_pairs AS BIGINT) FROM pairs) AS n_band_sig_pairs,
        (SELECT CAST(SUM(phash) AS BIGINT) FROM sigs) AS sig_digest
 """
 
