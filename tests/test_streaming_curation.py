@@ -1,0 +1,108 @@
+"""Streaming curation pipeline e2e: quality gate -> watermark dedup ->
+decontamination -> token accounting over file-source micro-batches, with
+state persisting across restarts (SURVEY.md §2.6 ingest path, curation-
+aware variant)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tiflash_spark.streaming.curation import (
+    curate_stream,
+    decontaminate_stream,
+    quality_gate,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+CLEAN_A = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+CLEAN_E = "noble quartz vivid zephyr magnet copper lunar tidal ember frost glade haven"
+JUNK_B = "spam spam spam spam spam spam spam spam spam spam spam spam"
+EVAL_TXT = "secret bench eval gram five tail words here now"
+CONTAM_D = "prefix words then secret bench eval gram five and a clean tail suffix"
+
+
+def _write(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run(stream_df, out, ckpt):
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_quality_gate_literal(spark):
+    df = spark.createDataFrame(
+        [(CLEAN_A,), (JUNK_B,), ("tiny",), ("",)], "text: string"
+    ).select(quality_gate(F.col("text")).alias("keep"))
+    assert [r.keep for r in df.collect()] == [True, False, False, False]
+
+
+def test_decontaminate_stream_is_stateless_codegen(spark, tmp_path):
+    """The gram check must be a literal-array filter (no join, no state) —
+    plan contains arrays_overlap and no streaming aggregation."""
+    src = str(tmp_path / "in")
+    _write(f"{src}/b0.json", [{"ts": "2024-01-01 00:01:00", "doc_id": 1, "text": CONTAM_D}])
+    eval_docs = spark.createDataFrame([(EVAL_TXT,)], "text: string")
+    out = decontaminate_stream(
+        spark.readStream.schema(SCHEMA).json(src), eval_docs
+    )
+    assert "arrays_overlap" in out._jdf.queryExecution().analyzed().toString()
+
+
+def test_curate_stream_e2e_and_state_across_restarts(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    eval_docs = spark.createDataFrame([(EVAL_TXT,)], "text: string")
+    _write(
+        f"{src}/b0.json",
+        [
+            {"ts": "2024-01-01 00:01:00", "doc_id": 1, "text": CLEAN_A},
+            {"ts": "2024-01-01 00:01:10", "doc_id": 2, "text": JUNK_B},
+            {"ts": "2024-01-01 00:01:20", "doc_id": 3, "text": CLEAN_A},  # fp dup of 1
+            {"ts": "2024-01-01 00:01:30", "doc_id": 4, "text": CONTAM_D},
+        ],
+    )
+    curated = curate_stream(
+        spark.readStream.schema(SCHEMA).json(src), eval_docs=eval_docs
+    )
+    _run(curated, out, ckpt)
+
+    # second batch through a NEW query instance on the same checkpoint:
+    # the fp state must survive, folding a cross-batch re-delivery
+    _write(
+        f"{src}/b1.json",
+        [
+            {"ts": "2024-01-01 00:03:00", "doc_id": 5, "text": CLEAN_A},  # redelivery
+            {"ts": "2024-01-01 00:04:00", "doc_id": 6, "text": CLEAN_E},
+        ],
+    )
+    curated2 = curate_stream(
+        spark.readStream.schema(SCHEMA).json(src), eval_docs=eval_docs
+    )
+    _run(curated2, out, ckpt)
+
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 6]
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[1].n_tok == 12 and by_id[6].n_tok == 12
+    assert by_id[1].fp is not None and by_id[1].fp != by_id[6].fp
