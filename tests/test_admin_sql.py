@@ -1,0 +1,47 @@
+"""ALTER TABLE ... COMPACT admin-SQL surface over DeltaStore
+(docs/design/2022-05-19-compact-table-via-sql.md analogue)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tiflash_spark.operators.mvcc import HANDLE
+from tiflash_spark.sources.admin_sql import run_sql
+from tiflash_spark.sources.delta_store import DeltaStore
+
+
+def _store(spark, tmp_path):
+    store = DeltaStore(spark, str(tmp_path / "t"))
+    store.write_batch(
+        spark.createDataFrame(
+            [(1, "a1"), (2, "b1")], f"{HANDLE} long, v string"
+        ),
+        version=1,
+    )
+    store.write_batch(
+        spark.createDataFrame([(1, "a2")], f"{HANDLE} long, v string"), version=2
+    )
+    return store
+
+
+def test_compact_statement_folds_delta_and_refreshes_view(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    store.as_view("docs_t")
+    res = run_sql(
+        spark, "ALTER TABLE docs_t COMPACT TIFLASH REPLICA", {"docs_t": store}
+    ).collect()[0]
+    assert res.table_name == "docs_t" and res.safe_point == 2
+    assert res.rows_kept == 2  # newest-per-handle after fold
+    # delta folded away; reads unchanged; view re-registered post-compact
+    assert store._layer("delta") is None
+    got = {r[HANDLE]: r.v for r in run_sql(spark, "SELECT * FROM docs_t").collect()}
+    assert got == {1: "a2", 2: "b1"}
+
+
+def test_non_admin_sql_passes_through(spark):
+    assert run_sql(spark, "SELECT 1 + 1 AS two").collect()[0].two == 2
+
+
+def test_unregistered_table_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="no DeltaStore registered"):
+        run_sql(spark, "ALTER TABLE nope COMPACT", {})

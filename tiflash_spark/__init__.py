@@ -28,6 +28,10 @@ def __getattr__(name: str):
         from tiflash_spark.sources import remote_store
 
         return getattr(remote_store, name)
+    if name == "run_sql":
+        from tiflash_spark.sources.admin_sql import run_sql
+
+        return run_sql
     raise AttributeError(name)
 
 
@@ -39,5 +43,6 @@ __all__ = [
     "checkpoint",
     "restore_store",
     "remote_compact",
+    "run_sql",
 ]
 __version__ = "0.1.0"

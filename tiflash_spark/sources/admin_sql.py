@@ -1,0 +1,55 @@
+"""Admin-SQL surface: `ALTER TABLE <t> COMPACT [TIFLASH REPLICA]` routed
+onto DeltaStore maintenance (reference design doc
+docs/design/2022-05-12 ... 2022-05-19-compact-table-via-sql.md: TiDB
+parses the statement and drives TiFlash's Segment compaction through a
+service call; here the statement drives DeltaStore.compact directly).
+
+Everything that is not an admin statement passes through to spark.sql
+untouched, so a session opened with open_catalog + as_view can be driven
+entirely through one `run_sql` entry point — query and maintenance both,
+the way a reference user drives TiDB."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tiflash_spark.sources.delta_store import VERSION, DeltaStore
+
+__all__ = ["run_sql"]
+
+_COMPACT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+COMPACT(?:\s+TIFLASH\s+REPLICA)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def run_sql(
+    spark: SparkSession, sql: str, stores: dict[str, DeltaStore] | None = None
+) -> DataFrame:
+    """Execute ``sql``; admin statements are intercepted, everything else
+    is plain spark.sql. `ALTER TABLE t COMPACT` compacts the registered
+    store at its newest committed version (the statement's contract: all
+    current delta folded; later writes keep MVCC semantics), re-registers
+    the table view (as_view snapshots are plan-time), and returns a
+    one-row result the way TiDB returns an OK packet with info."""
+    m = _COMPACT.match(sql)
+    if m:
+        name = m.group(1)
+        if not stores or name not in stores:
+            raise ValueError(
+                f"ALTER TABLE {name} COMPACT: no DeltaStore registered "
+                f"under {name!r} (known: {sorted(stores or {})})"
+            )
+        store = stores[name]
+        top = store.log().agg(F.max(VERSION).alias("v")).collect()[0].v
+        ts = int(top) if top is not None else 0
+        kept = store.compact(ts=ts) if top is not None else 0
+        store.as_view(name)
+        return spark.createDataFrame(
+            [(name, ts, int(kept))],
+            "table_name string, safe_point long, rows_kept long",
+        )
+    return spark.sql(sql)
