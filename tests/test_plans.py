@@ -166,6 +166,11 @@ def test_round3_query_shuffle_ceilings(spark):
         "dedup_semantic": 5,         # cluster pair join + rank + report join
         "fulltext_boolean": 3,       # posting agg + anti join + sort
         "ccnet_buckets": 4,          # doc score agg + lang window + rollup
+        # round-5 operators
+        "shard_training_order": 2,   # shard window shuffle + final agg
+        "mix_token_budget": 10,      # 2 corpus legs (bucket agg + bucket window);
+                                     # rest are |sources|-row offs/quota frames
+        "multimodal_phash": 6,       # sig agg + distinct-sig band join + 1-row assembly
     }
     for name, cap in ceilings.items():
         got = exchange_count(qs[name](spark, SF_SMALL))
