@@ -75,6 +75,7 @@ PIPELINE_HEADLINE = [
     "shard_training_order",
     "mix_token_budget",
     "multimodal_phash",
+    "dataset_card",
 ]
 
 

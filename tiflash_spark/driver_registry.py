@@ -291,6 +291,11 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
          ["SUM(docs_kept + tokens_kept + quota_tokens)",
           "ROUND(SUM(fill_ratio), 4)",
           "SUM(order_digest + LENGTH(source))"]),
+        ("dataset_card",
+         ["SUM(n_docs + n_unique + g_src + g_lang)",
+          "SUM(n_tokens)",
+          "ROUND(SUM(keep_rate), 4)",
+          "SUM(COALESCE(LENGTH(source), 0) + COALESCE(LENGTH(lang), 0))"]),
     ],
     "multimodal_pipeline": [
         ("multimodal_decode",

@@ -768,6 +768,103 @@ ORACLE["shard_training_order"] = SHARD_TRAINING_ORDER_SQL
 ORACLE["mix_token_budget"] = MIX_TOKEN_BUDGET_SQL
 
 
+# --- dataset report card ------------------------------------------------------
+
+
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "data card" a training run ships with, in ONE corpus pass:
+    ROLLUP(source, lang) × {docs, tokens, distinct contents (exact-dup
+    view), Gopher keep rate} — per-cell, per-source, and corpus-total
+    rows from a single Expand aggregate.
+
+    Scale: one tokenize (materialized array column, the quality_signals
+    rule), one rollup aggregate; COUNT(DISTINCT fp) rides the same
+    shuffle via Spark's distinct-aggregate expansion. No second corpus
+    pass for any column."""
+    from tiflash_spark.pipeline.text import (
+        dup_gram_frac,
+        mean_word_len,
+        tokens,
+        top_word_frac,
+    )
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "w", tokens(F.col("text"))
+    )
+    w = F.col("w")
+    n = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(F.size(w))
+    mwl = mean_word_len(w)
+    keep = (
+        (n >= 10) & (n <= 100_000)
+        & (mwl >= 3) & (mwl <= 10)
+        & (top_word_frac(w) <= 0.2)
+        & (dup_gram_frac(w, 3) <= 0.2)
+    )
+    per_doc = d.select(
+        "source",
+        "lang",
+        F.md5(F.trim(F.col("text"))).alias("fp"),
+        n.cast("long").alias("n_tok"),
+        keep.cast("int").alias("keep"),
+    )
+    return (
+        per_doc.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.countDistinct("fp").cast("long").alias("n_unique"),
+            F.round(F.avg("keep"), 4).alias("keep_rate"),
+            F.grouping("source").cast("int").alias("g_src"),
+            F.grouping("lang").cast("int").alias("g_lang"),
+        )
+        .orderBy("g_src", "g_lang", "source", "lang")
+    )
+
+
+DATASET_CARD_SQL = """
+WITH tok AS (
+  SELECT doc_id, source, lang, MD5(TRIM(text)) AS fp,
+         REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +') AS w,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +')) END AS n
+  FROM documents
+), topw AS (
+  SELECT doc_id, MAX(c) AS top_count
+  FROM (SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(w) AS t FROM tok) GROUP BY doc_id, t)
+  GROUP BY doc_id
+), sig AS (
+  SELECT k.source, k.lang, k.fp, k.n,
+         CAST(t.top_count AS DOUBLE) / k.n AS twf,
+         CASE WHEN LEN(g3) > 0
+              THEN 1 - CAST(LEN(LIST_DISTINCT(g3)) AS DOUBLE) / LEN(g3)
+              ELSE 0.0 END AS dup3,
+         CAST(LIST_SUM(LIST_TRANSFORM(w, x -> LENGTH(x))) AS DOUBLE) / k.n AS mwl
+  FROM (SELECT *,
+               LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 2, 0) + 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+        FROM tok) k
+  JOIN topw t ON k.doc_id = t.doc_id
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+       ROUND(AVG(CASE WHEN n >= 10 AND n <= 100000 AND mwl >= 3 AND mwl <= 10
+                           AND twf <= 0.2 AND dup3 <= 0.2
+                      THEN 1 ELSE 0 END), 4) AS keep_rate,
+       CAST(GROUPING(source) AS INT) AS g_src,
+       CAST(GROUPING(lang) AS INT) AS g_lang
+FROM sig
+GROUP BY ROLLUP(source, lang)
+ORDER BY g_src, g_lang, source, lang
+"""
+
+
+QUERIES["dataset_card"] = dataset_card
+ORACLE["dataset_card"] = DATASET_CARD_SQL
+
+
 # --- end-to-end curation pipeline composition --------------------------------
 
 

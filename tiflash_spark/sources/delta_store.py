@@ -2417,3 +2417,132 @@ class DeltaStore:
                 self.merge_segments(*pair)
                 merges += 1
         return (splits, merges)
+
+    # --- system tables (introspection) --------------------------------------
+
+    def system_dt_segments(self) -> DataFrame:
+        """The DT_SEGMENTS system-table analogue (reference
+        dbms/src/Storages/System/StorageSystemDTSegments.cpp: one row per
+        Segment with range, rows, and delta/stable breakdown). Columns:
+        seg id (NULL for an unsegmented stable layer), manifest range
+        bounds as strings (range manifests only), stable row count,
+        on-disk stable bytes, delta rows assigned to the segment, and
+        which sidecar indexes cover it (zone map / inverted / vector).
+
+        Cost contract: one map-side-combined count over stable, at most
+        one over the delta (skipped when the delta is empty), a driver
+        walk of the segment dirs for bytes — maintenance-grade, same
+        order as the rebalance policy's seg_counts probe."""
+        man = self._manifest()
+        stable = self._layer("stable")
+        if stable is None:
+            return self.spark.createDataFrame(
+                [],
+                "seg int, range_lo string, range_hi string, stable_rows long,"
+                " stable_bytes long, delta_rows long, zonemap boolean,"
+                " inverted_cols int, vector_cols int",
+            )
+        segmented = "_seg" in stable.columns
+        if segmented:
+            rows = {
+                int(r.s): int(r.n)
+                for r in stable.groupBy(F.col("_seg").alias("s"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        else:
+            rows = {None: stable.count()}
+        delta = self._layer("delta") if self._delta_has_files() else None
+        drows: dict = {}
+        if delta is not None:
+            if man:
+                seg_of = self._seg_assign_expr(man)
+                drows = {
+                    int(r.s): int(r.n)
+                    for r in delta.select(seg_of.alias("s"))
+                    .groupBy("s")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+            else:
+                drows = {None: delta.count()}
+
+        def _dir_bytes(d: str) -> int:
+            total = 0
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    if not f.startswith(("_", ".")):
+                        total += os.path.getsize(os.path.join(root, f))
+            return total
+
+        zm = self._zonemap()
+        inv = self._invidx_meta()
+        vec = self._vecidx_meta()
+        out = []
+        for s in sorted(rows, key=lambda k: (k is None, k)):
+            if segmented and s is not None:
+                seg_dir = os.path.join(self.stable_path(), f"_seg={s}")
+                blo, bhi = (man["bounds"].get(str(s), (None, None)) if man
+                            else (None, None))
+                zm_cov = bool(zm and str(s) in zm.get("segs", {}))
+                inv_cov = sum(1 for c, segs in inv.items() if s in segs)
+                vec_cov = sum(
+                    1 for c, m in (vec or {}).items()
+                    if s in m.get("segs", [])
+                )
+            else:
+                seg_dir = self.stable_path()
+                blo = bhi = None
+                zm_cov, inv_cov, vec_cov = False, 0, 0
+            out.append(
+                (
+                    s,
+                    None if blo is None else str(blo),
+                    None if bhi is None else str(bhi),
+                    rows[s],
+                    _dir_bytes(seg_dir),
+                    drows.get(s, 0),
+                    zm_cov,
+                    inv_cov,
+                    vec_cov,
+                )
+            )
+        return self.spark.createDataFrame(
+            out,
+            "seg int, range_lo string, range_hi string, stable_rows long,"
+            " stable_bytes long, delta_rows long, zonemap boolean,"
+            " inverted_cols int, vector_cols int",
+        )
+
+    def system_dt_tables(self) -> DataFrame:
+        """The DT_TABLES system-table analogue (reference
+        dbms/src/Storages/System/StorageSystemDTTables.cpp: one summary
+        row per DeltaTree table). One row: path, schema version, layout
+        kind, segment count, stable/delta row totals, pending range
+        tombstones, and index counts."""
+        man = self._manifest()
+        n_seg = self._num_segments()
+        stable = self._layer("stable")
+        delta = self._layer("delta") if self._delta_has_files() else None
+        kind = (
+            man["kind"] if man else ("hash" if n_seg else
+                                     ("flat" if stable is not None else "empty"))
+        )
+        row = (
+            self.path,
+            self.schema_version(),
+            kind,
+            (man["n"] if man else (n_seg or (1 if stable is not None else 0))),
+            int(stable.count()) if stable is not None else 0,
+            int(delta.count()) if delta is not None else 0,
+            len(self._range_dels()),
+            len(self._invidx_meta()),
+            len(self._vecidx_meta() or {}),
+            self._zonemap() is not None,
+        )
+        return self.spark.createDataFrame(
+            [row],
+            "path string, schema_version int, layout string, n_segments int,"
+            " stable_rows long, delta_rows long, range_tombstones int,"
+            " inverted_indexes int, vector_indexes int, zonemap boolean",
+        )
