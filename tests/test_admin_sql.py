@@ -45,3 +45,11 @@ def test_non_admin_sql_passes_through(spark):
 def test_unregistered_table_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="no DeltaStore registered"):
         run_sql(spark, "ALTER TABLE nope COMPACT", {})
+
+
+def test_mysql_limit_offset_tail_rewrite(spark):
+    rows = run_sql(
+        spark,
+        "SELECT id FROM (SELECT explode(sequence(0, 9)) AS id) ORDER BY id LIMIT 3, 2",
+    ).collect()
+    assert [r.id for r in rows] == [3, 4]

@@ -106,3 +106,27 @@ def test_curate_stream_e2e_and_state_across_restarts(spark, tmp_path):
     by_id = {r.doc_id: r for r in rows}
     assert by_id[1].n_tok == 12 and by_id[6].n_tok == 12
     assert by_id[1].fp is not None and by_id[1].fp != by_id[6].fp
+
+
+def test_curate_stream_history_anti_join(spark, tmp_path):
+    """Docs whose fingerprint is already in the at-rest corpus never
+    reach the sink (stream-static LEFT ANTI on fp — dedup_incremental's
+    batch/stream split closed into one pipeline)."""
+    from pyspark.sql import functions as F2
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    _write(
+        f"{src}/b0.json",
+        [
+            {"ts": "2024-01-01 00:01:00", "doc_id": 1, "text": CLEAN_A},
+            {"ts": "2024-01-01 00:02:00", "doc_id": 2, "text": CLEAN_E},
+        ],
+    )
+    history = spark.createDataFrame([(CLEAN_A,)], "text: string").select(
+        F2.md5(F2.trim("text")).alias("fp")
+    )
+    curated = curate_stream(
+        spark.readStream.schema(SCHEMA).json(src), history_fps=history
+    )
+    _run(curated, out, ckpt)
+    assert [r.doc_id for r in spark.read.parquet(out).collect()] == [2]

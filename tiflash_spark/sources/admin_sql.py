@@ -25,6 +25,13 @@ _COMPACT = re.compile(
     re.IGNORECASE,
 )
 
+# MySQL's `LIMIT offset, count` tail — Spark only accepts
+# `LIMIT count OFFSET offset`. Matched at statement tail only (outside
+# any subquery a trailing-limit rewrite could corrupt); other MySQL-isms
+# (backticks, != , DIV-named functions) are already Spark-native or
+# covered by functions/sql_registry.
+_MYSQL_LIMIT = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)\s*;?\s*$", re.IGNORECASE)
+
 
 def run_sql(
     spark: SparkSession, sql: str, stores: dict[str, DeltaStore] | None = None
@@ -52,4 +59,5 @@ def run_sql(
             [(name, ts, int(kept))],
             "table_name string, safe_point long, rows_kept long",
         )
+    sql = _MYSQL_LIMIT.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
     return spark.sql(sql)

@@ -102,27 +102,43 @@ def decontaminate_stream(
 def curate_stream(
     stream: DataFrame,
     eval_docs: DataFrame | None = None,
+    history_fps: DataFrame | None = None,
     ts_col: str = "ts",
     text_col: str = "text",
     delay: str = "10 minutes",
 ) -> DataFrame:
-    """quality gate → watermark-bounded fingerprint dedup →
-    decontaminate → token accounting, over a streaming documents source.
+    """quality gate → history dedup → watermark-bounded fingerprint
+    dedup → decontaminate → token accounting, over a streaming documents
+    source.
 
     Returns the curated append stream with `fp` (content fingerprint,
     the key dedup_incremental uses against the at-rest corpus) and
-    `n_tok` added. Stage order matters for state size: the quality gate
-    and decontamination run BEFORE the stateful dedup so junk and eval
-    overlap never enter the state store."""
+    `n_tok` added. Stage order matters for state size: the quality gate,
+    history check and decontamination run BEFORE the stateful dedup so
+    junk, already-ingested content and eval overlap never enter the
+    state store.
+
+    ``history_fps``: a static DataFrame with an `fp` column (the at-rest
+    corpus's fingerprints — e.g. the table dedup_incremental maintains).
+    Stream-static LEFT ANTI drops docs whose content is already in the
+    corpus; Spark re-plans the static side per micro-batch, so a history
+    refresh is picked up without restarting the query — the
+    dedup_incremental batch/stream split closed into one pipeline."""
     from tiflash_spark.streaming.dedup import streaming_dedup
 
     gated = stream.filter(quality_gate(F.col(text_col)))
     if eval_docs is not None:
         gated = decontaminate_stream(gated, eval_docs, text_col)
     fp = F.md5(F.trim(F.col(text_col)))
-    deduped = streaming_dedup(
-        gated.withColumn("fp", fp), ["fp"], ts_col, delay=delay
-    )
+    gated = gated.withColumn("fp", fp)
+    if history_fps is not None:
+        # no broadcast hint: history is corpus-sized at scale — let AQE
+        # pick (it broadcasts the MICRO-BATCH side when that is smaller);
+        # at 100 TB the static side should be the bucketed fp table
+        # dedup_incremental maintains, so the anti join co-locates on fp
+        # instead of re-shuffling history per micro-batch
+        gated = gated.join(history_fps.select("fp").distinct(), "fp", "left_anti")
+    deduped = streaming_dedup(gated, ["fp"], ts_col, delay=delay)
     n_tok = F.when(
         F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
     ).otherwise(F.size(tokens(F.col(text_col))))
