@@ -130,3 +130,49 @@ def test_curate_stream_history_anti_join(spark, tmp_path):
     )
     _run(curated, out, ckpt)
     assert [r.doc_id for r in spark.read.parquet(out).collect()] == [2]
+
+
+def test_curated_stream_feeds_delta_store(spark, tmp_path):
+    """Full continuous pipeline: file source -> curate_stream ->
+    start_ingest -> DeltaStore. Only curated docs land in the store;
+    resume on the same checkpoint ingests only the new batch; MVCC
+    versions stay monotonic (earlier snapshot excludes the later batch)."""
+    from pyspark.sql import functions as F2
+
+    from tiflash_spark.operators.mvcc import HANDLE
+    from tiflash_spark.sources.delta_store import DeltaStore
+    from tiflash_spark.streaming.ingest import start_ingest
+
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    store = DeltaStore(spark, str(tmp_path / "store"))
+    _write(
+        f"{src}/b0.json",
+        [
+            {"ts": "2024-01-01 00:01:00", "doc_id": 1, "text": CLEAN_A},
+            {"ts": "2024-01-01 00:01:10", "doc_id": 2, "text": JUNK_B},
+            {"ts": "2024-01-01 00:01:20", "doc_id": 3, "text": CLEAN_A},
+        ],
+    )
+
+    def run():
+        curated = curate_stream(spark.readStream.schema(SCHEMA).json(src))
+        rows = curated.select(
+            F2.col("doc_id").alias(HANDLE), "text", "fp", "n_tok"
+        )
+        start_ingest(rows, store, ckpt).awaitTermination(120)
+
+    run()
+    assert {r[HANDLE] for r in store.read().collect()} == {1}
+    v_after_b0 = 2  # batch 0 -> version 2 (see start_ingest versioning)
+
+    _write(
+        f"{src}/b1.json",
+        [
+            {"ts": "2024-01-01 00:02:00", "doc_id": 4, "text": CLEAN_A},  # redelivery
+            {"ts": "2024-01-01 00:02:10", "doc_id": 5, "text": CLEAN_E},
+        ],
+    )
+    run()
+    assert {r[HANDLE] for r in store.read().collect()} == {1, 5}
+    # stale snapshot at the batch-0 version excludes the later ingest
+    assert {r[HANDLE] for r in store.read(ts=v_after_b0).collect()} == {1}
