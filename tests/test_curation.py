@@ -239,3 +239,20 @@ def test_mix_token_budget_greedy_boundary(spark):
         else:
             # source exhausted below quota: everything kept
             assert r.tokens_kept == tok_src
+
+
+def test_assign_training_shards_epoch_seeds(spark):
+    """Different seeds produce different permutations; the same seed is
+    stable; (shard, pos) is a bijection onto the docs."""
+    from tiflash_spark.pipeline.curation import assign_training_shards
+
+    d = spark.range(200).withColumnRenamed("id", "doc_id")
+    e0 = assign_training_shards(d, seed=1).collect()
+    e0b = assign_training_shards(d, seed=1).collect()
+    e1 = assign_training_shards(d, seed=2).collect()
+    key = lambda rows: sorted((r.doc_id, r.shard, r.pos) for r in rows)  # noqa: E731
+    assert key(e0) == key(e0b)
+    assert key(e0) != key(e1)
+    assert sorted(r.doc_id for r in e0) == list(range(200))
+    # (shard, pos) unique — a loader can address any sample by it
+    assert len({(r.shard, r.pos) for r in e0}) == 200

@@ -539,9 +539,35 @@ N_TRAIN_SHARDS = 8
 SHUFFLE_SEED = 20240817
 
 
-def _order_hash(key: Column) -> Column:
+def _order_hash(key: Column, seed: int = SHUFFLE_SEED) -> Column:
     """Seeded deterministic permutation key (portable LCG, both engines)."""
-    return _portable_hash(key + F.lit(SHUFFLE_SEED))
+    return _portable_hash(key + F.lit(seed))
+
+
+def assign_training_shards(
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    n_shards: int = N_TRAIN_SHARDS,
+    seed: int = SHUFFLE_SEED,
+) -> DataFrame:
+    """Library form of the seeded training-order shuffle: adds
+    (shard, pos) to ``df`` — shard from the hash HIGH bits (the LCG's
+    low bits cycle over consecutive ids; see shard_training_order),
+    position = row_number within shard ordered by (hash, id). Epoch k's
+    reshuffle is the same call with a different seed; every worker
+    derives the identical permutation with no coordination.
+
+    Plan: one exchange on shard + per-shard sort — no global sort at any
+    n_shards; size n_shards to loader-sized shards (O(thousands) at
+    100 TB), parallelism scales with it."""
+    from pyspark.sql import Window
+
+    h = _order_hash(F.col(doc_col), seed)
+    out = df.withColumn("_h", h).withColumn(
+        "shard", ((F.col("_h") / 65536).cast("long") % n_shards).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("_h", doc_col)
+    return out.withColumn("pos", F.row_number().over(w)).drop("_h")
 
 
 def shard_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,21 +585,11 @@ def shard_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     N_TRAIN_SHARDS, so at cluster scale N is set to O(thousands) (shards
     are loader-sized, ~a few GB each at 100 TB); the plan shape is
     identical. No global sort, no driver round-trip."""
-    from pyspark.sql import Window
-
     from tiflash_spark.pipeline.text import token_count
 
     d = load_table(spark, sf_dir, "documents")
-    docs = d.select(
-        "doc_id",
-        token_count(F.col("text")).cast("long").alias("n_tok"),
-        _order_hash(F.col("doc_id")).alias("h"),
-    ).withColumn(
-        "shard", ((F.col("h") / 65536).cast("long") % N_TRAIN_SHARDS).cast("long")
-    )
-    w = Window.partitionBy("shard").orderBy("h", "doc_id")
-    ordered = docs.select(
-        "shard", "doc_id", "n_tok", F.row_number().over(w).alias("pos")
+    ordered = assign_training_shards(
+        d.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tok"))
     )
     return (
         ordered.groupBy("shard")
