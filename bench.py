@@ -76,6 +76,8 @@ PIPELINE_HEADLINE = [
     "mix_token_budget",
     "multimodal_phash",
     "dataset_card",
+    "tpcds_q67_shape",
+    "tpcds_q5_shape",
 ]
 
 

@@ -171,6 +171,11 @@ def test_round3_query_shuffle_ceilings(spark):
         "mix_token_budget": 10,      # 2 corpus legs (bucket agg + bucket window);
                                      # rest are |sources|-row offs/quota frames
         "multimodal_phash": 6,       # sig agg + distinct-sig band join + 1-row assembly
+        # TPC-DS perf-suite shapes (dims broadcast; only the fact shuffles)
+        "tpcds_q67_shape": 3,        # rollup agg + window sort + final order
+        "tpcds_q27_shape": 2,        # rollup agg + order
+        "tpcds_q18_shape": 2,        # rollup agg + order (6 joins all broadcast)
+        "tpcds_q5_shape": 4,         # 2 channel aggs + rollup + order
     }
     for name, cap in ceilings.items():
         got = exchange_count(qs[name](spark, SF_SMALL))

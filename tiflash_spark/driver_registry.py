@@ -230,6 +230,33 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
         ("q22_global_sales",
          ["SUM(numcust)", "ROUND(SUM(totacctbal), 2)", "SUM(LENGTH(cntrycode))"]),
     ],
+    "tpcds_shapes": [
+        ("tpcds_q67_shape",
+         ["SUM(g_id + rk + COALESCE(d_year, 0) + COALESCE(d_qoy, 0))",
+          "ROUND(SUM(sumsales), 2)",
+          "SUM(COALESCE(LENGTH(p_type), 0) + COALESCE(LENGTH(p_brand), 0)"
+          " + COALESCE(LENGTH(s_name), 0))"]),
+        # agg/sales columns sit on a 1e-4 value grid (exact-int internals,
+        # see operators/tpcds.py), so digests round at 4dp — the rounding
+        # boundary (0.5e-4) is OFF the grid and ulp-stable; 2dp would put
+        # the boundary ON the grid and flip between engines
+        ("tpcds_q27_shape",
+         ["SUM(g_state + g_brand)",
+          "ROUND(SUM(agg1 + agg3 + agg4), 4)",
+          "ROUND(SUM(agg2), 4)",
+          "SUM(COALESCE(LENGTH(p_brand), 0) + COALESCE(LENGTH(n_name), 0))"]),
+        ("tpcds_q18_shape",
+         ["SUM(g_id)",
+          "ROUND(SUM(agg1 + agg3 + agg4), 4)",
+          "ROUND(SUM(agg2 + agg5 + agg6 + agg7), 4)",
+          "SUM(COALESCE(LENGTH(p_type), 0) + COALESCE(LENGTH(cn_name), 0)"
+          " + COALESCE(LENGTH(c_mktsegment), 0)"
+          " + COALESCE(LENGTH(o_orderpriority), 0))"]),
+        ("tpcds_q5_shape",
+         ["SUM(g_channel + g_id)",
+          "ROUND(SUM(sales + returns + profit), 4)",
+          "SUM(COALESCE(LENGTH(channel), 0) + COALESCE(LENGTH(id), 0))"]),
+    ],
     "temporal_join": [
         ("asof_join_events",
          ["SUM(event_id + user_id)",

@@ -1,0 +1,394 @@
+"""TPC-DS perf-suite shapes over the TPC-H-ish star schema.
+
+The reference's performance harness runs five TPC-DS queries against
+TiFlash (tests/fullstack-test/tpcds_util/tpcds_q{5,18,27,67,80}.sql,
+driven MPP-enforced) plus the rollup e2e test
+(tests/fullstack-test/mpp/rollup_tpcds.test). The TPC-DS tables don't
+exist in the testdata, so — exactly like the synthesized-partsupp TPC-H
+treatment (catalog.synth_partsupp) — the SHAPES are mirrored onto the
+tables we have: the operator compositions (multi-level ROLLUP feeding a
+ranked window, dual-role dimension joins, channel UNION ALL of
+sales/returns legs re-aggregated under ROLLUP) are what the reference
+exercises, and they are preserved 1:1.
+
+q80 is deliberately folded into the q5 shape: both are the
+channel-union-with-returns report (q80 adds a promotions dim — one more
+broadcast join, no new operator composition).
+
+Determinism rules these queries follow (they emit hundreds of rows, so
+"round the float agg" is NOT enough — at this row count a handful of
+sums WILL land an ulp from a rounding boundary and flip between
+engines, observed at sf0.01):
+- all money math runs on per-row integer cents (CAST(ROUND(x*100) AS
+  BIGINT) of identical parquet doubles is engine-identical), summed as
+  BIGINT (exact), divided back to dollars ONCE at the end — identical
+  IEEE operands give identical quotients, so even un-rounded doubles
+  compare equal;
+- averages divide the exact integer sum by (scale * count) and are
+  emitted RAW: identical IEEE operands give identical quotients, while
+  any SQL-side ROUND near a representational tie is engine-divergent
+  (Spark rounds the exact binary value via BigDecimal, DuckDB rounds
+  the x*10^k product — observed flips at sf0.01);
+- rollup NULLs order differently across engines (Spark NULLS FIRST vs
+  DuckDB NULLS LAST on ASC), so every query emits grouping flags and
+  sorts on them first;
+- the ranked window ranks the exact cent total, not a rounded float.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tiflash_spark.catalog import load_table
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def _cents(col: str) -> Column:
+    """Per-row exact integer cents from a 2-decimal money double."""
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+def tpcds_q67_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q67: multi-level ROLLUP over the sales fact feeding a per-category
+    rank() window, keep rank <= 100 (tpcds_q67.sql: rollup over
+    category/class/brand/product/date/store, rank by sumsales within
+    category). Here: ROLLUP(p_type, p_brand, year, quarter, s_name) over
+    a shipdate year, rank within p_type."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") <= "1995-12-31")
+    )
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    fact = li.join(p, li.l_partkey == p.p_partkey).join(
+        s, li.l_suppkey == s.s_suppkey
+    )
+    agg = (
+        fact.withColumn("d_year", F.year("l_shipdate"))
+        .withColumn("d_qoy", F.quarter("l_shipdate"))
+        .rollup("p_type", "p_brand", "d_year", "d_qoy", "s_name")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    _cents("l_extendedprice") * F.col("l_quantity").cast("long"),
+                    F.lit(0).cast("long"),
+                )
+            ).alias("sumsales_c"),
+            F.grouping_id().cast("long").alias("g_id"),
+        )
+    )
+    rk = F.rank().over(
+        Window.partitionBy("p_type").orderBy(F.col("sumsales_c").desc())
+    )
+    return (
+        agg.withColumn("rk", rk)
+        .filter(F.col("rk") <= 100)
+        .select(
+            "p_type", "p_brand", "d_year", "d_qoy", "s_name",
+            (F.col("sumsales_c") / 100.0).alias("sumsales"),
+            "g_id", "rk",
+        )
+        .orderBy(
+            "g_id", "p_type", "p_brand", "d_year", "d_qoy", "s_name",
+            "sumsales", "rk",
+        )
+    )
+
+
+TPCDS_Q67_SQL = """
+WITH agg AS (
+  SELECT p_type, p_brand,
+         CAST(YEAR(l_shipdate) AS INT) AS d_year,
+         CAST(QUARTER(l_shipdate) AS INT) AS d_qoy, s_name,
+         SUM(COALESCE(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT), 0)) AS sumsales_c,
+         CAST(GROUPING(p_type, p_brand, YEAR(l_shipdate), QUARTER(l_shipdate),
+                       s_name) AS BIGINT) AS g_id
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+  GROUP BY ROLLUP(p_type, p_brand, YEAR(l_shipdate), QUARTER(l_shipdate), s_name)
+)
+SELECT p_type, p_brand, d_year, d_qoy, s_name,
+       CAST(sumsales_c AS DOUBLE) / 100.0 AS sumsales, g_id, rk
+FROM (
+  SELECT agg.*,
+         CAST(RANK() OVER (PARTITION BY p_type ORDER BY sumsales_c DESC)
+              AS INT) AS rk
+  FROM agg
+)
+WHERE rk <= 100
+ORDER BY g_id, p_type, p_brand, d_year, d_qoy, s_name, sumsales, rk
+"""
+
+
+def _avg4(scaled_sum: Column, scale: float) -> Column:
+    """exact-int-sum / (scale * n), emitted raw — engine-stable, see
+    module docstring."""
+    return scaled_sum.cast("double") / (F.count(F.lit(1)) * F.lit(scale))
+
+
+def tpcds_q27_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q27: dimension-filtered fact, two-level ROLLUP, averaged measures
+    + grouping marker (tpcds_q27.sql: group by i_item_id, s_state with
+    rollup, avg x4, grouping(s_state)). Here: ROLLUP(p_brand, n_name)
+    over supplier-nation-filtered 1996 shipments."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1996
+    )
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") <= 5)
+    fact = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+    )
+    return (
+        fact.rollup("p_brand", "n_name")
+        .agg(
+            F.grouping("n_name").cast("int").alias("g_state"),
+            _avg4(F.sum(F.col("l_quantity").cast("long")), 1.0).alias("agg1"),
+            _avg4(F.sum(_cents("l_extendedprice")), 100.0).alias("agg2"),
+            _avg4(F.sum(_cents("l_discount")), 100.0).alias("agg3"),
+            _avg4(F.sum(_cents("l_tax")), 100.0).alias("agg4"),
+            F.grouping("p_brand").cast("int").alias("g_brand"),
+        )
+        .orderBy("g_brand", "g_state", "p_brand", "n_name")
+    )
+
+
+_DUCK_AVG4 = "CAST(SUM({scaled}) AS DOUBLE) / (COUNT(*) * {scale})"
+
+
+def _davg(col: str, scale: str = "100.0") -> str:
+    scaled = (
+        f"CAST(ROUND({col} * 100) AS BIGINT)"
+        if scale == "100.0"
+        else f"CAST({col} AS BIGINT)"
+    )
+    return _DUCK_AVG4.format(scaled=scaled, scale=scale)
+
+
+TPCDS_Q27_SQL = f"""
+SELECT p_brand, n_name,
+       CAST(GROUPING(n_name) AS INT) AS g_state,
+       {_davg('l_quantity', '1.0')} AS agg1,
+       {_davg('l_extendedprice')} AS agg2,
+       {_davg('l_discount')} AS agg3,
+       {_davg('l_tax')} AS agg4,
+       CAST(GROUPING(p_brand) AS INT) AS g_brand
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE YEAR(l_shipdate) = 1996 AND n_nationkey <= 5
+GROUP BY ROLLUP(p_brand, n_name)
+ORDER BY g_brand, g_state, p_brand, n_name
+"""
+
+
+def tpcds_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q18: DUAL-ROLE dimension (customer_demographics joined twice as
+    cd1/cd2 with different roles) + 4-level ROLLUP + seven averaged
+    measures drawn from several tables (tpcds_q18.sql). Here: nation
+    joined twice (customer's nation filters AND groups; supplier's
+    nation only filters), ROLLUP(p_type, cn_name, c_mktsegment,
+    o_orderpriority), 7 avgs from lineitem/orders/customer/supplier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1995
+    )
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING", "MACHINERY")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    cn = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") <= 9)
+        .select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cn_name"))
+    )
+    sn = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") <= 2)
+        .select(F.col("n_nationkey").alias("sn_key"))
+    )
+    fact = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .join(p, li.l_partkey == p.p_partkey)
+    )
+    return (
+        fact.rollup("p_type", "cn_name", "c_mktsegment", "o_orderpriority")
+        .agg(
+            _avg4(F.sum(F.col("l_quantity").cast("long")), 1.0).alias("agg1"),
+            _avg4(F.sum(_cents("l_extendedprice")), 100.0).alias("agg2"),
+            _avg4(F.sum(_cents("l_discount")), 100.0).alias("agg3"),
+            _avg4(F.sum(_cents("l_tax")), 100.0).alias("agg4"),
+            _avg4(F.sum(_cents("o_totalprice")), 100.0).alias("agg5"),
+            _avg4(F.sum(_cents("c_acctbal")), 100.0).alias("agg6"),
+            _avg4(F.sum(_cents("s_acctbal")), 100.0).alias("agg7"),
+            F.grouping_id().cast("long").alias("g_id"),
+        )
+        .orderBy("g_id", "p_type", "cn_name", "c_mktsegment", "o_orderpriority")
+    )
+
+
+TPCDS_Q18_SQL = f"""
+SELECT p_type, cn.n_name AS cn_name, c_mktsegment, o_orderpriority,
+       {_davg('l_quantity', '1.0')} AS agg1,
+       {_davg('l_extendedprice')} AS agg2,
+       {_davg('l_discount')} AS agg3,
+       {_davg('l_tax')} AS agg4,
+       {_davg('o_totalprice')} AS agg5,
+       {_davg('c_acctbal')} AS agg6,
+       {_davg('s_acctbal')} AS agg7,
+       CAST(GROUPING(p_type, cn.n_name, c_mktsegment, o_orderpriority)
+            AS BIGINT) AS g_id
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN part ON l_partkey = p_partkey
+WHERE YEAR(o_orderdate) = 1995
+  AND c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+  AND cn.n_nationkey <= 9
+  AND sn.n_regionkey <= 2
+GROUP BY ROLLUP(p_type, cn.n_name, c_mktsegment, o_orderpriority)
+ORDER BY g_id, p_type, cn_name, c_mktsegment, o_orderpriority
+"""
+
+
+def tpcds_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q5 (and q80's family): per-channel sales/returns report — each
+    channel is a UNION ALL of a sales leg and a returns leg (zero-filled
+    opposite measures), aggregated per entity, then the channels union
+    under ROLLUP(channel, id) for the cross-channel total. Channels
+    here: per-supplier ("store") and per-customer-nation ("nation");
+    returns = l_returnflag = 'R' rows, one March-1995 shipdate window.
+    All measures in exact 1e-4-grid integers until the final divide."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-03-01") & (F.col("l_shipdate") <= "1995-03-31")
+    )
+    is_ret = F.col("l_returnflag") == "R"
+    price_c = _cents("l_extendedprice")
+    disc_c = _cents("l_discount")  # discount in 1e-2 units (0.07 -> 7)
+    zero = F.lit(0).cast("long")
+    legs = li.select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(~is_ret, price_c * 100).otherwise(zero).alias("sales_e4"),
+        F.when(~is_ret, price_c * (100 - disc_c)).otherwise(zero).alias("profit_e4"),
+        F.when(is_ret, price_c * 100).otherwise(zero).alias("return_e4"),
+        F.when(is_ret, price_c * disc_c).otherwise(zero).alias("loss_e4"),
+    )
+
+    def channel(joined: DataFrame, key: str, label: str, prefix: str) -> DataFrame:
+        return (
+            joined.groupBy(key)
+            .agg(
+                F.sum("sales_e4").alias("sales_e4"),
+                F.sum("return_e4").alias("returns_e4"),
+                (F.sum("profit_e4") - F.sum("loss_e4")).alias("profit_e4"),
+            )
+            .select(
+                F.lit(label).alias("channel"),
+                F.concat(F.lit(prefix), F.col(key)).alias("id"),
+                "sales_e4", "returns_e4", "profit_e4",
+            )
+        )
+
+    s = load_table(spark, sf_dir, "supplier")
+    ssr = channel(
+        legs.join(s, legs.l_suppkey == s.s_suppkey), "s_name",
+        "store channel", "store",
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    nsr = channel(
+        legs.join(o, legs.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey),
+        "n_name", "nation channel", "nation",
+    )
+    return (
+        ssr.unionByName(nsr)
+        .rollup("channel", "id")
+        .agg(
+            (F.sum("sales_e4") / 10000.0).alias("sales"),
+            (F.sum("returns_e4") / 10000.0).alias("returns"),
+            (F.sum("profit_e4") / 10000.0).alias("profit"),
+            F.grouping("channel").cast("int").alias("g_channel"),
+            F.grouping("id").cast("int").alias("g_id"),
+        )
+        .orderBy("g_channel", "g_id", "channel", "id")
+    )
+
+
+TPCDS_Q5_SQL = """
+WITH legs AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_returnflag <> 'R'
+              THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 100
+              ELSE 0 END AS sales_e4,
+         CASE WHEN l_returnflag <> 'R'
+              THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+              ELSE 0 END AS profit_e4,
+         CASE WHEN l_returnflag = 'R'
+              THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 100
+              ELSE 0 END AS return_e4,
+         CASE WHEN l_returnflag = 'R'
+              THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * CAST(ROUND(l_discount * 100) AS BIGINT)
+              ELSE 0 END AS loss_e4
+  FROM lineitem
+  WHERE l_shipdate BETWEEN DATE '1995-03-01' AND DATE '1995-03-31'
+),
+ssr AS (
+  SELECT 'store channel' AS channel, 'store' || s_name AS id,
+         SUM(sales_e4) AS sales_e4, SUM(return_e4) AS returns_e4,
+         SUM(profit_e4) - SUM(loss_e4) AS profit_e4
+  FROM legs JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_name
+),
+nsr AS (
+  SELECT 'nation channel' AS channel, 'nation' || n_name AS id,
+         SUM(sales_e4) AS sales_e4, SUM(return_e4) AS returns_e4,
+         SUM(profit_e4) - SUM(loss_e4) AS profit_e4
+  FROM legs
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT channel, id,
+       CAST(SUM(sales_e4) AS DOUBLE) / 10000.0 AS sales,
+       CAST(SUM(returns_e4) AS DOUBLE) / 10000.0 AS returns,
+       CAST(SUM(profit_e4) AS DOUBLE) / 10000.0 AS profit,
+       CAST(GROUPING(channel) AS INT) AS g_channel,
+       CAST(GROUPING(id) AS INT) AS g_id
+FROM (SELECT * FROM ssr UNION ALL SELECT * FROM nsr)
+GROUP BY ROLLUP(channel, id)
+ORDER BY g_channel, g_id, channel, id
+"""
+
+
+QUERIES["tpcds_q67_shape"] = tpcds_q67_shape
+QUERIES["tpcds_q27_shape"] = tpcds_q27_shape
+QUERIES["tpcds_q18_shape"] = tpcds_q18_shape
+QUERIES["tpcds_q5_shape"] = tpcds_q5_shape
+ORACLE["tpcds_q67_shape"] = TPCDS_Q67_SQL
+ORACLE["tpcds_q27_shape"] = TPCDS_Q27_SQL
+ORACLE["tpcds_q18_shape"] = TPCDS_Q18_SQL
+ORACLE["tpcds_q5_shape"] = TPCDS_Q5_SQL

@@ -22,6 +22,7 @@ _MODULES = [
     "tiflash_spark.operators.scalars",
     "tiflash_spark.operators.events",
     "tiflash_spark.operators.tpch",
+    "tiflash_spark.operators.tpcds",
     "tiflash_spark.operators.approx",
     "tiflash_spark.operators.temporal",
     "tiflash_spark.operators.runtime_filter",
