@@ -179,3 +179,80 @@ def test_store_as_sql_view(spark, tmp_path):
     s.as_view("repl_stale", ts=1)
     assert spark.sql("SELECT SUM(v) AS s FROM repl_now").collect()[0].s == 109
     assert spark.sql("SELECT SUM(v) AS s FROM repl_stale").collect()[0].s == 30
+
+
+def test_modify_column_lossless_widening(spark, tmp_path):
+    """MODIFY COLUMN int->bigint: schema-registry change, no rewrite —
+    old int files and new bigint files read together through the widened
+    schema; values survive; compact rewrites at the new type."""
+    from pyspark.sql import functions as F
+
+    store = DeltaStore(spark, str(tmp_path / "t"))
+    store.write_batch(
+        spark.createDataFrame([(1, 10), (2, 20)], f"{HANDLE} long, v int"),
+        version=1,
+    )
+    store.compact(ts=1)
+    v = store.modify_column("v", "bigint")
+    assert v == store.schema_version()
+    # write AFTER the modify: conforms to bigint; old stable stays int
+    store.write_batch(
+        spark.createDataFrame([(3, 3_000_000_000)], f"{HANDLE} long, v long"),
+        version=2,
+    )
+    got = {r[HANDLE]: r.v for r in store.read().collect()}
+    assert got == {1: 10, 2: 20, 3: 3_000_000_000}
+    assert dict(store.read().dtypes)["v"] == "bigint"
+    # compact folds everything into bigint files; plain merge path returns
+    store.compact(ts=2)
+    got2 = {r[HANDLE]: r.v for r in store.read().collect()}
+    assert got2 == got
+
+
+def test_modify_column_decimal_growth_and_rejections(spark, tmp_path):
+    import pytest
+    from decimal import Decimal
+    from pyspark.sql import types as T
+
+    store = DeltaStore(spark, str(tmp_path / "t"))
+    schema = T.StructType(
+        [T.StructField(HANDLE, T.LongType()),
+         T.StructField("d", T.DecimalType(10, 2))]
+    )
+    store.write_batch(
+        spark.createDataFrame([(1, Decimal("1.25"))], schema), version=1
+    )
+    store.modify_column("d", "decimal(20,4)")
+    [r] = store.read().collect()
+    assert r.d == Decimal("1.2500")
+    # rejections: narrowing, scale loss, unknown column, internal column
+    with pytest.raises(ValueError, match="lossless"):
+        store.modify_column("d", "decimal(10,2)")  # scale 4 -> 2 loses digits
+    with pytest.raises(ValueError, match="not in current schema"):
+        store.modify_column("nope", "bigint")
+    with pytest.raises(ValueError, match="internal"):
+        store.modify_column(HANDLE, "string")
+
+
+def test_modify_column_invalidates_sidecar_indexes(spark, tmp_path):
+    """Zone map and inverted index entries typed at the OLD type are
+    dropped for the modified column (absent => scan, never a stale
+    prune); other columns' entries survive; reads stay correct."""
+    store = DeltaStore(spark, str(tmp_path / "t"))
+    store.write_batch(
+        spark.createDataFrame(
+            [(i, i, f"s{i}") for i in range(20)],
+            f"{HANDLE} long, v int, s string",
+        ),
+        version=1,
+    )
+    store.compact_range_segments(ts=1, num_segments=2)
+    store.build_zonemap(["v", "s"])
+    store.build_inverted_index(["v"])
+    store.modify_column("v", "bigint")
+    zm = store._zonemap()
+    assert "v" not in zm["cols"] and "s" in zm["cols"]
+    assert all("v" not in ent for ent in zm["segs"].values())
+    assert "v" not in store._invidx_meta()
+    got = {r[HANDLE] for r in store.read_where("v", lo=5, hi=9).collect()}
+    assert got == {5, 6, 7, 8, 9}

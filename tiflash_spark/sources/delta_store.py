@@ -297,6 +297,70 @@ class DeltaStore:
         self._write_schema_versions(vs)
         return vs[-1]["v"]
 
+    _INT_CHAIN = ["tinyint", "smallint", "int", "bigint"]
+
+    @classmethod
+    def _lossless_change(cls, old: str, new: str) -> bool:
+        """True when ``old -> new`` is a widening the parquet reader can
+        apply in place (Spark 4 type widening): int-chain widening,
+        float->double, decimal precision growth without scale loss. The
+        same whitelist TiDB applies before pushing a MODIFY COLUMN to
+        TiFlash without data reorg (reference SchemaBuilder applyAlterTable
+        path — lossy changes run as add-new/backfill/drop-old instead)."""
+        ob, nb = old.split("(")[0], new.split("(")[0]
+        if ob in cls._INT_CHAIN and nb in cls._INT_CHAIN:
+            return cls._INT_CHAIN.index(nb) >= cls._INT_CHAIN.index(ob)
+        if ob == "float" and nb in ("float", "double"):
+            return True
+        if ob == "decimal" and nb == "decimal":
+            def ps(t: str) -> tuple[int, int]:
+                inner = t.split("(")[1].rstrip(")")
+                p, s = (inner.split(",") + ["0"])[:2]
+                return int(p), int(s)
+
+            (op, os_), (np_, ns) = ps(old), ps(new)
+            return ns >= os_ and (np_ - ns) >= (op - os_)
+        return old == new
+
+    def modify_column(self, name: str, new_type: str) -> int:
+        """ALTER TABLE MODIFY COLUMN, lossless widenings only (see
+        _lossless_change) — schema-registry change, NO file rewrite: old
+        files are read through an explicitly widened schema (the parquet
+        type-widening read), new writes conform to the new type.
+
+        Sidecar indexes on the column are invalidated (zone map entry
+        types and inverted-index value dtypes reflect the old type;
+        absent index => scan, the standing RSResult rule); rebuild after
+        the next compaction if wanted."""
+        self._check_mutable(name)
+        vs = self._bootstrap_versions()
+        cur = {n: t for n, t in vs[-1]["fields"]}
+        if name not in cur:
+            raise ValueError(f"column {name!r} not in current schema")
+        if not self._lossless_change(cur[name], new_type):
+            raise ValueError(
+                f"MODIFY {name!r} {cur[name]} -> {new_type} is not a "
+                "lossless widening; run it as add-new/backfill/drop-old"
+            )
+        fields = [
+            [n, new_type if n == name else t] for n, t in vs[-1]["fields"]
+        ]
+        vs = vs + [{"v": vs[-1]["v"] + 1, "fields": fields}]
+        self._write_schema_versions(vs)
+        zm = self._zonemap()
+        if zm and name in zm.get("cols", {}):
+            zm = dict(zm, cols={c: t for c, t in zm["cols"].items() if c != name})
+            zm["segs"] = {
+                k: {c: v for c, v in ent.items() if c != name}
+                for k, ent in zm["segs"].items()
+            }
+            self._write_zonemap(zm)
+        inv = self._invidx_meta()
+        if name in inv:
+            inv.pop(name)
+            self._write_invidx_meta(inv)
+        return vs[-1]["v"]
+
     def drop_column(self, name: str) -> int:
         """ALTER TABLE DROP COLUMN: reads prune it everywhere immediately;
         the bytes in already-written files are reclaimed at the next
@@ -470,7 +534,15 @@ class DeltaStore:
                 r = r.option("mergeSchema", "true")
             df = r.parquet(p)
             return df if df.columns else None
-        except Exception:
+        except Exception as ex:
+            if "CANNOT_MERGE_SCHEMAS" in str(ex) and self._schema_versions():
+                # files span a MODIFY COLUMN widening (int-chain /
+                # float->double / decimal growth): footers conflict, but
+                # an explicit schema at the CURRENT (widest) types reads
+                # every file via the parquet type-widening path
+                widened = self._widened_layer(p)
+                if widened is not None:
+                    return widened
             if name == "stable":
                 schema = self._stable_schema()
                 if schema is not None:
@@ -478,6 +550,29 @@ class DeltaStore:
                     # EMPTY table — not an error
                     return self.spark.createDataFrame([], schema)
             return None  # empty layer
+
+    def _widened_layer(self, p: str) -> DataFrame | None:
+        """Read a layer whose footers disagree only by lossless widening:
+        sample ONE footer (plain read) for the internals/partition shape,
+        override user-column types with the current schema registry, keep
+        added-but-unsampled columns (they surface as typed NULLs)."""
+        try:
+            sample = self.spark.read.parquet(p).schema
+        except Exception:
+            return None
+        cur = dict(self.current_fields() or [])
+        out, seen = [], set()
+        for f in sample.fields:
+            seen.add(f.name)
+            if f.name in cur:
+                out.append(f"`{f.name}` {cur[f.name]}")
+            else:
+                out.append(f"`{f.name}` {f.dataType.simpleString()}")
+        for n, t in cur.items():
+            if n not in seen:
+                out.append(f"`{n}` {t}")
+        df = self.spark.read.schema(", ".join(out)).parquet(p)
+        return df if df.columns else None
 
 
     def _refresh(self) -> None:
