@@ -53,3 +53,27 @@ def test_mysql_limit_offset_tail_rewrite(spark):
         "SELECT id FROM (SELECT explode(sequence(0, 9)) AS id) ORDER BY id LIMIT 3, 2",
     ).collect()
     assert [r.id for r in rows] == [3, 4]
+
+
+def test_alter_column_statements_route_to_schema_registry(spark, tmp_path):
+    """ADD/MODIFY/DROP COLUMN drive the store's online-DDL registry and
+    refresh the view; reads reflect each version immediately."""
+    store = _store(spark, tmp_path)
+    stores = {"t_ddl": store}
+    store.as_view("t_ddl")
+    r = run_sql(spark, "ALTER TABLE t_ddl ADD COLUMN score INT", stores).collect()[0]
+    assert (r.op, r.column_name) == ("add", "score")
+    assert dict(run_sql(spark, "SELECT * FROM t_ddl").dtypes)["score"] == "int"
+    r = run_sql(
+        spark, "ALTER TABLE t_ddl MODIFY COLUMN score BIGINT", stores
+    ).collect()[0]
+    assert r.op == "modify" and r.schema_version > 1
+    assert dict(run_sql(spark, "SELECT * FROM t_ddl").dtypes)["score"] == "bigint"
+    run_sql(spark, "ALTER TABLE t_ddl DROP COLUMN score", stores)
+    assert "score" not in dict(run_sql(spark, "SELECT * FROM t_ddl").dtypes)
+    # decimal types with (p,s) parse through the statement form
+    r = run_sql(
+        spark, "ALTER TABLE t_ddl ADD COLUMN amt DECIMAL(10, 2)", stores
+    ).collect()[0]
+    assert r.op == "add"
+    assert dict(run_sql(spark, "SELECT * FROM t_ddl").dtypes)["amt"] == "decimal(10,2)"

@@ -32,6 +32,17 @@ _COMPACT = re.compile(
 # covered by functions/sql_registry.
 _MYSQL_LIMIT = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)\s*;?\s*$", re.IGNORECASE)
 
+# Online DDL statements routed onto the store's schema registry
+# (reference: TiDB parses ALTER TABLE and ships a SchemaUpdate that
+# SchemaBuilder.cpp applies — add/drop are metadata-only, modify is
+# restricted to lossless widenings, exactly DeltaStore's contract).
+_ALTER_COL = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+"
+    r"(ADD|DROP|MODIFY)\s+COLUMN\s+`?(\w+)`?"
+    r"(?:\s+([A-Za-z0-9_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 
 def run_sql(
     spark: SparkSession, sql: str, stores: dict[str, DeltaStore] | None = None
@@ -58,6 +69,32 @@ def run_sql(
         return spark.createDataFrame(
             [(name, ts, int(kept))],
             "table_name string, safe_point long, rows_kept long",
+        )
+    m = _ALTER_COL.match(sql)
+    if m:
+        name, verb, col, dtype = (
+            m.group(1), m.group(2).upper(), m.group(3), m.group(4),
+        )
+        if not stores or name not in stores:
+            raise ValueError(
+                f"ALTER TABLE {name}: no DeltaStore registered under "
+                f"{name!r} (known: {sorted(stores or {})})"
+            )
+        store = stores[name]
+        if verb == "ADD":
+            if not dtype:
+                raise ValueError(f"ADD COLUMN {col}: missing type")
+            v = store.add_column(col, dtype.lower().replace(" ", ""))
+        elif verb == "MODIFY":
+            if not dtype:
+                raise ValueError(f"MODIFY COLUMN {col}: missing type")
+            v = store.modify_column(col, dtype.lower().replace(" ", ""))
+        else:
+            v = store.drop_column(col)
+        store.as_view(name)
+        return spark.createDataFrame(
+            [(name, col, verb.lower(), int(v))],
+            "table_name string, column_name string, op string, schema_version long",
         )
     sql = _MYSQL_LIMIT.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
     return spark.sql(sql)
