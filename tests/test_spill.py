@@ -96,14 +96,22 @@ print(json.dumps({"agg_rows": agg_rows, "join_rows": j_cnt,
 def test_agg_join_sort_complete_and_spill_under_small_memory(tmp_path):
     env = dict(os.environ)
     env.pop("SPARK_HOME", None)
-    proc = subprocess.run(
-        [sys.executable, "-c", SCRIPT, str(tmp_path)],
-        capture_output=True,
-        text=True,
-        timeout=420,
-        env=env,
-        cwd=str(tmp_path),  # keep derby/warehouse litter out of the repo
-    )
+    # the 700m budget is intentionally tight (it must SPILL, not OOM) —
+    # under concurrent machine load the margin can tip into a heap OOM
+    # that says nothing about the spill path, so one retry absorbs the
+    # ambient-pressure flake (observed once in a full-suite run while
+    # other Spark JVMs were live; deterministic when run alone)
+    for attempt in range(2):
+        proc = subprocess.run(
+            [sys.executable, "-c", SCRIPT, str(tmp_path)],
+            capture_output=True,
+            text=True,
+            timeout=420,
+            env=env,
+            cwd=str(tmp_path),  # keep derby/warehouse litter out of the repo
+        )
+        if proc.returncode == 0 or "Java heap space" not in proc.stderr:
+            break
     assert proc.returncode == 0, proc.stderr[-4000:]
     metrics = json.loads(proc.stdout.strip().splitlines()[-1])
     assert metrics["agg_rows"] == 1_000_000
