@@ -336,7 +336,7 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
           "SUM(LENGTH(media_type))"]),
         ("multimodal_phash",
          ["SUM(n_media + n_sigs + n_dup_groups + n_dup_media)",
-          "SUM(n_band_sig_pairs + sig_digest)"]),
+          "SUM(n_band_sig_pairs + n_near_sig_pairs + sig_digest)"]),
     ],
     "ann_brute": [
         ("ann_cosine_topk", ["SUM(vec_id + label)", "ROUND(SUM(cos_sim), 4)"]),

@@ -611,9 +611,11 @@ def phash_media(df: DataFrame) -> DataFrame:
 
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """media → pHash (mapInPandas) → exact-signature dup groups + banded
-    near-dup candidate SIGNATURE pairs. One-row report: media/signature
-    counts, exact-dup group/member counts, distinct banded candidate
-    signature pairs, and SUM(phash) pinning every signature value.
+    near-dup candidate SIGNATURE pairs + Hamming-verified near pairs.
+    One-row report: media/signature counts, exact-dup group/member
+    counts, distinct banded candidates, candidates CONFIRMED at
+    Hamming <= 3 (codegen bit_count(xor)), and SUM(phash) pinning every
+    signature value.
 
     Scale: signature groupBy is a 2-byte-key shuffle with map-side
     combine. The band join runs over DISTINCT signatures, never rows —
@@ -650,7 +652,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bv"),
     ).select("phash", "bv.b", "bv.v")
-    pairs = (
+    cand = (
         bands.alias("l")
         .join(
             bands.alias("r"),
@@ -660,14 +662,21 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("l.phash").alias("a"), F.col("r.phash").alias("bs"))
         .distinct()
-        .agg(F.count(F.lit(1)).cast("long").alias("n_band_sig_pairs"))
+    )
+    # verification stage: banding only PROPOSES; Hamming <= 3 CONFIRMS
+    # (codegen bit_count over xor — the SimHash verify rule)
+    pairs = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_band_sig_pairs"),
+        F.sum(
+            (F.bit_count(F.col("a").bitwiseXOR(F.col("bs"))) <= 3).cast("long")
+        ).cast("long").alias("n_near_sig_pairs"),
     )
     return (
         base.crossJoin(exact)
         .crossJoin(pairs)
         .select(
             "n_media", "n_sigs", "n_dup_groups", "n_dup_media",
-            "n_band_sig_pairs", "sig_digest",
+            "n_band_sig_pairs", "n_near_sig_pairs", "sig_digest",
         )
     )
 
@@ -696,10 +705,16 @@ bands AS (
   SELECT phash, i AS b, (phash >> (4 * CAST(i AS INT))) & 15 AS v
   FROM by_sig, UNNEST(GENERATE_SERIES(0, 3)) AS t(i)
 ),
-pairs AS (
-  SELECT COUNT(DISTINCT l.phash * 65536 + r.phash) AS n_band_sig_pairs
+cand AS (
+  SELECT DISTINCT l.phash AS a, r.phash AS bs
   FROM bands l JOIN bands r
     ON l.b = r.b AND l.v = r.v AND l.phash < r.phash
+),
+pairs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_band_sig_pairs,
+         CAST(SUM(CASE WHEN bit_count(xor(a, bs)) <= 3 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_near_sig_pairs
+  FROM cand
 )
 SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sigs) AS n_media,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM by_sig) AS n_sigs,
@@ -707,7 +722,8 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sigs) AS n_media,
          AS n_dup_groups,
        (SELECT CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) FROM by_sig)
          AS n_dup_media,
-       (SELECT CAST(n_band_sig_pairs AS BIGINT) FROM pairs) AS n_band_sig_pairs,
+       (SELECT n_band_sig_pairs FROM pairs) AS n_band_sig_pairs,
+       (SELECT COALESCE(n_near_sig_pairs, 0) FROM pairs) AS n_near_sig_pairs,
        (SELECT CAST(SUM(phash) AS BIGINT) FROM sigs) AS sig_digest
 """
 
