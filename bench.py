@@ -78,6 +78,7 @@ PIPELINE_HEADLINE = [
     "dataset_card",
     "tpcds_q67_shape",
     "tpcds_q5_shape",
+    "ann_pq_topk",
 ]
 
 

@@ -859,6 +859,7 @@ def pq_index(spark: SparkSession, sf_dir: str):
     (vec_id, label, codes array<int> of PQ_M 4-bit ids). One
     mapInPandas encode pass at build time, then every query reads the
     tiny code table (PQ_M ints per vector) instead of the embeddings."""
+    import json
     import os
 
     import numpy as np
@@ -866,7 +867,22 @@ def pq_index(spark: SparkSession, sf_dir: str):
 
     from tiflash_spark.pipeline.fulltext import _sf_tag, _warehouse_path
 
-    books = _pq_train(spark, sf_dir)
+    tag = _sf_tag(sf_dir)
+    wh = _warehouse_path(spark)
+    bloc = os.path.join(wh, f"pq_books_{tag}.json") if wh else None
+    if bloc and os.path.exists(bloc):
+        # codebooks persisted with the code table: a query session pays
+        # one small JSON read, never a retrain (the reference reads its
+        # index metadata the same way — built once at write time)
+        with open(bloc) as fh:
+            books = [np.array(b) for b in json.load(fh)]
+    else:
+        books = _pq_train(spark, sf_dir)
+        if bloc:
+            tmp = bloc + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump([b.tolist() for b in books], fh)
+            os.replace(tmp, bloc)
 
     def encode(batches):
         bs = [np.asarray(b) for b in books]
@@ -893,8 +909,6 @@ def pq_index(spark: SparkSession, sf_dir: str):
             encode, schema="vec_id long, label int, codes array<int>"
         )
 
-    tag = _sf_tag(sf_dir)
-    wh = _warehouse_path(spark)
     if wh:
         loc = os.path.join(wh, f"pq_codes_{tag}")
         if not os.path.isdir(loc):
