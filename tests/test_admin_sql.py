@@ -77,3 +77,24 @@ def test_alter_column_statements_route_to_schema_registry(spark, tmp_path):
     ).collect()[0]
     assert r.op == "add"
     assert dict(run_sql(spark, "SELECT * FROM t_ddl").dtypes)["amt"] == "decimal(10,2)"
+
+
+def test_compact_partition_statement_runs_incremental(spark, tmp_path):
+    """COMPACT PARTITION maps to the per-segment incremental delta merge:
+    only segments the delta touches are rewritten."""
+    from pyspark.sql import functions as F
+
+    store = _store(spark, tmp_path)
+    store.compact_range_segments(ts=2, num_segments=2)
+    # dirty exactly one segment
+    store.write_batch(
+        spark.createDataFrame([(1, "a3")], f"{HANDLE} long, v string"), version=3
+    )
+    store.as_view("t_part")
+    res = run_sql(
+        spark, "ALTER TABLE t_part COMPACT PARTITION TIFLASH REPLICA",
+        {"t_part": store},
+    ).collect()[0]
+    assert res.segments_total == 2 and res.segments_rewritten == 1
+    got = {r[HANDLE]: r.v for r in run_sql(spark, "SELECT * FROM t_part").collect()}
+    assert got == {1: "a3", 2: "b1"}

@@ -21,7 +21,8 @@ from tiflash_spark.sources.delta_store import VERSION, DeltaStore
 __all__ = ["run_sql"]
 
 _COMPACT = re.compile(
-    r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+COMPACT(?:\s+TIFLASH\s+REPLICA)?\s*;?\s*$",
+    r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+COMPACT(?P<part>\s+PARTITION)?"
+    r"(?:\s+TIFLASH\s+REPLICA)?\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -64,6 +65,18 @@ def run_sql(
         store = stores[name]
         top = store.log().agg(F.max(VERSION).alias("v")).collect()[0].v
         ts = int(top) if top is not None else 0
+        if m.group("part"):
+            # COMPACT PARTITION: the reference compacts one partition of a
+            # partitioned table; the segment analogue is the incremental
+            # per-segment delta merge — only segments whose delta tail has
+            # rows are rewritten, cold segments' files are untouched
+            rewritten, total = store.compact_segments_incremental(ts=ts)
+            store.as_view(name)
+            return spark.createDataFrame(
+                [(name, ts, int(rewritten), int(total))],
+                "table_name string, safe_point long,"
+                " segments_rewritten long, segments_total long",
+            )
         kept = store.compact(ts=ts) if top is not None else 0
         store.as_view(name)
         return spark.createDataFrame(
