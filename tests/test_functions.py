@@ -301,3 +301,27 @@ def test_open_catalog_sql_complete_session(spark):
     ).collect()[0]
     assert row.n > 0 and row.q10 is not None
     assert spark.sql("SELECT COUNT(*) AS n FROM partsupp").collect()[0].n > 0
+
+
+def test_sql_vector_surface(spark):
+    """The VEC_* SQL names TiDB exposes (FunctionsVector.cpp; driven from
+    SQL in fullstack-test-index/vector/distance.test): registered by
+    open_catalog, usable in ORDER BY ... LIMIT, soft-NULL on dim
+    mismatch and zero-vector cosine."""
+    from tiflash_spark.functions.sql_registry import register_mysql_functions
+
+    register_mysql_functions(spark)
+    [r] = spark.sql(
+        "SELECT VEC_DIMS(VEC_FROM_TEXT('[1.0, 4.0, 8.0, 7.0, 6.0]')) AS d,"
+        " VEC_AS_TEXT(VEC_FROM_TEXT('[1.5,2.0]')) AS t,"
+        " ROUND(VEC_L2_DISTANCE(array(0D, 3D), array(4D, 0D)), 4) AS l2,"
+        " ROUND(VEC_L1_DISTANCE(array(0D, 3D), array(4D, 0D)), 4) AS l1,"
+        " ROUND(VEC_COSINE_DISTANCE(array(1D, 0D), array(0D, 1D)), 4) AS cd,"
+        " VEC_NEGATIVE_INNER_PRODUCT(array(1D, 2D), array(3D, 4D)) AS nip,"
+        " ROUND(VEC_L2_NORM(array(3D, 4D)), 4) AS nrm,"
+        " VEC_L2_DISTANCE(array(1D), array(1D, 2D)) AS mismatch,"
+        " VEC_COSINE_DISTANCE(array(0D, 0D), array(1D, 0D)) AS zerovec"
+    ).collect()
+    assert (r.d, r.t) == (5, "[1.5,2.0]")
+    assert (r.l2, r.l1, r.cd, r.nip, r.nrm) == (5.0, 7.0, 1.0, -11.0, 5.0)
+    assert r.mismatch is None and r.zerovec is None

@@ -114,6 +114,59 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "STRING",
         "format_number(x, d)",
     ),
+    # --- VECTOR surface (FunctionsVector.cpp; the SQL names TiDB exposes:
+    # tests/fullstack-test-index/vector/distance.test drives
+    # `ORDER BY VEC_L2_DISTANCE(v, '[...]') LIMIT k` straight from SQL).
+    # Mismatched dims -> NULL (soft mode, see functions/vector.py).
+    "vec_dims": ("a ARRAY<DOUBLE>", "INT", "size(a)"),
+    "vec_l2_norm": (
+        "a ARRAY<DOUBLE>",
+        "DOUBLE",
+        "sqrt(aggregate(a, 0D, (acc, x) -> acc + x * x))",
+    ),
+    "vec_l1_distance": (
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+        "DOUBLE",
+        "CASE WHEN size(a) = size(b) THEN"
+        " aggregate(zip_with(a, b, (x, y) -> abs(x - y)), 0D,"
+        " (acc, v) -> acc + v) END",
+    ),
+    "vec_l2_distance": (
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+        "DOUBLE",
+        "CASE WHEN size(a) = size(b) THEN"
+        " sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D,"
+        " (acc, v) -> acc + v)) END",
+    ),
+    "vec_negative_inner_product": (
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+        "DOUBLE",
+        "CASE WHEN size(a) = size(b) THEN"
+        " -aggregate(zip_with(a, b, (x, y) -> x * y), 0D,"
+        " (acc, v) -> acc + v) END",
+    ),
+    "vec_cosine_distance": (
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+        "DOUBLE",
+        "CASE WHEN size(a) = size(b)"
+        " AND sqrt(aggregate(a, 0D, (acc, x) -> acc + x * x))"
+        "   * sqrt(aggregate(b, 0D, (acc, x) -> acc + x * x)) != 0 THEN"
+        " 1 - aggregate(zip_with(a, b, (x, y) -> x * y), 0D,"
+        "     (acc, v) -> acc + v)"
+        "   / (sqrt(aggregate(a, 0D, (acc, x) -> acc + x * x))"
+        "      * sqrt(aggregate(b, 0D, (acc, x) -> acc + x * x))) END",
+    ),
+    "vec_as_text": (
+        "a ARRAY<DOUBLE>",
+        "STRING",
+        "concat('[', array_join(transform(a, x -> CAST(x AS STRING)), ','), ']')",
+    ),
+    "vec_from_text": (
+        "s STRING",
+        "ARRAY<DOUBLE>",
+        "transform(split(trim(BOTH '[]' FROM s), ','),"
+        " x -> CAST(trim(x) AS DOUBLE))",
+    ),
 }
 
 
