@@ -184,3 +184,50 @@ def test_postings_live_inside_version_dir(spark, tmp_path):
     # the data read does NOT see index rows
     assert set(store.read().columns) == {HANDLE, "code", "v"}
     assert store.read().count() == 400
+
+
+def test_datetime_column_index(spark, tmp_path):
+    """fullstack-test-index/inverted/datetime-type.test analogue: an
+    inverted index over a timestamp column serves equality lookups with
+    full-scan parity (temporal values survive the sidecar round-trip)."""
+    import datetime as dt
+
+    store = DeltaStore(spark, str(tmp_path / "dt"))
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=(i * 37) % 100, microseconds=123000))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, f"{HANDLE} long, ts timestamp")
+    store.write_batch(df, version=1)
+    store.compact_range_segments(ts=1, num_segments=4)
+    store.build_inverted_index(["ts"])
+    probe = base + dt.timedelta(minutes=37, microseconds=123000)
+    got = {r[HANDLE] for r in store.read_where_in("ts", [probe]).collect()}
+    want = {i for i, t in rows if t == probe}
+    assert got == want and got  # non-vacuous
+
+
+def test_index_lifecycle_matches_reference_alter_pattern(spark, tmp_path):
+    """create-on-alter-table.test shape: same equality result before the
+    index, after ADD INDEX, and after a subsequent COMPACT (incl. the
+    negative-values case the reference test uses)."""
+    store = DeltaStore(spark, str(tmp_path / "alt"))
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([-2, -1, 0, 1, 2] * 8)],
+        f"{HANDLE} long, i long",
+    )
+    store.write_batch(df, version=1)
+    store.compact_range_segments(ts=1, num_segments=2)
+
+    def q():
+        return sorted(r[HANDLE] for r in store.read_where_in("i", [1]).collect())
+
+    before = q()
+    store.build_inverted_index(["i"])
+    assert q() == before
+    store.write_batch(
+        spark.createDataFrame([(1000, 1)], f"{HANDLE} long, i long"), version=2
+    )
+    store.compact(ts=2)
+    assert q() == sorted(before + [1000])
