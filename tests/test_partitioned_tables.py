@@ -50,3 +50,24 @@ def test_partition_values_recoverable(spark, part_table):
     src = load_table(spark, SF_SMALL, "orders")
     expected = {r.o_orderstatus for r in src.select("o_orderstatus").distinct().collect()}
     assert statuses == expected
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, part_table):
+    """The reference's dynamic partition prune (mpp/
+    dynamic_partition_prune.test): a filter on the DIMENSION side prunes
+    the fact's partitions at RUNTIME. Spark's DPP inserts a
+    dynamicpruning subquery into the partitioned scan — pinned on the
+    plan, and the result matches the static-filter equivalent."""
+    fact = spark.read.parquet(part_table)
+    # DPP requires a FILTER on the dimension side (an unfiltered dim has
+    # nothing to derive the pruning subquery from)
+    dim = spark.createDataFrame(
+        [("F", "finished"), ("O", "open"), ("P", "pending")],
+        "o_orderstatus string, label string",
+    )
+    joined = fact.join(dim.filter(F.col("label") == "finished"), "o_orderstatus")
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    got = joined.count()
+    want = fact.filter(F.col("o_orderstatus") == "F").count()
+    assert got == want > 0
