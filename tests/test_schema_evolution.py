@@ -256,3 +256,46 @@ def test_modify_column_invalidates_sidecar_indexes(spark, tmp_path):
     assert "v" not in store._invidx_meta()
     got = {r[HANDLE] for r in store.read_where("v", lo=5, hi=9).collect()}
     assert got == {5, 6, 7, 8, 9}
+
+
+def test_virtual_generated_column(spark, tmp_path):
+    """TiDB virtual generated column (mpp/generated_column.test shape:
+    `__col int as (col) virtual`): computed at read, never stored, writes
+    rejecting explicit values, surviving compaction, droppable."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    store = DeltaStore(spark, str(tmp_path / "t"))
+    store.write_batch(
+        spark.createDataFrame([(1, 10), (2, 20)], f"{HANDLE} long, col int"),
+        version=1,
+    )
+    store.add_generated_column("__col", "int", "col")
+    store.add_generated_column("col2x", "bigint", "col * 2")
+    got = {(r[HANDLE], r.col, r["__col"], r.col2x) for r in store.read().collect()}
+    assert got == {(1, 10, 10, 20), (2, 20, 20, 40)}
+    # never stored: the stable/delta files know nothing about it
+    assert "__col" not in store.log().columns
+    # writes may not supply a generated value...
+    with pytest.raises(ValueError, match="generated"):
+        store.write_batch(
+            spark.createDataFrame(
+                [(3, 30, 99)], f"{HANDLE} long, col int, __col int"
+            ),
+            version=2,
+        )
+    # ...but normal writes + compaction keep computing it
+    store.write_batch(
+        spark.createDataFrame([(3, 30)], f"{HANDLE} long, col int"), version=2
+    )
+    store.compact(ts=2)
+    assert {r["__col"] for r in store.read().collect()} == {10, 20, 30}
+    assert "__col" not in store._layer("stable").columns
+    # chaining and MODIFY are rejected; DROP removes expression + column
+    with pytest.raises(ValueError, match="only reference stored"):
+        store.add_generated_column("bad", "int", "__col + 1")
+    with pytest.raises(ValueError, match="generated"):
+        store.modify_column("__col", "bigint")
+    store.drop_column("__col")
+    assert "__col" not in store.read().columns
+    assert "__col" not in store.current_gen()

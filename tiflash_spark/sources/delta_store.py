@@ -293,7 +293,13 @@ class DeltaStore:
                         f"column {name!r} existed as {t}; re-adding as {dtype} "
                         "would mis-read old files — pick a new name"
                     )
-        vs = vs + [{"v": vs[-1]["v"] + 1, "fields": vs[-1]["fields"] + [[name, dtype]]}]
+        vs = vs + [
+            {
+                "v": vs[-1]["v"] + 1,
+                "fields": vs[-1]["fields"] + [[name, dtype]],
+                "gen": dict(vs[-1].get("gen", {})),
+            }
+        ]
         self._write_schema_versions(vs)
         return vs[-1]["v"]
 
@@ -337,6 +343,11 @@ class DeltaStore:
         cur = {n: t for n, t in vs[-1]["fields"]}
         if name not in cur:
             raise ValueError(f"column {name!r} not in current schema")
+        if name in vs[-1].get("gen", {}):
+            raise ValueError(
+                f"column {name!r} is generated — drop and re-add with a "
+                "new expression instead of MODIFY"
+            )
         if not self._lossless_change(cur[name], new_type):
             raise ValueError(
                 f"MODIFY {name!r} {cur[name]} -> {new_type} is not a "
@@ -345,7 +356,10 @@ class DeltaStore:
         fields = [
             [n, new_type if n == name else t] for n, t in vs[-1]["fields"]
         ]
-        vs = vs + [{"v": vs[-1]["v"] + 1, "fields": fields}]
+        vs = vs + [
+            {"v": vs[-1]["v"] + 1, "fields": fields,
+             "gen": dict(vs[-1].get("gen", {}))}
+        ]
         self._write_schema_versions(vs)
         zm = self._zonemap()
         if zm and name in zm.get("cols", {}):
@@ -364,25 +378,71 @@ class DeltaStore:
     def drop_column(self, name: str) -> int:
         """ALTER TABLE DROP COLUMN: reads prune it everywhere immediately;
         the bytes in already-written files are reclaimed at the next
-        compaction (reference: drop is a schema-only change)."""
+        compaction (reference: drop is a schema-only change). Dropping a
+        generated column removes its expression too."""
         self._check_mutable(name)
         vs = self._bootstrap_versions()
         if not any(n == name for n, _ in vs[-1]["fields"]):
             raise ValueError(f"column {name!r} not in current schema")
         fields = [f for f in vs[-1]["fields"] if f[0] != name]
-        vs = vs + [{"v": vs[-1]["v"] + 1, "fields": fields}]
+        gen = {k: v for k, v in vs[-1].get("gen", {}).items() if k != name}
+        vs = vs + [{"v": vs[-1]["v"] + 1, "fields": fields, "gen": gen}]
         self._write_schema_versions(vs)
         return vs[-1]["v"]
+
+    def add_generated_column(self, name: str, dtype: str, expr: str) -> int:
+        """ALTER TABLE ADD COLUMN ... AS (expr) VIRTUAL — a computed,
+        never-stored column (reference: TiDB virtual generated columns,
+        exercised against TiFlash in fullstack-test/mpp/
+        generated_column.test). The expression is evaluated at READ time
+        over the row's stored columns (codegen, zero storage cost);
+        writes must not supply a value; compactions never materialize it.
+        ``expr`` is a Spark SQL expression over STORED columns only
+        (chaining generated columns is rejected)."""
+        self._check_mutable(name)
+        vs = self._bootstrap_versions()
+        if any(n == name for n, _ in vs[-1]["fields"]):
+            raise ValueError(f"column {name!r} already exists")
+        gen_prev = dict(vs[-1].get("gen", {}))
+        from pyspark.sql.functions import expr as _sql_expr
+
+        refs = _sql_expr(expr)  # parse now: a bad expression fails the DDL
+        del refs
+        import re as _re
+
+        for g in gen_prev:
+            if _re.search(rf"\b{_re.escape(g)}\b", expr):
+                raise ValueError(
+                    f"generated column {name!r} may only reference stored "
+                    f"columns, not generated column {g!r}"
+                )
+        fields = vs[-1]["fields"] + [[name, dtype]]
+        gen = dict(gen_prev, **{name: expr})
+        vs = vs + [{"v": vs[-1]["v"] + 1, "fields": fields, "gen": gen}]
+        self._write_schema_versions(vs)
+        return vs[-1]["v"]
+
+    def current_gen(self) -> dict[str, str]:
+        """Generated-column expressions of the current schema version."""
+        vs = self._schema_versions()
+        return dict(vs[-1].get("gen", {})) if vs else {}
 
     def _conform(self, df: DataFrame, internal: bool) -> DataFrame:
         """Project a frame to the current schema version: handle first,
         missing columns → typed NULL, dropped columns pruned, then (for
-        write paths) the MVCC internals."""
+        write paths) the MVCC internals. Generated columns are COMPUTED
+        here on the read path and EXCLUDED on the write/rewrite path —
+        they are never stored (TiDB virtual generated column contract)."""
         fields = self.current_fields()
         if fields is None:
             return df
+        gen = self.current_gen()
         cols = [F.col(HANDLE)]
         for n, t in fields:
+            if n in gen:
+                if not internal:
+                    cols.append(F.expr(gen[n]).cast(t).alias(n))
+                continue
             cols.append(
                 (F.col(n).cast(t) if n in df.columns else F.lit(None).cast(t)).alias(n)
             )
@@ -417,8 +477,17 @@ class DeltaStore:
         out.write.mode("append").parquet(self.delta_path())
 
     def _conform_user_write(self, df: DataFrame, fields) -> DataFrame:
+        gen = self.current_gen()
+        supplied = [n for n in gen if n in df.columns]
+        if supplied:
+            raise ValueError(
+                f"columns {supplied} are generated — values are computed "
+                "at read time and cannot be written"
+            )
         cols = [F.col(HANDLE)]
         for n, t in fields:
+            if n in gen:
+                continue  # never stored
             cols.append(
                 (F.col(n).cast(t) if n in df.columns else F.lit(None).cast(t)).alias(n)
             )
