@@ -98,3 +98,24 @@ def test_compact_partition_statement_runs_incremental(spark, tmp_path):
     assert res.segments_total == 2 and res.segments_rewritten == 1
     got = {r[HANDLE]: r.v for r in run_sql(spark, "SELECT * FROM t_part").collect()}
     assert got == {1: "a3", 2: "b1"}
+
+
+def test_generated_column_statement(spark, tmp_path):
+    """mpp/generated_column.test through SQL: `ADD COLUMN __col INT AS
+    (v2) VIRTUAL` computes at read via the refreshed view."""
+    store = _store(spark, tmp_path)
+    stores = {"t_gen": store}
+    store.add_column("v2", "int")
+    store.write_batch(
+        spark.createDataFrame([(9, "z", 7)], f"{HANDLE} long, v string, v2 int"),
+        version=5,
+    )
+    r = run_sql(
+        spark, "ALTER TABLE t_gen ADD COLUMN __col INT AS (v2) VIRTUAL", stores
+    ).collect()[0]
+    assert r.op == "add"
+    got = {
+        row[HANDLE]: row["__col"]
+        for row in run_sql(spark, "SELECT * FROM t_gen").collect()
+    }
+    assert got[9] == 7 and got[1] is None

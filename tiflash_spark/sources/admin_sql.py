@@ -40,7 +40,8 @@ _MYSQL_LIMIT = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)\s*;?\s*$", re.IGNORECASE
 _ALTER_COL = re.compile(
     r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+"
     r"(ADD|DROP|MODIFY)\s+COLUMN\s+`?(\w+)`?"
-    r"(?:\s+([A-Za-z0-9_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?))?\s*;?\s*$",
+    r"(?:\s+([A-Za-z0-9_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?))?"
+    r"(?:\s+AS\s+\((?P<gen>.+)\)\s+VIRTUAL)?\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -97,7 +98,14 @@ def run_sql(
         if verb == "ADD":
             if not dtype:
                 raise ValueError(f"ADD COLUMN {col}: missing type")
-            v = store.add_column(col, dtype.lower().replace(" ", ""))
+            if m.group("gen"):
+                # `ADD COLUMN c t AS (expr) VIRTUAL` — TiDB's virtual
+                # generated column, computed at read, never stored
+                v = store.add_generated_column(
+                    col, dtype.lower().replace(" ", ""), m.group("gen")
+                )
+            else:
+                v = store.add_column(col, dtype.lower().replace(" ", ""))
         elif verb == "MODIFY":
             if not dtype:
                 raise ValueError(f"MODIFY COLUMN {col}: missing type")
