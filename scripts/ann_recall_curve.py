@@ -146,6 +146,55 @@ def main() -> None:
         )
         return topk_ids(scored)
 
+    import numpy as np
+
+    from tiflash_spark.pipeline.similarity import PQ_K, PQ_M, PQ_OVERFETCH, pq_index
+
+    books, codes = pq_index(spark, sf)
+    codes = codes.persist()
+    codes.count()
+    qvecs = {
+        r.vec_id: np.array(r.v, dtype=np.float64)
+        for r in e.filter(F.col("vec_id").isin(qids))
+        .select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .collect()
+    }
+
+    def pq(qid) -> list[int]:
+        q = qvecs[qid]
+        q = q / max(float(np.linalg.norm(q)), 1e-12)
+        dsub = len(q) // PQ_M
+        lut = [
+            [float(np.dot(q[m * dsub:(m + 1) * dsub], books[m][k]))
+             for k in range(PQ_K)]
+            for m in range(PQ_M)
+        ]
+        lut_sql = "array({})".format(
+            ", ".join("array({})".format(", ".join(f"{v!r}D" for v in row))
+                      for row in lut)
+        )
+        adc = F.expr(
+            "aggregate(sequence(0, {M}), cast(0.0 as double),"
+            " (acc, m) -> acc + element_at(element_at({LUT}, m + 1),"
+            " codes[m] + 1))".format(M=PQ_M - 1, LUT=lut_sql)
+        )
+        cands = (
+            codes.filter(F.col("vec_id") != qid)
+            .select("vec_id", adc.alias("adc"))
+            .orderBy(F.col("adc").desc(), F.col("vec_id"))
+            .limit(TOP_K * PQ_OVERFETCH)
+        )
+        return topk_ids(
+            cands.join(e.select("vec_id", "embedding"), "vec_id")
+            .crossJoin(F.broadcast(qvec(qid)))
+            .select(
+                "vec_id",
+                vec_cosine_similarity(
+                    _as_double(F.col("embedding")), F.col("qv")
+                ).alias("cos_sim"),
+            )
+        )
+
     # truth + baseline latency
     t0 = time.time()
     truth = {qid: set(brute(qid)) for qid in qids}
@@ -165,6 +214,7 @@ def main() -> None:
     for p in PROBE_SWEEP:
         score(f"IVF n_probe={p}", lambda qid, p=p: ivf(qid, p))
     score("int8 quantized", quant)
+    score(f"PQ-ADC {PQ_M}x{PQ_K} (overfetch {PQ_OVERFETCH})", pq)
 
     print(f"\nANN recall@{TOP_K} over {len(qids)} queries, {n} vectors ({sf}):\n")
     print("| tier | recall@10 | s/query |")
