@@ -278,3 +278,91 @@ def test_random_disagg_interleavings_match_model(spark, tmp_path, ops):
             assert got_rn == ckpt_model, (
                 f"read node after {kind}@{version}: {got_rn} != {ckpt_model}"
             )
+
+
+@st.composite
+def widen_gen_op_sequences(draw):
+    """Interleavings of writes, compactions, ONE lossless MODIFY (int ->
+    bigint) and ONE virtual generated column add/drop."""
+    n_ops = draw(st.integers(min_value=4, max_value=8))
+    ops, version, widened, has_gen, gen_ever = [], 0, False, False, False
+    for _ in range(n_ops):
+        version += 1
+        kind = draw(st.sampled_from(
+            ["write", "write", "compact", "modify", "addgen", "dropgen"]
+        ))
+        if kind == "write":
+            hs = draw(st.lists(HANDLES, min_size=1, max_size=3, unique=True))
+            ops.append(("write", version, hs))
+        elif kind == "modify":
+            if widened:
+                continue
+            widened = True
+            ops.append(("modify", version, None))
+        elif kind == "addgen":
+            if has_gen or gen_ever:
+                continue
+            has_gen = gen_ever = True
+            ops.append(("addgen", version, None))
+        elif kind == "dropgen":
+            if not has_gen:
+                continue
+            has_gen = False
+            ops.append(("dropgen", version, None))
+        else:
+            ops.append(("compact", version,
+                        draw(st.sampled_from(["flat", "range"]))))
+    return ops
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(ops=widen_gen_op_sequences())
+def test_modify_and_generated_interleavings_match_model(spark, tmp_path, ops):
+    """MODIFY COLUMN widening and a virtual generated column interleaved
+    with writes/compactions: values survive the widened reads bit-exact,
+    the generated column always equals its expression over CURRENT
+    values, and it never reaches the stored files."""
+    store = DeltaStore(spark, str(tmp_path / f"wg{next(_counter)}"))
+    store.write_batch(
+        spark.createDataFrame([(99, 7)], f"{HANDLE} long, n int"), version=1
+    )
+    model: dict[int, int] = {99: 7}
+    widened, has_gen = False, False
+    for kind, version, arg in ops:
+        version += 1
+        if kind == "write":
+            rows = [(h, version * 100 + h) for h in arg]
+            dtype = "bigint" if widened else "int"
+            store.write_batch(
+                spark.createDataFrame(rows, f"{HANDLE} long, n {dtype}"),
+                version=version,
+            )
+            model.update(rows)
+        elif kind == "modify":
+            store.modify_column("n", "bigint")
+            widened = True
+        elif kind == "addgen":
+            store.add_generated_column("g", "bigint", "n * 2")
+            has_gen = True
+        elif kind == "dropgen":
+            store.drop_column("g")
+            has_gen = False
+        elif arg == "range":
+            store.compact_range_segments(ts=version, num_segments=2)
+        else:
+            store.compact(ts=version)
+        rows = store.read().collect()
+        got_n = {r[HANDLE]: r.n for r in rows}
+        assert got_n == model, (kind, version)
+        if has_gen:
+            assert {r[HANDLE]: r.g for r in rows} == {
+                h: n * 2 for h, n in model.items()
+            }
+            assert "g" not in store.log().columns
+        else:
+            assert "g" not in store.read().columns

@@ -630,6 +630,10 @@ class DeltaStore:
         except Exception:
             return None
         cur = dict(self.current_fields() or [])
+        for g in self.current_gen():
+            # virtual generated columns are never stored — they must not
+            # surface in the raw layer as added-but-unsampled NULLs
+            cur.pop(g, None)
         out, seen = [], set()
         for f in sample.fields:
             seen.add(f.name)
