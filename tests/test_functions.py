@@ -325,3 +325,164 @@ def test_sql_vector_surface(spark):
     assert (r.d, r.t) == (5, "[1.5,2.0]")
     assert (r.l2, r.l1, r.cd, r.nip, r.nrm) == (5.0, 7.0, 1.0, -11.0, 5.0)
     assert r.mismatch is None and r.zerovec is None
+
+
+# --- live-map stragglers: TO_DAYS family, TRUNCATE, shifts, XOR, IS TRUE ----
+
+
+def test_to_days_from_days_roundtrip(spark):
+    """TO_DAYS matches proleptic-Gregorian ordinal + 365 (the MySQL year-0
+    day count: TO_DAYS('1970-01-01') = 719528); FROM_DAYS inverts it."""
+    import datetime as dt
+
+    from tiflash_spark.functions.mysql_compat import (
+        mysql_from_days,
+        mysql_to_days,
+    )
+
+    dates = ["1970-01-01", "2007-10-07", "1997-06-30", "2000-02-29"]
+    df = spark.createDataFrame([(d,) for d in dates], "d string").select(
+        "d",
+        mysql_to_days(F.col("d").cast("date")).alias("td"),
+        mysql_from_days(mysql_to_days(F.col("d").cast("date"))).alias("back"),
+    )
+    for r in df.collect():
+        want = dt.date.fromisoformat(r.d).toordinal() + 365
+        assert r.td == want, r
+        assert r.back == dt.date.fromisoformat(r.d), r
+    # MySQL documents FROM_DAYS only for n >= 366 -> NULL below
+    low = spark.range(1).select(mysql_from_days(F.lit(365)).alias("x")).first()
+    assert low.x is None
+
+
+def test_to_seconds_and_microsecond(spark):
+    from tiflash_spark.functions.mysql_compat import (
+        mysql_microsecond,
+        mysql_to_seconds,
+    )
+
+    r = (
+        spark.createDataFrame(
+            [("2009-11-29 13:43:32.000012",)], "t string"
+        )
+        .select(
+            mysql_to_seconds(F.col("t")).alias("ts"),
+            mysql_microsecond(F.col("t")).alias("us"),
+        )
+        .first()
+    )
+    import datetime as dt
+
+    want = (dt.date(2009, 11, 29).toordinal() + 365) * 86400 + 13 * 3600 + 43 * 60 + 32
+    assert r.ts == want
+    assert r.us == 12
+
+
+def test_truncate_directions(spark):
+    from tiflash_spark.functions.misc import mysql_truncate
+
+    rows = (
+        spark.createDataFrame(
+            [(1.223,), (1.999,), (-1.999,), (122.0,), (10.28,)], "x double"
+        )
+        .select(
+            F.col("x"),
+            mysql_truncate(F.col("x"), 1).alias("t1"),
+            mysql_truncate(F.col("x"), -2).alias("tm2"),
+        )
+        .collect()
+    )
+    got = {round(r.x, 3): (round(r.t1, 1), r.tm2) for r in rows}
+    # MySQL doc examples: TRUNCATE(1.223,1)=1.2, TRUNCATE(1.999,1)=1.9,
+    # TRUNCATE(-1.999,1)=-1.9, TRUNCATE(122,-2)=100, TRUNCATE(10.28,0)=10
+    assert got[1.223] == (1.2, 0.0)
+    assert got[1.999] == (1.9, 0.0)
+    assert got[-1.999] == (-1.9, -0.0)
+    assert got[122.0] == (122.0, 100.0)
+
+
+def test_shift_unsigned_semantics(spark):
+    from tiflash_spark.functions.misc import mysql_shiftleft, mysql_shiftright
+
+    r = spark.range(1).select(
+        mysql_shiftleft(F.lit(1), 63).cast("string").alias("hi"),
+        mysql_shiftleft(F.lit(1), 64).cast("string").alias("over"),
+        mysql_shiftleft(F.lit(4), 62).cast("string").alias("wrap"),
+        mysql_shiftright(F.lit(-1), 60).cast("string").alias("neg_rs"),
+        mysql_shiftright(F.lit(16), 2).cast("string").alias("plain"),
+    ).first()
+    assert r.hi == "9223372036854775808"  # 1<<63 presented unsigned
+    assert r.over == "0"  # count >= 64 -> 0 (MySQL)
+    assert r.wrap == "0"  # 4<<62 wraps mod 2^64
+    assert r.neg_rs == str(((1 << 64) - 1) >> 60)  # logical shift of -1
+    assert r.plain == "4"
+
+
+def test_xor_is_true_is_false(spark):
+    from tiflash_spark.functions.misc import is_false, is_true, logical_xor
+
+    r = (
+        spark.createDataFrame([(1, 0, None)], "a int, b int, c int")
+        .select(
+            logical_xor(F.col("a"), F.col("b")).alias("x_ab"),
+            logical_xor(F.col("a"), F.col("a")).alias("x_aa"),
+            logical_xor(F.col("a"), F.col("c")).alias("x_null"),
+            is_true(F.col("c")).alias("t_null"),
+            is_true(F.col("c"), with_null=True).alias("t_null_wn"),
+            is_false(F.col("b")).alias("f_zero"),
+        )
+        .first()
+    )
+    assert (r.x_ab, r.x_aa, r.x_null) == (1, 0, None)
+    assert (r.t_null, r.t_null_wn, r.f_zero) == (0, None, 1)
+
+
+def test_get_format_and_duration_extract(spark):
+    from tiflash_spark.functions.misc import extract_duration
+    from tiflash_spark.functions.mysql_compat import mysql_get_format
+
+    r = (
+        spark.createDataFrame([("USA",), ("ISO",), ("nope",)], "loc string")
+        .select("loc", mysql_get_format("DATE", F.col("loc")).alias("fmt"))
+        .collect()
+    )
+    got = {x.loc: x.fmt for x in r}
+    assert got == {"USA": "%m.%d.%Y", "ISO": "%Y-%m-%d", "nope": None}
+
+    ns = (11 * 3600 + 22 * 60 + 33) * 1_000_000_000 + 123_456_000
+    d = spark.createDataFrame([(ns,)], "d long").select(
+        extract_duration("HOUR", F.col("d")).alias("h"),
+        extract_duration("MINUTE", F.col("d")).alias("m"),
+        extract_duration("SECOND", F.col("d")).alias("s"),
+        extract_duration("MICROSECOND", F.col("d")).alias("us"),
+        extract_duration("HOUR_MINUTE", F.col("d")).alias("hm"),
+        extract_duration("MINUTE_SECOND", F.col("d")).alias("ms"),
+    ).first()
+    assert (d.h, d.m, d.s, d.us) == (11, 22, 33, 123456)
+    assert (d.hm, d.ms) == (1122, 2233)
+    neg = spark.createDataFrame([(-ns,)], "d long").select(
+        extract_duration("HOUR_MINUTE", F.col("d")).alias("hm")
+    ).first()
+    assert neg.hm == -1122
+
+
+def test_sql_straggler_surface(spark):
+    from tiflash_spark.functions.sql_registry import register_mysql_functions
+
+    register_mysql_functions(spark)
+    r = spark.sql(
+        "SELECT to_days(DATE '2007-10-07') AS td,"
+        " from_days(to_days(DATE '2007-10-07')) AS fd,"
+        " to_seconds(TIMESTAMP '2009-11-29 13:43:32') AS ts,"
+        " mysql_truncate(1.999D, 1) AS tr,"
+        " mysql_xor(1, 0) AS x"
+    ).first()
+    import datetime as dt
+
+    assert r.td == dt.date(2007, 10, 7).toordinal() + 365
+    assert r.fd == dt.date(2007, 10, 7)
+    import datetime as dt2
+
+    assert r.ts == (dt2.date(2009, 11, 29).toordinal() + 365) * 86400 + 13 * 3600 + 43 * 60 + 32
+    assert abs(r.tr - 1.9) < 1e-12
+    assert r.x == 1

@@ -152,6 +152,13 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
           " + CAST(like_urgent AS INT) + CAST(nse_p AS INT))",
           "ROUND(SUM(floor100k + cap400k), 2)",
           "SUM(LENGTH(bucket) + LENGTH(status_or_open))"]),
+        ("scalar_stragglers",
+         ["SUM(td + tsec % 100000 + micro + dur_hm)",
+          "SUM(YEAR(fd_ts) + xor_f + is_t + COALESCE(is_f_n, 7))",
+          "ROUND(SUM(trunc1 + trunc_neg2), 2)",
+          "SUM(CAST(shl62 AS DECIMAL(20,0)) % 97"
+          " + CAST(shr3_neg AS DECIMAL(20,0)) % 97)",
+          "SUM(LENGTH(COALESCE(fmt, 'x')))"]),
         ("datetime_functions",
          ["SUM(yr + qtr + mon + dom + dow + doy + woy + days_to_98)",
           "SUM(YEAR(plus30) + YEAR(minus7) + YEAR(eom) + YEAR(month_start)"

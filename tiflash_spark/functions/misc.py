@@ -151,3 +151,89 @@ def mysql_format(n: Column, decimals: int) -> Column:
     (reference FunctionsString.cpp format). format_number alone rounds
     half-even; MySQL rounds half-up — pre-round with F.round (HALF_UP)."""
     return F.format_number(F.round(n, decimals), decimals)
+
+
+def mysql_truncate(x: Column | str, d: int) -> Column:
+    """TRUNCATE(X, D) (reference tidbTruncateWithFrac, FunctionsRound.cpp):
+    truncation toward zero to D fractional digits; negative D zeroes digits
+    left of the decimal point. Differs from ROUND (no half-away) and from
+    FLOOR (which goes toward -inf for negatives)."""
+    col = F.col(x) if isinstance(x, str) else x
+    scale = F.lit(float(10**d)) if d >= 0 else F.lit(1.0 / 10 ** (-d))
+    return F.signum(col) * F.floor(F.abs(col) * scale) / scale
+
+
+def logical_xor(a: Column, b: Column) -> Column:
+    """MySQL XOR (reference `xor` in the live map): NULL if either side is
+    NULL, else (a != 0) != (b != 0) as 1/0."""
+    return ((a.cast("double") != 0) != (b.cast("double") != 0)).cast("int")
+
+
+def is_true(x: Column | str, with_null: bool = False) -> Column:
+    """IS TRUE (reference isTrue/isTrueWithNull): nonzero -> 1, zero -> 0;
+    NULL -> 0 for IS TRUE, NULL for the WithNull variant (used inside
+    expressions where NULL must propagate)."""
+    col = (F.col(x) if isinstance(x, str) else x).cast("double")
+    flag = (col != 0).cast("int")
+    return flag if with_null else F.coalesce(flag, F.lit(0))
+
+
+def is_false(x: Column | str, with_null: bool = False) -> Column:
+    """IS FALSE (reference isFalse/isFalseWithNull)."""
+    col = (F.col(x) if isinstance(x, str) else x).cast("double")
+    flag = (col == 0).cast("int")
+    return flag if with_null else F.coalesce(flag, F.lit(0))
+
+
+def mysql_shiftleft(x: Column | str, n: Column | int) -> Column:
+    """x << n with MySQL BIGINT UNSIGNED semantics (reference bitShiftLeft):
+    the result wraps modulo 2^64 and is presented unsigned (DECIMAL(20,0)
+    via uint64_to_decimal); shift counts outside 0..63 yield 0."""
+    col = (F.col(x) if isinstance(x, str) else x).cast("long")
+    nn = F.lit(n) if isinstance(n, int) else n.cast("int")
+    shifted = uint64_to_decimal(F.call_function("shiftleft", col, nn))
+    return F.when((nn < 0) | (nn > 63), F.lit(0).cast("decimal(20,0)")).otherwise(
+        shifted
+    )
+
+
+def mysql_shiftright(x: Column | str, n: Column | int) -> Column:
+    """x >> n, logical (unsigned) shift like MySQL (reference bitShiftRight):
+    the sign bit shifts in as 0 — Spark's shiftrightunsigned — and counts
+    outside 0..63 yield 0."""
+    col = (F.col(x) if isinstance(x, str) else x).cast("long")
+    nn = F.lit(n) if isinstance(n, int) else n.cast("int")
+    shifted = uint64_to_decimal(F.call_function("shiftrightunsigned", col, nn))
+    return F.when((nn < 0) | (nn > 63), F.lit(0).cast("decimal(20,0)")).otherwise(
+        shifted
+    )
+
+
+def extract_duration(unit: str, dur_ns: Column | str) -> Column:
+    """EXTRACT(unit FROM duration) (reference extractMyDuration,
+    FunctionsDuration.cpp) over the repo's Int64-nanosecond duration
+    encoding. Negative durations extract negative components, as MySQL
+    does for TIME values."""
+    col = (F.col(dur_ns) if isinstance(dur_ns, str) else dur_ns).cast("long")
+    sign = F.when(col < 0, F.lit(-1)).otherwise(F.lit(1))
+    a = F.abs(col)
+    hour = (a / 3_600_000_000_000).cast("long")
+    minute = (a / 60_000_000_000).cast("long") % 60
+    second = (a / 1_000_000_000).cast("long") % 60
+    micro = (a / 1_000).cast("long") % 1_000_000
+    table = {
+        "HOUR": hour,
+        "MINUTE": minute,
+        "SECOND": second,
+        "MICROSECOND": micro,
+        "SECOND_MICROSECOND": second * 1_000_000 + micro,
+        "MINUTE_SECOND": minute * 100 + second,
+        "MINUTE_MICROSECOND": (minute * 100 + second) * 1_000_000 + micro,
+        "HOUR_SECOND": hour * 10_000 + minute * 100 + second,
+        "HOUR_MINUTE": hour * 100 + minute,
+        "HOUR_MICROSECOND": (hour * 10_000 + minute * 100 + second) * 1_000_000
+        + micro,
+    }
+    if unit.upper() not in table:
+        raise ValueError(f"unsupported duration unit {unit!r}")
+    return (sign * table[unit.upper()]).cast("long")

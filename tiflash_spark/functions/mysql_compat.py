@@ -220,3 +220,113 @@ def mysql_cast_signed(c: Column | str) -> Column:
         F.when(col > signed_max, (col - modulus).cast("long"))
         .otherwise(col.cast("long"))
     )
+
+
+# --- TO_DAYS / FROM_DAYS / TO_SECONDS (reference tidbToDays/tidbFromDays/
+# tidbToSeconds, DAGUtils.cpp live map; impls in FunctionsDateTime.cpp).
+# MySQL's day number counts from year 0 of its calendar: TO_DAYS(d) equals
+# proleptic-Gregorian ordinal(d) + 365, i.e. TO_DAYS('1970-01-01') = 719528.
+_EPOCH_TO_DAYS = 719528
+
+
+def mysql_to_days(c: Column | str) -> Column:
+    """TO_DAYS(date): days since year 0 (MySQL calendar). NULL for NULL /
+    unparseable input (the zero-date path is already NULL after
+    mysql_str_to_date)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (
+        F.datediff(col.cast("date"), F.lit("1970-01-01").cast("date"))
+        + F.lit(_EPOCH_TO_DAYS)
+    ).cast("long")
+
+
+def mysql_from_days(n: Column | str) -> Column:
+    """FROM_DAYS(n): inverse of TO_DAYS. MySQL documents results only for
+    n >= 366 (dates inside year 0 render as the zero date) — those map to
+    NULL here, the repo-wide zero-date treatment."""
+    col = (F.col(n) if isinstance(n, str) else n).cast("long")
+    return F.when(
+        col >= 366,
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            (col - F.lit(_EPOCH_TO_DAYS)).cast("int"),
+        ),
+    )
+
+
+def mysql_to_seconds(c: Column | str) -> Column:
+    """TO_SECONDS(ts): seconds since year 0 = TO_DAYS(date part) * 86400 +
+    seconds within the day (reference tidbToSeconds)."""
+    col = F.col(c) if isinstance(c, str) else c
+    ts = col.cast("timestamp")
+    day_secs = (
+        F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)
+    ).cast("long")
+    return mysql_to_days(ts) * F.lit(86400).cast("long") + day_secs
+
+
+_GET_FORMAT_TABLE = {
+    ("DATE", "USA"): "%m.%d.%Y",
+    ("DATE", "JIS"): "%Y-%m-%d",
+    ("DATE", "ISO"): "%Y-%m-%d",
+    ("DATE", "EUR"): "%d.%m.%Y",
+    ("DATE", "INTERNAL"): "%Y%m%d",
+    ("DATETIME", "USA"): "%Y-%m-%d %H.%i.%s",
+    ("DATETIME", "JIS"): "%Y-%m-%d %H:%i:%s",
+    ("DATETIME", "ISO"): "%Y-%m-%d %H:%i:%s",
+    ("DATETIME", "EUR"): "%Y-%m-%d %H.%i.%s",
+    ("DATETIME", "INTERNAL"): "%Y%m%d%H%i%s",
+    ("TIME", "USA"): "%h:%i:%s %p",
+    ("TIME", "JIS"): "%H:%i:%s",
+    ("TIME", "ISO"): "%H:%i:%s",
+    ("TIME", "EUR"): "%H.%i.%s",
+    ("TIME", "INTERNAL"): "%H%i%s",
+}
+
+
+def mysql_get_format(kind: str, locale: Column | str) -> Column:
+    """GET_FORMAT(kind, locale) (reference getFormat, FunctionsDateTime.cpp;
+    the MySQL format-name lookup). ``kind`` is the literal DATE/DATETIME/
+    TIME keyword (parser-level in MySQL); ``locale`` may be a column.
+    Unknown locale -> NULL, matching MySQL."""
+    kind = kind.upper()
+    if kind == "TIMESTAMP":  # MySQL alias
+        kind = "DATETIME"
+    loc = F.upper(F.col(locale) if isinstance(locale, str) else locale)
+    out = F.lit(None).cast("string")
+    for (k, name), fmt in reversed(_GET_FORMAT_TABLE.items()):
+        if k == kind:
+            out = F.when(loc == name, F.lit(fmt)).otherwise(out)
+    return out
+
+
+def mysql_microsecond(c: Column | str) -> Column:
+    """MICROSECOND(ts): the fractional-second part, 0..999999 (reference
+    microSecond over MyDateTime fsp)."""
+    col = (F.col(c) if isinstance(c, str) else c).cast("timestamp")
+    return F.pmod(F.unix_micros(col), F.lit(1000000)).cast("int")
+
+
+def mysql_sysdate(fsp: int = 0) -> Column:
+    """SYSDATE([fsp]) (reference sysDateWithFsp/sysDateWithoutFsp):
+    evaluation-time timestamp truncated to fsp fractional digits.
+    Nondeterministic by contract — never under an oracle."""
+    if not 0 <= fsp <= 6:
+        raise ValueError("fsp must be 0..6")
+    ts = F.localtimestamp()
+    scale = 10 ** (6 - fsp)
+    return F.timestamp_micros(
+        (F.unix_micros(ts) / scale).cast("long") * scale
+    )
+
+
+def mysql_format_with_locale(
+    x: Column | str, decimals: int, locale: str = "en_US"
+) -> Column:
+    """FORMAT(X, D, locale) (reference formatWithLocale): MySQL falls back
+    to en_US with a warning for locales it doesn't know; we support the
+    en_US family (comma thousands, dot decimal) and apply the same
+    fallback for everything else."""
+    col = F.col(x) if isinstance(x, str) else x
+    del locale  # only the en_US rendering is supported — MySQL's fallback
+    return F.format_number(col, decimals)

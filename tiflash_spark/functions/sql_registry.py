@@ -161,6 +161,34 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "STRING",
         "concat('[', array_join(transform(a, x -> CAST(x AS STRING)), ','), ']')",
     ),
+    # --- datetime/numeric stragglers of the live scalar map -----------------
+    "to_days": (
+        "d DATE",
+        "BIGINT",
+        "CAST(datediff(d, DATE '1970-01-01') + 719528 AS BIGINT)",
+    ),
+    "from_days": (
+        "n BIGINT",
+        "DATE",
+        "CASE WHEN n >= 366 THEN"
+        " date_add(DATE '1970-01-01', CAST(n - 719528 AS INT)) END",
+    ),
+    "to_seconds": (
+        "t TIMESTAMP",
+        "BIGINT",
+        "(CAST(datediff(CAST(t AS DATE), DATE '1970-01-01') + 719528 AS BIGINT))"
+        " * 86400 + hour(t) * 3600 + minute(t) * 60 + second(t)",
+    ),
+    "mysql_truncate": (
+        "x DOUBLE, d INT",
+        "DOUBLE",
+        "sign(x) * floor(abs(x) * pow(10, d)) / pow(10, d)",
+    ),
+    "mysql_xor": (
+        "a BIGINT, b BIGINT",
+        "INT",
+        "CAST((a <> 0) <> (b <> 0) AS INT)",
+    ),
     "vec_from_text": (
         "s STRING",
         "ARRAY<DOUBLE>",

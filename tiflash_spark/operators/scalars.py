@@ -624,3 +624,86 @@ ORDER BY rep
 
 QUERIES["collation_unicode_ci"] = collation_unicode_ci
 ORACLE["collation_unicode_ci"] = COLLATION_UNICODE_CI_SQL
+
+
+def scalar_stragglers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live-surface stragglers from the reference scalar map (DAGUtils.cpp):
+    tidbToDays/tidbFromDays/tidbToSeconds, microSecond, tidbTruncateWithFrac,
+    xor, isTrue/isFalseWithNull, bitShiftLeft/bitShiftRight (unsigned 64-bit
+    presentation), getFormat, extractMyDuration — each mirrored in DuckDB
+    arithmetic so the whole family is value-hashed."""
+    from tiflash_spark.functions.misc import (
+        extract_duration,
+        is_false,
+        is_true,
+        logical_xor,
+        mysql_shiftleft,
+        mysql_shiftright,
+        mysql_truncate,
+    )
+    from tiflash_spark.functions.mysql_compat import (
+        mysql_from_days,
+        mysql_get_format,
+        mysql_microsecond,
+        mysql_to_days,
+        mysql_to_seconds,
+    )
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    d = F.col("o_orderdate")
+    k = F.col("o_orderkey")
+    # deterministic sub-second timestamp: date + per-key microseconds
+    us = F.unix_micros(d.cast("timestamp")) + k * 123457 % 1000000
+    synth_ts = F.timestamp_micros(us)
+    locale = (
+        F.when(k % 3 == 0, "ISO").when(k % 3 == 1, "USA").otherwise("NOPE")
+    )
+    dur_ns = (k * 37).cast("long") * 1_000_000_000
+    return o.select(
+        "o_orderkey",
+        mysql_to_days(d).alias("td"),
+        mysql_from_days(mysql_to_days(d) - 100).cast("timestamp").alias("fd_ts"),
+        mysql_to_seconds(synth_ts).alias("tsec"),
+        mysql_microsecond(synth_ts).alias("micro"),
+        F.round(mysql_truncate(F.col("o_totalprice"), 1), 1).alias("trunc1"),
+        mysql_truncate(-F.col("o_totalprice"), -2).alias("trunc_neg2"),
+        logical_xor(k % 2, F.col("o_custkey") % 3).alias("xor_f"),
+        is_true(F.col("o_custkey") % 3).alias("is_t"),
+        is_false(F.nullif(k % 2, F.lit(1)), with_null=True).alias("is_f_n"),
+        mysql_shiftleft(k, 62).cast("string").alias("shl62"),
+        mysql_shiftright(-k, 3).cast("string").alias("shr3_neg"),
+        mysql_get_format("DATE", locale).alias("fmt"),
+        extract_duration("HOUR_MINUTE", dur_ns).alias("dur_hm"),
+    )
+
+
+SCALAR_STRAGGLERS_SQL = """
+SELECT
+  o_orderkey,
+  DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 719528 AS td,
+  CAST(DATE '1970-01-01'
+       + CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              - 100 AS INT) AS TIMESTAMP) AS fd_ts,
+  (DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 719528)
+      * CAST(86400 AS BIGINT)
+      + ((o_orderkey * 123457 % 1000000) // 1000000) AS tsec,
+  CAST((CAST(FLOOR(EPOCH(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) * 1000000
+        + o_orderkey * 123457 % 1000000) % 1000000 AS INT) AS micro,
+  ROUND(SIGN(o_totalprice) * FLOOR(ABS(o_totalprice) * 10) / 10, 1) AS trunc1,
+  SIGN(-o_totalprice) * FLOOR(ABS(o_totalprice) / 100) * 100 AS trunc_neg2,
+  CAST((o_orderkey % 2 <> 0) <> (o_custkey % 3 <> 0) AS INT) AS xor_f,
+  CAST(o_custkey % 3 <> 0 AS INT) AS is_t,
+  CAST(NULLIF(o_orderkey % 2, 1) = 0 AS INT) AS is_f_n,
+  CAST((CAST(o_orderkey AS HUGEINT) * CAST(4611686018427387904 AS HUGEINT))
+       % CAST(18446744073709551616 AS HUGEINT) AS VARCHAR) AS shl62,
+  CAST(((CAST(18446744073709551616 AS HUGEINT) - o_orderkey)
+        % CAST(18446744073709551616 AS HUGEINT)) // 8 AS VARCHAR) AS shr3_neg,
+  CASE WHEN o_orderkey % 3 = 0 THEN '%Y-%m-%d'
+       WHEN o_orderkey % 3 = 1 THEN '%m.%d.%Y' END AS fmt,
+  (o_orderkey * 37 // 3600) * 100 + (o_orderkey * 37 % 3600) // 60 AS dur_hm
+FROM orders
+WHERE o_orderkey <= 400
+"""
+
+QUERIES["scalar_stragglers"] = scalar_stragglers
+ORACLE["scalar_stragglers"] = SCALAR_STRAGGLERS_SQL
