@@ -1,0 +1,191 @@
+"""Store-local full-text index (reference Index/FullTextIndex/: per-segment
+index, searchNoScore/searchScored over the MVCC valid-rows bitmap).
+
+Covers: build + match semantics, segment pruning proof, MVCC (delta
+updates/deletes win over the index, snapshot ts respected), BM25 scored
+search ordering, refresh-on-compaction, DDL invalidation, and the
+ALTER TABLE ADD ... INDEX SQL forms.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from tiflash_spark.sources.delta_store import HANDLE, DeltaStore
+
+_counter = itertools.count()
+
+
+def _store(spark, tmp_path, docs):
+    s = DeltaStore(spark, str(tmp_path / f"fts{next(_counter)}"))
+    s.write_batch(
+        spark.createDataFrame(docs, f"{HANDLE} long, body string"), version=1
+    )
+    s.compact(ts=1, num_segments=2)
+    return s
+
+
+DOCS = [
+    (1, "the quick brown fox"),
+    (2, "lazy dog sleeps"),
+    (3, "quick silver lining"),
+    (4, "dogs and foxes play"),
+    (5, None),
+    (6, "Quick QUICK quick"),
+]
+
+
+def test_build_and_match_word(spark, tmp_path):
+    s = _store(spark, tmp_path, DOCS)
+    covered = s.build_fulltext_index("body")
+    assert covered == 2
+    got = sorted(r[HANDLE] for r in s.fts_match_word("body", "quick").collect())
+    assert got == [1, 3, 6]  # tokenizer lowercases; 'quick' != 'quickly'
+    assert s.fts_match_word("body", "FOX").count() == 1  # query normalized too
+    assert s.fts_match_word("body", "absent").count() == 0
+
+
+def test_match_prunes_termless_segments(spark, tmp_path):
+    """A covered segment whose postings lack the term is pruned at the
+    file-listing level — the proof the reference's index-read path gives."""
+    s = _store(spark, tmp_path, DOCS)
+    s.build_fulltext_index("body")
+    idx = spark.read.parquet(s._ftsidx_dir("body"))
+    seg_of = {
+        r[HANDLE]: r._seg
+        for r in spark.read.parquet(s.stable_path()).select(HANDLE, "_seg").collect()
+    }
+    # find a term confined to one segment
+    term_segs = {
+        r.term: r.segs
+        for r in idx.groupBy("term").agg(F.collect_set("_seg").alias("segs")).collect()
+    }
+    confined = [t for t, ss in term_segs.items() if len(ss) == 1]
+    assert confined, "need a single-segment term for the pin"
+    t = confined[0]
+    covered = {int(x) for x in s._ftsidx_meta()["body"]["segs"]}
+    hit = {int(x) for x in term_segs[t]}
+    assert covered - hit, "expected at least one prunable segment"
+    rows = s.fts_match_word("body", t).collect()
+    assert rows, "confined term must still match its rows"
+    assert all(seg_of[r[HANDLE]] in hit for r in rows)
+
+
+def test_match_mvcc_delta_wins_and_deletes(spark, tmp_path):
+    s = _store(spark, tmp_path, DOCS)
+    s.build_fulltext_index("body")
+    # update: doc 2 gains 'quick', doc 1 loses it; delete doc 3
+    s.write_batch(
+        spark.createDataFrame(
+            [(2, "quick update"), (1, "no match now")],
+            f"{HANDLE} long, body string",
+        ),
+        version=2,
+    )
+    s.write_batch(
+        spark.createDataFrame([(3, "quick silver lining")], f"{HANDLE} long, body string"),
+        version=3,
+        delete=True,
+    )
+    got = sorted(r[HANDLE] for r in s.fts_match_word("body", "quick").collect())
+    assert got == [2, 6]
+    # historical snapshot: the pre-update state
+    old = sorted(r[HANDLE] for r in s.fts_match_word("body", "quick", ts=1).collect())
+    assert old == [1, 3, 6]
+
+
+def test_scored_search_orders_by_bm25(spark, tmp_path):
+    docs = [
+        (1, "spark spark spark engine"),
+        (2, "spark engine"),
+        (3, "engine room with a very long body of unrelated words " * 3),
+        (4, "nothing relevant"),
+    ]
+    s = _store(spark, tmp_path, docs)
+    s.build_fulltext_index("body")
+    rows = s.fts_search_scored("body", "spark engine", k=10).collect()
+    ids = [r[HANDLE] for r in rows]
+    assert set(ids) == {1, 2, 3}  # OR semantics, doc 4 unmatched
+    assert ids[0] in (1, 2)  # both-term docs above single-term doc 3
+    assert rows[0].bm25 >= rows[-1].bm25
+    two_term = {r[HANDLE]: r.n_terms for r in rows}
+    assert two_term[1] == 2 and two_term[2] == 2 and two_term[3] == 1
+    # scored search sees the delta tail exactly
+    s.write_batch(
+        spark.createDataFrame(
+            [(9, "spark spark spark spark engine")], f"{HANDLE} long, body string"
+        ),
+        version=2,
+    )
+    rows2 = s.fts_search_scored("body", "spark engine", k=10).collect()
+    assert 9 in {r[HANDLE] for r in rows2}
+
+
+def test_refresh_on_compaction_and_ddl_invalidation(spark, tmp_path):
+    s = _store(spark, tmp_path, DOCS)
+    s.build_fulltext_index("body")
+    s.write_batch(
+        spark.createDataFrame([(7, "fresh quick doc")], f"{HANDLE} long, body string"),
+        version=2,
+    )
+    s.compact(ts=2, num_segments=2)  # full rewrite → index rebuilt
+    meta = s._ftsidx_meta()["body"]
+    assert meta["segs"], "index must survive compaction via rebuild"
+    got = sorted(r[HANDLE] for r in s.fts_match_word("body", "quick").collect())
+    assert got == [1, 3, 6, 7]
+    n_docs = sum(v[0] for v in meta["stats"].values())
+    assert n_docs == 6  # doc 5 is NULL-bodied
+    # dropping the column retires the index on the next refresh cycle
+    s.drop_column("body")
+    s.write_batch(spark.createDataFrame([(8,)], f"{HANDLE} long"), version=3)
+    s.compact(ts=3, num_segments=2)
+    assert "body" not in s._ftsidx_meta()
+
+
+def test_admin_sql_index_ddl(spark, tmp_path):
+    from tiflash_spark.sources.admin_sql import run_sql
+
+    s = _store(spark, tmp_path, DOCS)
+    r = run_sql(
+        spark, "ALTER TABLE docs ADD FULLTEXT INDEX idx_b (body)", {"docs": s}
+    ).collect()[0]
+    assert (r.index_kind, r.column_name, r.segments_covered) == ("fulltext", "body", 2)
+    assert "body" in s._ftsidx_meta()
+
+    s2 = DeltaStore(spark, str(tmp_path / f"fts{next(_counter)}"))
+    s2.write_batch(
+        spark.createDataFrame(
+            [(i, i % 5, [float(i), float(i % 3)]) for i in range(20)],
+            f"{HANDLE} long, grp int, v array<double>",
+        ),
+        version=1,
+    )
+    s2.compact(ts=1, num_segments=2)
+    r = run_sql(
+        spark, "ALTER TABLE t ADD COLUMNAR INDEX idx_g (grp) USING INVERTED", {"t": s2}
+    ).collect()[0]
+    assert r.index_kind == "inverted" and "grp" in s2._invidx_meta()
+    r = run_sql(
+        spark,
+        "ALTER TABLE t ADD VECTOR INDEX idx_v ((VEC_COSINE_DISTANCE(v))) USING HNSW",
+        {"t": s2},
+    ).collect()[0]
+    assert r.index_kind == "vector" and "v" in s2._vecidx_meta()
+    with pytest.raises(ValueError, match="USING INVERTED"):
+        run_sql(spark, "ALTER TABLE t ADD COLUMNAR INDEX i (grp) USING HNSW", {"t": s2})
+
+
+def test_fts_without_index_is_exact(spark, tmp_path):
+    """No index (or unsegmented layout): both paths fall back to exact
+    snapshot evaluation."""
+    s = DeltaStore(spark, str(tmp_path / f"fts{next(_counter)}"))
+    s.write_batch(
+        spark.createDataFrame(DOCS, f"{HANDLE} long, body string"), version=1
+    )
+    got = sorted(r[HANDLE] for r in s.fts_match_word("body", "quick").collect())
+    assert got == [1, 3, 6]
+    rows = s.fts_search_scored("body", "quick dog", k=10).collect()
+    assert {r[HANDLE] for r in rows} == {1, 2, 3, 6}  # no stemming: 'dogs' != 'dog'

@@ -46,6 +46,22 @@ _ALTER_COL = re.compile(
 )
 
 
+# Index DDL, the reference's SQL forms (tests/fullstack-test-index/):
+#   ALTER TABLE t ADD FULLTEXT INDEX idx (col)
+#   ALTER TABLE t ADD COLUMNAR INDEX idx (col) USING INVERTED
+#   ALTER TABLE t ADD VECTOR INDEX idx ((VEC_COSINE_DISTANCE(col))) USING HNSW
+#   ALTER TABLE t ADD VECTOR INDEX idx ((VEC_L2_DISTANCE(col))) USING HNSW
+_ADD_INDEX = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(?P<tbl>\w+)`?\s+ADD\s+"
+    r"(?:(?P<fts>FULLTEXT)|(?P<col_idx>COLUMNAR)|(?P<vec>VECTOR))\s+INDEX\s+"
+    r"`?(?P<idx>\w+)`?\s*\(\s*"
+    r"(?:\(\s*VEC_(?:COSINE_DISTANCE|L2_DISTANCE)\s*\(\s*`?(?P<veccol>\w+)`?\s*\)\s*\)"
+    r"|`?(?P<col>\w+)`?)\s*\)"
+    r"(?:\s+USING\s+(?P<algo>\w+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
 def run_sql(
     spark: SparkSession, sql: str, stores: dict[str, DeltaStore] | None = None
 ) -> DataFrame:
@@ -83,6 +99,40 @@ def run_sql(
         return spark.createDataFrame(
             [(name, ts, int(kept))],
             "table_name string, safe_point long, rows_kept long",
+        )
+    m = _ADD_INDEX.match(sql)
+    if m:
+        name = m.group("tbl")
+        if not stores or name not in stores:
+            raise ValueError(
+                f"ALTER TABLE {name} ADD ... INDEX: no DeltaStore registered "
+                f"under {name!r} (known: {sorted(stores or {})})"
+            )
+        store = stores[name]
+        algo = (m.group("algo") or "").upper()
+        if m.group("fts"):
+            kind, col = "fulltext", m.group("col")
+            segs = store.build_fulltext_index(col)
+        elif m.group("col_idx"):
+            if algo and algo != "INVERTED":
+                raise ValueError(f"COLUMNAR INDEX supports USING INVERTED, not {algo}")
+            kind, col = "inverted", m.group("col")
+            segs = store.build_inverted_index([col])
+        else:
+            # VECTOR INDEX ((VEC_*_DISTANCE(col))) USING HNSW — the
+            # Spark-native index is the IVF posting sidecar; HNSW is the
+            # reference's algorithm name, accepted as the DDL spelling
+            kind, col = "vector", m.group("veccol")
+            if col is None:
+                raise ValueError(
+                    "VECTOR INDEX needs ((VEC_COSINE_DISTANCE(col))) or "
+                    "((VEC_L2_DISTANCE(col)))"
+                )
+            segs = store.build_vector_index(col)
+        return spark.createDataFrame(
+            [(name, m.group("idx"), kind, col, int(segs))],
+            "table_name string, index_name string, index_kind string,"
+            " column_name string, segments_covered long",
         )
     m = _ALTER_COL.match(sql)
     if m:

@@ -373,6 +373,10 @@ class DeltaStore:
         if name in inv:
             inv.pop(name)
             self._write_invidx_meta(inv)
+        fts = self._ftsidx_meta()
+        if name in fts:
+            fts.pop(name)
+            self._write_ftsidx_meta(fts)
         return vs[-1]["v"]
 
     def drop_column(self, name: str) -> int:
@@ -762,6 +766,7 @@ class DeltaStore:
         prior_zm = self._zonemap()
         prior_idx = list(self._invidx_meta())
         prior_vec = self._vecidx_meta()
+        prior_fts = list(self._ftsidx_meta())
         self._fail("staged")
         self._promote(stage, retire_delta=True, carry_range_dels=rd_carry)
         # full stable rewrite invalidates every zone-map / inverted-index
@@ -771,6 +776,7 @@ class DeltaStore:
         self._rebuild_zonemap(prior_zm)
         self._rebuild_invidx(prior_idx)
         self._rebuild_vecidx(prior_vec)
+        self._rebuild_ftsidx(prior_fts)
         return n
 
     def _num_segments(self) -> int | None:
@@ -919,11 +925,13 @@ class DeltaStore:
         prior_zm = self._zonemap()
         prior_idx = list(self._invidx_meta())
         prior_vec = self._vecidx_meta()
+        prior_fts = list(self._ftsidx_meta())
         self._fail("staged")
         self._promote(stage, retire_delta=True, carry_range_dels=rd_carry)
         self._rebuild_zonemap(prior_zm)
         self._rebuild_invidx(prior_idx)
         self._rebuild_vecidx(prior_vec)
+        self._rebuild_ftsidx(prior_fts)
         return n
 
     def _manifest(self) -> dict | None:
@@ -1104,6 +1112,7 @@ class DeltaStore:
         dirty_set = {f"_seg={s}" for s in dirty}
         idx_skip = self._stage_invidx(stage, dirty)
         idx_skip |= self._stage_vecidx(stage, dirty)
+        idx_skip |= self._stage_ftsidx(stage, dirty)
         self._link_tree(
             self.stable_path(),
             stage,
@@ -1139,6 +1148,7 @@ class DeltaStore:
         self._zonemap_refresh_segs(dirty)
         self._invidx_refresh_segs(dirty)
         self._vecidx_refresh_segs(dirty)
+        self._ftsidx_refresh_segs(dirty)
         return (len(dirty), n)
 
     def ingest_snapshot(self, df: DataFrame, version: int) -> int:
@@ -1216,6 +1226,7 @@ class DeltaStore:
             self._zonemap() is not None
             or self._invidx_meta()
             or self._vecidx_meta()
+            or self._ftsidx_meta()
         ):
             seg_of = (
                 self._seg_assign_expr(man)
@@ -1234,6 +1245,7 @@ class DeltaStore:
         if touched:
             skip |= self._stage_invidx(stage, touched)
             skip |= self._stage_vecidx(stage, touched)
+            skip |= self._stage_ftsidx(stage, touched)
         self._link_tree(self.stable_path(), stage, skip=skip)
         self._merge_staged_files(tmp, stage)
         if man:
@@ -1254,6 +1266,7 @@ class DeltaStore:
             self._zonemap_refresh_segs(touched)
             self._invidx_refresh_segs(touched)
             self._vecidx_refresh_segs(touched)
+            self._ftsidx_refresh_segs(touched)
         return out.count()
 
     @staticmethod
@@ -1354,6 +1367,7 @@ class DeltaStore:
         stage = self._stage_dir("split")
         idx_skip = self._stage_invidx(stage, [seg_id, new_id])
         idx_skip |= self._stage_vecidx(stage, [seg_id, new_id])
+        idx_skip |= self._stage_ftsidx(stage, [seg_id, new_id])
         self._link_tree(
             self.stable_path(),
             stage,
@@ -1385,6 +1399,7 @@ class DeltaStore:
         self._zonemap_refresh_segs([seg_id, new_id])
         self._invidx_refresh_segs([seg_id, new_id])
         self._vecidx_refresh_segs([seg_id, new_id])
+        self._ftsidx_refresh_segs([seg_id, new_id])
         return (seg_id, new_id)
 
     def merge_segments(self, left_id: int, right_id: int) -> int:
@@ -1420,6 +1435,7 @@ class DeltaStore:
         stage = self._stage_dir("merge")
         idx_skip = self._stage_invidx(stage, [left_id, right_id])
         idx_skip |= self._stage_vecidx(stage, [left_id, right_id])
+        idx_skip |= self._stage_ftsidx(stage, [left_id, right_id])
         self._link_tree(
             self.stable_path(),
             stage,
@@ -1463,6 +1479,7 @@ class DeltaStore:
         self._promote(stage, retire_delta=False)
         self._invidx_refresh_segs([left_id])
         self._vecidx_refresh_segs([left_id])
+        self._ftsidx_refresh_segs([left_id])
         return left_id
 
     def delta_rows(self) -> int:
@@ -2504,6 +2521,412 @@ class DeltaStore:
             for r in stable.select(F.col("_seg").alias("s")).distinct().collect()
         }
 
+    # --- full-text index ----------------------------------------------------
+    #
+    # Reference: a per-segment full-text index answering match and scored
+    # (BM25-style) search over the MVCC valid-rows bitmap
+    # (dbms/src/Storages/DeltaMerge/Index/FullTextIndex/Reader.h
+    # searchNoScore/searchScored, Writer.h; schema
+    # dbms/src/TiDB/Schema/FullTextIndex.h). Spark-first: a parquet
+    # postings sidecar ``_FTSIDX_<col>/_seg=K/`` of (term, handle, tf, dl)
+    # rows, sorted by term within files so a term lookup prunes at parquet
+    # row-group level, plus per-segment corpus stats (n_docs, sum_dl) in
+    # the `_FTSIDX` meta so BM25's N/avgdl combine incrementally across
+    # segment refreshes. Same crash-safe unregister → rewrite →
+    # re-register maintenance as the inverted/vector indexes, and the same
+    # MVCC posture as ann_topk: the index nominates candidates and prunes
+    # segments; visibility and scores are decided on CURRENT values
+    # through the snapshot read path, so a stale index can only cost
+    # recall inside an unrefreshed window, never add or mis-score rows.
+
+    def _ftsidx_dir(self, col: str, layer_dir: str | None = None) -> str:
+        return os.path.join(layer_dir or self.stable_path(), f"_FTSIDX_{col}")
+
+    def _ftsidx_meta(self, layer_dir: str | None = None) -> dict:
+        import json
+
+        p = os.path.join(layer_dir or self.stable_path(), "_FTSIDX")
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return {}
+
+    def _write_ftsidx_meta(self, meta: dict, layer_dir: str | None = None) -> None:
+        import json
+
+        d = layer_dir or self.stable_path()
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, "_FTSIDX")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, p)
+
+    def build_fulltext_index(self, col: str) -> int:
+        """Index a string column for full-text match/scored search.
+        Requires a segmented stable layer. One tokenize+explode shuffle
+        over stable per build (the reference builds its index when a
+        DMFile is written). Returns segments covered."""
+        stable = self._layer("stable")
+        if stable is None or "_seg" not in stable.columns:
+            raise ValueError("full-text index needs a segmented stable layer "
+                             "(compact with num_segments / range segments)")
+        dtypes = dict(stable.dtypes)
+        if col == HANDLE or col in _INTERNAL_COLS:
+            raise ValueError(f"column {col!r} is internal — index a user column")
+        if col not in dtypes:
+            raise ValueError(f"column {col!r} not in stable layer")
+        if dtypes[col] != "string":
+            raise ValueError(
+                f"full-text index needs a string column, {col!r} is {dtypes[col]}"
+            )
+        meta = self._ftsidx_meta()
+        meta.setdefault(col, {"segs": [], "stats": {}})
+        self._write_ftsidx_meta(meta)
+        segs = sorted(self._all_seg_ids())
+        self._ftsidx_refresh_segs(segs)
+        return len(segs)
+
+    def _ftsidx_refresh_segs(self, segs: list[int]) -> None:
+        """Rebuild postings partitions + per-segment stats for the given
+        segments. Crash-safe ordering as the other indexes: unregister →
+        rewrite → re-register (absent ⇒ scan, never stale)."""
+        import shutil
+
+        from tiflash_spark.pipeline.fulltext import tokenize
+
+        meta = self._ftsidx_meta()
+        if not meta or not segs:
+            return
+        stable = self._layer("stable")
+        if stable is None or "_seg" not in stable.columns:
+            self._drop_fulltext_indexes()
+            return
+        seg_ids = [int(s) for s in segs]
+        self._write_ftsidx_meta(
+            {
+                c: {
+                    "segs": sorted(set(m["segs"]) - set(seg_ids)),
+                    "stats": {
+                        k: v for k, v in m["stats"].items() if int(k) not in seg_ids
+                    },
+                }
+                for c, m in meta.items()
+            }
+        )
+        present = stable.filter(F.col("_seg").isin(seg_ids))
+        have = {
+            int(r.s)
+            for r in present.select(F.col("_seg").alias("s")).distinct().collect()
+        }
+        final = {}
+        for c, m in list(meta.items()):
+            if c not in stable.columns:
+                shutil.rmtree(self._ftsidx_dir(c), ignore_errors=True)
+                continue
+            # index EVERY stable version of a handle (presence over any
+            # version keeps segment pruning sound for reads at older ts);
+            # tf/dl are the per-version max, so one version never inflates
+            # another's counts
+            docs = present.filter(F.col(c).isNotNull()).select(
+                HANDLE,
+                "_seg",
+                F.col(VERSION).alias("_v"),
+                tokenize(F.col(c)).alias("_toks"),
+            )
+            rows = docs.select(
+                HANDLE,
+                "_seg",
+                "_v",
+                F.size("_toks").alias("dl"),
+                F.explode("_toks").alias("term"),
+            )
+            postings = (
+                rows.groupBy("_seg", "term", HANDLE, "_v")
+                .agg(
+                    F.count(F.lit(1)).cast("int").alias("tf"),
+                    F.max("dl").alias("dl"),
+                )
+                .groupBy("_seg", "term", HANDLE)
+                .agg(F.max("tf").alias("tf"), F.max("dl").alias("dl"))
+            )
+            idx_dir = self._ftsidx_dir(c)
+            tmp = self._stage_dir("ftsidx")
+            (
+                postings.repartition("_seg")
+                .sortWithinPartitions("term")
+                .write.partitionBy("_seg")
+                .mode("overwrite")
+                .parquet(tmp)
+            )
+            for s in seg_ids:
+                dst = os.path.join(idx_dir, f"_seg={s}")
+                shutil.rmtree(dst, ignore_errors=True)
+                src = os.path.join(tmp, f"_seg={s}")
+                if os.path.exists(src):
+                    os.makedirs(idx_dir, exist_ok=True)
+                    os.rename(src, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            dlh = docs.groupBy("_seg", HANDLE).agg(
+                F.max(F.size("_toks")).alias("dl")
+            )
+            stats = {
+                str(int(r.s)): [int(r.n), int(r.t)]
+                for r in dlh.groupBy(F.col("_seg").alias("s")).agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("dl"), F.lit(0)).alias("t"),
+                ).collect()
+            }
+            for s in have:
+                stats.setdefault(str(s), [0, 0])  # covered, all-NULL segment
+            final[c] = {
+                "segs": sorted((set(m["segs"]) - set(seg_ids)) | have),
+                "stats": {
+                    **{k: v for k, v in m["stats"].items() if int(k) not in seg_ids},
+                    **stats,
+                },
+            }
+        self._write_ftsidx_meta(final)
+
+    def _drop_fulltext_indexes(self) -> None:
+        import shutil
+
+        for c in list(self._ftsidx_meta()):
+            shutil.rmtree(self._ftsidx_dir(c), ignore_errors=True)
+        p = os.path.join(self.stable_path(), "_FTSIDX")
+        if os.path.exists(p):
+            os.remove(p)
+
+    def _rebuild_ftsidx(self, prior_cols: list[str]) -> None:
+        """Full rebuild after a whole-stable rewrite (columns a DDL
+        dropped are retired; no-op when the new layout is unsegmented)."""
+        if not prior_cols:
+            return
+        stable = self._layer("stable")
+        if stable is None or "_seg" not in stable.columns:
+            return
+        for c in prior_cols:
+            if c in stable.columns:
+                self.build_fulltext_index(c)
+
+    def _stage_ftsidx(self, stage: str, dirty: list[int]) -> set[str]:
+        """Staged-meta + hardlink-skip entries for a mutation rewriting
+        ``dirty`` segments (mirrors _stage_invidx)."""
+        meta = self._ftsidx_meta()
+        if not meta:
+            return set()
+        dirty_set = {int(s) for s in dirty}
+        skip = {"_FTSIDX"}
+        staged = {}
+        for c, m in meta.items():
+            skip |= {
+                os.path.join(f"_FTSIDX_{c}", f"_seg={s}") for s in dirty_set
+            }
+            staged[c] = {
+                "segs": sorted(set(m["segs"]) - dirty_set),
+                "stats": {
+                    k: v for k, v in m["stats"].items() if int(k) not in dirty_set
+                },
+            }
+        os.makedirs(stage, exist_ok=True)
+        self._write_ftsidx_meta(staged, layer_dir=stage)
+        return skip
+
+    def fts_match_word(self, col: str, word: str, ts: int | None = None) -> DataFrame:
+        """Snapshot rows whose ``col`` contains the tokenizer-normalized
+        word (reference searchNoScore). Covered segments whose postings
+        lack the term are pruned (with the read_where delta-handle
+        rescue); every surviving row is re-verified against CURRENT
+        values with the same tokenizer, so delta writes and stale
+        postings cannot surface wrong rows."""
+        from tiflash_spark.pipeline.fulltext import tokenize
+
+        w = word.lower()
+        meta = self._ftsidx_meta().get(col)
+        log = self.log()
+        if meta and meta["segs"] and "_seg" in log.columns:
+            covered = {int(s) for s in meta["segs"]}
+            try:
+                idx = self.spark.read.parquet(self._ftsidx_dir(col))
+                hit = {
+                    int(r.s)
+                    for r in idx.filter(F.col("term") == w)
+                    .select(F.col("_seg").alias("s"))
+                    .distinct()
+                    .collect()
+                }
+                pruned = sorted(covered - hit)
+            except Exception:
+                pruned = []  # unreadable index ⇒ scan, never prune
+            if pruned:
+                log = self._log_minus_segments(log, pruned)
+        out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts).filter(
+            F.array_contains(tokenize(F.col(col)), w)
+        )
+        drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
+        return self._conform(out.drop(*drop_cols), internal=False)
+
+    FTS_OVERFETCH = 4
+
+    def fts_search_scored(
+        self,
+        col: str,
+        query: str,
+        k: int = 10,
+        ts: int | None = None,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """Top-k (handle, n_terms, bm25) by BM25 over the snapshot
+        (reference searchScored). Candidates come from the postings
+        sidecar (covered segments) plus exact evaluation of the delta
+        tail and uncovered segments; every candidate is re-scored on its
+        CURRENT visible value. N/avgdl/df come from the index's
+        build-time stats — the reference's posture too (its index scores
+        with per-index statistics), documented as approximate within an
+        unrefreshed window."""
+        from tiflash_spark.pipeline.fulltext import TOKEN_RE, tokenize
+
+        import re as _re
+
+        terms = [t for t in _re.split(TOKEN_RE, query.lower()) if t]
+        if not terms:
+            raise ValueError("empty query after tokenization")
+        meta = self._ftsidx_meta().get(col)
+        log = self.log()
+        seg_aware = meta and meta["segs"] and "_seg" in log.columns
+        covered = {int(s) for s in meta["segs"]} if seg_aware else set()
+        # corpus stats: combined per-segment build-time stats
+        if covered:
+            n_docs = sum(m[0] for m in meta["stats"].values())
+            sum_dl = sum(m[1] for m in meta["stats"].values())
+        else:
+            n_docs = sum_dl = 0
+        cand = log
+        if covered:
+            try:
+                idx = self.spark.read.parquet(self._ftsidx_dir(col))
+                hits = idx.filter(
+                    F.col("term").isin(terms) & F.col("_seg").isin(list(covered))
+                )
+                cand_handles = [
+                    r[HANDLE]
+                    for r in hits.select(HANDLE).distinct()
+                    .limit(self.FTS_OVERFETCH * max(k, 1) * 64)
+                    .collect()
+                ]
+            except Exception:
+                cand_handles, covered = [], set()
+        if covered:
+            # candidate pool: index hits + delta tail; uncovered segments
+            # evaluated exactly (same legs as ann_topk)
+            delta = self._layer("delta")
+            delta_handles = (
+                [r[HANDLE] for r in delta.select(HANDLE).distinct().collect()]
+                if delta is not None
+                else []
+            )
+            pool = list(dict.fromkeys(cand_handles + delta_handles))
+            legs = []
+            if pool:
+                legs.append(self.read_handles(pool, ts=ts))
+            uncovered = self._all_seg_ids() - covered
+            if uncovered:
+                ulog = self.log().filter(F.col("_seg").isin(list(uncovered)))
+                if delta_handles:
+                    ulog = ulog.filter(~F.col(HANDLE).isin(delta_handles))
+                vis = self._apply_range_dels(snapshot_read(ulog, read_ts=ts), ts)
+                drop_cols = [VERSION, DELMARK] + (
+                    ["_seg"] if "_seg" in vis.columns else []
+                )
+                legs.append(self._conform(vis.drop(*drop_cols), internal=False))
+            if not legs:
+                return self.spark.createDataFrame(
+                    [], f"{HANDLE} long, n_terms long, bm25 double"
+                )
+            vis_rows = legs[0]
+            for leg in legs[1:]:
+                vis_rows = vis_rows.unionByName(leg)
+            vis_rows = vis_rows.dropDuplicates([HANDLE])
+        else:
+            # no usable index: exact snapshot scan (brute tier)
+            vis_rows = self.read(ts)
+            stats_src = vis_rows.filter(F.col(col).isNotNull()).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(F.size(tokenize(F.col(col)))), F.lit(0)).alias("t"),
+            ).collect()[0]
+            n_docs, sum_dl = int(stats_src.n), int(stats_src.t)
+        if n_docs == 0:
+            return self.spark.createDataFrame(
+                [], f"{HANDLE} long, n_terms long, bm25 double"
+            )
+        avgdl = max(sum_dl / n_docs, 1e-9)
+        # df per term: from the index when covered (plus nothing for the
+        # exact legs — the reference's index-stats posture), else exact
+        if covered:
+            try:
+                df_rows = (
+                    self.spark.read.parquet(self._ftsidx_dir(col))
+                    .filter(
+                        F.col("term").isin(terms)
+                        & F.col("_seg").isin(list(covered))
+                    )
+                    .groupBy("term")
+                    .agg(F.count_distinct(F.col(HANDLE)).alias("df"))
+                    .collect()
+                )
+            except Exception:
+                df_rows = []
+            df_t = {r.term: int(r.df) for r in df_rows}
+        else:
+            toks = vis_rows.filter(F.col(col).isNotNull()).select(
+                HANDLE, tokenize(F.col(col)).alias("_toks")
+            )
+            df_t = {
+                r.term: int(r.df)
+                for r in toks.select(F.explode("_toks").alias("term"), HANDLE)
+                .filter(F.col("term").isin(terms))
+                .groupBy("term")
+                .agg(F.count_distinct(F.col(HANDLE)).alias("df"))
+                .collect()
+            }
+        import math
+
+        toks_cur = tokenize(F.col(col))
+        dl_cur = F.size(toks_cur)
+        contribs = []
+        n_matched = F.lit(0)
+        for t in terms:
+            dft = df_t.get(t, 0)
+            if dft == 0:
+                continue
+            idf = math.log(1.0 + (n_docs - dft + 0.5) / (dft + 0.5))
+            tf = F.size(F.filter(toks_cur, lambda x: x == F.lit(t)))
+            norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl_cur / F.lit(avgdl))
+            contribs.append(
+                F.when(tf > 0, F.lit(idf) * tf * F.lit(k1 + 1.0) / (tf + norm))
+                .otherwise(F.lit(0.0))
+            )
+            n_matched = n_matched + (tf > 0).cast("long")
+        if not contribs:
+            return self.spark.createDataFrame(
+                [], f"{HANDLE} long, n_terms long, bm25 double"
+            )
+        score = contribs[0]
+        for cexpr in contribs[1:]:
+            score = score + cexpr
+        return (
+            vis_rows.filter(F.col(col).isNotNull())
+            .select(
+                HANDLE,
+                n_matched.alias("n_terms"),
+                F.round(score, 4).alias("bm25"),
+            )
+            .filter(F.col("n_terms") > 0)
+            .orderBy(F.col("bm25").desc(), F.col(HANDLE))
+            .limit(k)
+        )
+
     def maintain(
         self,
         ts: int,
@@ -2706,11 +3129,13 @@ class DeltaStore:
             len(self._range_dels()),
             len(self._invidx_meta()),
             len(self._vecidx_meta() or {}),
+            len(self._ftsidx_meta()),
             self._zonemap() is not None,
         )
         return self.spark.createDataFrame(
             [row],
             "path string, schema_version int, layout string, n_segments int,"
             " stable_rows long, delta_rows long, range_tombstones int,"
-            " inverted_indexes int, vector_indexes int, zonemap boolean",
+            " inverted_indexes int, vector_indexes int, fulltext_indexes int,"
+            " zonemap boolean",
         )

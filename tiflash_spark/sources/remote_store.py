@@ -497,6 +497,7 @@ class ReadNodeStore:
         "compact_segments_incremental", "ingest_snapshot", "split_segment",
         "merge_segments", "maintain", "add_column", "drop_column",
         "build_zonemap", "build_inverted_index", "build_vector_index",
+        "build_fulltext_index",
     )
 
     def __init__(
