@@ -256,3 +256,22 @@ def test_assign_training_shards_epoch_seeds(spark):
     assert sorted(r.doc_id for r in e0) == list(range(200))
     # (shard, pos) unique — a loader can address any sample by it
     assert len({(r.shard, r.pos) for r in e0}) == 200
+
+
+def test_quality_model_score_is_pure_projection(spark):
+    """The literal linear model scores with ZERO shuffles — a projection
+    over the corpus scan (fasttext-style classifier, mean-pooled literal
+    weights; the 100 TB contract: scoring cost == scan cost)."""
+    from tiflash_spark.pipeline.text import quality_model_score
+    from tiflash_spark.plans.explain import exchange_count
+
+    df = quality_model_score(spark, "/root/testdata/sf0.001")
+    # the only exchange allowed is the local small-file repartition
+    # (scan_underparallelized); scoring itself adds none
+    assert exchange_count(df) <= 1
+    rows = df.collect()
+    assert rows and all(0.0 <= r.score <= 1.0 for r in rows)
+    # keep == (logit >= 0) by construction, and spammy docs score lower
+    # than prose-mass docs on average only if both classes exist; at
+    # minimum the flag must be consistent with the logit
+    assert all((r.logit >= 0) == r.keep for r in rows)

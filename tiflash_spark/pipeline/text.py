@@ -668,3 +668,93 @@ ORDER BY lang, nt
 
 QUERIES["ccnet_buckets"] = ccnet_buckets
 ORACLE["ccnet_buckets"] = CCNET_BUCKETS_SQL
+
+
+# --- linear quality-model scoring (fasttext-style classifier) ---------------
+#
+# The production counterpart of the heuristic keep rules above: corpus
+# curation pipelines (CCNet, RefinedWeb, Gopher's quality filter) score
+# every document with a cheap linear text classifier and threshold it.
+# Spark-first rendering: the model is a LITERAL vocab → weight table, so
+# scoring is a pure whole-stage-codegen projection — per-term tf via
+# size(filter(tokens)) over the one materialized token array, mean-pooled
+# logit, sigmoid — ZERO shuffles and zero joins at any corpus size. A
+# learned model swaps in by replacing the literal list; the plan shape is
+# unchanged (a broadcast join only becomes necessary past a few thousand
+# terms).
+
+QUALITY_MODEL_WEIGHTS: list[tuple[str, float]] = [
+    # prose-mass words up-weight ...
+    ("the", 0.8), ("and", 0.6), ("of", 0.5), ("to", 0.4), ("a", 0.4),
+    ("in", 0.35), ("is", 0.3), ("that", 0.3), ("for", 0.25), ("with", 0.2),
+    # ... spam/boilerplate markers down-weight
+    ("click", -1.2), ("subscribe", -1.4), ("buy", -0.9), ("free", -0.8),
+    ("win", -0.7), ("offer", -0.8), ("cheap", -0.9), ("sale", -0.6),
+    ("casino", -1.6), ("lorem", -1.5),
+]
+QUALITY_MODEL_BIAS = -0.05
+
+
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the literal linear model: mean-pooled
+    token weights + bias → sigmoid, keep = logit ≥ 0 (decided on the
+    6-digit rounding both engines share, so the boundary is exact)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    par = spark.sparkContext.defaultParallelism
+    if scan_underparallelized(d, par):
+        d = d.repartition(par)
+    d = d.withColumn("w", tokens(F.lower(F.col("text"))))
+    w = F.col("w")
+    dl = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(F.size(w))
+    acc = None
+    for term, wt in QUALITY_MODEL_WEIGHTS:
+        tf = F.size(F.filter(w, lambda x: x == F.lit(term)))
+        contrib = F.lit(float(wt)) * tf
+        acc = contrib if acc is None else acc + contrib
+    logit = F.round(
+        F.lit(float(QUALITY_MODEL_BIAS))
+        + acc / F.greatest(dl, F.lit(1)).cast("double"),
+        6,
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return d.select(
+        "doc_id",
+        "source",
+        dl.alias("n_tokens"),
+        logit.alias("logit"),
+        score.alias("score"),
+        (logit >= 0).alias("keep"),
+    )
+
+
+def _qm_sql_terms() -> str:
+    parts = [
+        f"{wt} * LEN(LIST_FILTER(w, x -> x = '{t}'))"
+        for t, wt in QUALITY_MODEL_WEIGHTS
+    ]
+    return " + ".join(parts)
+
+
+QUALITY_MODEL_SCORE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, text,
+         REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), ' +') AS w
+  FROM documents
+), scored AS (
+  SELECT doc_id, source,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(w) END AS n_tokens,
+         ROUND({QUALITY_MODEL_BIAS}
+               + ({_qm_sql_terms()})
+                 / CAST(GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                                      ELSE LEN(w) END, 1) AS DOUBLE),
+               6) AS logit
+  FROM tok
+)
+SELECT doc_id, source, n_tokens, logit,
+       ROUND(1.0 / (1.0 + EXP(-logit)), 6) AS score,
+       logit >= 0 AS keep
+FROM scored
+"""
+
+QUERIES["quality_model_score"] = quality_model_score
+ORACLE["quality_model_score"] = QUALITY_MODEL_SCORE_SQL
