@@ -189,3 +189,39 @@ def test_fts_without_index_is_exact(spark, tmp_path):
     assert got == [1, 3, 6]
     rows = s.fts_search_scored("body", "quick dog", k=10).collect()
     assert {r[HANDLE] for r in rows} == {1, 2, 3, 6}  # no stemming: 'dogs' != 'dog'
+
+
+def test_read_node_fts_with_tail(spark, tmp_path):
+    """Disaggregated FTS: the read node serves the pinned checkpoint
+    index and merges the write-node tail — new docs match and rank,
+    tail deletes hide checkpoint rows."""
+    from tiflash_spark.sources import remote_store as rs
+    from tiflash_spark.sources.remote_store import ReadNodeStore
+
+    s = _store(spark, tmp_path, DOCS)
+    s.build_fulltext_index("body")
+    remote = str(tmp_path / "s3")
+    rs.checkpoint(s, remote, version=1)
+    rn = ReadNodeStore(spark, remote, tail_from=s)
+
+    # checkpoint-only: same answer as the write node
+    assert sorted(r[HANDLE] for r in rn.fts_match_word("body", "quick").collect()) == [1, 3, 6]
+
+    # tail: new doc with the term, delete of an indexed match
+    s.write_batch(
+        spark.createDataFrame([(9, "quick tail doc")], f"{HANDLE} long, body string"),
+        version=2,
+    )
+    s.write_batch(
+        spark.createDataFrame([(1, "the quick brown fox")], f"{HANDLE} long, body string"),
+        version=3,
+        delete=True,
+    )
+    got = sorted(r[HANDLE] for r in rn.fts_match_word("body", "quick").collect())
+    assert got == [3, 6, 9]
+    scored = rn.fts_search_scored("body", "quick", k=10).collect()
+    ids = {r[HANDLE] for r in scored}
+    assert 9 in ids and 1 not in ids
+    # read at the checkpoint watermark ignores the tail entirely
+    old = sorted(r[HANDLE] for r in rn.fts_match_word("body", "quick", ts=1).collect())
+    assert old == [1, 3, 6]

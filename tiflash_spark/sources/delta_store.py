@@ -2776,6 +2776,7 @@ class DeltaStore:
         ts: int | None = None,
         k1: float = 1.2,
         b: float = 0.75,
+        vis_rows: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k (handle, n_terms, bm25) by BM25 over the snapshot
         (reference searchScored). Candidates come from the postings
@@ -2802,7 +2803,21 @@ class DeltaStore:
             sum_dl = sum(m[1] for m in meta["stats"].values())
         else:
             n_docs = sum_dl = 0
-        cand = log
+        if vis_rows is not None:
+            # caller-supplied visible rows (e.g. a read node's tail-merged
+            # view): score them directly; stats come from the index when
+            # covered, else exactly from the supplied rows
+            if not covered:
+                stats_src = vis_rows.filter(F.col(col).isNotNull()).agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(
+                        F.sum(F.size(tokenize(F.col(col)))), F.lit(0)
+                    ).alias("t"),
+                ).collect()[0]
+                n_docs, sum_dl = int(stats_src.n), int(stats_src.t)
+            return self._fts_score_rows(
+                vis_rows, col, terms, k, n_docs, sum_dl, covered, k1, b
+            )
         if covered:
             try:
                 idx = self.spark.read.parquet(self._ftsidx_dir(col))
@@ -2856,6 +2871,27 @@ class DeltaStore:
                 F.coalesce(F.sum(F.size(tokenize(F.col(col)))), F.lit(0)).alias("t"),
             ).collect()[0]
             n_docs, sum_dl = int(stats_src.n), int(stats_src.t)
+        return self._fts_score_rows(
+            vis_rows, col, terms, k, n_docs, sum_dl, covered, k1, b
+        )
+
+    def _fts_score_rows(
+        self,
+        vis_rows: DataFrame,
+        col: str,
+        terms: list[str],
+        k: int,
+        n_docs: int,
+        sum_dl: int,
+        covered: set[int],
+        k1: float,
+        b: float,
+    ) -> DataFrame:
+        """BM25-score already-visible rows against ``terms`` with the
+        given corpus stats (df from the covered index partitions, else
+        exact over the rows)."""
+        from tiflash_spark.pipeline.fulltext import tokenize
+
         if n_docs == 0:
             return self.spark.createDataFrame(
                 [], f"{HANDLE} long, n_terms long, bm25 double"

@@ -693,6 +693,43 @@ class ReadNodeStore:
             .limit(k)
         )
 
+    def fts_match_word(self, col: str, word: str, ts: int | None = None) -> DataFrame:
+        """Full-text match over checkpoint ∪ write-node tail: the pinned
+        index prunes the checkpoint read; tail-touched handles are
+        re-evaluated on their tail-merged winners with the same
+        tokenizer (the FullTextIndex read-node posture — index hits +
+        exact search of the un-indexed tail)."""
+        from tiflash_spark.pipeline.fulltext import tokenize
+
+        base = self._ds.fts_match_word(col, word, ts)
+        return self._tail_merge(
+            base, F.array_contains(tokenize(F.col(col)), word.lower()), ts
+        )
+
+    def fts_search_scored(
+        self, col: str, query: str, k: int = 10, ts: int | None = None, **kw
+    ) -> DataFrame:
+        """BM25 search over checkpoint ∪ tail: checkpoint index supplies
+        over-fetched candidates, tail handles join the pool, and the
+        whole pool is re-scored on the tail-merged visible values (df /
+        N / avgdl from the pinned index stats — scores for brand-new
+        tail docs use the same checkpoint statistics, the reference's
+        index-stats posture)."""
+        handles, dels = self._tail_state(ts)
+        if not handles and not dels:
+            return self._ds.fts_search_scored(col, query, k=k, ts=ts, **kw)
+        base = self._ds.fts_search_scored(col, query, k=k * 4, ts=ts, **kw)
+        pool = list(
+            dict.fromkeys([r[HANDLE] for r in base.select(HANDLE).collect()]
+                          + handles)
+        )
+        if not pool:
+            return base.limit(0)
+        vis = self.read(ts).filter(F.col(HANDLE).isin(pool))
+        return self._ds.fts_search_scored(
+            col, query, k=k, ts=ts, vis_rows=vis, **kw
+        )
+
     def read(self, ts: int | None = None) -> DataFrame:
         """Snapshot read at ``ts`` over checkpoint ∪ write-node tail."""
         log = self._ds.log()
