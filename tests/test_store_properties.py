@@ -366,3 +366,97 @@ def test_modify_and_generated_interleavings_match_model(spark, tmp_path, ops):
             assert "g" not in store.log().columns
         else:
             assert "g" not in store.read().columns
+
+
+@st.composite
+def fts_op_sequences(draw):
+    """Interleavings of text writes/deletes, compactions, and ONE
+    full-text index build at a random point."""
+    n_ops = draw(st.integers(min_value=4, max_value=8))
+    ops, version, built = [], 0, False
+    for _ in range(n_ops):
+        version += 1
+        kind = draw(st.sampled_from(
+            ["write", "write", "delete", "compact", "buildfts"]
+        ))
+        if kind in ("write", "delete"):
+            hs = draw(st.lists(
+                HANDLES, min_size=1, max_size=3 if kind == "write" else 2,
+                unique=True,
+            ))
+            words = draw(st.lists(
+                st.sampled_from(["apple", "banana", "cherry"]),
+                min_size=1, max_size=2, unique=True,
+            )) if kind == "write" else None
+            ops.append((kind, version, (hs, words)))
+        elif kind == "buildfts":
+            if built:
+                continue
+            built = True
+            ops.append(("buildfts", version, None))
+        else:
+            ops.append(("compact", version,
+                        draw(st.sampled_from(["hash", "range"]))))
+    return ops
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(ops=fts_op_sequences())
+def test_fts_interleavings_match_model(spark, tmp_path, ops):
+    """fts_match_word must equal the model's exact word membership after
+    EVERY op — index built mid-history, refreshed by compactions, delta
+    writes and deletes winning over stale postings."""
+    store = DeltaStore(spark, str(tmp_path / f"fp{next(_counter)}"))
+    store.write_batch(
+        spark.createDataFrame(
+            [(99, "apple banana")], f"{HANDLE} long, body string"
+        ),
+        version=1,
+    )
+    model: dict[int, str | None] = {99: "apple banana"}
+    compacted = False
+    for kind, version, arg in ops:
+        version += 1
+        if kind == "write":
+            hs, words = arg
+            rows = [(h, " ".join(words) + f" w{version}") for h in hs]
+            store.write_batch(
+                spark.createDataFrame(rows, f"{HANDLE} long, body string"),
+                version=version,
+            )
+            model.update(rows)
+        elif kind == "delete":
+            hs, _ = arg
+            rows = [(h, "x") for h in hs]
+            store.write_batch(
+                spark.createDataFrame(rows, f"{HANDLE} long, body string"),
+                version=version,
+                delete=True,
+            )
+            for h, _ in rows:
+                model[h] = None
+        elif kind == "buildfts":
+            if not compacted:
+                store.compact(ts=version, num_segments=2)
+                compacted = True
+            store.build_fulltext_index("body")
+        elif arg == "range":
+            store.compact_range_segments(ts=version, num_segments=2)
+            compacted = True
+        else:
+            store.compact(ts=version, num_segments=2)
+            compacted = True
+        for word in ("apple", "banana", "cherry"):
+            want = sorted(
+                h for h, body in model.items()
+                if body is not None and word in body.split()
+            )
+            got = sorted(
+                r[HANDLE] for r in store.fts_match_word("body", word).collect()
+            )
+            assert got == want, (kind, version, word, got, want)
