@@ -225,3 +225,25 @@ def test_read_node_fts_with_tail(spark, tmp_path):
     # read at the checkpoint watermark ignores the tail entirely
     old = sorted(r[HANDLE] for r in rn.fts_match_word("body", "quick", ts=1).collect())
     assert old == [1, 3, 6]
+
+
+def test_match_inlist_and_scan_paths_agree(spark, tmp_path):
+    """The handle-IN-list fast path (bounded hits, reference row-bitmap)
+    and the segment-pruned scan fallback return identical rows."""
+    s = _store(spark, tmp_path, DOCS)
+    s.build_fulltext_index("body")
+    s.write_batch(
+        spark.createDataFrame(
+            [(2, "quick via delta"), (6, "gone plain")],
+            f"{HANDLE} long, body string",
+        ),
+        version=2,
+    )
+    fast = sorted(r[HANDLE] for r in s.fts_match_word("body", "quick").collect())
+    old_limit = DeltaStore.LM_INLIST_LIMIT
+    try:
+        DeltaStore.LM_INLIST_LIMIT = 0  # force the scan fallback
+        slow = sorted(r[HANDLE] for r in s.fts_match_word("body", "quick").collect())
+    finally:
+        DeltaStore.LM_INLIST_LIMIT = old_limit
+    assert fast == slow == [1, 2, 3]

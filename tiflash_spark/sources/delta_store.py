@@ -2742,8 +2742,11 @@ class DeltaStore:
         from tiflash_spark.pipeline.fulltext import tokenize
 
         w = word.lower()
+        pred = lambda: F.array_contains(tokenize(F.col(col)), w)  # noqa: E731
         meta = self._ftsidx_meta().get(col)
         log = self.log()
+        pruned: list[int] = []
+        hit_handles: list | None = None
         if meta and meta["segs"] and "_seg" in log.columns:
             covered = {int(s) for s in meta["segs"]}
             try:
@@ -2756,12 +2759,42 @@ class DeltaStore:
                     .collect()
                 }
                 pruned = sorted(covered - hit)
+                if covered == self._all_seg_ids():
+                    # handle-level path (the reference's row bitmap): a
+                    # bounded hit-list becomes a pushed IN-list fetch —
+                    # the covered segments' text is never scanned. Only
+                    # when every segment is covered (an uncovered
+                    # segment would need its own scan leg anyway).
+                    probe = [
+                        r[HANDLE]
+                        for r in idx.filter(F.col("term") == w)
+                        .select(HANDLE)
+                        .distinct()
+                        .limit(self.LM_INLIST_LIMIT + 1)
+                        .collect()
+                    ]
+                    if len(probe) <= self.LM_INLIST_LIMIT:
+                        hit_handles = probe
             except Exception:
                 pruned = []  # unreadable index ⇒ scan, never prune
-            if pruned:
-                log = self._log_minus_segments(log, pruned)
+                hit_handles = None
+        if hit_handles is not None:
+            delta_handles = (
+                [
+                    r[HANDLE]
+                    for r in self._layer("delta").select(HANDLE).distinct().collect()
+                ]
+                if self._delta_has_files()
+                else []
+            )
+            pool = list(dict.fromkeys(hit_handles + delta_handles))
+            if not pool:
+                return self.read(ts).filter(pred()).limit(0)
+            return self.read_handles(pool, ts=ts).filter(pred())
+        if pruned:
+            log = self._log_minus_segments(log, pruned)
         out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts).filter(
-            F.array_contains(tokenize(F.col(col)), w)
+            pred()
         )
         drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
         return self._conform(out.drop(*drop_cols), internal=False)
