@@ -119,3 +119,32 @@ def test_generated_column_statement(spark, tmp_path):
         for row in run_sql(spark, "SELECT * FROM t_gen").collect()
     }
     assert got[9] == 7 and got[1] is None
+
+
+def test_explain_statement(spark):
+    from tiflash_spark.sources.admin_sql import run_sql
+
+    spark.range(100).selectExpr("id", "id % 7 AS g").createOrReplaceTempView(
+        "explain_t"
+    )
+    plan = run_sql(
+        spark, "EXPLAIN SELECT g, COUNT(*) AS n FROM explain_t GROUP BY g"
+    ).collect()
+    text = "\n".join(r.plan for r in plan)
+    assert "HashAggregate" in text and "Physical Plan" in text
+    # EXPLAIN ANALYZE executes and returns per-operator SQLMetrics
+    prof = run_sql(
+        spark, "EXPLAIN ANALYZE SELECT g, COUNT(*) AS n FROM explain_t GROUP BY g"
+    ).collect()
+    ops = {r.operator for r in prof}
+    assert any("HashAggregate" in o for o in ops)
+    out_rows = [
+        r.value for r in prof
+        if "HashAggregate" in r.operator and r.metric == "numOutputRows"
+    ]
+    assert out_rows and max(out_rows) >= 7
+    # the MySQL LIMIT shim applies inside the explained query too
+    plan2 = run_sql(spark, "EXPLAIN SELECT id FROM explain_t LIMIT 5, 10").collect()
+    text2 = "\n".join(r.plan for r in plan2)
+    # LIMIT 5, 10 -> LIMIT 10 OFFSET 5 -> CollectLimit(limit=15, offset=5)
+    assert "CollectLimit" in text2 and "15, 5" in text2

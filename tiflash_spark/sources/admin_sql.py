@@ -46,6 +46,16 @@ _ALTER_COL = re.compile(
 )
 
 
+# EXPLAIN [ANALYZE] <query> — TiDB's statement surface; TiFlash feeds it
+# the per-executor ExecutionSummary rows (Flash/Statistics/
+# ExecutionSummaryHelper.cpp). EXPLAIN returns the formatted physical
+# plan as rows; EXPLAIN ANALYZE executes and returns per-operator
+# SQLMetrics, the engine's execution-profile surface.
+_EXPLAIN = re.compile(
+    r"^\s*EXPLAIN(?P<analyze>\s+ANALYZE)?\s+(?P<query>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 # Index DDL, the reference's SQL forms (tests/fullstack-test-index/):
 #   ALTER TABLE t ADD FULLTEXT INDEX idx (col)
 #   ALTER TABLE t ADD COLUMNAR INDEX idx (col) USING INVERTED
@@ -71,6 +81,29 @@ def run_sql(
     current delta folded; later writes keep MVCC semantics), re-registers
     the table view (as_view snapshots are plan-time), and returns a
     one-row result the way TiDB returns an OK packet with info."""
+    m = _EXPLAIN.match(sql)
+    if m:
+        from tiflash_spark.plans.explain import execution_profile, formatted_plan
+
+        inner = _MYSQL_LIMIT.sub(
+            lambda mm: f"LIMIT {mm.group(2)} OFFSET {mm.group(1)}",
+            m.group("query"),
+        )
+        df = spark.sql(inner)
+        if m.group("analyze"):
+            rows = [
+                (i, p["node"], k, int(v))
+                for i, p in enumerate(execution_profile(df))
+                for k, v in sorted(p["metrics"].items())
+            ]
+            return spark.createDataFrame(
+                rows or [(0, "(no metrics)", "", 0)],
+                "op_index int, operator string, metric string, value long",
+            )
+        lines = formatted_plan(df).splitlines()
+        return spark.createDataFrame(
+            [(i, ln) for i, ln in enumerate(lines)], "line int, plan string"
+        )
     m = _COMPACT.match(sql)
     if m:
         name = m.group(1)
