@@ -54,7 +54,9 @@ PIPELINE_HEADLINE = [
     "range_join_incidents",
     "q2_min_cost_supplier",
     "join_runtime_filter",
+    "scalar_stragglers",
     "quality_signals",
+    "quality_model_score",
     "pack_sequences",
     "sample_temperature",
     "ann_quantized_topk",

@@ -247,3 +247,24 @@ def test_match_inlist_and_scan_paths_agree(spark, tmp_path):
     finally:
         DeltaStore.LM_INLIST_LIMIT = old_limit
     assert fast == slow == [1, 2, 3]
+
+
+def test_sql_fts_match_word_agrees_with_store_path(spark, tmp_path):
+    """The SQL function FTS_MATCH_WORD and the index-served store path
+    implement the same predicate."""
+    from tiflash_spark.functions.sql_registry import register_mysql_functions
+    from tiflash_spark.sources.admin_sql import run_sql
+
+    register_mysql_functions(spark)
+    s = _store(spark, tmp_path, DOCS)
+    s.build_fulltext_index("body")
+    s.as_view("docs_v")
+    via_sql = sorted(
+        r[HANDLE]
+        for r in run_sql(
+            spark,
+            f"SELECT {HANDLE} FROM docs_v WHERE fts_match_word('Quick', body)",
+        ).collect()
+    )
+    via_store = sorted(r[HANDLE] for r in s.fts_match_word("body", "Quick").collect())
+    assert via_sql == via_store == [1, 3, 6]

@@ -161,6 +161,16 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "STRING",
         "concat('[', array_join(transform(a, x -> CAST(x AS STRING)), ','), ']')",
     ),
+    # FTS_MATCH_WORD(word, doc) — the SQL spelling TiDB exposes for
+    # full-text search. Pure-semantics form (same tokenizer as
+    # pipeline/fulltext.tokenize); DeltaStore.fts_match_word serves the
+    # identical predicate through the storage index.
+    "fts_match_word": (
+        "word STRING, doc STRING",
+        "BOOLEAN",
+        "array_contains(filter(split(lower(doc), '[^a-z0-9]+'),"
+        " t -> t != ''), lower(word))",
+    ),
     # --- datetime/numeric stragglers of the live scalar map -----------------
     "to_days": (
         "d DATE",
