@@ -268,3 +268,52 @@ def test_sql_fts_match_word_agrees_with_store_path(spark, tmp_path):
     )
     via_store = sorted(r[HANDLE] for r in s.fts_match_word("body", "Quick").collect())
     assert via_sql == via_store == [1, 3, 6]
+
+
+def test_fts_match_where_conjunction(spark, tmp_path):
+    """FTS + pushed scalar conjunction: one read, union-of-indexes
+    pruning, both predicates decide the rows (PushDownExecutor's
+    fts-query + RSOperator coupling)."""
+    docs = [(i, ("quick text" if i % 2 == 0 else "slow text"), i * 10)
+            for i in range(20)]
+    s = DeltaStore(spark, str(tmp_path / f"fts{next(_counter)}"))
+    s.write_batch(
+        spark.createDataFrame(docs, f"{HANDLE} long, body string, score long"),
+        version=1,
+    )
+    s.compact(ts=1, num_segments=2)
+    s.build_fulltext_index("body")
+    s.build_zonemap(["score"])
+    got = sorted(
+        r[HANDLE]
+        for r in s.fts_match_where(
+            "body", "quick", [("score", 40, 120)]
+        ).collect()
+    )
+    assert got == [4, 6, 8, 10, 12]
+    # IN-list predicate form + delta update flipping a row out of the match
+    s.write_batch(
+        spark.createDataFrame([(6, "slow now", 60)],
+                              f"{HANDLE} long, body string, score long"),
+        version=2,
+    )
+    got2 = sorted(
+        r[HANDLE]
+        for r in s.fts_match_where(
+            "body", "quick", [("score", [40, 60, 80])]
+        ).collect()
+    )
+    assert got2 == [4, 8]
+    # scan fallback (hit-list cap forced to 0) agrees
+    old = DeltaStore.LM_INLIST_LIMIT
+    try:
+        DeltaStore.LM_INLIST_LIMIT = 0
+        got3 = sorted(
+            r[HANDLE]
+            for r in s.fts_match_where(
+                "body", "quick", [("score", [40, 60, 80])]
+            ).collect()
+        )
+    finally:
+        DeltaStore.LM_INLIST_LIMIT = old
+    assert got3 == got2

@@ -2732,17 +2732,12 @@ class DeltaStore:
         self._write_ftsidx_meta(staged, layer_dir=stage)
         return skip
 
-    def fts_match_word(self, col: str, word: str, ts: int | None = None) -> DataFrame:
-        """Snapshot rows whose ``col`` contains the tokenizer-normalized
-        word (reference searchNoScore). Covered segments whose postings
-        lack the term are pruned (with the read_where delta-handle
-        rescue); every surviving row is re-verified against CURRENT
-        values with the same tokenizer, so delta writes and stale
-        postings cannot surface wrong rows."""
-        from tiflash_spark.pipeline.fulltext import tokenize
 
-        w = word.lower()
-        pred = lambda: F.array_contains(tokenize(F.col(col)), w)  # noqa: E731
+    def _fts_prune_state(self, col: str, w: str) -> tuple[list[int], list | None]:
+        """FTS-index pruning decision for the normalized term ``w``:
+        (prunable segment ids, bounded hit-handle list or None).
+        Handle-level path only when every segment is covered (the
+        reference's row bitmap); any failure degrades to scan."""
         meta = self._ftsidx_meta().get(col)
         log = self.log()
         pruned: list[int] = []
@@ -2760,11 +2755,6 @@ class DeltaStore:
                 }
                 pruned = sorted(covered - hit)
                 if covered == self._all_seg_ids():
-                    # handle-level path (the reference's row bitmap): a
-                    # bounded hit-list becomes a pushed IN-list fetch —
-                    # the covered segments' text is never scanned. Only
-                    # when every segment is covered (an uncovered
-                    # segment would need its own scan leg anyway).
                     probe = [
                         r[HANDLE]
                         for r in idx.filter(F.col("term") == w)
@@ -2776,8 +2766,22 @@ class DeltaStore:
                     if len(probe) <= self.LM_INLIST_LIMIT:
                         hit_handles = probe
             except Exception:
-                pruned = []  # unreadable index ⇒ scan, never prune
+                pruned = []  # unreadable index => scan, never prune
                 hit_handles = None
+        return pruned, hit_handles
+
+    def fts_match_word(self, col: str, word: str, ts: int | None = None) -> DataFrame:
+        """Snapshot rows whose ``col`` contains the tokenizer-normalized
+        word (reference searchNoScore). Covered segments whose postings
+        lack the term are pruned (with the read_where delta-handle
+        rescue); every surviving row is re-verified against CURRENT
+        values with the same tokenizer, so delta writes and stale
+        postings cannot surface wrong rows."""
+        from tiflash_spark.pipeline.fulltext import tokenize
+
+        w = word.lower()
+        pred = lambda: F.array_contains(tokenize(F.col(col)), w)  # noqa: E731
+        pruned, hit_handles = self._fts_prune_state(col, w)
         if hit_handles is not None:
             delta_handles = (
                 [
@@ -2791,10 +2795,97 @@ class DeltaStore:
             if not pool:
                 return self.read(ts).filter(pred()).limit(0)
             return self.read_handles(pool, ts=ts).filter(pred())
+        log = self.log()
         if pruned:
             log = self._log_minus_segments(log, pruned)
         out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts).filter(
             pred()
+        )
+        drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
+        return self._conform(out.drop(*drop_cols), internal=False)
+
+    def fts_match_where(
+        self,
+        col: str,
+        word: str,
+        preds: list[tuple],
+        ts: int | None = None,
+    ) -> DataFrame:
+        """Full-text match AND a pushed scalar conjunction in one read —
+        the reference couples the FTS query with the rest of the pushed
+        filter over the same valid-rows bitmap
+        (Filter/PushDownExecutor.h: fts/ann query info + RSOperator in
+        one executor). ``preds`` uses the read_late_conj format:
+        (col, lo, hi) ranges or (col, values) IN lists. Segment pruning
+        is the UNION of what every index proves — FTS postings for the
+        term, zone map for ranges, inverted index for INs — since a
+        segment ANY conjunct excludes cannot hold a surviving row; a
+        bounded FTS hit-list collapses the whole read to a pushed
+        handle IN-list fetch."""
+        from tiflash_spark.pipeline.fulltext import tokenize
+
+        w = word.lower()
+        norm: list[tuple] = []
+        for p in preds:
+            if len(p) == 2:
+                c, vals = p
+                if not vals:
+                    raise ValueError(f"empty IN list for column {c!r}")
+                norm.append((c, "in", list(vals)))
+            elif len(p) == 3:
+                c, lo, hi = p
+                if lo is None and hi is None:
+                    raise ValueError(f"unbounded range predicate on {c!r}")
+                norm.append((c, "range", (lo, hi)))
+            else:
+                raise ValueError(f"bad predicate {p!r}")
+
+        def scalar_pred():
+            out = None
+            for c, kind, arg in norm:
+                if kind == "in":
+                    term = F.col(c).isin(arg)
+                else:
+                    lo, hi = arg
+                    term = None
+                    if lo is not None:
+                        term = F.col(c) >= F.lit(lo)
+                    if hi is not None:
+                        t2 = F.col(c) <= F.lit(hi)
+                        term = t2 if term is None else term & t2
+                out = term if out is None else out & term
+            return out
+
+        full_pred = F.array_contains(tokenize(F.col(col)), w)
+        sp = scalar_pred()
+        if sp is not None:
+            full_pred = full_pred & sp
+        pruned, hit_handles = self._fts_prune_state(col, w)
+        if hit_handles is not None:
+            delta_handles = (
+                [
+                    r[HANDLE]
+                    for r in self._layer("delta").select(HANDLE).distinct().collect()
+                ]
+                if self._delta_has_files()
+                else []
+            )
+            pool = list(dict.fromkeys(hit_handles + delta_handles))
+            if not pool:
+                return self.read(ts).filter(full_pred).limit(0)
+            return self.read_handles(pool, ts=ts).filter(full_pred)
+        log = self.log()
+        pruned_set = set(pruned)
+        if "_seg" in log.columns:
+            for c, kind, arg in norm:
+                if kind == "in":
+                    pruned_set |= set(self._invidx_pruned_segs(c, arg))
+                else:
+                    pruned_set |= set(self._zm_pruned_segs(c, arg[0], arg[1]))
+        if pruned_set:
+            log = self._log_minus_segments(log, sorted(pruned_set))
+        out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts).filter(
+            full_pred
         )
         drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
         return self._conform(out.drop(*drop_cols), internal=False)
