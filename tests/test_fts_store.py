@@ -317,3 +317,62 @@ def test_fts_match_where_conjunction(spark, tmp_path):
     finally:
         DeltaStore.LM_INLIST_LIMIT = old
     assert got3 == got2
+
+
+def test_fts_match_phrase(spark, tmp_path):
+    docs = [
+        (1, "the quick brown fox jumps"),
+        (2, "brown quick the"),          # all terms, wrong order
+        (3, "a quick   brown dog"),      # adjacent after normalization
+        (4, "quick and brown"),          # interleaved word
+        (5, "prefix quick brown suffix"),
+    ]
+    s = _store(spark, tmp_path, docs)
+    s.build_fulltext_index("body")
+    got = sorted(
+        r[HANDLE] for r in s.fts_match_phrase("body", "quick brown").collect()
+    )
+    assert got == [1, 3, 5]
+    # delta row joins the phrase match; single-term phrase = word match
+    s.write_batch(
+        spark.createDataFrame(
+            [(9, "fresh quick brown entry")], f"{HANDLE} long, body string"
+        ),
+        version=2,
+    )
+    got2 = sorted(
+        r[HANDLE] for r in s.fts_match_phrase("body", "Quick Brown").collect()
+    )
+    assert got2 == [1, 3, 5, 9]
+    assert sorted(
+        r[HANDLE] for r in s.fts_match_phrase("body", "fox").collect()
+    ) == [1]
+    # scan fallback agrees
+    old = DeltaStore.LM_INLIST_LIMIT
+    try:
+        DeltaStore.LM_INLIST_LIMIT = 0
+        got3 = sorted(
+            r[HANDLE] for r in s.fts_match_phrase("body", "quick brown").collect()
+        )
+    finally:
+        DeltaStore.LM_INLIST_LIMIT = old
+    assert got3 == got2
+
+
+def test_fts_scored_with_predicate(spark, tmp_path):
+    docs = [(i, "spark engine" if i % 2 == 0 else "spark only", i * 10)
+            for i in range(10)]
+    s = DeltaStore(spark, str(tmp_path / f"fts{next(_counter)}"))
+    s.write_batch(
+        spark.createDataFrame(docs, f"{HANDLE} long, body string, score long"),
+        version=1,
+    )
+    s.compact(ts=1, num_segments=2)
+    s.build_fulltext_index("body")
+    rows = s.fts_search_scored(
+        "body", "spark engine", k=10, preds=[("score", 30, 70)]
+    ).collect()
+    ids = sorted(r[HANDLE] for r in rows)
+    assert ids == [3, 4, 5, 6, 7]  # all match 'spark'; predicate bounds rows
+    best = max(rows, key=lambda r: r.bm25)
+    assert best[HANDLE] in (4, 6)  # two-term docs outrank one-term inside the band

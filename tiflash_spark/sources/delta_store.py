@@ -2804,6 +2804,98 @@ class DeltaStore:
         drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
         return self._conform(out.drop(*drop_cols), internal=False)
 
+    @staticmethod
+    def _norm_conj(preds: list[tuple]) -> list[tuple]:
+        """Normalize read_late_conj-style predicates: (col, lo, hi)
+        ranges or (col, values) IN lists."""
+        norm: list[tuple] = []
+        for p in preds:
+            if len(p) == 2:
+                c, vals = p
+                if not vals:
+                    raise ValueError(f"empty IN list for column {c!r}")
+                norm.append((c, "in", list(vals)))
+            elif len(p) == 3:
+                c, lo, hi = p
+                if lo is None and hi is None:
+                    raise ValueError(f"unbounded range predicate on {c!r}")
+                norm.append((c, "range", (lo, hi)))
+            else:
+                raise ValueError(f"bad predicate {p!r}")
+        return norm
+
+    @staticmethod
+    def _conj_expr(norm: list[tuple]):
+        out = None
+        for c, kind, arg in norm:
+            if kind == "in":
+                term = F.col(c).isin(arg)
+            else:
+                lo, hi = arg
+                term = None
+                if lo is not None:
+                    term = F.col(c) >= F.lit(lo)
+                if hi is not None:
+                    t2 = F.col(c) <= F.lit(hi)
+                    term = t2 if term is None else term & t2
+            out = term if out is None else out & term
+        return out
+
+    def fts_match_phrase(
+        self, col: str, phrase: str, ts: int | None = None
+    ) -> DataFrame:
+        """Snapshot rows containing the exact token phrase (reference
+        FullTextIndex phrase query). Candidates are the intersection of
+        the per-term posting hit-lists — positions are not needed for
+        candidacy, only adjacency, which the exact re-verification
+        decides: the row's CURRENT tokens joined by single spaces must
+        contain the normalized phrase as a substring bounded by spaces.
+        Falls back to the pruned scan exactly like fts_match_word."""
+        from tiflash_spark.pipeline.fulltext import TOKEN_RE, tokenize
+
+        import re as _re
+
+        terms = [t for t in _re.split(TOKEN_RE, phrase.lower()) if t]
+        if not terms:
+            raise ValueError("empty phrase after tokenization")
+        norm_phrase = " ".join(terms)
+        pred = lambda: F.concat(  # noqa: E731
+            F.lit(" "), F.array_join(tokenize(F.col(col)), " "), F.lit(" ")
+        ).contains(f" {norm_phrase} ")
+        if len(terms) == 1:
+            return self.fts_match_word(col, terms[0], ts=ts).filter(pred())
+        states = [self._fts_prune_state(col, t) for t in terms]
+        hit_sets = [s[1] for s in states]
+        if all(h is not None for h in hit_sets):
+            inter = set(hit_sets[0])
+            for h in hit_sets[1:]:
+                inter &= set(h)
+            delta_handles = (
+                [
+                    r[HANDLE]
+                    for r in self._layer("delta").select(HANDLE).distinct().collect()
+                ]
+                if self._delta_has_files()
+                else []
+            )
+            pool = list(dict.fromkeys(sorted(inter) + delta_handles))
+            if not pool:
+                return self.read(ts).filter(pred()).limit(0)
+            return self.read_handles(pool, ts=ts).filter(pred())
+        # scan path: a segment ANY term's postings exclude cannot hold
+        # the phrase — union the prunable sets
+        pruned: set[int] = set()
+        for p, _ in states:
+            pruned |= set(p)
+        log = self.log()
+        if pruned:
+            log = self._log_minus_segments(log, sorted(pruned))
+        out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts).filter(
+            pred()
+        )
+        drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
+        return self._conform(out.drop(*drop_cols), internal=False)
+
     def fts_match_where(
         self,
         col: str,
@@ -2825,39 +2917,9 @@ class DeltaStore:
         from tiflash_spark.pipeline.fulltext import tokenize
 
         w = word.lower()
-        norm: list[tuple] = []
-        for p in preds:
-            if len(p) == 2:
-                c, vals = p
-                if not vals:
-                    raise ValueError(f"empty IN list for column {c!r}")
-                norm.append((c, "in", list(vals)))
-            elif len(p) == 3:
-                c, lo, hi = p
-                if lo is None and hi is None:
-                    raise ValueError(f"unbounded range predicate on {c!r}")
-                norm.append((c, "range", (lo, hi)))
-            else:
-                raise ValueError(f"bad predicate {p!r}")
-
-        def scalar_pred():
-            out = None
-            for c, kind, arg in norm:
-                if kind == "in":
-                    term = F.col(c).isin(arg)
-                else:
-                    lo, hi = arg
-                    term = None
-                    if lo is not None:
-                        term = F.col(c) >= F.lit(lo)
-                    if hi is not None:
-                        t2 = F.col(c) <= F.lit(hi)
-                        term = t2 if term is None else term & t2
-                out = term if out is None else out & term
-            return out
-
+        norm = self._norm_conj(preds)
         full_pred = F.array_contains(tokenize(F.col(col)), w)
-        sp = scalar_pred()
+        sp = self._conj_expr(norm)
         if sp is not None:
             full_pred = full_pred & sp
         pruned, hit_handles = self._fts_prune_state(col, w)
@@ -2901,6 +2963,7 @@ class DeltaStore:
         k1: float = 1.2,
         b: float = 0.75,
         vis_rows: DataFrame | None = None,
+        preds: list[tuple] | None = None,
     ) -> DataFrame:
         """Top-k (handle, n_terms, bm25) by BM25 over the snapshot
         (reference searchScored). Candidates come from the postings
@@ -2939,6 +3002,8 @@ class DeltaStore:
                     ).alias("t"),
                 ).collect()[0]
                 n_docs, sum_dl = int(stats_src.n), int(stats_src.t)
+            if preds:
+                vis_rows = vis_rows.filter(self._conj_expr(self._norm_conj(preds)))
             return self._fts_score_rows(
                 vis_rows, col, terms, k, n_docs, sum_dl, covered, k1, b
             )
@@ -2995,6 +3060,11 @@ class DeltaStore:
                 F.coalesce(F.sum(F.size(tokenize(F.col(col)))), F.lit(0)).alias("t"),
             ).collect()[0]
             n_docs, sum_dl = int(stats_src.n), int(stats_src.t)
+        if preds:
+            # filtered scored search: post-filter the candidate pool (the
+            # ann_filtered posture — corpus-level df/N/avgdl, predicate
+            # decides membership; candidates are already over-fetched)
+            vis_rows = vis_rows.filter(self._conj_expr(self._norm_conj(preds)))
         return self._fts_score_rows(
             vis_rows, col, terms, k, n_docs, sum_dl, covered, k1, b
         )
