@@ -116,3 +116,66 @@ def test_datetime_expressions_agree_on_random_timestamps(spark, rows):
     con.register("fuzz_ts", pdf)
     du = con.execute(sql).fetchdf()
     assert normalize_rows(sp) == normalize_rows(du)
+
+
+DAY_NUM = st.integers(min_value=366, max_value=3_000_000)  # FROM_DAYS domain
+TRUNC_D = st.integers(min_value=-3, max_value=4)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(DAY_NUM, SAFE_DOUBLE, st.integers(min_value=0, max_value=70)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_straggler_functions_agree_on_random_rows(spark, rows):
+    """TO_DAYS/FROM_DAYS roundtrip, TRUNCATE at random scales, unsigned
+    shifts, XOR — random inputs through the Python helpers vs DuckDB
+    arithmetic mirrors (the scalar_stragglers oracle formulas)."""
+    import duckdb as _dd
+    from pyspark.sql import functions as F
+
+    from tiflash_spark.functions.misc import (
+        logical_xor,
+        mysql_shiftleft,
+        mysql_truncate,
+    )
+    from tiflash_spark.functions.mysql_compat import mysql_from_days, mysql_to_days
+
+    pdf = pd.DataFrame(rows, columns=["n", "d", "sh"])
+    sdf = spark.createDataFrame(pdf.assign(d=pdf.d.astype("float64")))
+    got = (
+        sdf.select(
+            "n",
+            mysql_to_days(mysql_from_days(F.col("n"))).alias("roundtrip"),
+            F.round(mysql_truncate(F.col("d"), 2), 2).alias("t2"),
+            mysql_truncate(F.col("d"), -1).alias("tm1"),
+            mysql_shiftleft(F.lit(1), F.col("sh").cast("int"))
+            .cast("string")
+            .alias("shl"),
+            logical_xor(F.col("n") % 2, F.col("sh") % 2).alias("x"),
+        )
+        .toPandas()
+    )
+    want = _dd.sql(
+        """
+        SELECT n,
+               n AS roundtrip,
+               ROUND(SIGN(d) * FLOOR(ABS(d) * 100) / 100, 2) AS t2,
+               SIGN(d) * FLOOR(ABS(d) / 10) * 10 AS tm1,
+               CASE WHEN sh > 63 THEN '0' ELSE
+                 CAST((CAST(1 AS HUGEINT) << sh)
+                      % CAST(18446744073709551616 AS HUGEINT) AS VARCHAR)
+               END AS shl,
+               CAST((n % 2 <> 0) <> (sh % 2 <> 0) AS INT) AS x
+        FROM pdf
+        """
+    ).df()
+    assert normalize_rows(got) == normalize_rows(want)
