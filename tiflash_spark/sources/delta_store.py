@@ -2746,25 +2746,32 @@ class DeltaStore:
             covered = {int(s) for s in meta["segs"]}
             try:
                 idx = self.spark.read.parquet(self._ftsidx_dir(col))
-                hit = {
-                    int(r.s)
-                    for r in idx.filter(F.col("term") == w)
-                    .select(F.col("_seg").alias("s"))
+                # ONE probe job yields both the hit segments and (when
+                # bounded) the hit handles — the local index path is
+                # driver-job-bound, so every fused round-trip matters
+                pairs = (
+                    idx.filter(F.col("term") == w)
+                    .select(F.col("_seg").alias("s"), HANDLE)
                     .distinct()
+                    .limit(self.LM_INLIST_LIMIT + 1)
                     .collect()
-                }
-                pruned = sorted(covered - hit)
-                if covered == self._all_seg_ids():
-                    probe = [
-                        r[HANDLE]
+                )
+                if len(pairs) <= self.LM_INLIST_LIMIT:
+                    hit = {int(r.s) for r in pairs}
+                    pruned = sorted(covered - hit)
+                    if covered == self._all_seg_ids():
+                        hit_handles = [r[HANDLE] for r in pairs]
+                else:
+                    # unbounded hit-list: fall back to the segment-only
+                    # probe (distinct segments are few by construction)
+                    hit = {
+                        int(r.s)
                         for r in idx.filter(F.col("term") == w)
-                        .select(HANDLE)
+                        .select(F.col("_seg").alias("s"))
                         .distinct()
-                        .limit(self.LM_INLIST_LIMIT + 1)
                         .collect()
-                    ]
-                    if len(probe) <= self.LM_INLIST_LIMIT:
-                        hit_handles = probe
+                    }
+                    pruned = sorted(covered - hit)
             except Exception:
                 pruned = []  # unreadable index => scan, never prune
                 hit_handles = None
