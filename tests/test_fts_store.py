@@ -376,3 +376,32 @@ def test_fts_scored_with_predicate(spark, tmp_path):
     assert ids == [3, 4, 5, 6, 7]  # all match 'spark'; predicate bounds rows
     best = max(rows, key=lambda r: r.bm25)
     assert best[HANDLE] in (4, 6)  # two-term docs outrank one-term inside the band
+
+
+def test_scan_profile_surface(spark, tmp_path):
+    """Index-served reads record a scan profile — the EXPLAIN ANALYZE
+    tablescan-enrichment surface (2022-12-01 design doc): prune counts,
+    IN-list size, rescue flag."""
+    s = _store(spark, tmp_path, DOCS)
+    s.build_fulltext_index("body")
+    s.fts_match_word("body", "quick").collect()
+    p = s.last_scan_profile
+    assert p["method"] == "fts_match_word"
+    assert p["segments_total"] == 2
+    assert p["handle_inlist"] == 3  # 1, 3, 6 — no delta
+    s.write_batch(
+        spark.createDataFrame([(9, "quick late")], f"{HANDLE} long, body string"),
+        version=2,
+    )
+    s.fts_match_word("body", "quick").collect()
+    assert s.last_scan_profile["handle_inlist"] == 4  # + delta handle
+    # scan fallback path reports pruned/scanned segments instead
+    old = DeltaStore.LM_INLIST_LIMIT
+    try:
+        DeltaStore.LM_INLIST_LIMIT = 0
+        s.fts_match_word("body", "quick").collect()
+    finally:
+        DeltaStore.LM_INLIST_LIMIT = old
+    p2 = s.last_scan_profile
+    assert p2["handle_inlist"] is None
+    assert p2["segments_scanned"] + p2["segments_pruned"] == 2

@@ -63,6 +63,12 @@ class DeltaStore:
         # mutation ops raise at that point, so crash-consistency is
         # provable at every step of a layer swap
         self.failpoints: set[str] = set()
+        # last index-served read's scan profile (reference design doc
+        # 2022-12-01-enrich-the-information-of-explain-analyze-for-
+        # tablescan: per-scan rough-filter / prune detail shipped with
+        # EXPLAIN ANALYZE). Plan-time numbers of the MOST RECENT
+        # read_where/read_where_in/fts_* call on this store object.
+        self.last_scan_profile: dict | None = None
         os.makedirs(path, exist_ok=True)
         if self._superblock() is None:
             legacy_stable = os.path.join(path, "stable")
@@ -1782,6 +1788,7 @@ class DeltaStore:
             raise ValueError("read_where needs at least one bound")
         log = self.log()
         pruned = self._zm_pruned_segs(col, lo, hi) if "_seg" in log.columns else []
+        self._record_scan_profile("read_where", pruned)
         if pruned:
             log = self._log_minus_segments(log, pruned)
         out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts)
@@ -1803,6 +1810,20 @@ class DeltaStore:
             )
             keep = keep.unionByName(rescue, allowMissingColumns=True)
         return keep
+
+    def _record_scan_profile(
+        self, method: str, pruned, inlist: int | None = None
+    ) -> None:
+        total = len(self._all_seg_ids())
+        self.last_scan_profile = {
+            "method": method,
+            "segments_total": total,
+            "segments_pruned": len(pruned),
+            "segments_scanned": (0 if inlist is not None
+                                 else max(total - len(pruned), 0)),
+            "handle_inlist": inlist,
+            "delta_rescue": bool(pruned) and self._delta_has_files(),
+        }
 
     # --- scalar inverted index ---------------------------------------------
     #
@@ -2009,6 +2030,7 @@ class DeltaStore:
             if "_seg" in log.columns
             else []
         )
+        self._record_scan_profile("read_where_in", pruned)
         if pruned:
             log = self._log_minus_segments(log, pruned)
         out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts).filter(
@@ -2799,9 +2821,11 @@ class DeltaStore:
                 else []
             )
             pool = list(dict.fromkeys(hit_handles + delta_handles))
+            self._record_scan_profile("fts_match_word", pruned, inlist=len(pool))
             if not pool:
                 return self.read(ts).filter(pred()).limit(0)
             return self.read_handles(pool, ts=ts).filter(pred())
+        self._record_scan_profile("fts_match_word", pruned)
         log = self.log()
         if pruned:
             log = self._log_minus_segments(log, pruned)
