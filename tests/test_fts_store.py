@@ -405,3 +405,57 @@ def test_scan_profile_surface(spark, tmp_path):
     p2 = s.last_scan_profile
     assert p2["handle_inlist"] is None
     assert p2["segments_scanned"] + p2["segments_pruned"] == 2
+
+
+def test_fts_match_boolean(spark, tmp_path):
+    docs = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta"),
+        (3, "alpha delta"),
+        (4, "beta delta"),
+        (5, "alpha beta delta"),
+    ]
+    s = _store(spark, tmp_path, docs)
+    s.build_fulltext_index("body")
+    got = sorted(
+        r[HANDLE]
+        for r in s.fts_match_boolean(
+            "body", must=["alpha", "beta"], must_not=["delta"]
+        ).collect()
+    )
+    assert got == [1, 2]
+    got2 = sorted(
+        r[HANDLE]
+        for r in s.fts_match_boolean(
+            "body", should=["gamma", "delta"], min_should=1
+        ).collect()
+    )
+    assert got2 == [1, 3, 4, 5]
+    # delta write flips membership both ways
+    s.write_batch(
+        spark.createDataFrame(
+            [(2, "alpha beta delta"), (5, "alpha beta")],
+            f"{HANDLE} long, body string",
+        ),
+        version=2,
+    )
+    got3 = sorted(
+        r[HANDLE]
+        for r in s.fts_match_boolean(
+            "body", must=["alpha", "beta"], must_not=["delta"]
+        ).collect()
+    )
+    assert got3 == [1, 5]
+    # scan fallback agrees
+    old = DeltaStore.LM_INLIST_LIMIT
+    try:
+        DeltaStore.LM_INLIST_LIMIT = 0
+        got4 = sorted(
+            r[HANDLE]
+            for r in s.fts_match_boolean(
+                "body", must=["alpha", "beta"], must_not=["delta"]
+            ).collect()
+        )
+    finally:
+        DeltaStore.LM_INLIST_LIMIT = old
+    assert got4 == got3

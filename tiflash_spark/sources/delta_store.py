@@ -2144,6 +2144,7 @@ class DeltaStore:
                     pruned |= set(self._invidx_pruned_segs(c, arg))
                 else:
                     pruned |= set(self._zm_pruned_segs(c, arg[0], arg[1]))
+            self._record_scan_profile("read_late_conj", pruned)
             if pruned:
                 log = self._log_minus_segments(log, sorted(pruned))
 
@@ -2508,6 +2509,7 @@ class DeltaStore:
             else []
         )
         pool = list(dict.fromkeys(cand_handles + delta_handles))
+        self._record_scan_profile("ann_topk", [], inlist=len(pool))
         legs = []
         if pool:
             legs.append(
@@ -2918,6 +2920,88 @@ class DeltaStore:
         pruned: set[int] = set()
         for p, _ in states:
             pruned |= set(p)
+        log = self.log()
+        if pruned:
+            log = self._log_minus_segments(log, sorted(pruned))
+        out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts).filter(
+            pred()
+        )
+        drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
+        return self._conform(out.drop(*drop_cols), internal=False)
+
+    def fts_match_boolean(
+        self,
+        col: str,
+        must: list[str] | None = None,
+        should: list[str] | None = None,
+        must_not: list[str] | None = None,
+        min_should: int = 1,
+        ts: int | None = None,
+    ) -> DataFrame:
+        """Boolean retrieval over the store index (the pipeline-level
+        fulltext_boolean surface, index-served): every ``must`` term
+        present, at least ``min_should`` of ``should`` present (0 when
+        the list is empty), no ``must_not`` term present. Candidates:
+        intersection of the must hit-lists (∪ should lists when there
+        is no must) — must_not never affects candidacy, only the exact
+        re-verification, so a stale posting cannot wrongly exclude."""
+        from tiflash_spark.pipeline.fulltext import tokenize
+
+        must = [t.lower() for t in (must or [])]
+        should = [t.lower() for t in (should or [])]
+        must_not = [t.lower() for t in (must_not or [])]
+        if not must and not should:
+            raise ValueError("boolean search needs must or should terms")
+
+        def pred():
+            toks = tokenize(F.col(col))
+            p = None
+            for t in must:
+                term = F.array_contains(toks, t)
+                p = term if p is None else p & term
+            if should:
+                n_should = None
+                for t in should:
+                    c = F.array_contains(toks, t).cast("int")
+                    n_should = c if n_should is None else n_should + c
+                term = n_should >= F.lit(max(min_should, 1))
+                p = term if p is None else p & term
+            for t in must_not:
+                term = ~F.array_contains(toks, t)
+                p = term if p is None else p & term
+            return p
+
+        anchor_terms = must if must else should
+        states = [self._fts_prune_state(col, t) for t in anchor_terms]
+        hit_sets = [s[1] for s in states]
+        if all(h is not None for h in hit_sets):
+            if must:
+                cand = set(hit_sets[0])
+                for h in hit_sets[1:]:
+                    cand &= set(h)
+            else:
+                cand = set().union(*map(set, hit_sets))
+            delta_handles = (
+                [
+                    r[HANDLE]
+                    for r in self._layer("delta").select(HANDLE).distinct().collect()
+                ]
+                if self._delta_has_files()
+                else []
+            )
+            pool = list(dict.fromkeys(sorted(cand) + delta_handles))
+            self._record_scan_profile("fts_match_boolean", [], inlist=len(pool))
+            if not pool:
+                return self.read(ts).filter(pred()).limit(0)
+            return self.read_handles(pool, ts=ts).filter(pred())
+        # scan path: prune only by what MUST terms exclude (a segment
+        # missing any must term holds no match); should/must_not cannot
+        # prune
+        pruned: set[int] = set()
+        if must:
+            for p, _ in states:
+                pruned |= set(p)
+        self._record_scan_profile("fts_match_boolean", sorted(pruned))
         log = self.log()
         if pruned:
             log = self._log_minus_segments(log, sorted(pruned))
