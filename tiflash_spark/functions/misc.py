@@ -159,8 +159,14 @@ def mysql_truncate(x: Column | str, d: int) -> Column:
     left of the decimal point. Differs from ROUND (no half-away) and from
     FLOOR (which goes toward -inf for negatives)."""
     col = F.col(x) if isinstance(x, str) else x
-    scale = F.lit(float(10**d)) if d >= 0 else F.lit(1.0 / 10 ** (-d))
-    return F.signum(col) * F.floor(F.abs(col) * scale) / scale
+    if d >= 0:
+        scale = F.lit(float(10**d))
+        return F.signum(col) * F.floor(F.abs(col) * scale) / scale
+    # negative D: DIVIDE by the exact power of ten — multiplying by the
+    # inexact reciprocal (0.1…) rounds values like 999999.9999999999 UP
+    # across the floor boundary (hypothesis-found)
+    scale = F.lit(float(10 ** (-d)))
+    return F.signum(col) * F.floor(F.abs(col) / scale) * scale
 
 
 def logical_xor(a: Column, b: Column) -> Column:

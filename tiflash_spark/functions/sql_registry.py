@@ -192,7 +192,8 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "mysql_truncate": (
         "x DOUBLE, d INT",
         "DOUBLE",
-        "sign(x) * floor(abs(x) * pow(10, d)) / pow(10, d)",
+        "CASE WHEN d >= 0 THEN sign(x) * floor(abs(x) * pow(10, d)) / pow(10, d)"
+        " ELSE sign(x) * floor(abs(x) / pow(10, -d)) * pow(10, -d) END",
     ),
     "mysql_xor": (
         "a BIGINT, b BIGINT",
