@@ -486,3 +486,30 @@ def test_sql_straggler_surface(spark):
     assert r.ts == (dt2.date(2009, 11, 29).toordinal() + 365) * 86400 + 13 * 3600 + 43 * 60 + 32
     assert abs(r.tr - 1.9) < 1e-12
     assert r.x == 1
+
+
+def test_json_keys_with_path(spark):
+    """JSON_KEYS(doc, path) — the live map's json_keys_2_args."""
+    from tiflash_spark.functions.json_fns import json_keys_at
+
+    r = (
+        spark.createDataFrame(
+            [('{"a": {"x": 1, "y": 2}, "b": [1], "c": 3}',)], "doc string"
+        )
+        .select(
+            json_keys_at("doc", "$.a").alias("ka"),
+            json_keys_at("doc", "$.b").alias("kb"),
+            json_keys_at("doc", "$.missing").alias("km"),
+        )
+        .first()
+    )
+    assert r.ka == ["x", "y"]
+    assert r.kb is None  # array, not an object
+    assert r.km is None
+    from tiflash_spark.functions.sql_registry import register_mysql_functions
+
+    register_mysql_functions(spark)
+    q = spark.sql(
+        "SELECT json_keys_at('{\"a\": {\"x\": 1}}', '$.a') AS k"
+    ).first()
+    assert q.k == ["x"]

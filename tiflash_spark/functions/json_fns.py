@@ -81,6 +81,14 @@ def json_keys(c: Column | str) -> Column:
     return F.array_sort(F.json_object_keys(c))
 
 
+def json_keys_at(c: Column | str, path: str) -> Column:
+    """JSON_KEYS(doc, path) — keys of the object AT ``path`` (reference
+    json_keys_2_args in the live scalar map). NULL when the path is
+    missing or not an object, matching MySQL."""
+    doc = F.col(c) if isinstance(c, str) else c
+    return F.array_sort(F.json_object_keys(F.get_json_object(doc, path)))
+
+
 def json_length_object(c: Column | str) -> Column:
     """JSON_LENGTH for an object doc: number of top-level members."""
     return F.size(F.json_object_keys(c))

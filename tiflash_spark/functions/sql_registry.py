@@ -50,6 +50,11 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "ARRAY<STRING>",
         "array_sort(json_object_keys(doc))",
     ),
+    "json_keys_at": (
+        "doc STRING, p STRING",
+        "ARRAY<STRING>",
+        "array_sort(json_object_keys(get_json_object(doc, p)))",
+    ),
     "json_length_obj": (
         "doc STRING",
         "INT",
