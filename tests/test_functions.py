@@ -513,3 +513,33 @@ def test_json_keys_with_path(spark):
         "SELECT json_keys_at('{\"a\": {\"x\": 1}}', '$.a') AS k"
     ).first()
     assert q.k == ["x"]
+
+
+def test_json_cast_family(spark):
+    """CAST(... AS JSON) renderings (live-map cast_*_as_json)."""
+    from tiflash_spark.functions.json_fns import (
+        json_from_duration,
+        json_from_number,
+        json_from_string,
+        json_from_time,
+    )
+
+    r = (
+        spark.createDataFrame(
+            [(5, 2.5, '{"a": 1}', "notjson", "2024-03-01 10:20:30")],
+            "i int, d double, good string, bad string, t string",
+        )
+        .select(
+            json_from_number(F.col("i")).alias("ji"),
+            json_from_number(F.col("d")).alias("jd"),
+            json_from_string(F.col("good")).alias("jg"),
+            json_from_string(F.col("bad")).alias("jb"),
+            json_from_time(F.col("t"), fsp=0).alias("jt"),
+            json_from_duration(F.lit(3_723_000_000_000)).alias("jdur"),
+        )
+        .first()
+    )
+    assert r.ji == "5" and r.jd == "2.5"
+    assert r.jg == '{"a": 1}' and r.jb is None
+    assert r.jt == '"2024-03-01 10:20:30"'
+    assert r.jdur == '"01:02:03"'

@@ -157,3 +157,51 @@ def json_object(*pairs: tuple[str, Column]) -> Column:
 def json_array(*cols: Column) -> Column:
     """JSON_ARRAY(v1, v2, ...): compact [v1,v2,...] text."""
     return F.to_json(F.array(*cols))
+
+
+# --- CAST(... AS JSON) family (live map cast_int_as_json,
+# cast_real_as_json, cast_decimal_as_json, cast_string_as_json,
+# cast_time_as_json, cast_duration_as_json, cast_json_as_string —
+# FunctionsTiDBConversion.cpp JSON casts, DAGUtils.cpp:117-150).
+# JSON documents are TEXT in this engine (§1.2 maps TiDB's binary JSON
+# onto StringType), so each cast renders the scalar as its JSON text.
+
+
+def json_from_number(c: Column | str) -> Column:
+    """CAST(number AS JSON): the JSON number literal. Ints render
+    without a fraction; doubles keep Spark's shortest-roundtrip text."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("string")
+
+
+def json_from_string(c: Column | str) -> Column:
+    """CAST(string AS JSON): the string must PARSE as JSON (MySQL errors
+    otherwise; this engine's soft-cast posture yields NULL, like its
+    other string casts). Valid docs pass through textually."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.when(json_valid(col), col)
+
+
+def json_from_time(c: Column | str, fsp: int = 6) -> Column:
+    """CAST(datetime AS JSON): a quoted ISO timestamp string (MySQL
+    renders temporal JSON values as quoted literals)."""
+    col = (F.col(c) if isinstance(c, str) else c).cast("timestamp")
+    fmt = "yyyy-MM-dd HH:mm:ss" + ("." + "S" * fsp if fsp else "")
+    return F.concat(F.lit('"'), F.date_format(col, fmt), F.lit('"'))
+
+
+def json_from_duration(dur_ns: Column | str) -> Column:
+    """CAST(duration AS JSON): quoted 'HH:MM:SS' text over the Int64
+    nanosecond duration encoding."""
+    from tiflash_spark.functions.misc import sec_to_time_str
+
+    col = (F.col(dur_ns) if isinstance(dur_ns, str) else dur_ns).cast("long")
+    return F.concat(
+        F.lit('"'), sec_to_time_str((col / 1_000_000_000).cast("long")), F.lit('"')
+    )
+
+
+def json_as_string(c: Column | str) -> Column:
+    """CAST(json AS STRING): the document text itself (JSON is text at
+    rest here — the reference serializes its binary JSON)."""
+    return F.col(c) if isinstance(c, str) else c
