@@ -543,3 +543,19 @@ def test_json_cast_family(spark):
     assert r.jg == '{"a": 1}' and r.jb is None
     assert r.jt == '"2024-03-01 10:20:30"'
     assert r.jdur == '"01:02:03"'
+
+
+def test_two_arg_log(spark):
+    from tiflash_spark.functions.mysql_compat import mysql_log
+
+    r = (
+        spark.createDataFrame(
+            [(2.0, 8.0), (10.0, 1000.0), (1.0, 5.0), (2.0, -1.0), (0.0, 9.0)],
+            "b double, x double",
+        )
+        .select(F.round(mysql_log(F.col("b"), F.col("x")), 9).alias("v"))
+        .collect()
+    )
+    vals = [x.v for x in r]
+    assert vals[0] == 3.0 and vals[1] == 3.0
+    assert vals[2] is None and vals[3] is None and vals[4] is None

@@ -330,3 +330,13 @@ def mysql_format_with_locale(
     col = F.col(x) if isinstance(x, str) else x
     del locale  # only the en_US rendering is supported — MySQL's fallback
     return F.format_number(col, decimals)
+
+
+def mysql_log(b: Column | float, x: Column | str) -> Column:
+    """LOG(B, X) — arbitrary-base logarithm (reference log2args):
+    NULL when B <= 0, B = 1, or X <= 0 (MySQL's domain rule)."""
+    bb = (F.lit(b) if isinstance(b, (int, float)) else b).cast("double")
+    xx = (F.col(x) if isinstance(x, str) else x).cast("double")
+    return F.when(
+        (bb > 0) & (bb != 1) & (xx > 0), F.call_function("log", bb, xx)
+    )
