@@ -107,3 +107,78 @@ def test_mysql_format(spark):
 
     assert col_out(spark, mysql_format(F.col("n"), 2), n=1234567.891) == "1,234,567.89"
     assert col_out(spark, mysql_format(F.col("n"), 0), n=1234.5) == "1,235"
+
+
+def test_inet6_roundtrip_known_forms(spark):
+    """INET6_ATON/NTOA (reference tiDBIPv6StringToNum/NumToString):
+    packed bytes and canonical compression vs Python's ipaddress."""
+    import ipaddress
+
+    from pyspark.sql import functions as F
+
+    from tiflash_spark.functions.misc import inet6_aton, inet6_ntoa
+
+    cases = [
+        "::1", "::", "fe80::", "2001:db8::8a2e:370:7334",
+        "1:0:0:2:0:0:3:4", "0:0:1:2:3:4:5:6", "1:2:3:4:5:6:0:0",
+        "::ffff:1.2.3.4", "2001:0db8:0000:0000:0000:ff00:0042:8329",
+        "abcd:ef01:2345:6789:abcd:ef01:2345:6789", "1.2.3.4", "255.255.255.255",
+    ]
+    rows = (
+        spark.createDataFrame([(c,) for c in cases], "s string")
+        .select("s", inet6_aton(F.col("s")).alias("b"))
+        .select("s", "b", inet6_ntoa(F.col("b")).alias("t"))
+        .collect()
+    )
+    for r in rows:
+        assert bytes(r.b) == ipaddress.ip_address(r.s).packed, r.s
+        want = str(ipaddress.ip_address(r.s)) if ":" in r.s else r.s
+        assert r.t == want, (r.s, r.t, want)
+
+
+def test_inet6_random_addresses_match_ipaddress(spark):
+    import ipaddress
+    import random
+
+    from pyspark.sql import functions as F
+
+    from tiflash_spark.functions.misc import inet6_aton, inet6_ntoa
+
+    rng = random.Random(20260814)
+    addrs = []
+    for _ in range(60):
+        # biased toward zero groups so compression paths are exercised
+        groups = [
+            0 if rng.random() < 0.5 else rng.randrange(0x10000) for _ in range(8)
+        ]
+        addrs.append(str(ipaddress.IPv6Address(bytes(
+            b for g in groups for b in divmod(g, 256)
+        ))))
+    rows = (
+        spark.createDataFrame([(a,) for a in addrs], "s string")
+        .select("s", inet6_aton(F.col("s")).alias("b"))
+        .select("s", "b", inet6_ntoa(F.col("b")).alias("t"))
+        .collect()
+    )
+    for r in rows:
+        assert bytes(r.b) == ipaddress.ip_address(r.s).packed, r.s
+        assert r.t == str(ipaddress.ip_address(r.s)), (r.s, r.t)
+
+
+def test_inet6_malformed_is_null(spark):
+    from pyspark.sql import functions as F
+
+    from tiflash_spark.functions.misc import inet6_aton, inet6_ntoa
+
+    bad = ["", "1:::2", "g::1", "1:2:3:4:5:6:7:8:9", "1:2", "300.1.2.3"]
+    rows = (
+        spark.createDataFrame([(b,) for b in bad], "s string")
+        .select(inet6_aton(F.col("s")).alias("b"))
+        .collect()
+    )
+    assert all(r.b is None for r in rows)
+    # NTOA of a wrong-length binary is NULL
+    r = spark.range(1).select(
+        inet6_ntoa(F.unhex(F.lit("0a0b0c"))).alias("t")
+    ).first()
+    assert r.t is None

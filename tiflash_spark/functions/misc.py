@@ -243,3 +243,103 @@ def extract_duration(unit: str, dur_ns: Column | str) -> Column:
     if unit.upper() not in table:
         raise ValueError(f"unsupported duration unit {unit!r}")
     return (sign * table[unit.upper()]).cast("long")
+
+
+# --- IPv6 conversions (reference tiDBIPv6StringToNum /
+# tiDBIPv6NumToString, FunctionsCoding.cpp; MySQL INET6_ATON/INET6_NTOA).
+# Pure codegen: '::' expansion / leftmost-longest-run compression are
+# string expressions, no UDFs.
+
+
+def _ipv6_tail_v4_to_hex(s: Column) -> Column:
+    """Replace a trailing dotted-quad (e.g. '::ffff:1.2.3.4') with its
+    two hex groups, so the rest of the pipeline sees pure groups."""
+    v4 = F.regexp_extract(s, r"((\d{1,3}\.){3}\d{1,3})$", 1)
+    num = (
+        F.split(v4, r"\.")[0].cast("long") * 16777216
+        + F.split(v4, r"\.")[1].cast("long") * 65536
+        + F.split(v4, r"\.")[2].cast("long") * 256
+        + F.split(v4, r"\.")[3].cast("long")
+    )
+    hex8 = F.lpad(F.lower(F.hex(num)), 8, "0")
+    groups = F.concat(
+        F.substring(hex8, 1, 4), F.lit(":"), F.substring(hex8, 5, 4)
+    )
+    return F.when(v4 != "", F.concat(F.regexp_replace(s, r"((\d{1,3}\.){3}\d{1,3})$", ""), groups)).otherwise(s)
+
+
+def inet6_aton(s: Column | str) -> Column:
+    """MySQL INET6_ATON: IPv6 text → 16-byte binary; plain IPv4 text →
+    4-byte binary; NULL for malformed input."""
+    col = F.col(s) if isinstance(s, str) else s
+    unhex_v4 = F.unhex(F.lpad(F.hex(inet_aton(col)), 8, "0"))
+    t = _ipv6_tail_v4_to_hex(F.lower(F.trim(col)))
+    # expand '::' to the missing zero groups
+    n_present = F.size(F.filter(F.split(t, ":"), lambda x: x != ""))
+    missing = F.lit(8) - n_present
+    zeros = F.concat_ws(
+        ":", F.transform(F.sequence(F.lit(1), missing), lambda _: F.lit("0"))
+    )
+    expanded = F.when(
+        t.contains("::"),
+        F.regexp_replace(
+            F.regexp_replace(t, "::", F.concat(F.lit(":"), zeros, F.lit(":"))),
+            "^:|:$",
+            "",
+        ),
+    ).otherwise(t)
+    parts = F.split(expanded, ":")
+    ok = (
+        (F.size(parts) == 8)
+        & (F.size(F.filter(parts, lambda p: ~p.rlike("^[0-9a-f]{1,4}$"))) == 0)
+        & (F.size(F.split(t, "::")) <= 2)
+    )
+    hex32 = F.concat_ws("", F.transform(parts, lambda p: F.lpad(p, 4, "0")))
+    return (
+        F.when(is_ipv4(col), unhex_v4)
+        .when(is_ipv6(F.trim(col)) | t.contains(":"), F.when(ok, F.unhex(hex32)))
+        .otherwise(F.lit(None).cast("binary"))
+    )
+
+
+def inet6_ntoa(b: Column | str) -> Column:
+    """MySQL INET6_NTOA: 16-byte binary → canonical compressed lowercase
+    IPv6 text (leftmost longest zero run → '::'); 4-byte binary →
+    dotted-quad; NULL otherwise."""
+    col = F.col(b) if isinstance(b, str) else b
+    hex32 = F.lower(F.hex(col))
+    groups = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.regexp_replace(
+            F.substring(hex32, i * 4 + 1, 4), "^0{1,3}", ""
+        ),
+    )
+    joined = F.concat_ws(":", groups)
+    # leftmost-longest zero-run compression. regexp_replace replaces ALL
+    # matches (it would corrupt two equal-length runs), so: locate the
+    # FIRST match with regexp_instr, then replace only at the head of
+    # the remainder with an anchored pattern. The k-ascending when-chain
+    # leaves the LONGEST matching run's rewrite as the final value.
+    compressed = joined
+
+    def _first_run_compressed(k):
+        pat = "(^|:)" + ":".join(["0"] * k) + "(:|$)"
+        pos = F.call_function("regexp_instr", joined, F.lit(pat))
+        head = F.call_function("substring", joined, F.lit(1), pos - 1)
+        rem = F.call_function(
+            "substring", joined, pos, F.length(joined) - pos + 1
+        )
+        head_pat = "^:?" + ":".join(["0"] * k) + "(:|$)"
+        return pat, F.concat(head, F.regexp_replace(rem, head_pat, "::"))
+
+    for k in range(2, 9):
+        pat, cand = _first_run_compressed(k)
+        compressed = F.when(joined.rlike(pat), cand).otherwise(compressed)
+    v4 = inet_ntoa(
+        F.conv(F.hex(col), 16, 10).cast("long")
+    )
+    return (
+        F.when(F.length(col) == 16, compressed)
+        .when(F.length(col) == 4, v4)
+        .otherwise(F.lit(None).cast("string"))
+    )
