@@ -459,3 +459,48 @@ def test_fts_match_boolean(spark, tmp_path):
     finally:
         DeltaStore.LM_INLIST_LIMIT = old
     assert got4 == got3
+
+
+def test_store_hybrid_search(spark, tmp_path):
+    """Hybrid BM25+vector RRF over the store's own indexes: a doc strong
+    in both lists outranks single-list docs; delta writes join both
+    legs."""
+    docs = [
+        (1, "spark engine fast", [1.0, 0.0, 0.0]),
+        (2, "spark engine", [0.9, 0.1, 0.0]),     # strong text + vector
+        (3, "unrelated words here", [0.95, 0.05, 0.0]),  # vector only
+        (4, "spark spark engine engine", [0.0, 1.0, 0.0]),  # text only
+        (5, "nothing at all", [0.0, 0.0, 1.0]),
+    ]
+    s = DeltaStore(spark, str(tmp_path / f"fts{next(_counter)}"))
+    s.write_batch(
+        spark.createDataFrame(
+            docs, f"{HANDLE} long, body string, v array<double>"
+        ),
+        version=1,
+    )
+    s.compact(ts=1, num_segments=2)
+    s.build_fulltext_index("body")
+    s.build_vector_index("v", n_centroids=2)
+    rows = s.hybrid_search("body", "v", "spark engine", [1.0, 0.0, 0.0], k=5).collect()
+    by_id = {r[HANDLE]: r for r in rows}
+    # with k past the corpus size every doc gets a vector rank; the text
+    # leg stays limited to matching docs
+    assert set(by_id) <= {1, 2, 3, 4, 5}
+    assert all(by_id[i].bm25_rank is not None for i in (1, 2, 4) if i in by_id)
+    # docs present in BOTH lists (1, 2) must outrank single-list docs
+    both = [r for r in rows if r.bm25_rank is not None and r.vec_rank is not None]
+    single = [r for r in rows if r.bm25_rank is None or r.vec_rank is None]
+    assert both and single
+    assert min(r.rrf for r in both) > max(r.rrf for r in single)
+    # a delta write enters both legs
+    s.write_batch(
+        spark.createDataFrame(
+            [(9, "spark engine spark engine", [1.0, 0.0, 0.0])],
+            f"{HANDLE} long, body string, v array<double>",
+        ),
+        version=2,
+    )
+    rows2 = s.hybrid_search("body", "v", "spark engine", [1.0, 0.0, 0.0], k=6).collect()
+    nine = [r for r in rows2 if r[HANDLE] == 9]
+    assert nine and nine[0].bm25_rank is not None and nine[0].vec_rank is not None

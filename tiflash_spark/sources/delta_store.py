@@ -3272,6 +3272,51 @@ class DeltaStore:
             .limit(k)
         )
 
+    def hybrid_search(
+        self,
+        text_col: str,
+        vec_col: str,
+        query_text: str,
+        query_vec: list[float],
+        k: int = 10,
+        rrf_k: int = 60,
+        ts: int | None = None,
+    ) -> DataFrame:
+        """Store-level hybrid retrieval: BM25 over the full-text index ∪
+        cosine ANN over the vector index, fused by reciprocal rank —
+        rrf(d) = Σ 1/(rrf_k + rank_d). Both candidate lists are bounded
+        (4k each) and snapshot-consistent through their own index paths,
+        so the fusion join is broadcast-sized at any store size — the
+        pipeline-level hybrid_search_rrf posture served by the storage
+        indexes."""
+        from pyspark.sql import Window
+
+        bm = self.fts_search_scored(text_col, query_text, k=4 * k, ts=ts)
+        bm_r = bm.withColumn(
+            "bm25_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), F.col(HANDLE))
+            ),
+        ).select(HANDLE, "bm25_rank")
+        vec = self.ann_topk(vec_col, query_vec, k=4 * k, ts=ts)
+        vec_r = vec.withColumn(
+            "vec_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col(HANDLE))
+            ),
+        ).select(HANDLE, "vec_rank")
+        fused = bm_r.join(vec_r, HANDLE, "full").select(
+            HANDLE,
+            "bm25_rank",
+            "vec_rank",
+            F.round(
+                F.coalesce(1.0 / (F.lit(rrf_k) + F.col("bm25_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        return fused.orderBy(F.col("rrf").desc(), F.col(HANDLE)).limit(k)
+
     def maintain(
         self,
         ts: int,
