@@ -62,3 +62,32 @@ def regen():
 if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "regen":
     sys.path.insert(0, str(Path(__file__).parent.parent))
     regen()
+
+
+def test_apply_correlated_scalar_subquery_golden(spark):
+    """Port of tests/fullstack-test/mpp/apply.test: correlated scalar
+    subqueries with NON-EQUI correlation (t.a > t1.a) — the Apply
+    pattern TiDB ships to the engine. Same data construction (8 seed
+    rows doubled 9 times = 4096), same golden counts; cross-checked
+    against DuckDB on the identical SQL."""
+    import duckdb
+    import pandas as pd
+
+    rows = [(1, 2), (2, 1), (10, 15), (15, 10), (20, 25), (25, 10), (18, 19), (19, 18)]
+    for _ in range(9):
+        rows = rows + [(a + 5, b + 5) for a, b in rows]
+    assert len(rows) == 4096
+    pdf = pd.DataFrame(rows, columns=["a", "b"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("apply_t")
+
+    q1 = ("SELECT count(*) AS n FROM apply_t t "
+          "WHERE a > (SELECT avg(b) FROM apply_t t1 WHERE t.a > t1.a)")
+    q2 = ("SELECT count(*) AS n FROM apply_t t "
+          "WHERE a > (SELECT min(a) FROM apply_t t1 WHERE t.a > t1.a)")
+    n1 = spark.sql(q1).first().n
+    n2 = spark.sql(q2).first().n
+    assert n1 == 4094  # golden from apply.test
+    con = duckdb.connect()
+    con.register("apply_t", pdf)
+    assert con.sql(q1).fetchone()[0] == n1
+    assert con.sql(q2).fetchone()[0] == n2
