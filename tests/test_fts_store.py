@@ -504,3 +504,43 @@ def test_store_hybrid_search(spark, tmp_path):
     rows2 = s.hybrid_search("body", "v", "spark engine", [1.0, 0.0, 0.0], k=6).collect()
     nine = [r for r in rows2 if r[HANDLE] == 9]
     assert nine and nine[0].bm25_rank is not None and nine[0].vec_rank is not None
+
+
+def test_fts_on_common_handle_store(spark, tmp_path):
+    """The FTS index works unchanged over a clustered-index (string
+    common-handle) store — hit-lists, IN-list fetch, and MVCC winners
+    all key on the encoded composite handle."""
+    from pyspark.sql import functions as F2
+
+    from tiflash_spark.sources.common_handle import encode_common_handle
+
+    rows = [("alpha", 1, "quick brown fox"), ("alpha", 2, "slow snail"),
+            ("beta", 1, "quick start"), ("beta", 2, None)]
+    df = spark.createDataFrame(rows, "name string, seq long, body string").select(
+        encode_common_handle(
+            (F2.col("name"), "string"), (F2.col("seq"), "long")
+        ).alias(HANDLE),
+        "name",
+        "body",
+    )
+    s = DeltaStore(spark, str(tmp_path / f"ftsch{next(_counter)}"))
+    s.write_batch(df, version=1)
+    s.compact_range_segments(ts=1, num_segments=2)
+    s.build_fulltext_index("body")
+    got = sorted(r.name for r in s.fts_match_word("body", "quick").collect())
+    assert got == ["alpha", "beta"]
+    # delta update over the composite key flips membership
+    upd = spark.createDataFrame(
+        [("alpha", 1, "no longer matching")], "name string, seq long, body string"
+    ).select(
+        encode_common_handle(
+            (F2.col("name"), "string"), (F2.col("seq"), "long")
+        ).alias(HANDLE),
+        "name",
+        "body",
+    )
+    s.write_batch(upd, version=2)
+    got2 = sorted(r.name for r in s.fts_match_word("body", "quick").collect())
+    assert got2 == ["beta"]
+    scored = s.fts_search_scored("body", "quick", k=5).collect()
+    assert len(scored) == 1
