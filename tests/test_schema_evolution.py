@@ -299,3 +299,84 @@ def test_virtual_generated_column(spark, tmp_path):
     store.drop_column("__col")
     assert "__col" not in store.read().columns
     assert "__col" not in store.current_gen()
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """RENAME COLUMN (reference SchemaBuilder rename path): files keep
+    their write-time names, reads coalesce through the prior-name
+    chain, writes use the new name, chains survive double renames, and
+    compaction folds everything under the new name."""
+    import itertools as _it
+
+    from tiflash_spark.sources.delta_store import HANDLE, DeltaStore
+
+    s = DeltaStore(spark, str(tmp_path / "ren1"))
+    s.write_batch(
+        spark.createDataFrame([(1, 10), (2, 20)], f"{HANDLE} long, a int"),
+        version=1,
+    )
+    s.add_column("a", "int") if False else None
+    s.compact(ts=1)
+    v = s.rename_column("a", "b")
+    assert v >= 1
+    got = {r[HANDLE]: r.b for r in s.read().collect()}
+    assert got == {1: 10, 2: 20}
+    assert "a" not in s.read().columns
+    # writes go under the NEW name; old-file rows still read
+    s.write_batch(
+        spark.createDataFrame([(3, 30)], f"{HANDLE} long, b int"), version=2
+    )
+    got = {r[HANDLE]: r.b for r in s.read().collect()}
+    assert got == {1: 10, 2: 20, 3: 30}
+    # writing under the old name is rejected (not in schema)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        s.write_batch(
+            spark.createDataFrame([(4, 40)], f"{HANDLE} long, a int"), version=3
+        )
+    # double rename chains through BOTH prior names
+    v2 = s.rename_column("b", "c")
+    got = {r[HANDLE]: r.c for r in s.read().collect()}
+    assert got == {1: 10, 2: 20, 3: 30}
+    # re-adding a prior stored name is rejected
+    with _pt.raises(ValueError, match="prior stored name"):
+        s.add_column("a", "int")
+    # compaction rewrites under the current name; reads unchanged
+    s.compact(ts=3)
+    got = {r[HANDLE]: r.c for r in s.read().collect()}
+    assert got == {1: 10, 2: 20, 3: 30}
+    stable_cols = spark.read.parquet(s.stable_path()).columns
+    assert "c" in stable_cols and "a" not in stable_cols and "b" not in stable_cols
+
+
+def test_rename_column_invalidates_indexes_and_sql_form(spark, tmp_path):
+    from tiflash_spark.sources.admin_sql import run_sql
+    from tiflash_spark.sources.delta_store import HANDLE, DeltaStore
+
+    s = DeltaStore(spark, str(tmp_path / "ren2"))
+    s.write_batch(
+        spark.createDataFrame(
+            [(i, i % 5, f"text {i}") for i in range(20)],
+            f"{HANDLE} long, g int, body string",
+        ),
+        version=1,
+    )
+    s.compact(ts=1, num_segments=2)
+    s.build_inverted_index(["g"])
+    s.build_fulltext_index("body")
+    r = run_sql(
+        spark, "ALTER TABLE t RENAME COLUMN g TO grp", {"t": s}
+    ).collect()[0]
+    assert (r.old_name, r.new_name) == ("g", "grp")
+    assert "g" not in s._invidx_meta() and "grp" not in s._invidx_meta()
+    # renamed column still reads and filters correctly without the index
+    assert s.read_where_in("grp", [2]).count() == 4
+    # fts index untouched by an unrelated rename
+    assert "body" in s._ftsidx_meta()
+    # generated-column reference blocks the rename
+    s.add_generated_column("g2", "int", "grp * 2")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="references"):
+        s.rename_column("grp", "g3")

@@ -37,6 +37,12 @@ _MYSQL_LIMIT = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)\s*;?\s*$", re.IGNORECASE
 # (reference: TiDB parses ALTER TABLE and ships a SchemaUpdate that
 # SchemaBuilder.cpp applies — add/drop are metadata-only, modify is
 # restricted to lossless widenings, exactly DeltaStore's contract).
+_RENAME_COL = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+RENAME\s+COLUMN\s+"
+    r"`?(\w+)`?\s+TO\s+`?(\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _ALTER_COL = re.compile(
     r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+"
     r"(ADD|DROP|MODIFY)\s+COLUMN\s+`?(\w+)`?"
@@ -166,6 +172,21 @@ def run_sql(
             [(name, m.group("idx"), kind, col, int(segs))],
             "table_name string, index_name string, index_kind string,"
             " column_name string, segments_covered long",
+        )
+    m = _RENAME_COL.match(sql)
+    if m:
+        name, old, new = m.group(1), m.group(2), m.group(3)
+        if not stores or name not in stores:
+            raise ValueError(
+                f"ALTER TABLE {name} RENAME COLUMN: no DeltaStore registered "
+                f"under {name!r} (known: {sorted(stores or {})})"
+            )
+        store = stores[name]
+        v = store.rename_column(old, new)
+        store.as_view(name)
+        return spark.createDataFrame(
+            [(name, old, new, int(v))],
+            "table_name string, old_name string, new_name string, schema_version long",
         )
     m = _ALTER_COL.match(sql)
     if m:

@@ -299,11 +299,19 @@ class DeltaStore:
                         f"column {name!r} existed as {t}; re-adding as {dtype} "
                         "would mis-read old files — pick a new name"
                     )
+        renames = vs[-1].get("renames", {})
+        for chain in renames.values():
+            if name in chain:
+                raise ValueError(
+                    f"{name!r} is a prior stored name of a renamed column "
+                    "— old files still hold its values; pick a new name"
+                )
         vs = vs + [
             {
                 "v": vs[-1]["v"] + 1,
                 "fields": vs[-1]["fields"] + [[name, dtype]],
                 "gen": dict(vs[-1].get("gen", {})),
+                "renames": dict(renames),
             }
         ]
         self._write_schema_versions(vs)
@@ -364,7 +372,8 @@ class DeltaStore:
         ]
         vs = vs + [
             {"v": vs[-1]["v"] + 1, "fields": fields,
-             "gen": dict(vs[-1].get("gen", {}))}
+             "gen": dict(vs[-1].get("gen", {})),
+             "renames": dict(vs[-1].get("renames", {}))}
         ]
         self._write_schema_versions(vs)
         zm = self._zonemap()
@@ -396,8 +405,82 @@ class DeltaStore:
             raise ValueError(f"column {name!r} not in current schema")
         fields = [f for f in vs[-1]["fields"] if f[0] != name]
         gen = {k: v for k, v in vs[-1].get("gen", {}).items() if k != name}
-        vs = vs + [{"v": vs[-1]["v"] + 1, "fields": fields, "gen": gen}]
+        renames = {
+            k: v for k, v in vs[-1].get("renames", {}).items() if k != name
+        }
+        vs = vs + [{"v": vs[-1]["v"] + 1, "fields": fields, "gen": gen,
+                    "renames": renames}]
         self._write_schema_versions(vs)
+        return vs[-1]["v"]
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN — metadata-only (reference
+        SchemaBuilder handles renames by column ID; files here keep the
+        write-time name, reads coalesce through the prior-name chain).
+        Sidecar indexes and zone-map entries keyed by the old name are
+        invalidated (absent => scan); generated columns referencing the
+        old name reject the rename (their expressions are stored text)."""
+        import re as _re
+
+        self._check_mutable(old)
+        self._check_mutable(new)
+        vs = self._bootstrap_versions()
+        cur = {n: t for n, t in vs[-1]["fields"]}
+        if old not in cur:
+            raise ValueError(f"column {old!r} not in current schema")
+        if new in cur:
+            raise ValueError(f"column {new!r} already exists")
+        gen_prev = dict(vs[-1].get("gen", {}))
+        if old in gen_prev:
+            raise ValueError(
+                f"column {old!r} is generated — drop and re-add under the "
+                "new name instead of RENAME"
+            )
+        for g, expr in gen_prev.items():
+            if _re.search(rf"\b{_re.escape(old)}\b", expr):
+                raise ValueError(
+                    f"generated column {g!r} references {old!r}; drop it "
+                    "before renaming"
+                )
+        renames = {
+            k: list(v) for k, v in vs[-1].get("renames", {}).items()
+        }
+        chain = [old] + renames.pop(old, [])
+        # a prior stored name must never be shadowed by a later ADD
+        for prior in chain:
+            if prior in cur and prior != old:
+                raise ValueError(
+                    f"stored name {prior!r} is still a live column"
+                )
+        renames[new] = chain
+        fields = [
+            [new if n == old else n, t] for n, t in vs[-1]["fields"]
+        ]
+        vs = vs + [
+            {"v": vs[-1]["v"] + 1, "fields": fields, "gen": gen_prev,
+             "renames": renames}
+        ]
+        self._write_schema_versions(vs)
+        zm = self._zonemap()
+        if zm and old in zm.get("cols", {}):
+            zm = dict(zm, cols={c: t for c, t in zm["cols"].items() if c != old})
+            zm["segs"] = {
+                k: {c: v for c, v in ent.items() if c != old}
+                for k, ent in zm["segs"].items()
+            }
+            self._write_zonemap(zm)
+        for meta_get, meta_put in (
+            (self._invidx_meta, self._write_invidx_meta),
+            (self._ftsidx_meta, self._write_ftsidx_meta),
+        ):
+            m = meta_get()
+            if old in m:
+                m.pop(old)
+                meta_put(m)
+        vm = self._vecidx_meta()
+        if old in vm:
+            vm.pop(old)
+            self._write_vecidx_meta(vm)
         return vs[-1]["v"]
 
     def add_generated_column(self, name: str, dtype: str, expr: str) -> int:
@@ -428,7 +511,8 @@ class DeltaStore:
                 )
         fields = vs[-1]["fields"] + [[name, dtype]]
         gen = dict(gen_prev, **{name: expr})
-        vs = vs + [{"v": vs[-1]["v"] + 1, "fields": fields, "gen": gen}]
+        vs = vs + [{"v": vs[-1]["v"] + 1, "fields": fields, "gen": gen,
+                    "renames": dict(vs[-1].get("renames", {}))}]
         self._write_schema_versions(vs)
         return vs[-1]["v"]
 
@@ -436,6 +520,14 @@ class DeltaStore:
         """Generated-column expressions of the current schema version."""
         vs = self._schema_versions()
         return dict(vs[-1].get("gen", {})) if vs else {}
+
+    def current_renames(self) -> dict[str, list[str]]:
+        """visible name -> prior stored names (newest first), for
+        columns that were RENAMEd — files keep their write-time names."""
+        vs = self._schema_versions()
+        return {
+            k: list(v) for k, v in (vs[-1].get("renames", {}) if vs else {}).items()
+        }
 
     def _conform(self, df: DataFrame, internal: bool) -> DataFrame:
         """Project a frame to the current schema version: handle first,
@@ -447,15 +539,24 @@ class DeltaStore:
         if fields is None:
             return df
         gen = self.current_gen()
+        renames = self.current_renames()
         cols = [F.col(HANDLE)]
         for n, t in fields:
             if n in gen:
                 if not internal:
                     cols.append(F.expr(gen[n]).cast(t).alias(n))
                 continue
-            cols.append(
-                (F.col(n).cast(t) if n in df.columns else F.lit(None).cast(t)).alias(n)
-            )
+            # a renamed column's value may live under any prior stored
+            # name (files are never rewritten by RENAME); newest name wins
+            sources = [c for c in [n] + renames.get(n, []) if c in df.columns]
+            if not sources:
+                cols.append(F.lit(None).cast(t).alias(n))
+            elif len(sources) == 1:
+                cols.append(F.col(sources[0]).cast(t).alias(n))
+            else:
+                cols.append(
+                    F.coalesce(*[F.col(c).cast(t) for c in sources]).alias(n)
+                )
         if internal:
             cols += [F.col(VERSION), F.col(DELMARK)]
         return df.select(*cols)
@@ -1792,12 +1893,15 @@ class DeltaStore:
         if pruned:
             log = self._log_minus_segments(log, pruned)
         out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts)
-        if lo is not None:
-            out = out.filter(F.col(col) >= F.lit(lo))
-        if hi is not None:
-            out = out.filter(F.col(col) <= F.lit(hi))
         drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
-        return self._conform(out.drop(*drop_cols), internal=False)
+        # conform BEFORE filtering so predicates bind to visible names
+        # (a RENAMEd column's data may live under prior stored names)
+        conf = self._conform(out.drop(*drop_cols), internal=False)
+        if lo is not None:
+            conf = conf.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            conf = conf.filter(F.col(col) <= F.lit(hi))
+        return conf
 
     def _log_minus_segments(self, log: DataFrame, pruned: list[int]) -> DataFrame:
         """Drop the pruned segments from the log, rescuing any handle the
@@ -2033,11 +2137,11 @@ class DeltaStore:
         self._record_scan_profile("read_where_in", pruned)
         if pruned:
             log = self._log_minus_segments(log, pruned)
-        out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts).filter(
+        out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts)
+        drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
+        return self._conform(out.drop(*drop_cols), internal=False).filter(
             F.col(col).isin(values)
         )
-        drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
-        return self._conform(out.drop(*drop_cols), internal=False)
 
     # --- late materialization -----------------------------------------------
     #
@@ -2831,11 +2935,9 @@ class DeltaStore:
         log = self.log()
         if pruned:
             log = self._log_minus_segments(log, pruned)
-        out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts).filter(
-            pred()
-        )
+        out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts)
         drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
-        return self._conform(out.drop(*drop_cols), internal=False)
+        return self._conform(out.drop(*drop_cols), internal=False).filter(pred())
 
     @staticmethod
     def _norm_conj(preds: list[tuple]) -> list[tuple]:
@@ -2923,11 +3025,9 @@ class DeltaStore:
         log = self.log()
         if pruned:
             log = self._log_minus_segments(log, sorted(pruned))
-        out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts).filter(
-            pred()
-        )
+        out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts)
         drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
-        return self._conform(out.drop(*drop_cols), internal=False)
+        return self._conform(out.drop(*drop_cols), internal=False).filter(pred())
 
     def fts_match_boolean(
         self,
@@ -3005,11 +3105,9 @@ class DeltaStore:
         log = self.log()
         if pruned:
             log = self._log_minus_segments(log, sorted(pruned))
-        out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts).filter(
-            pred()
-        )
+        out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts)
         drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
-        return self._conform(out.drop(*drop_cols), internal=False)
+        return self._conform(out.drop(*drop_cols), internal=False).filter(pred())
 
     def fts_match_where(
         self,
@@ -3061,11 +3159,9 @@ class DeltaStore:
                     pruned_set |= set(self._zm_pruned_segs(c, arg[0], arg[1]))
         if pruned_set:
             log = self._log_minus_segments(log, sorted(pruned_set))
-        out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts).filter(
-            full_pred
-        )
+        out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts)
         drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
-        return self._conform(out.drop(*drop_cols), internal=False)
+        return self._conform(out.drop(*drop_cols), internal=False).filter(full_pred)
 
     FTS_OVERFETCH = 4
 
