@@ -460,3 +460,68 @@ def test_fts_interleavings_match_model(spark, tmp_path, ops):
                 r[HANDLE] for r in store.fts_match_word("body", word).collect()
             )
             assert got == want, (kind, version, word, got, want)
+
+
+@st.composite
+def rename_op_sequences(draw):
+    """Interleavings of writes, compactions, and RENAMEs of the value
+    column through a 3-name cycle (v -> v2 -> v3)."""
+    n_ops = draw(st.integers(min_value=4, max_value=8))
+    ops, version, name_idx = [], 0, 0
+    for _ in range(n_ops):
+        version += 1
+        kind = draw(st.sampled_from(["write", "write", "compact", "rename"]))
+        if kind == "write":
+            hs = draw(st.lists(HANDLES, min_size=1, max_size=3, unique=True))
+            ops.append(("write", version, hs))
+        elif kind == "rename":
+            if name_idx >= 2:
+                continue
+            name_idx += 1
+            ops.append(("rename", version, name_idx))
+        else:
+            ops.append(("compact", version,
+                        draw(st.sampled_from(["flat", "hash"]))))
+    return ops
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(ops=rename_op_sequences())
+def test_rename_interleavings_match_model(spark, tmp_path, ops):
+    """RENAME COLUMN at random points in a write/compact history: reads
+    always carry every row's value under the CURRENT name, whichever
+    name the row's file was written under."""
+    names = ["v", "v2", "v3"]
+    store = DeltaStore(spark, str(tmp_path / f"rn{next(_counter)}"))
+    store.write_batch(
+        spark.createDataFrame([(99, "seed")], f"{HANDLE} long, v string"),
+        version=1,
+    )
+    model: dict[int, str] = {99: "seed"}
+    cur = 0
+    for kind, version, arg in ops:
+        version += 1
+        if kind == "write":
+            rows = [(h, f"w{version}h{h}") for h in arg]
+            store.write_batch(
+                spark.createDataFrame(
+                    rows, f"{HANDLE} long, {names[cur]} string"
+                ),
+                version=version,
+            )
+            model.update(rows)
+        elif kind == "rename":
+            store.rename_column(names[cur], names[arg])
+            cur = arg
+        elif arg == "hash":
+            store.compact(ts=version, num_segments=2)
+        else:
+            store.compact(ts=version)
+        got = {r[HANDLE]: r[names[cur]] for r in store.read().collect()}
+        assert got == model, (kind, version, names[cur])
+        assert set(store.read().columns) == {HANDLE, names[cur]}
