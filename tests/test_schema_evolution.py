@@ -380,3 +380,68 @@ def test_rename_column_invalidates_indexes_and_sql_form(spark, tmp_path):
 
     with _pt.raises(ValueError, match="references"):
         s.rename_column("grp", "g3")
+
+
+def test_add_column_with_default_fills_existing_rows(spark, tmp_path):
+    """ADD COLUMN ... DEFAULT (reference alter_*_default_value suites):
+    pre-DDL rows surface the default with zero rewrite; omitted columns
+    at write materialize it; an explicit post-DDL NULL STAYS NULL; and
+    compaction bakes the fill into the stable files."""
+    from tiflash_spark.sources.delta_store import HANDLE, DeltaStore
+
+    s = DeltaStore(spark, str(tmp_path / "dflt1"))
+    s.write_batch(
+        spark.createDataFrame([(1, "a"), (2, "b")], f"{HANDLE} long, v string"),
+        version=1,
+    )
+    s.add_column("score", "decimal(9,2)", default="7.25")
+    got = {r[HANDLE]: r.score for r in s.read().collect()}
+    from decimal import Decimal
+
+    assert got == {1: Decimal("7.25"), 2: Decimal("7.25")}
+    # omitted column at write -> default; explicit NULL stays NULL
+    s.write_batch(
+        spark.createDataFrame([(3, "c")], f"{HANDLE} long, v string"), version=2
+    )
+    s.write_batch(
+        spark.createDataFrame(
+            [(4, "d", None)], f"{HANDLE} long, v string, score decimal(9,2)"
+        ),
+        version=3,
+    )
+    got = {r[HANDLE]: r.score for r in s.read().collect()}
+    assert got[3] == Decimal("7.25") and got[4] is None
+    assert got[1] == Decimal("7.25")
+    # compaction materializes; semantics unchanged after
+    s.compact(ts=3, num_segments=2)
+    got2 = {r[HANDLE]: r.score for r in s.read().collect()}
+    assert got2 == got
+    stable = spark.read.parquet(s.stable_path())
+    raw = {r[HANDLE]: r.score for r in stable.select(HANDLE, "score").collect()}
+    assert raw[1] == Decimal("7.25")  # baked into the file
+    # drop removes the default with the column
+    s.drop_column("score")
+    assert "score" not in s.read().columns
+
+
+def test_add_column_default_sql_form_and_rename_carries_default(spark, tmp_path):
+    from tiflash_spark.sources.admin_sql import run_sql
+    from tiflash_spark.sources.delta_store import HANDLE, DeltaStore
+
+    s = DeltaStore(spark, str(tmp_path / "dflt2"))
+    s.write_batch(
+        spark.createDataFrame([(1, 10)], f"{HANDLE} long, a int"), version=1
+    )
+    r = run_sql(
+        spark, "ALTER TABLE t ADD COLUMN tag string NULL DEFAULT 'none'", {"t": s}
+    ).collect()[0]
+    assert r.op == "add"
+    assert s.read().filter("tag = 'none'").count() == 1
+    s.rename_column("tag", "label")
+    got = s.read().select("label").first()
+    assert got.label == "none"
+    s.write_batch(
+        spark.createDataFrame([(2, 20)], f"{HANDLE} long, a int"), version=2
+    )
+    vals = {r[HANDLE]: r.label for r in s.read().collect()}
+    assert vals == {1: "none", 2: "none"}

@@ -47,6 +47,8 @@ _ALTER_COL = re.compile(
     r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+"
     r"(ADD|DROP|MODIFY)\s+COLUMN\s+`?(\w+)`?"
     r"(?:\s+([A-Za-z0-9_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?))?"
+    r"(?:\s+NULL)?"
+    r"(?:\s+DEFAULT\s+(?P<dflt>'[^']*'|[^\s;]+))?"
     r"(?:\s+AS\s+\((?P<gen>.+)\)\s+VIRTUAL)?\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -209,7 +211,12 @@ def run_sql(
                     col, dtype.lower().replace(" ", ""), m.group("gen")
                 )
             else:
-                v = store.add_column(col, dtype.lower().replace(" ", ""))
+                dflt = m.group("dflt")
+                if dflt is not None:
+                    dflt = dflt.strip("'")
+                v = store.add_column(
+                    col, dtype.lower().replace(" ", ""), default=dflt
+                )
         elif verb == "MODIFY":
             if not dtype:
                 raise ValueError(f"MODIFY COLUMN {col}: missing type")

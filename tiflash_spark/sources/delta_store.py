@@ -283,11 +283,16 @@ class DeltaStore:
         if name == HANDLE or name in _INTERNAL_COLS:
             raise ValueError(f"column {name!r} is internal/immutable")
 
-    def add_column(self, name: str, dtype: str) -> int:
-        """ALTER TABLE ADD COLUMN: rows written before this version read
-        as NULL (reference SchemaUpdate — no file rewrite). Re-adding a
-        previously dropped name requires the SAME type: old files still
-        hold the old values and parquet won't re-interpret them."""
+    def add_column(self, name: str, dtype: str, default=None) -> int:
+        """ALTER TABLE ADD COLUMN [DEFAULT v]: rows written before this
+        DDL read as the default (NULL when none) — no file rewrite, the
+        fill is a read-time expression gated on the row's commit version
+        (reference SchemaUpdate + the alter_*_default_value DDL suites:
+        existing rows surface the default, an explicit NULL written
+        AFTER the DDL stays NULL). Compaction materializes the fill into
+        the rewritten files. Re-adding a previously dropped name
+        requires the SAME type: old files still hold the old values and
+        parquet won't re-interpret them."""
         self._check_mutable(name)
         vs = self._bootstrap_versions()
         if any(n == name for n, _ in vs[-1]["fields"]):
@@ -306,12 +311,20 @@ class DeltaStore:
                     f"{name!r} is a prior stored name of a renamed column "
                     "— old files still hold its values; pick a new name"
                 )
+        defaults = dict(vs[-1].get("defaults", {}))
+        if default is not None:
+            try:
+                top = self.log().agg(F.max(VERSION).alias("v")).collect()[0].v
+            except Exception:
+                top = None  # empty store: nothing predates the DDL
+            defaults[name] = {"d": str(default), "since": int(top or 0)}
         vs = vs + [
             {
                 "v": vs[-1]["v"] + 1,
                 "fields": vs[-1]["fields"] + [[name, dtype]],
                 "gen": dict(vs[-1].get("gen", {})),
                 "renames": dict(renames),
+                "defaults": defaults,
             }
         ]
         self._write_schema_versions(vs)
@@ -373,7 +386,8 @@ class DeltaStore:
         vs = vs + [
             {"v": vs[-1]["v"] + 1, "fields": fields,
              "gen": dict(vs[-1].get("gen", {})),
-             "renames": dict(vs[-1].get("renames", {}))}
+             "renames": dict(vs[-1].get("renames", {})),
+             "defaults": dict(vs[-1].get("defaults", {}))}
         ]
         self._write_schema_versions(vs)
         zm = self._zonemap()
@@ -408,8 +422,11 @@ class DeltaStore:
         renames = {
             k: v for k, v in vs[-1].get("renames", {}).items() if k != name
         }
+        defaults = {
+            k: v for k, v in vs[-1].get("defaults", {}).items() if k != name
+        }
         vs = vs + [{"v": vs[-1]["v"] + 1, "fields": fields, "gen": gen,
-                    "renames": renames}]
+                    "renames": renames, "defaults": defaults}]
         self._write_schema_versions(vs)
         return vs[-1]["v"]
 
@@ -456,9 +473,12 @@ class DeltaStore:
         fields = [
             [new if n == old else n, t] for n, t in vs[-1]["fields"]
         ]
+        defaults = dict(vs[-1].get("defaults", {}))
+        if old in defaults:
+            defaults[new] = defaults.pop(old)
         vs = vs + [
             {"v": vs[-1]["v"] + 1, "fields": fields, "gen": gen_prev,
-             "renames": renames}
+             "renames": renames, "defaults": defaults}
         ]
         self._write_schema_versions(vs)
         zm = self._zonemap()
@@ -512,7 +532,8 @@ class DeltaStore:
         fields = vs[-1]["fields"] + [[name, dtype]]
         gen = dict(gen_prev, **{name: expr})
         vs = vs + [{"v": vs[-1]["v"] + 1, "fields": fields, "gen": gen,
-                    "renames": dict(vs[-1].get("renames", {}))}]
+                    "renames": dict(vs[-1].get("renames", {})),
+                    "defaults": dict(vs[-1].get("defaults", {}))}]
         self._write_schema_versions(vs)
         return vs[-1]["v"]
 
@@ -521,6 +542,12 @@ class DeltaStore:
         vs = self._schema_versions()
         return dict(vs[-1].get("gen", {})) if vs else {}
 
+    def current_defaults(self) -> dict[str, dict]:
+        """visible name -> {"d": literal string, "since": commit version
+        at the ADD} for columns added with a DEFAULT."""
+        vs = self._schema_versions()
+        return dict(vs[-1].get("defaults", {})) if vs else {}
+
     def current_renames(self) -> dict[str, list[str]]:
         """visible name -> prior stored names (newest first), for
         columns that were RENAMEd — files keep their write-time names."""
@@ -528,6 +555,14 @@ class DeltaStore:
         return {
             k: list(v) for k, v in (vs[-1].get("renames", {}) if vs else {}).items()
         }
+
+    def _conform_read(self, out: DataFrame) -> DataFrame:
+        """Read-path conform: keep VERSION visible through _conform (the
+        ADD-COLUMN default gate needs the row's commit version), drop it
+        afterwards along with the other internals."""
+        drops = [DELMARK] + (["_seg"] if "_seg" in out.columns else [])
+        conf = self._conform(out.drop(*drops), internal=False)
+        return conf.drop(VERSION) if VERSION in conf.columns else conf
 
     def _conform(self, df: DataFrame, internal: bool) -> DataFrame:
         """Project a frame to the current schema version: handle first,
@@ -540,6 +575,7 @@ class DeltaStore:
             return df
         gen = self.current_gen()
         renames = self.current_renames()
+        defaults = self.current_defaults()
         cols = [F.col(HANDLE)]
         for n, t in fields:
             if n in gen:
@@ -550,13 +586,27 @@ class DeltaStore:
             # name (files are never rewritten by RENAME); newest name wins
             sources = [c for c in [n] + renames.get(n, []) if c in df.columns]
             if not sources:
-                cols.append(F.lit(None).cast(t).alias(n))
+                base = F.lit(None).cast(t)
             elif len(sources) == 1:
-                cols.append(F.col(sources[0]).cast(t).alias(n))
+                base = F.col(sources[0]).cast(t)
             else:
-                cols.append(
-                    F.coalesce(*[F.col(c).cast(t) for c in sources]).alias(n)
-                )
+                base = F.coalesce(*[F.col(c).cast(t) for c in sources])
+            if n in defaults:
+                # ADD COLUMN ... DEFAULT: rows committed at or before the
+                # DDL surface the default; explicit NULLs written after
+                # stay NULL (gate on the row's commit version). Applied
+                # on the rewrite path too, so compaction MATERIALIZES the
+                # fill before versions are restamped.
+                dv = F.lit(defaults[n]["d"]).cast(t)
+                if not sources:
+                    base = dv
+                elif VERSION in df.columns:
+                    base = F.when(
+                        base.isNull()
+                        & (F.col(VERSION) <= F.lit(int(defaults[n]["since"]))),
+                        dv,
+                    ).otherwise(base)
+            cols.append(base.alias(n))
         if internal:
             cols += [F.col(VERSION), F.col(DELMARK)]
         return df.select(*cols)
@@ -595,13 +645,20 @@ class DeltaStore:
                 f"columns {supplied} are generated — values are computed "
                 "at read time and cannot be written"
             )
+        defaults = self.current_defaults()
         cols = [F.col(HANDLE)]
         for n, t in fields:
             if n in gen:
                 continue  # never stored
-            cols.append(
-                (F.col(n).cast(t) if n in df.columns else F.lit(None).cast(t)).alias(n)
-            )
+            if n in df.columns:
+                cols.append(F.col(n).cast(t).alias(n))
+            elif n in defaults:
+                # an omitted defaulted column materializes the default at
+                # write (MySQL INSERT semantics) — post-DDL NULLs in the
+                # files are therefore always EXPLICIT user NULLs
+                cols.append(F.lit(defaults[n]["d"]).cast(t).alias(n))
+            else:
+                cols.append(F.lit(None).cast(t).alias(n))
         return df.select(*cols)
 
     # --- range deletes ------------------------------------------------------
@@ -785,9 +842,7 @@ class DeltaStore:
         """Snapshot-consistent read at version ts (None = everything),
         reconciled to the CURRENT schema version when one exists."""
         out = self._apply_range_dels(snapshot_read(self.log(), read_ts=ts), ts)
-        out = out.drop(VERSION, DELMARK)
-        out = out.drop("_seg") if "_seg" in out.columns else out
-        return self._conform(out, internal=False)
+        return self._conform_read(out)
 
     def as_view(self, name: str, ts: int | None = None) -> None:
         """Register a snapshot read as a temp view so spark.sql queries
@@ -922,8 +977,7 @@ class DeltaStore:
         out = self._apply_range_dels(
             snapshot_read(log.filter(F.col(HANDLE).isin(*handles)), read_ts=ts), ts
         )
-        drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
-        return self._conform(out.drop(*drop_cols), internal=False)
+        return self._conform_read(out)
 
     # --- PK-range segments + incremental compaction -------------------------
 
@@ -1119,8 +1173,7 @@ class DeltaStore:
             ),
             ts,
         )
-        drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
-        return self._conform(out.drop(*drop_cols), internal=False)
+        return self._conform_read(out)
 
     def compact_segments_incremental(self, ts: int) -> tuple[int, int]:
         """Incremental delta merge: rewrite ONLY the range segments whose
@@ -1859,8 +1912,7 @@ class DeltaStore:
         out = out.filter(
             F.col(col).isNull() if col in out.columns else F.lit(True)
         )
-        drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
-        return self._conform(out.drop(*drop_cols), internal=False)
+        return self._conform_read(out)
 
     def read_where(self, col: str, lo=None, hi=None, ts: int | None = None) -> DataFrame:
         """Snapshot read with a range predicate ``lo <= col <= hi`` on an
@@ -1893,10 +1945,9 @@ class DeltaStore:
         if pruned:
             log = self._log_minus_segments(log, pruned)
         out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts)
-        drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
         # conform BEFORE filtering so predicates bind to visible names
         # (a RENAMEd column's data may live under prior stored names)
-        conf = self._conform(out.drop(*drop_cols), internal=False)
+        conf = self._conform_read(out)
         if lo is not None:
             conf = conf.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
@@ -2138,8 +2189,7 @@ class DeltaStore:
         if pruned:
             log = self._log_minus_segments(log, pruned)
         out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts)
-        drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
-        return self._conform(out.drop(*drop_cols), internal=False).filter(
+        return self._conform_read(out).filter(
             F.col(col).isin(values)
         )
 
@@ -2936,8 +2986,7 @@ class DeltaStore:
         if pruned:
             log = self._log_minus_segments(log, pruned)
         out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts)
-        drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
-        return self._conform(out.drop(*drop_cols), internal=False).filter(pred())
+        return self._conform_read(out).filter(pred())
 
     @staticmethod
     def _norm_conj(preds: list[tuple]) -> list[tuple]:
@@ -3026,8 +3075,7 @@ class DeltaStore:
         if pruned:
             log = self._log_minus_segments(log, sorted(pruned))
         out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts)
-        drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
-        return self._conform(out.drop(*drop_cols), internal=False).filter(pred())
+        return self._conform_read(out).filter(pred())
 
     def fts_match_boolean(
         self,
@@ -3106,8 +3154,7 @@ class DeltaStore:
         if pruned:
             log = self._log_minus_segments(log, sorted(pruned))
         out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts)
-        drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
-        return self._conform(out.drop(*drop_cols), internal=False).filter(pred())
+        return self._conform_read(out).filter(pred())
 
     def fts_match_where(
         self,
@@ -3160,8 +3207,7 @@ class DeltaStore:
         if pruned_set:
             log = self._log_minus_segments(log, sorted(pruned_set))
         out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts)
-        drop_cols = [VERSION, DELMARK] + (["_seg"] if "_seg" in out.columns else [])
-        return self._conform(out.drop(*drop_cols), internal=False).filter(full_pred)
+        return self._conform_read(out).filter(full_pred)
 
     FTS_OVERFETCH = 4
 
@@ -3251,10 +3297,7 @@ class DeltaStore:
                 if delta_handles:
                     ulog = ulog.filter(~F.col(HANDLE).isin(delta_handles))
                 vis = self._apply_range_dels(snapshot_read(ulog, read_ts=ts), ts)
-                drop_cols = [VERSION, DELMARK] + (
-                    ["_seg"] if "_seg" in vis.columns else []
-                )
-                legs.append(self._conform(vis.drop(*drop_cols), internal=False))
+                legs.append(self._conform_read(vis))
             if not legs:
                 return self.spark.createDataFrame(
                     [], f"{HANDLE} long, n_terms long, bm25 double"
