@@ -445,3 +445,33 @@ def test_add_column_default_sql_form_and_rename_carries_default(spark, tmp_path)
     )
     vals = {r[HANDLE]: r.label for r in s.read().collect()}
     assert vals == {1: "none", 2: "none"}
+
+
+def test_update_default_value_leaves_old_rows(spark, tmp_path):
+    """Port of ddl/alter_default_value_update.test: updating a default
+    changes only future omitted-column writes; existing rows keep the
+    ADD-time fill."""
+    from tiflash_spark.sources.delta_store import HANDLE, DeltaStore
+
+    s = DeltaStore(spark, str(tmp_path / "dflt3"))
+    s.write_batch(
+        spark.createDataFrame([(1, 1), (2, 2)], f"{HANDLE} long, i int"),
+        version=1,
+    )
+    s.add_column("i2", "int", default="33")
+    assert {r[HANDLE]: r.i2 for r in s.read().collect()} == {1: 33, 2: 33}
+    s.set_column_default("i2", "3344")
+    # old rows unchanged (the golden table in the reference test)
+    assert {r[HANDLE]: r.i2 for r in s.read().collect()} == {1: 33, 2: 33}
+    s.write_batch(
+        spark.createDataFrame([(3, 3)], f"{HANDLE} long, i int"), version=2
+    )
+    got = {r[HANDLE]: r.i2 for r in s.read().collect()}
+    assert got == {1: 33, 2: 33, 3: 3344}
+    # survives compaction
+    s.compact(ts=2)
+    assert {r[HANDLE]: r.i2 for r in s.read().collect()} == got
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no default"):
+        s.set_column_default("i", "9")

@@ -330,6 +330,33 @@ class DeltaStore:
         self._write_schema_versions(vs)
         return vs[-1]["v"]
 
+    def set_column_default(self, name: str, new_default) -> int:
+        """ALTER ... SET DEFAULT (reference alter_default_value_update:
+        updating a default affects only FUTURE writes that omit the
+        column — rows already readable keep the ADD-time fill, because
+        this store fills pre-ADD rows at read time from the ORIGINAL
+        default)."""
+        self._check_mutable(name)
+        vs = self._bootstrap_versions()
+        cur = {n: t for n, t in vs[-1]["fields"]}
+        if name not in cur:
+            raise ValueError(f"column {name!r} not in current schema")
+        defaults = dict(vs[-1].get("defaults", {}))
+        if name not in defaults:
+            raise ValueError(
+                f"column {name!r} has no default — only defaults created by "
+                "ADD COLUMN ... DEFAULT can be updated"
+            )
+        defaults[name] = {**defaults[name], "w": str(new_default)}
+        vs = vs + [
+            {"v": vs[-1]["v"] + 1, "fields": vs[-1]["fields"],
+             "gen": dict(vs[-1].get("gen", {})),
+             "renames": dict(vs[-1].get("renames", {})),
+             "defaults": defaults}
+        ]
+        self._write_schema_versions(vs)
+        return vs[-1]["v"]
+
     _INT_CHAIN = ["tinyint", "smallint", "int", "bigint"]
 
     @classmethod
@@ -653,10 +680,14 @@ class DeltaStore:
             if n in df.columns:
                 cols.append(F.col(n).cast(t).alias(n))
             elif n in defaults:
-                # an omitted defaulted column materializes the default at
-                # write (MySQL INSERT semantics) — post-DDL NULLs in the
-                # files are therefore always EXPLICIT user NULLs
-                cols.append(F.lit(defaults[n]["d"]).cast(t).alias(n))
+                # an omitted defaulted column materializes the CURRENT
+                # write default (MySQL INSERT semantics; "w" when SET
+                # DEFAULT updated it) — post-DDL NULLs in the files are
+                # therefore always EXPLICIT user NULLs. The read-time
+                # fill for pre-ADD rows stays pinned to the ADD-time "d".
+                cols.append(
+                    F.lit(defaults[n].get("w", defaults[n]["d"])).cast(t).alias(n)
+                )
             else:
                 cols.append(F.lit(None).cast(t).alias(n))
         return df.select(*cols)
