@@ -148,3 +148,30 @@ def test_explain_statement(spark):
     text2 = "\n".join(r.plan for r in plan2)
     # LIMIT 5, 10 -> LIMIT 10 OFFSET 5 -> CollectLimit(limit=15, offset=5)
     assert "CollectLimit" in text2 and "15, 5" in text2
+
+
+def test_truncate_table_statement(spark, tmp_path):
+    """TRUNCATE TABLE (ddl/alter_truncate_table.test): data and history
+    vanish atomically; schema (incl. defaults) survives; writes resume."""
+    from tiflash_spark.sources.admin_sql import run_sql
+    from tiflash_spark.sources.delta_store import HANDLE, DeltaStore
+
+    s = DeltaStore(spark, str(tmp_path / "trunc1"))
+    s.write_batch(
+        spark.createDataFrame([(1, "a"), (2, "b")], f"{HANDLE} long, v string"),
+        version=1,
+    )
+    s.add_column("tag", "string", default="x")
+    s.compact(ts=1, num_segments=2)
+    s.build_fulltext_index("v")
+    r = run_sql(spark, "TRUNCATE TABLE t", {"t": s}).collect()[0]
+    assert r.op == "truncate"
+    assert s.read().count() == 0
+    assert s.read(ts=1).count() == 0  # history gone too (table recreated)
+    assert "v" not in s._ftsidx_meta()  # index died with the layer
+    # schema intact: writes resume, default still materializes
+    s.write_batch(
+        spark.createDataFrame([(3, "c")], f"{HANDLE} long, v string"), version=2
+    )
+    row = s.read().first()
+    assert (row.v, row.tag) == ("c", "x")

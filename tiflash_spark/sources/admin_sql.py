@@ -37,6 +37,10 @@ _MYSQL_LIMIT = re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)\s*;?\s*$", re.IGNORECASE
 # (reference: TiDB parses ALTER TABLE and ships a SchemaUpdate that
 # SchemaBuilder.cpp applies — add/drop are metadata-only, modify is
 # restricted to lossless widenings, exactly DeltaStore's contract).
+_TRUNCATE = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?`?(\w+)`?\s*;?\s*$", re.IGNORECASE
+)
+
 _RENAME_COL = re.compile(
     r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+RENAME\s+COLUMN\s+"
     r"`?(\w+)`?\s+TO\s+`?(\w+)`?\s*;?\s*$",
@@ -174,6 +178,20 @@ def run_sql(
             [(name, m.group("idx"), kind, col, int(segs))],
             "table_name string, index_name string, index_kind string,"
             " column_name string, segments_covered long",
+        )
+    m = _TRUNCATE.match(sql)
+    if m:
+        name = m.group(1)
+        if not stores or name not in stores:
+            raise ValueError(
+                f"TRUNCATE TABLE {name}: no DeltaStore registered under "
+                f"{name!r} (known: {sorted(stores or {})})"
+            )
+        store = stores[name]
+        store.truncate_table()
+        store.as_view(name)
+        return spark.createDataFrame(
+            [(name, "truncate")], "table_name string, op string"
         )
     m = _RENAME_COL.match(sql)
     if m:

@@ -707,6 +707,27 @@ class DeltaStore:
     # delta dir BEFORE the pointer swap (crash-safe: a lost carry would
     # resurrect deleted rows).
 
+    def truncate_table(self) -> None:
+        """TRUNCATE TABLE (reference ddl/alter_truncate_table.test: TiDB
+        recreates the table under a new ID — data AND history vanish
+        atomically). Swaps in an empty stable version and a fresh delta
+        through the same crash-safe `_CURRENT` commit as compaction; the
+        schema registry (columns, defaults, renames) survives, every
+        index/zone-map sidecar dies with the old layer dirs."""
+        stable = self._layer("stable")
+        stage = self._stage_dir("truncate")
+        if stable is not None:
+            # an empty frame with the stored schema keeps later reads typed
+            self.spark.createDataFrame([], stable.schema).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            self._write_stable_schema(stable.schema, layer_dir=stage)
+        else:
+            os.makedirs(stage, exist_ok=True)
+        self._fail("staged")
+        self._promote(stage, retire_delta=True)
+        self._refresh()
+
     def delete_range(self, lo, hi, version: int) -> None:
         """Delete every row with ``lo <= handle < hi`` whose version is
         <= ``version`` (delete-wins on the tie, matching point
