@@ -475,3 +475,35 @@ def test_update_default_value_leaves_old_rows(spark, tmp_path):
 
     with _pt.raises(ValueError, match="no default"):
         s.set_column_default("i", "9")
+
+
+def test_default_fill_across_incremental_compaction(spark, tmp_path):
+    """Defaults survive per-segment incremental compaction: rewritten
+    (dirty) segments materialize the fill, cold segments keep the
+    read-time gate — both read identically."""
+    from tiflash_spark.sources.delta_store import HANDLE, DeltaStore
+
+    s = DeltaStore(spark, str(tmp_path / "dflt4"))
+    s.write_batch(
+        spark.createDataFrame(
+            [(i, f"r{i}") for i in range(10)], f"{HANDLE} long, v string"
+        ),
+        version=1,
+    )
+    s.compact_range_segments(ts=1, num_segments=3)
+    s.add_column("flag", "int", default="5")
+    # dirty exactly one segment
+    s.write_batch(
+        spark.createDataFrame([(0, "upd")], f"{HANDLE} long, v string"), version=2
+    )
+    rewritten, total = s.compact_segments_incremental(ts=2)
+    assert 0 < rewritten < total
+    got = {r[HANDLE]: r.flag for r in s.read().collect()}
+    assert got == {i: 5 for i in range(10)}
+    # explicit NULL after the DDL still wins over the default everywhere
+    s.write_batch(
+        spark.createDataFrame([(7, "x", None)], f"{HANDLE} long, v string, flag int"),
+        version=3,
+    )
+    got = {r[HANDLE]: r.flag for r in s.read().collect()}
+    assert got[7] is None and got[3] == 5
