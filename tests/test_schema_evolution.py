@@ -507,3 +507,50 @@ def test_default_fill_across_incremental_compaction(spark, tmp_path):
     )
     got = {r[HANDLE]: r.flag for r in s.read().collect()}
     assert got[7] is None and got[3] == 5
+
+
+def test_nullable_ddl_enforcement(spark, tmp_path):
+    """Port of ddl/alter_column_nullable.test semantics: NOT NULL is
+    metadata (existing data validated at the DDL); writes carrying NULL
+    into a NOT NULL column are rejected; dropping back to nullable
+    re-admits NULLs; omitted NOT NULL columns fill their default."""
+    import pytest as _pt
+
+    from tiflash_spark.sources.admin_sql import run_sql
+    from tiflash_spark.sources.delta_store import HANDLE, DeltaStore
+
+    s = DeltaStore(spark, str(tmp_path / "nn1"))
+    s.write_batch(
+        spark.createDataFrame(
+            [(1, 1, 1), (2, 2, 2), (3, None, 3)], f"{HANDLE} long, id1 int, id2 int"
+        ),
+        version=1,
+    )
+    # id1 holds NULL -> NOT NULL rejected; id2 clean -> accepted
+    with _pt.raises(ValueError, match="existing rows hold NULL"):
+        s.set_column_nullable("id1", False)
+    run_sql(spark, "ALTER TABLE t MODIFY COLUMN id2 int NOT NULL", {"t": s})
+    with _pt.raises(ValueError, match="NOT NULL"):
+        s.write_batch(
+            spark.createDataFrame(
+                [(4, 4, None)], f"{HANDLE} long, id1 int, id2 int"
+            ),
+            version=2,
+        )
+    # back to nullable: the same write succeeds
+    run_sql(spark, "ALTER TABLE t MODIFY COLUMN id2 int NULL", {"t": s})
+    s.write_batch(
+        spark.createDataFrame([(4, 4, None)], f"{HANDLE} long, id1 int, id2 int"),
+        version=3,
+    )
+    from pyspark.sql import functions as F2
+
+    assert s.read().filter(F2.col("id2").isNull()).count() == 1
+    # NOT NULL + default: omitted column materializes the default
+    s.add_column("id3", "int", default="88")
+    s.set_column_nullable("id3", False)
+    s.write_batch(
+        spark.createDataFrame([(5, 5, 5)], f"{HANDLE} long, id1 int, id2 int"),
+        version=4,
+    )
+    assert {r[HANDLE]: r.id3 for r in s.read().collect()}[5] == 88

@@ -51,7 +51,7 @@ _ALTER_COL = re.compile(
     r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+"
     r"(ADD|DROP|MODIFY)\s+COLUMN\s+`?(\w+)`?"
     r"(?:\s+([A-Za-z0-9_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?))?"
-    r"(?:\s+NULL)?"
+    r"(?:\s+(?P<notnull>NOT\s+NULL)|\s+(?P<plainnull>NULL))?"
     r"(?:\s+DEFAULT\s+(?P<dflt>'[^']*'|[^\s;]+))?"
     r"(?:\s+AS\s+\((?P<gen>.+)\)\s+VIRTUAL)?\s*;?\s*$",
     re.IGNORECASE,
@@ -238,7 +238,16 @@ def run_sql(
         elif verb == "MODIFY":
             if not dtype:
                 raise ValueError(f"MODIFY COLUMN {col}: missing type")
-            v = store.modify_column(col, dtype.lower().replace(" ", ""))
+            ty = dtype.lower().replace(" ", "")
+            cur = dict(store.current_fields() or [])
+            if m.group("notnull") or m.group("plainnull"):
+                # nullability change: metadata-only when the type is
+                # unchanged (alter_column_nullable.test), else widen first
+                if cur.get(col) != ty:
+                    store.modify_column(col, ty)
+                v = store.set_column_nullable(col, bool(m.group("plainnull")))
+            else:
+                v = store.modify_column(col, ty)
         else:
             v = store.drop_column(col)
         store.as_view(name)

@@ -325,10 +325,50 @@ class DeltaStore:
                 "gen": dict(vs[-1].get("gen", {})),
                 "renames": dict(renames),
                 "defaults": defaults,
+                "not_null": list(vs[-1].get("not_null", [])),
             }
         ]
         self._write_schema_versions(vs)
         return vs[-1]["v"]
+
+    def set_column_nullable(self, name: str, nullable: bool) -> int:
+        """ALTER ... [NOT] NULL (reference ddl/alter_column_nullable.test:
+        metadata-only both ways — TiDB validates existing data before
+        shipping NOT NULL; here the existing snapshot is checked once at
+        the DDL). NOT NULL columns reject NULL values at write_batch;
+        an omitted NOT NULL column still materializes its default."""
+        self._check_mutable(name)
+        vs = self._bootstrap_versions()
+        cur = {n: t for n, t in vs[-1]["fields"]}
+        if name not in cur:
+            raise ValueError(f"column {name!r} not in current schema")
+        if name in vs[-1].get("gen", {}):
+            raise ValueError(f"column {name!r} is generated")
+        not_null = set(vs[-1].get("not_null", []))
+        if not nullable:
+            existing_nulls = (
+                self.read().filter(F.col(name).isNull()).limit(1).count()
+            )
+            if existing_nulls:
+                raise ValueError(
+                    f"cannot add NOT NULL on {name!r}: existing rows hold NULL"
+                )
+            not_null.add(name)
+        else:
+            not_null.discard(name)
+        vs = vs + [
+            {"v": vs[-1]["v"] + 1, "fields": vs[-1]["fields"],
+             "gen": dict(vs[-1].get("gen", {})),
+             "renames": dict(vs[-1].get("renames", {})),
+             "defaults": dict(vs[-1].get("defaults", {})),
+             "not_null": sorted(not_null)}
+        ]
+        self._write_schema_versions(vs)
+        return vs[-1]["v"]
+
+    def current_not_null(self) -> set[str]:
+        vs = self._schema_versions()
+        return set(vs[-1].get("not_null", [])) if vs else set()
 
     def set_column_default(self, name: str, new_default) -> int:
         """ALTER ... SET DEFAULT (reference alter_default_value_update:
@@ -352,7 +392,8 @@ class DeltaStore:
             {"v": vs[-1]["v"] + 1, "fields": vs[-1]["fields"],
              "gen": dict(vs[-1].get("gen", {})),
              "renames": dict(vs[-1].get("renames", {})),
-             "defaults": defaults}
+             "defaults": defaults,
+             "not_null": list(vs[-1].get("not_null", []))}
         ]
         self._write_schema_versions(vs)
         return vs[-1]["v"]
@@ -414,7 +455,8 @@ class DeltaStore:
             {"v": vs[-1]["v"] + 1, "fields": fields,
              "gen": dict(vs[-1].get("gen", {})),
              "renames": dict(vs[-1].get("renames", {})),
-             "defaults": dict(vs[-1].get("defaults", {}))}
+             "defaults": dict(vs[-1].get("defaults", {})),
+             "not_null": list(vs[-1].get("not_null", []))}
         ]
         self._write_schema_versions(vs)
         zm = self._zonemap()
@@ -452,8 +494,10 @@ class DeltaStore:
         defaults = {
             k: v for k, v in vs[-1].get("defaults", {}).items() if k != name
         }
+        not_null = [c for c in vs[-1].get("not_null", []) if c != name]
         vs = vs + [{"v": vs[-1]["v"] + 1, "fields": fields, "gen": gen,
-                    "renames": renames, "defaults": defaults}]
+                    "renames": renames, "defaults": defaults,
+                    "not_null": not_null}]
         self._write_schema_versions(vs)
         return vs[-1]["v"]
 
@@ -503,9 +547,13 @@ class DeltaStore:
         defaults = dict(vs[-1].get("defaults", {}))
         if old in defaults:
             defaults[new] = defaults.pop(old)
+        not_null = [
+            new if c == old else c for c in vs[-1].get("not_null", [])
+        ]
         vs = vs + [
             {"v": vs[-1]["v"] + 1, "fields": fields, "gen": gen_prev,
-             "renames": renames, "defaults": defaults}
+             "renames": renames, "defaults": defaults,
+             "not_null": not_null}
         ]
         self._write_schema_versions(vs)
         zm = self._zonemap()
@@ -560,7 +608,8 @@ class DeltaStore:
         gen = dict(gen_prev, **{name: expr})
         vs = vs + [{"v": vs[-1]["v"] + 1, "fields": fields, "gen": gen,
                     "renames": dict(vs[-1].get("renames", {})),
-                    "defaults": dict(vs[-1].get("defaults", {}))}]
+                    "defaults": dict(vs[-1].get("defaults", {})),
+                    "not_null": list(vs[-1].get("not_null", []))}]
         self._write_schema_versions(vs)
         return vs[-1]["v"]
 
@@ -659,6 +708,26 @@ class DeltaStore:
                     f"batch columns {extra} not in schema v{self.schema_version()}"
                 )
             df = self._conform_user_write(df, fields)
+        nn = self.current_not_null() if not delete else set()
+        if nn:
+            checks = [c for c in nn if c in df.columns]
+            if checks:
+                bad = df.filter(
+                    " OR ".join(f"`{c}` IS NULL" for c in checks)
+                ).limit(1).count()
+                if bad:
+                    raise ValueError(
+                        f"NOT NULL columns {sorted(checks)} received NULL "
+                        "values (reference: TiDB rejects before replication)"
+                    )
+            missing = [
+                c for c in nn
+                if c not in df.columns and c not in self.current_defaults()
+            ]
+            if missing:
+                raise ValueError(
+                    f"NOT NULL columns {missing} omitted with no default"
+                )
         out = df.withColumn(VERSION, F.lit(version).cast("long")).withColumn(
             DELMARK, F.lit(1 if delete else 0).cast("int")
         )
