@@ -3668,7 +3668,8 @@ class DeltaStore:
         seg id (NULL for an unsegmented stable layer), manifest range
         bounds as strings (range manifests only), stable row count,
         on-disk stable bytes, delta rows assigned to the segment, and
-        which sidecar indexes cover it (zone map / inverted / vector).
+        which sidecar indexes cover it (zone map / inverted / vector /
+        full-text).
 
         Cost contract: one map-side-combined count over stable, at most
         one over the delta (skipped when the delta is empty), a driver
@@ -3681,7 +3682,7 @@ class DeltaStore:
                 [],
                 "seg int, range_lo string, range_hi string, stable_rows long,"
                 " stable_bytes long, delta_rows long, zonemap boolean,"
-                " inverted_cols int, vector_cols int",
+                " inverted_cols int, vector_cols int, fulltext_cols int",
             )
         segmented = "_seg" in stable.columns
         if segmented:
@@ -3719,6 +3720,7 @@ class DeltaStore:
         zm = self._zonemap()
         inv = self._invidx_meta()
         vec = self._vecidx_meta()
+        fts = self._ftsidx_meta()
         out = []
         for s in sorted(rows, key=lambda k: (k is None, k)):
             if segmented and s is not None:
@@ -3731,10 +3733,13 @@ class DeltaStore:
                     1 for c, m in (vec or {}).items()
                     if s in m.get("segs", [])
                 )
+                fts_cov = sum(
+                    1 for c, m in fts.items() if s in m.get("segs", [])
+                )
             else:
                 seg_dir = self.stable_path()
                 blo = bhi = None
-                zm_cov, inv_cov, vec_cov = False, 0, 0
+                zm_cov, inv_cov, vec_cov, fts_cov = False, 0, 0, 0
             out.append(
                 (
                     s,
@@ -3746,13 +3751,14 @@ class DeltaStore:
                     zm_cov,
                     inv_cov,
                     vec_cov,
+                    fts_cov,
                 )
             )
         return self.spark.createDataFrame(
             out,
             "seg int, range_lo string, range_hi string, stable_rows long,"
             " stable_bytes long, delta_rows long, zonemap boolean,"
-            " inverted_cols int, vector_cols int",
+            " inverted_cols int, vector_cols int, fulltext_cols int",
         )
 
     def system_dt_tables(self) -> DataFrame:
