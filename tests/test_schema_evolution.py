@@ -554,3 +554,45 @@ def test_nullable_ddl_enforcement(spark, tmp_path):
         version=4,
     )
     assert {r[HANDLE]: r.id3 for r in s.read().collect()}[5] == 88
+
+
+def test_default_type_matrix(spark, tmp_path):
+    """Defaults across the type surface (ports the shape of
+    alter_decimal/datetime/binary_default_value.test): every default is
+    stored as literal text and cast through the column type at fill."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from tiflash_spark.sources.delta_store import HANDLE, DeltaStore
+
+    s = DeltaStore(spark, str(tmp_path / "dfltm"))
+    s.write_batch(
+        spark.createDataFrame([(1, "seed")], f"{HANDLE} long, v string"),
+        version=1,
+    )
+    cases = [
+        ("c_int", "int", "42", 42),
+        ("c_big", "bigint", "9999999999", 9999999999),
+        ("c_dec", "decimal(38,9)", "99999999.999999999",
+         Decimal("99999999.999999999")),
+        ("c_dec0", "decimal(9,9)", ".999999999", Decimal("0.999999999")),
+        ("c_str", "string", "hello", "hello"),
+        ("c_date", "date", "2020-02-29", dt.date(2020, 2, 29)),
+        ("c_ts", "timestamp", "2020-01-01 10:00:00",
+         dt.datetime(2020, 1, 1, 10, 0, 0)),
+        ("c_f", "double", "1.5", 1.5),
+        ("c_bit", "long", "255", 255),  # BIT(n) surfaces as UInt64/long
+    ]
+    for name, ty, d, _ in cases:
+        s.add_column(name, ty, default=d)
+    row = s.read().first()
+    for name, _, _, want in cases:
+        assert row[name] == want, (name, row[name], want)
+    # survives compaction (materialized) and a fresh write (write default)
+    s.compact(ts=1)
+    s.write_batch(
+        spark.createDataFrame([(2, "w2")], f"{HANDLE} long, v string"), version=2
+    )
+    for r in s.read().collect():
+        for name, _, _, want in cases:
+            assert r[name] == want, (r[HANDLE], name)
