@@ -176,3 +176,53 @@ def test_curated_stream_feeds_delta_store(spark, tmp_path):
     assert {r[HANDLE] for r in store.read().collect()} == {1, 5}
     # stale snapshot at the batch-0 version excludes the later ingest
     assert {r[HANDLE] for r in store.read(ts=v_after_b0).collect()} == {1}
+
+
+def test_streamed_store_serves_fulltext_search(spark, tmp_path):
+    """End-to-end: curated stream -> store -> maintain (compact + index
+    refresh) -> full-text search. The index serves the folded history;
+    a post-maintain streamed batch is still searchable exactly through
+    the delta tail before any refresh."""
+    from pyspark.sql import functions as F2
+
+    from tiflash_spark.operators.mvcc import HANDLE
+    from tiflash_spark.sources.delta_store import DeltaStore
+    from tiflash_spark.streaming.ingest import start_ingest
+
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    store = DeltaStore(spark, str(tmp_path / "store"))
+    _write(
+        f"{src}/b0.json",
+        [
+            {"ts": "2024-01-01 00:01:00", "doc_id": 1, "text": CLEAN_A},
+            {"ts": "2024-01-01 00:01:10", "doc_id": 2, "text": JUNK_B},
+            {"ts": "2024-01-01 00:01:20", "doc_id": 7, "text": CLEAN_E},
+        ],
+    )
+
+    def run():
+        curated = curate_stream(spark.readStream.schema(SCHEMA).json(src))
+        rows = curated.select(F2.col("doc_id").alias(HANDLE), "text")
+        start_ingest(rows, store, ckpt).awaitTermination(120)
+
+    run()
+    store.compact(ts=10, num_segments=2)
+    store.build_fulltext_index("text")
+    # 'alpha' is in CLEAN_A only; junk doc 2 never landed
+    got = sorted(r[HANDLE] for r in store.fts_match_word("text", "alpha").collect())
+    assert got == [1]
+    # a new streamed batch is searchable through the unindexed delta tail
+    _write(
+        f"{src}/b1.json",
+        [{"ts": "2024-01-01 00:02:00", "doc_id": 9,
+          "text": CLEAN_A.replace("alpha", "alpha zulu")}],
+    )
+    run()
+    got2 = sorted(r[HANDLE] for r in store.fts_match_word("text", "alpha").collect())
+    assert got2 == [1, 9]
+    assert [r[HANDLE] for r in store.fts_match_word("text", "zulu").collect()] == [9]
+    # maintain folds the tail; the refreshed index now covers doc 9 too
+    store.maintain(ts=20, delta_threshold=0)
+    got3 = sorted(r[HANDLE] for r in store.fts_match_word("text", "alpha").collect())
+    assert got3 == [1, 9]
+    assert store.delta_rows() == 0
