@@ -72,3 +72,33 @@ def test_issue_4519_decimal_join_keys_across_scales(spark):
         .select("t1.col1", "t2.col3")
     )
     assert j13.count() == 3  # 1.0 x two 1-rows + 0 x 0
+
+
+def test_issue_3373_having_not_in_empty_subquery(spark):
+    """Port of issues/issue_3373.test: SUM over an empty table is NULL,
+    and HAVING NULL NOT IN (empty correlated subquery) must KEEP the row
+    (NOT IN over an empty set is TRUE, three-valued logic regardless of
+    the NULL probe) — golden: one NULL row. (DuckDB cannot bind the
+    HAVING alias inside the correlated subquery — Binder Error — so this
+    pin carries the reference's own golden, not an oracle.)"""
+    spark.createDataFrame([], "a int").createOrReplaceTempView("i3373_t")
+    spark.createDataFrame([], "a double, b float").createOrReplaceTempView("i3373_t2")
+    q = ("SELECT SUM(a) AS x FROM i3373_t "
+         "HAVING x NOT IN (SELECT b FROM i3373_t2 WHERE x IN (b))")
+    rows = spark.sql(q).collect()
+    assert len(rows) == 1 and rows[0].x is None
+
+
+def test_issue_1796_group_by_constant(spark):
+    """Port of issues/issue_1796.test: aggregation GROUP BY a constant
+    string collapses to one group — golden: the max timestamp."""
+    import datetime as dt
+
+    spark.createDataFrame(
+        [(dt.datetime(2018, 11, 22, 16, 55, 24), 1),
+         (dt.datetime(2018, 11, 23, 0, 55, 24), 1)],
+        "a timestamp, b int",
+    ).createOrReplaceTempView("i1796_t")
+    rows = spark.sql("SELECT max(a) AS m FROM i1796_t GROUP BY 'a'").collect()
+    assert len(rows) == 1
+    assert rows[0].m == dt.datetime(2018, 11, 23, 0, 55, 24)
