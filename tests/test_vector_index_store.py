@@ -197,3 +197,42 @@ def test_unindexed_store_falls_back_to_exact(spark, tmp_path):
     query = _vec(2)
     got = [r[HANDLE] for r in store.ann_topk("emb", query, k=5).collect()]
     assert got == _exact_topk(store, query, k=5)
+
+
+def test_ann_topk_l2_metric(spark, tmp_path):
+    """metric='l2' (the VEC_L2_DISTANCE index spelling): top-k by
+    negative L2 distance, identical to brute force at full probe; a
+    delta update re-ranks exactly."""
+    import itertools as _it
+    import math
+
+    from tiflash_spark.sources.delta_store import HANDLE, DeltaStore
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5), float(i % 4)]) for i in range(40)]
+    s = DeltaStore(spark, str(tmp_path / "l2ann"))
+    s.write_batch(
+        spark.createDataFrame(rows, f"{HANDLE} long, v array<double>"), version=1
+    )
+    s.compact(ts=1, num_segments=2)
+    s.build_vector_index("v", n_centroids=4)
+    q = [1.0, 2.0, 3.0]
+
+    def l2(a):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, q)))
+
+    want = sorted(rows, key=lambda r: (l2(r[1]), r[0]))[:5]
+    got = s.ann_topk("v", q, k=5, n_probe=4, metric="l2").collect()
+    assert [r[HANDLE] for r in got] == [w[0] for w in want]
+    for r, w in zip(got, want):
+        assert abs(-r.score - l2(w[1])) < 1e-5
+    # delta update: a new exact-match vector must rank first
+    s.write_batch(
+        spark.createDataFrame([(99, [1.0, 2.0, 3.0])], f"{HANDLE} long, v array<double>"),
+        version=2,
+    )
+    got2 = s.ann_topk("v", q, k=3, n_probe=4, metric="l2").collect()
+    assert got2[0][HANDLE] == 99 and got2[0].score == 0.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="metric"):
+        s.ann_topk("v", q, k=3, metric="dotproduct")

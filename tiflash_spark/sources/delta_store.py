@@ -2727,32 +2727,41 @@ class DeltaStore:
         n_probe: int | None = None,
         ts: int | None = None,
         overfetch: int | None = None,
+        metric: str = "cosine",
     ) -> DataFrame:
-        """Snapshot-consistent approximate top-k by cosine similarity:
-        (handle, score) for the k most similar VISIBLE rows. Index
+        """Snapshot-consistent approximate top-k: (handle, score) for
+        the k most similar VISIBLE rows — ``metric`` is "cosine"
+        (similarity, the VEC_COSINE_DISTANCE index spelling) or "l2"
+        (score = −L2 distance, the VEC_L2_DISTANCE spelling; higher is
+        nearer either way so ordering and fusion code are shared). Index
         candidates are validated and re-scored through the MVCC read
         path (updates win, deletes and range tombstones apply); the
-        delta tail and uncovered segments are scored exactly. Like any
+        delta tail and uncovered segments are scored exactly. The SAME
+        IVF posting sidecar serves both metrics (its coarse quantizer
+        probes by L2 regardless, the usual IVF posture). Like any
         validated-ANN, heavy deletion in the top region can under-fill
         k — raise ``overfetch`` to compensate (the documented posture of
         the filtered-ANN tier)."""
-        from tiflash_spark.functions.vector import vec_cosine_similarity
+        from tiflash_spark.functions.vector import (
+            vec_cosine_similarity,
+            vec_l2_distance,
+        )
 
+        if metric not in ("cosine", "l2"):
+            raise ValueError(f"metric must be 'cosine' or 'l2', not {metric!r}")
         n_probe = n_probe or self.VECIDX_PROBE
         overfetch = overfetch or self.VECIDX_OVERFETCH
         meta = self._vecidx_meta().get(col)
         qlit = F.array(*[F.lit(float(v)) for v in query])
 
         def scored(df: DataFrame) -> DataFrame:
-            return df.select(
-                HANDLE,
-                F.round(
-                    vec_cosine_similarity(
-                        F.transform(F.col(col), lambda x: x.cast("double")), qlit
-                    ),
-                    6,
-                ).alias("score"),
+            vec = F.transform(F.col(col), lambda x: x.cast("double"))
+            expr = (
+                vec_cosine_similarity(vec, qlit)
+                if metric == "cosine"
+                else -vec_l2_distance(vec, qlit)
             )
+            return df.select(HANDLE, F.round(expr, 6).alias("score"))
 
         if not meta or not meta["segs"]:
             # no index: exact scan of the snapshot (brute-force tier)
