@@ -91,3 +91,66 @@ def test_apply_correlated_scalar_subquery_golden(spark):
     con.register("apply_t", pdf)
     assert con.sql(q1).fetchone()[0] == n1
     assert con.sql(q2).fetchone()[0] == n2
+
+
+def test_window_test_goldens(spark):
+    """Port of mpp/window.test: named-window row_number pairs, the
+    repeated-rank sextuple, and the first_value/last_value batteries
+    over the `first`/`first1`/`last1` tables (NULL values are ordinary
+    values — first_value does NOT skip them). Cross-checked vs DuckDB
+    on identical SQL."""
+    import duckdb
+    import pandas as pd
+
+    t1 = pd.DataFrame(
+        [(1, 1), (2, 2), (3, 3), (1, 1), (2, 2), (3, 3), (4, 4)],
+        columns=["c1", "c2"],
+    )
+    first = pd.DataFrame(
+        [(0, 0, "1"), (1, 1, "2"), (1, 2, "3"), (1, 3, "4"), (1, 4, "5"),
+         (2, 5, "6"), (2, 6, "7"), (2, 7, "8"), (2, 8, "9"), (2, 9, "10"),
+         (3, 10, "11"), (3, 11, "12"), (3, 12, "13")],
+        columns=["p", "o", "v"],
+    )
+    first1 = first.copy()
+    first1.loc[first1.o.isin([0, 1, 5, 10]), "v"] = None
+    last1 = first.copy()
+    last1.loc[last1.o.isin([0, 4, 9, 12]), "v"] = None
+
+    con = duckdb.connect()
+    for name, pdf in [("t1", t1), ("first", first), ("first1", first1),
+                      ("last1", last1)]:
+        spark.createDataFrame(pdf).createOrReplaceTempView(f"w_{name}")
+        con.register(f"w_{name}", pdf)
+
+    queries = [
+        # named windows, two row_numbers in one SELECT
+        ("SELECT c1, c2, row_number() OVER w2 AS r2, row_number() OVER w1 AS r1 "
+         "FROM w_t1 WINDOW w1 AS (PARTITION BY c1 ORDER BY c2), "
+         "w2 AS (PARTITION BY c1, c2 ORDER BY c2) ORDER BY 1, 2, 3, 4"),
+        # first_value over the default frame
+        ("SELECT p, o, v, first_value(v) OVER "
+         "(PARTITION BY p ORDER BY o ASC) AS a FROM w_first ORDER BY p, o"),
+        # bounded ROWS frames incl. the degenerate 0-preceding-0-following
+        ("SELECT p, o, v, first_value(v) OVER (PARTITION BY p ORDER BY o ASC "
+         "ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS a FROM w_first "
+         "ORDER BY p, o"),
+        ("SELECT p, o, v, first_value(v) OVER (PARTITION BY p ORDER BY o ASC "
+         "ROWS BETWEEN 0 PRECEDING AND 0 FOLLOWING) AS a FROM w_first "
+         "ORDER BY p, o"),
+        # NULLs are ordinary values for first_value/last_value
+        ("SELECT p, o, v, first_value(v) OVER "
+         "(PARTITION BY p ORDER BY o ASC) AS a FROM w_first1 ORDER BY p, o"),
+        ("SELECT p, o, v, last_value(v) OVER (PARTITION BY p ORDER BY o ASC "
+         "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS a "
+         "FROM w_last1 ORDER BY p, o"),
+    ]
+    for q in queries:
+        got = [tuple(r) for r in spark.sql(q).collect()]
+        want = [tuple(r) for r in con.sql(q).fetchall()]
+        assert got == want, q
+    # the reference's golden for the first1 default-frame query: the
+    # partition-leading NULL propagates until the frame grows past it
+    r = {(x.p, x.o): x.a for x in spark.sql(queries[4]).collect()}
+    assert r[(1, 1)] is None and r[(1, 4)] is None  # first row of p=1 is NULL
+    assert r[(3, 12)] is None  # p=3 leads with NULL
