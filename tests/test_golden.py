@@ -154,3 +154,79 @@ def test_window_test_goldens(spark):
     r = {(x.p, x.o): x.a for x in spark.sql(queries[4]).collect()}
     assert r[(1, 1)] is None and r[(1, 4)] is None  # first row of p=1 is NULL
     assert r[(3, 12)] is None  # p=3 leads with NULL
+
+
+def test_window_agg_frames_golden(spark):
+    """Frame-bounded window aggregates over mpp/window_agg.test's t1/t4
+    data (t4 carries NULLs — SUM/AVG ignore them, COUNT(v) skips them,
+    COUNT(*) doesn't). Cross-checked vs DuckDB on identical SQL."""
+    import duckdb
+    import pandas as pd
+
+    t1 = pd.DataFrame(
+        [(0, 0, -1), (1, 0, -1), (1, 1, 0), (1, 3, 4), (1, 6, 6), (1, 7, -5),
+         (1, 8, 3), (1, 18, 1), (1, 30, 30), (2, 0, 2), (2, 1, 0), (2, 4, -4),
+         (2, 7, -2), (2, 8, 1), (2, 15, 2), (2, 30, -11), (3, 0, 7),
+         (3, 4, -3), (3, 6, 9), (3, 10, -9), (3, 20, -3), (3, 40, 2),
+         (3, 41, 1), (4, 0, 4), (5, 0, -5), (6, 0, 2), (6, 10, 5),
+         (6, 30, 0), (7, 0, 3), (7, 1, 3), (7, 2, 2), (7, 3, -4), (7, 4, 9)],
+        columns=["p", "o", "v"],
+    )
+    t4 = t1.copy().astype({"v": "object"})
+    null_os = {(1, 1), (1, 6), (1, 7), (1, 18), (1, 30), (2, 1), (2, 4),
+               (2, 15), (2, 30), (3, 0), (3, 20), (5, 0), (6, 0), (6, 10),
+               (6, 30), (7, 0), (7, 2), (7, 4)}
+    t4["v"] = [None if (p, o) in null_os else v
+               for p, o, v in t4.itertuples(index=False)]
+
+    con = duckdb.connect()
+    spark.createDataFrame(t1).createOrReplaceTempView("wa_t1")
+    con.register("wa_t1", t1)
+    spark.createDataFrame(t4.assign(v=pd.array(t4.v, dtype="Int64"))
+                          ).createOrReplaceTempView("wa_t4")
+    con.register("wa_t4", t4)
+
+    queries = [
+        ("SELECT p, o, SUM(v) OVER (PARTITION BY p ORDER BY o "
+         "ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING) AS s FROM wa_t1 "
+         "ORDER BY p, o"),
+        ("SELECT p, o, CAST(COUNT(v) AS BIGINT) AS c, "
+         "CAST(COUNT(*) AS BIGINT) AS call FROM ("
+         "SELECT p, o, v FROM wa_t4) GROUP BY p, o ORDER BY p, o"),
+        ("SELECT p, o, SUM(v) OVER (PARTITION BY p ORDER BY o "
+         "RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS s, "
+         "CAST(COUNT(v) OVER (PARTITION BY p ORDER BY o "
+         "RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS BIGINT) AS c "
+         "FROM wa_t4 ORDER BY p, o"),
+        ("SELECT p, MIN(v) OVER (PARTITION BY p) AS mn, "
+         "MAX(v) OVER (PARTITION BY p) AS mx FROM wa_t1 ORDER BY p, o"),
+    ]
+    for q in queries:
+        got = [tuple(r) for r in spark.sql(q).collect()]
+        want = [tuple(r) for r in con.sql(q).fetchall()]
+        assert got == want, q
+
+
+def test_having_any_quantified_rewrite(spark):
+    """Port of mpp/having.test's `value <> ANY (subquery)`: Spark has no
+    quantified comparison, and neither does the engine — TiDB rewrites
+    it before shipping the plan; the same rewrite (EXISTS with the
+    inequality) must reproduce the reference golden, cross-checked
+    against DuckDB's native ANY."""
+    import duckdb
+    import pandas as pd
+
+    t1 = pd.DataFrame([(0, "aaa"), (1, "bbb"), (2, "ccc")], columns=["id", "value"])
+    t2 = pd.DataFrame([(0, "ddd"), (1, "eee"), (2, "ccc")], columns=["id", "value"])
+    spark.createDataFrame(t1).createOrReplaceTempView("h_t1")
+    spark.createDataFrame(t2).createOrReplaceTempView("h_t2")
+    rewritten = ("SELECT * FROM h_t1 WHERE EXISTS "
+                 "(SELECT 1 FROM h_t2 WHERE h_t1.value <> h_t2.value)")
+    got = sorted((r.id, r.value) for r in spark.sql(rewritten).collect())
+    con = duckdb.connect()
+    con.register("h_t1", t1)
+    con.register("h_t2", t2)
+    want = sorted(con.sql(
+        "SELECT * FROM h_t1 WHERE value <> ANY (SELECT value FROM h_t2)"
+    ).fetchall())
+    assert got == want == [(0, "aaa"), (1, "bbb"), (2, "ccc")]
