@@ -559,3 +559,44 @@ def test_two_arg_log(spark):
     vals = [x.v for x in r]
     assert vals[0] == 3.0 and vals[1] == 3.0
     assert vals[2] is None and vals[3] is None and vals[4] is None
+
+
+def test_div_precision_increment_goldens(spark):
+    """Port of set_variable_div_precision_increment.test: result scale =
+    dividend scale + increment (default 4), HALF_UP — the reference's
+    golden tables at increments 4 and 5."""
+    from decimal import Decimal
+
+    from tiflash_spark.functions.mysql_compat import (
+        mysql_avg_decimal,
+        mysql_decimal_divide,
+    )
+
+    df = spark.createDataFrame(
+        [(Decimal("11.2"), Decimal("3")), (Decimal("10.1"), Decimal("3")),
+         (Decimal("13.7"), Decimal("3"))],
+        "a decimal(3,1), b decimal(3,0)",
+    )
+    got4 = sorted(
+        str(r.q) for r in df.select(
+            mysql_decimal_divide("a", "b", a_scale=1).alias("q")
+        ).collect()
+    )
+    assert got4 == ["3.36667", "3.73333", "4.56667"]
+    got5 = sorted(
+        str(r.q) for r in df.select(
+            mysql_decimal_divide("a", "b", a_scale=1, increment=5).alias("q")
+        ).collect()
+    )
+    assert got5 == ["3.366667", "3.733333", "4.566667"]
+    avg4 = df.groupBy("b").agg(mysql_avg_decimal("a", 1).alias("m")).first()
+    assert str(avg4.m) == "11.66667"
+    avg5 = df.groupBy("b").agg(
+        mysql_avg_decimal("a", 1, increment=5).alias("m")
+    ).first()
+    assert str(avg5.m) == "11.666667"
+    # zero divisor -> NULL
+    z = spark.createDataFrame(
+        [(Decimal("1.0"), Decimal("0"))], "a decimal(3,1), b decimal(3,0)"
+    ).select(mysql_decimal_divide("a", "b", 1).alias("q")).first()
+    assert z.q is None

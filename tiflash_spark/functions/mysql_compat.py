@@ -340,3 +340,26 @@ def mysql_log(b: Column | float, x: Column | str) -> Column:
     return F.when(
         (bb > 0) & (bb != 1) & (xx > 0), F.call_function("log", bb, xx)
     )
+
+
+def mysql_decimal_divide(
+    a: Column | str, b: Column | str, a_scale: int, increment: int = 4
+) -> Column:
+    """MySQL decimal division result scale: dividend scale +
+    div_precision_increment (default 4; reference tidbDivide,
+    fullstack-test2/variables/set_variable_div_precision_increment.test).
+    HALF_UP at the target scale, NULL on zero divisor."""
+    aa = (F.col(a) if isinstance(a, str) else a).cast("decimal(38,18)")
+    bb = (F.col(b) if isinstance(b, str) else b).cast("decimal(38,18)")
+    scale = min(a_scale + increment, 30)
+    return F.when(bb != 0, (aa / bb).cast(f"decimal(38,{scale})"))
+
+
+def mysql_avg_decimal(c: Column | str, arg_scale: int, increment: int = 4):
+    """AVG over a decimal column: MySQL result scale = argument scale +
+    div_precision_increment. Aggregate expression — use inside agg()."""
+    col = F.col(c) if isinstance(c, str) else c
+    scale = min(arg_scale + increment, 30)
+    return (
+        F.sum(col.cast("decimal(38,6)")) / F.count(col)
+    ).cast(f"decimal(38,{scale})")
