@@ -230,3 +230,34 @@ def test_having_any_quantified_rewrite(spark):
         "SELECT * FROM h_t1 WHERE value <> ANY (SELECT value FROM h_t2)"
     ).fetchall())
     assert got == want == [(0, "aaa"), (1, "bbb"), (2, "ccc")]
+
+
+def test_misc_join_decimal_cast_keys_with_residual(spark):
+    """Port of mpp/misc_join.test: left join on CAST(decimal(5,2) AS
+    decimal(7,2)) keys with an always-false residual arithmetic
+    condition — every left row survives with NULL right side (the
+    reference golden)."""
+    import duckdb
+    import pandas as pd
+    from decimal import Decimal
+
+    t1 = pd.DataFrame(
+        {"id": [Decimal("1.00"), Decimal("2.00")], "value": [1, 2]}
+    )
+    t2 = pd.DataFrame(
+        {"id": [Decimal(f"{i}.00") for i in (1, 2, 3, 4)], "value": [1, 2, 3, 4]}
+    )
+    spark.createDataFrame(t1, "id decimal(5,2), value bigint").createOrReplaceTempView("mj_t1")
+    spark.createDataFrame(t2, "id decimal(5,2), value bigint").createOrReplaceTempView("mj_t2")
+    q = ("SELECT t1.id AS id1, t1.value AS v1, t2.id AS id2, t2.value AS v2 "
+         "FROM mj_t1 t1 LEFT JOIN mj_t2 t2 "
+         "ON CAST(t1.id AS DECIMAL(7,2)) = CAST(t2.id AS DECIMAL(7,2)) "
+         "AND t1.id + CAST(t2.id AS DECIMAL(7,2)) + t1.id > 10 "
+         "ORDER BY id1")
+    got = [(str(r.id1), r.v1, r.id2, r.v2) for r in spark.sql(q).collect()]
+    assert got == [("1.00", 1, None, None), ("2.00", 2, None, None)]
+    con = duckdb.connect()
+    con.register("mj_t1", t1)
+    con.register("mj_t2", t2)
+    want = [(str(a), b, c, d) for a, b, c, d in con.sql(q).fetchall()]
+    assert got == want
