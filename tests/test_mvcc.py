@@ -303,3 +303,63 @@ def test_bitmap_scan_fully_duplicated_rows_multiplicity(spark):
     assert len(normal) == 2          # one row per handle
     assert len(plain) == 3           # documented divergence: both copies
     assert deduped == normal         # contract: dedup_exact ≡ window form
+
+
+def test_store_type_roundtrip_matrix(spark, tmp_path):
+    """Compact port of fullstack-test2/dml/test_table_scan.test's shape:
+    every representative column type (with NULLs) survives the write →
+    compact → MVCC-read cycle bit-exact, on both integer-handle and
+    clustered (common-handle) layouts."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F2
+
+    from tiflash_spark.sources.common_handle import encode_common_handle
+    from tiflash_spark.sources.delta_store import HANDLE, DeltaStore
+
+    schema = (
+        f"{HANDLE} long, c_ti tinyint, c_si smallint, c_i int, c_bi bigint,"
+        " c_f float, c_d double, c_dec decimal(20,4), c_s string,"
+        " c_dt date, c_ts timestamp, c_bin binary, c_b boolean,"
+        " c_arr array<double>"
+    )
+    rows = [
+        (1, 127, 32767, 2**31 - 1, 2**62, 1.5, 2.25,
+         Decimal("1234.5678"), "text", dt.date(2024, 2, 29),
+         dt.datetime(2024, 1, 1, 12, 30, 45, 123456), b"\x00\xff", True,
+         [1.0, -2.0]),
+        (2, -128, -32768, -(2**31), -(2**62), -0.5, -1e300,
+         Decimal("-0.0001"), "", dt.date(1970, 1, 1),
+         dt.datetime(1970, 1, 1, 0, 0, 1), b"", False, []),
+        (3, None, None, None, None, None, None, None, None, None, None,
+         None, None, None),
+    ]
+    s = DeltaStore(spark, str(tmp_path / "typesint"))
+    s.write_batch(spark.createDataFrame(rows, schema), version=1)
+    s.compact(ts=1, num_segments=2)
+    want = {r[0]: r[1:] for r in rows}
+    got = {
+        r[HANDLE]: tuple(r)[1:]
+        for r in s.read().orderBy(HANDLE).collect()
+    }
+    assert set(got) == set(want)
+    for h in want:
+        for i, (g, w) in enumerate(zip(got[h], want[h])):
+            if isinstance(w, bytes):
+                g = bytes(g) if g is not None else None
+            assert g == w, (h, i, g, w)
+
+    # clustered layout: same payload keyed by an encoded composite PK
+    s2 = DeltaStore(spark, str(tmp_path / "typesch"))
+    df = spark.createDataFrame(rows, schema).select(
+        encode_common_handle(
+            (F2.col("c_s"), "string"), (F2.col(HANDLE), "long")
+        ).alias(HANDLE),
+        *[c for c in spark.createDataFrame(rows, schema).columns if c != HANDLE],
+    )
+    s2.write_batch(df, version=1)
+    s2.compact_range_segments(ts=1, num_segments=2)
+    assert s2.read().count() == 3
+    back = {r.c_i for r in s2.read().collect()}
+    assert back == {2**31 - 1, -(2**31), None}
