@@ -3193,6 +3193,7 @@ class DeltaStore:
                 else []
             )
             pool = list(dict.fromkeys(sorted(inter) + delta_handles))
+            self._record_scan_profile("fts_match_phrase", [], inlist=len(pool))
             if not pool:
                 return self.read(ts).filter(pred()).limit(0)
             return self.read_handles(pool, ts=ts).filter(pred())
@@ -3201,6 +3202,7 @@ class DeltaStore:
         pruned: set[int] = set()
         for p, _ in states:
             pruned |= set(p)
+        self._record_scan_profile("fts_match_phrase", sorted(pruned))
         log = self.log()
         if pruned:
             log = self._log_minus_segments(log, sorted(pruned))
