@@ -525,3 +525,105 @@ def test_rename_interleavings_match_model(spark, tmp_path, ops):
         got = {r[HANDLE]: r[names[cur]] for r in store.read().collect()}
         assert got == model, (kind, version, names[cur])
         assert set(store.read().columns) == {HANDLE, names[cur]}
+
+
+@st.composite
+def default_op_sequences(draw):
+    """Interleavings of writes (sometimes omitting the defaulted column,
+    sometimes writing explicit NULL), ONE ADD-with-default at a random
+    point, optional SET DEFAULT later, and compactions."""
+    n_ops = draw(st.integers(min_value=4, max_value=8))
+    ops, version, added, reset = [], 0, False, False
+    for _ in range(n_ops):
+        version += 1
+        kind = draw(st.sampled_from(
+            ["write", "write", "compact", "adddef", "setdef"]
+        ))
+        if kind == "write":
+            hs = draw(st.lists(HANDLES, min_size=1, max_size=3, unique=True))
+            mode = draw(st.sampled_from(["omit", "value", "null"]))
+            ops.append(("write", version, (hs, mode)))
+        elif kind == "adddef":
+            if added:
+                continue
+            added = True
+            ops.append(("adddef", version, None))
+        elif kind == "setdef":
+            if not added or reset:
+                continue
+            reset = True
+            ops.append(("setdef", version, None))
+        else:
+            ops.append(("compact", version,
+                        draw(st.sampled_from(["flat", "hash"]))))
+    return ops
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture,
+                           HealthCheck.too_slow],
+)
+@given(ops=default_op_sequences())
+def test_default_interleavings_match_model(spark, tmp_path, ops):
+    """ADD COLUMN ... DEFAULT at a random history point: rows written
+    before the DDL read the ADD-time default, omitted columns after it
+    materialize the CURRENT write default, explicit NULLs stay NULL —
+    at every interleaving with compactions and a SET DEFAULT."""
+    store = DeltaStore(spark, str(tmp_path / f"dd{next(_counter)}"))
+    store.write_batch(
+        spark.createDataFrame([(99, "seed")], f"{HANDLE} long, v string"),
+        version=1,
+    )
+    model: dict[int, object] = {99: "PRE"}  # PRE = pre-DDL sentinel
+    added = False
+    fill_default, write_default = None, None
+    for kind, version, arg in ops:
+        version += 1
+        if kind == "write":
+            hs, mode = arg
+            if not added or mode == "omit":
+                rows = [(h, f"w{version}") for h in hs]
+                store.write_batch(
+                    spark.createDataFrame(rows, f"{HANDLE} long, v string"),
+                    version=version,
+                )
+                for h, _ in rows:
+                    model[h] = "PRE" if not added else write_default
+            elif mode == "null":
+                rows = [(h, f"w{version}", None) for h in hs]
+                store.write_batch(
+                    spark.createDataFrame(
+                        rows, f"{HANDLE} long, v string, d int"
+                    ),
+                    version=version,
+                )
+                for h, _, _ in rows:
+                    model[h] = None
+            else:
+                rows = [(h, f"w{version}", version * 10 + h) for h in hs]
+                store.write_batch(
+                    spark.createDataFrame(
+                        rows, f"{HANDLE} long, v string, d int"
+                    ),
+                    version=version,
+                )
+                for h, _, x in rows:
+                    model[h] = x
+        elif kind == "adddef":
+            store.add_column("d", "int", default="77")
+            added, fill_default, write_default = True, 77, 77
+        elif kind == "setdef":
+            store.set_column_default("d", "88")
+            write_default = 88
+        elif arg == "hash":
+            store.compact(ts=version, num_segments=2)
+        else:
+            store.compact(ts=version)
+        if added:
+            want = {
+                h: (fill_default if m == "PRE" else m) for h, m in model.items()
+            }
+            got = {r[HANDLE]: r.d for r in store.read().collect()}
+            assert got == want, (kind, version, got, want)
