@@ -261,3 +261,21 @@ def test_misc_join_decimal_cast_keys_with_residual(spark):
     con.register("mj_t2", t2)
     want = [(str(a), b, c, d) for a, b, c, d in con.sql(q).fetchall()]
     assert got == want
+
+
+def test_count_not_return_null_and_cartesian(spark):
+    """Ports of mpp/count_not_return_null.test (COUNT over an empty
+    scan is 0 while SUM/AVG/MIN/MAX are NULL) and mpp/cartesian_join.test
+    (cross join row count = |L| x |R|, condition-free)."""
+    spark.createDataFrame([], "a int").createOrReplaceTempView("cnn_t")
+    r = spark.sql(
+        "SELECT COUNT(a) AS c, COUNT(*) AS cs, SUM(a) AS s, AVG(a) AS av,"
+        " MIN(a) AS mn, MAX(a) AS mx FROM cnn_t"
+    ).first()
+    assert (r.c, r.cs) == (0, 0)
+    assert r.s is None and r.av is None and r.mn is None and r.mx is None
+
+    spark.range(7).createOrReplaceTempView("cj_l")
+    spark.range(13).createOrReplaceTempView("cj_r")
+    n = spark.sql("SELECT COUNT(*) AS n FROM cj_l CROSS JOIN cj_r").first().n
+    assert n == 7 * 13
