@@ -175,3 +175,77 @@ def test_truncate_table_statement(spark, tmp_path):
     )
     row = s.read().first()
     assert (row.v, row.tag) == ("c", "x")
+
+
+def test_add_column_not_null_constraint_sticks(spark, tmp_path):
+    """ADD COLUMN c t NOT NULL DEFAULT d: the constraint must register
+    (writes with NULLs rejected), not silently drop; DEFAULT fills
+    existing rows so the data validation passes."""
+    from tiflash_spark.sources.admin_sql import run_sql
+    from tiflash_spark.sources.delta_store import HANDLE, DeltaStore
+
+    s = DeltaStore(spark, str(tmp_path / "nn1"))
+    s.write_batch(
+        spark.createDataFrame([(1, "a")], f"{HANDLE} long, v string"), version=1
+    )
+    run_sql(spark, "ALTER TABLE t ADD COLUMN score BIGINT NOT NULL DEFAULT 5", {"t": s})
+    assert "score" in s.current_not_null()
+    with pytest.raises(ValueError, match="NOT NULL"):
+        s.write_batch(
+            spark.createDataFrame(
+                [(2, "b", None)], f"{HANDLE} long, v string, score long"
+            ),
+            version=2,
+        )
+    # NOT NULL without DEFAULT on a non-empty table: existing rows would
+    # be NULL -> the DDL itself is rejected (strict posture; TiDB errors
+    # with ERROR 1138 unless a zero-fill default is given)
+    with pytest.raises(ValueError, match="existing rows hold NULL"):
+        run_sql(spark, "ALTER TABLE t ADD COLUMN n2 BIGINT NOT NULL", {"t": s})
+
+
+def test_add_column_default_null_is_no_default(spark, tmp_path):
+    """DEFAULT NULL == no default (MySQL): existing rows must read SQL
+    NULL, never the literal string 'NULL'."""
+    from tiflash_spark.sources.admin_sql import run_sql
+    from tiflash_spark.sources.delta_store import HANDLE, DeltaStore
+
+    s = DeltaStore(spark, str(tmp_path / "dn1"))
+    s.write_batch(
+        spark.createDataFrame([(1, "a")], f"{HANDLE} long, v string"), version=1
+    )
+    run_sql(spark, "ALTER TABLE t ADD COLUMN tag VARCHAR(10) DEFAULT NULL", {"t": s})
+    assert s.current_defaults() == {}
+    assert s.read().first().tag is None
+    # a QUOTED 'NULL' string is a real default, not the bare keyword
+    run_sql(spark, "ALTER TABLE t ADD COLUMN lit VARCHAR(10) DEFAULT 'NULL'", {"t": s})
+    assert s.read().first().lit == "NULL"
+
+
+def test_truncate_resets_default_fill_gate(spark, tmp_path):
+    """Post-TRUNCATE, a writer that restarts versions and writes an
+    EXPLICIT NULL at a version <= the ADD-time 'since' must keep the
+    NULL — the pre-ADD fill gate cannot apply to recreated data."""
+    from tiflash_spark.sources.admin_sql import run_sql
+    from tiflash_spark.sources.delta_store import HANDLE, DeltaStore
+
+    s = DeltaStore(spark, str(tmp_path / "tr1"))
+    s.write_batch(
+        spark.createDataFrame([(i, "x") for i in range(5)], f"{HANDLE} long, v string"),
+        version=7,
+    )
+    s.add_column("tag", "string", default="d")  # since = 7
+    assert s.read().first().tag == "d"
+    run_sql(spark, "TRUNCATE TABLE t", {"t": s})
+    # version log restarted; explicit NULL at version 1 (<= stale since)
+    s.write_batch(
+        spark.createDataFrame([(1, "y", None)], f"{HANDLE} long, v string, tag string"),
+        version=1,
+    )
+    assert s.read().first().tag is None
+    # omitted column still materializes the write default
+    s.write_batch(
+        spark.createDataFrame([(2, "z")], f"{HANDLE} long, v string"), version=2
+    )
+    got = {r[HANDLE]: r.tag for r in s.read().collect()}
+    assert got == {1: None, 2: "d"}

@@ -544,3 +544,33 @@ def test_fts_on_common_handle_store(spark, tmp_path):
     assert got2 == ["beta"]
     scored = s.fts_search_scored("body", "quick", k=5).collect()
     assert len(scored) == 1
+
+
+def test_scored_candidate_cap_deterministic_and_observable(spark, tmp_path):
+    """When index hits exceed the FTS_OVERFETCH*k*64 cap, the kept
+    candidates are the highest-total-tf ones (handle tiebreak) — not a
+    partition-order-dependent subset — and the truncation is recorded in
+    last_scan_profile. The true top-k survives because tf-ranked
+    candidates dominate BM25 within one index's stats."""
+    # 80 docs share the common term; tf grows with handle so the ranked
+    # cap keeps the high-tf (= high-BM25) documents
+    docs = [(i, " ".join(["common"] * (1 + i // 10)) + f" w{i}") for i in range(80)]
+    s = _store(spark, tmp_path, docs)
+    s.build_fulltext_index("body")
+    old = DeltaStore.FTS_OVERFETCH
+    try:
+        DeltaStore.FTS_OVERFETCH = 1  # cap = 1*1*64 = 64 < 80 hits
+        a = [r[HANDLE] for r in s.fts_search_scored("body", "common", k=1).collect()]
+        b = [r[HANDLE] for r in s.fts_search_scored("body", "common", k=1).collect()]
+        assert a == b  # deterministic under re-execution
+        assert s.last_scan_profile["method"] == "fts_search_scored"
+        assert s.last_scan_profile["candidates_truncated"] is True
+        # the winner is a max-tf doc (handles 70..79 hold tf=8)
+        assert a[0] in range(70, 80)
+        # an uncapped run agrees on the winner
+        DeltaStore.FTS_OVERFETCH = 100
+        full = [r[HANDLE] for r in s.fts_search_scored("body", "common", k=1).collect()]
+        assert s.last_scan_profile["candidates_truncated"] is False
+        assert a[0] == full[0]
+    finally:
+        DeltaStore.FTS_OVERFETCH = old

@@ -109,6 +109,22 @@ def test_mysql_format(spark):
     assert col_out(spark, mysql_format(F.col("n"), 0), n=1234.5) == "1,235"
 
 
+def _ref_ntoa(b: bytes) -> str:
+    """Expected INET6_NTOA text per the reference formatIPv6.cpp:139
+    (= MySQL inet_ntop): Python's ipaddress canonical form EXCEPT the
+    dotted-quad tails — IPv4-mapped always, IPv4-compatible only when
+    word6 != 0."""
+    import ipaddress
+
+    words = [int.from_bytes(b[i : i + 2], "big") for i in range(0, 16, 2)]
+    quad = ".".join(str(x) for x in b[12:16])
+    if words[:5] == [0] * 5 and words[5] == 0xFFFF:
+        return f"::ffff:{quad}"
+    if words[:6] == [0] * 6 and words[6] != 0:
+        return f"::{quad}"
+    return str(ipaddress.IPv6Address(b))
+
+
 def test_inet6_roundtrip_known_forms(spark):
     """INET6_ATON/NTOA (reference tiDBIPv6StringToNum/NumToString):
     packed bytes and canonical compression vs Python's ipaddress."""
@@ -132,7 +148,7 @@ def test_inet6_roundtrip_known_forms(spark):
     )
     for r in rows:
         assert bytes(r.b) == ipaddress.ip_address(r.s).packed, r.s
-        want = str(ipaddress.ip_address(r.s)) if ":" in r.s else r.s
+        want = _ref_ntoa(bytes(r.b)) if ":" in r.s else r.s
         assert r.t == want, (r.s, r.t, want)
 
 
@@ -162,7 +178,7 @@ def test_inet6_random_addresses_match_ipaddress(spark):
     )
     for r in rows:
         assert bytes(r.b) == ipaddress.ip_address(r.s).packed, r.s
-        assert r.t == str(ipaddress.ip_address(r.s)), (r.s, r.t)
+        assert r.t == _ref_ntoa(bytes(r.b)), (r.s, r.t)
 
 
 def test_inet6_malformed_is_null(spark):
@@ -182,3 +198,35 @@ def test_inet6_malformed_is_null(spark):
         inet6_ntoa(F.unhex(F.lit("0a0b0c"))).alias("t")
     ).first()
     assert r.t is None
+
+
+def test_inet6_mapped_v4_tail_octets_validated(spark):
+    """'::ffff:999.1.1.1' must be NULL (MySQL): without per-octet <=255
+    validation the packed number exceeds 2^32 and the hex truncation
+    fabricates a well-formed but wrong 16-byte value."""
+    from pyspark.sql import functions as F
+
+    from tiflash_spark.functions.misc import inet6_aton, inet6_ntoa
+
+    bad = ["::ffff:999.1.1.1", "::ffff:1.256.1.1", "::ffff:1.1.1.300"]
+    rows = (
+        spark.createDataFrame([(b,) for b in bad], "s string")
+        .select(inet6_aton(F.col("s")).alias("b"))
+        .collect()
+    )
+    assert all(r.b is None for r in rows)
+    # boundary and edge renderings match the reference formatIPv6 rule
+    cases = {
+        "::ffff:255.255.255.255": "::ffff:255.255.255.255",
+        "::1.2.3.4": "::1.2.3.4",   # v4-compat, word6 != 0 -> quad
+        "::0.0.5.9": "::509",        # word6 == 0 -> hex run
+        "::2": "::2",
+        "::1": "::1",
+    }
+    rows = (
+        spark.createDataFrame([(s,) for s in cases], "s string")
+        .select("s", inet6_ntoa(inet6_aton(F.col("s"))).alias("t"))
+        .collect()
+    )
+    for r in rows:
+        assert r.t == cases[r.s], (r.s, r.t)

@@ -255,6 +255,15 @@ def _ipv6_tail_v4_to_hex(s: Column) -> Column:
     """Replace a trailing dotted-quad (e.g. '::ffff:1.2.3.4') with its
     two hex groups, so the rest of the pipeline sees pure groups."""
     v4 = F.regexp_extract(s, r"((\d{1,3}\.){3}\d{1,3})$", 1)
+    # every dotted-quad octet must be <= 255 — MySQL returns NULL for
+    # '::ffff:999.1.1.1'; without the check num > 2^32 and the lpad-to-8
+    # TRUNCATES the hex, silently yielding garbage groups
+    octets_ok = (
+        F.size(
+            F.filter(F.split(v4, r"\."), lambda o: o.cast("int") > 255)
+        )
+        == 0
+    )
     num = (
         F.split(v4, r"\.")[0].cast("long") * 16777216
         + F.split(v4, r"\.")[1].cast("long") * 65536
@@ -265,7 +274,18 @@ def _ipv6_tail_v4_to_hex(s: Column) -> Column:
     groups = F.concat(
         F.substring(hex8, 1, 4), F.lit(":"), F.substring(hex8, 5, 4)
     )
-    return F.when(v4 != "", F.concat(F.regexp_replace(s, r"((\d{1,3}\.){3}\d{1,3})$", ""), groups)).otherwise(s)
+    return (
+        F.when(
+            (v4 != "") & ~octets_ok, F.lit("x")  # poison: fails the group check
+        )
+        .when(
+            v4 != "",
+            F.concat(
+                F.regexp_replace(s, r"((\d{1,3}\.){3}\d{1,3})$", ""), groups
+            ),
+        )
+        .otherwise(s)
+    )
 
 
 def inet6_aton(s: Column | str) -> Column:
@@ -338,8 +358,25 @@ def inet6_ntoa(b: Column | str) -> Column:
     v4 = inet_ntoa(
         F.conv(F.hex(col), 16, 10).cast("long")
     )
+    # reference formatIPv6.cpp:139 (= MySQL inet_ntop): dotted-quad tail
+    # for IPv4-mapped (words 0-4 zero, word5 == 0xffff) always, and for
+    # IPv4-compatible (words 0-5 zero) only when word6 != 0 — '::2' and
+    # '::1' stay hex, '::1.2.3.4' gets the quad
+    tail_num = F.conv(F.substring(hex32, 25, 8), 16, 10).cast("long")
+    tail_quad = inet_ntoa(tail_num)
     return (
-        F.when(F.length(col) == 16, compressed)
+        F.when(
+            (F.length(col) == 16)
+            & hex32.startswith("0" * 20 + "ffff"),
+            F.concat(F.lit("::ffff:"), tail_quad),
+        )
+        .when(
+            (F.length(col) == 16)
+            & hex32.startswith("0" * 24)
+            & (tail_num >= 65536),
+            F.concat(F.lit("::"), tail_quad),
+        )
+        .when(F.length(col) == 16, compressed)
         .when(F.length(col) == 4, v4)
         .otherwise(F.lit(None).cast("string"))
     )

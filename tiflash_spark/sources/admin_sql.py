@@ -16,7 +16,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from tiflash_spark.sources.delta_store import VERSION, DeltaStore
+from tiflash_spark.sources.delta_store import DELMARK, VERSION, DeltaStore
 
 __all__ = ["run_sql"]
 
@@ -58,6 +58,145 @@ _ALTER_COL = re.compile(
 )
 
 
+# DML statements over a registered DeltaStore — every reference
+# fullstack test drives data through mysql INSERT/UPDATE/DELETE and then
+# reads the result from TiFlash after Raft replication
+# (tests/fullstack-test/mpp/*.test). Here the statement writes a
+# versioned MVCC batch directly (commit version = newest + 1), so
+# snapshot reads, compaction, and index refresh see it exactly like a
+# replicated write. REPLACE == INSERT because the store's write model is
+# newest-version-wins upsert by handle.
+_QTBL = r"(?:`?\w+`?\.)?`?(?P<tbl>\w+)`?"  # [schema.]table — schema ignored
+
+_INSERT = re.compile(
+    rf"^\s*(?P<verb>INSERT|REPLACE)\s+INTO\s+{_QTBL}\s*"
+    r"(?:\(\s*(?P<cols>[^)]*?)\s*\))?\s*VALUES\s*(?P<vals>\(.+\))\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE = re.compile(
+    rf"^\s*UPDATE\s+{_QTBL}\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE = re.compile(
+    rf"^\s*DELETE\s+FROM\s+{_QTBL}"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_SEL = re.compile(
+    rf"^\s*(?P<verb>INSERT|REPLACE)\s+INTO\s+{_QTBL}\s*"
+    r"(?:\(\s*(?P<cols>[^)]*?)\s*\))?\s*(?P<sel>SELECT\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# CREATE/DROP TABLE — the opening moves of every reference fullstack
+# flow (fullstack-test2/dml/test_table_scan.test creates 2 tables per
+# MySQL type × clustered/nonclustered PK). A single-column PRIMARY KEY
+# becomes the store handle exposed under its own name (TiDB: a clustered
+# PK IS _tidb_rowid); NONCLUSTERED / composite PKs keep the hidden
+# auto-allocated rowid and the PK columns stay ordinary columns.
+_CREATE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QTBL}\s*"
+    r"\((?P<body>.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP = re.compile(
+    rf"^\s*DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?{_QTBL}\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+_COLDEF = re.compile(
+    r"^`?(?P<name>\w+)`?\s+(?P<type>\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+    r"(?P<uns>\s+UNSIGNED)?"
+    r"(?:\s+(?P<notnull>NOT\s+NULL)|\s+NULL)?"
+    r"(?:\s+DEFAULT\s+(?P<dflt>'[^']*'|[^\s,]+))?"
+    r"(?P<inline_pk>\s+PRIMARY\s+KEY)?\s*$",
+    re.IGNORECASE,
+)
+_PKDEF = re.compile(
+    r"^PRIMARY\s+KEY(?:\s+(?P<kind>CLUSTERED|NONCLUSTERED))?\s*"
+    r"\(\s*(?P<cols>[^)]+?)\s*\)$",
+    re.IGNORECASE,
+)
+
+# MySQL declared type -> Spark SQL type (SURVEY §1.2's COLUMN_TYPES
+# mapping, TiDBTypes.h:26-55). UNSIGNED widens one tier; BIGINT UNSIGNED
+# -> decimal(20,0), the repo-wide presentation for 64-bit wrap.
+_MYSQL_TYPES = {
+    "tinyint": "tinyint", "smallint": "smallint", "mediumint": "int",
+    "int": "int", "integer": "int", "bigint": "bigint",
+    "float": "float", "double": "double", "real": "double",
+    "decimal": "decimal", "numeric": "decimal",
+    "varchar": "string", "char": "string", "text": "string",
+    "tinytext": "string", "mediumtext": "string", "longtext": "string",
+    "enum": "string", "set": "string", "json": "string",
+    "blob": "binary", "binary": "binary", "varbinary": "binary",
+    "tinyblob": "binary", "mediumblob": "binary", "longblob": "binary",
+    "date": "date", "datetime": "timestamp", "timestamp": "timestamp",
+    "time": "string", "year": "smallint", "bit": "bigint",
+    "boolean": "tinyint", "bool": "tinyint",
+    "vector": "array<float>",
+}
+_UNSIGNED_WIDEN = {
+    "tinyint": "smallint", "smallint": "int", "int": "bigint",
+    "bigint": "decimal(20,0)",
+}
+
+
+def _mysql_type_to_spark(t: str, unsigned: bool) -> str:
+    base, _, args = t.partition("(")
+    base = base.strip().lower()
+    if base not in _MYSQL_TYPES:
+        raise ValueError(f"unsupported column type {t!r}")
+    out = _MYSQL_TYPES[base]
+    if unsigned and out in _UNSIGNED_WIDEN:
+        out = _UNSIGNED_WIDEN[out]
+    if out == "decimal":
+        out = f"decimal({args.rstrip(')').replace(' ', '')})" if args else "decimal(10,0)"
+    return out
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas outside parentheses and quotes — SET-assignment
+    and column lists may contain function calls and string literals."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    q: str | None = None
+    for ch in s:
+        if q:
+            buf.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in ("'", '"'):
+            q = ch
+            buf.append(ch)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _dml_store(stores, name: str, stmt: str) -> DeltaStore:
+    if not stores or name not in stores:
+        raise ValueError(
+            f"{stmt} {name}: no DeltaStore registered under {name!r} "
+            f"(known: {sorted(stores or {})})"
+        )
+    return stores[name]
+
+
 # EXPLAIN [ANALYZE] <query> — TiDB's statement surface; TiFlash feeds it
 # the per-executor ExecutionSummary rows (Flash/Statistics/
 # ExecutionSummaryHelper.cpp). EXPLAIN returns the formatted physical
@@ -85,7 +224,10 @@ _ADD_INDEX = re.compile(
 
 
 def run_sql(
-    spark: SparkSession, sql: str, stores: dict[str, DeltaStore] | None = None
+    spark: SparkSession,
+    sql: str,
+    stores: dict[str, DeltaStore] | None = None,
+    base_path: str | None = None,
 ) -> DataFrame:
     """Execute ``sql``; admin statements are intercepted, everything else
     is plain spark.sql. `ALTER TABLE t COMPACT` compacts the registered
@@ -231,10 +373,19 @@ def run_sql(
             else:
                 dflt = m.group("dflt")
                 if dflt is not None:
-                    dflt = dflt.strip("'")
+                    if dflt.upper() == "NULL":
+                        # MySQL: DEFAULT NULL == no default — existing
+                        # rows read NULL, never the literal string 'NULL'
+                        dflt = None
+                    else:
+                        dflt = dflt.strip("'")
                 v = store.add_column(
                     col, dtype.lower().replace(" ", ""), default=dflt
                 )
+                if m.group("notnull"):
+                    # ADD COLUMN ... NOT NULL: the constraint must stick
+                    # (writes with NULLs rejected), not silently drop
+                    v = store.set_column_nullable(col, False)
         elif verb == "MODIFY":
             if not dtype:
                 raise ValueError(f"MODIFY COLUMN {col}: missing type")
@@ -254,6 +405,282 @@ def run_sql(
         return spark.createDataFrame(
             [(name, col, verb.lower(), int(v))],
             "table_name string, column_name string, op string, schema_version long",
+        )
+    m = _CREATE.match(sql)
+    if m:
+        import os as _os
+
+        name = m.group("tbl")
+        if stores is None:
+            raise ValueError("CREATE TABLE needs a stores registry dict")
+        if name in stores:
+            if re.search(r"IF\s+NOT\s+EXISTS", sql, re.IGNORECASE):
+                return spark.createDataFrame(
+                    [(name, "exists")], "table_name string, op string"
+                )
+            raise ValueError(f"CREATE TABLE {name}: already registered")
+        if base_path is None:
+            raise ValueError("CREATE TABLE needs base_path= (store directory root)")
+        cols: list[tuple] = []  # (name, spark_type, not_null, default)
+        pk_cols: list[str] = []
+        pk_kind: str | None = None
+        for item in _split_top_level(m.group("body")):
+            item = item.strip()
+            pm = _PKDEF.match(item)
+            if pm:
+                pk_cols = [c.strip().strip("`") for c in pm.group("cols").split(",")]
+                pk_kind = (pm.group("kind") or "CLUSTERED").upper()
+                continue
+            if re.match(
+                r"^(KEY|INDEX|UNIQUE|CONSTRAINT|FOREIGN)\b", item, re.IGNORECASE
+            ):
+                continue  # secondary indexes/constraints: not TiFlash's job
+            cm = _COLDEF.match(item)
+            if not cm:
+                raise ValueError(
+                    f"CREATE TABLE {name}: cannot parse column def {item!r}"
+                )
+            st = _mysql_type_to_spark(cm.group("type"), bool(cm.group("uns")))
+            dflt = cm.group("dflt")
+            if dflt is not None:
+                dflt = None if dflt.upper() == "NULL" else dflt.strip("'")
+            cols.append((cm.group("name"), st, bool(cm.group("notnull")), dflt))
+            if cm.group("inline_pk"):
+                pk_cols, pk_kind = [cm.group("name")], "CLUSTERED"
+        if not cols:
+            raise ValueError(f"CREATE TABLE {name}: no columns")
+        order = [c[0] for c in cols]
+        pk: str | None = None
+        pk_type = "bigint"
+        if len(pk_cols) == 1 and (pk_kind or "CLUSTERED") == "CLUSTERED":
+            hit = [c for c in cols if c[0] == pk_cols[0]]
+            if not hit:
+                raise ValueError(
+                    f"CREATE TABLE {name}: PRIMARY KEY column {pk_cols[0]!r} undeclared"
+                )
+            pk, pk_type = pk_cols[0], hit[0][1]
+        store = DeltaStore(spark, _os.path.join(base_path, name))
+        store._write_schema_versions(
+            [
+                {
+                    "v": 1,
+                    "fields": [[n, t] for (n, t, _nn, _d) in cols if n != pk],
+                    "gen": {},
+                    "renames": {},
+                    # since=-1: a freshly created table has no pre-ADD rows,
+                    # so the default is write-side only (MySQL semantics)
+                    "defaults": {
+                        n: {"d": str(d), "since": -1}
+                        for (n, _t, _nn, d) in cols
+                        if d is not None and n != pk
+                    },
+                    "not_null": sorted(
+                        n for (n, _t, nn, _d) in cols if nn and n != pk
+                    ),
+                }
+            ]
+        )
+        store.write_table_def(order, pk, pk_type)
+        stores[name] = store
+        store.as_view(name)
+        return spark.createDataFrame(
+            [(name, "create", len(cols), pk)],
+            "table_name string, op string, n_columns long, primary_key string",
+        )
+    m = _DROP.match(sql)
+    if m:
+        name = m.group("tbl")
+        if not stores or name not in stores:
+            if m.group("ifex"):
+                return spark.createDataFrame(
+                    [(name, "noop")], "table_name string, op string"
+                )
+            raise ValueError(
+                f"DROP TABLE {name}: no DeltaStore registered under {name!r}"
+            )
+        import shutil
+
+        store = stores.pop(name)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(store.path, ignore_errors=True)
+        return spark.createDataFrame([(name, "drop")], "table_name string, op string")
+    m = _INSERT.match(sql) or _INSERT_SEL.match(sql)
+    if m:
+        from tiflash_spark.sources.delta_store import HANDLE
+
+        name = m.group("tbl")
+        store = _dml_store(stores, name, "INSERT INTO")
+        if "vals" in m.groupdict() and m.group("vals") is not None:
+            rows = spark.sql(f"SELECT * FROM VALUES {m.group('vals')}")
+        else:
+            # INSERT INTO ... SELECT — the batch is the query result
+            # (reads the PLAN-TIME view snapshots, so self-inserts see
+            # the pre-statement table, standard SQL)
+            rows = spark.sql(
+                _MYSQL_LIMIT.sub(
+                    lambda mm: f"LIMIT {mm.group(2)} OFFSET {mm.group(1)}",
+                    m.group("sel"),
+                )
+            )
+        gen = store.current_gen()
+        alias = store.handle_alias()
+        if m.group("cols"):
+            cols = [c.strip().strip("`") for c in _split_top_level(m.group("cols"))]
+        else:
+            # implicit list = the declared CREATE order when known (pk in
+            # place, later ADDs appended), else handle + schema order —
+            # the MySQL all-columns contract
+            fields = store.current_fields()
+            td = store.table_def()
+            if td is not None and fields is not None:
+                live = {n for n, _ in fields if n not in gen}
+                cols = [c for c in td["order"] if c == td["pk"] or c in live]
+                cols += [n for n, _ in fields if n not in gen and n not in cols]
+            elif fields is not None:
+                cols = [HANDLE] + [n for n, _ in fields if n not in gen]
+            else:
+                cols = [
+                    c
+                    for c in store.log().columns
+                    if c == HANDLE or c not in (VERSION, DELMARK, "_seg")
+                ]
+        if alias:
+            cols = [HANDLE if c == alias else c for c in cols]
+        if len(rows.columns) != len(cols):
+            raise ValueError(
+                f"INSERT INTO {name}: {len(rows.columns)} values per row "
+                f"for {len(cols)} columns {cols}"
+            )
+        batch = rows.toDF(*cols)
+        # VALUES literals type narrowly (1 -> int); align to the stored
+        # types so legacy (manifest-less) tables keep homogeneous files —
+        # manifest tables re-conform in write_batch anyway
+        stored_types = dict(store.log().dtypes)
+        batch = batch.select(
+            *[
+                F.col(c).cast(stored_types[c]).alias(c) if c in stored_types else F.col(c)
+                for c in batch.columns
+            ]
+        )
+        if HANDLE not in cols:
+            # auto row-id: TiDB's _tidb_rowid allocator, simplified to a
+            # max-probe floor. VALUES batches are statement-sized, so a
+            # dense one-partition row_number is fine; SELECT batches can
+            # be arbitrarily large, so they get SPARSE ids from
+            # monotonically_increasing_id (unique, distributed, no
+            # shuffle — rowids need uniqueness, not density, and the
+            # next statement's max-probe floors above the gaps)
+            base = store.max_handle()
+            if base is None:
+                base = 0
+            if not isinstance(base, int):
+                raise ValueError(
+                    f"INSERT INTO {name}: table uses non-integer handles — "
+                    f"supply the {HANDLE} column explicitly"
+                )
+            if "vals" in m.groupdict() and m.group("vals") is not None:
+                from pyspark.sql import Window
+
+                rid = F.row_number().over(
+                    Window.orderBy(F.monotonically_increasing_id())
+                )
+            else:
+                rid = F.monotonically_increasing_id() + 1
+            batch = batch.withColumn(
+                HANDLE, (rid + F.lit(int(base))).cast("long")
+            )
+        n = batch.count()
+        v = store.newest_version() + 1
+        store.write_batch(batch, version=v)
+        store.as_view(name)
+        return spark.createDataFrame(
+            [(name, m.group("verb").lower(), int(n), int(v))],
+            "table_name string, op string, rows_affected long, commit_version long",
+        )
+    m = _UPDATE.match(sql)
+    if m:
+        from tiflash_spark.sources.delta_store import HANDLE
+
+        name = m.group("tbl")
+        store = _dml_store(stores, name, "UPDATE")
+        gen = store.current_gen()
+        alias = store.handle_alias()
+        hname = alias or HANDLE
+        sets: dict[str, str] = {}
+        for a in _split_top_level(m.group("sets")):
+            k, eq, vexpr = a.partition("=")
+            if not eq:
+                raise ValueError(f"UPDATE {name}: bad assignment {a!r}")
+            sets[k.strip().strip("`")] = vexpr.strip()
+        if HANDLE in sets or hname in sets:
+            raise ValueError(f"UPDATE {name}: the handle column is immutable")
+        bad = [c for c in sets if c in gen]
+        if bad:
+            raise ValueError(f"UPDATE {name}: columns {bad} are generated")
+        snap = store.read()
+        if alias:
+            snap = snap.withColumnRenamed(HANDLE, alias)
+        stored = [c for c in snap.columns if c != hname and c not in gen]
+        unknown = [c for c in sets if c not in stored]
+        if unknown:
+            raise ValueError(f"UPDATE {name}: unknown columns {unknown}")
+        matched = snap.filter(F.expr(m.group("where"))) if m.group("where") else snap
+        matched = matched.persist()
+        try:
+            n = matched.count()
+            if n:
+                # every SET expression evaluates over the PRE-update row
+                # (one projection), the SQL standard's simultaneous update
+                out = matched.select(
+                    F.col(hname).alias(HANDLE),
+                    *[
+                        F.expr(sets[c]).alias(c) if c in sets else F.col(c)
+                        for c in stored
+                    ],
+                )
+                store.write_batch(out, version=store.newest_version() + 1)
+        finally:
+            matched.unpersist()
+        store.as_view(name)
+        return spark.createDataFrame(
+            [(name, "update", int(n))],
+            "table_name string, op string, rows_affected long",
+        )
+    m = _DELETE.match(sql)
+    if m:
+        from tiflash_spark.sources.delta_store import HANDLE
+
+        name = m.group("tbl")
+        store = _dml_store(stores, name, "DELETE FROM")
+        snap = store.read()
+        gen = store.current_gen()
+        alias = store.handle_alias()
+        if alias:
+            snap = snap.withColumnRenamed(HANDLE, alias)
+        # tombstones carry the full stored row (payload is ignored by the
+        # MVCC merge) so manifest-less delta layers keep homogeneous file
+        # footers — a handle-only file would shadow later batches' columns
+        matched = (
+            snap.filter(F.expr(m.group("where"))) if m.group("where") else snap
+        ).drop(*[c for c in gen if c in snap.columns])
+        if alias:
+            matched = matched.withColumnRenamed(alias, HANDLE)
+        matched = matched.persist()
+        try:
+            n = matched.count()
+            if n:
+                store.write_batch(
+                    matched, version=store.newest_version() + 1, delete=True
+                )
+        finally:
+            matched.unpersist()
+        store.as_view(name)
+        return spark.createDataFrame(
+            [(name, "delete", int(n))],
+            "table_name string, op string, rows_affected long",
         )
     sql = _MYSQL_LIMIT.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
     return spark.sql(sql)

@@ -266,6 +266,41 @@ class DeltaStore:
         vs = self._schema_versions()
         return [tuple(f) for f in vs[-1]["fields"]] if vs else None
 
+    # --- table definition (CREATE TABLE surface) -----------------------------
+
+    def write_table_def(
+        self, order: list[str], pk: str | None, pk_type: str = "bigint"
+    ) -> None:
+        """Record the CREATE TABLE column order and the PRIMARY KEY →
+        handle mapping (TiDB: a CLUSTERED single-int PK IS _tidb_rowid;
+        NONCLUSTERED keeps the hidden rowid). ``order`` is the declared
+        column order (pk included at its position) driving implicit
+        INSERT lists; ``pk`` is the user-facing handle name (None = auto
+        hidden rowid)."""
+        import json
+
+        with open(os.path.join(self.path, "_TABLEDEF"), "w") as fh:
+            json.dump({"order": order, "pk": pk, "pk_type": pk_type}, fh)
+
+    def table_def(self) -> dict | None:
+        import json
+
+        p = os.path.join(self.path, "_TABLEDEF")
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return None
+
+    def handle_alias(self) -> str | None:
+        """User-facing name of the handle column (the declared PRIMARY
+        KEY), None for legacy/hidden-rowid stores."""
+        td = self.table_def()
+        return td["pk"] if td else None
+
+    def _handle_type(self) -> str:
+        td = self.table_def()
+        return (td or {}).get("pk_type") or "bigint"
+
     def _bootstrap_versions(self) -> list[dict]:
         """First DDL on a manifest-less store snapshots the observed file
         schema as v1 (the pre-DDL table definition)."""
@@ -640,27 +675,26 @@ class DeltaStore:
         conf = self._conform(out.drop(*drops), internal=False)
         return conf.drop(VERSION) if VERSION in conf.columns else conf
 
-    def _conform(self, df: DataFrame, internal: bool) -> DataFrame:
-        """Project a frame to the current schema version: handle first,
-        missing columns → typed NULL, dropped columns pruned, then (for
-        write paths) the MVCC internals. Generated columns are COMPUTED
-        here on the read path and EXCLUDED on the write/rewrite path —
-        they are never stored (TiDB virtual generated column contract)."""
-        fields = self.current_fields()
-        if fields is None:
-            return df
+    def _visible_exprs(self, names: list[str], df_cols: list[str]) -> list:
+        """Column expressions computing the given VISIBLE columns over a
+        frame of RAW stored columns — rename coalesce (files keep their
+        write-time names), ADD-COLUMN-DEFAULT commit-version gate,
+        generated-column evaluation. The single source of truth shared by
+        _conform and the late-materialization narrow/payload scans, so
+        every read path sees identical post-DDL values."""
         gen = self.current_gen()
         renames = self.current_renames()
         defaults = self.current_defaults()
-        cols = [F.col(HANDLE)]
-        for n, t in fields:
+        types = dict(self.current_fields() or [])
+        cols = []
+        for n in names:
+            t = types.get(n, "string")
             if n in gen:
-                if not internal:
-                    cols.append(F.expr(gen[n]).cast(t).alias(n))
+                cols.append(F.expr(gen[n]).cast(t).alias(n))
                 continue
             # a renamed column's value may live under any prior stored
             # name (files are never rewritten by RENAME); newest name wins
-            sources = [c for c in [n] + renames.get(n, []) if c in df.columns]
+            sources = [c for c in [n] + renames.get(n, []) if c in df_cols]
             if not sources:
                 base = F.lit(None).cast(t)
             elif len(sources) == 1:
@@ -676,13 +710,67 @@ class DeltaStore:
                 dv = F.lit(defaults[n]["d"]).cast(t)
                 if not sources:
                     base = dv
-                elif VERSION in df.columns:
+                elif VERSION in df_cols:
                     base = F.when(
                         base.isNull()
                         & (F.col(VERSION) <= F.lit(int(defaults[n]["since"]))),
                         dv,
                     ).otherwise(base)
             cols.append(base.alias(n))
+        return cols
+
+    def _stored_sources(self, names: list[str], df_cols: list[str]) -> list[str]:
+        """RAW stored columns (present in ``df_cols``) needed to compute
+        the given visible columns — rename chains expand to every prior
+        stored name, generated columns to the stored columns their
+        expression references (word-boundary match, the same resolution
+        add_generated_column validates against)."""
+        import re as _re
+
+        gen = self.current_gen()
+        renames = self.current_renames()
+        skip = {HANDLE, *_INTERNAL_COLS}
+        need: list[str] = []
+        for n in names:
+            if n in gen:
+                for c in df_cols:
+                    if c not in need and c not in skip and _re.search(
+                        rf"\b{_re.escape(c)}\b", gen[n]
+                    ):
+                        need.append(c)
+            else:
+                for c in [n] + renames.get(n, []):
+                    if c in df_cols and c not in need:
+                        need.append(c)
+        return need
+
+    def _ddl_shadowed(self, col: str) -> bool:
+        """True when DDL makes ``col``'s VISIBLE values differ from its
+        stored bytes (rename chain / ADD-DEFAULT fill / generated
+        expression). Stored-byte index pruning (zone map min/max/null
+        counts, inverted-index postings) is then unsound — e.g. a pre-ADD
+        segment stores NULL (or lacks the column entirely) while every
+        visible value is the default — so the index consults must fall
+        back to a full scan + post-conform filter. Perf-only: the filter
+        itself always binds to conformed visible values."""
+        return (
+            col in self.current_gen()
+            or col in self.current_renames()
+            or col in self.current_defaults()
+        )
+
+    def _conform(self, df: DataFrame, internal: bool) -> DataFrame:
+        """Project a frame to the current schema version: handle first,
+        missing columns → typed NULL, dropped columns pruned, then (for
+        write paths) the MVCC internals. Generated columns are COMPUTED
+        here on the read path and EXCLUDED on the write/rewrite path —
+        they are never stored (TiDB virtual generated column contract)."""
+        fields = self.current_fields()
+        if fields is None:
+            return df
+        gen = self.current_gen()
+        names = [n for n, _ in fields if not (internal and n in gen)]
+        cols = [F.col(HANDLE)] + self._visible_exprs(names, df.columns)
         if internal:
             cols += [F.col(VERSION), F.col(DELMARK)]
         return df.select(*cols)
@@ -785,6 +873,15 @@ class DeltaStore:
         index/zone-map sidecar dies with the old layer dirs."""
         stable = self._layer("stable")
         stage = self._stage_dir("truncate")
+        if stable is None and self._delta_has_files():
+            # never-compacted store: type the empty stable from the
+            # delta's stored schema so the table stays readable (view
+            # re-registration reads it immediately after the swap)
+            stable = self._layer("delta").drop(
+                *[c for c in _INTERNAL_COLS if c != VERSION]
+            ).drop(VERSION).withColumn(VERSION, F.lit(0).cast("long")).withColumn(
+                DELMARK, F.lit(0).cast("int")
+            ).limit(0)
         if stable is not None:
             # an empty frame with the stored schema keeps later reads typed
             self.spark.createDataFrame([], stable.schema).write.mode(
@@ -795,6 +892,18 @@ class DeltaStore:
             os.makedirs(stage, exist_ok=True)
         self._fail("staged")
         self._promote(stage, retire_delta=True)
+        # the version log restarts with the data: a writer that resumes at
+        # version 1 and writes an EXPLICIT NULL must not have it rewritten
+        # to the ADD-time default by the pre-ADD fill gate, so every
+        # default's 'since' is reset to a sentinel no row version can be
+        # <= (omitted columns still materialize at WRITE time, which does
+        # not consult 'since')
+        vs = self._schema_versions()
+        if vs and vs[-1].get("defaults"):
+            vs[-1]["defaults"] = {
+                k: dict(d, since=-1) for k, d in vs[-1]["defaults"].items()
+            }
+            self._write_schema_versions(vs)
         self._refresh()
 
     def delete_range(self, lo, hi, version: int) -> None:
@@ -952,12 +1061,44 @@ class DeltaStore:
         """The full merged log (stable rows carry their compacted version)."""
         parts = [d for d in (self._layer("stable"), self._layer("delta")) if d is not None]
         if not parts:
+            fields = self.current_fields()
+            if fields is not None:
+                # a CREATEd-but-never-written table is empty, not broken:
+                # reads return a typed zero-row frame from the manifest
+                gen = self.current_gen()
+                ddl = ", ".join(
+                    [f"{HANDLE} {self._handle_type()}"]
+                    + [f"{n} {t}" for n, t in fields if n not in gen]
+                    + [f"{VERSION} long", f"{DELMARK} int"]
+                )
+                return self.spark.createDataFrame([], ddl)
             raise ValueError(f"empty store at {self.path}")
         df = parts[0]
         for p in parts[1:]:
             # stable may carry the _seg partition column that delta lacks
             df = df.unionByName(p, allowMissingColumns=True)
         return df
+
+    def newest_version(self) -> int:
+        """Highest commit version present (data rows or range tombstones);
+        0 for an empty store. One tiny max aggregate — the analogue of the
+        reference resolving the region's max commit-ts before stamping the
+        next write batch."""
+        try:
+            v = self.log().agg(F.max(VERSION).alias("v")).collect()[0].v
+        except ValueError:
+            v = None
+        rd = max((int(d["v"]) for d in self._range_dels()), default=0)
+        return max(int(v or 0), rd)
+
+    def max_handle(self):
+        """Largest handle in the store (None when empty) — row-id
+        allocation floor for auto-handle INSERTs (TiDB's _tidb_rowid
+        allocator analogue, simplified to a max probe)."""
+        try:
+            return self.log().agg(F.max(HANDLE).alias("h")).collect()[0].h
+        except ValueError:
+            return None
 
     def read(self, ts: int | None = None) -> DataFrame:
         """Snapshot-consistent read at version ts (None = everything),
@@ -970,8 +1111,14 @@ class DeltaStore:
         the replicated table by name — the TiDB-side `SELECT ...` over a
         TiFlash replica. Plan-time snapshot: re-register after mutations
         (or at a fixed ts for a stable-read view, the reference's stale
-        read — docs/design/2023-02-21-tiflash-supports-stale-read.md)."""
-        self.read(ts).createOrReplaceTempView(name)
+        read — docs/design/2023-02-21-tiflash-supports-stale-read.md).
+        A declared PRIMARY KEY surfaces under its own name (the hidden
+        rowid IS the clustered pk, MutableSupport.h:44)."""
+        df = self.read(ts)
+        alias = self.handle_alias()
+        if alias:
+            df = df.withColumnRenamed(HANDLE, alias)
+        df.createOrReplaceTempView(name)
 
     # --- maintenance -------------------------------------------------------
 
@@ -2026,14 +2173,22 @@ class DeltaStore:
         enrichment, docs/design/2022-10-20). Same plan-time-snapshot
         contract and MVCC delta rescue as read_where."""
         log = self.log()
-        pruned = self._zm_null_pruned_segs(col) if "_seg" in log.columns else []
+        pruned = (
+            self._zm_null_pruned_segs(col)
+            if "_seg" in log.columns and not self._ddl_shadowed(col)
+            else []
+        )
         if pruned:
             log = self._log_minus_segments(log, pruned)
         out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts)
-        out = out.filter(
-            F.col(col).isNull() if col in out.columns else F.lit(True)
+        # conform BEFORE filtering: a RENAMEd column's data lives under
+        # prior stored names, an ADD-DEFAULT column's pre-DDL rows are
+        # visibly the default (not NULL), a generated column is never
+        # stored at all — the predicate must bind to VISIBLE values
+        conf = self._conform_read(out)
+        return conf.filter(
+            F.col(col).isNull() if col in conf.columns else F.lit(True)
         )
-        return self._conform_read(out)
 
     def read_where(self, col: str, lo=None, hi=None, ts: int | None = None) -> DataFrame:
         """Snapshot read with a range predicate ``lo <= col <= hi`` on an
@@ -2061,7 +2216,11 @@ class DeltaStore:
         if lo is None and hi is None:
             raise ValueError("read_where needs at least one bound")
         log = self.log()
-        pruned = self._zm_pruned_segs(col, lo, hi) if "_seg" in log.columns else []
+        pruned = (
+            self._zm_pruned_segs(col, lo, hi)
+            if "_seg" in log.columns and not self._ddl_shadowed(col)
+            else []
+        )
         self._record_scan_profile("read_where", pruned)
         if pruned:
             log = self._log_minus_segments(log, pruned)
@@ -2303,7 +2462,7 @@ class DeltaStore:
         log = self.log()
         pruned = (
             self._invidx_pruned_segs(col, values)
-            if "_seg" in log.columns
+            if "_seg" in log.columns and not self._ddl_shadowed(col)
             else []
         )
         self._record_scan_profile("read_where_in", pruned)
@@ -2415,6 +2574,8 @@ class DeltaStore:
         if "_seg" in log.columns:
             pruned: set[int] = set()
             for c, kind, arg in norm:
+                if self._ddl_shadowed(c):
+                    continue  # stored-byte indexes can't see visible values
                 if kind == "in":
                     pruned |= set(self._invidx_pruned_segs(c, arg))
                 else:
@@ -2423,15 +2584,24 @@ class DeltaStore:
             if pruned:
                 log = self._log_minus_segments(log, sorted(pruned))
 
-        # phase 1: the filter-column stream — narrow by construction
+        # phase 1: the filter-column stream — narrow by construction.
+        # Scan the STORED sources (rename chains, generated-expression
+        # inputs), then compute the VISIBLE filter columns so the
+        # predicate binds to post-DDL values, exactly as read_where does.
         filter_cols = list(dict.fromkeys(c for c, _, _ in norm))
-        narrow = log.select(
-            HANDLE, VERSION, DELMARK,
-            *[c for c in filter_cols if c in log.columns],
-        )
-        for c in filter_cols:  # column added by DDL, no file has it yet
-            if c not in narrow.columns:
-                narrow = narrow.withColumn(c, F.lit(None))
+        if fields is not None:
+            narrow = log.select(
+                HANDLE, VERSION, DELMARK,
+                *self._stored_sources(filter_cols, log.columns),
+            )
+        else:
+            narrow = log.select(
+                HANDLE, VERSION, DELMARK,
+                *[c for c in filter_cols if c in log.columns],
+            )
+            for c in filter_cols:  # column added by DDL, no file has it yet
+                if c not in narrow.columns:
+                    narrow = narrow.withColumn(c, F.lit(None))
         pred = None
         for c, kind, arg in norm:
             if kind == "in":
@@ -2446,6 +2616,12 @@ class DeltaStore:
                     term = upper if term is None else (term & upper)
             pred = term if pred is None else (pred & term)
         vis = self._apply_range_dels(snapshot_read(narrow, read_ts=ts), ts)
+        if fields is not None:
+            # VERSION stays in scope for the ADD-DEFAULT commit gate
+            vis = vis.select(
+                F.col(HANDLE),
+                *self._visible_exprs(filter_cols, vis.columns),
+            )
         surv = vis.filter(pred).select(HANDLE)
         # one pass yields survivor count, handle bounds, AND the visible
         # total — the selectivity estimate the reference derives from its
@@ -2479,28 +2655,52 @@ class DeltaStore:
             # cost — fall back to ONE full-width scan (the reference
             # likewise enables LM only below a selectivity threshold;
             # tidb-ci/force_enable_lm exists precisely to override it)
-            keep = [HANDLE, VERSION, DELMARK] + [
-                c
-                for c in dict.fromkeys(payload_cols + filter_cols)
-                if c in log.columns
-            ]
-            wide = log.select(*dict.fromkeys(keep))
-            for c in filter_cols:
-                if c not in wide.columns:
-                    wide = wide.withColumn(c, F.lit(None))
-            out = self._apply_range_dels(
-                snapshot_read(wide, read_ts=ts), ts
-            ).filter(pred)
+            want = list(dict.fromkeys(payload_cols + filter_cols))
+            if fields is not None:
+                keep = [HANDLE, VERSION, DELMARK] + self._stored_sources(
+                    want, log.columns
+                )
+                wide = log.select(*dict.fromkeys(keep))
+                out = self._apply_range_dels(
+                    snapshot_read(wide, read_ts=ts), ts
+                )
+                out = out.select(
+                    F.col(HANDLE), *self._visible_exprs(want, out.columns)
+                ).filter(pred)
+            else:
+                keep = [HANDLE, VERSION, DELMARK] + [
+                    c for c in want if c in log.columns
+                ]
+                wide = log.select(*dict.fromkeys(keep))
+                for c in filter_cols:
+                    if c not in wide.columns:
+                        wide = wide.withColumn(c, F.lit(None))
+                out = self._apply_range_dels(
+                    snapshot_read(wide, read_ts=ts), ts
+                ).filter(pred)
             return _project(out)
 
         # phase 2, many-survivor form: bounded payload scan + semi-join
         pl = log.filter(
             (F.col(HANDLE) >= F.lit(stats["lo"])) & (F.col(HANDLE) <= F.lit(stats["hi"]))
         )
-        keep = [HANDLE, VERSION, DELMARK] + [c for c in payload_cols if c in pl.columns]
-        rows = self._apply_range_dels(
-            snapshot_read(pl.select(*dict.fromkeys(keep)), read_ts=ts), ts
-        )
+        if fields is not None:
+            keep = [HANDLE, VERSION, DELMARK] + self._stored_sources(
+                payload_cols, pl.columns
+            )
+            rows = self._apply_range_dels(
+                snapshot_read(pl.select(*dict.fromkeys(keep)), read_ts=ts), ts
+            )
+            rows = rows.select(
+                F.col(HANDLE), *self._visible_exprs(payload_cols, rows.columns)
+            )
+        else:
+            keep = [HANDLE, VERSION, DELMARK] + [
+                c for c in payload_cols if c in pl.columns
+            ]
+            rows = self._apply_range_dels(
+                snapshot_read(pl.select(*dict.fromkeys(keep)), read_ts=ts), ts
+            )
         out = rows.join(surv, HANDLE, "left_semi")
         return _project(out)
 
@@ -3396,18 +3596,27 @@ class DeltaStore:
             return self._fts_score_rows(
                 vis_rows, col, terms, k, n_docs, sum_dl, covered, k1, b
             )
+        cand_truncated = False
         if covered:
             try:
                 idx = self.spark.read.parquet(self._ftsidx_dir(col))
                 hits = idx.filter(
                     F.col("term").isin(terms) & F.col("_seg").isin(list(covered))
                 )
-                cand_handles = [
-                    r[HANDLE]
-                    for r in hits.select(HANDLE).distinct()
-                    .limit(self.FTS_OVERFETCH * max(k, 1) * 64)
+                cap = self.FTS_OVERFETCH * max(k, 1) * 64
+                # DETERMINISTIC cap: rank candidates by total matched-term
+                # tf (a BM25 upper-bound proxy), handle tiebreak — an
+                # unordered .limit() would drop a partition-order-dependent
+                # subset on common terms, silently degrading recall
+                ranked = (
+                    hits.groupBy(HANDLE)
+                    .agg(F.sum("tf").alias("_tf"))
+                    .orderBy(F.col("_tf").desc(), F.col(HANDLE))
+                    .limit(cap + 1)
                     .collect()
-                ]
+                )
+                cand_truncated = len(ranked) > cap
+                cand_handles = [r[HANDLE] for r in ranked[:cap]]
             except Exception:
                 cand_handles, covered = [], set()
         if covered:
@@ -3420,6 +3629,10 @@ class DeltaStore:
                 else []
             )
             pool = list(dict.fromkeys(cand_handles + delta_handles))
+            self._record_scan_profile("fts_search_scored", [], inlist=len(pool))
+            # observable recall degradation: the deterministic cap dropped
+            # index candidates (common terms > FTS_OVERFETCH*k*64 hits)
+            self.last_scan_profile["candidates_truncated"] = cand_truncated
             legs = []
             if pool:
                 legs.append(self.read_handles(pool, ts=ts))
