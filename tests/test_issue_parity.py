@@ -102,3 +102,148 @@ def test_issue_1796_group_by_constant(spark):
     rows = spark.sql("SELECT max(a) AS m FROM i1796_t GROUP BY 'a'").collect()
     assert len(rows) == 1
     assert rows[0].m == dt.datetime(2018, 11, 23, 0, 55, 24)
+
+
+def test_issue_10809_varchar_null_and_empty_survive_compact(spark, tmp_path):
+    """issue_10809_varchar.test, driven VERBATIM through the SQL
+    surface: an all-NULL nullable varchar and an all-empty NOT NULL
+    varchar both keep every row across compaction."""
+    stores = {}
+    run_sql(
+        spark,
+        "CREATE TABLE t10809v_null (id INT NOT NULL, v VARCHAR(32), "
+        "PRIMARY KEY CLUSTERED (id))",
+        stores, base_path=str(tmp_path),
+    )
+    run_sql(
+        spark,
+        "INSERT INTO t10809v_null SELECT id, CAST(NULL AS STRING) "
+        "FROM (SELECT explode(sequence(1, 128)) AS id)",
+        stores,
+    )
+    run_sql(spark, "ALTER TABLE t10809v_null COMPACT TIFLASH REPLICA", stores)
+    [r] = run_sql(
+        spark, "SELECT COUNT(*) AS n_all, COUNT(v) AS n_v FROM t10809v_null"
+    ).collect()
+    assert (r.n_all, r.n_v) == (128, 0)
+    run_sql(
+        spark,
+        "CREATE TABLE t10809v_empty (id INT NOT NULL, v VARCHAR(32) NOT NULL, "
+        "PRIMARY KEY CLUSTERED (id))",
+        stores, base_path=str(tmp_path),
+    )
+    run_sql(
+        spark,
+        "INSERT INTO t10809v_empty SELECT id, '' FROM "
+        "(SELECT explode(sequence(1, 128)) AS id)",
+        stores,
+    )
+    run_sql(spark, "ALTER TABLE t10809v_empty COMPACT TIFLASH REPLICA", stores)
+    [r] = run_sql(
+        spark,
+        "SELECT COUNT(*) AS n_all, SUM(LENGTH(v)) AS len_sum FROM t10809v_empty",
+    ).collect()
+    assert (r.n_all, r.len_sum) == (128, 0)
+
+
+def test_issue_1962_nonequi_left_join_no_match_extends_null(spark, tmp_path):
+    """issue_1962.test: a LEFT JOIN whose only condition is non-equi
+    (t1.id > 10 * t2.id) and matches nothing must NULL-extend every left
+    row (broadcast-cartesian residual path), not drop or duplicate."""
+    stores = {}
+    run_sql(
+        spark,
+        "CREATE TABLE t1962 (pk INT NOT NULL, id INT, value VARCHAR(64), "
+        "PRIMARY KEY CLUSTERED (pk))",
+        stores, base_path=str(tmp_path),
+    )
+    run_sql(spark, "INSERT INTO t1962 VALUES (0, 1, 'a'), (1, 2, 'b')", stores)
+    rows = run_sql(
+        spark,
+        "SELECT t1.pk, t1.id, t1.value, t2.pk AS pk2, t2.id AS id2, "
+        "t2.value AS value2 FROM t1962 t1 LEFT JOIN t1962 t2 "
+        "ON t1.id > 10 * t2.id ORDER BY t1.pk",
+    ).collect()
+    assert [(r.pk, r.id, r.value, r.pk2, r.id2, r.value2) for r in rows] == [
+        (0, 1, "a", None, None, None),
+        (1, 2, "b", None, None, None),
+    ]
+    # issue_2471's companion: the same shape with an equi condition
+    rows = run_sql(
+        spark,
+        "SELECT t1.pk, t2.pk AS pk2 FROM t1962 t1 LEFT JOIN t1962 t2 "
+        "ON t1.id = t2.id ORDER BY t1.pk",
+    ).collect()
+    assert [(r.pk, r.pk2) for r in rows] == [(0, 0), (1, 1)]
+
+
+def test_issue_3447_string_truthiness_soft_parse(spark):
+    """issue_3447.test: `WHERE a` on a char column uses MySQL's soft
+    string->number parse — '0.1'/-0.1/-1 truthy; '0.0', 'a0.1' (no
+    numeric prefix), '0x01' (hex NOT parsed in string context) falsy."""
+    from tiflash_spark.functions.mysql_compat import mysql_str_to_number
+
+    df = spark.createDataFrame(
+        [("0.1",), ("-0.1",), ("0.0",), ("-1",), ("a0.1",), ("0x01",)], "a string"
+    )
+    got = [
+        r.a
+        for r in df.filter(F.coalesce(mysql_str_to_number(F.col("a")), F.lit(0.0)) != 0)
+        .collect()
+    ]
+    assert got == ["0.1", "-0.1", "-1"]
+
+
+def test_issue_3333_round_with_column_scale(spark):
+    """issue_3333.test: ROUND(a, b) where the scale is a COLUMN — every
+    int width (signed and unsigned-widened) returns 1.22 for
+    (a=1.22 float, b=2)."""
+    from tiflash_spark.functions.misc import mysql_round
+    from tiflash_spark.functions.sql_registry import register_mysql_functions
+
+    for btype in ["bigint", "decimal(20,0)", "int",
+                  "smallint", "tinyint"]:
+        df = spark.createDataFrame([(1.22, 2)], "a float, b int").select(
+            "a", F.col("b").cast(btype).alias("b")
+        )
+        [r] = df.select(mysql_round("a", F.col("b")).alias("r")).collect()
+        assert abs(r.r - 1.22) < 1e-9, btype
+    register_mysql_functions(spark)
+    spark.createDataFrame([(1.22, 2)], "a float, b int").createOrReplaceTempView(
+        "t3333"
+    )
+    [r] = spark.sql("SELECT mysql_round(a, b) AS r FROM t3333").collect()
+    assert abs(r.r - 1.22) < 1e-9
+    # negative scale + half-away-from-zero pins
+    [r] = spark.sql(
+        "SELECT mysql_round(-2.5, 0) AS a, mysql_round(1250.0, -2) AS b, "
+        "mysql_round(999999.9999999999, -1) AS c"
+    ).collect()
+    assert (r.a, r.b, r.c) == (-3.0, 1300.0, 1000000.0)
+
+
+def test_issue_6807_general_ci_correlated_in_subquery(spark):
+    """issue_6807.test: utf8mb4_general_ci comparisons inside a
+    correlated IN subquery — max(a) FROM t1 WHERE a IN (SELECT b FROM t2
+    WHERE a > b), all comparisons case-insensitive; expected 'YmkS'."""
+    from tiflash_spark.functions.collation import GENERAL_CI, collation_key
+
+    t1 = spark.createDataFrame(
+        [("jlsf", 1), (None, 2), ("YmkS", 3), ("0", 4)], "a string, id int"
+    )
+    t2 = spark.createDataFrame(
+        [("yMKs", "jlsf", 1), ("yyds", "YmkS", 2), ("cc", "4", 3),
+         (None, None, 4), ("abc", None, 5), (None, "df", 6)],
+        "a string, b string, id int",
+    )
+    in_list = t2.filter(
+        collation_key(F.col("a"), GENERAL_CI) > collation_key(F.col("b"), GENERAL_CI)
+    ).select(collation_key(F.col("b"), GENERAL_CI).alias("bk"))
+    got = (
+        t1.join(in_list, collation_key(F.col("a"), GENERAL_CI) == F.col("bk"),
+                "left_semi")
+        .agg(F.max_by("a", collation_key(F.col("a"), GENERAL_CI)).alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert got == "YmkS"

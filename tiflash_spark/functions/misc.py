@@ -169,6 +169,23 @@ def mysql_truncate(x: Column | str, d: int) -> Column:
     return F.signum(col) * F.floor(F.abs(col) / scale) * scale
 
 
+def mysql_round(x: Column | str, d: Column | int) -> Column:
+    """ROUND(X, D) with a COLUMN scale (reference tidbRoundWithFrac,
+    FunctionsRound.cpp; issue_3333 pins it for every int width incl.
+    unsigned): half-away-from-zero at D fractional digits; negative D
+    rounds digits left of the point. Spark's built-in round() only takes
+    a foldable literal scale, so the dynamic form is spelled out. Same
+    divide-don't-multiply care as mysql_truncate for negative D (the
+    inexact reciprocal 0.01... crosses floor boundaries)."""
+    col = (F.col(x) if isinstance(x, str) else x).cast("double")
+    dd = (F.lit(d) if isinstance(d, int) else d).cast("int")
+    scale = F.pow(F.lit(10.0), F.abs(dd).cast("double"))
+    scaled = F.when(dd >= 0, F.abs(col) * scale).otherwise(F.abs(col) / scale)
+    rounded = F.floor(scaled + F.lit(0.5))
+    back = F.when(dd >= 0, rounded / scale).otherwise(rounded * scale)
+    return F.signum(col) * back
+
+
 def logical_xor(a: Column, b: Column) -> Column:
     """MySQL XOR (reference `xor` in the live map): NULL if either side is
     NULL, else (a != 0) != (b != 0) as 1/0."""

@@ -205,6 +205,13 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "INT",
         "CAST((a <> 0) <> (b <> 0) AS INT)",
     ),
+    "mysql_round": (
+        "x DOUBLE, d INT",
+        "DOUBLE",
+        "CASE WHEN d >= 0"
+        " THEN sign(x) * floor(abs(x) * pow(10, d) + 0.5) / pow(10, d)"
+        " ELSE sign(x) * floor(abs(x) / pow(10, -d) + 0.5) * pow(10, -d) END",
+    ),
     "vec_from_text": (
         "s STRING",
         "ARRAY<DOUBLE>",
