@@ -263,3 +263,56 @@ def test_insert_select(spark, tmp_path):
     )
     rows = run_sql(spark, "SELECT * FROM log_t").collect()
     assert len(rows) == 4 and len({r2.msg for r2 in rows}) == 4
+
+
+def test_drop_index_lifecycle(spark, tmp_path):
+    """fullstack-test-index/inverted/create-on-alter-table.test rhythm,
+    extended with the DROP INDEX legs: results identical before the
+    index, with it, after DROP INDEX (exact-scan fallback), and after
+    re-ADD; the registry errors on unknown names."""
+    stores = {}
+    run_sql(
+        spark,
+        "CREATE TABLE tidx (pk BIGINT NOT NULL, i INT, body VARCHAR(64), "
+        "PRIMARY KEY CLUSTERED (pk))",
+        stores, base_path=str(tmp_path),
+    )
+    store = stores["tidx"]
+    run_sql(
+        spark,
+        "INSERT INTO tidx VALUES (1, -2, 'quick fox'), (2, -1, 'lazy dog'), "
+        "(3, 0, 'quick dog'), (4, 1, 'slow fox'), (5, 2, 'quick cat')",
+        stores,
+    )
+    run_sql(spark, "ALTER TABLE tidx COMPACT TIFLASH REPLICA", stores)
+    store.compact(ts=store.newest_version(), num_segments=2)
+
+    def probe():
+        # store-level reads expose the hidden handle; the pk alias only
+        # surfaces through SQL views
+        eq = {r[0] for r in store.read_where_in("i", [1]).select(HANDLE).collect()}
+        fts = {
+            r[0] for r in store.fts_match_word("body", "quick").select(HANDLE).collect()
+        }
+        return eq, fts
+
+    want = ({4}, {1, 3, 5})
+    assert probe() == want
+    run_sql(spark, "ALTER TABLE tidx ADD COLUMNAR INDEX idx_i (i) USING INVERTED",
+            stores)
+    run_sql(spark, "ALTER TABLE tidx ADD FULLTEXT INDEX idx_b (body)", stores)
+    assert set(store.named_indexes()) == {"idx_i", "idx_b"}
+    assert probe() == want
+    r = run_sql(spark, "ALTER TABLE tidx DROP INDEX idx_i", stores).collect()[0]
+    assert (r.index_kind, r.column_name) == ("inverted", "i")
+    assert probe() == want  # exact fallback, same rows
+    assert store._invidx_meta() == {}
+    run_sql(spark, "ALTER TABLE tidx DROP INDEX idx_b", stores)
+    assert probe() == want
+    assert store._ftsidx_meta() == {}
+    with pytest.raises(ValueError, match="no index named"):
+        run_sql(spark, "ALTER TABLE tidx DROP INDEX idx_i", stores)
+    # re-create after drop (the reference test's final leg)
+    run_sql(spark, "ALTER TABLE tidx ADD COLUMNAR INDEX idx_i (i) USING INVERTED",
+            stores)
+    assert probe() == want

@@ -68,6 +68,13 @@ _ALTER_COL = re.compile(
 # newest-version-wins upsert by handle.
 _QTBL = r"(?:`?\w+`?\.)?`?(?P<tbl>\w+)`?"  # [schema.]table — schema ignored
 
+# ALTER TABLE t DROP INDEX idx (fullstack-test-index/inverted/
+# create-on-alter-table.test drops and re-creates)
+_DROP_INDEX = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_QTBL}\s+DROP\s+INDEX\s+`?(?P<idx>\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _INSERT = re.compile(
     rf"^\s*(?P<verb>INSERT|REPLACE)\s+INTO\s+{_QTBL}\s*"
     r"(?:\(\s*(?P<cols>[^)]*?)\s*\))?\s*VALUES\s*(?P<vals>\(.+\))\s*;?\s*$",
@@ -316,10 +323,21 @@ def run_sql(
                     "((VEC_L2_DISTANCE(col)))"
                 )
             segs = store.build_vector_index(col)
+        store.register_index_name(m.group("idx"), kind, col)
         return spark.createDataFrame(
             [(name, m.group("idx"), kind, col, int(segs))],
             "table_name string, index_name string, index_kind string,"
             " column_name string, segments_covered long",
+        )
+    m = _DROP_INDEX.match(sql)
+    if m:
+        name = m.group("tbl")
+        store = _dml_store(stores, name, "ALTER TABLE ... DROP INDEX")
+        kind, col = store.drop_index_by_name(m.group("idx"))
+        return spark.createDataFrame(
+            [(name, m.group("idx"), kind, col)],
+            "table_name string, index_name string, index_kind string,"
+            " column_name string",
         )
     m = _TRUNCATE.match(sql)
     if m:

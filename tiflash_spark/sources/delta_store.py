@@ -250,10 +250,16 @@ class DeltaStore:
         return []
 
     def _write_schema_versions(self, versions: list[dict]) -> None:
+        """tmp + os.replace, same as the _CURRENT superblock — a crash
+        mid-write must leave the old complete manifest, never a torn one
+        (every read path parses this file)."""
         import json
 
-        with open(os.path.join(self.path, "_SCHEMA"), "w") as fh:
+        p = os.path.join(self.path, "_SCHEMA")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump({"versions": versions}, fh)
+        os.replace(tmp, p)
 
     def schema_version(self) -> int | None:
         vs = self._schema_versions()
@@ -279,8 +285,11 @@ class DeltaStore:
         hidden rowid)."""
         import json
 
-        with open(os.path.join(self.path, "_TABLEDEF"), "w") as fh:
+        p = os.path.join(self.path, "_TABLEDEF")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump({"order": order, "pk": pk, "pk_type": pk_type}, fh)
+        os.replace(tmp, p)
 
     def table_def(self) -> dict | None:
         import json
@@ -2281,6 +2290,77 @@ class DeltaStore:
     # rescue. At 100 TB the index is itself just a parquet table at
     # rest, maintained per-segment by the same incremental machinery as
     # the data (only dirty segments' partitions are rebuilt).
+
+    # --- index name registry + DROP INDEX ------------------------------------
+    #
+    # Reference: ALTER TABLE t DROP INDEX idx (fullstack-test-index/
+    # inverted/create-on-*.test drop the index and re-create it). Index
+    # DDL names live in a tiny `_INDEXES` registry at the store root;
+    # dropping UNREGISTERS the meta first (presence semantics: readers
+    # fall back to exact scans the moment the meta entry is gone, so a
+    # crash between unregister and sidecar removal costs only orphan
+    # files the next build sweeps).
+
+    def named_indexes(self) -> dict:
+        import json
+
+        p = os.path.join(self.path, "_INDEXES")
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return {}
+
+    def register_index_name(self, name: str, kind: str, col: str) -> None:
+        import json
+
+        idx = self.named_indexes()
+        idx[name] = {"kind": kind, "col": col}
+        p = os.path.join(self.path, "_INDEXES")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(idx, fh)
+        os.replace(tmp, p)
+
+    def drop_index(self, kind: str, col: str) -> None:
+        """Remove one sidecar index: meta entry first (readers revert to
+        exact scans immediately), then the posting files."""
+        import shutil
+
+        if kind == "inverted":
+            meta_get, meta_put, d = (
+                self._invidx_meta, self._write_invidx_meta, self._invidx_dir(col)
+            )
+        elif kind == "fulltext":
+            meta_get, meta_put, d = (
+                self._ftsidx_meta, self._write_ftsidx_meta, self._ftsidx_dir(col)
+            )
+        elif kind == "vector":
+            meta_get, meta_put, d = (
+                self._vecidx_meta, self._write_vecidx_meta, self._vecidx_dir(col)
+            )
+        else:
+            raise ValueError(f"unknown index kind {kind!r}")
+        m = meta_get()
+        if col in m:
+            m.pop(col)
+            meta_put(m)
+        shutil.rmtree(d, ignore_errors=True)
+
+    def drop_index_by_name(self, name: str) -> tuple[str, str]:
+        """DROP INDEX by its DDL name; returns (kind, col)."""
+        import json
+
+        idx = self.named_indexes()
+        if name not in idx:
+            raise ValueError(f"no index named {name!r} (have: {sorted(idx)})")
+        ent = idx.pop(name)
+        self.drop_index(ent["kind"], ent["col"])
+        p = os.path.join(self.path, "_INDEXES")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(idx, fh)
+        os.replace(tmp, p)
+        return ent["kind"], ent["col"]
 
     def _invidx_dir(self, col: str, layer_dir: str | None = None) -> str:
         return os.path.join(layer_dir or self.stable_path(), f"_INVIDX_{col}")
