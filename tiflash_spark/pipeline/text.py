@@ -758,3 +758,85 @@ FROM scored
 
 QUERIES["quality_model_score"] = quality_model_score
 ORACLE["quality_model_score"] = QUALITY_MODEL_SCORE_SQL
+
+
+# --- RAG-style document chunking ----------------------------------------------
+
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token-window chunking with overlap — the retrieval/
+    embedding preprocessing step every RAG corpus build runs (window =
+    CHUNK_TOKENS, stride = window − overlap; the final chunk always
+    reaches the document's end, no token is dropped). Pure codegen: one
+    tokenize, one explode — no shuffle until nothing (per-chunk rows are
+    returned as-is); at 100 TB the explode is the same narrow corpus
+    pass every curation stage pays, and chunk rows land partitioned by
+    their parent document's partition."""
+    chunk, stride = CHUNK_TOKENS, CHUNK_TOKENS - CHUNK_OVERLAP
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", "source", tokens(F.col("text")).alias("w")
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {_N_CHUNKS_EXPR} - 1),"
+                    f" i -> struct(CAST(i AS BIGINT) AS chunk_id,"
+                    f" slice(w, i * {stride} + 1, {chunk}) AS cw))"
+                )
+            ).alias("c"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.cw").cast("long").alias("n_tok"),
+            F.md5(F.concat_ws(" ", "c.cw")).alias("fp"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+# the n_chunks expression inlined into the SQL transform (same formula as
+# the Column form above; kept as one string so both stay in sync)
+_N_CHUNKS_EXPR = (
+    f"(CASE WHEN size(w) <= {CHUNK_TOKENS} THEN 1"
+    f" ELSE CAST(CEIL((size(w) - {CHUNK_TOKENS}) /"
+    f" CAST({CHUNK_TOKENS - CHUNK_OVERLAP} AS DOUBLE)) AS INT) + 1 END)"
+)
+
+
+DOC_CHUNKS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, REGEXP_SPLIT_TO_ARRAY(TRIM(text), ' +') AS w
+  FROM documents
+  WHERE LENGTH(TRIM(text)) > 0
+),
+sized AS (
+  SELECT doc_id, source, w,
+         CASE WHEN LEN(w) <= {CHUNK_TOKENS} THEN 1
+              ELSE CAST(CEIL((LEN(w) - {CHUNK_TOKENS})
+                             / CAST({CHUNK_TOKENS - CHUNK_OVERLAP} AS DOUBLE)) AS INT) + 1
+         END AS n_chunks
+  FROM toks
+)
+SELECT doc_id, source, CAST(t.i AS BIGINT) AS chunk_id,
+       CAST(LEN(w[CAST(t.i * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 AS BIGINT):
+                 CAST(t.i * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS} AS BIGINT)])
+            AS BIGINT) AS n_tok,
+       MD5(ARRAY_TO_STRING(w[CAST(t.i * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 AS BIGINT):
+                             CAST(t.i * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS} AS BIGINT)],
+                           ' ')) AS fp
+FROM sized, UNNEST(RANGE(0, n_chunks)) AS t(i)
+ORDER BY doc_id, chunk_id
+"""
+
+QUERIES["doc_chunks"] = doc_chunks
+ORACLE["doc_chunks"] = DOC_CHUNKS_SQL
