@@ -526,3 +526,34 @@ def test_object_store_fap_restore_and_remote_compact(spark, wn, tmp_path, arrow_
     before = _snap(wn)
     rs.adopt_remote_compaction(wn, arrow_remote, "store_1")
     assert _snap(wn) == before and wn.delta_rows() == 0
+
+
+def test_checkpoint_carries_tabledef_and_index_registry(spark, tmp_path):
+    """A CREATEd table's pk alias (_TABLEDEF) and index-name registry
+    (_INDEXES) survive checkpoint -> restore, so a restored peer serves
+    the same SQL surface (pk-named view, DROP INDEX by name)."""
+    from tiflash_spark.sources.admin_sql import run_sql
+    from tiflash_spark.sources.remote_store import checkpoint, restore_store
+
+    stores = {}
+    run_sql(
+        spark,
+        "CREATE TABLE ckpt_t (pk BIGINT NOT NULL, i INT, PRIMARY KEY CLUSTERED (pk))",
+        stores, base_path=str(tmp_path / "wn"),
+    )
+    store = stores["ckpt_t"]
+    run_sql(spark, "INSERT INTO ckpt_t VALUES (1, 10), (2, 20)", stores)
+    store.compact(ts=store.newest_version(), num_segments=2)
+    run_sql(spark, "ALTER TABLE ckpt_t ADD COLUMNAR INDEX idx_i (i) USING INVERTED",
+            stores)
+    remote = str(tmp_path / "s3")
+    checkpoint(store, remote, "ckpt_t")
+    restored = restore_store(spark, remote, "ckpt_t", str(tmp_path / "peer"))
+    assert restored.handle_alias() == "pk"
+    assert set(restored.named_indexes()) == {"idx_i"}
+    restored.as_view("ckpt_peer")
+    got = {r.pk: r.i for r in spark.sql("SELECT * FROM ckpt_peer").collect()}
+    assert got == {1: 10, 2: 20}
+    # DROP INDEX by name works on the restored peer
+    run_sql(spark, "ALTER TABLE ckpt_peer DROP INDEX idx_i", {"ckpt_peer": restored})
+    assert restored.named_indexes() == {}

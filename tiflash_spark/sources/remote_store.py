@@ -69,6 +69,13 @@ from tiflash_spark.operators.mvcc import DELMARK, HANDLE, VERSION, snapshot_read
 from tiflash_spark.sources.delta_store import DeltaStore
 
 
+# root-level store metadata shipped inside every checkpoint: the schema
+# manifest, the CREATE-TABLE definition (pk/handle alias + declared
+# order), and the index-name registry — a read node or restored peer
+# without them would lose DDL visibility and DROP INDEX addressing
+_ROOT_META = ("_SCHEMA", "_TABLEDEF", "_INDEXES")
+
+
 class ReadOnlyStoreError(RuntimeError):
     """A mutation was attempted on a read node's pinned snapshot."""
 
@@ -283,9 +290,10 @@ def checkpoint(
     try:
         _link_or_copy_tree(store.stable_path(), os.path.join(stage, "stable"))
         _link_or_copy_tree(store.delta_path(), os.path.join(stage, "delta"))
-        schema_p = os.path.join(store.path, "_SCHEMA")
-        if os.path.exists(schema_p):
-            shutil.copy2(schema_p, os.path.join(stage, "_SCHEMA"))
+        for meta in _ROOT_META:
+            p = os.path.join(store.path, meta)
+            if os.path.exists(p):
+                shutil.copy2(p, os.path.join(stage, meta))
         # the checkpoint is itself a complete store directory: write its
         # superblock so read nodes open it with the ordinary store code
         with open(os.path.join(stage, "_CURRENT"), "w") as fh:
@@ -367,9 +375,10 @@ def restore_store(
     stage_marker = os.path.join(dest_path, "_CURRENT")
     _link_or_copy_tree(os.path.join(ckpt, "stable"), os.path.join(dest_path, "stable"))
     _link_or_copy_tree(os.path.join(ckpt, "delta"), os.path.join(dest_path, "delta"))
-    schema_p = os.path.join(ckpt, "_SCHEMA")
-    if os.path.exists(schema_p):
-        shutil.copy2(schema_p, os.path.join(dest_path, "_SCHEMA"))
+    for meta in _ROOT_META:
+        p = os.path.join(ckpt, meta)
+        if os.path.exists(p):
+            shutil.copy2(p, os.path.join(dest_path, meta))
     # superblock written LAST: a crash mid-restore leaves a dir the
     # DeltaStore constructor will adopt as legacy layers or that the
     # caller re-runs; never a superblock naming missing layers
