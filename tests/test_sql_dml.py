@@ -316,3 +316,38 @@ def test_drop_index_lifecycle(spark, tmp_path):
     run_sql(spark, "ALTER TABLE tidx ADD COLUMNAR INDEX idx_i (i) USING INVERTED",
             stores)
     assert probe() == want
+
+
+def test_show_tables_describe_show_create(spark, tmp_path):
+    """Session introspection: SHOW TABLES / DESCRIBE / SHOW CREATE TABLE
+    reconstruct the declared surface (pk, NOT NULL, defaults, generated
+    columns, named indexes)."""
+    stores = {}
+    run_sql(
+        spark,
+        "CREATE TABLE insp (pk BIGINT NOT NULL, v VARCHAR(10) NOT NULL "
+        "DEFAULT 'x', n BIGINT, PRIMARY KEY CLUSTERED (pk))",
+        stores, base_path=str(tmp_path),
+    )
+    run_sql(spark, "INSERT INTO insp VALUES (1, 'a', 10)", stores)
+    run_sql(spark, "ALTER TABLE insp ADD COLUMN n2 BIGINT AS (n * 2) VIRTUAL",
+            stores)
+    stores["insp"].compact(ts=1, num_segments=2)
+    run_sql(spark, "ALTER TABLE insp ADD COLUMNAR INDEX idx_n (n) USING INVERTED",
+            stores)
+    assert [r.table_name for r in run_sql(spark, "SHOW TABLES", stores).collect()] == [
+        "insp"
+    ]
+    d = {r.field: r for r in run_sql(spark, "DESCRIBE insp", stores).collect()}
+    assert d["pk"].key == "PRI" and d["pk"].null == "NO"
+    assert d["v"].null == "NO" and d["v"].default == "x"
+    assert d["n"].null == "YES" and d["n"].default is None
+    assert d["n2"].extra == "VIRTUAL GENERATED"
+    ddl = run_sql(spark, "SHOW CREATE TABLE insp", stores).collect()[0].create_table
+    assert "PRIMARY KEY (`pk`)" in ddl and "CLUSTERED" in ddl
+    assert "`v` string NOT NULL DEFAULT 'x'" in ddl
+    assert "AS (n * 2) VIRTUAL" in ddl
+    assert "COLUMNAR INDEX `idx_n` (`n`)" in ddl
+    # the declared order survives: pk first, then v, n, appended n2
+    body = ddl.split("(", 1)[1]
+    assert body.index("`pk`") < body.index("`v`") < body.index("`n`") < body.index("`n2`")

@@ -75,6 +75,15 @@ _DROP_INDEX = re.compile(
     re.IGNORECASE,
 )
 
+# introspection statements — the first things any MySQL session runs
+_SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+_DESCRIBE = re.compile(
+    rf"^\s*(?:DESC|DESCRIBE)\s+{_QTBL}\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_CREATE = re.compile(
+    rf"^\s*SHOW\s+CREATE\s+TABLE\s+{_QTBL}\s*;?\s*$", re.IGNORECASE
+)
+
 _INSERT = re.compile(
     rf"^\s*(?P<verb>INSERT|REPLACE)\s+INTO\s+{_QTBL}\s*"
     r"(?:\(\s*(?P<cols>[^)]*?)\s*\))?\s*VALUES\s*(?P<vals>\(.+\))\s*;?\s*$",
@@ -423,6 +432,85 @@ def run_sql(
         return spark.createDataFrame(
             [(name, col, verb.lower(), int(v))],
             "table_name string, column_name string, op string, schema_version long",
+        )
+    m = _SHOW_TABLES.match(sql)
+    if m:
+        names = sorted(stores or {})
+        return spark.createDataFrame(
+            [(n,) for n in names] or [], "table_name string"
+        )
+    m = _DESCRIBE.match(sql)
+    if m:
+        name = m.group("tbl")
+        store = _dml_store(stores, name, "DESCRIBE")
+        fields = store.current_fields()
+        gen = store.current_gen()
+        defaults = store.current_defaults()
+        not_null = store.current_not_null()
+        alias = store.handle_alias()
+        rows = []
+        if alias:
+            rows.append((alias, store._handle_type(), "NO", "PRI", None, ""))
+        elif fields is None:
+            # legacy store: describe the observed visible schema
+            for n, t in store.read().dtypes:
+                rows.append((n, t, "YES", "", None, ""))
+        if fields is not None:
+            for n, t in fields:
+                extra = "VIRTUAL GENERATED" if n in gen else ""
+                rows.append(
+                    (
+                        n, t,
+                        "NO" if n in not_null else "YES",
+                        "",
+                        defaults.get(n, {}).get("w", defaults.get(n, {}).get("d")),
+                        extra,
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "field string, type string, `null` string, key string,"
+            " `default` string, extra string",
+        )
+    m = _SHOW_CREATE.match(sql)
+    if m:
+        name = m.group("tbl")
+        store = _dml_store(stores, name, "SHOW CREATE TABLE")
+        fields = store.current_fields() or [
+            (n, t) for n, t in store.read().dtypes
+            if n != "_tidb_rowid"
+        ]
+        gen = store.current_gen()
+        defaults = store.current_defaults()
+        not_null = store.current_not_null()
+        alias = store.handle_alias()
+        td = store.table_def()
+        order = [c for c in (td or {}).get("order", []) if c == alias
+                 or c in {n for n, _ in fields}]
+        order += [n for n, _ in fields if n not in order]
+        parts = []
+        for c in order:
+            if c == alias:
+                parts.append(f"`{c}` {store._handle_type()} NOT NULL")
+                continue
+            t = dict(fields)[c]
+            s = f"`{c}` {t}"
+            if c in gen:
+                s += f" AS ({gen[c]}) VIRTUAL"
+            if c in not_null:
+                s += " NOT NULL"
+            if c in defaults:
+                s += f" DEFAULT '{defaults[c].get('w', defaults[c]['d'])}'"
+            parts.append(s)
+        if alias:
+            parts.append(f"PRIMARY KEY (`{alias}`) /*T![clustered_index] CLUSTERED */")
+        for iname, ent in sorted(store.named_indexes().items()):
+            kw = {"fulltext": "FULLTEXT INDEX", "inverted": "COLUMNAR INDEX",
+                  "vector": "VECTOR INDEX"}[ent["kind"]]
+            parts.append(f"{kw} `{iname}` (`{ent['col']}`)")
+        ddl = f"CREATE TABLE `{name}` (\n  " + ",\n  ".join(parts) + "\n)"
+        return spark.createDataFrame(
+            [(name, ddl)], "table_name string, create_table string"
         )
     m = _CREATE.match(sql)
     if m:
