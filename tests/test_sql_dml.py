@@ -351,3 +351,55 @@ def test_show_tables_describe_show_create(spark, tmp_path):
     # the declared order survives: pk first, then v, n, appended n2
     body = ddl.split("(", 1)[1]
     assert body.index("`pk`") < body.index("`v`") < body.index("`n`") < body.index("`n2`")
+
+
+def test_stale_read_as_of_timestamp(spark, tmp_path):
+    """Stale read through SQL (2023-02-21 design doc, TiDB `AS OF
+    TIMESTAMP` syntax with commit versions as timestamps): historical
+    snapshots by version, joinable against the current view."""
+    stores = {}
+    run_sql(
+        spark,
+        "CREATE TABLE sr (pk BIGINT NOT NULL, v BIGINT, PRIMARY KEY CLUSTERED (pk))",
+        stores, base_path=str(tmp_path),
+    )
+    run_sql(spark, "INSERT INTO sr VALUES (1, 10), (2, 20)", stores)   # v1
+    run_sql(spark, "UPDATE sr SET v = 99 WHERE pk = 1", stores)        # v2
+    run_sql(spark, "DELETE FROM sr WHERE pk = 2", stores)              # v3
+    got = {r.pk: r.v for r in run_sql(
+        spark, "SELECT pk, v FROM sr AS OF TIMESTAMP 1", stores).collect()}
+    assert got == {1: 10, 2: 20}
+    got = {r.pk: r.v for r in run_sql(
+        spark, "SELECT pk, v FROM sr AS OF TIMESTAMP 2", stores).collect()}
+    assert got == {1: 99, 2: 20}
+    got = {r.pk: r.v for r in run_sql(spark, "SELECT pk, v FROM sr", stores).collect()}
+    assert got == {1: 99}
+    # historical and current snapshots compose in one query
+    [r] = run_sql(
+        spark,
+        "SELECT cur.pk, old.v AS v_old, cur.v AS v_cur "
+        "FROM sr cur JOIN sr AS OF TIMESTAMP 1 old ON cur.pk = old.pk",
+        stores,
+    ).collect()
+    assert (r.pk, r.v_old, r.v_cur) == (1, 10, 99)
+
+
+def test_insert_select_as_of_restores_history(spark, tmp_path):
+    """INSERT ... SELECT ... AS OF TIMESTAMP: restore deleted rows from
+    a historical snapshot — the point-in-time-recovery idiom."""
+    stores = {}
+    run_sql(
+        spark,
+        "CREATE TABLE pitr (pk BIGINT NOT NULL, v BIGINT, PRIMARY KEY CLUSTERED (pk))",
+        stores, base_path=str(tmp_path),
+    )
+    run_sql(spark, "INSERT INTO pitr VALUES (1, 10), (2, 20), (3, 30)", stores)
+    run_sql(spark, "DELETE FROM pitr WHERE pk >= 2", stores)
+    assert run_sql(spark, "SELECT * FROM pitr", stores).count() == 1
+    run_sql(
+        spark,
+        "INSERT INTO pitr SELECT pk, v FROM pitr AS OF TIMESTAMP 1 WHERE pk >= 2",
+        stores,
+    )
+    got = {r.pk: r.v for r in run_sql(spark, "SELECT * FROM pitr", stores).collect()}
+    assert got == {1: 10, 2: 20, 3: 30}

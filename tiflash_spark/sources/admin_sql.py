@@ -75,6 +75,33 @@ _DROP_INDEX = re.compile(
     re.IGNORECASE,
 )
 
+# stale read: `FROM t AS OF TIMESTAMP <v>` (TiDB syntax; reference
+# docs/design/2023-02-21-tiflash-supports-stale-read.md — reads served
+# from a historical snapshot). Commit versions are the engine's
+# timestamps, so the literal is a version number; each occurrence is
+# rewritten to a snapshot view registered at that version.
+_ASOF = re.compile(
+    r"\b`?(?P<tbl>\w+)`?\s+AS\s+OF\s+TIMESTAMP\s+(?P<ts>\d+)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_asof(spark, sql: str, stores) -> str:
+    def sub(m: re.Match) -> str:
+        name, ts = m.group("tbl"), int(m.group("ts"))
+        if not stores or name not in stores:
+            return m.group(0)  # not ours — leave for Spark to reject
+        view = f"_asof_{name}_v{ts}"
+        store = stores[name]
+        df = store.read(ts)
+        alias = store.handle_alias()
+        if alias:
+            df = df.withColumnRenamed("_tidb_rowid", alias)
+        df.createOrReplaceTempView(view)
+        return view
+    return _ASOF.sub(sub, sql)
+
+
 # introspection statements — the first things any MySQL session runs
 _SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
 _DESCRIBE = re.compile(
@@ -624,13 +651,15 @@ def run_sql(
         else:
             # INSERT INTO ... SELECT — the batch is the query result
             # (reads the PLAN-TIME view snapshots, so self-inserts see
-            # the pre-statement table, standard SQL)
-            rows = spark.sql(
-                _MYSQL_LIMIT.sub(
-                    lambda mm: f"LIMIT {mm.group(2)} OFFSET {mm.group(1)}",
-                    m.group("sel"),
-                )
+            # the pre-statement table, standard SQL); AS OF TIMESTAMP
+            # references resolve here too (restore-from-history inserts)
+            sel = _MYSQL_LIMIT.sub(
+                lambda mm: f"LIMIT {mm.group(2)} OFFSET {mm.group(1)}",
+                m.group("sel"),
             )
+            if _ASOF.search(sel):
+                sel = _rewrite_asof(spark, sel, stores)
+            rows = spark.sql(sel)
         gen = store.current_gen()
         alias = store.handle_alias()
         if m.group("cols"):
@@ -789,4 +818,6 @@ def run_sql(
             "table_name string, op string, rows_affected long",
         )
     sql = _MYSQL_LIMIT.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
+    if _ASOF.search(sql):
+        sql = _rewrite_asof(spark, sql, stores)
     return spark.sql(sql)
