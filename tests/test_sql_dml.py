@@ -403,3 +403,71 @@ def test_insert_select_as_of_restores_history(spark, tmp_path):
     )
     got = {r.pk: r.v for r in run_sql(spark, "SELECT * FROM pitr", stores).collect()}
     assert got == {1: 10, 2: 20, 3: 30}
+
+
+def test_insert_select_large_batch_sparse_ids(spark, tmp_path):
+    """Scale path: a 500k-row INSERT ... SELECT gets distributed sparse
+    auto-rowids (monotonically_increasing_id) — unique across partitions,
+    floored above the pre-statement max, no shuffle imposed; a follow-up
+    statement allocates above the gaps."""
+    stores = {}
+    run_sql(
+        spark,
+        "CREATE TABLE big (v BIGINT)",
+        stores, base_path=str(tmp_path),
+    )
+    run_sql(spark, "INSERT INTO big VALUES (0)", stores)
+    run_sql(
+        spark,
+        "INSERT INTO big SELECT id AS v FROM range(500000)",
+        stores,
+    )
+    store = stores["big"]
+    from pyspark.sql import functions as F
+
+    stats = store.read().agg(
+        F.count("*").alias("n"),
+        F.countDistinct("_tidb_rowid").alias("nh"),
+        F.min("_tidb_rowid").alias("lo"),
+    ).collect()[0]
+    assert stats.n == 500_001 and stats.nh == 500_001
+    assert stats.lo == 1  # the VALUES row kept the dense floor
+    prior_max = store.max_handle()
+    run_sql(spark, "INSERT INTO big VALUES (7)", stores)
+    assert store.max_handle() == prior_max + 1  # floored above the gaps
+
+
+def test_information_schema_virtual_tables(spark, tmp_path):
+    """read_system_table.test rhythm: tiflash_replica one row per
+    registered table; tiflash_segments/tiflash_tables expose the store's
+    DT_* rows under a tidb_table column, filterable in plain SQL."""
+    stores = {}
+    run_sql(
+        spark,
+        "CREATE TABLE ts (pk BIGINT NOT NULL, a INT, PRIMARY KEY CLUSTERED (pk))",
+        stores, base_path=str(tmp_path),
+    )
+    run_sql(spark, "INSERT INTO ts VALUES (1, 1), (2, 2), (3, 3)", stores)
+    [r] = run_sql(
+        spark,
+        "SELECT table_name, replica_count, available, progress "
+        "FROM information_schema.tiflash_replica",
+        stores,
+    ).collect()
+    assert (r.table_name, r.replica_count, r.available, r.progress) == ("ts", 1, 1, 1.0)
+    stores["ts"].compact(ts=stores["ts"].newest_version(), num_segments=2)
+    rows = run_sql(
+        spark,
+        "SELECT tidb_table, seg, stable_rows FROM "
+        "information_schema.tiflash_segments WHERE tidb_table = 'ts' "
+        "ORDER BY seg",
+        stores,
+    ).collect()
+    assert [r2.tidb_table for r2 in rows] == ["ts", "ts"]
+    assert sum(r2.stable_rows for r2 in rows) == 3
+    [t] = run_sql(
+        spark,
+        "SELECT tidb_table, stable_rows FROM information_schema.tiflash_tables",
+        stores,
+    ).collect()
+    assert (t.tidb_table, t.stable_rows) == ("ts", 3)

@@ -102,6 +102,65 @@ def _rewrite_asof(spark, sql: str, stores) -> str:
     return _ASOF.sub(sub, sql)
 
 
+# information_schema virtual tables (fullstack-test/system-table/
+# read_system_table.test): tiflash_segments / tiflash_tables join every
+# registered store's DT_SEGMENTS/DT_TABLES rows under a tidb_table
+# column; tiflash_replica reports one always-available row per store
+# (the local engine IS the replica). References are rewritten to temp
+# views materialized at statement time.
+_INFOSCHEMA = re.compile(
+    r"\binformation_schema\s*\.\s*"
+    r"(?P<which>tiflash_segments|tiflash_tables|tiflash_replica)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_infoschema(spark, sql: str, stores) -> str:
+    def sub(m: re.Match) -> str:
+        which = m.group("which").lower()
+        view = f"_infoschema_{which}"
+        dfs = []
+        for name, store in sorted((stores or {}).items()):
+            if which == "tiflash_segments":
+                df = store.system_dt_segments().withColumn("tidb_table", F.lit(name))
+            elif which == "tiflash_tables":
+                df = store.system_dt_tables().withColumn("tidb_table", F.lit(name))
+            else:
+                df = spark.createDataFrame(
+                    [(name, 1, 1, 1.0)],
+                    "table_name string, replica_count int, available int,"
+                    " progress double",
+                )
+            dfs.append(df)
+        if not dfs:
+            if which == "tiflash_replica":
+                out = spark.createDataFrame(
+                    [],
+                    "table_name string, replica_count int, available int,"
+                    " progress double",
+                )
+            elif which == "tiflash_segments":
+                out = spark.createDataFrame(
+                    [],
+                    "seg int, range_lo string, range_hi string, stable_rows long,"
+                    " stable_bytes long, delta_rows long, zonemap boolean,"
+                    " inverted_cols int, vector_cols int, fulltext_cols int,"
+                    " tidb_table string",
+                )
+            else:
+                out = None  # empty registry: let the analyzer report it
+            if out is None:
+                return m.group(0)
+        else:
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+        out.createOrReplaceTempView(view)
+        return view
+
+    return _INFOSCHEMA.sub(sub, sql)
+
+
 # introspection statements — the first things any MySQL session runs
 _SHOW_TABLES = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
 _DESCRIBE = re.compile(
@@ -820,4 +879,6 @@ def run_sql(
     sql = _MYSQL_LIMIT.sub(lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
     if _ASOF.search(sql):
         sql = _rewrite_asof(spark, sql, stores)
+    if _INFOSCHEMA.search(sql):
+        sql = _rewrite_infoschema(spark, sql, stores)
     return spark.sql(sql)
