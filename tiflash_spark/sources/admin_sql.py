@@ -199,8 +199,37 @@ _INSERT_SEL = re.compile(
 # auto-allocated rowid and the PK columns stay ordinary columns.
 _CREATE = re.compile(
     rf"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QTBL}\s*"
-    r"\((?P<body>.+)\)\s*;?\s*$",
+    r"\((?P<body>.+?)\)\s*"
+    r"(?:PARTITION\s+BY\s+RANGE\s*\(\s*`?(?P<pcol>\w+)`?\s*\)\s*"
+    r"\(\s*(?P<pdefs>.+?)\s*\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_PDEF = re.compile(
+    r"^PARTITION\s+`?(?P<name>\w+)`?\s+VALUES\s+LESS\s+THAN\s+"
+    r"(?:\(\s*(?P<val>-?\d+)\s*\)|\(?\s*(?P<max>MAXVALUE)\s*\)?)\s*$",
+    re.IGNORECASE,
+)
+
+# partition DDL (fullstack-test2/ddl/partitions/): ADD / DROP /
+# TRUNCATE / EXCHANGE PARTITION
+_ADD_PART = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_QTBL}\s+ADD\s+PARTITION\s*"
+    r"\(\s*(?P<pdef>PARTITION\s+.+?)\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_PART = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_QTBL}\s+DROP\s+PARTITION\s+`?(?P<part>\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_TRUNC_PART = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_QTBL}\s+TRUNCATE\s+PARTITION\s+`?(?P<part>\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_XCHG_PART = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_QTBL}\s+EXCHANGE\s+PARTITION\s+`?(?P<part>\w+)`?"
+    r"\s+WITH\s+TABLE\s+(?:`?\w+`?\.)?`?(?P<other>\w+)`?"
+    r"(?:\s+WITHOUT\s+VALIDATION)?\s*;?\s*$",
+    re.IGNORECASE,
 )
 _DROP = re.compile(
     rf"^\s*DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?{_QTBL}\s*;?\s*$",
@@ -423,6 +452,54 @@ def run_sql(
             [(name, m.group("idx"), kind, col, int(segs))],
             "table_name string, index_name string, index_kind string,"
             " column_name string, segments_covered long",
+        )
+    m = _ADD_PART.match(sql)
+    if m:
+        name = m.group("tbl")
+        store = _dml_store(stores, name, "ALTER TABLE ... ADD PARTITION")
+        pm = _PDEF.match(m.group("pdef").strip())
+        if not pm:
+            raise ValueError(f"ADD PARTITION: bad definition {m.group('pdef')!r}")
+        store.add_partition(
+            pm.group("name"), None if pm.group("max") else int(pm.group("val"))
+        )
+        store.as_view(name)
+        return spark.createDataFrame(
+            [(name, pm.group("name"), "add_partition")],
+            "table_name string, partition_name string, op string",
+        )
+    m = _DROP_PART.match(sql)
+    if m:
+        name = m.group("tbl")
+        store = _dml_store(stores, name, "ALTER TABLE ... DROP PARTITION")
+        store.drop_partition(m.group("part"))
+        store.as_view(name)
+        return spark.createDataFrame(
+            [(name, m.group("part"), "drop_partition")],
+            "table_name string, partition_name string, op string",
+        )
+    m = _TRUNC_PART.match(sql)
+    if m:
+        name = m.group("tbl")
+        store = _dml_store(stores, name, "ALTER TABLE ... TRUNCATE PARTITION")
+        store.truncate_partition(m.group("part"))
+        store.as_view(name)
+        return spark.createDataFrame(
+            [(name, m.group("part"), "truncate_partition")],
+            "table_name string, partition_name string, op string",
+        )
+    m = _XCHG_PART.match(sql)
+    if m:
+        name, other = m.group("tbl"), m.group("other")
+        store = _dml_store(stores, name, "ALTER TABLE ... EXCHANGE PARTITION")
+        other_store = _dml_store(stores, other, "EXCHANGE PARTITION WITH TABLE")
+        stores[other] = store.exchange_partition(m.group("part"), other_store)
+        store.as_view(name)
+        stores[other].as_view(other)
+        return spark.createDataFrame(
+            [(name, m.group("part"), other, "exchange_partition")],
+            "table_name string, partition_name string, other_table string,"
+            " op string",
         )
     m = _DROP_INDEX.match(sql)
     if m:
@@ -651,7 +728,30 @@ def run_sql(
                     f"CREATE TABLE {name}: PRIMARY KEY column {pk_cols[0]!r} undeclared"
                 )
             pk, pk_type = pk_cols[0], hit[0][1]
-        store = DeltaStore(spark, _os.path.join(base_path, name))
+        if m.group("pcol"):
+            from tiflash_spark.sources.partitioned import PartitionedStore
+
+            pcol = m.group("pcol")
+            if pcol not in order:
+                raise ValueError(
+                    f"CREATE TABLE {name}: partition column {pcol!r} undeclared"
+                )
+            pdefs = []
+            for item in _split_top_level(m.group("pdefs")):
+                pm = _PDEF.match(item.strip())
+                if not pm:
+                    raise ValueError(
+                        f"CREATE TABLE {name}: bad partition def {item!r}"
+                    )
+                pdefs.append(
+                    (pm.group("name"),
+                     None if pm.group("max") else int(pm.group("val")))
+                )
+            store = PartitionedStore.create(
+                spark, _os.path.join(base_path, name), pcol, pdefs
+            )
+        else:
+            store = DeltaStore(spark, _os.path.join(base_path, name))
         store._write_schema_versions(
             [
                 {
