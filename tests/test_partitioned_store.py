@@ -132,3 +132,18 @@ def test_exchange_partition(spark, tmp_path):
     # post-exchange DML keeps working on both
     run_sql(spark, "INSERT INTO e VALUES (3, 'd')", stores)
     assert run_sql(spark, "SELECT * FROM e").count() == 3
+
+
+def test_show_create_partitioned_table(spark, tmp_path):
+    stores = {}
+    run_sql(
+        spark,
+        "CREATE TABLE sc (id INT NOT NULL, v INT, PRIMARY KEY CLUSTERED (id)) "
+        "PARTITION BY RANGE (id) (PARTITION p0 VALUES LESS THAN (50), "
+        "PARTITION p1 VALUES LESS THAN (MAXVALUE))",
+        stores, base_path=str(tmp_path),
+    )
+    ddl = run_sql(spark, "SHOW CREATE TABLE sc", stores).collect()[0].create_table
+    assert "PARTITION BY RANGE (`id`)" in ddl
+    assert "PARTITION `p0` VALUES LESS THAN (50)" in ddl
+    assert "PARTITION `p1` VALUES LESS THAN (MAXVALUE)" in ddl

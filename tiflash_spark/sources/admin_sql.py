@@ -672,6 +672,13 @@ def run_sql(
                   "vector": "VECTOR INDEX"}[ent["kind"]]
             parts.append(f"{kw} `{iname}` (`{ent['col']}`)")
         ddl = f"CREATE TABLE `{name}` (\n  " + ",\n  ".join(parts) + "\n)"
+        if hasattr(store, "parts"):  # range-partitioned: render the clause
+            pdefs = ", ".join(
+                f"PARTITION `{p['name']}` VALUES LESS THAN "
+                + ("(MAXVALUE)" if p["upper"] is None else f"({p['upper']})")
+                for p in store.parts
+            )
+            ddl += f"\nPARTITION BY RANGE (`{store.pcol}`) ({pdefs})"
         return spark.createDataFrame(
             [(name, ddl)], "table_name string, create_table string"
         )
