@@ -147,3 +147,32 @@ def test_show_create_partitioned_table(spark, tmp_path):
     assert "PARTITION BY RANGE (`id`)" in ddl
     assert "PARTITION `p0` VALUES LESS THAN (50)" in ddl
     assert "PARTITION `p1` VALUES LESS THAN (MAXVALUE)" in ddl
+
+
+def test_update_partition_column_moves_rows(spark, tmp_path):
+    """MySQL row movement: an UPDATE that changes the partition column
+    relocates the row to its new physical table — the old partition must
+    not keep a ghost copy."""
+    stores = {}
+    run_sql(
+        spark,
+        "CREATE TABLE mv (id BIGINT NOT NULL, grp BIGINT, v VARCHAR(10), "
+        "PRIMARY KEY CLUSTERED (id)) PARTITION BY RANGE (grp) "
+        "(PARTITION p0 VALUES LESS THAN (10), "
+        "PARTITION p1 VALUES LESS THAN (MAXVALUE))",
+        stores, base_path=str(tmp_path),
+    )
+    store = stores["mv"]
+    run_sql(spark, "INSERT INTO mv VALUES (1, 5, 'a'), (2, 15, 'b')", stores)
+    # move row 1 from p0 to p1; row 2 updates in place (stays p1)
+    r = run_sql(spark, "UPDATE mv SET grp = grp + 10, v = concat(v, '!')",
+                stores).collect()[0]
+    assert r.rows_affected == 2
+    got = {x.id: (x.grp, x.v) for x in run_sql(spark, "SELECT * FROM mv").collect()}
+    assert got == {1: (15, "a!"), 2: (25, "b!")}
+    # physical placement: p0 holds nothing visible, p1 holds both
+    assert store.stores["p0"].read().count() == 0
+    assert store.stores["p1"].read().count() == 2
+    # in-place update (same partition) also survives the two-version path
+    run_sql(spark, "UPDATE mv SET grp = grp WHERE id = 2", stores)
+    assert run_sql(spark, "SELECT * FROM mv").count() == 2

@@ -942,7 +942,25 @@ def run_sql(
                         for c in stored
                     ],
                 )
-                store.write_batch(out, version=store.newest_version() + 1)
+                v = store.newest_version() + 1
+                if getattr(store, "pcol", None) in sets:
+                    # updating the PARTITION column moves rows between
+                    # physical tables (MySQL row movement): upsert the
+                    # new row at v+1 FIRST, then tombstone the old row
+                    # (routed by its old value) at v. Writing the higher
+                    # version first makes the pair robust to plan
+                    # re-evaluation between the two writes — a v-level
+                    # tombstone can only ever shadow rows at versions
+                    # <= v, never the v+1 upsert, and an in-place update
+                    # (same partition, same handle) resolves to the
+                    # upsert by the same version ordering.
+                    store.write_batch(out, version=v + 1)
+                    old = matched.select(
+                        F.col(hname).alias(HANDLE), *[F.col(c) for c in stored]
+                    )
+                    store.write_batch(old, version=v, delete=True)
+                else:
+                    store.write_batch(out, version=v)
         finally:
             matched.unpersist()
         store.as_view(name)
