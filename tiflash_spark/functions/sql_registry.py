@@ -212,6 +212,14 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         " THEN sign(x) * floor(abs(x) * pow(10, d) + 0.5) / pow(10, d)"
         " ELSE sign(x) * floor(abs(x) / pow(10, -d) + 0.5) * pow(10, -d) END",
     ),
+    "nulleq": (
+        # MySQL NULLEQ(a, b) — the <=> operator as a named function
+        # (reference tests/fullstack-test/expr/nulleq.test); never NULL,
+        # prints as 0/1
+        "a DOUBLE, b DOUBLE",
+        "INT",
+        "CAST(a <=> b AS INT)",
+    ),
     "vec_from_text": (
         "s STRING",
         "ARRAY<DOUBLE>",

@@ -237,9 +237,12 @@ _DROP = re.compile(
 )
 
 _COLDEF = re.compile(
-    r"^`?(?P<name>\w+)`?\s+(?P<type>\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
-    r"(?P<uns>\s+UNSIGNED)?"
+    # type args cover both numeric (decimal(10,2), varchar(64)) and the
+    # member lists of ENUM('a','b') / SET('a','b')
+    r"^`?(?P<name>\w+)`?\s+(?P<type>\w+(?:\s*\([^)]*\))?)"
+    r"(?P<uns>\s+UNSIGNED)?(?:\s+ZEROFILL)?"
     r"(?:\s+(?P<notnull>NOT\s+NULL)|\s+NULL)?"
+    r"(?:\s+AUTO_INCREMENT)?"  # rowid allocation is the store's anyway
     r"(?:\s+DEFAULT\s+(?P<dflt>'[^']*'|[^\s,]+))?"
     r"(?P<inline_pk>\s+PRIMARY\s+KEY)?\s*$",
     re.IGNORECASE,
@@ -283,7 +286,8 @@ def _mysql_type_to_spark(t: str, unsigned: bool) -> str:
     if unsigned and out in _UNSIGNED_WIDEN:
         out = _UNSIGNED_WIDEN[out]
     if out == "decimal":
-        out = f"decimal({args.rstrip(')').replace(' ', '')})" if args else "decimal(10,0)"
+        args = args.rstrip(")").replace(" ", "")
+        out = f"decimal({args})" if args else "decimal(10,0)"
     return out
 
 
@@ -812,20 +816,6 @@ def run_sql(
 
         name = m.group("tbl")
         store = _dml_store(stores, name, "INSERT INTO")
-        if "vals" in m.groupdict() and m.group("vals") is not None:
-            rows = spark.sql(f"SELECT * FROM VALUES {m.group('vals')}")
-        else:
-            # INSERT INTO ... SELECT — the batch is the query result
-            # (reads the PLAN-TIME view snapshots, so self-inserts see
-            # the pre-statement table, standard SQL); AS OF TIMESTAMP
-            # references resolve here too (restore-from-history inserts)
-            sel = _MYSQL_LIMIT.sub(
-                lambda mm: f"LIMIT {mm.group(2)} OFFSET {mm.group(1)}",
-                m.group("sel"),
-            )
-            if _ASOF.search(sel):
-                sel = _rewrite_asof(spark, sel, stores)
-            rows = spark.sql(sel)
         gen = store.current_gen()
         alias = store.handle_alias()
         if m.group("cols"):
@@ -850,6 +840,46 @@ def run_sql(
                 ]
         if alias:
             cols = [HANDLE if c == alias else c for c in cols]
+        if "vals" in m.groupdict() and m.group("vals") is not None:
+            # MySQL types each VALUES cell by its TARGET column, not by
+            # unifying the column of literals — a char column accepts
+            # (0),('with'),(null) in one statement. Wrap every cell in a
+            # CAST to the stored type so Spark's inline-table resolver
+            # never has to reconcile mixed literal types.
+            stored_types = dict(store.log().dtypes)
+            types = [stored_types.get(c) for c in cols]
+            typed = []
+            for tup in _split_top_level(m.group("vals")):
+                tup = tup.strip()
+                if not (tup.startswith("(") and tup.endswith(")")):
+                    raise ValueError(f"INSERT INTO {name}: bad VALUES row {tup!r}")
+                cells = _split_top_level(tup[1:-1])
+                if len(cells) != len(cols):
+                    raise ValueError(
+                        f"INSERT INTO {name}: {len(cells)} values per row "
+                        f"for {len(cols)} columns {cols}"
+                    )
+                typed.append(
+                    "("
+                    + ", ".join(
+                        f"CAST(({cell}) AS {ty})" if ty else f"({cell})"
+                        for cell, ty in zip(cells, types)
+                    )
+                    + ")"
+                )
+            rows = spark.sql("SELECT * FROM VALUES " + ", ".join(typed))
+        else:
+            # INSERT INTO ... SELECT — the batch is the query result
+            # (reads the PLAN-TIME view snapshots, so self-inserts see
+            # the pre-statement table, standard SQL); AS OF TIMESTAMP
+            # references resolve here too (restore-from-history inserts)
+            sel = _MYSQL_LIMIT.sub(
+                lambda mm: f"LIMIT {mm.group(2)} OFFSET {mm.group(1)}",
+                m.group("sel"),
+            )
+            if _ASOF.search(sel):
+                sel = _rewrite_asof(spark, sel, stores)
+            rows = spark.sql(sel)
         if len(rows.columns) != len(cols):
             raise ValueError(
                 f"INSERT INTO {name}: {len(rows.columns)} values per row "

@@ -1,0 +1,291 @@
+"""Run the reference's own fullstack ``.test`` scripts, verbatim, against
+the SQL surface (sources/admin_sql.run_sql + the DeltaStore engine).
+
+The reference drives every end-to-end test through mysql-client scripts
+(``tests/fullstack-test*/**/*.test``) executed by ``tests/run-test.py``:
+``mysql>``-prefixed statements, followed (for queries) by the expected
+result rendered as an ASCII table. This module parses that grammar and
+replays the scripts here — the statements are NOT copied into this repo;
+they are read from the reference tree at run time and skipped when it is
+absent.
+
+Comparison mirrors ``run-test.py``'s ``MySQLCompare`` exactly where it
+matters (tests/run-test.py:220-251): each table line is split on ``|``,
+cells are whitespace-stripped, empty cells are dropped, and rows are
+compared as an unordered multiset. On top of that, cells are compared by
+*value*, not rendering — ``1.00`` equals ``1.0``, ``2020-01-01
+00:00:00.000000`` equals ``2020-01-01 00:00:00`` — because this engine's
+display layer (Spark) is not MySQL's. Column header names are checked
+for arity only, not spelling (Spark's auto-generated names differ, e.g.
+``(b + 1)`` vs ``b + 1``; scripts that care alias explicitly).
+
+Statement shims (each a session-environment difference, not a semantic
+one):
+- ``set [session|global] ...`` statements are dropped: engine selection
+  (tidb_isolation_read_engines / tidb_enforce_mpp / tidb_allow_mpp) is
+  vacuous here — this engine IS the columnar replica.
+- ``alter table t set tiflash replica N`` and ``func> wait_table`` are
+  no-ops: tables are replicated at write time.
+- The ``test.`` schema qualifier is stripped; scripts use a single
+  database.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from datetime import date, datetime
+from decimal import Decimal, InvalidOperation
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+REFERENCE_TESTS = Path("/root/reference/tests")
+
+_MYSQL_PROMPT = "mysql> "
+_FUNC_PROMPT = "func> "
+_SLEEP_PROMPT = "SLEEP "
+_REGEXP_MARK = "{#REGEXP}"
+
+
+@dataclass
+class Step:
+    sql: str
+    lineno: int
+    expected: list[list[str]] | None = None  # parsed data rows (header dropped)
+    expected_ncols: int | None = None
+    unchecked: bool = False  # expected block used {#REGEXP} → execute only
+
+
+@dataclass
+class ScriptResult:
+    path: str
+    steps_run: int = 0
+    checked: int = 0
+    unchecked: int = 0
+    mismatches: list[str] = field(default_factory=list)
+
+    @property
+    def ok(self) -> bool:
+        return not self.mismatches
+
+
+def _split_statements(line: str) -> list[str]:
+    """Split a mysql> line into ';'-separated statements, quote-aware."""
+    parts: list[str] = []
+    buf: list[str] = []
+    q: str | None = None
+    i = 0
+    while i < len(line):
+        ch = line[i]
+        if q:
+            buf.append(ch)
+            if ch == "\\" and i + 1 < len(line):
+                buf.append(line[i + 1])
+                i += 2
+                continue
+            if ch == q:
+                q = None
+        elif ch in ("'", '"', "`"):
+            q = ch
+            buf.append(ch)
+        elif ch == ";":
+            s = "".join(buf).strip()
+            if s:
+                parts.append(s)
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    s = "".join(buf).strip()
+    if s:
+        parts.append(s)
+    return parts
+
+
+def _parse_table_line(line: str) -> list[str]:
+    # run-test.py:220-222 — strip cells, drop empties
+    return [w.strip() for w in line.split("|") if w.strip() != ""]
+
+
+def parse_script(path: str | Path) -> list[Step]:
+    steps: list[Step] = []
+    pending: Step | None = None
+    table_lines_seen = 0
+    for lineno, raw in enumerate(Path(path).read_text().splitlines(), 1):
+        line = raw.rstrip()
+        if line.startswith(_MYSQL_PROMPT):
+            pending = None
+            table_lines_seen = 0
+            body = line[len(_MYSQL_PROMPT):]
+            # trailing directive comments (#NO_UNESCAPE) — the unescape
+            # concern is the mysql client's, not ours
+            body = re.sub(r"\s+#\w+\s*$", "", body)
+            for stmt in _split_statements(body):
+                if re.match(r"(?i)^set\s", stmt):
+                    continue  # session vars — see module docstring
+                steps.append(Step(sql=stmt, lineno=lineno))
+                pending = steps[-1]
+            continue
+        if line.startswith(_FUNC_PROMPT) or line.startswith(_SLEEP_PROMPT):
+            pending = None
+            continue
+        if not line.strip() or (line.startswith("#") and _REGEXP_MARK not in line):
+            if not line.strip():
+                pending = None
+            continue
+        if pending is None:
+            continue
+        # expected-output block for the pending statement
+        if line.startswith(_REGEXP_MARK):
+            pending.unchecked = True
+            continue
+        if line.startswith("+"):
+            continue  # table border
+        cells = _parse_table_line(line)
+        if not cells:
+            continue
+        table_lines_seen += 1
+        if table_lines_seen == 1:
+            # header row — arity only (see module docstring)
+            pending.expected_ncols = len(line.split("|")) - 2
+            pending.expected = []
+        else:
+            assert pending.expected is not None
+            pending.expected.append(cells)
+    return steps
+
+
+# --- value canonicalization -------------------------------------------------
+
+_DT_RE = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d+)?$")
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_NUM_RE = re.compile(r"^-?(\d+(\.\d*)?|\.\d+)([eE][-+]?\d+)?$")
+
+
+def _canon_cell(cell: str):
+    if cell == "NULL":
+        return ("null",)
+    if _DT_RE.match(cell):
+        return ("dt", datetime.fromisoformat(cell.replace(" ", "T")))
+    if _DATE_RE.match(cell):
+        return ("date", date.fromisoformat(cell))
+    if _NUM_RE.match(cell):
+        try:
+            d = Decimal(cell)
+            # floats round-trip through %.10g so display-precision noise
+            # (0.30000000000000004 vs 0.3) compares equal
+            return ("num", Decimal(f"{d:.10g}").normalize())
+        except InvalidOperation:
+            pass
+    return ("str", cell)
+
+
+def _format_value(v) -> str:
+    """Render one result value the way the mysql client would."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, float):
+        return f"{v:.10g}"
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f") if v.microsecond else v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, (bytes, bytearray)):
+        return v.decode("utf-8", "backslashreplace")
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_format_value(x) for x in v) + "]"
+    return str(v)
+
+
+def _canon_rows(rows: list[list[str]]):
+    from collections import Counter
+
+    return Counter(tuple(_canon_cell(c) for c in row) for row in rows)
+
+
+# --- execution --------------------------------------------------------------
+
+_TIFLASH_REPLICA = re.compile(
+    r"(?i)^alter\s+table\s+\S+\s+set\s+tiflash\s+replica\s+\d+"
+)
+_ANALYZE = re.compile(r"(?i)^analyze\s+table\s")
+_TEST_SCHEMA = re.compile(r"(?i)\btest\.(?=`?\w)")
+
+
+def run_script(
+    spark: SparkSession,
+    path: str | Path,
+    base_path: str,
+) -> ScriptResult:
+    """Replay one .test script; returns per-step value-compare results."""
+    from tiflash_spark.sources.admin_sql import run_sql
+
+    res = ScriptResult(path=str(path))
+    stores: dict = {}
+    # MySQL evaluates non-strictly in SELECT: overflowing casts clamp,
+    # bad parses yield 0/NULL, x/0 is NULL. That is Spark's non-ANSI
+    # dialect, so the replay runs with ANSI off (Spark 4 defaults on)
+    # and restores the session conf afterwards.
+    prev_ansi = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        _run_steps(spark, run_sql, path, stores, base_path, res)
+    finally:
+        if prev_ansi is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+    return res
+
+
+def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
+    for step in parse_script(path):
+        sql = _TEST_SCHEMA.sub("", step.sql)
+        if _TIFLASH_REPLICA.match(sql) or _ANALYZE.match(sql):
+            continue
+        loc = f"{Path(path).name}:{step.lineno}"
+        try:
+            df = run_sql(spark, sql, stores, base_path=base_path)
+        except Exception as e:  # noqa: BLE001 — reported, not swallowed
+            if step.unchecked:
+                res.unchecked += 1
+                continue
+            res.mismatches.append(f"{loc}: {sql!r} raised {type(e).__name__}: {e}")
+            continue
+        res.steps_run += 1
+        if step.unchecked:
+            res.unchecked += 1
+            continue
+        if step.expected is None:
+            if re.match(r"(?i)\s*select\b", sql):
+                # a SELECT with no expected block means the mysql client
+                # printed nothing — the result must be empty
+                # (in_expression.test's "Expected to be Empty" checks)
+                n = df.count()
+                if n:
+                    res.mismatches.append(
+                        f"{loc}: {sql!r} returned {n} rows, expected empty"
+                    )
+                else:
+                    res.checked += 1
+            continue
+        rows = df.collect()
+        got = [[_format_value(v) for v in row] for row in rows]
+        # mirror the reference's empty-cell drop on the actual side too
+        got = [[c for c in (x.strip() for x in r) if c != ""] for r in got]
+        ncols = len(df.columns)
+        if step.expected_ncols is not None and ncols != step.expected_ncols:
+            res.mismatches.append(
+                f"{loc}: {sql!r} returned {ncols} columns, expected {step.expected_ncols}"
+            )
+            continue
+        want_c, got_c = _canon_rows(step.expected), _canon_rows(got)
+        if want_c != got_c:
+            missing = list((want_c - got_c).elements())[:4]
+            extra = list((got_c - want_c).elements())[:4]
+            res.mismatches.append(
+                f"{loc}: {sql!r} rows differ — missing {missing} extra {extra}"
+            )
+        else:
+            res.checked += 1
