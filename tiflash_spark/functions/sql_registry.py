@@ -212,6 +212,139 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         " THEN sign(x) * floor(abs(x) * pow(10, d) + 0.5) / pow(10, d)"
         " ELSE sign(x) * floor(abs(x) / pow(10, -d) + 0.5) * pow(10, -d) END",
     ),
+    "adddate": (
+        # 2-arg ADDDATE(date, days) — a real day count rounds to the
+        # nearest integer (TiDB rounds the REAL before the interval add;
+        # reference expr/adddate_string_real.test). Soft date parse.
+        "d STRING, n DOUBLE",
+        "DATE",
+        "date_add(try_cast(d AS DATE), CAST(round(n) AS INT))",
+    ),
+    "subdate": (
+        "d STRING, n DOUBLE",
+        "DATE",
+        "date_add(try_cast(d AS DATE), -CAST(round(n) AS INT))",
+    ),
+    "strcmp": (
+        "a STRING, b STRING",
+        "INT",
+        "CASE WHEN a < b THEN -1 WHEN a = b THEN 0 WHEN a > b THEN 1 END",
+    ),
+    "istrue": (
+        # x IS TRUE — MySQL truthiness as a named function: NULL -> 0,
+        # nonzero -> 1 (TiDB istrue, expr/is_true_false.test)
+        "x DOUBLE",
+        "INT",
+        "CASE WHEN x IS NULL THEN 0 ELSE CAST(x <> 0 AS INT) END",
+    ),
+    "isfalse": (
+        "x DOUBLE",
+        "INT",
+        "CASE WHEN x IS NULL THEN 0 ELSE CAST(x = 0 AS INT) END",
+    ),
+    "format": (
+        "x DOUBLE, d INT",
+        "STRING",
+        "format_number(x, d)",
+    ),
+    "get_format": (
+        # GET_FORMAT(type, location) — the type keyword is quoted by the
+        # statement rewriter (admin_sql._GET_FORMAT_KW)
+        "t STRING, loc STRING",
+        "STRING",
+        "CASE upper(t)"
+        " WHEN 'DATE' THEN CASE upper(loc)"
+        "  WHEN 'USA' THEN '%m.%d.%Y' WHEN 'JIS' THEN '%Y-%m-%d'"
+        "  WHEN 'ISO' THEN '%Y-%m-%d' WHEN 'EUR' THEN '%d.%m.%Y'"
+        "  WHEN 'INTERNAL' THEN '%Y%m%d' END"
+        " WHEN 'TIME' THEN CASE upper(loc)"
+        "  WHEN 'USA' THEN '%h:%i:%s %p' WHEN 'JIS' THEN '%H:%i:%s'"
+        "  WHEN 'ISO' THEN '%H:%i:%s' WHEN 'EUR' THEN '%H.%i.%s'"
+        "  WHEN 'INTERNAL' THEN '%H%i%s' END"
+        " ELSE CASE upper(loc)"  # DATETIME / TIMESTAMP
+        "  WHEN 'USA' THEN '%Y-%m-%d %H.%i.%s' WHEN 'JIS' THEN '%Y-%m-%d %H:%i:%s'"
+        "  WHEN 'ISO' THEN '%Y-%m-%d %H:%i:%s' WHEN 'EUR' THEN '%Y-%m-%d %H.%i.%s'"
+        "  WHEN 'INTERNAL' THEN '%Y%m%d%H%i%s' END"
+        " END",
+    ),
+    "is_ipv4": (
+        "s STRING",
+        "INT",
+        "CASE WHEN s IS NULL THEN 0"
+        r" WHEN s NOT RLIKE '^[0-9]{1,3}(\\.[0-9]{1,3}){3}$' THEN 0"
+        r" ELSE CAST(forall(split(s, '\\.'), x -> CAST(x AS INT) <= 255) AS INT)"
+        " END",
+    ),
+    "is_ipv6": (
+        # textbook validation: hex-and-colon charset, at most one '::',
+        # groups of 1-4 hex digits, 8 groups exactly (or fewer with one
+        # '::'), no stray single-colon edges. IPv4-mapped tails are not
+        # recognized (reference formatIPv6.cpp renders them; the checker
+        # here follows the pure-hex forms the expr suite exercises).
+        "s STRING",
+        "INT",
+        "CASE WHEN s IS NULL THEN 0"
+        " WHEN s NOT RLIKE '^[0-9A-Fa-f:]+$' THEN 0"
+        " WHEN s RLIKE ':::' THEN 0"
+        " WHEN NOT forall(filter(split(s, ':'), x -> x != ''),"
+        "   x -> x RLIKE '^[0-9A-Fa-f]{1,4}$') THEN 0"
+        " WHEN size(split(s, '::')) = 2 THEN"
+        "   CAST(size(filter(split(s, ':'), x -> x != '')) <= 7 AS INT)"
+        " ELSE CAST(size(filter(split(s, ':'), x -> x != '')) = 8"
+        "   AND s NOT RLIKE '^:' AND s NOT RLIKE ':$' AS INT)"
+        " END",
+    ),
+    "json_extract": (
+        # 1-path JSON_EXTRACT rendered MySQL-style (strings stay quoted,
+        # objects/arrays re-serialized) via the variant path
+        "doc STRING, p STRING",
+        "STRING",
+        "to_json(variant_get(try_parse_json(doc), p))",
+    ),
+    "json_length": (
+        "doc STRING",
+        "INT",
+        "CASE WHEN doc IS NULL OR try_parse_json(doc) IS NULL THEN NULL"
+        r" WHEN trim(doc) RLIKE '^\\[' THEN json_array_length(doc)"
+        r" WHEN trim(doc) RLIKE '^\\{' THEN size(json_object_keys(doc))"
+        " ELSE 1 END",
+    ),
+    "json_keys": (
+        "doc STRING",
+        "STRING",
+        "to_json(json_object_keys(doc))",
+    ),
+    "json_valid": (
+        "doc STRING",
+        "INT",
+        "CASE WHEN doc IS NULL THEN NULL"
+        " ELSE CAST(try_parse_json(doc) IS NOT NULL AS INT) END",
+    ),
+    # MySQL TRIM([BOTH|LEADING|TRAILING] remstr FROM str) removes the
+    # exact SUBSTRING repeatedly (Spark's trim removes a character set).
+    # The remstr is regex-quoted, then anchored-repeated-group stripped.
+    "_regex_quote": (
+        "s STRING",
+        "STRING",
+        r"regexp_replace(s, '([^A-Za-z0-9])', '\\\\$1')",
+    ),
+    "mysql_trim_leading": (
+        "r STRING, s STRING",
+        "STRING",
+        "CASE WHEN r IS NULL OR s IS NULL THEN NULL WHEN r = '' THEN s"
+        " ELSE regexp_replace(s, concat('^(?:', _regex_quote(r), ')+'), '') END",
+    ),
+    "mysql_trim_trailing": (
+        "r STRING, s STRING",
+        "STRING",
+        "CASE WHEN r IS NULL OR s IS NULL THEN NULL WHEN r = '' THEN s"
+        " ELSE regexp_replace(s, concat('(?:', _regex_quote(r), ')+$'), '') END",
+    ),
+    "mysql_trim_both": (
+        "r STRING, s STRING",
+        "STRING",
+        "mysql_trim_trailing(r, mysql_trim_leading(r, s))",
+    ),
     "nulleq": (
         # MySQL NULLEQ(a, b) — the <=> operator as a named function
         # (reference tests/fullstack-test/expr/nulleq.test); never NULL,

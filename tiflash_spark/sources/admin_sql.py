@@ -287,7 +287,19 @@ def _mysql_type_to_spark(t: str, unsigned: bool) -> str:
         out = _UNSIGNED_WIDEN[out]
     if out == "decimal":
         args = args.rstrip(")").replace(" ", "")
-        out = f"decimal({args})" if args else "decimal(10,0)"
+        if args:
+            p, _, s = args.partition(",")
+            p, s = int(p), int(s or 0)
+            if p > 38:
+                # MySQL allows p<=65; Spark caps at 38 (documented gap,
+                # SURVEY §1.2 / tests/test_decimal_semantics.py). Clamp
+                # by shedding fractional digits first so the integral
+                # range — what overflow semantics depend on — survives.
+                s = max(0, s - (p - 38))
+                p = 38
+            out = f"decimal({p},{s})"
+        else:
+            out = "decimal(10,0)"
     return out
 
 
@@ -358,6 +370,131 @@ _ADD_INDEX = re.compile(
 )
 
 
+def _match_paren(s: str, i: int) -> int:
+    """``i`` at '('; index of the matching ')' (quote-aware), or -1."""
+    depth = 0
+    q: str | None = None
+    while i < len(s):
+        ch = s[i]
+        if q:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == q:
+                q = None
+        elif ch in ("'", '"', "`"):
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+def _split_top_kw(s: str, kw: str, last: bool = False) -> tuple[str, str] | None:
+    """Split ``s`` at a top-level (outside parens/quotes) keyword."""
+    pat = re.compile(rf"(?i)\b{kw}\b")
+    depth = 0
+    q: str | None = None
+    hit = None
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if q:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == q:
+                q = None
+        elif ch in ("'", '"', "`"):
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(s, i)
+            if m:
+                hit = (s[:i], s[m.end():])
+                if not last:
+                    return hit
+                i = m.end()
+                continue
+        i += 1
+    return hit
+
+
+_MYSQL_CAST_TYPES = re.compile(
+    r"(?i)^\s*(?:(?P<signed>SIGNED(?:\s+INTEGER)?)|(?P<uns>UNSIGNED(?:\s+INTEGER)?)"
+    r"|(?P<char>CHAR(?:\s*\(\s*(?P<charn>\d+)\s*\))?)"
+    r"|(?P<dt>DATETIME(?:\s*\(\s*\d+\s*\))?))\s*$"
+)
+_CAST_TRIM_CALL = re.compile(r"(?i)\b(cast|trim)\s*\(")
+
+# GET_FORMAT(DATE, 'USA') — the first operand is a bare keyword in
+# MySQL's grammar; quote it so it reaches the SQL function as a string
+_GET_FORMAT_KW = re.compile(
+    r"(?i)\b(GET_FORMAT)\s*\(\s*(DATE|TIME|DATETIME|TIMESTAMP)\s*,"
+)
+
+
+def _rewrite_mysql_exprs(sql: str) -> str:
+    """Rewrite MySQL-only expression spellings onto the Spark dialect:
+    CAST(x AS SIGNED/UNSIGNED/CHAR(n)/DATETIME) (TiDB cast targets,
+    reference expr/cast_string_as_int.test) and the substring-trim forms
+    TRIM([BOTH|LEADING|TRAILING] remstr FROM str) — MySQL removes the
+    exact *substring* repeatedly, Spark's trim removes a character SET
+    (functions/sql_registry mysql_trim_*). Innermost-first fixpoint so
+    nested casts resolve."""
+    changed = True
+    while changed:
+        changed = False
+        for m in _CAST_TRIM_CALL.finditer(sql):
+            fn = m.group(1).lower()
+            op = m.end() - 1
+            cl = _match_paren(sql, op)
+            if cl < 0:
+                continue
+            inner = sql[op + 1 : cl]
+            if _CAST_TRIM_CALL.search(inner):
+                continue  # rewrite innermost calls first
+            rep = None
+            if fn == "cast":
+                parts = _split_top_kw(inner, "AS", last=True)
+                if parts:
+                    expr, ty = parts[0].strip(), parts[1].strip()
+                    tm = _MYSQL_CAST_TYPES.match(ty)
+                    if tm:
+                        if tm.group("signed"):
+                            rep = f"CAST({expr} AS BIGINT)"
+                        elif tm.group("uns"):
+                            rep = f"cast_unsigned({expr})"
+                        elif tm.group("char"):
+                            rep = (
+                                f"substring(CAST({expr} AS STRING), 1, {tm.group('charn')})"
+                                if tm.group("charn")
+                                else f"CAST({expr} AS STRING)"
+                            )
+                        elif tm.group("dt"):
+                            rep = f"CAST({expr} AS TIMESTAMP)"
+            else:  # trim
+                parts = _split_top_kw(inner, "FROM")
+                if parts:
+                    head, s_expr = parts[0].strip(), parts[1].strip()
+                    km = re.match(r"(?i)^(BOTH|LEADING|TRAILING)\b(.*)$", head)
+                    mode = km.group(1).lower() if km else "both"
+                    rem = (km.group(2) if km else head).strip() or "' '"
+                    rep = f"mysql_trim_{mode}({rem}, {s_expr})"
+            if rep is not None and rep != sql[m.start() : cl + 1]:
+                sql = sql[: m.start()] + rep + sql[cl + 1 :]
+                changed = True
+                break
+    return sql
+
+
 def run_sql(
     spark: SparkSession,
     sql: str,
@@ -370,6 +507,9 @@ def run_sql(
     current delta folded; later writes keep MVCC semantics), re-registers
     the table view (as_view snapshots are plan-time), and returns a
     one-row result the way TiDB returns an OK packet with info."""
+    if _CAST_TRIM_CALL.search(sql):
+        sql = _rewrite_mysql_exprs(sql)
+    sql = _GET_FORMAT_KW.sub(lambda m: f"{m.group(1)}('{m.group(2).upper()}',", sql)
     m = _EXPLAIN.match(sql)
     if m:
         from tiflash_spark.plans.explain import execution_profile, formatted_plan
@@ -809,6 +949,10 @@ def run_sql(
         except Exception:
             pass
         shutil.rmtree(store.path, ignore_errors=True)
+        # a CREATE at the same path must not see this table's cached file
+        # listings (DROP+CREATE is the opening move of every reference
+        # script)
+        spark.catalog.refreshByPath(store.path)
         return spark.createDataFrame([(name, "drop")], "table_name string, op string")
     m = _INSERT.match(sql) or _INSERT_SEL.match(sql)
     if m:

@@ -1122,11 +1122,19 @@ class DeltaStore:
         (or at a fixed ts for a stable-read view, the reference's stale
         read — docs/design/2023-02-21-tiflash-supports-stale-read.md).
         A declared PRIMARY KEY surfaces under its own name (the hidden
-        rowid IS the clustered pk, MutableSupport.h:44)."""
+        rowid IS the clustered pk, MutableSupport.h:44); tables declared
+        through CREATE TABLE without a clustered pk hide the auto rowid
+        from the view, matching MySQL's `SELECT *` (TiDB exposes
+        _tidb_rowid only when named explicitly — a temp view cannot
+        express name-only visibility, and every reference script reads
+        through `*` or declared names). Stores built directly against the
+        DeltaStore API (no table def) keep the handle visible."""
         df = self.read(ts)
         alias = self.handle_alias()
         if alias:
             df = df.withColumnRenamed(HANDLE, alias)
+        elif self.table_def() is not None:
+            df = df.drop(HANDLE)
         df.createOrReplaceTempView(name)
 
     # --- maintenance -------------------------------------------------------

@@ -122,7 +122,7 @@ def parse_script(path: str | Path) -> list[Step]:
             # concern is the mysql client's, not ours
             body = re.sub(r"\s+#\w+\s*$", "", body)
             for stmt in _split_statements(body):
-                if re.match(r"(?i)^set\s", stmt):
+                if re.match(r"(?i)^set\s", stmt) and not _SET_TZ.match(stmt):
                     continue  # session vars — see module docstring
                 steps.append(Step(sql=stmt, lineno=lineno))
                 pending = steps[-1]
@@ -167,9 +167,22 @@ def _canon_cell(cell: str):
     if cell == "NULL":
         return ("null",)
     if _DT_RE.match(cell):
-        return ("dt", datetime.fromisoformat(cell.replace(" ", "T")))
+        # a midnight datetime unifies with its date: MySQL displays
+        # DATE-typed results without a time part, this engine's
+        # TIMESTAMP-backed columns with one
+        d = datetime.fromisoformat(cell.replace(" ", "T"))
+        return ("dt", d.date()) if d.time() == d.min.time() else ("dt", d)
     if _DATE_RE.match(cell):
-        return ("date", date.fromisoformat(cell))
+        return ("dt", date.fromisoformat(cell))
+    if cell[:1] in "[{":
+        # JSON renderings differ in whitespace ("[1, 2]" vs "[1,2]") —
+        # compare parsed
+        try:
+            import json
+
+            return ("json", json.dumps(json.loads(cell), sort_keys=True))
+        except ValueError:
+            pass
     if _NUM_RE.match(cell):
         try:
             d = Decimal(cell)
@@ -209,6 +222,12 @@ def _canon_rows(rows: list[list[str]]):
 _TIFLASH_REPLICA = re.compile(
     r"(?i)^alter\s+table\s+\S+\s+set\s+tiflash\s+replica\s+\d+"
 )
+# `set time_zone = '+8:00'` is the one session variable with result
+# semantics (timestamp rendering) — mapped onto Spark's session timezone
+_SET_TZ = re.compile(
+    r"(?i)^set\s+(?:session\s+|@@(?:session\.)?)?time_zone\s*=\s*"
+    r"'(?P<tz>[^']+)'\s*$"
+)
 _ANALYZE = re.compile(r"(?i)^analyze\s+table\s")
 _TEST_SCHEMA = re.compile(r"(?i)\btest\.(?=`?\w)")
 
@@ -228,6 +247,7 @@ def run_script(
     # dialect, so the replay runs with ANSI off (Spark 4 defaults on)
     # and restores the session conf afterwards.
     prev_ansi = spark.conf.get("spark.sql.ansi.enabled", None)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
     spark.conf.set("spark.sql.ansi.enabled", "false")
     try:
         _run_steps(spark, run_sql, path, stores, base_path, res)
@@ -236,6 +256,10 @@ def run_script(
             spark.conf.unset("spark.sql.ansi.enabled")
         else:
             spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
+        if prev_tz is None:
+            spark.conf.unset("spark.sql.session.timeZone")
+        else:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
     return res
 
 
@@ -243,6 +267,15 @@ def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
     for step in parse_script(path):
         sql = _TEST_SCHEMA.sub("", step.sql)
         if _TIFLASH_REPLICA.match(sql) or _ANALYZE.match(sql):
+            continue
+        tzm = _SET_TZ.match(sql)
+        if tzm:
+            tz = tzm.group("tz")
+            spark.conf.set(
+                "spark.sql.session.timeZone",
+                "UTC" if tz.upper() == "SYSTEM" else f"GMT{tz}"
+                if tz[:1] in "+-" else tz,
+            )
             continue
         loc = f"{Path(path).name}:{step.lineno}"
         try:
