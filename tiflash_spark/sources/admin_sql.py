@@ -310,10 +310,17 @@ def _split_top_level(s: str) -> list[str]:
     buf: list[str] = []
     depth = 0
     q: str | None = None
+    skip_next = False
     for ch in s:
+        if skip_next:
+            buf.append(ch)
+            skip_next = False
+            continue
         if q:
             buf.append(ch)
-            if ch == q:
+            if ch == "\\":
+                skip_next = True  # MySQL backslash escapes ('it\'s')
+            elif ch == q:
                 q = None
             continue
         if ch in ("'", '"'):
@@ -432,13 +439,57 @@ _MYSQL_CAST_TYPES = re.compile(
     r"|(?P<char>CHAR(?:\s*\(\s*(?P<charn>\d+)\s*\))?)"
     r"|(?P<dt>DATETIME(?:\s*\(\s*\d+\s*\))?))\s*$"
 )
-_CAST_TRIM_CALL = re.compile(r"(?i)\b(cast|trim)\s*\(")
+_CAST_TRIM_CALL = re.compile(
+    r"(?i)\b(cast|trim|extract|json_keys|json_length|json_contains_path)\s*\("
+)
 
 # GET_FORMAT(DATE, 'USA') — the first operand is a bare keyword in
 # MySQL's grammar; quote it so it reaches the SQL function as a string
 _GET_FORMAT_KW = re.compile(
     r"(?i)\b(GET_FORMAT)\s*\(\s*(DATE|TIME|DATETIME|TIMESTAMP)\s*,"
 )
+
+# MySQL hex literals (0x1A) — numeric context; Spark has no such token
+_HEX_LITERAL = re.compile(r"\b0x([0-9A-Fa-f]+)\b")
+
+# TiDB optimizer hints (/*+ READ_FROM_STORAGE(TIFLASH[t]) */) — engine
+# routing has no meaning here and Spark's hint parser rejects the
+# syntax. Only hints naming TiDB routing/pushdown directives are
+# stripped; Spark's own hints (BROADCAST etc.) pass through.
+_TIDB_HINT = re.compile(
+    r"/\*\+(?=[^*]*(?i:tiflash|tikv|agg_to_cop|limit_to_cop|mpp_1phase_agg"
+    r"|mpp_2phase_agg|shuffle_join|broadcast_join|hash_agg|stream_agg))"
+    r".*?\*/",
+    re.DOTALL,
+)
+
+# col->'$.a' / col->>'$.a' JSON path operators
+_JSON_ARROW = re.compile(
+    r"(?P<col>\w+)\s*(?P<op>->>|->)\s*(?P<path>'(?:[^'\\]|\\.)*')"
+)
+
+# MySQL EXTRACT composite units → digit-concatenation arithmetic
+# (day_second('2021-03-13 12:34:56') = 13123456). Each term over the
+# TIMESTAMP-cast operand {x}; microseconds via unix_micros.
+_US = "pmod(unix_micros(CAST({x} AS TIMESTAMP)), 1000000)"
+_EXTRACT_COMPOSITE = {
+    "YEAR_MONTH": "(year({x}) * 100 + month({x}))",
+    "DAY_HOUR": "(day({x}) * 100 + hour({x}))",
+    "DAY_MINUTE": "(day({x}) * 10000 + hour({x}) * 100 + minute({x}))",
+    "DAY_SECOND": "(day({x}) * 1000000 + hour({x}) * 10000"
+    " + minute({x}) * 100 + second({x}))",
+    "DAY_MICROSECOND": "((day({x}) * 1000000 + hour({x}) * 10000"
+    " + minute({x}) * 100 + second({x})) * 1000000 + " + _US + ")",
+    "HOUR_MINUTE": "(hour({x}) * 100 + minute({x}))",
+    "HOUR_SECOND": "(hour({x}) * 10000 + minute({x}) * 100 + second({x}))",
+    "HOUR_MICROSECOND": "((hour({x}) * 10000 + minute({x}) * 100"
+    " + second({x})) * 1000000 + " + _US + ")",
+    "MINUTE_SECOND": "(minute({x}) * 100 + second({x}))",
+    "MINUTE_MICROSECOND": "((minute({x}) * 100 + second({x})) * 1000000 + "
+    + _US + ")",
+    "SECOND_MICROSECOND": "(second({x}) * 1000000 + " + _US + ")",
+    "MICROSECOND": "(" + _US + ")",
+}
 
 
 def _rewrite_mysql_exprs(sql: str) -> str:
@@ -462,7 +513,28 @@ def _rewrite_mysql_exprs(sql: str) -> str:
             if _CAST_TRIM_CALL.search(inner):
                 continue  # rewrite innermost calls first
             rep = None
-            if fn == "cast":
+            if fn == "extract":
+                parts = _split_top_kw(inner, "FROM")
+                if parts:
+                    unit = parts[0].strip().upper()
+                    tpl = _EXTRACT_COMPOSITE.get(unit)
+                    if tpl:
+                        rep = tpl.format(x=f"({parts[1].strip()})")
+            elif fn in ("json_keys", "json_length", "json_contains_path"):
+                args = _split_top_level(inner)
+                if fn == "json_keys" and len(args) == 2:
+                    rep = f"json_keys(json_extract({args[0]}, {args[1]}))"
+                elif fn == "json_length" and len(args) == 2:
+                    rep = f"json_length(json_extract({args[0]}, {args[1]}))"
+                elif fn == "json_contains_path" and len(args) == 3:
+                    doc, mode, p = args
+                    rep = (
+                        f"CASE WHEN ({doc}) IS NULL OR ({mode}) IS NULL"
+                        f" OR ({p}) IS NULL THEN NULL"
+                        f" ELSE CAST(json_contains_path_one({doc}, {p}) AS INT)"
+                        " END"
+                    )
+            elif fn == "cast":
                 parts = _split_top_kw(inner, "AS", last=True)
                 if parts:
                     expr, ty = parts[0].strip(), parts[1].strip()
@@ -495,6 +567,33 @@ def _rewrite_mysql_exprs(sql: str) -> str:
     return sql
 
 
+def _sub_outside_quotes(sql: str, pattern: re.Pattern, repl) -> str:
+    """Apply a regex substitution only on spans outside string literals."""
+    out: list[str] = []
+    i = 0
+    q: str | None = None
+    start = 0
+    while i < len(sql):
+        ch = sql[i]
+        if q:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == q:
+                q = None
+                start = i + 1
+        elif ch in ("'", '"'):
+            out.append(pattern.sub(repl, sql[start:i]))
+            q = ch
+            start = i
+        i += 1
+    if q:  # unterminated literal — leave the tail untouched
+        out.append(sql[start:])
+    else:
+        out.append(pattern.sub(repl, sql[start:]))
+    return "".join(out)
+
+
 def run_sql(
     spark: SparkSession,
     sql: str,
@@ -507,9 +606,27 @@ def run_sql(
     current delta folded; later writes keep MVCC semantics), re-registers
     the table view (as_view snapshots are plan-time), and returns a
     one-row result the way TiDB returns an OK packet with info."""
+    if _TIDB_HINT.search(sql):
+        sql = _TIDB_HINT.sub(" ", sql)
     if _CAST_TRIM_CALL.search(sql):
         sql = _rewrite_mysql_exprs(sql)
     sql = _GET_FORMAT_KW.sub(lambda m: f"{m.group(1)}('{m.group(2).upper()}',", sql)
+    if _HEX_LITERAL.search(sql):
+        sql = _sub_outside_quotes(
+            sql, _HEX_LITERAL, lambda m: str(int(m.group(1), 16))
+        )
+    if _JSON_ARROW.search(sql):
+        # the path operand is itself a string literal, so this one runs
+        # on the raw text (a `->>` inside an unrelated literal would be
+        # pathological)
+        sql = _JSON_ARROW.sub(
+            lambda m: (
+                f"json_unquote(json_extract({m.group('col')}, {m.group('path')}))"
+                if m.group("op") == "->>"
+                else f"json_extract({m.group('col')}, {m.group('path')})"
+            ),
+            sql,
+        )
     m = _EXPLAIN.match(sql)
     if m:
         from tiflash_spark.plans.explain import execution_profile, formatted_plan

@@ -55,6 +55,7 @@ class Step:
     expected: list[list[str]] | None = None  # parsed data rows (header dropped)
     expected_ncols: int | None = None
     unchecked: bool = False  # expected block used {#REGEXP} → execute only
+    expect_error: bool = False  # expected block was an ERROR line
 
 
 @dataclass
@@ -108,15 +109,51 @@ def _parse_table_line(line: str) -> list[str]:
     return [w.strip() for w in line.split("|") if w.strip() != ""]
 
 
+def _finalize_block(step: Step, block: list[str]) -> None:
+    """Attach an expected-output block to its statement. The mysql client
+    has two renderings: bordered tables (interactive) and tab-separated
+    plain rows (batch, e.g. expr/hex_str.test); ERROR lines mean the
+    statement must fail; {#REGEXP} lines make the block fuzzy (executed,
+    not value-checked)."""
+    if not block:
+        return
+    if any(_REGEXP_MARK in ln for ln in block):
+        step.unchecked = True
+        return
+    if re.match(r"^ERROR \d+", block[0]):
+        step.expect_error = True
+        return
+    rows = [ln for ln in block if not ln.startswith("+")]
+    if not rows:
+        return
+    if any(ln.lstrip().startswith("|") for ln in rows):
+        header, *data = [ln for ln in rows if "|" in ln]
+        step.expected_ncols = len(header.split("|")) - 2
+        step.expected = [_parse_table_line(ln) for ln in data]
+    else:
+        header, *data = rows
+        step.expected_ncols = len(header.split("\t"))
+        step.expected = [
+            [w.strip() for w in ln.split("\t") if w.strip() != ""] for ln in data
+        ]
+    step.expected = [r for r in step.expected if r]
+
+
 def parse_script(path: str | Path) -> list[Step]:
     steps: list[Step] = []
     pending: Step | None = None
-    table_lines_seen = 0
+    block: list[str] = []
+
+    def flush() -> None:
+        nonlocal pending, block
+        if pending is not None:
+            _finalize_block(pending, block)
+        pending, block = None, []
+
     for lineno, raw in enumerate(Path(path).read_text().splitlines(), 1):
-        line = raw.rstrip()
+        line = raw.rstrip("\n")
         if line.startswith(_MYSQL_PROMPT):
-            pending = None
-            table_lines_seen = 0
+            flush()
             body = line[len(_MYSQL_PROMPT):]
             # trailing directive comments (#NO_UNESCAPE) — the unescape
             # concern is the mysql client's, not ours
@@ -128,31 +165,16 @@ def parse_script(path: str | Path) -> list[Step]:
                 pending = steps[-1]
             continue
         if line.startswith(_FUNC_PROMPT) or line.startswith(_SLEEP_PROMPT):
-            pending = None
+            flush()
             continue
-        if not line.strip() or (line.startswith("#") and _REGEXP_MARK not in line):
-            if not line.strip():
-                pending = None
+        if not line.strip():
+            flush()
             continue
-        if pending is None:
+        if line.startswith("#") and _REGEXP_MARK not in line:
             continue
-        # expected-output block for the pending statement
-        if line.startswith(_REGEXP_MARK):
-            pending.unchecked = True
-            continue
-        if line.startswith("+"):
-            continue  # table border
-        cells = _parse_table_line(line)
-        if not cells:
-            continue
-        table_lines_seen += 1
-        if table_lines_seen == 1:
-            # header row — arity only (see module docstring)
-            pending.expected_ncols = len(line.split("|")) - 2
-            pending.expected = []
-        else:
-            assert pending.expected is not None
-            pending.expected.append(cells)
+        if pending is not None:
+            block.append(line)
+    flush()
     return steps
 
 
@@ -201,6 +223,10 @@ def _format_value(v) -> str:
     if isinstance(v, bool):
         return "1" if v else "0"
     if isinstance(v, float):
+        # MySQL's math never yields NaN/Inf — sqrt(-1), log(-1) etc. are
+        # NULL where IEEE Spark says NaN
+        if v != v or v in (float("inf"), float("-inf")):
+            return "NULL"
         return f"{v:.10g}"
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f") if v.microsecond else v.strftime("%Y-%m-%d %H:%M:%S")
@@ -227,6 +253,12 @@ _TIFLASH_REPLICA = re.compile(
 _SET_TZ = re.compile(
     r"(?i)^set\s+(?:session\s+|@@(?:session\.)?)?time_zone\s*=\s*"
     r"'(?P<tz>[^']+)'\s*$"
+)
+# statements about cluster topology / session bookkeeping with no
+# analytic semantics here: region splits, database selection (scripts
+# use a single schema, already stripped), warning inspection
+_NOOP_STMT = re.compile(
+    r"(?i)^(use\s+\w+|split\s+table\b.*|show\s+warnings|admin\s+check\b.*)$"
 )
 _ANALYZE = re.compile(r"(?i)^analyze\s+table\s")
 _TEST_SCHEMA = re.compile(r"(?i)\btest\.(?=`?\w)")
@@ -277,16 +309,24 @@ def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
                 if tz[:1] in "+-" else tz,
             )
             continue
+        if _NOOP_STMT.match(sql):
+            continue
         loc = f"{Path(path).name}:{step.lineno}"
         try:
             df = run_sql(spark, sql, stores, base_path=base_path)
         except Exception as e:  # noqa: BLE001 — reported, not swallowed
+            if step.expect_error:
+                res.checked += 1
+                continue
             if step.unchecked:
                 res.unchecked += 1
                 continue
             res.mismatches.append(f"{loc}: {sql!r} raised {type(e).__name__}: {e}")
             continue
         res.steps_run += 1
+        if step.expect_error:
+            res.mismatches.append(f"{loc}: {sql!r} succeeded, expected an error")
+            continue
         if step.unchecked:
             res.unchecked += 1
             continue
