@@ -212,6 +212,73 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         " THEN sign(x) * floor(abs(x) * pow(10, d) + 0.5) / pow(10, d)"
         " ELSE sign(x) * floor(abs(x) / pow(10, -d) + 0.5) * pow(10, -d) END",
     ),
+    # MySQL numeric coercion of strings: parse the longest numeric
+    # prefix, unparseable -> 0, overflow clamps to the double range
+    # (expr/cast_string_as_real.test, cast_string_as_decimal.test)
+    "_num_prefix": (
+        "x STRING",
+        "STRING",
+        r"regexp_extract(trim(x),"
+        r" '^[-+]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][-+]?[0-9]+)?', 0)",
+    ),
+    "mysql_to_double": (
+        "x STRING",
+        "DOUBLE",
+        "CASE WHEN x IS NULL THEN NULL"
+        " WHEN _num_prefix(x) = '' THEN 0.0D"
+        " WHEN CAST(_num_prefix(x) AS DOUBLE) > 1.7976931348623157E308"
+        "  THEN 1.7976931348623157E308"
+        " WHEN CAST(_num_prefix(x) AS DOUBLE) < -1.7976931348623157E308"
+        "  THEN -1.7976931348623157E308"
+        " ELSE CAST(_num_prefix(x) AS DOUBLE) END",
+    ),
+    "mysql_date": (
+        # DATE(x) over MySQL's digit forms too: 111111 (YYMMDD),
+        # 20210313, 20210313123456 parse positionally (expr/date.test);
+        # digit strings must NOT reach the ISO cast (Spark would read
+        # '111111' as year 111111)
+        "x STRING",
+        "DATE",
+        "CASE WHEN x RLIKE '^[0-9]+$' THEN"
+        " CASE length(x)"
+        "  WHEN 6 THEN try_to_date(x, 'yyMMdd')"
+        "  WHEN 8 THEN try_to_date(x, 'yyyyMMdd')"
+        "  WHEN 12 THEN try_to_date(substring(x, 1, 6), 'yyMMdd')"
+        "  WHEN 14 THEN try_to_date(substring(x, 1, 8), 'yyyyMMdd')"
+        "  END"
+        " ELSE coalesce(try_cast(translate(x, '/', '-') AS DATE),"
+        " CAST(try_to_timestamp(translate(x, '/', '-')) AS DATE)) END",
+    ),
+    # digit normalization for numeric casts of temporal strings:
+    # '2022-10-10 10:10:10.1' -> '20221010101010.1' (TiDB cast-to-number
+    # of DATETIME, expr/cast_as_decimal.test, cast_time_as_int.test)
+    "mysql_numform": (
+        "x STRING",
+        "STRING",
+        "CASE WHEN x RLIKE '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}'"
+        " THEN concat(regexp_replace(substring(x, 1, 19), '[-: ]', ''),"
+        r"  regexp_extract(x, '^.{19}(\\.[0-9]+)?', 1))"
+        " WHEN x RLIKE '^[0-9]{4}-[0-9]{2}-[0-9]{2}$' THEN replace(x, '-', '')"
+        " ELSE _num_prefix(x) END",
+    ),
+    "cast_signed": (
+        # CAST(x AS SIGNED): temporal strings take their digit form,
+        # decimals round, unparseable -> 0
+        "x STRING",
+        "BIGINT",
+        "CASE WHEN x IS NULL THEN NULL"
+        " WHEN mysql_numform(x) = '' THEN 0"
+        " WHEN mysql_numform(x) RLIKE '^[-+]?[0-9]+$'"
+        "  THEN try_cast(mysql_numform(x) AS BIGINT)"
+        " ELSE CAST(round(mysql_to_double(mysql_numform(x))) AS BIGINT) END",
+    ),
+    "mysql_space": (
+        # SPACE(n) beyond max_allowed_packet (16 MiB in the reference's
+        # test deployment) is NULL, not an allocation
+        "n BIGINT",
+        "STRING",
+        "CASE WHEN n > 16777216 THEN NULL ELSE space(CAST(n AS INT)) END",
+    ),
     "adddate": (
         # 2-arg ADDDATE(date, days) — a real day count rounds to the
         # nearest integer (TiDB rounds the REAL before the interval add;

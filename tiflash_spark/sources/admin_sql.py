@@ -437,10 +437,13 @@ def _split_top_kw(s: str, kw: str, last: bool = False) -> tuple[str, str] | None
 _MYSQL_CAST_TYPES = re.compile(
     r"(?i)^\s*(?:(?P<signed>SIGNED(?:\s+INTEGER)?)|(?P<uns>UNSIGNED(?:\s+INTEGER)?)"
     r"|(?P<char>CHAR(?:\s*\(\s*(?P<charn>\d+)\s*\))?)"
+    r"|(?P<dbl>DOUBLE|REAL|FLOAT)"
+    r"|(?P<dec>DECIMAL(?:\s*\(\s*(?P<decp>\d+)\s*(?:,\s*(?P<decs>\d+)\s*)?\))?)"
     r"|(?P<dt>DATETIME(?:\s*\(\s*\d+\s*\))?))\s*$"
 )
 _CAST_TRIM_CALL = re.compile(
-    r"(?i)\b(cast|trim|extract|json_keys|json_length|json_contains_path)\s*\("
+    r"(?i)\b(cast|trim|extract|json_keys|json_length|json_contains_path"
+    r"|date|space|length)\s*\("
 )
 
 # GET_FORMAT(DATE, 'USA') — the first operand is a bare keyword in
@@ -473,21 +476,21 @@ _JSON_ARROW = re.compile(
 # TIMESTAMP-cast operand {x}; microseconds via unix_micros.
 _US = "pmod(unix_micros(CAST({x} AS TIMESTAMP)), 1000000)"
 _EXTRACT_COMPOSITE = {
-    "YEAR_MONTH": "(year({x}) * 100 + month({x}))",
-    "DAY_HOUR": "(day({x}) * 100 + hour({x}))",
-    "DAY_MINUTE": "(day({x}) * 10000 + hour({x}) * 100 + minute({x}))",
-    "DAY_SECOND": "(day({x}) * 1000000 + hour({x}) * 10000"
+    "YEAR_MONTH": "(CAST(year({x}) AS BIGINT) * 100 + month({x}))",
+    "DAY_HOUR": "(CAST(day({x}) AS BIGINT) * 100 + hour({x}))",
+    "DAY_MINUTE": "(CAST(day({x}) AS BIGINT) * 10000 + hour({x}) * 100 + minute({x}))",
+    "DAY_SECOND": "(CAST(day({x}) AS BIGINT) * 1000000 + hour({x}) * 10000"
     " + minute({x}) * 100 + second({x}))",
-    "DAY_MICROSECOND": "((day({x}) * 1000000 + hour({x}) * 10000"
+    "DAY_MICROSECOND": "((CAST(day({x}) AS BIGINT) * 1000000 + hour({x}) * 10000"
     " + minute({x}) * 100 + second({x})) * 1000000 + " + _US + ")",
-    "HOUR_MINUTE": "(hour({x}) * 100 + minute({x}))",
-    "HOUR_SECOND": "(hour({x}) * 10000 + minute({x}) * 100 + second({x}))",
-    "HOUR_MICROSECOND": "((hour({x}) * 10000 + minute({x}) * 100"
+    "HOUR_MINUTE": "(CAST(hour({x}) AS BIGINT) * 100 + minute({x}))",
+    "HOUR_SECOND": "(CAST(hour({x}) AS BIGINT) * 10000 + minute({x}) * 100 + second({x}))",
+    "HOUR_MICROSECOND": "((CAST(hour({x}) AS BIGINT) * 10000 + minute({x}) * 100"
     " + second({x})) * 1000000 + " + _US + ")",
-    "MINUTE_SECOND": "(minute({x}) * 100 + second({x}))",
-    "MINUTE_MICROSECOND": "((minute({x}) * 100 + second({x})) * 1000000 + "
+    "MINUTE_SECOND": "(CAST(minute({x}) AS BIGINT) * 100 + second({x}))",
+    "MINUTE_MICROSECOND": "((CAST(minute({x}) AS BIGINT) * 100 + second({x})) * 1000000 + "
     + _US + ")",
-    "SECOND_MICROSECOND": "(second({x}) * 1000000 + " + _US + ")",
+    "SECOND_MICROSECOND": "(CAST(second({x}) AS BIGINT) * 1000000 + " + _US + ")",
     "MICROSECOND": "(" + _US + ")",
 }
 
@@ -520,6 +523,19 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                     tpl = _EXTRACT_COMPOSITE.get(unit)
                     if tpl:
                         rep = tpl.format(x=f"({parts[1].strip()})")
+            elif fn == "date":
+                args = _split_top_level(inner)
+                if len(args) == 1:
+                    rep = f"mysql_date({args[0]})"
+            elif fn == "space":
+                args = _split_top_level(inner)
+                if len(args) == 1:
+                    rep = f"mysql_space({args[0]})"
+            elif fn == "length":
+                # MySQL length() counts BYTES (char_length counts chars)
+                args = _split_top_level(inner)
+                if len(args) == 1:
+                    rep = f"octet_length({args[0]})"
             elif fn in ("json_keys", "json_length", "json_contains_path"):
                 args = _split_top_level(inner)
                 if fn == "json_keys" and len(args) == 2:
@@ -541,17 +557,42 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                     tm = _MYSQL_CAST_TYPES.match(ty)
                     if tm:
                         if tm.group("signed"):
-                            rep = f"CAST({expr} AS BIGINT)"
+                            rep = f"cast_signed(try_cast(({expr}) AS STRING))"
                         elif tm.group("uns"):
                             rep = f"cast_unsigned({expr})"
                         elif tm.group("char"):
                             rep = (
-                                f"substring(CAST({expr} AS STRING), 1, {tm.group('charn')})"
+                                f"substring(try_cast({expr} AS STRING), 1, {tm.group('charn')})"
                                 if tm.group("charn")
-                                else f"CAST({expr} AS STRING)"
+                                else f"try_cast({expr} AS STRING)"
+                            )
+                        elif tm.group("dbl"):
+                            rep = f"mysql_to_double(try_cast(({expr}) AS STRING))"
+                            if tm.group("dbl").upper() == "FLOAT":
+                                rep = f"try_cast({rep} AS FLOAT)"
+                        elif tm.group("dec"):
+                            p = int(tm.group("decp") or 10)
+                            s = int(tm.group("decs") or 0)
+                            if p > 38:
+                                s = max(0, s - (p - 38))
+                                p = 38
+                            # try_cast spellings so the scanner does not
+                            # re-match its own output
+                            dec = f"DECIMAL({p},{s})"
+                            pre = f"mysql_numform(try_cast(({expr}) AS STRING))"
+                            mx = (
+                                f"concat(CASE WHEN {pre} LIKE '-%' THEN '-' ELSE '' END,"
+                                f" repeat('9', {p - s}), '.', repeat('9', {s}))"
+                            )
+                            rep = (
+                                f"CASE WHEN ({expr}) IS NULL THEN try_cast(NULL AS {dec})"
+                                f" WHEN {pre} = '' THEN try_cast(0 AS {dec})"
+                                # overflow clamps to the type's range, MySQL-style
+                                f" ELSE coalesce(try_cast({pre} AS {dec}),"
+                                f" try_cast({mx} AS {dec})) END"
                             )
                         elif tm.group("dt"):
-                            rep = f"CAST({expr} AS TIMESTAMP)"
+                            rep = f"try_cast({expr} AS TIMESTAMP)"
             else:  # trim
                 parts = _split_top_kw(inner, "FROM")
                 if parts:
@@ -568,7 +609,8 @@ def _rewrite_mysql_exprs(sql: str) -> str:
 
 
 def _sub_outside_quotes(sql: str, pattern: re.Pattern, repl) -> str:
-    """Apply a regex substitution only on spans outside string literals."""
+    """Apply a regex substitution only on spans outside string literals;
+    quoted spans pass through verbatim."""
     out: list[str] = []
     i = 0
     q: str | None = None
@@ -580,6 +622,7 @@ def _sub_outside_quotes(sql: str, pattern: re.Pattern, repl) -> str:
                 i += 2
                 continue
             if ch == q:
+                out.append(sql[start : i + 1])  # the literal, verbatim
                 q = None
                 start = i + 1
         elif ch in ("'", '"'):
@@ -606,6 +649,13 @@ def run_sql(
     current delta folded; later writes keep MVCC semantics), re-registers
     the table view (as_view snapshots are plan-time), and returns a
     one-row result the way TiDB returns an OK packet with info."""
+    # dialect rewrites below emit registry names (mysql_to_double,
+    # cast_signed, ...) — make sure they exist on this session
+    if not getattr(spark, "_tiflash_mysql_fns", False):
+        from tiflash_spark.functions.sql_registry import register_mysql_functions
+
+        register_mysql_functions(spark)
+        spark._tiflash_mysql_fns = True
     if _TIDB_HINT.search(sql):
         sql = _TIDB_HINT.sub(" ", sql)
     if _CAST_TRIM_CALL.search(sql):
@@ -961,6 +1011,7 @@ def run_sql(
         cols: list[tuple] = []  # (name, spark_type, not_null, default)
         pk_cols: list[str] = []
         pk_kind: str | None = None
+        dt_prec: dict[str, int] = {}  # DATETIME(p)/TIMESTAMP(p), default 0
         for item in _split_top_level(m.group("body")):
             item = item.strip()
             pm = _PKDEF.match(item)
@@ -978,6 +1029,12 @@ def run_sql(
                     f"CREATE TABLE {name}: cannot parse column def {item!r}"
                 )
             st = _mysql_type_to_spark(cm.group("type"), bool(cm.group("uns")))
+            tm = re.match(
+                r"(?i)^(datetime|timestamp)(?:\s*\(\s*(\d+)\s*\))?$",
+                cm.group("type").strip(),
+            )
+            if tm:
+                dt_prec[cm.group("name")] = int(tm.group(2) or 0)
             dflt = cm.group("dflt")
             if dflt is not None:
                 dflt = None if dflt.upper() == "NULL" else dflt.strip("'")
@@ -1040,7 +1097,7 @@ def run_sql(
                 }
             ]
         )
-        store.write_table_def(order, pk, pk_type)
+        store.write_table_def(order, pk, pk_type, dt_prec or None)
         stores[name] = store
         store.as_view(name)
         return spark.createDataFrame(
@@ -1109,6 +1166,30 @@ def run_sql(
             # never has to reconcile mixed literal types.
             stored_types = dict(store.log().dtypes)
             types = [stored_types.get(c) for c in cols]
+            td0 = store.table_def() or {}
+            prec = td0.get("dt_prec") or {}
+            alias0 = td0.get("pk")
+
+            def _cell(cell: str, col: str, ty: str | None) -> str:
+                if ty is None:
+                    return f"({cell})"
+                if ty in ("timestamp", "date"):
+                    # MySQL accepts '/' (and other) separators in
+                    # temporal literals; Spark's cast does not
+                    src = f"translate(CAST(({cell}) AS STRING), '/', '-')"
+                    p = prec.get(alias0 if col == HANDLE and alias0 else col)
+                    if ty == "timestamp" and p is not None and p < 6:
+                        # MySQL rounds the fraction to the declared
+                        # DATETIME(p)/TIMESTAMP(p) precision (default 0)
+                        scale = 10 ** (6 - p)
+                        return (
+                            f"timestamp_micros(CAST(round(unix_micros("
+                            f"CAST({src} AS TIMESTAMP)) / {scale}) AS BIGINT)"
+                            f" * {scale})"
+                        )
+                    return f"CAST({src} AS {ty.upper()})"
+                return f"CAST(({cell}) AS {ty})"
+
             typed = []
             for tup in _split_top_level(m.group("vals")):
                 tup = tup.strip()
@@ -1123,8 +1204,8 @@ def run_sql(
                 typed.append(
                     "("
                     + ", ".join(
-                        f"CAST(({cell}) AS {ty})" if ty else f"({cell})"
-                        for cell, ty in zip(cells, types)
+                        _cell(cell, col, ty)
+                        for cell, col, ty in zip(cells, cols, types)
                     )
                     + ")"
                 )

@@ -275,20 +275,28 @@ class DeltaStore:
     # --- table definition (CREATE TABLE surface) -----------------------------
 
     def write_table_def(
-        self, order: list[str], pk: str | None, pk_type: str = "bigint"
+        self,
+        order: list[str],
+        pk: str | None,
+        pk_type: str = "bigint",
+        dt_prec: dict[str, int] | None = None,
     ) -> None:
         """Record the CREATE TABLE column order and the PRIMARY KEY →
         handle mapping (TiDB: a CLUSTERED single-int PK IS _tidb_rowid;
         NONCLUSTERED keeps the hidden rowid). ``order`` is the declared
         column order (pk included at its position) driving implicit
         INSERT lists; ``pk`` is the user-facing handle name (None = auto
-        hidden rowid)."""
+        hidden rowid); ``dt_prec`` records DATETIME(p)/TIMESTAMP(p)
+        fractional precision (MySQL default 0 — writes round to it)."""
         import json
 
         p = os.path.join(self.path, "_TABLEDEF")
         tmp = p + ".tmp"
+        doc = {"order": order, "pk": pk, "pk_type": pk_type}
+        if dt_prec:
+            doc["dt_prec"] = dt_prec
         with open(tmp, "w") as fh:
-            json.dump({"order": order, "pk": pk, "pk_type": pk_type}, fh)
+            json.dump(doc, fh)
         os.replace(tmp, p)
 
     def table_def(self) -> dict | None:

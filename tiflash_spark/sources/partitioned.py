@@ -137,9 +137,9 @@ class PartitionedStore:
         for p in self.parts:
             self.stores[p["name"]]._write_schema_versions(vs)
 
-    def write_table_def(self, order, pk, pk_type="bigint"):
+    def write_table_def(self, order, pk, pk_type="bigint", dt_prec=None):
         for p in self.parts:
-            self.stores[p["name"]].write_table_def(order, pk, pk_type)
+            self.stores[p["name"]].write_table_def(order, pk, pk_type, dt_prec)
 
     def add_column(self, *a, **kw):
         return self._fan("add_column", *a, **kw)
@@ -326,7 +326,10 @@ class PartitionedStore:
             store._write_schema_versions(vs)
         td = self.table_def()
         if td:
-            store.write_table_def(td["order"], td["pk"], td.get("pk_type", "bigint"))
+            store.write_table_def(
+                td["order"], td["pk"], td.get("pk_type", "bigint"),
+                td.get("dt_prec"),
+            )
         self.parts.append({"name": name, "upper": upper})
         self.stores[name] = store
         self._write_manifest()

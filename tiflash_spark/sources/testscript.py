@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from datetime import date, datetime
+from datetime import date, datetime, timedelta
 from decimal import Decimal, InvalidOperation
 from pathlib import Path
 
@@ -231,9 +231,18 @@ def _format_value(v) -> str:
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f") if v.microsecond else v.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(v, (bytes, bytearray)):
-        return v.decode("utf-8", "backslashreplace")
+        v = v.decode("utf-8", "backslashreplace")
     if isinstance(v, (list, tuple)):
         return "[" + ", ".join(_format_value(x) for x in v) + "]"
+    if isinstance(v, str):
+        # the expected blocks come from the mysql client's batch output,
+        # which escapes specials (run-test.py pipes `mysql -e`): emulate
+        return (
+            v.replace("\\", "\\\\")
+            .replace("\n", "\\n")
+            .replace("\t", "\\t")
+            .replace("\0", "\\0")
+        )
     return str(v)
 
 
@@ -296,6 +305,7 @@ def run_script(
 
 
 def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
+    tz_shift = timedelta(0)
     for step in parse_script(path):
         sql = _TEST_SCHEMA.sub("", step.sql)
         if _TIFLASH_REPLICA.match(sql) or _ANALYZE.match(sql):
@@ -308,6 +318,16 @@ def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
                 "UTC" if tz.upper() == "SYSTEM" else f"GMT{tz}"
                 if tz[:1] in "+-" else tz,
             )
+            # collect() renders timestamps in the PYTHON-local zone (UTC
+            # in this container), not the session zone — track the
+            # session offset so results display MySQL-style
+            if tz[:1] in "+-":
+                hh, _, mm = tz[1:].partition(":")
+                tz_shift = timedelta(hours=int(hh), minutes=int(mm or 0))
+                if tz[0] == "-":
+                    tz_shift = -tz_shift
+            else:
+                tz_shift = timedelta(0)
             continue
         if _NOOP_STMT.match(sql):
             continue
@@ -343,10 +363,28 @@ def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
                 else:
                     res.checked += 1
             continue
-        rows = df.collect()
-        got = [[_format_value(v) for v in row] for row in rows]
-        # mirror the reference's empty-cell drop on the actual side too
+        try:
+            rows = df.collect()
+        except Exception as e:  # noqa: BLE001 — e.g. dates beyond Python's range
+            res.mismatches.append(
+                f"{loc}: {sql!r} failed to materialize: {type(e).__name__}: {e}"
+            )
+            continue
+        got = [
+            [
+                _format_value(
+                    v + tz_shift
+                    if isinstance(v, datetime) and tz_shift
+                    else v
+                )
+                for v in row
+            ]
+            for row in rows
+        ]
+        # mirror the reference's empty-cell drop on the actual side too;
+        # rows reduced to nothing (all-empty strings) vanish on both sides
         got = [[c for c in (x.strip() for x in r) if c != ""] for r in got]
+        got = [r for r in got if r]
         ncols = len(df.columns)
         if step.expected_ncols is not None and ncols != step.expected_ncols:
             res.mismatches.append(
