@@ -480,7 +480,8 @@ def test_sql_straggler_surface(spark):
     import datetime as dt
 
     assert r.td == dt.date(2007, 10, 7).toordinal() + 365
-    assert r.fd == dt.date(2007, 10, 7)
+    # SQL-surface from_days renders MySQL-style (STRING, zero-date aware)
+    assert r.fd == "2007-10-07"
     import datetime as dt2
 
     assert r.ts == (dt2.date(2009, 11, 29).toordinal() + 365) * 86400 + 13 * 3600 + 43 * 60 + 32

@@ -215,7 +215,9 @@ def test_create_table_types_defaults_and_empty_select(spark, tmp_path):
     assert df.count() == 0
     types = dict(df.dtypes)
     assert types["u"] == "decimal(20,0)" and types["d"] == "decimal(10,2)"
-    assert types["ts"] == "timestamp" and types["b"] == "binary"
+    # DATETIME is tz-naive in MySQL -> TIMESTAMP_NTZ (MySQL TIMESTAMP,
+    # the session-tz-converting type, maps to Spark TIMESTAMP)
+    assert types["ts"] == "timestamp_ntz" and types["b"] == "binary"
     assert types["y"] == "smallint" and types["id"] == "bigint"
     run_sql(
         spark,

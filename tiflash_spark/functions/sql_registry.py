@@ -183,10 +183,15 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "CAST(datediff(d, DATE '1970-01-01') + 719528 AS BIGINT)",
     ),
     "from_days": (
+        # MySQL contract (expr/from_days.test): n < 366 renders the zero
+        # date '0000-00-00'; past '9999-12-31' (n > 3652424) -> NULL.
+        # STRING so the zero date is representable.
         "n BIGINT",
-        "DATE",
-        "CASE WHEN n >= 366 THEN"
-        " date_add(DATE '1970-01-01', CAST(n - 719528 AS INT)) END",
+        "STRING",
+        "CASE WHEN n IS NULL OR n > 3652424 THEN NULL"
+        " WHEN n < 366 THEN '0000-00-00'"
+        " ELSE date_format(date_add(DATE '1970-01-01',"
+        " CAST(n - 719528 AS INT)), 'yyyy-MM-dd') END",
     ),
     "to_seconds": (
         "t TIMESTAMP",
@@ -310,9 +315,15 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "CASE WHEN x IS NULL THEN 0 ELSE CAST(x = 0 AS INT) END",
     ),
     "format": (
+        # MySQL FORMAT rounds the value's DECIMAL rendering (shortest
+        # round-trip string), not its binary double — format(12.1235, 3)
+        # is 12.124 even though the double is a hair under
+        # (expr/format.test). Out-of-decimal-range values fall back to
+        # the binary path.
         "x DOUBLE, d INT",
         "STRING",
-        "format_number(x, d)",
+        "coalesce(format_number(try_cast(CAST(x AS STRING) AS DECIMAL(38,18)), d),"
+        " format_number(x, d))",
     ),
     "get_format": (
         # GET_FORMAT(type, location) — the type keyword is quoted by the
@@ -425,6 +436,135 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "ARRAY<DOUBLE>",
         "transform(split(trim(BOTH '[]' FROM s), ','),"
         " x -> CAST(trim(x) AS DOUBLE))",
+    ),
+    # --- MySQL bit operators: the unsigned-64 domain -----------------
+    # MySQL evaluates ~ & | ^ << >> over UNSIGNED BIGINT (results render
+    # as 0..2^64-1, reference expr/bitwise_operator.test,
+    # bitshift_operator.test; impl FunctionsArithmetic bitNot/bitShift*).
+    # Representation: DECIMAL(20,0) at the surface (the repo-wide 64-bit
+    # unsigned presentation), two's-complement BIGINT inside so the JVM
+    # bit instructions do the work.
+    "mysql_u64": (
+        "x DECIMAL(20,0)",
+        "DECIMAL(20,0)",
+        "CASE WHEN x < 0 THEN CAST(CAST(x AS DECIMAL(21,0))"
+        " + 18446744073709551616 AS DECIMAL(20,0)) ELSE x END",
+    ),
+    "_u64_to_i64": (
+        "u DECIMAL(20,0)",
+        "BIGINT",
+        "CAST(CAST(u AS DECIMAL(21,0)) - CASE WHEN u >= 9223372036854775808"
+        " THEN 18446744073709551616 ELSE 0 END AS BIGINT)",
+    ),
+    "_i64_to_u64": (
+        "b BIGINT",
+        "DECIMAL(20,0)",
+        "CASE WHEN b < 0 THEN CAST(CAST(b AS DECIMAL(21,0))"
+        " + 18446744073709551616 AS DECIMAL(20,0))"
+        " ELSE CAST(b AS DECIMAL(20,0)) END",
+    ),
+    "mysql_bitnot": (
+        "x DECIMAL(20,0)",
+        "DECIMAL(20,0)",
+        "CAST(18446744073709551615 - CAST(mysql_u64(x) AS DECIMAL(21,0))"
+        " AS DECIMAL(20,0))",
+    ),
+    "mysql_band": (
+        "a DECIMAL(20,0), b DECIMAL(20,0)",
+        "DECIMAL(20,0)",
+        "_i64_to_u64(_u64_to_i64(mysql_u64(a)) & _u64_to_i64(mysql_u64(b)))",
+    ),
+    "mysql_bor": (
+        "a DECIMAL(20,0), b DECIMAL(20,0)",
+        "DECIMAL(20,0)",
+        "_i64_to_u64(_u64_to_i64(mysql_u64(a)) | _u64_to_i64(mysql_u64(b)))",
+    ),
+    "mysql_bxor": (
+        "a DECIMAL(20,0), b DECIMAL(20,0)",
+        "DECIMAL(20,0)",
+        "_i64_to_u64(_u64_to_i64(mysql_u64(a)) ^ _u64_to_i64(mysql_u64(b)))",
+    ),
+    "mysql_shr": (
+        # logical (unsigned) right shift; shift counts >= 64 yield 0
+        "a DECIMAL(20,0), n BIGINT",
+        "DECIMAL(20,0)",
+        "CASE WHEN a IS NULL OR n IS NULL THEN NULL"
+        " WHEN n < 0 OR n > 63 THEN CAST(0 AS DECIMAL(20,0))"
+        " ELSE _i64_to_u64(shiftrightunsigned(_u64_to_i64(mysql_u64(a)),"
+        " CAST(n AS INT))) END",
+    ),
+    "mysql_shl": (
+        # left shift wraps mod 2^64; counts >= 64 yield 0 (Java << uses
+        # n mod 64, so the explicit guard is load-bearing)
+        "a DECIMAL(20,0), n BIGINT",
+        "DECIMAL(20,0)",
+        "CASE WHEN a IS NULL OR n IS NULL THEN NULL"
+        " WHEN n < 0 OR n > 63 THEN CAST(0 AS DECIMAL(20,0))"
+        " ELSE _i64_to_u64(shiftleft(_u64_to_i64(mysql_u64(a)),"
+        " CAST(n AS INT))) END",
+    ),
+    # --- MySQL truthiness (numeric/string WHERE and OR/AND operands) --
+    "mysql_truthy": (
+        "x STRING",
+        "BOOLEAN",
+        "CASE WHEN x IS NULL THEN NULL"
+        " WHEN lower(x) = 'true' THEN true"
+        " WHEN lower(x) = 'false' THEN false"
+        " ELSE coalesce(mysql_to_double(x), 0.0D) <> 0 END",
+    ),
+    # --- MySQL TIME (duration) cast ------------------------------------
+    # cast(x AS TIME(n)) renders 'HH:MM:SS[.n digits]'; input is a
+    # datetime/date (time-of-day part), a duration literal
+    # '[-]H+:MM:SS[.f]', or a number read right-aligned as HHMMSS
+    # (reference expr/cast_as_duration.test; Functions cast to MyDuration)
+    "_mysql_time_us": (
+        "x STRING",
+        "BIGINT",
+        "CASE WHEN x IS NULL THEN NULL"
+        " WHEN x RLIKE '^[0-9]{4}[-/][0-9]{1,2}[-/][0-9]{1,2}' THEN"
+        "  CASE WHEN try_cast(translate(x, '/', '-') AS TIMESTAMP) IS NULL THEN NULL"
+        "  ELSE (CAST(hour(try_cast(translate(x, '/', '-') AS TIMESTAMP)) AS BIGINT) * 3600"
+        "   + minute(try_cast(translate(x, '/', '-') AS TIMESTAMP)) * 60"
+        "   + second(try_cast(translate(x, '/', '-') AS TIMESTAMP))) * 1000000"
+        "   + pmod(unix_micros(try_cast(translate(x, '/', '-') AS TIMESTAMP)), 1000000) END"
+        " WHEN x RLIKE '^-?[0-9]+:[0-9]{1,2}(:[0-9]{1,2}(\\\\.[0-9]+)?)?$' THEN"
+        "  (CASE WHEN x LIKE '-%' THEN -1 ELSE 1 END) * ("
+        "   CAST(split(regexp_replace(regexp_replace(x, '^-', ''), '\\\\..*$', ''), ':')[0] AS BIGINT) * 3600000000"
+        "   + CAST(split(regexp_replace(regexp_replace(x, '^-', ''), '\\\\..*$', ''), ':')[1] AS BIGINT) * 60000000"
+        "   + coalesce(CAST(split(regexp_replace(regexp_replace(x, '^-', ''), '\\\\..*$', ''), ':')[2] AS BIGINT), 0) * 1000000"
+        "   + CAST(substring(rpad(regexp_extract(x, '\\\\.([0-9]+)$', 1), 6, '0'), 1, 6) AS BIGINT))"
+        " WHEN x RLIKE '^-?[0-9]+(\\\\.[0-9]+)?$' THEN"
+        "  CASE WHEN abs(CAST(regexp_extract(x, '^-?([0-9]+)', 1) AS BIGINT)) % 100 < 60"
+        "    AND abs(CAST(regexp_extract(x, '^-?([0-9]+)', 1) AS BIGINT)) div 100 % 100 < 60 THEN"
+        "   (CASE WHEN x LIKE '-%' THEN -1 ELSE 1 END) * ("
+        "    (CAST(regexp_extract(x, '^-?([0-9]+)', 1) AS BIGINT) div 10000) * 3600000000"
+        "    + (CAST(regexp_extract(x, '^-?([0-9]+)', 1) AS BIGINT) div 100 % 100) * 60000000"
+        "    + (CAST(regexp_extract(x, '^-?([0-9]+)', 1) AS BIGINT) % 100) * 1000000"
+        "    + CAST(substring(rpad(regexp_extract(x, '\\\\.([0-9]+)$', 1), 6, '0'), 1, 6) AS BIGINT))"
+        "  END"
+        " END",
+    ),
+    "_mysql_time_fmt": (
+        "us BIGINT, n INT",
+        "STRING",
+        "CASE WHEN us IS NULL THEN NULL ELSE concat("
+        " CASE WHEN us < 0 THEN '-' ELSE '' END,"
+        " lpad(CAST((CAST(floor(abs(us) / pow(10, 6 - n) + 0.5) AS BIGINT)"
+        "  * CAST(pow(10, 6 - n) AS BIGINT)) div 3600000000 AS STRING), 2, '0'), ':',"
+        " lpad(CAST((CAST(floor(abs(us) / pow(10, 6 - n) + 0.5) AS BIGINT)"
+        "  * CAST(pow(10, 6 - n) AS BIGINT)) div 60000000 % 60 AS STRING), 2, '0'), ':',"
+        " lpad(CAST((CAST(floor(abs(us) / pow(10, 6 - n) + 0.5) AS BIGINT)"
+        "  * CAST(pow(10, 6 - n) AS BIGINT)) div 1000000 % 60 AS STRING), 2, '0'),"
+        " CASE WHEN n > 0 THEN concat('.',"
+        "  substring(lpad(CAST((CAST(floor(abs(us) / pow(10, 6 - n) + 0.5) AS BIGINT)"
+        "   * CAST(pow(10, 6 - n) AS BIGINT)) % 1000000 AS STRING), 6, '0'), 1, n))"
+        " ELSE '' END)"
+        " END",
+    ),
+    "mysql_cast_time": (
+        "x STRING, n INT",
+        "STRING",
+        "_mysql_time_fmt(_mysql_time_us(x), n)",
     ),
 }
 

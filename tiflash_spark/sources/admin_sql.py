@@ -200,6 +200,12 @@ _INSERT_SEL = re.compile(
 _CREATE = re.compile(
     rf"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QTBL}\s*"
     r"\((?P<body>.+?)\)\s*"
+    # table options (ENGINE=InnoDB, COLLATE=binary, DEFAULT CHARSET=...,
+    # COMMENT '...', AUTO_INCREMENT=n) carry no semantics here beyond
+    # parse acceptance — collations surface per-expression (§1.4)
+    r"(?:(?:,?\s*(?:ENGINE|AUTO_INCREMENT|ROW_FORMAT|(?:DEFAULT\s+)?"
+    r"(?:CHARSET|CHARACTER\s+SET|COLLATE)|COMMENT)\s*=?\s*"
+    r"(?:'[^']*'|\w+))*)\s*"
     r"(?:PARTITION\s+BY\s+RANGE\s*\(\s*`?(?P<pcol>\w+)`?\s*\)\s*"
     r"\(\s*(?P<pdefs>.+?)\s*\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -236,20 +242,75 @@ _DROP = re.compile(
     re.IGNORECASE,
 )
 
-_COLDEF = re.compile(
+_COLDEF_HEAD = re.compile(
     # type args cover both numeric (decimal(10,2), varchar(64)) and the
     # member lists of ENUM('a','b') / SET('a','b')
-    r"^`?(?P<name>\w+)`?\s+(?P<type>\w+(?:\s*\([^)]*\))?)"
-    r"(?P<uns>\s+UNSIGNED)?(?:\s+ZEROFILL)?"
-    r"(?:\s+(?P<notnull>NOT\s+NULL)|\s+NULL)?"
-    r"(?:\s+AUTO_INCREMENT)?"  # rowid allocation is the store's anyway
-    r"(?:\s+DEFAULT\s+(?P<dflt>'[^']*'|[^\s,]+))?"
-    r"(?P<inline_pk>\s+PRIMARY\s+KEY)?\s*$",
-    re.IGNORECASE,
+    r"^`?(?P<name>\w+)`?\s+(?P<type>\w+(?:\s*\([^)]*\))?)(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL,
 )
+# column attributes appear in ANY order in MySQL's grammar; consumed
+# iteratively by _parse_coldef
+_COL_ATTRS: list[tuple[str, re.Pattern]] = [
+    ("unsigned", re.compile(r"(?i)^\s+UNSIGNED\b")),
+    ("zerofill", re.compile(r"(?i)^\s+ZEROFILL\b")),
+    ("notnull", re.compile(r"(?i)^\s+NOT\s+NULL\b")),
+    ("null", re.compile(r"(?i)^\s+NULL\b")),
+    ("auto_inc", re.compile(r"(?i)^\s+AUTO_INCREMENT\b")),
+    ("default", re.compile(r"(?i)^\s+DEFAULT\s+(?P<v>'(?:[^'\\]|\\.)*'|\w+(?:\s*\(\s*\d*\s*\))?|[^\s,]+)")),
+    ("on_update", re.compile(r"(?i)^\s+ON\s+UPDATE\s+\w+(?:\s*\(\s*\d*\s*\))?")),
+    ("collate", re.compile(r"(?i)^\s+COLLATE[\s=]+\S+")),
+    ("charset", re.compile(r"(?i)^\s+(?:CHARACTER\s+SET|CHARSET)[\s=]+\S+")),
+    ("comment", re.compile(r"(?i)^\s+COMMENT\s+'(?:[^'\\]|\\.)*'")),
+    ("inline_pk", re.compile(r"(?i)^\s+PRIMARY\s+KEY\b")),
+    ("unique", re.compile(r"(?i)^\s+UNIQUE(?:\s+KEY)?\b")),
+    ("key", re.compile(r"(?i)^\s+KEY\b")),
+]
+
+
+def _parse_coldef(item: str) -> dict | None:
+    """Parse one CREATE TABLE column definition: name + type, then
+    attributes in any order (MySQL's grammar). Returns None when the
+    item is not a column def (constraint lines are matched elsewhere)."""
+    hm = _COLDEF_HEAD.match(item.strip())
+    if not hm:
+        return None
+    out = {
+        "name": hm.group("name"),
+        "type": hm.group("type"),
+        "unsigned": False,
+        "notnull": False,
+        "default": None,
+        "inline_pk": False,
+    }
+    rest = hm.group("rest")
+    while rest.strip():
+        for key, pat in _COL_ATTRS:
+            m = pat.match(rest)
+            if m:
+                if key == "unsigned":
+                    out["unsigned"] = True
+                elif key == "notnull":
+                    out["notnull"] = True
+                elif key == "inline_pk":
+                    out["inline_pk"] = True
+                elif key == "default":
+                    out["default"] = m.group("v")
+                rest = rest[m.end():]
+                break
+        else:
+            return None  # unrecognized attribute — not a column def
+    return out
+
+
 _PKDEF = re.compile(
+    # `CLUSTERED` appears before OR after the column list in the wild,
+    # and TiDB's dump spelling hides it in a versioned comment
+    # (/*T![clustered_index] CLUSTERED */)
     r"^PRIMARY\s+KEY(?:\s+(?P<kind>CLUSTERED|NONCLUSTERED))?\s*"
-    r"\(\s*(?P<cols>[^)]+?)\s*\)$",
+    r"\(\s*(?P<cols>[^)]+?)\s*\)"
+    r"(?:\s*(?P<kind2>CLUSTERED|NONCLUSTERED))?"
+    r"(?:\s*/\*T!\[clustered_index\]\s*(?P<kind3>CLUSTERED|NONCLUSTERED)\s*\*/)?"
+    r"\s*$",
     re.IGNORECASE,
 )
 
@@ -266,7 +327,11 @@ _MYSQL_TYPES = {
     "enum": "string", "set": "string", "json": "string",
     "blob": "binary", "binary": "binary", "varbinary": "binary",
     "tinyblob": "binary", "mediumblob": "binary", "longblob": "binary",
-    "date": "date", "datetime": "timestamp", "timestamp": "timestamp",
+    # MySQL DATETIME is timezone-NAIVE (literal in = literal out);
+    # TIMESTAMP stores UTC and renders in @@time_zone — exactly Spark's
+    # TIMESTAMP_NTZ vs TIMESTAMP split (expr/date_diff.test under
+    # set time_zone, expr/duplicate_column.test)
+    "date": "date", "datetime": "timestamp_ntz", "timestamp": "timestamp",
     "time": "string", "year": "smallint", "bit": "bigint",
     "boolean": "tinyint", "bool": "tinyint",
     "vector": "array<float>",
@@ -376,6 +441,21 @@ _ADD_INDEX = re.compile(
     re.IGNORECASE,
 )
 
+# TiKV-side secondary / expression indexes (fullstack-test/expr/
+# generated_index.test): accepted DDL, name-registered, no sidecar —
+# the columnar engine answers these predicates by scanning
+_ADD_PLAIN_INDEX = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(?P<tbl>\w+)`?\s+ADD\s+"
+    r"(?:UNIQUE\s+)?(?:INDEX|KEY)\s+"
+    r"`?(?P<idx>\w+)`?\s*\((?P<cols>.+?)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_INDEX = re.compile(
+    r"^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\s+`?(?P<idx>\w+)`?\s+"
+    rf"ON\s+{_QTBL}\s*\((?P<cols>.+?)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 
 def _match_paren(s: str, i: int) -> int:
     """``i`` at '('; index of the matching ')' (quote-aware), or -1."""
@@ -439,12 +519,14 @@ _MYSQL_CAST_TYPES = re.compile(
     r"|(?P<char>CHAR(?:\s*\(\s*(?P<charn>\d+)\s*\))?)"
     r"|(?P<dbl>DOUBLE|REAL|FLOAT)"
     r"|(?P<dec>DECIMAL(?:\s*\(\s*(?P<decp>\d+)\s*(?:,\s*(?P<decs>\d+)\s*)?\))?)"
+    r"|(?P<time>TIME(?:\s*\(\s*(?P<timen>\d+)\s*\))?)"
     r"|(?P<dt>DATETIME(?:\s*\(\s*\d+\s*\))?))\s*$"
 )
 _CAST_TRIM_CALL = re.compile(
     r"(?i)\b(cast|trim|extract|json_keys|json_length|json_contains_path"
-    r"|date|space|length)\s*\("
+    r"|date_add|date_sub|adddate|subdate|date|space|length|format)\s*\("
 )
+_INTERVAL_ARG = re.compile(r"(?i)^INTERVAL\s+(?P<amt>.+?)\s+(?P<unit>\w+)$")
 
 # GET_FORMAT(DATE, 'USA') — the first operand is a bare keyword in
 # MySQL's grammar; quote it so it reaches the SQL function as a string
@@ -531,6 +613,31 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                 args = _split_top_level(inner)
                 if len(args) == 1:
                     rep = f"mysql_space({args[0]})"
+            elif fn in ("date_add", "date_sub", "adddate", "subdate"):
+                # MySQL INTERVAL with a COLUMN amount (Spark's parser only
+                # accepts literal intervals): DATE_ADD(x, INTERVAL y DAY).
+                # A REAL amount rounds to the nearest integer first
+                # (expr/adddate_string_real.test).
+                args = _split_top_level(inner)
+                im = _INTERVAL_ARG.match(args[1].strip()) if len(args) == 2 else None
+                if im:
+                    amt, unit = im.group("amt"), im.group("unit").upper()
+                    if fn in ("date_sub", "subdate"):
+                        amt = f"-({amt})"
+                    if unit == "DAY":
+                        rep = f"adddate({args[0]}, {amt})"
+                    else:
+                        rep = (
+                            f"timestampadd({unit}, CAST(round({amt}) AS BIGINT),"
+                            f" try_cast(({args[0]}) AS TIMESTAMP))"
+                        )
+            elif fn == "format":
+                # FORMAT(x, d[, locale]) — the locale only reshuffles
+                # separators for non-en locales (TiDB accepts and warns
+                # on invalid ones); normalize to the 2-arg form
+                args = _split_top_level(inner)
+                if len(args) == 3:
+                    rep = f"format({args[0]}, {args[1]})"
             elif fn == "length":
                 # MySQL length() counts BYTES (char_length counts chars)
                 args = _split_top_level(inner)
@@ -591,6 +698,13 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                                 f" ELSE coalesce(try_cast({pre} AS {dec}),"
                                 f" try_cast({mx} AS {dec})) END"
                             )
+                        elif tm.group("time"):
+                            # MySQL TIME (duration) rendered 'HH:MM:SS[.f]'
+                            # at the declared precision (expr/cast_as_duration.test)
+                            n = int(tm.group("timen") or 0)
+                            rep = (
+                                f"mysql_cast_time(try_cast(({expr}) AS STRING), {n})"
+                            )
                         elif tm.group("dt"):
                             rep = f"try_cast({expr} AS TIMESTAMP)"
             else:  # trim
@@ -637,6 +751,277 @@ def _sub_outside_quotes(sql: str, pattern: re.Pattern, repl) -> str:
     return "".join(out)
 
 
+# --- MySQL bit operators (~ & | ^ << >>) -----------------------------
+# MySQL evaluates these over BIGINT UNSIGNED (reference bitNot/bitAnd/
+# bitShift* in FunctionsArithmetic); Spark's operators are signed-64, so
+# rendering differs whenever the high bit is set (~0 = 2^64-1, not -1).
+# Rewrite onto the mysql_* registry functions (decimal(20,0) unsigned
+# presentation). Operands are conservative single tokens / paren groups /
+# call expressions — anything more complex is left for Spark's own
+# operators.
+_BIT_OPND = r"(?:[A-Za-z_][\w.]*\s*\([^()]*\)|[A-Za-z_][\w.]*|\d+(?:\.\d+)?|\([^()]+\))"
+_BIT_NOT = re.compile(rf"~\s*(?P<x>{_BIT_OPND})")
+_BIT_SHIFT = re.compile(
+    rf"(?P<a>{_BIT_OPND})\s*(?P<op><<|>>)\s*(?P<b>{_BIT_OPND})"
+)
+_BIT_AND = re.compile(rf"(?P<a>{_BIT_OPND})\s*&(?!&)\s*(?P<b>{_BIT_OPND})")
+_BIT_OR = re.compile(
+    rf"(?P<a>{_BIT_OPND})\s*(?<!\|)\|(?!\|)\s*(?P<b>{_BIT_OPND})"
+)
+_BIT_XOR = re.compile(rf"(?P<a>{_BIT_OPND})\s*\^\s*(?P<b>{_BIT_OPND})")
+_BIT_ANY = re.compile(r"~|<<|>>|(?<!&)&(?!&)|(?<!\|)\|(?!\|)|\^")
+
+
+def _rewrite_bitops(sql: str) -> str:
+    def fix(s: str) -> str:
+        changed = True
+        while changed:
+            changed = False
+            s2 = _BIT_NOT.sub(lambda m: f"mysql_bitnot({m.group('x')})", s)
+            if s2 != s:
+                s, changed = s2, True
+                continue
+            s2 = _BIT_SHIFT.sub(
+                lambda m: (
+                    f"mysql_{'shl' if m.group('op') == '<<' else 'shr'}"
+                    f"({m.group('a')}, {m.group('b')})"
+                ),
+                s,
+            )
+            if s2 != s:
+                s, changed = s2, True
+                continue
+            for pat, fn in ((_BIT_AND, "mysql_band"), (_BIT_XOR, "mysql_bxor"),
+                            (_BIT_OR, "mysql_bor")):
+                s2 = pat.sub(lambda m, f=fn: f"{f}({m.group('a')}, {m.group('b')})", s)
+                if s2 != s:
+                    s, changed = s2, True
+                    break
+        return s
+
+    return _sub_outside_quotes(sql, re.compile(r".+", re.DOTALL), lambda m: fix(m.group(0)))
+
+
+# TiFlash ILIKE lowercases ASCII only (CollationStringSearch — 'ü' ILIKE
+# 'Ü' is 0, expr/ilike_pushdown.test); Spark's ilike folds full Unicode.
+_ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
+_ILIKE = re.compile(
+    rf"(?P<a>{_BIT_OPND}|'(?:[^'\\]|\\.)*')\s+ilike\s+"
+    rf"(?P<b>{_BIT_OPND}|'(?:[^'\\]|\\.)*')",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_ilike(sql: str) -> str:
+    return _ILIKE.sub(
+        lambda m: (
+            f"translate({m.group('a')}, '{_ASCII_UP}', '{_ASCII_LO}')"
+            f" LIKE translate({m.group('b')}, '{_ASCII_UP}', '{_ASCII_LO}')"
+        ),
+        sql,
+    )
+
+
+# Mixed-type IN lists: MySQL compares each pair numerically when the
+# list mixes numbers and strings ('y' -> 0, issues/1541 via
+# expr/in_expression.test); Spark unifies the list type instead.
+_IN_CALL = re.compile(r"(?i)\bin\s*\(")
+_NUM_LIT = re.compile(r"^-?\d+(?:\.\d+)?$")
+_STR_LIT = re.compile(r"^'(?:[^'\\]|\\.)*'$")
+
+
+def _rewrite_mixed_in(sql: str) -> str:
+    out = sql
+    pos = 0
+    while True:
+        m = _IN_CALL.search(out, pos)
+        if not m:
+            return out
+        op = m.end() - 1
+        cl = _match_paren(out, op)
+        if cl < 0:
+            return out
+        items = [s.strip() for s in _split_top_level(out[op + 1 : cl])]
+        has_num = any(_NUM_LIT.match(i) for i in items)
+        has_str = any(_STR_LIT.match(i) for i in items)
+        if not (has_num and has_str) or not all(
+            _NUM_LIT.match(i) or _STR_LIT.match(i) or i.upper() == "NULL"
+            for i in items
+        ):
+            pos = cl
+            continue
+        # grab the LHS operand just before IN: identifier, paren group,
+        # or call — for a trailing ')', scan back to its mate and keep a
+        # preceding function name if one abuts it
+        head = out[: m.start()].rstrip()
+        if head.endswith(")"):
+            depth = 0
+            o = None
+            for j in range(len(head) - 1, -1, -1):
+                if head[j] == ")":
+                    depth += 1
+                elif head[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        o = j
+                        break
+            if o is None:
+                lhs_start = None
+            else:
+                fm = re.search(r"[A-Za-z_][\w.]*\s*$", head[:o])
+                lhs_start = fm.start() if fm else o
+        else:
+            lm = re.search(r"[A-Za-z_][\w.]*$", head)
+            lhs_start = lm.start() if lm else None
+        if lhs_start is None:
+            pos = cl
+            continue
+        lhs = head[lhs_start:]
+        neg = ""
+        if lhs.lower() == "not":
+            neg = "NOT "
+            head2 = head[:lhs_start].rstrip()
+            lm = re.search(r"[A-Za-z_][\w.]*$", head2)
+            if not lm:
+                pos = cl
+                continue
+            lhs_start, lhs = lm.start(), head2[lm.start():]
+            head = head2
+        if lhs.lower() in ("and", "or", "when", "then", "else", "on", "where"):
+            pos = cl
+            continue
+        coerced = ", ".join(
+            f"mysql_to_double(try_cast(({i}) AS STRING))"
+            if i.upper() != "NULL" else "NULL"
+            for i in items
+        )
+        repl = (
+            f"mysql_to_double(try_cast(({lhs}) AS STRING)) {neg}IN ({coerced})"
+        )
+        out = head[:lhs_start] + repl + out[cl + 1 :]
+        pos = lhs_start + len(repl)
+
+
+# --- analysis-error rescues (MySQL's laxer typing) --------------------
+# Numeric/string truthiness where Spark demands BOOLEAN, and coalesce
+# over mixed types (MySQL aggregates to string). Applied only when the
+# plain statement fails analysis, so well-typed SQL never pays.
+_WHERE_TAIL = re.compile(
+    r"(?i)\b(GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WINDOW|UNION|EXCEPT|INTERSECT)\b"
+)
+
+
+def _wrap_where_truthy(sql: str) -> str | None:
+    parts = _split_top_kw(sql, "WHERE", last=True)
+    if not parts:
+        return None
+    head, tail = parts
+    # clause ends at the next top-level keyword
+    depth = 0
+    q: str | None = None
+    end = len(tail)
+    i = 0
+    while i < len(tail):
+        ch = tail[i]
+        if q:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == q:
+                q = None
+        elif ch in ("'", '"', "`"):
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _WHERE_TAIL.match(tail, i)
+            if m:
+                end = i
+                break
+        i += 1
+    clause = tail[:end].strip()
+    if not clause or clause.lower().startswith("mysql_truthy"):
+        return None
+    return (
+        f"{head} WHERE mysql_truthy(try_cast(({clause}) AS STRING)) {tail[end:]}"
+    )
+
+
+_BINOP_MSG = re.compile(r'Cannot resolve "\((?P<expr>.+?)\)" due to data type')
+
+
+def _rescue_bool_binop(sql: str, msg: str) -> str | None:
+    m = _BINOP_MSG.search(msg)
+    if not m:
+        return None
+    expr = m.group("expr")
+    sm = re.match(r"^(?P<a>.+?)\s+(?P<op>OR|AND)\s+(?P<b>.+)$", expr, re.DOTALL)
+    if not sm:
+        return None
+    a, op, b = sm.group("a"), sm.group("op"), sm.group("b")
+    pat = re.compile(
+        re.escape(a) + r"\s+" + op + r"\s+" + re.escape(b), re.IGNORECASE
+    )
+    if not pat.search(sql):
+        return None
+    rep = (
+        f"CAST((mysql_truthy(try_cast(({a}) AS STRING)) {op} "
+        f"mysql_truthy(try_cast(({b}) AS STRING))) AS INT)"
+    )
+    return pat.sub(lambda _m: rep, sql)
+
+
+def _rescue_coalesce_mixed(sql: str) -> str | None:
+    out = sql
+    pos = 0
+    changed = False
+    while True:
+        m = re.compile(r"(?i)\bcoalesce\s*\(").search(out, pos)
+        if not m:
+            break
+        op = m.end() - 1
+        cl = _match_paren(out, op)
+        if cl < 0:
+            break
+        args = _split_top_level(out[op + 1 : cl])
+        if len(args) >= 2 and not any(
+            a.lower().startswith("try_cast((") for a in args
+        ):
+            wrapped = ", ".join(f"try_cast(({a}) AS STRING)" for a in args)
+            out = out[: m.start()] + f"coalesce({wrapped})" + out[cl + 1 :]
+            changed = True
+            pos = m.start() + 1
+        else:
+            pos = cl
+    return out if changed else None
+
+
+def _sql_with_rescues(spark: SparkSession, sql: str) -> DataFrame:
+    """spark.sql with MySQL-typing rescues: retry analysis failures that
+    MySQL's implicit coercions would have accepted."""
+    from pyspark.errors import AnalysisException
+
+    for _ in range(6):
+        try:
+            return spark.sql(sql)
+        except AnalysisException as e:
+            msg = str(e)
+            new = None
+            if "FILTER_NOT_BOOLEAN" in msg:
+                new = _wrap_where_truthy(sql)
+            elif "BINARY_OP_WRONG_TYPE" in msg or "BINARY_OP_DIFF_TYPES" in msg:
+                new = _rescue_bool_binop(sql, msg)
+            elif "DATA_DIFF_TYPES" in msg and "coalesce" in msg:
+                new = _rescue_coalesce_mixed(sql)
+            if not new or new == sql:
+                raise
+            sql = new
+    return spark.sql(sql)
+
+
 def run_sql(
     spark: SparkSession,
     sql: str,
@@ -677,6 +1062,15 @@ def run_sql(
             ),
             sql,
         )
+    if not re.match(r"(?i)\s*(CREATE|ALTER|DROP|SHOW|DESCRIBE|DESC)\b", sql):
+        if _BIT_ANY.search(sql):
+            sql = _rewrite_bitops(sql)
+        if re.search(r"(?i)\bilike\b", sql):
+            # pattern operands may be string literals, so this runs on
+            # the raw text (the JSON-arrow argument applies)
+            sql = _rewrite_ilike(sql)
+        if re.search(r"(?i)\bin\s*\(", sql):
+            sql = _rewrite_mixed_in(sql)
     m = _EXPLAIN.match(sql)
     if m:
         from tiflash_spark.plans.explain import execution_profile, formatted_plan
@@ -763,6 +1157,16 @@ def run_sql(
             [(name, m.group("idx"), kind, col, int(segs))],
             "table_name string, index_name string, index_kind string,"
             " column_name string, segments_covered long",
+        )
+    m = _ADD_PLAIN_INDEX.match(sql) or _CREATE_INDEX.match(sql)
+    if m:
+        name = m.group("tbl")
+        store = _dml_store(stores, name, "ADD INDEX")
+        store.register_index_name(m.group("idx"), "secondary", m.group("cols").strip())
+        return spark.createDataFrame(
+            [(name, m.group("idx"), "secondary", m.group("cols").strip())],
+            "table_name string, index_name string, index_kind string,"
+            " column_name string",
         )
     m = _ADD_PART.match(sql)
     if m:
@@ -979,6 +1383,11 @@ def run_sql(
         if alias:
             parts.append(f"PRIMARY KEY (`{alias}`) /*T![clustered_index] CLUSTERED */")
         for iname, ent in sorted(store.named_indexes().items()):
+            if ent["kind"] == "secondary":
+                # TiKV-side secondary/expression index: the column field
+                # holds the raw (possibly expression) key list
+                parts.append(f"KEY `{iname}` ({ent['col']})")
+                continue
             kw = {"fulltext": "FULLTEXT INDEX", "inverted": "COLUMNAR INDEX",
                   "vector": "VECTOR INDEX"}[ent["kind"]]
             parts.append(f"{kw} `{iname}` (`{ent['col']}`)")
@@ -1017,30 +1426,33 @@ def run_sql(
             pm = _PKDEF.match(item)
             if pm:
                 pk_cols = [c.strip().strip("`") for c in pm.group("cols").split(",")]
-                pk_kind = (pm.group("kind") or "CLUSTERED").upper()
+                pk_kind = (
+                    pm.group("kind") or pm.group("kind2") or pm.group("kind3")
+                    or "CLUSTERED"
+                ).upper()
                 continue
             if re.match(
                 r"^(KEY|INDEX|UNIQUE|CONSTRAINT|FOREIGN)\b", item, re.IGNORECASE
             ):
                 continue  # secondary indexes/constraints: not TiFlash's job
-            cm = _COLDEF.match(item)
+            cm = _parse_coldef(item)
             if not cm:
                 raise ValueError(
                     f"CREATE TABLE {name}: cannot parse column def {item!r}"
                 )
-            st = _mysql_type_to_spark(cm.group("type"), bool(cm.group("uns")))
+            st = _mysql_type_to_spark(cm["type"], cm["unsigned"])
             tm = re.match(
                 r"(?i)^(datetime|timestamp)(?:\s*\(\s*(\d+)\s*\))?$",
-                cm.group("type").strip(),
+                cm["type"].strip(),
             )
             if tm:
-                dt_prec[cm.group("name")] = int(tm.group(2) or 0)
-            dflt = cm.group("dflt")
+                dt_prec[cm["name"]] = int(tm.group(2) or 0)
+            dflt = cm["default"]
             if dflt is not None:
                 dflt = None if dflt.upper() == "NULL" else dflt.strip("'")
-            cols.append((cm.group("name"), st, bool(cm.group("notnull")), dflt))
-            if cm.group("inline_pk"):
-                pk_cols, pk_kind = [cm.group("name")], "CLUSTERED"
+            cols.append((cm["name"], st, cm["notnull"], dflt))
+            if cm["inline_pk"]:
+                pk_cols, pk_kind = [cm["name"]], "CLUSTERED"
         if not cols:
             raise ValueError(f"CREATE TABLE {name}: no columns")
         order = [c[0] for c in cols]
@@ -1173,7 +1585,23 @@ def run_sql(
             def _cell(cell: str, col: str, ty: str | None) -> str:
                 if ty is None:
                     return f"({cell})"
-                if ty in ("timestamp", "date"):
+                dm = re.match(r"decimal\((\d+),(\d+)\)", ty)
+                if dm and _NUM_LIT.match(cell.strip()):
+                    # MySQL (non-strict) clamps out-of-range decimals to
+                    # the column's min/max instead of erroring; a literal
+                    # wider than 38 digits can't even be parsed by Spark,
+                    # so clamp literals here (inline VALUES tables cannot
+                    # evaluate SQL-UDF saturation expressions)
+                    from decimal import Context, ROUND_HALF_UP, Decimal as _D
+
+                    p, s = int(dm.group(1)), int(dm.group(2))
+                    # literals can be 60+ digits wide (default prec=28 traps)
+                    ctx = Context(prec=120, rounding=ROUND_HALF_UP)
+                    v = ctx.quantize(_D(cell.strip()), _D(1).scaleb(-s))
+                    lim = ctx.subtract(_D(10) ** (p - s), _D(1).scaleb(-s))
+                    v = max(min(v, lim), -lim)
+                    return f"CAST('{v}' AS {ty})"
+                if ty in ("timestamp", "timestamp_ntz", "date"):
                     # MySQL accepts '/' (and other) separators in
                     # temporal literals; Spark's cast does not
                     src = f"translate(CAST(({cell}) AS STRING), '/', '-')"
@@ -1187,6 +1615,21 @@ def run_sql(
                             f"CAST({src} AS TIMESTAMP)) / {scale}) AS BIGINT)"
                             f" * {scale})"
                         )
+                    if ty == "timestamp_ntz":
+                        # naive parse (no session-tz involvement), with
+                        # the same declared-precision rounding
+                        base = f"to_timestamp_ntz({src})"
+                        if p is not None and p < 6:
+                            scale = 10 ** (6 - p)
+                            frac = (
+                                f"CAST(date_format({base}, 'SSSSSS') AS BIGINT)"
+                            )
+                            return (
+                                f"timestampadd(MICROSECOND,"
+                                f" CAST(round({frac} / {scale}) AS BIGINT)"
+                                f" * {scale} - {frac}, {base})"
+                            )
+                        return base
                     return f"CAST({src} AS {ty.upper()})"
                 return f"CAST(({cell}) AS {ty})"
 
@@ -1378,4 +1821,4 @@ def run_sql(
         sql = _rewrite_asof(spark, sql, stores)
     if _INFOSCHEMA.search(sql):
         sql = _rewrite_infoschema(spark, sql, stores)
-    return spark.sql(sql)
+    return _sql_with_rescues(spark, sql)

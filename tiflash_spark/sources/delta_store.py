@@ -2354,6 +2354,11 @@ class DeltaStore:
             meta_get, meta_put, d = (
                 self._vecidx_meta, self._write_vecidx_meta, self._vecidx_dir(col)
             )
+        elif kind == "secondary":
+            # TiKV-side secondary/expression indexes: accepted as DDL
+            # (name-registered, SHOW CREATE renders them) but carry no
+            # sidecar here — the columnar engine scans
+            return
         else:
             raise ValueError(f"unknown index kind {kind!r}")
         m = meta_get()

@@ -192,10 +192,16 @@ def _canon_cell(cell: str):
         # a midnight datetime unifies with its date: MySQL displays
         # DATE-typed results without a time part, this engine's
         # TIMESTAMP-backed columns with one
-        d = datetime.fromisoformat(cell.replace(" ", "T"))
+        try:
+            d = datetime.fromisoformat(cell.replace(" ", "T"))
+        except ValueError:  # zero dates ('0000-00-00 ...') stay strings
+            return ("str", cell)
         return ("dt", d.date()) if d.time() == d.min.time() else ("dt", d)
     if _DATE_RE.match(cell):
-        return ("dt", date.fromisoformat(cell))
+        try:
+            return ("dt", date.fromisoformat(cell))
+        except ValueError:  # '0000-00-00'
+            return ("str", cell)
     if cell[:1] in "[{":
         # JSON renderings differ in whitespace ("[1, 2]" vs "[1,2]") —
         # compare parsed
@@ -304,8 +310,25 @@ def run_script(
     return res
 
 
+def _tz_offset(zone: str, at: datetime) -> timedelta:
+    """UTC offset of a MySQL @@time_zone value at the given instant."""
+    if zone.upper() in ("SYSTEM", "UTC"):
+        return timedelta(0)
+    if zone[:1] in "+-":
+        hh, _, mm = zone[1:].partition(":")
+        off = timedelta(hours=int(hh), minutes=int(mm or 0))
+        return -off if zone[0] == "-" else off
+    try:
+        from datetime import timezone as _tzu
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(zone).utcoffset(at.replace(tzinfo=_tzu.utc)) or timedelta(0)
+    except Exception:  # unknown zone name — render unshifted
+        return timedelta(0)
+
+
 def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
-    tz_shift = timedelta(0)
+    tz_zone = "UTC"
     for step in parse_script(path):
         sql = _TEST_SCHEMA.sub("", step.sql)
         if _TIFLASH_REPLICA.match(sql) or _ANALYZE.match(sql):
@@ -318,16 +341,11 @@ def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
                 "UTC" if tz.upper() == "SYSTEM" else f"GMT{tz}"
                 if tz[:1] in "+-" else tz,
             )
-            # collect() renders timestamps in the PYTHON-local zone (UTC
-            # in this container), not the session zone — track the
-            # session offset so results display MySQL-style
-            if tz[:1] in "+-":
-                hh, _, mm = tz[1:].partition(":")
-                tz_shift = timedelta(hours=int(hh), minutes=int(mm or 0))
-                if tz[0] == "-":
-                    tz_shift = -tz_shift
-            else:
-                tz_shift = timedelta(0)
+            # collect() renders tz-aware timestamps in the PYTHON-local
+            # zone (UTC in this container), not the session zone — track
+            # the session zone so results display MySQL-style. Naive
+            # (TIMESTAMP_NTZ / MySQL DATETIME) columns never shift.
+            tz_zone = tz
             continue
         if _NOOP_STMT.match(sql):
             continue
@@ -370,14 +388,17 @@ def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
                 f"{loc}: {sql!r} failed to materialize: {type(e).__name__}: {e}"
             )
             continue
+        from pyspark.sql.types import TimestampType
+
+        tz_aware = [isinstance(f.dataType, TimestampType) for f in df.schema.fields]
         got = [
             [
                 _format_value(
-                    v + tz_shift
-                    if isinstance(v, datetime) and tz_shift
+                    v + _tz_offset(tz_zone, v)
+                    if isinstance(v, datetime) and tz_aware[j]
                     else v
                 )
-                for v in row
+                for j, v in enumerate(row)
             ]
             for row in rows
         ]
