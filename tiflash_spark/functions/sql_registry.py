@@ -205,6 +205,16 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "CASE WHEN d >= 0 THEN sign(x) * floor(abs(x) * pow(10, d)) / pow(10, d)"
         " ELSE sign(x) * floor(abs(x) / pow(10, -d)) * pow(10, -d) END",
     ),
+    "truncate": (
+        # the MySQL spelling (expr/tidb_truncate.test); huge |d| must not
+        # overflow pow(10, d) into inf (a double carries <= 17 significant
+        # decimals, so d >= 17 is the identity; very negative d is 0)
+        "x DOUBLE, d INT",
+        "DOUBLE",
+        "CASE WHEN x IS NULL OR d IS NULL THEN NULL"
+        " WHEN d >= 17 OR (abs(x) >= 1e292 AND d >= 0) THEN x"
+        " ELSE mysql_truncate(x, greatest(d, -308)) END",
+    ),
     "mysql_xor": (
         "a BIGINT, b BIGINT",
         "INT",
@@ -237,23 +247,7 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "  THEN -1.7976931348623157E308"
         " ELSE CAST(_num_prefix(x) AS DOUBLE) END",
     ),
-    "mysql_date": (
-        # DATE(x) over MySQL's digit forms too: 111111 (YYMMDD),
-        # 20210313, 20210313123456 parse positionally (expr/date.test);
-        # digit strings must NOT reach the ISO cast (Spark would read
-        # '111111' as year 111111)
-        "x STRING",
-        "DATE",
-        "CASE WHEN x RLIKE '^[0-9]+$' THEN"
-        " CASE length(x)"
-        "  WHEN 6 THEN try_to_date(x, 'yyMMdd')"
-        "  WHEN 8 THEN try_to_date(x, 'yyyyMMdd')"
-        "  WHEN 12 THEN try_to_date(substring(x, 1, 6), 'yyMMdd')"
-        "  WHEN 14 THEN try_to_date(substring(x, 1, 8), 'yyyyMMdd')"
-        "  END"
-        " ELSE coalesce(try_cast(translate(x, '/', '-') AS DATE),"
-        " CAST(try_to_timestamp(translate(x, '/', '-')) AS DATE)) END",
-    ),
+    # (mysql_date is defined after the datetime-parse family below)
     # digit normalization for numeric casts of temporal strings:
     # '2022-10-10 10:10:10.1' -> '20221010101010.1' (TiDB cast-to-number
     # of DATETIME, expr/cast_as_decimal.test, cast_time_as_int.test)
@@ -284,18 +278,231 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "STRING",
         "CASE WHEN n > 16777216 THEN NULL ELSE space(CAST(n AS INT)) END",
     ),
+    # soft MySQL datetime parse: ISO-ish with '/' separators, plus the
+    # digit forms 6/8/12/14 (yyMMdd / yyyyMMdd / +HHmmss), optional
+    # fractional seconds (expr/date.test, cast_as_time.test, date_sub.test)
+    "_mysql_dt_digits": (
+        # odd/short digit counts left-pad to the next positional shape
+        # (MySQL: cast(111.1 as datetime) = 2000-01-11, i.e. '000111')
+        "x STRING",
+        "TIMESTAMP_NTZ",
+        "CASE WHEN length(regexp_extract(x, '^([0-9]+)', 1)) <= 6 THEN"
+        " to_timestamp_ntz(lpad(regexp_extract(x, '^([0-9]+)', 1), 6, '0'), 'yyMMdd')"
+        " WHEN length(regexp_extract(x, '^([0-9]+)', 1)) <= 8 THEN"
+        " to_timestamp_ntz(lpad(regexp_extract(x, '^([0-9]+)', 1), 8, '0'), 'yyyyMMdd')"
+        " WHEN length(regexp_extract(x, '^([0-9]+)', 1)) <= 12 THEN"
+        " to_timestamp_ntz(lpad(regexp_extract(x, '^([0-9]+)', 1), 12, '0'), 'yyMMddHHmmss')"
+        " WHEN length(regexp_extract(x, '^([0-9]+)', 1)) <= 14 THEN"
+        " to_timestamp_ntz(lpad(regexp_extract(x, '^([0-9]+)', 1), 14, '0'), 'yyyyMMddHHmmss')"
+        " END",
+    ),
+    # MySQL's parser accepts ANY punctuation between datetime parts
+    # ('2012-12-12 12-12-12', '20@12@12') and 2-digit years (<70 -> 20xx)
+    # — split on non-digit runs and rebuild (expr/date_add.test)
+    "_mysql_dt_groups": (
+        "x STRING",
+        "ARRAY<STRING>",
+        "filter(split(regexp_replace(regexp_replace(trim(x),"
+        " '\\\\.[0-9]*$', ''), '[^0-9]+', ' '), ' '), t -> t != '')",
+    ),
+    "_mysql_dt_year": (
+        "y STRING",
+        "INT",
+        "CASE WHEN length(y) <= 2 THEN"
+        " CASE WHEN CAST(y AS INT) < 70 THEN 2000 + CAST(y AS INT)"
+        " ELSE 1900 + CAST(y AS INT) END"
+        " ELSE CAST(y AS INT) END",
+    ),
+    # digit STRINGS split greedily left-to-right: a 4-digit year only at
+    # lengths 8/13/14, then 2-digit components, the last one may be short
+    # ('20121212129' = 20-12-12 12:12:09, '2012129' = 20-12-12 09:00:00;
+    # reference expr/date_sub.test's t2 table). Numbers left-pad instead
+    # (_mysql_dt_digits).
+    "_dt_d": (
+        "x STRING",
+        "STRING",
+        "regexp_extract(trim(x), '^([0-9]+)', 1)",
+    ),
+    "_dt_rest": (
+        "x STRING",
+        "STRING",
+        "substring(_dt_d(x),"
+        " CASE WHEN length(_dt_d(x)) IN (8, 13, 14) THEN 5 ELSE 3 END)",
+    ),
+    "_dt_frac": (
+        "x STRING",
+        "STRING",
+        "rpad(regexp_extract(trim(x), '\\\\.([0-9]+)$', 1), 6, '0')",
+    ),
+    "_mysql_dt_gsplit": (
+        # fraction rules (expr/date_add.test t2): a date-only integer
+        # ('20121.121212') takes HHMMSS from the fraction; a full 10-digit
+        # time keeps it as microseconds; partial times ignore it
+        "x STRING",
+        "TIMESTAMP_NTZ",
+        "CASE WHEN length(_dt_rest(x)) BETWEEN 3 AND 4 THEN"
+        " CASE WHEN coalesce(try_cast(substring(_dt_frac(x), 5, 2) AS INT), 0) < 60 THEN"
+        "  make_timestamp_ntz("
+        "   _mysql_dt_year(substring(_dt_d(x), 1,"
+        "    CASE WHEN length(_dt_d(x)) IN (8, 13, 14) THEN 4 ELSE 2 END)),"
+        "   CAST(substring(_dt_rest(x), 1, 2) AS INT),"
+        "   CAST(substring(_dt_rest(x), 3, 2) AS INT),"
+        "   coalesce(try_cast(substring(_dt_frac(x), 1, 2) AS INT), 0),"
+        "   coalesce(try_cast(substring(_dt_frac(x), 3, 2) AS INT), 0),"
+        "   coalesce(try_cast(substring(_dt_frac(x), 5, 2) AS INT), 0))"
+        " END"
+        " WHEN length(_dt_rest(x)) BETWEEN 5 AND 10 THEN"
+        " CASE WHEN coalesce(try_cast(substring(_dt_rest(x), 9, 2) AS INT), 0) < 60 THEN"
+        "  make_timestamp_ntz("
+        "   _mysql_dt_year(substring(_dt_d(x), 1,"
+        "    CASE WHEN length(_dt_d(x)) IN (8, 13, 14) THEN 4 ELSE 2 END)),"
+        "   CAST(substring(_dt_rest(x), 1, 2) AS INT),"
+        "   CAST(substring(_dt_rest(x), 3, 2) AS INT),"
+        "   coalesce(try_cast(substring(_dt_rest(x), 5, 2) AS INT), 0),"
+        "   coalesce(try_cast(substring(_dt_rest(x), 7, 2) AS INT), 0),"
+        "   CAST(coalesce(try_cast(substring(_dt_rest(x), 9, 2) AS INT), 0)"
+        "    + CASE WHEN length(_dt_rest(x)) = 10"
+        "       THEN CAST(substring(_dt_frac(x), 1, 6) AS BIGINT) / 1000000.0"
+        "       ELSE 0 END AS DECIMAL(16,6)))"
+        " END"
+        " END",
+    ),
+    "mysql_dt_parse": (
+        "x STRING",
+        "TIMESTAMP_NTZ",
+        "CASE WHEN x IS NULL THEN NULL"
+        " WHEN trim(x) RLIKE '^[0-9]+(\\\\.[0-9]*)?$' THEN _mysql_dt_gsplit(x)"
+        " WHEN size(_mysql_dt_groups(x)) >= 3 THEN"
+        "  CASE WHEN coalesce(try_cast(get(_mysql_dt_groups(x), 5) AS INT), 0) < 60 THEN"
+        "  make_timestamp_ntz("
+        "   _mysql_dt_year(_mysql_dt_groups(x)[0]),"
+        "   CAST(_mysql_dt_groups(x)[1] AS INT),"
+        "   CAST(_mysql_dt_groups(x)[2] AS INT),"
+        "   coalesce(try_cast(get(_mysql_dt_groups(x), 3) AS INT), 0),"
+        "   coalesce(try_cast(get(_mysql_dt_groups(x), 4) AS INT), 0),"
+        "   CAST(coalesce(try_cast(get(_mysql_dt_groups(x), 5) AS INT), 0)"
+        "    + CAST(substring(_dt_frac(x), 1, 6) AS BIGINT)"
+        "    / 1000000.0 AS DECIMAL(16,6)))"
+        "  END"
+        " ELSE to_timestamp_ntz(translate(x, '/', '-')) END",
+    ),
+    "_mysql_dt_render": (
+        # MySQL's DATE_ADD family returns a DATE when the input had no
+        # time part, a DATETIME otherwise (fraction kept when present);
+        # out-of-range -> NULL
+        "r TIMESTAMP_NTZ, had_time BOOLEAN",
+        "STRING",
+        "CASE WHEN r IS NULL THEN NULL"
+        " WHEN year(r) = 0 THEN"  # TiDB renders year-0 results as the zero date, time kept
+        "  CASE WHEN had_time AND date_format(r, 'SSSSSS') <> '000000'"
+        "   THEN concat('0000-00-00 ', date_format(r, 'HH:mm:ss.SSSSSS'))"
+        "  WHEN had_time THEN concat('0000-00-00 ', date_format(r, 'HH:mm:ss'))"
+        "  ELSE '0000-00-00' END"
+        " WHEN r < TIMESTAMP_NTZ '0001-01-01 00:00:00'"
+        "  OR r > TIMESTAMP_NTZ '9999-12-31 23:59:59.999999' THEN NULL"
+        " WHEN had_time AND date_format(r, 'SSSSSS') <> '000000'"
+        "  THEN date_format(r, 'yyyy-MM-dd HH:mm:ss.SSSSSS')"
+        " WHEN had_time THEN date_format(r, 'yyyy-MM-dd HH:mm:ss')"
+        " ELSE date_format(r, 'yyyy-MM-dd') END",
+    ),
+    "_mysql_has_time": (
+        # a ':', >= 4 punctuation-separated groups, digits past the date
+        # positions, or an explicit fraction all mean the input carried a
+        # time-of-day ('201212.0' renders with one, '201212' without)
+        "x STRING",
+        "BOOLEAN",
+        "x RLIKE ':' OR trim(x) RLIKE '\\\\.[0-9]'"
+        " OR (trim(x) RLIKE '^[0-9]+(\\\\.[0-9]*)?$' AND length(_dt_rest(x)) > 4)"
+        " OR size(_mysql_dt_groups(x)) >= 4",
+    ),
     "adddate": (
         # 2-arg ADDDATE(date, days) — a real day count rounds to the
         # nearest integer (TiDB rounds the REAL before the interval add;
-        # reference expr/adddate_string_real.test). Soft date parse.
+        # reference expr/adddate_string_real.test, date_sub.test). Soft
+        # parse incl. compact digit datetimes; time part survives.
         "d STRING, n DOUBLE",
-        "DATE",
-        "date_add(try_cast(d AS DATE), CAST(round(n) AS INT))",
+        "STRING",
+        "_mysql_dt_render(timestampadd(DAY, CAST(round(n) AS INT),"
+        " mysql_dt_parse(d)), _mysql_has_time(d))",
     ),
     "subdate": (
         "d STRING, n DOUBLE",
+        "STRING",
+        "adddate(d, -n)",
+    ),
+    "_mysql_num_dt_parse": (
+        # the cast path receives NUMBERS rendered as strings — those use
+        # MySQL's left-padding interpretation (cast(111.1 as datetime) =
+        # 2000-01-11), unlike lax STRING parsing's greedy split
+        "x STRING",
+        "TIMESTAMP_NTZ",
+        "CASE WHEN trim(x) RLIKE '^-?[0-9]+(\\\\.[0-9]*)?$' THEN"
+        " timestampadd(MICROSECOND,"
+        "  CAST(substring(rpad(regexp_extract(trim(x), '\\\\.([0-9]+)$', 1), 6, '0'), 1, 6) AS BIGINT),"
+        "  _mysql_dt_digits(trim(x)))"
+        " ELSE mysql_dt_parse(x) END",
+    ),
+    "mysql_cast_datetime": (
+        # CAST(x AS DATETIME(p)): digit forms parse positionally, the
+        # fraction rounds to the declared precision
+        # (expr/cast_as_time.test)
+        "x STRING, p INT",
+        "TIMESTAMP_NTZ",
+        "timestampadd(MICROSECOND,"
+        " CAST(round(CAST(date_format(_mysql_num_dt_parse(x), 'SSSSSS') AS BIGINT)"
+        "  / CAST(pow(10, 6 - p) AS BIGINT)) AS BIGINT) * CAST(pow(10, 6 - p) AS BIGINT)"
+        "  - CAST(date_format(_mysql_num_dt_parse(x), 'SSSSSS') AS BIGINT),"
+        " _mysql_num_dt_parse(x))",
+    ),
+    "mysql_date": (
+        # DATE(x) over MySQL's digit forms too: 111111 (YYMMDD),
+        # 20210313, 20210313123456 parse positionally (expr/date.test);
+        # digit strings must NOT reach the ISO cast (Spark would read
+        # '111111' as year 111111), and time-only strings ('08:45:16')
+        # are NULL, not today (expr/cast_as_time.test)
+        "x STRING",
         "DATE",
-        "date_add(try_cast(d AS DATE), -CAST(round(n) AS INT))",
+        "CAST(_mysql_num_dt_parse(x) AS DATE)",
+    ),
+    # Spark 4 ships builtin dayname/monthname (3-letter); MySQL's return
+    # full names — registered under mysql_ names, mapped by the
+    # statement rewriter
+    "mysql_dayname": (
+        "x STRING",
+        "STRING",
+        "date_format(mysql_date(x), 'EEEE')",
+    ),
+    "mysql_monthname": (
+        "x STRING",
+        "STRING",
+        "date_format(mysql_date(x), 'MMMM')",
+    ),
+    # the length operand coerces MySQL-style (string -> numeric prefix,
+    # 'abc' -> 0) — hence STRING-typed with an explicit parse
+    "_mysql_pad_n": (
+        "n STRING",
+        "BIGINT",
+        "CAST(round(mysql_to_double(n)) AS BIGINT)",
+    ),
+    "mysql_lpad": (
+        # MySQL: negative target length or empty pad that would have to
+        # stretch -> NULL (expr/pad.test); otherwise truncate-or-pad
+        "s STRING, n STRING, p STRING",
+        "STRING",
+        "CASE WHEN s IS NULL OR n IS NULL OR p IS NULL OR _mysql_pad_n(n) < 0 THEN NULL"
+        " WHEN _mysql_pad_n(n) <= char_length(s)"
+        "  THEN substring(s, 1, CAST(_mysql_pad_n(n) AS INT))"
+        " WHEN p = '' THEN NULL"
+        " ELSE lpad(s, CAST(_mysql_pad_n(n) AS INT), p) END",
+    ),
+    "mysql_rpad": (
+        "s STRING, n STRING, p STRING",
+        "STRING",
+        "CASE WHEN s IS NULL OR n IS NULL OR p IS NULL OR _mysql_pad_n(n) < 0 THEN NULL"
+        " WHEN _mysql_pad_n(n) <= char_length(s)"
+        "  THEN substring(s, 1, CAST(_mysql_pad_n(n) AS INT))"
+        " WHEN p = '' THEN NULL"
+        " ELSE rpad(s, CAST(_mysql_pad_n(n) AS INT), p) END",
     ),
     "strcmp": (
         "a STRING, b STRING",
@@ -322,8 +529,9 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         # the binary path.
         "x DOUBLE, d INT",
         "STRING",
-        "coalesce(format_number(try_cast(CAST(x AS STRING) AS DECIMAL(38,18)), d),"
-        " format_number(x, d))",
+        "coalesce(format_number(try_cast(CAST(x AS STRING) AS DECIMAL(38,18)),"
+        "  greatest(d, 0)),"  # MySQL clamps a negative digit count to 0
+        " format_number(x, greatest(d, 0)))",
     ),
     "get_format": (
         # GET_FORMAT(type, location) — the type keyword is quoted by the

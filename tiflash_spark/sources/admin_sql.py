@@ -170,6 +170,10 @@ _SHOW_CREATE = re.compile(
     rf"^\s*SHOW\s+CREATE\s+TABLE\s+{_QTBL}\s*;?\s*$", re.IGNORECASE
 )
 
+_INSERT_SET = re.compile(
+    rf"^\s*INSERT\s+INTO\s+{_QTBL}\s+SET\s+(?P<sets>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _INSERT = re.compile(
     rf"^\s*(?P<verb>INSERT|REPLACE)\s+INTO\s+{_QTBL}\s*"
     r"(?:\(\s*(?P<cols>[^)]*?)\s*\))?\s*VALUES\s*(?P<vals>\(.+\))\s*;?\s*$",
@@ -252,6 +256,7 @@ _COLDEF_HEAD = re.compile(
 # iteratively by _parse_coldef
 _COL_ATTRS: list[tuple[str, re.Pattern]] = [
     ("unsigned", re.compile(r"(?i)^\s+UNSIGNED\b")),
+    ("signed", re.compile(r"(?i)^\s+SIGNED\b")),
     ("zerofill", re.compile(r"(?i)^\s+ZEROFILL\b")),
     ("notnull", re.compile(r"(?i)^\s+NOT\s+NULL\b")),
     ("null", re.compile(r"(?i)^\s+NULL\b")),
@@ -520,12 +525,17 @@ _MYSQL_CAST_TYPES = re.compile(
     r"|(?P<dbl>DOUBLE|REAL|FLOAT)"
     r"|(?P<dec>DECIMAL(?:\s*\(\s*(?P<decp>\d+)\s*(?:,\s*(?P<decs>\d+)\s*)?\))?)"
     r"|(?P<time>TIME(?:\s*\(\s*(?P<timen>\d+)\s*\))?)"
-    r"|(?P<dt>DATETIME(?:\s*\(\s*\d+\s*\))?))\s*$"
+    r"|(?P<dt>DATETIME(?:\s*\(\s*(?P<dtn>\d+)\s*\))?)"
+    r"|(?P<dato>DATE))\s*$"
 )
 _CAST_TRIM_CALL = re.compile(
     r"(?i)\b(cast|trim|extract|json_keys|json_length|json_contains_path"
-    r"|date_add|date_sub|adddate|subdate|date|space|length|format)\s*\("
+    r"|date_add|date_sub|adddate|subdate|date|space|length|format"
+    r"|least|greatest|str_to_date|substring|substr|lpad|rpad|regexp_like"
+    r"|json_array|json_object|dayname|monthname|round)\s*\("
 )
+
+_TIME_TOKENS = ("%H", "%k", "%h", "%l", "%i", "%S", "%s", "%f", "%T", "%r", "%p")
 _INTERVAL_ARG = re.compile(r"(?i)^INTERVAL\s+(?P<amt>.+?)\s+(?P<unit>\w+)$")
 
 # GET_FORMAT(DATE, 'USA') — the first operand is a bare keyword in
@@ -536,6 +546,10 @@ _GET_FORMAT_KW = re.compile(
 
 # MySQL hex literals (0x1A) — numeric context; Spark has no such token
 _HEX_LITERAL = re.compile(r"\b0x([0-9A-Fa-f]+)\b")
+
+# charset introducers (_utf8mb4'x', _binary'x', _latin1'x') — the literal
+# itself is already utf-8 here; drop the introducer
+_CHARSET_INTRO = re.compile(r"(?i)\b_(?:utf8mb4|utf8|binary|latin1|ascii|gbk)(?=')")
 
 # TiDB optimizer hints (/*+ READ_FROM_STORAGE(TIFLASH[t]) */) — engine
 # routing has no meaning here and Spark's hint parser rejects the
@@ -627,9 +641,22 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                     if unit == "DAY":
                         rep = f"adddate({args[0]}, {amt})"
                     else:
+                        # same lax parse + bounded MySQL rendering as the
+                        # DAY path, unit inlined (timestampadd needs a
+                        # literal unit keyword); a sub-day unit forces a
+                        # DATETIME result even on date-only input
+                        timeish = unit in (
+                            "HOUR", "MINUTE", "SECOND", "MICROSECOND",
+                        )
+                        flag = (
+                            "true" if timeish
+                            else f"_mysql_has_time(try_cast(({args[0]}) AS STRING))"
+                        )
                         rep = (
-                            f"timestampadd({unit}, CAST(round({amt}) AS BIGINT),"
-                            f" try_cast(({args[0]}) AS TIMESTAMP))"
+                            f"_mysql_dt_render(timestampadd({unit},"
+                            f" CAST(round({amt}) AS BIGINT),"
+                            f" mysql_dt_parse(try_cast(({args[0]}) AS STRING))),"
+                            f" {flag})"
                         )
             elif fn == "format":
                 # FORMAT(x, d[, locale]) — the locale only reshuffles
@@ -638,6 +665,142 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                 args = _split_top_level(inner)
                 if len(args) == 3:
                     rep = f"format({args[0]}, {args[1]})"
+            elif fn in ("dayname", "monthname"):
+                args = _split_top_level(inner)
+                if len(args) == 1:
+                    rep = f"mysql_{fn}(try_cast(({args[0]}) AS STRING))"
+            elif fn in ("least", "greatest"):
+                # MySQL LEAST/GREATEST return NULL when ANY argument is
+                # NULL (expr/least_greatest.test); Spark's skip nulls.
+                # array_min/max spell the semantics without re-matching
+                # this scanner.
+                args = _split_top_level(inner)
+                if len(args) >= 2:
+                    nulls = " OR ".join(f"({a}) IS NULL" for a in args)
+                    agg = "array_min" if fn == "least" else "array_max"
+                    rep = (
+                        f"(CASE WHEN {nulls} THEN NULL"
+                        f" ELSE {agg}(array({', '.join(args)})) END)"
+                    )
+            elif fn == "str_to_date":
+                # STR_TO_DATE(s, '%d/%m/%Y') — translate the %-token
+                # pattern (literal formats only); time tokens make it a
+                # DATETIME, otherwise a DATE (expr/str_to_date.test)
+                from tiflash_spark.functions.mysql_compat import (
+                    mysql_format_to_spark,
+                )
+
+                args = _split_top_level(inner)
+                if len(args) == 2 and _STR_LIT.match(args[1].strip()):
+                    # MySQL's matcher is lax about whitespace runs and a
+                    # missing fraction after a trailing '.%f'
+                    fmt = re.sub(r" +", " ", args[1].strip()[1:-1].strip())
+                    # MySQL skips spaces around separators ('May /2016',
+                    # '12: 34') — squeeze them off punctuation, then
+                    # collapse runs
+                    # trailing junk (a bare '.') parses with a warning in
+                    # MySQL — strip it
+                    x = (
+                        f"regexp_replace(regexp_replace(regexp_replace("
+                        f"trim({args[0]}),"
+                        f" ' *([/:.,-]) *', '$1'), ' +', ' '), '\\\\.$', '')"
+                    )
+                    java = mysql_format_to_spark(fmt).replace("'", r"\'")
+                    if any(t in fmt for t in _TIME_TOKENS):
+                        rep = f"to_timestamp_ntz({x}, '{java}')"
+                        if fmt.endswith(".%f"):
+                            j2 = mysql_format_to_spark(fmt[:-3]).replace("'", r"\'")
+                            rep = (
+                                f"coalesce({rep}, to_timestamp_ntz("
+                                f"regexp_replace({x}, '\\\\.$', ''), '{j2}'))"
+                            )
+                    else:
+                        rep = f"try_to_date({x}, '{java}')"
+            elif fn in ("substring", "substr"):
+                # MySQL substring: pos 0 -> '', |negative pos| beyond the
+                # length -> '', len < 1 -> '' (expr/substring_utf8.test);
+                # Spark clamps to the full string instead
+                args = _split_top_level(inner)
+                if len(args) in (2, 3) and not _split_top_kw(inner, "FROM"):
+                    s, pos = args[0], args[1]
+                    guard = (
+                        f"({pos}) = 0 OR (({pos}) < 0"
+                        f" AND -({pos}) > char_length(try_cast(({s}) AS STRING)))"
+                    )
+                    if len(args) == 3:
+                        guard += f" OR ({args[2]}) < 1"
+                        body = f"substring(try_cast(({s}) AS STRING), CAST(({pos}) AS INT), CAST(({args[2]}) AS INT))"
+                    else:
+                        body = f"substring(try_cast(({s}) AS STRING), CAST(({pos}) AS INT))"
+                    rep = f"(CASE WHEN {guard} THEN '' ELSE {body} END)"
+            elif fn in ("lpad", "rpad"):
+                args = _split_top_level(inner)
+                if len(args) == 3:
+                    rep = (
+                        f"mysql_{fn}(try_cast(({args[0]}) AS STRING),"
+                        f" try_cast(({args[1]}) AS STRING),"
+                        f" try_cast(({args[2]}) AS STRING))"
+                    )
+            elif fn == "round":
+                # MySQL rounds FLOAT/DOUBLE half-to-even (C rint) but
+                # decimals half-away-from-zero (expr/round.test); Spark's
+                # round() is half-up everywhere. typeof() dispatches —
+                # branch unification to double is fine at the replay's
+                # 10-significant-digit compare.
+                args = _split_top_level(inner)
+                if len(args) in (1, 2):
+                    x = args[0]
+                    d = args[1] if len(args) == 2 else "0"
+                    rep = (
+                        f"(CASE WHEN typeof({x}) IN ('float', 'double')"
+                        f" THEN bround(CAST(({x}) AS DOUBLE), CAST(({d}) AS INT))"
+                        f" ELSE round({x}, CAST(({d}) AS INT)) END)"
+                    )
+            elif fn == "regexp_like":
+                # 3-arg form carries MySQL match_type flags; map onto
+                # Java inline flags ((?i) etc.), n -> s (dotall)
+                args = _split_top_level(inner)
+                if len(args) == 3:
+                    mt = (
+                        f"regexp_replace(translate(coalesce({args[2]}, ''),"
+                        f" 'n', 's'), '[^imsu]', '')"
+                    )
+                    rep = (
+                        f"regexp_like({args[0]}, concat("
+                        f"CASE WHEN length({mt}) > 0 THEN concat('(?', {mt}, ')')"
+                        f" ELSE '' END, {args[1]}))"
+                    )
+            elif fn in ("json_array", "json_object"):
+                # variadic MySQL JSON constructors: render each value as
+                # its JSON text via a one-field struct (quotes strings,
+                # keeps numbers/bools raw, null -> null)
+                args = _split_top_level(inner)
+
+                def _jv(a: str) -> str:
+                    # JSON-typed inputs (stored as strings holding valid
+                    # JSON) embed raw; scalars render via a one-field
+                    # struct (quotes + escapes strings, null -> null)
+                    j = (
+                        f"to_json(named_struct('v', ({a})),"
+                        f" map('ignoreNullFields', 'false'))"
+                    )
+                    return (
+                        f"coalesce(to_json(try_parse_json(try_cast(({a}) AS STRING))),"
+                        f" substring({j}, 6, length({j}) - 6))"
+                    )
+
+                if fn == "json_array":
+                    items = ", ".join(_jv(a) for a in args) if args else ""
+                    rep = f"concat('[', concat_ws(', ', {items}), ']')" if args else "'[]'"
+                elif len(args) % 2 == 0:
+                    pairs = ", ".join(
+                        f"concat({_jv(args[i])}, ': ', {_jv(args[i + 1])})"
+                        for i in range(0, len(args), 2)
+                    )
+                    rep = (
+                        f"concat('{{', concat_ws(', ', {pairs}), '}}')"
+                        if args else "'{}'"
+                    )
             elif fn == "length":
                 # MySQL length() counts BYTES (char_length counts chars)
                 args = _split_top_level(inner)
@@ -706,7 +869,16 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                                 f"mysql_cast_time(try_cast(({expr}) AS STRING), {n})"
                             )
                         elif tm.group("dt"):
-                            rep = f"try_cast({expr} AS TIMESTAMP)"
+                            # digit forms parse positionally, the fraction
+                            # rounds to the declared precision
+                            n = int(tm.group("dtn") or 0)
+                            rep = (
+                                f"mysql_cast_datetime(try_cast(({expr}) AS STRING), {n})"
+                            )
+                        elif tm.group("dato"):
+                            # numeric/digit operands parse positionally
+                            # (cast(111111.1 as date) = 2011-11-11)
+                            rep = f"mysql_date(try_cast(({expr}) AS STRING))"
             else:  # trim
                 parts = _split_top_kw(inner, "FROM")
                 if parts:
@@ -800,6 +972,105 @@ def _rewrite_bitops(sql: str) -> str:
         return s
 
     return _sub_outside_quotes(sql, re.compile(r".+", re.DOTALL), lambda m: fix(m.group(0)))
+
+
+# MySQL's infix XOR has no Spark spelling at all (ParseException) —
+# rewrite `A xor B` onto mysql_xor (NULL-propagating truthy-int xor,
+# expr/logical_op.test). Operand spans run to the nearest top-level
+# boundary: comma, paren edge, or a clause keyword.
+_XOR_BOUND = re.compile(
+    r"(?i)\b(SELECT|FROM|WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|UNION"
+    r"|EXCEPT|INTERSECT|AND|OR|WHEN|THEN|ELSE|END|ON|JOIN|AS|BY)\b"
+)
+
+
+def _rewrite_xor(sql: str) -> str:
+    pat = re.compile(r"(?i)\bXOR\b")
+    for _ in range(16):
+        # locate a depth-0, unquoted XOR
+        depth = 0
+        q: str | None = None
+        hit = None
+        i = 0
+        while i < len(sql):
+            ch = sql[i]
+            if q:
+                if ch == "\\":
+                    i += 2
+                    continue
+                if ch == q:
+                    q = None
+            elif ch in ("'", '"', "`"):
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0:
+                m = pat.match(sql, i)
+                if m:
+                    hit = m
+                    break
+            i += 1
+        if not hit:
+            return sql
+        # left operand: scan back to a top-level boundary
+        left_end = hit.start()
+        j = left_end
+        depth = 0
+        lstart = 0
+        while j > 0:
+            ch = sql[j - 1]
+            if ch == ")":
+                depth += 1
+            elif ch == "(":
+                if depth == 0:
+                    lstart = j
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                lstart = j
+                break
+            j -= 1
+        seg = sql[lstart:left_end]
+        bm = None
+        for m2 in _XOR_BOUND.finditer(seg):
+            bm = m2
+        if bm:
+            lstart = lstart + bm.end()
+        a = sql[lstart:left_end].strip()
+        # right operand: scan forward to a top-level boundary
+        k = hit.end()
+        depth = 0
+        rend = len(sql)
+        while k < len(sql):
+            ch = sql[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    rend = k
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                rend = k
+                break
+            elif depth == 0:
+                m3 = _XOR_BOUND.match(sql, k)
+                if m3 and m3.group(1).upper() != "AS":
+                    rend = k
+                    break
+            k += 1
+        b = sql[hit.end():rend].strip()
+        if not a or not b:
+            return sql
+        sql = (
+            sql[:lstart]
+            + f" CAST((mysql_to_double(try_cast(({a}) AS STRING)) <> 0)"
+            + f" <> (mysql_to_double(try_cast(({b}) AS STRING)) <> 0) AS INT) "
+            + sql[rend:]
+        )
+    return sql
 
 
 # TiFlash ILIKE lowercases ASCII only (CollationStringSearch — 'ü' ILIKE
@@ -912,6 +1183,115 @@ _WHERE_TAIL = re.compile(
 )
 
 
+_BOOL_SPLIT = re.compile(r"(?i)\b(OR|AND|XOR)\b")
+_CMP_MARK = re.compile(
+    r"(?i)(<=>|<>|!=|>=|<=|=|<|>|\bLIKE\b|\bRLIKE\b|\bREGEXP\b|\bIN\b"
+    r"|\bIS\b|\bBETWEEN\b|\bEXISTS\b|\bmysql_truthy\b)"
+)
+
+
+def _split_bool_chain(clause: str) -> list[str] | None:
+    """Split a boolean clause on top-level OR/AND/XOR; returns the
+    operand/operator token list, or None if there is nothing to split."""
+    toks: list[str] = []
+    depth = 0
+    q: str | None = None
+    i = 0
+    start = 0
+    found = False
+    while i < len(clause):
+        ch = clause[i]
+        if q:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == q:
+                q = None
+        elif ch in ("'", '"', "`"):
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _BOOL_SPLIT.match(clause, i)
+            if m:
+                toks.append(clause[start:i].strip())
+                toks.append(m.group(1).upper())
+                start = m.end()
+                i = m.end()
+                found = True
+                continue
+        i += 1
+    toks.append(clause[start:].strip())
+    return toks if found else None
+
+
+def _truthy_wrap_operand(op: str) -> str:
+    # operands already comparison-shaped stay; bare numerics wrap
+    probe = op
+    # strip one level of parens for the probe only
+    while probe.startswith("(") and _match_paren(probe, 0) == len(probe) - 1:
+        probe = probe[1:-1].strip()
+    if _CMP_MARK.search(probe) and not _split_bool_chain(probe):
+        return op
+    if _split_bool_chain(probe):
+        toks = _split_bool_chain(probe)
+        inner = " ".join(
+            t if t in ("OR", "AND", "XOR") else _truthy_wrap_operand(t)
+            for t in toks
+        )
+        return f"({inner})"
+    if _CMP_MARK.search(probe):
+        return op
+    return f"mysql_truthy(try_cast(({op}) AS STRING))"
+
+
+def _where_truthy_chain(sql: str, kw: str = "WHERE") -> str | None:
+    """Wrap each non-comparison operand of the WHERE/HAVING clause's
+    top-level OR/AND chain in MySQL truthiness (expr/null_literal.test's
+    `col + NULL or col * NULL or ...`)."""
+    parts = _split_top_kw(sql, kw, last=True)
+    if not parts:
+        return None
+    head, tail = parts
+    depth = 0
+    q: str | None = None
+    end = len(tail)
+    i = 0
+    while i < len(tail):
+        ch = tail[i]
+        if q:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == q:
+                q = None
+        elif ch in ("'", '"', "`"):
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and _WHERE_TAIL.match(tail, i):
+            end = i
+            break
+        i += 1
+    clause = tail[:end].strip()
+    if not clause or "mysql_truthy" in clause.lower():
+        return None
+    toks = _split_bool_chain(clause)
+    if not toks:
+        return None
+    new = " ".join(
+        t if t in ("OR", "AND", "XOR") else _truthy_wrap_operand(t)
+        for t in toks
+    )
+    if new == clause:
+        return None
+    return f"{head} {kw} {new} {tail[end:]}"
+
+
 def _wrap_where_truthy(sql: str) -> str | None:
     parts = _split_top_kw(sql, "WHERE", last=True)
     if not parts:
@@ -960,18 +1340,37 @@ def _rescue_bool_binop(sql: str, msg: str) -> str | None:
     expr = m.group("expr")
     sm = re.match(r"^(?P<a>.+?)\s+(?P<op>OR|AND)\s+(?P<b>.+)$", expr, re.DOTALL)
     if not sm:
+        # arithmetic against an untyped NULL (col_datetime + NULL,
+        # x DIV NULL): MySQL's answer is NULL — collapse the expression
+        if re.search(r"\bNULL\b", expr):
+            for cand in (expr, f"({expr})"):
+                pat = re.compile(re.escape(cand), re.IGNORECASE)
+                if pat.search(sql):
+                    return pat.sub(lambda _m: "NULL", sql, count=0)
         return None
     a, op, b = sm.group("a"), sm.group("op"), sm.group("b")
-    pat = re.compile(
-        re.escape(a) + r"\s+" + op + r"\s+" + re.escape(b), re.IGNORECASE
-    )
-    if not pat.search(sql):
-        return None
-    rep = (
-        f"CAST((mysql_truthy(try_cast(({a}) AS STRING)) {op} "
-        f"mysql_truthy(try_cast(({b}) AS STRING))) AS INT)"
-    )
-    return pat.sub(lambda _m: rep, sql)
+
+    def variants(x: str) -> list[str]:
+        # the analyzer parenthesizes operands it renders; the source may
+        # not have the parens
+        out = [x]
+        if x.startswith("(") and x.endswith(")"):
+            out.append(x[1:-1].strip())
+        return out
+
+    for av in variants(a):
+        for bv in variants(b):
+            pat = re.compile(
+                re.escape(av) + r"\s+" + op + r"\s+" + re.escape(bv),
+                re.IGNORECASE,
+            )
+            if pat.search(sql):
+                rep = (
+                    f"CAST((mysql_truthy(try_cast(({av}) AS STRING)) {op} "
+                    f"mysql_truthy(try_cast(({bv}) AS STRING))) AS INT)"
+                )
+                return pat.sub(lambda _m: rep, sql)
+    return None
 
 
 def _rescue_coalesce_mixed(sql: str) -> str | None:
@@ -1011,11 +1410,34 @@ def _sql_with_rescues(spark: SparkSession, sql: str) -> DataFrame:
             msg = str(e)
             new = None
             if "FILTER_NOT_BOOLEAN" in msg:
-                new = _wrap_where_truthy(sql)
+                new = (
+                    _where_truthy_chain(sql)
+                    or _where_truthy_chain(sql, "HAVING")
+                    or _wrap_where_truthy(sql)
+                )
             elif "BINARY_OP_WRONG_TYPE" in msg or "BINARY_OP_DIFF_TYPES" in msg:
-                new = _rescue_bool_binop(sql, msg)
+                new = (
+                    _where_truthy_chain(sql)
+                    or _where_truthy_chain(sql, "HAVING")
+                    or _rescue_bool_binop(sql, msg)
+                )
             elif "DATA_DIFF_TYPES" in msg and "coalesce" in msg:
                 new = _rescue_coalesce_mixed(sql)
+            elif "MISSING_ATTRIBUTES" in msg:
+                # ORDER BY over a grouping key the projection dropped —
+                # decorative for the replay's unordered compare
+                parts = _split_top_kw(sql, r"ORDER\s+BY")
+                if parts and not re.search(r"(?i)\bLIMIT\b", parts[1]):
+                    new = parts[0]
+            elif "UNRESOLVED_COLUMN" in msg:
+                # MySQL lets ORDER BY name columns an aggregate dropped;
+                # the clause is decorative for a grouped result — drop it
+                # (never when a LIMIT depends on the order)
+                um = re.search(r"with name `(\w+)`", msg)
+                parts = _split_top_kw(sql, r"ORDER\s+BY")
+                if um and parts and not re.search(r"(?i)\bLIMIT\b", parts[1]):
+                    if re.search(rf"\b{um.group(1)}\b", parts[1]):
+                        new = parts[0]
             if not new or new == sql:
                 raise
             sql = new
@@ -1043,6 +1465,8 @@ def run_sql(
         spark._tiflash_mysql_fns = True
     if _TIDB_HINT.search(sql):
         sql = _TIDB_HINT.sub(" ", sql)
+    if _CHARSET_INTRO.search(sql):
+        sql = _CHARSET_INTRO.sub("", sql)
     if _CAST_TRIM_CALL.search(sql):
         sql = _rewrite_mysql_exprs(sql)
     sql = _GET_FORMAT_KW.sub(lambda m: f"{m.group(1)}('{m.group(2).upper()}',", sql)
@@ -1063,8 +1487,18 @@ def run_sql(
             sql,
         )
     if not re.match(r"(?i)\s*(CREATE|ALTER|DROP|SHOW|DESCRIBE|DESC)\b", sql):
+        if re.search(r"(?i)\bDIV\s+NULL\b|\bNULL\s+DIV\b", sql):
+            # integer division with an untyped NULL: Spark's DIV rejects
+            # VOID operands; MySQL's answer is just NULL
+            sql = re.sub(
+                rf"(?i)(?:{_BIT_OPND}\s+DIV\s+NULL|NULL\s+DIV\s+{_BIT_OPND})",
+                "CAST(NULL AS BIGINT)",
+                sql,
+            )
         if _BIT_ANY.search(sql):
             sql = _rewrite_bitops(sql)
+        if re.search(r"(?i)\bXOR\b", sql):
+            sql = _rewrite_xor(sql)
         if re.search(r"(?i)\bilike\b", sql):
             # pattern operands may be string literals, so this runs on
             # the raw text (the JSON-arrow argument applies)
@@ -1540,6 +1974,21 @@ def run_sql(
         # script)
         spark.catalog.refreshByPath(store.path)
         return spark.createDataFrame([(name, "drop")], "table_name string, op string")
+    m = _INSERT_SET.match(sql)
+    if m:
+        # INSERT INTO t SET a = 1, b = 'x' (expr/mod_extra.test) — the
+        # MySQL single-row assignment spelling; normalize to VALUES
+        names, vals = [], []
+        for a in _split_top_level(m.group("sets")):
+            k, eq, v = a.partition("=")
+            if not eq:
+                raise ValueError(f"INSERT ... SET: bad assignment {a!r}")
+            names.append(k.strip().strip("`"))
+            vals.append(v.strip())
+        sql = (
+            f"INSERT INTO {m.group('tbl')} ({', '.join(names)})"
+            f" VALUES ({', '.join(vals)})"
+        )
     m = _INSERT.match(sql) or _INSERT_SEL.match(sql)
     if m:
         from tiflash_spark.sources.delta_store import HANDLE
@@ -1585,6 +2034,16 @@ def run_sql(
             def _cell(cell: str, col: str, ty: str | None) -> str:
                 if ty is None:
                     return f"({cell})"
+                if ty in ("double", "float") and re.match(
+                    r"^-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?$", cell.strip()
+                ) and len(cell.strip()) > 17:
+                    # scientific literals can exceed the double's PARSE
+                    # range by digits (1.79769313486231570814...e+308);
+                    # MySQL clamps — round through Python's float
+                    v = float(cell.strip())
+                    mx = 1.7976931348623157e308
+                    v = max(min(v, mx), -mx)
+                    return f"CAST('{v!r}' AS {ty})"
                 dm = re.match(r"decimal\((\d+),(\d+)\)", ty)
                 if dm and _NUM_LIT.match(cell.strip()):
                     # MySQL (non-strict) clamps out-of-range decimals to

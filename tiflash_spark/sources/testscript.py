@@ -168,9 +168,26 @@ def parse_script(path: str | Path) -> list[Step]:
             flush()
             continue
         if not line.strip():
-            flush()
+            # a blank line between a statement and its expected table
+            # (expr/is_true_false.test) does not end the step; a blank
+            # line after a table does
+            if block:
+                flush()
             continue
         if line.startswith("#") and _REGEXP_MARK not in line:
+            continue
+        if (
+            pending is not None
+            and not block
+            and line[:1] in (" ", "\t")
+            and not line.lstrip().startswith(("+", "|"))
+            and steps
+            and steps[-1] is pending
+        ):
+            # indented continuation of a multi-line statement
+            # (expr/json_object.test's VALUES rows)
+            cont = re.sub(r"\s+#\w+\s*$", "", line.strip()).rstrip(";")
+            pending.sql = pending.sql.rstrip(";") + " " + cont
             continue
         if pending is not None:
             block.append(line)
