@@ -197,11 +197,14 @@ def test_add_column_not_null_constraint_sticks(spark, tmp_path):
             ),
             version=2,
         )
-    # NOT NULL without DEFAULT on a non-empty table: existing rows would
-    # be NULL -> the DDL itself is rejected (strict posture; TiDB errors
-    # with ERROR 1138 unless a zero-fill default is given)
-    with pytest.raises(ValueError, match="existing rows hold NULL"):
-        run_sql(spark, "ALTER TABLE t ADD COLUMN n2 BIGINT NOT NULL", {"t": s})
+    # NOT NULL without DEFAULT on a non-empty table: MySQL fills the
+    # type's implicit default (0 for numerics, '' for strings) into
+    # existing rows (reference ddl/alter_default_value.test's
+    # `add column b year not null` over populated t)
+    run_sql(spark, "ALTER TABLE t ADD COLUMN n2 BIGINT NOT NULL", {"t": s})
+    assert "n2" in s.current_not_null()
+    got = {r[HANDLE]: r.n2 for r in s.read().collect()}
+    assert got[1] == 0  # pre-ADD row reads the implicit zero fill
 
 
 def test_add_column_default_null_is_no_default(spark, tmp_path):

@@ -471,10 +471,21 @@ def test_update_default_value_leaves_old_rows(spark, tmp_path):
     # survives compaction
     s.compact(ts=2)
     assert {r[HANDLE]: r.i2 for r in s.read().collect()} == got
-    import pytest as _pt
-
-    with _pt.raises(ValueError, match="no default"):
-        s.set_column_default("i", "9")
+    # installing a default on a never-defaulted column is write-side
+    # only (MySQL SET DEFAULT): stored values never change, future
+    # omitted writes materialize it
+    s.set_column_default("i", "9")
+    assert {r[HANDLE]: r.i for r in s.read().collect()} == {1: 1, 2: 2, 3: 3}
+    s.write_batch(
+        spark.createDataFrame([(4, 4)], f"{HANDLE} long, i2 int"), version=3
+    )
+    assert {r[HANDLE]: r.i for r in s.read().collect()}[4] == 9
+    # and CHANGE-without-DEFAULT drops it again: omitted writes store NULL
+    s.set_column_default("i", None)
+    s.write_batch(
+        spark.createDataFrame([(5, 5)], f"{HANDLE} long, i2 int"), version=4
+    )
+    assert {r[HANDLE]: r.i for r in s.read().collect()}[5] is None
 
 
 def test_default_fill_across_incremental_compaction(spark, tmp_path):

@@ -69,13 +69,15 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "doc STRING",
         "INT",
         # max running bracket nesting (+1) of the prepared doc — the MySQL
-        # JSON_DEPTH recursion rule (see functions/json_fns.json_depth)
+        # JSON_DEPTH recursion rule (see functions/json_fns.json_depth);
+        # NULL in, NULL out (expr/json_depth.test)
+        "CASE WHEN doc IS NULL THEN NULL ELSE "
         "COALESCE(array_max(transform(sequence(1, length(_json_depth_prepared(doc))),"
         " i -> (length(substring(_json_depth_prepared(doc), 1, i))"
         "       - length(translate(substring(_json_depth_prepared(doc), 1, i), '{[', '')))"
         "    - (length(substring(_json_depth_prepared(doc), 1, i))"
         "       - length(translate(substring(_json_depth_prepared(doc), 1, i), '}]', ''))))),"
-        " 0) + 1",
+        " 0) + 1 END",
     ),
     "mysql_str_to_date": (
         "s STRING",

@@ -49,12 +49,61 @@ _RENAME_COL = re.compile(
 
 _ALTER_COL = re.compile(
     r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+"
-    r"(ADD|DROP|MODIFY)\s+COLUMN\s+`?(\w+)`?"
-    r"(?:\s+([A-Za-z0-9_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?))?"
+    r"(ADD|DROP|MODIFY)\s+(?:COLUMN\s+)?"
+    # bare ADD/DROP also spells constraint DDL — keep those away
+    r"(?!(?:PRIMARY|UNIQUE|INDEX|KEY|CONSTRAINT|FOREIGN|FULLTEXT"
+    r"|PARTITION|VECTOR|COLUMNAR)\b)"
+    r"`?(\w+)`?"
+    r"(?:\s+([A-Za-z0-9_]+(?:\s*\([^)]*\))?))?"
+    r"(?P<uns>\s+UNSIGNED)?"
+    r"(?:\s+(?:CHARACTER\s+SET|CHARSET)\s+\S+)?"
+    r"(?:\s+COLLATE\s+\S+)?"
     r"(?:\s+(?P<notnull>NOT\s+NULL)|\s+(?P<plainnull>NULL))?"
     r"(?:\s+DEFAULT\s+(?P<dflt>'[^']*'|[^\s;]+))?"
+    # MySQL accepts the nullability on either side of DEFAULT
+    r"(?:\s+(?P<notnull2>NOT\s+NULL)|\s+(?P<plainnull2>NULL))?"
     r"(?:\s+AS\s+\((?P<gen>.+)\)\s+VIRTUAL)?\s*;?\s*$",
     re.IGNORECASE,
+)
+
+
+def _bitlit(v: str | None) -> str | None:
+    """b'0101' / x'1f' literal defaults carry as their integer value."""
+    if v is None:
+        return None
+    m = re.match(r"(?i)^b'([01]+)'$", v)
+    if m:
+        return str(int(m.group(1), 2))
+    m = re.match(r"(?i)^x'([0-9a-f]+)'$", v)
+    if m:
+        return str(int(m.group(1), 16))
+    return v
+
+
+# ALTER TABLE t CHANGE [COLUMN] old new type [attrs] — MySQL's combined
+# rename+retype (fullstack-test2/ddl/alter_column_nullable.test)
+_CHANGE_COL = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(?P<tbl>\w+)`?\s+"
+    r"CHANGE\s+(?:COLUMN\s+)?`?(?P<old>\w+)`?\s+`?(?P<new>\w+)`?\s+"
+    r"(?P<type>[A-Za-z0-9_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+    r"(?P<uns>\s+UNSIGNED)?"
+    r"(?:\s+(?P<notnull>NOT\s+NULL)|\s+(?P<plainnull>NULL))?"
+    r"(?:\s+DEFAULT\s+(?P<dflt>'[^']*'|[^\s;]+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+# RENAME TABLE a TO b[, ...] / ALTER TABLE a RENAME [TO|AS] b
+_RENAME_TBL = re.compile(
+    r"^\s*RENAME\s+TABLE\s+(?P<pairs>.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
+_ALTER_RENAME = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?:`?\w+`?\.)?`?(?P<tbl>\w+)`?\s+"
+    r"RENAME\s+(?:TO\s+|AS\s+)?"
+    r"(?:`?\w+`?\.)?`?(?P<new>\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_RENAME_PAIR = re.compile(
+    r"(?i)^\s*(?:`?\w+`?\.)?`?(?P<a>\w+)`?\s+TO\s+(?:`?\w+`?\.)?`?(?P<b>\w+)`?\s*$"
 )
 
 
@@ -127,17 +176,19 @@ def _rewrite_infoschema(spark, sql: str, stores) -> str:
                 df = store.system_dt_tables().withColumn("tidb_table", F.lit(name))
             else:
                 df = spark.createDataFrame(
-                    [(name, 1, 1, 1.0)],
-                    "table_name string, replica_count int, available int,"
-                    " progress double",
+                    [("test", name, 1, "", 1, 1.0)],
+                    "table_schema string, table_name string,"
+                    " replica_count int, location_labels string,"
+                    " available int, progress double",
                 )
             dfs.append(df)
         if not dfs:
             if which == "tiflash_replica":
                 out = spark.createDataFrame(
                     [],
-                    "table_name string, replica_count int, available int,"
-                    " progress double",
+                    "table_schema string, table_name string,"
+                    " replica_count int, location_labels string,"
+                    " available int, progress double",
                 )
             elif which == "tiflash_segments":
                 out = spark.createDataFrame(
@@ -261,7 +312,11 @@ _COL_ATTRS: list[tuple[str, re.Pattern]] = [
     ("notnull", re.compile(r"(?i)^\s+NOT\s+NULL\b")),
     ("null", re.compile(r"(?i)^\s+NULL\b")),
     ("auto_inc", re.compile(r"(?i)^\s+AUTO_INCREMENT\b")),
-    ("default", re.compile(r"(?i)^\s+DEFAULT\s+(?P<v>'(?:[^'\\]|\\.)*'|\w+(?:\s*\(\s*\d*\s*\))?|[^\s,]+)")),
+    ("default", re.compile(r"(?i)^\s+DEFAULT\s+(?P<v>'(?:[^'\\]|\\.)*'|\S+)")),
+    ("gen", re.compile(
+        r"(?i)^\s+(?:GENERATED\s+ALWAYS\s+)?AS\s*\((?P<v>.+)\)"
+        r"(?:\s+(?:VIRTUAL|STORED))?(?=\s|$)"
+    )),
     ("on_update", re.compile(r"(?i)^\s+ON\s+UPDATE\s+\w+(?:\s*\(\s*\d*\s*\))?")),
     ("collate", re.compile(r"(?i)^\s+COLLATE[\s=]+\S+")),
     ("charset", re.compile(r"(?i)^\s+(?:CHARACTER\s+SET|CHARSET)[\s=]+\S+")),
@@ -286,6 +341,7 @@ def _parse_coldef(item: str) -> dict | None:
         "notnull": False,
         "default": None,
         "inline_pk": False,
+        "gen": None,
     }
     rest = hm.group("rest")
     while rest.strip():
@@ -300,6 +356,8 @@ def _parse_coldef(item: str) -> dict | None:
                     out["inline_pk"] = True
                 elif key == "default":
                     out["default"] = m.group("v")
+                elif key == "gen":
+                    out["gen"] = m.group("v")
                 rest = rest[m.end():]
                 break
         else:
@@ -362,15 +420,36 @@ def _mysql_type_to_spark(t: str, unsigned: bool) -> str:
             p, s = int(p), int(s or 0)
             if p > 38:
                 # MySQL allows p<=65; Spark caps at 38 (documented gap,
-                # SURVEY §1.2 / tests/test_decimal_semantics.py). Clamp
-                # by shedding fractional digits first so the integral
-                # range — what overflow semantics depend on — survives.
-                s = max(0, s - (p - 38))
+                # SURVEY §1.2 / tests/test_decimal_semantics.py). Keep up
+                # to 10 fractional digits (small values stay exact —
+                # decimal(65,1) holding 0.1 must not collapse to 0) and
+                # give the rest to the integral range.
+                s = min(s, 10)
                 p = 38
             out = f"decimal({p},{s})"
         else:
             out = "decimal(10,0)"
     return out
+
+
+def _fix_gen_expr(expr: str) -> str:
+    """Generated-column expressions are stored and re-parsed by Spark at
+    read time — keep them builtin-only: MySQL DIV over non-integrals
+    becomes a truncating cast (late_materialization_generate_column.test)."""
+    return re.sub(
+        rf"(?i)({_BIT_OPND})\s+DIV\s+({_BIT_OPND})",
+        lambda m: f"CAST(({m.group(1)}) / ({m.group(2)}) AS BIGINT)",
+        expr,
+    )
+
+
+def _alter_type(t: str, unsigned: bool) -> str:
+    """ALTER-clause type: MySQL names map like CREATE's; names already in
+    Spark's dialect (the Python-API test surface) pass through."""
+    try:
+        return _mysql_type_to_spark(t, unsigned)
+    except ValueError:
+        return t.lower().replace(" ", "")
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -443,6 +522,19 @@ _ADD_INDEX = re.compile(
     r"(?:\(\s*VEC_(?:COSINE_DISTANCE|L2_DISTANCE)\s*\(\s*`?(?P<veccol>\w+)`?\s*\)\s*\)"
     r"|`?(?P<col>\w+)`?)\s*\)"
     r"(?:\s+USING\s+(?P<algo>\w+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+# ALTER-time PRIMARY KEY DDL (fullstack-test2/ddl/alter_pk.test): TiDB
+# only allows adding/dropping NONCLUSTERED pks after creation — a
+# TiKV-side unique index, presence-only here (the handle never changes)
+_ADD_PK = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(?P<tbl>\w+)`?\s+ADD\s+PRIMARY\s+KEY\s*"
+    r"(?:`?\w+`?\s*)?\((?P<cols>[^)]+)\)\s*(?:USING\s+\w+)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_PK = re.compile(
+    r"^\s*ALTER\s+TABLE\s+`?(?P<tbl>\w+)`?\s+DROP\s+PRIMARY\s+KEY\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -532,7 +624,8 @@ _CAST_TRIM_CALL = re.compile(
     r"(?i)\b(cast|trim|extract|json_keys|json_length|json_contains_path"
     r"|date_add|date_sub|adddate|subdate|date|space|length|format"
     r"|least|greatest|str_to_date|substring|substr|lpad|rpad|regexp_like"
-    r"|json_array|json_object|dayname|monthname|round)\s*\("
+    r"|json_array|json_object|dayname|monthname|round|avg|json_valid"
+    r"|json_extract)\s*\("
 )
 
 _TIME_TOKENS = ("%H", "%k", "%h", "%l", "%i", "%S", "%s", "%f", "%T", "%r", "%p")
@@ -741,6 +834,100 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                         f" try_cast(({args[1]}) AS STRING),"
                         f" try_cast(({args[2]}) AS STRING))"
                     )
+            elif fn == "json_extract" and not _split_top_kw(inner, "FROM"):
+                # wildcard paths ($[*], $.*, $**.k) and the multi-path
+                # form render a match array, MySQL-style
+                # (expr/json_extract.test); plain paths stay native
+                args = _split_top_level(inner)
+                doc = args[0] if args else ""
+                ds = f"try_cast(({doc}) AS STRING)"
+                v = f"try_parse_json({ds})"
+
+                def _jext(p: str) -> str:
+                    return f"to_json(variant_get({v}, {p}))"
+
+                paths = [a.strip() for a in args[1:]]
+                # scripts spell paths with a protected dollar ('\$.a') —
+                # Spark's literal parser drops the unknown escape, so the
+                # comparisons here do too
+                norm = [
+                    p[1:-1].replace("\\", "") if _STR_LIT.match(p) else None
+                    for p in paths
+                ]
+                if len(paths) >= 2 and any(p.upper() == "NULL" for p in paths):
+                    rep = "try_cast(NULL AS STRING)"  # any NULL path -> NULL
+                elif len(paths) >= 2 and all(_STR_LIT.match(p) for p in paths):
+                    items = ", ".join(_jext(p) for p in paths)
+                    rep = (
+                        f"nullif(concat('[', concat_ws(', ', {items}), ']'),"
+                        " '[]')"
+                    )
+                elif len(paths) == 1 and norm[0] == "$[*]":
+                    rep = (
+                        f"(CASE WHEN ltrim({ds}) LIKE '[%'"
+                        f" THEN to_json({v}) END)"
+                    )
+                elif len(paths) == 1 and norm[0] == "$.*":
+                    rep = (
+                        f"(CASE WHEN ltrim({ds}) LIKE '{{%' THEN"
+                        f" concat('[', concat_ws(', ',"
+                        f" transform(json_object_keys({ds}),"
+                        f" k -> to_json(variant_get({v}, concat('$.', k))))),"
+                        f" ']') END)"
+                    )
+                elif (
+                    len(paths) == 1
+                    and norm[0] is not None
+                    and norm[0].startswith("$**.")
+                ):
+                    tail = norm[0][3:]  # '.key...'
+                    probes = [_jext(f"'${tail}'")] + [
+                        _jext(f"'$[{i}]{tail}'") for i in range(10)
+                    ] + [
+                        f"transform(json_object_keys({ds}),"
+                        f" k -> to_json(variant_get({v},"
+                        f" concat('$.', k, '{tail}'))))"
+                    ]
+                    rep = (
+                        f"nullif(concat('[', concat_ws(', ',"
+                        f" {', '.join(probes)}), ']'), '[]')"
+                    )
+            elif fn == "json_valid":
+                # MySQL: non-string/non-json operands are 0, never parsed
+                # (expr/json_valid.test); spelled via try_parse_json so
+                # this scanner does not re-match
+                args = _split_top_level(inner)
+                if len(args) == 1:
+                    x = args[0]
+                    # non-string operands are 0 even when NULL (TiDB
+                    # type-checks at compile time)
+                    rep = (
+                        f"(CASE WHEN typeof({x}) <> 'string' THEN 0"
+                        f" WHEN ({x}) IS NULL THEN NULL"
+                        f" ELSE CAST(try_parse_json(try_cast(({x}) AS STRING))"
+                        f" IS NOT NULL AS INT) END)"
+                    )
+            elif fn == "avg":
+                # MySQL AVG over exact numerics carries scale+4 (3.6667,
+                # not 3.666666...; mpp/rollup.test) — double inputs keep
+                # full precision. typeof picks the digit count; both
+                # branches of the round amount are INT so types unify.
+                args = _split_top_level(inner)
+                if (
+                    len(args) == 1
+                    and not re.match(r"(?i)\s*distinct\b", args[0])
+                    # window form (`avg(v) OVER w`) keeps the bare agg —
+                    # ROUND cannot wrap a window function call
+                    and not re.match(r"(?i)\s*over\b", sql[cl + 1:])
+                ):
+                    # `mean` is avg's alias — spelled so this scanner
+                    # does not re-match its own output; the typeof probe
+                    # rides max() so grouped queries stay aggregate-only
+                    rep = (
+                        f"round(mean({args[0]}),"
+                        f" CASE WHEN typeof(max({args[0]}))"
+                        f" IN ('float', 'double') THEN 15 ELSE 4 END)"
+                    )
             elif fn == "round":
                 # MySQL rounds FLOAT/DOUBLE half-to-even (C rint) but
                 # decimals half-away-from-zero (expr/round.test); Spark's
@@ -748,14 +935,21 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                 # branch unification to double is fine at the replay's
                 # 10-significant-digit compare.
                 args = _split_top_level(inner)
+                # bround's scale must stay a FOLDABLE literal (aggregate
+                # subexpression extraction breaks CAST-wrapped ones), so
+                # only literal digit counts dispatch; try_cast spelling
+                # keeps this scanner off the emitted cast
                 if len(args) in (1, 2):
                     x = args[0]
-                    d = args[1] if len(args) == 2 else "0"
-                    rep = (
-                        f"(CASE WHEN typeof({x}) IN ('float', 'double')"
-                        f" THEN bround(CAST(({x}) AS DOUBLE), CAST(({d}) AS INT))"
-                        f" ELSE round({x}, CAST(({d}) AS INT)) END)"
-                    )
+                    d = (args[1] if len(args) == 2 else "0").strip()
+                    if re.match(r"^-?\d+$", d):
+                        # `round/**/(` keeps this scanner off its own
+                        # emission (the ELSE branch would loop forever)
+                        rep = (
+                            f"(CASE WHEN typeof({x}) IN ('float', 'double')"
+                            f" THEN bround(try_cast(({x}) AS DOUBLE), {d})"
+                            f" ELSE round/**/({x}, {d}) END)"
+                        )
             elif fn == "regexp_like":
                 # 3-arg form carries MySQL match_type flags; map onto
                 # Java inline flags ((?i) etc.), n -> s (dotall)
@@ -812,13 +1006,28 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                     rep = f"json_keys(json_extract({args[0]}, {args[1]}))"
                 elif fn == "json_length" and len(args) == 2:
                     rep = f"json_length(json_extract({args[0]}, {args[1]}))"
-                elif fn == "json_contains_path" and len(args) == 3:
-                    doc, mode, p = args
+                elif fn == "json_contains_path" and len(args) >= 3:
+                    # (doc, one_or_all, path...) — paths evaluate LEFT TO
+                    # RIGHT with short-circuit: 'all' returns 0 at the
+                    # first miss BEFORE a later NULL path is examined
+                    # (expr/json_contains_path.test's ({}, 'all', '$.a',
+                    # NULL) = 0)
+                    doc, mode, ps = args[0], args[1], args[2:]
+                    one = [f"WHEN ({doc}) IS NULL OR ({mode}) IS NULL THEN NULL"]
+                    alls = list(one)
+                    for p in ps:
+                        one.append(f"WHEN ({p}) IS NULL THEN NULL")
+                        one.append(
+                            f"WHEN json_contains_path_one({doc}, {p}) THEN 1"
+                        )
+                        alls.append(f"WHEN ({p}) IS NULL THEN NULL")
+                        alls.append(
+                            f"WHEN NOT json_contains_path_one({doc}, {p}) THEN 0"
+                        )
                     rep = (
-                        f"CASE WHEN ({doc}) IS NULL OR ({mode}) IS NULL"
-                        f" OR ({p}) IS NULL THEN NULL"
-                        f" ELSE CAST(json_contains_path_one({doc}, {p}) AS INT)"
-                        " END"
+                        f"(CASE WHEN lower({mode}) = 'one' THEN"
+                        f" (CASE {' '.join(one)} ELSE 0 END)"
+                        f" ELSE (CASE {' '.join(alls)} ELSE 1 END) END)"
                     )
             elif fn == "cast":
                 parts = _split_top_kw(inner, "AS", last=True)
@@ -831,11 +1040,20 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                         elif tm.group("uns"):
                             rep = f"cast_unsigned({expr})"
                         elif tm.group("char"):
-                            rep = (
-                                f"substring(try_cast({expr} AS STRING), 1, {tm.group('charn')})"
-                                if tm.group("charn")
-                                else f"try_cast({expr} AS STRING)"
-                            )
+                            if tm.group("charn") == "0":
+                                # TiDB: CAST(x AS CHAR(0)) is '' (NULL in,
+                                # NULL out)
+                                rep = (
+                                    f"(CASE WHEN ({expr}) IS NULL THEN NULL"
+                                    " ELSE '' END)"
+                                )
+                            elif tm.group("charn"):
+                                rep = (
+                                    f"substring(try_cast({expr} AS STRING),"
+                                    f" 1, {tm.group('charn')})"
+                                )
+                            else:
+                                rep = f"try_cast({expr} AS STRING)"
                         elif tm.group("dbl"):
                             rep = f"mysql_to_double(try_cast(({expr}) AS STRING))"
                             if tm.group("dbl").upper() == "FLOAT":
@@ -931,7 +1149,10 @@ def _sub_outside_quotes(sql: str, pattern: re.Pattern, repl) -> str:
 # presentation). Operands are conservative single tokens / paren groups /
 # call expressions — anything more complex is left for Spark's own
 # operators.
-_BIT_OPND = r"(?:[A-Za-z_][\w.]*\s*\([^()]*\)|[A-Za-z_][\w.]*|\d+(?:\.\d+)?|\([^()]+\))"
+_BIT_OPND = (
+    r"(?:[A-Za-z_][\w.]*\s*\([^()]*\)|`[^`]+`|[A-Za-z_][\w.]*"
+    r"|\d+(?:\.\d+)?|\([^()]+\))"
+)
 _BIT_NOT = re.compile(rf"~\s*(?P<x>{_BIT_OPND})")
 _BIT_SHIFT = re.compile(
     rf"(?P<a>{_BIT_OPND})\s*(?P<op><<|>>)\s*(?P<b>{_BIT_OPND})"
@@ -1423,6 +1644,37 @@ def _sql_with_rescues(spark: SparkSession, sql: str) -> DataFrame:
                 )
             elif "DATA_DIFF_TYPES" in msg and "coalesce" in msg:
                 new = _rescue_coalesce_mixed(sql)
+            elif "UNEXPECTED_INPUT_TYPE" in msg and re.search(
+                r'"\(IF\(', msg
+            ):
+                # IF(numeric, ...) — MySQL truthiness on the condition
+                im = re.search(r'"\(IF\((?P<c>[^,]+),', msg)
+                if im:
+                    cond = im.group("c").strip()
+                    pat = re.compile(
+                        rf"(?i)\bif\s*\(\s*{re.escape(cond)}\s*,"
+                    )
+                    if pat.search(sql):
+                        new = pat.sub(
+                            f"if(mysql_truthy(try_cast(({cond}) AS STRING)),",
+                            sql,
+                        )
+            elif "requires window to be ordered" in msg:
+                # MySQL permits ranking functions over unordered windows
+                # (arbitrary order; mpp/window.test) — order by the
+                # partition keys, any total order satisfies the multiset
+                # compare
+                new = re.sub(
+                    r"(?i)\(\s*(partition\s+by\s+[^()]+?)\s*\)",
+                    lambda m: (
+                        f"({m.group(1)} order by "
+                        + re.sub(r"(?i)^partition\s+by\s+", "", m.group(1))
+                        + ")"
+                    )
+                    if not re.search(r"(?i)\border\s+by\b", m.group(1))
+                    else m.group(0),
+                    sql,
+                )
             elif "MISSING_ATTRIBUTES" in msg:
                 # ORDER BY over a grouping key the projection dropped —
                 # decorative for the replay's unordered compare
@@ -1467,17 +1719,11 @@ def run_sql(
         sql = _TIDB_HINT.sub(" ", sql)
     if _CHARSET_INTRO.search(sql):
         sql = _CHARSET_INTRO.sub("", sql)
-    if _CAST_TRIM_CALL.search(sql):
-        sql = _rewrite_mysql_exprs(sql)
-    sql = _GET_FORMAT_KW.sub(lambda m: f"{m.group(1)}('{m.group(2).upper()}',", sql)
-    if _HEX_LITERAL.search(sql):
-        sql = _sub_outside_quotes(
-            sql, _HEX_LITERAL, lambda m: str(int(m.group(1), 16))
-        )
     if _JSON_ARROW.search(sql):
         # the path operand is itself a string literal, so this one runs
         # on the raw text (a `->>` inside an unrelated literal would be
-        # pathological)
+        # pathological); BEFORE the expression rewriter so wildcard paths
+        # get the json_extract treatment
         sql = _JSON_ARROW.sub(
             lambda m: (
                 f"json_unquote(json_extract({m.group('col')}, {m.group('path')}))"
@@ -1486,7 +1732,31 @@ def run_sql(
             ),
             sql,
         )
+    if _CAST_TRIM_CALL.search(sql):
+        sql = _rewrite_mysql_exprs(sql)
+    sql = _GET_FORMAT_KW.sub(lambda m: f"{m.group(1)}('{m.group(2).upper()}',", sql)
+    if _HEX_LITERAL.search(sql):
+        sql = _sub_outside_quotes(
+            sql, _HEX_LITERAL, lambda m: str(int(m.group(1), 16))
+        )
     if not re.match(r"(?i)\s*(CREATE|ALTER|DROP|SHOW|DESCRIBE|DESC)\b", sql):
+        if re.search(r'(?i)\bAS\s+"', sql):
+            # MySQL double-quotes aliases (`as "sum"`); Spark's parser
+            # rejects a string literal there — requote as an identifier
+            sql = re.sub(r'(?i)\bAS\s+"([^"]+)"', lambda m: f"AS `{m.group(1)}`", sql)
+        if re.search(r"(?i)\bwhen\s+null\s+then\b", sql):
+            # CASE WHEN NULL THEN ... — Spark rejects a VOID condition
+            sql = re.sub(
+                r"(?i)\bwhen\s+null\s+then\b",
+                "when try_cast(NULL AS BOOLEAN) then",
+                sql,
+            )
+        if re.search(r"(?i)\b0\s+(PRECEDING|FOLLOWING)\b", sql):
+            # Spark's frame grammar rejects `0 PRECEDING/FOLLOWING`
+            # (mpp/window_agg.test); MySQL treats them as CURRENT ROW
+            sql = re.sub(
+                r"(?i)\b0\s+(?:PRECEDING|FOLLOWING)\b", "CURRENT ROW", sql
+            )
         if re.search(r"(?i)\bDIV\s+NULL\b|\bNULL\s+DIV\b", sql):
             # integer division with an untyped NULL: Spark's DIV rejects
             # VOID operands; MySQL's answer is just NULL
@@ -1499,6 +1769,14 @@ def run_sql(
             sql = _rewrite_bitops(sql)
         if re.search(r"(?i)\bXOR\b", sql):
             sql = _rewrite_xor(sql)
+        if re.search(r"(?i)\bin\s*\(\s*table\s+\w+\s*\)", sql):
+            # `a IN (TABLE build)` (mpp/left_semi_family_joins.test) —
+            # Spark's IN wants a subquery
+            sql = re.sub(
+                r"(?i)\bin\s*\(\s*table\s+(`?\w+`?)\s*\)",
+                lambda m: f"in (select * from {m.group(1)})",
+                sql,
+            )
         if re.search(r"(?i)\bilike\b", sql):
             # pattern operands may be string literals, so this runs on
             # the raw text (the JSON-arrow argument applies)
@@ -1591,6 +1869,25 @@ def run_sql(
             [(name, m.group("idx"), kind, col, int(segs))],
             "table_name string, index_name string, index_kind string,"
             " column_name string, segments_covered long",
+        )
+    m = _ADD_PK.match(sql)
+    if m:
+        name = m.group("tbl")
+        store = _dml_store(stores, name, "ADD PRIMARY KEY")
+        store.register_index_name("PRIMARY", "secondary", m.group("cols").strip())
+        return spark.createDataFrame(
+            [(name, "PRIMARY", "add")],
+            "table_name string, index_name string, op string",
+        )
+    m = _DROP_PK.match(sql)
+    if m:
+        name = m.group("tbl")
+        store = _dml_store(stores, name, "DROP PRIMARY KEY")
+        if "PRIMARY" in store.named_indexes():
+            store.drop_index_by_name("PRIMARY")
+        return spark.createDataFrame(
+            [(name, "PRIMARY", "drop")],
+            "table_name string, index_name string, op string",
         )
     m = _ADD_PLAIN_INDEX.match(sql) or _CREATE_INDEX.match(sql)
     if m:
@@ -1689,6 +1986,73 @@ def run_sql(
             [(name, old, new, int(v))],
             "table_name string, old_name string, new_name string, schema_version long",
         )
+    m = _RENAME_TBL.match(sql) or _ALTER_RENAME.match(sql)
+    if m and not _RENAME_COL.match(sql):
+        pairs = []
+        if "pairs" in m.groupdict() and m.groupdict().get("pairs"):
+            for item in _split_top_level(m.group("pairs")):
+                pm = _RENAME_PAIR.match(item)
+                if not pm:
+                    raise ValueError(f"RENAME TABLE: bad pair {item!r}")
+                pairs.append((pm.group("a"), pm.group("b")))
+        else:
+            pairs.append((m.group("tbl"), m.group("new")))
+        for old, new in pairs:
+            store = _dml_store(stores, old, "RENAME TABLE")
+            if old == new:
+                continue  # cross-database move collapsed to one namespace
+            if new in stores:
+                raise ValueError(f"RENAME TABLE: {new!r} already exists")
+            stores[new] = stores.pop(old)
+            try:
+                spark.catalog.dropTempView(old)
+            except Exception:
+                pass
+            stores[new].as_view(new)
+        return spark.createDataFrame(
+            [(a, b) for a, b in pairs], "old_name string, new_name string"
+        )
+    m = _CHANGE_COL.match(sql)
+    if m:
+        name, old, new = m.group("tbl"), m.group("old"), m.group("new")
+        store = _dml_store(stores, name, "ALTER TABLE ... CHANGE")
+        ty = _alter_type(m.group("type"), bool(m.group("uns")))
+        if old == store.handle_alias():
+            # renaming / retyping the clustered pk is a table-def change
+            # (the handle itself never moves; ddl/rename_pk.test,
+            # widen_pk.test)
+            td = store.table_def()
+            store.write_table_def(
+                [new if c == old else c for c in td["order"]],
+                new, ty, td.get("dt_prec"),
+            )
+            store.as_view(name)
+            return spark.createDataFrame(
+                [(name, old, new, ty)],
+                "table_name string, old_column string, new_column string,"
+                " new_type string",
+            )
+        if old != new:
+            store.rename_column(old, new)
+        cur = dict(store.current_fields() or [])
+        if cur.get(new) != ty:
+            store.modify_column(new, ty)
+        if m.group("notnull") or m.group("plainnull"):
+            v = store.set_column_nullable(new, bool(m.group("plainnull")))
+        elif m.group("notnull") is None:
+            # CHANGE without NOT NULL lifts a previous constraint
+            store.set_column_nullable(new, True)
+        dflt = m.group("dflt")
+        if dflt is None or dflt.upper() == "NULL":
+            # a CHANGE without a DEFAULT clause drops any default
+            store.set_column_default(new, None)
+        else:
+            store.set_column_default(new, dflt.strip("'"))
+        store.as_view(name)
+        return spark.createDataFrame(
+            [(name, old, new, ty)],
+            "table_name string, old_column string, new_column string, new_type string",
+        )
     m = _ALTER_COL.match(sql)
     if m:
         name, verb, col, dtype = (
@@ -1707,7 +2071,8 @@ def run_sql(
                 # `ADD COLUMN c t AS (expr) VIRTUAL` — TiDB's virtual
                 # generated column, computed at read, never stored
                 v = store.add_generated_column(
-                    col, dtype.lower().replace(" ", ""), m.group("gen")
+                    col, _alter_type(dtype, bool(m.group("uns"))),
+                    _fix_gen_expr(m.group("gen")),
                 )
             else:
                 dflt = m.group("dflt")
@@ -1717,27 +2082,47 @@ def run_sql(
                         # rows read NULL, never the literal string 'NULL'
                         dflt = None
                     else:
-                        dflt = dflt.strip("'")
-                v = store.add_column(
-                    col, dtype.lower().replace(" ", ""), default=dflt
-                )
-                if m.group("notnull"):
+                        dflt = _bitlit(dflt).strip("'")
+                ty = _alter_type(dtype, bool(m.group("uns")))
+                if dflt is None and (m.group("notnull") or m.group("notnull2")):
+                    # ADD ... NOT NULL with no DEFAULT: MySQL fills the
+                    # type's implicit default (0 / '') into existing rows
+                    base = ty.split("(")[0]
+                    if base in ("string", "binary"):
+                        dflt = ""
+                    elif base not in ("date", "timestamp", "timestamp_ntz"):
+                        dflt = "0"
+                v = store.add_column(col, ty, default=dflt)
+                if m.group("notnull") or m.group("notnull2"):
                     # ADD COLUMN ... NOT NULL: the constraint must stick
                     # (writes with NULLs rejected), not silently drop
                     v = store.set_column_nullable(col, False)
+        elif verb == "MODIFY" and col == store.handle_alias():
+            # retyping the clustered pk: table-def-only (widen_pk.test)
+            td = store.table_def()
+            v = 0
+            store.write_table_def(
+                td["order"], col,
+                _alter_type(dtype, bool(m.group("uns"))), td.get("dt_prec"),
+            )
         elif verb == "MODIFY":
             if not dtype:
                 raise ValueError(f"MODIFY COLUMN {col}: missing type")
-            ty = dtype.lower().replace(" ", "")
+            ty = _alter_type(dtype, bool(m.group("uns")))
             cur = dict(store.current_fields() or [])
-            if m.group("notnull") or m.group("plainnull"):
+            if (m.group("notnull") or m.group("plainnull")
+                    or m.group("notnull2") or m.group("plainnull2")):
                 # nullability change: metadata-only when the type is
                 # unchanged (alter_column_nullable.test), else widen first
                 if cur.get(col) != ty:
                     store.modify_column(col, ty)
-                v = store.set_column_nullable(col, bool(m.group("plainnull")))
+                v = store.set_column_nullable(
+                    col, bool(m.group("plainnull") or m.group("plainnull2"))
+                )
             else:
                 v = store.modify_column(col, ty)
+            if m.group("dflt") and m.group("dflt").upper() != "NULL":
+                store.set_column_default(col, _bitlit(m.group("dflt")).strip("'"))
         else:
             v = store.drop_column(col)
         store.as_view(name)
@@ -1852,6 +2237,7 @@ def run_sql(
         if base_path is None:
             raise ValueError("CREATE TABLE needs base_path= (store directory root)")
         cols: list[tuple] = []  # (name, spark_type, not_null, default)
+        gen_cols: list[tuple] = []  # (name, spark_type, expr)
         pk_cols: list[str] = []
         pk_kind: str | None = None
         dt_prec: dict[str, int] = {}  # DATETIME(p)/TIMESTAMP(p), default 0
@@ -1881,6 +2267,11 @@ def run_sql(
             )
             if tm:
                 dt_prec[cm["name"]] = int(tm.group(2) or 0)
+            if cm["gen"] is not None:
+                # declared virtual generated column — registered after
+                # store creation via the ALTER path machinery
+                gen_cols.append((cm["name"], st, cm["gen"]))
+                continue
             dflt = cm["default"]
             if dflt is not None:
                 dflt = None if dflt.upper() == "NULL" else dflt.strip("'")
@@ -1944,6 +2335,8 @@ def run_sql(
             ]
         )
         store.write_table_def(order, pk, pk_type, dt_prec or None)
+        for gname, gtype, gexpr in gen_cols:
+            store.add_generated_column(gname, gtype, _fix_gen_expr(gexpr))
         stores[name] = store
         store.as_view(name)
         return spark.createDataFrame(
@@ -2075,9 +2468,11 @@ def run_sql(
                             f" * {scale})"
                         )
                     if ty == "timestamp_ntz":
-                        # naive parse (no session-tz involvement), with
-                        # the same declared-precision rounding
-                        base = f"to_timestamp_ntz({src})"
+                        # naive parse (no session-tz involvement; CAST is
+                        # laxer than to_timestamp_ntz — '16:0:0' style
+                        # single-digit components must parse), with the
+                        # declared-precision rounding
+                        base = f"try_cast({src} AS TIMESTAMP_NTZ)"
                         if p is not None and p < 6:
                             scale = 10 ** (6 - p)
                             frac = (

@@ -435,11 +435,21 @@ class DeltaStore:
             raise ValueError(f"column {name!r} not in current schema")
         defaults = dict(vs[-1].get("defaults", {}))
         if name not in defaults:
-            raise ValueError(
-                f"column {name!r} has no default — only defaults created by "
-                "ADD COLUMN ... DEFAULT can be updated"
-            )
-        defaults[name] = {**defaults[name], "w": str(new_default)}
+            if new_default is None:
+                return vs[-1]["v"]  # dropping a default that never existed
+            # installing a fresh default (ALTER ... CHANGE col col t
+            # DEFAULT x): write-side only — existing physical NULLs stay
+            # NULL (since=-1 disables the pre-ADD read fill)
+            defaults[name] = {
+                "d": str(new_default), "since": -1, "w": str(new_default)
+            }
+        elif new_default is None:
+            # CHANGE without a DEFAULT clause drops it: future omitted
+            # writes store NULL ("w": None), while the ADD-time read fill
+            # for pre-ADD rows stays pinned to "d"
+            defaults[name] = {**defaults[name], "w": None}
+        else:
+            defaults[name] = {**defaults[name], "w": str(new_default)}
         vs = vs + [
             {"v": vs[-1]["v"] + 1, "fields": vs[-1]["fields"],
              "gen": dict(vs[-1].get("gen", {})),

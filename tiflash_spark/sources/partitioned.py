@@ -260,6 +260,11 @@ class PartitionedStore:
         alias = self.handle_alias()
         if alias:
             df = df.withColumnRenamed(HANDLE, alias)
+        elif self.table_def() is not None:
+            # no clustered pk: hide the auto rowid from `SELECT *`, the
+            # DeltaStore.as_view contract (MySQL exposes _tidb_rowid only
+            # when named explicitly)
+            df = df.drop(HANDLE)
         df.createOrReplaceTempView(name)
 
     def truncate_table(self) -> None:

@@ -123,20 +123,37 @@ def _finalize_block(step: Step, block: list[str]) -> None:
     if re.match(r"^ERROR \d+", block[0]):
         step.expect_error = True
         return
-    rows = [ln for ln in block if not ln.startswith("+")]
-    if not rows:
-        return
-    if any(ln.lstrip().startswith("|") for ln in rows):
-        header, *data = [ln for ln in rows if "|" in ln]
-        step.expected_ncols = len(header.split("|")) - 2
-        step.expected = [_parse_table_line(ln) for ln in data]
+    if any(ln.lstrip().startswith(("|", "+")) for ln in block):
+        # bordered tables; a multi-statement line concatenates SEVERAL
+        # (border, header, border, data..., border) renderings
+        # (mpp/extra_physical_table_column.test) — segment on borders so
+        # later tables' headers never count as data
+        data: list[list[str]] = []
+        ncols: set[int] = set()
+        borders = 0
+        for ln in block:
+            s = ln.lstrip()
+            if s.startswith("+"):
+                borders += 1  # 1: before header, 2: before data, 3: done
+                if borders == 3:
+                    borders = 0
+                continue
+            if not s.startswith("|"):
+                continue
+            if borders == 1:  # header row
+                ncols.add(len(ln.split("|")) - 2)
+                continue
+            data.append(_parse_table_line(ln))
+        step.expected = [r for r in data if r]
+        step.expected_ncols = ncols.pop() if len(ncols) == 1 else None
     else:
-        header, *data = rows
+        header, *data = block
         step.expected_ncols = len(header.split("\t"))
         step.expected = [
-            [w.strip() for w in ln.split("\t") if w.strip() != ""] for ln in data
+            [w.strip() for w in ln.split("\t") if w.strip() != ""]
+            for ln in data
         ]
-    step.expected = [r for r in step.expected if r]
+        step.expected = [r for r in step.expected if r]
 
 
 def parse_script(path: str | Path) -> list[Step]:
@@ -164,7 +181,13 @@ def parse_script(path: str | Path) -> list[Step]:
                 steps.append(Step(sql=stmt, lineno=lineno))
                 pending = steps[-1]
             continue
-        if line.startswith(_FUNC_PROMPT) or line.startswith(_SLEEP_PROMPT):
+        if (
+            line.startswith(_FUNC_PROMPT)
+            or line.startswith(_SLEEP_PROMPT)
+            or line.startswith("=> ")  # DBGInvoke debug interface — not
+            or line.startswith(">> ")  # part of the SQL surface
+            or line.startswith("curl>")
+        ):
             flush()
             continue
         if not line.strip():
@@ -290,7 +313,8 @@ _SET_TZ = re.compile(
 # analytic semantics here: region splits, database selection (scripts
 # use a single schema, already stripped), warning inspection
 _NOOP_STMT = re.compile(
-    r"(?i)^(use\s+\w+|split\s+table\b.*|show\s+warnings|admin\s+check\b.*)$"
+    r"(?i)^(use\s+\w+|split\s+table\b.*|show\s+warnings|admin\s+check\b.*"
+    r"|begin|commit|rollback)$"  # autocommit writes: txns are no-ops here
 )
 _ANALYZE = re.compile(r"(?i)^analyze\s+table\s")
 _TEST_SCHEMA = re.compile(r"(?i)\btest\.(?=`?\w)")
@@ -344,97 +368,160 @@ def _tz_offset(zone: str, at: datetime) -> timedelta:
         return timedelta(0)
 
 
+_CREATE_DB = re.compile(
+    r"(?i)^\s*CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(?P<db>\w+)`?\s*$"
+)
+_DROP_DB = re.compile(
+    r"(?i)^\s*DROP\s+DATABASE\s+(?:IF\s+EXISTS\s+)?`?(?P<db>\w+)`?\s*$"
+)
+
+
 def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
     tz_zone = "UTC"
-    for step in parse_script(path):
-        sql = _TEST_SCHEMA.sub("", step.sql)
-        if _TIFLASH_REPLICA.match(sql) or _ANALYZE.match(sql):
+    # non-test databases are namespaced by mangling `db.t` -> `db__t`
+    # (issue_10663 creates the SAME table name in two databases)
+    dbs: set[str] = set()
+
+    steps = parse_script(path)
+    i = 0
+    while i < len(steps):
+        # one mysql> line = one comparison group: the client concatenates
+        # the outputs of every statement on the line, and the expected
+        # block (attached to the line's last statement) covers them all
+        j = i
+        while j < len(steps) and steps[j].lineno == steps[i].lineno:
+            j += 1
+        group = steps[i:j]
+        i = j
+        last = group[-1]
+        loc = f"{Path(path).name}:{last.lineno}"
+        got: list[list[str]] = []
+        out_ncols: set[int] = set()
+        failed = False
+        for step in group:
+            sql = _TEST_SCHEMA.sub("", step.sql)
+            dbm = _CREATE_DB.match(sql) or _DROP_DB.match(sql)
+            if dbm:
+                db = dbm.group("db")
+                if db == "test":
+                    continue
+                if _CREATE_DB.match(sql):
+                    dbs.add(db)
+                else:
+                    for t in [t for t in list(stores or {}) if t.startswith(f"{db}__")]:
+                        try:
+                            run_sql(spark, f"DROP TABLE {t}", stores, base_path=base_path)
+                        except Exception:  # noqa: BLE001
+                            pass
+                continue
+            for db in dbs:
+                if f"{db}." in sql:
+                    sql = re.sub(rf"(?i)\b{db}\.(?=`?\w)", f"{db}__", sql)
+            if _TIFLASH_REPLICA.match(sql) or _ANALYZE.match(sql):
+                continue
+            tzm = _SET_TZ.match(sql)
+            if tzm:
+                tz = tzm.group("tz")
+                spark.conf.set(
+                    "spark.sql.session.timeZone",
+                    "UTC" if tz.upper() == "SYSTEM" else f"GMT{tz}"
+                    if tz[:1] in "+-" else tz,
+                )
+                # collect() renders tz-aware timestamps in the
+                # PYTHON-local zone (UTC in this container), not the
+                # session zone — track the session zone so results
+                # display MySQL-style. Naive (TIMESTAMP_NTZ / MySQL
+                # DATETIME) columns never shift.
+                tz_zone = tz
+                continue
+            if _NOOP_STMT.match(sql):
+                continue
+            try:
+                df = run_sql(spark, sql, stores, base_path=base_path)
+            except Exception as e:  # noqa: BLE001 — reported, not swallowed
+                if last.expect_error:
+                    res.checked += 1
+                elif last.unchecked:
+                    res.unchecked += 1
+                else:
+                    res.mismatches.append(
+                        f"{loc}: {sql!r} raised {type(e).__name__}: {e}"
+                    )
+                failed = True
+                break
+            res.steps_run += 1
+            if not re.match(r"(?i)\s*(select|show|desc|describe|explain)\b", sql):
+                continue  # the client prints nothing for DML/DDL
+            if last.unchecked:
+                continue
+            try:
+                rows = df.collect()
+            except Exception as e:  # noqa: BLE001 — e.g. dates beyond Python's range
+                res.mismatches.append(
+                    f"{loc}: {sql!r} failed to materialize:"
+                    f" {type(e).__name__}: {e}"
+                )
+                failed = True
+                break
+            from pyspark.sql.types import TimestampType
+
+            tz_aware = [
+                isinstance(f.dataType, TimestampType) for f in df.schema.fields
+            ]
+            out_ncols.add(len(df.columns))
+            for row in rows:
+                cells = [
+                    _format_value(
+                        v + _tz_offset(tz_zone, v)
+                        if isinstance(v, datetime) and tz_aware[k]
+                        else v
+                    )
+                    for k, v in enumerate(row)
+                ]
+                # mirror the reference's empty-cell drop on the actual
+                # side; rows reduced to nothing vanish on both sides
+                cells = [c for c in (x.strip() for x in cells) if c != ""]
+                if cells:
+                    got.append(cells)
+        if failed:
             continue
-        tzm = _SET_TZ.match(sql)
-        if tzm:
-            tz = tzm.group("tz")
-            spark.conf.set(
-                "spark.sql.session.timeZone",
-                "UTC" if tz.upper() == "SYSTEM" else f"GMT{tz}"
-                if tz[:1] in "+-" else tz,
+        if last.expect_error:
+            res.mismatches.append(
+                f"{loc}: {last.sql!r} succeeded, expected an error"
             )
-            # collect() renders tz-aware timestamps in the PYTHON-local
-            # zone (UTC in this container), not the session zone — track
-            # the session zone so results display MySQL-style. Naive
-            # (TIMESTAMP_NTZ / MySQL DATETIME) columns never shift.
-            tz_zone = tz
             continue
-        if _NOOP_STMT.match(sql):
-            continue
-        loc = f"{Path(path).name}:{step.lineno}"
-        try:
-            df = run_sql(spark, sql, stores, base_path=base_path)
-        except Exception as e:  # noqa: BLE001 — reported, not swallowed
-            if step.expect_error:
-                res.checked += 1
-                continue
-            if step.unchecked:
-                res.unchecked += 1
-                continue
-            res.mismatches.append(f"{loc}: {sql!r} raised {type(e).__name__}: {e}")
-            continue
-        res.steps_run += 1
-        if step.expect_error:
-            res.mismatches.append(f"{loc}: {sql!r} succeeded, expected an error")
-            continue
-        if step.unchecked:
+        if last.unchecked:
             res.unchecked += 1
             continue
-        if step.expected is None:
-            if re.match(r"(?i)\s*select\b", sql):
-                # a SELECT with no expected block means the mysql client
-                # printed nothing — the result must be empty
+        if last.expected is None:
+            if out_ncols:
+                # output statements with no expected block: the client
+                # printed nothing — results must be empty
                 # (in_expression.test's "Expected to be Empty" checks)
-                n = df.count()
-                if n:
+                if got:
                     res.mismatches.append(
-                        f"{loc}: {sql!r} returned {n} rows, expected empty"
+                        f"{loc}: {last.sql!r} returned {len(got)} rows,"
+                        " expected empty"
                     )
                 else:
                     res.checked += 1
             continue
-        try:
-            rows = df.collect()
-        except Exception as e:  # noqa: BLE001 — e.g. dates beyond Python's range
+        if (
+            last.expected_ncols is not None
+            and len(out_ncols) == 1
+            and next(iter(out_ncols)) != last.expected_ncols
+        ):
             res.mismatches.append(
-                f"{loc}: {sql!r} failed to materialize: {type(e).__name__}: {e}"
+                f"{loc}: {last.sql!r} returned {next(iter(out_ncols))} columns,"
+                f" expected {last.expected_ncols}"
             )
             continue
-        from pyspark.sql.types import TimestampType
-
-        tz_aware = [isinstance(f.dataType, TimestampType) for f in df.schema.fields]
-        got = [
-            [
-                _format_value(
-                    v + _tz_offset(tz_zone, v)
-                    if isinstance(v, datetime) and tz_aware[j]
-                    else v
-                )
-                for j, v in enumerate(row)
-            ]
-            for row in rows
-        ]
-        # mirror the reference's empty-cell drop on the actual side too;
-        # rows reduced to nothing (all-empty strings) vanish on both sides
-        got = [[c for c in (x.strip() for x in r) if c != ""] for r in got]
-        got = [r for r in got if r]
-        ncols = len(df.columns)
-        if step.expected_ncols is not None and ncols != step.expected_ncols:
-            res.mismatches.append(
-                f"{loc}: {sql!r} returned {ncols} columns, expected {step.expected_ncols}"
-            )
-            continue
-        want_c, got_c = _canon_rows(step.expected), _canon_rows(got)
+        want_c, got_c = _canon_rows(last.expected), _canon_rows(got)
         if want_c != got_c:
             missing = list((want_c - got_c).elements())[:4]
             extra = list((got_c - want_c).elements())[:4]
             res.mismatches.append(
-                f"{loc}: {sql!r} rows differ — missing {missing} extra {extra}"
+                f"{loc}: {last.sql!r} rows differ — missing {missing} extra {extra}"
             )
         else:
             res.checked += 1
