@@ -16,6 +16,8 @@ documented rather than silently dropped.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from tiflash_spark.sources.testscript import REFERENCE_TESTS, run_script
@@ -26,14 +28,215 @@ pytestmark = pytest.mark.skipif(
 
 # scripts that replay green end-to-end (value-level compare, unordered
 # multiset — the reference's own comparison rules)
-PASSING: list[str] = []
+PASSING: list[str] = [
+    "fullstack-test-index/inverted/unsupported-type.test",
+    "fullstack-test/expr/adddate_string_real.test",
+    "fullstack-test/expr/agg_pushdown.test",
+    "fullstack-test/expr/ascii_pushdown.test",
+    "fullstack-test/expr/bin.test",
+    "fullstack-test/expr/bitshift_operator.test",
+    "fullstack-test/expr/bitwise_operator.test",
+    "fullstack-test/expr/cast_as_decimal.test",
+    "fullstack-test/expr/cast_as_duration.test",
+    "fullstack-test/expr/cast_as_json_issue10845.test",
+    "fullstack-test/expr/cast_decimal_as_real.test",
+    "fullstack-test/expr/cast_decimal_overflow.test",
+    "fullstack-test/expr/cast_json_as_string.test",
+    "fullstack-test/expr/cast_nullability.test",
+    "fullstack-test/expr/cast_string_as_decimal.test",
+    "fullstack-test/expr/cast_string_as_int.test",
+    "fullstack-test/expr/cast_string_as_real.test",
+    "fullstack-test/expr/cast_time_as_int.test",
+    "fullstack-test/expr/cast_time_as_string.test",
+    "fullstack-test/expr/ceil_floor.test",
+    "fullstack-test/expr/coalesce_pushdown.test",
+    "fullstack-test/expr/column_filter.test",
+    "fullstack-test/expr/compare_null.test",
+    "fullstack-test/expr/concat.test",
+    "fullstack-test/expr/concat_ws.test",
+    "fullstack-test/expr/date.test",
+    "fullstack-test/expr/date_diff.test",
+    "fullstack-test/expr/date_sub.test",
+    "fullstack-test/expr/datetime_literal.test",
+    "fullstack-test/expr/day_of_month.test",
+    "fullstack-test/expr/day_of_weekyear.test",
+    "fullstack-test/expr/decimal_compare.test",
+    "fullstack-test/expr/duplicate_column.test",
+    "fullstack-test/expr/elt.test",
+    "fullstack-test/expr/enum.test",
+    "fullstack-test/expr/expr_tree_too_deep.test",
+    "fullstack-test/expr/extract_datetime.test",
+    "fullstack-test/expr/extract_datetime_from_string.test",
+    "fullstack-test/expr/first_row.test",
+    "fullstack-test/expr/from_unixtime.test",
+    "fullstack-test/expr/generated_columns.test",
+    "fullstack-test/expr/generated_index.test",
+    "fullstack-test/expr/get_format.test",
+    "fullstack-test/expr/hex_int.test",
+    "fullstack-test/expr/hex_str.test",
+    "fullstack-test/expr/ifnull.test",
+    "fullstack-test/expr/ilike_pushdown.test",
+    "fullstack-test/expr/is_ip_addr.test",
+    "fullstack-test/expr/is_true_false.test",
+    "fullstack-test/expr/json_array.test",
+    "fullstack-test/expr/json_depth.test",
+    "fullstack-test/expr/json_length.test",
+    "fullstack-test/expr/json_object.test",
+    "fullstack-test/expr/json_unquote.test",
+    "fullstack-test/expr/json_unquote_extract.test",
+    "fullstack-test/expr/json_valid.test",
+    "fullstack-test/expr/last_day.test",
+    "fullstack-test/expr/least_greatest.test",
+    "fullstack-test/expr/length_pushdown.test",
+    "fullstack-test/expr/logical_op.test",
+    "fullstack-test/expr/math_func.test",
+    "fullstack-test/expr/nulleq.test",
+    "fullstack-test/expr/pad.test",
+    "fullstack-test/expr/position_pushdown.test",
+    "fullstack-test/expr/replace.test",
+    "fullstack-test/expr/reverse.test",
+    "fullstack-test/expr/runtime_filter.test",
+    "fullstack-test/expr/single_ifnull_in_predicate.test",
+    "fullstack-test/expr/space.test",
+    "fullstack-test/expr/sqrt.test",
+    "fullstack-test/expr/strcmp.test",
+    "fullstack-test/expr/substring_utf8.test",
+    "fullstack-test/expr/timestamp_filter.test",
+    "fullstack-test/expr/timestamp_filter_late_materialization.test",
+    "fullstack-test/expr/timestamp_literal.test",
+    "fullstack-test/expr/to_seconds.test",
+    "fullstack-test/expr/topn.test",
+    "fullstack-test/expr/trim.test",
+    "fullstack-test/expr/trim_pushdown.test",
+    "fullstack-test/expr/unary_minus.test",
+    "fullstack-test/expr/unhex.test",
+    "fullstack-test/expr/upper.test",
+    "fullstack-test/expr/upper_and_lower.test",
+    "fullstack-test/expr/week_of_year.test",
+    "fullstack-test/expr/year-month-day.test",
+    "fullstack-test/issues/issue_1796.test",
+    "fullstack-test/issues/issue_1962.test",
+    "fullstack-test/issues/issue_3447.test",
+    "fullstack-test/issues/issue_7695.test",
+    "fullstack-test/issues/issue_8111.test",
+    "fullstack-test/issues/issue_8113.test",
+    "fullstack-test/issues/issue_8607.test",
+    "fullstack-test/issues/issue_8767.test",
+    "fullstack-test/mpp/align_schema.test",
+    "fullstack-test/mpp/apply.test",
+    "fullstack-test/mpp/apply_with_late_materialization.test",
+    "fullstack-test/mpp/async_server_alarm.test",
+    "fullstack-test/mpp/bool_column_filter.test",
+    "fullstack-test/mpp/cartesian_join.test",
+    "fullstack-test/mpp/count_not_return_null.test",
+    "fullstack-test/mpp/dynamic_partition_prune.test",
+    "fullstack-test/mpp/extra_physical_table_column.test",
+    "fullstack-test/mpp/generated_column.test",
+    "fullstack-test/mpp/issue10045.test",
+    "fullstack-test/mpp/issue_6808.test",
+    "fullstack-test/mpp/misc_join.test",
+    "fullstack-test/mpp/mpp_fail.test",
+    "fullstack-test/mpp/no_local_region.test",
+    "fullstack-test/mpp/remote_cop_fail.test",
+    "fullstack-test/mpp/remote_read_with_timestamp_filter.test",
+    "fullstack-test/mpp/right_join.test",
+    "fullstack-test/mpp/right_semi_family_join.test",
+    "fullstack-test/mpp/rollup.test",
+    "fullstack-test/mpp/runtime_filter.test",
+    "fullstack-test/mpp/window.test",
+    "fullstack-test/mpp/window_range_frame.test",
+    "fullstack-test2/ddl/alter_column_when_pk_is_handle.test",
+    "fullstack-test2/ddl/alter_create_database.test",
+    "fullstack-test2/ddl/alter_create_database_crash.test",
+    "fullstack-test2/ddl/alter_create_table.test",
+    "fullstack-test2/ddl/alter_default_value_update.test",
+    "fullstack-test2/ddl/alter_drop_table.test",
+    "fullstack-test2/ddl/alter_pk.test",
+    "fullstack-test2/ddl/alter_table_tiflash_replica.test",
+    "fullstack-test2/ddl/alter_truncate_table.test",
+    "fullstack-test2/ddl/issue_10663.test",
+    "fullstack-test2/ddl/multi_alter_with_write.test",
+    "fullstack-test2/ddl/partitions/alter_exchange_partition.test",
+    "fullstack-test2/ddl/partitions/partition_basic.test",
+    "fullstack-test2/ddl/rename_pk.test",
+    "fullstack-test2/ddl/rename_table.test",
+    "fullstack-test2/ddl/rename_table_across_databases.test",
+    "fullstack-test2/dml/test_table_scan.test",
+    "fullstack-test2/dml/text_blob_type.test",
+]
 
-# script -> reason we deliberately diverge (documented, not hidden)
-KNOWN_DIVERGENT: dict[str, str] = {}
+# script -> reason we deliberately diverge (documented, not hidden).
+# Scripts in NEITHER list are candidates still being driven down — run
+# scripts/fullstack_sweep.py for the current per-script state.
+KNOWN_DIVERGENT: dict[str, str] = {
+    "fullstack-test/expr/cast_as_json.test": "no JSON column type; cast-to-JSON unimplemented",
+    "fullstack-test/expr/decimal_divide.test": "Spark decimal-division scale (max(6, s1+p2+1)) vs MySQL s1+4; mysql_decimal_divide (functions/mysql_compat.py) implements the MySQL rule for the Python API",
+    "fullstack-test/expr/duration_pushdown.test": "TIME columns store normalized strings; duration-domain compares/rounding-at-declared-precision not modeled",
+    "fullstack-test/expr/duration_filter_late_materialization.test": "duration-domain filters (see duration_pushdown)",
+    "fullstack-test/expr/duration_filter_late_materialization2.test": "duration-domain filters (see duration_pushdown)",
+    "fullstack-test/expr/extract_duration.test": "EXTRACT over TIME strings (see duration_pushdown)",
+    "fullstack-test/expr/compare_year_with_date.test": "YEAR column type maps to smallint; year-vs-date comparison coercion not modeled",
+    "fullstack-test/expr/sum_of_enum_pushdown.test": "ENUM stores the label; casts to the 1-based member index not modeled",
+    "fullstack-test/expr/from_days.test": "the reference's own MPP and cop modes disagree (NULL vs '10000-01-01' past range); we implement the MPP contract",
+    "fullstack-test/expr/lead_lag.test": "LEAD/LAG string defaults over numeric columns coerce differently",
+    "fullstack-test/expr/regexp.test": "regexp_instr with pos/occurrence/return_option operands not implemented",
+    "fullstack-test/expr/like.test": "stray mid-pattern escapes ('12\\34') rejected by Spark's LIKE compiler",
+    "fullstack-test/expr/mod_extra.test": "decimal(65,*) operands exceed Spark's p<=38 (documented gap, SURVEY §1.2)",
+    "fullstack-test/expr/round_with_frac.test": "float-domain rounding tails and p>38 decimals",
+    "fullstack-test/expr/tidb_truncate.test": "float-domain truncation tails",
+    "fullstack-test/expr/generated_columns2.test": "TIME-typed generated columns with duration arithmetic",
+    "fullstack-test/expr/return_warning.test": "warning-channel semantics (statements succeed with warnings here)",
+    "fullstack-test/mpp/window_agg.test": "chaos tail mixes TIME literals and lossy MODIFY (timestamp -> bool)",
+    "fullstack-test/mpp/issue_8604.test": "backtick column names containing parens ('col_char(20)_key_signed')",
+    "fullstack-test2/ddl/alter_column_nullable.test": "lossy MODIFY (decimal -> bigint) needs reorg; lossless widening only",
+    "fullstack-test2/ddl/binary_default_value.test": "BINARY(n) zero-padding of values/defaults not modeled",
+    "fullstack-test2/ddl/widen_pk.test": "re-signing the clustered handle (int -> bigint unsigned wrap) not modeled",
+}
 
 
-@pytest.mark.parametrize("rel", PASSING)
+# The full PASSING replay takes ~15 min (each script drives dozens of
+# statements through the store); the routine suite runs a cross-section
+# smoke subset — set FULLSTACK_ALL=1 to replay everything (the per-round
+# coverage tool is scripts/fullstack_sweep.py).
+SMOKE = [
+    "fullstack-test/expr/bitshift_operator.test",
+    "fullstack-test/expr/cast_as_duration.test",
+    "fullstack-test/expr/cast_decimal_overflow.test",
+    "fullstack-test/expr/date_sub.test",
+    "fullstack-test/expr/date_diff.test",
+    "fullstack-test/expr/is_true_false.test",
+    "fullstack-test/expr/json_array.test",
+    "fullstack-test/expr/json_valid.test",
+    "fullstack-test/expr/least_greatest.test",
+    "fullstack-test/expr/logical_op.test",
+    "fullstack-test/expr/math_func.test",
+    "fullstack-test/expr/pad.test",
+    "fullstack-test/expr/substring_utf8.test",
+    "fullstack-test/issues/issue_3447.test",
+    "fullstack-test/mpp/extra_physical_table_column.test",
+    "fullstack-test/mpp/rollup.test",
+    "fullstack-test/mpp/window.test",
+    "fullstack-test2/ddl/alter_create_database_crash.test",
+    "fullstack-test2/ddl/alter_pk.test",
+    "fullstack-test2/ddl/multi_alter_with_write.test",
+    "fullstack-test2/ddl/rename_table.test",
+    "fullstack-test2/dml/test_table_scan.test",
+]
+
+_SELECTED = PASSING if os.environ.get("FULLSTACK_ALL") else SMOKE
+
+
+@pytest.mark.parametrize("rel", _SELECTED)
 def test_fullstack_script(spark, tmp_path, rel):
     res = run_script(spark, REFERENCE_TESTS / rel, str(tmp_path))
     assert not res.mismatches, "\n".join(res.mismatches[:10])
     assert res.checked > 0 or res.steps_run > 0
+
+
+def test_passing_list_is_consistent():
+    """Nothing is both green and documented-divergent, and every listed
+    script exists in the reference tree."""
+    assert not set(PASSING) & set(KNOWN_DIVERGENT)
+    for rel in list(PASSING) + list(KNOWN_DIVERGENT):
+        assert (REFERENCE_TESTS / rel).exists(), rel
+    assert set(SMOKE) <= set(PASSING)

@@ -432,6 +432,39 @@ def _mysql_type_to_spark(t: str, unsigned: bool) -> str:
     return out
 
 
+_VEC_FNS = (
+    "vec_l1_distance", "vec_l2_distance", "vec_cosine_distance",
+    "vec_negative_inner_product", "vec_l2_norm", "vec_dims",
+)
+
+
+def _inline_vec_fn(fn: str, args: list[str]) -> str | None:
+    """Expand a VEC_* call to its body expression. SQL UDFs cannot appear
+    in Sort (`ORDER BY VEC_L2_DISTANCE(...) LIMIT k`, the reference's
+    vector-index probe shape, fullstack-test-index/vector/) — the inlined
+    form can, and Catalyst folds it identically. String-literal operands
+    parse as vectors."""
+    from tiflash_spark.functions.sql_registry import MYSQL_SQL_FUNCTIONS
+
+    sig, _ret, body = MYSQL_SQL_FUNCTIONS[fn]
+    params = [p.strip().split()[0] for p in sig.split(",")]
+    if len(args) != len(params):
+        return None
+    out = body
+    for i, p in enumerate(params):  # two-phase: args may contain 'a'/'b'
+        out = re.sub(rf"\b{p}\b", f"\x00{i}\x00", out)
+    for i, a in enumerate(args):
+        a = a.strip()
+        if _STR_LIT.match(a):
+            a = (
+                "transform(split(regexp_replace(regexp_replace("
+                f"{a}, '^\\\\[', ''), '\\\\]$', ''), ','),"
+                " x -> CAST(x AS DOUBLE))"
+            )
+        out = out.replace(f"\x00{i}\x00", f"({a})")
+    return f"({out})"
+
+
 def _fix_gen_expr(expr: str) -> str:
     """Generated-column expressions are stored and re-parsed by Spark at
     read time — keep them builtin-only: MySQL DIV over non-integrals
@@ -552,6 +585,18 @@ _CREATE_INDEX = re.compile(
     rf"ON\s+{_QTBL}\s*\((?P<cols>.+?)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# CREATE COLUMNAR/FULLTEXT/VECTOR INDEX idx ON t (col) USING kind —
+# the statement spelling of the sidecar-index DDL
+# (fullstack-test-index/inverted/datetime-type.test)
+_CREATE_SIDE_INDEX = re.compile(
+    r"^\s*CREATE\s+(?:(?P<fts>FULLTEXT)|(?P<col_idx>COLUMNAR)|(?P<vec>VECTOR))"
+    r"\s+INDEX\s+`?(?P<idx>\w+)`?\s+"
+    rf"ON\s+{_QTBL}\s*\(\s*"
+    r"(?:\(\s*VEC_(?:COSINE_DISTANCE|L2_DISTANCE)\s*\(\s*`?(?P<veccol>\w+)`?\s*\)\s*\)"
+    r"|`?(?P<col>\w+)`?)\s*\)"
+    r"(?:\s+USING\s+(?P<algo>\w+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _match_paren(s: str, i: int) -> int:
@@ -625,7 +670,8 @@ _CAST_TRIM_CALL = re.compile(
     r"|date_add|date_sub|adddate|subdate|date|space|length|format"
     r"|least|greatest|str_to_date|substring|substr|lpad|rpad|regexp_like"
     r"|json_array|json_object|dayname|monthname|round|avg|json_valid"
-    r"|json_extract)\s*\("
+    r"|json_extract|vec_l1_distance|vec_l2_distance|vec_cosine_distance"
+    r"|vec_negative_inner_product|vec_l2_norm|vec_dims)\s*\("
 )
 
 _TIME_TOKENS = ("%H", "%k", "%h", "%l", "%i", "%S", "%s", "%f", "%T", "%r", "%p")
@@ -892,6 +938,12 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                         f"nullif(concat('[', concat_ws(', ',"
                         f" {', '.join(probes)}), ']'), '[]')"
                     )
+            elif fn in _VEC_FNS and not re.match(
+                r"(?i)\s*(create|alter)\b", sql
+            ):
+                # (index DDL spells VEC_* inside its column clause — the
+                # _ADD_INDEX pattern must see it verbatim)
+                rep = _inline_vec_fn(fn, _split_top_level(inner))
             elif fn == "json_valid":
                 # MySQL: non-string/non-json operands are 0, never parsed
                 # (expr/json_valid.test); spelled via try_parse_json so
@@ -949,6 +1001,14 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                             f"(CASE WHEN typeof({x}) IN ('float', 'double')"
                             f" THEN bround(try_cast(({x}) AS DOUBLE), {d})"
                             f" ELSE round/**/({x}, {d}) END)"
+                        )
+                    elif len(args) == 2:
+                        # COLUMN scale: Spark's round demands a foldable
+                        # literal — the arithmetic form doesn't
+                        # (issues/issue_3333.test)
+                        rep = (
+                            f"mysql_round(try_cast(({x}) AS DOUBLE),"
+                            f" CAST(({d}) AS INT))"
                         )
             elif fn == "regexp_like":
                 # 3-arg form carries MySQL match_type flags; map onto
@@ -1835,7 +1895,7 @@ def run_sql(
             [(name, ts, int(kept))],
             "table_name string, safe_point long, rows_kept long",
         )
-    m = _ADD_INDEX.match(sql)
+    m = _ADD_INDEX.match(sql) or _CREATE_SIDE_INDEX.match(sql)
     if m:
         name = m.group("tbl")
         if not stores or name not in stores:
@@ -2238,6 +2298,7 @@ def run_sql(
             raise ValueError("CREATE TABLE needs base_path= (store directory root)")
         cols: list[tuple] = []  # (name, spark_type, not_null, default)
         gen_cols: list[tuple] = []  # (name, spark_type, expr)
+        idx_defs: list[tuple] = []  # (index_name, kind, column)
         pk_cols: list[str] = []
         pk_kind: str | None = None
         dt_prec: dict[str, int] = {}  # DATETIME(p)/TIMESTAMP(p), default 0
@@ -2250,6 +2311,27 @@ def run_sql(
                     pm.group("kind") or pm.group("kind2") or pm.group("kind3")
                     or "CLUSTERED"
                 ).upper()
+                continue
+            im = re.match(
+                r"(?i)^(?P<kind>COLUMNAR|FULLTEXT|VECTOR)\s+INDEX\s+"
+                r"`?(?P<idx>\w+)`?\s*(?:USING\s+\w+\s*)?"
+                r"\((?P<cols>.+)\)(?:\s+USING\s+\w+)?$",
+                item,
+            )
+            if im:
+                # in-CREATE columnar/fulltext/vector index defs
+                # (fullstack-test-index/*/create-on-create-table.test) —
+                # built right after the store exists
+                col = im.group("cols").strip().strip("`")
+                vm = re.match(
+                    r"(?i)^\(\s*VEC_\w+\s*\(\s*`?(\w+)`?\s*\)\s*\)$",
+                    im.group("cols").strip(),
+                )
+                if vm:
+                    col = vm.group(1)
+                idx_defs.append(
+                    (im.group("idx"), im.group("kind").lower(), col)
+                )
                 continue
             if re.match(
                 r"^(KEY|INDEX|UNIQUE|CONSTRAINT|FOREIGN)\b", item, re.IGNORECASE
@@ -2337,6 +2419,15 @@ def run_sql(
         store.write_table_def(order, pk, pk_type, dt_prec or None)
         for gname, gtype, gexpr in gen_cols:
             store.add_generated_column(gname, gtype, _fix_gen_expr(gexpr))
+        for iname, kind, icol in idx_defs:
+            if kind == "fulltext":
+                store.build_fulltext_index(icol)
+            elif kind == "columnar":
+                store.build_inverted_index([icol])
+            else:
+                store.build_vector_index(icol)
+            store.register_index_name(iname,
+                "inverted" if kind == "columnar" else kind, icol)
         stores[name] = store
         store.as_view(name)
         return spark.createDataFrame(
@@ -2427,6 +2518,20 @@ def run_sql(
             def _cell(cell: str, col: str, ty: str | None) -> str:
                 if ty is None:
                     return f"({cell})"
+                if ty.startswith("array<") and re.match(
+                    r"^'\[[^']*\]'$", cell.strip()
+                ):
+                    # VECTOR literals arrive as '[1.5, 2.5]' strings —
+                    # build a typed array literal (inline VALUES cannot
+                    # run the vec_from_text UDF)
+                    et = ty[6:-1]
+                    nums = [
+                        n.strip()
+                        for n in cell.strip()[2:-2].split(",")
+                        if n.strip()
+                    ]
+                    items = ", ".join(f"CAST({n} AS {et})" for n in nums)
+                    return f"array({items})" if nums else f"CAST(array() AS {ty})"
                 if ty in ("double", "float") and re.match(
                     r"^-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?$", cell.strip()
                 ) and len(cell.strip()) > 17:

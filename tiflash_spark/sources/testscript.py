@@ -336,18 +336,27 @@ def run_script(
     # and restores the session conf afterwards.
     prev_ansi = spark.conf.get("spark.sql.ansi.enabled", None)
     prev_tz = spark.conf.get("spark.sql.session.timeZone", None)
+    prev_excl = spark.conf.get("spark.sql.optimizer.excludedRules", None)
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # FoldablePropagation mis-validates the typeof()-dispatched AVG/ROUND
+    # shapes under ROLLUP (PLAN_VALIDATION_FAILED_RULE_IN_BATCH) — a
+    # correctness-neutral optimization, excluded for the replay only
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.FoldablePropagation",
+    )
     try:
         _run_steps(spark, run_sql, path, stores, base_path, res)
     finally:
-        if prev_ansi is None:
-            spark.conf.unset("spark.sql.ansi.enabled")
-        else:
-            spark.conf.set("spark.sql.ansi.enabled", prev_ansi)
-        if prev_tz is None:
-            spark.conf.unset("spark.sql.session.timeZone")
-        else:
-            spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        for key, prev in (
+            ("spark.sql.ansi.enabled", prev_ansi),
+            ("spark.sql.session.timeZone", prev_tz),
+            ("spark.sql.optimizer.excludedRules", prev_excl),
+        ):
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
     return res
 
 
