@@ -633,6 +633,14 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "STRING",
         "mysql_trim_trailing(r, mysql_trim_leading(r, s))",
     ),
+    "sleep": (
+        # SLEEP(n): the reference scripts use it to sequence replication
+        # races; writes here are synchronous, so it degenerates to its
+        # MySQL return value (0)
+        "n DOUBLE",
+        "INT",
+        "CASE WHEN n IS NOT NULL THEN 0 ELSE 0 END",
+    ),
     "nulleq": (
         # MySQL NULLEQ(a, b) — the <=> operator as a named function
         # (reference tests/fullstack-test/expr/nulleq.test); never NULL,

@@ -159,7 +159,8 @@ def _rewrite_asof(spark, sql: str, stores) -> str:
 # views materialized at statement time.
 _INFOSCHEMA = re.compile(
     r"\binformation_schema\s*\.\s*"
-    r"(?P<which>tiflash_segments|tiflash_tables|tiflash_replica)\b",
+    r"(?P<which>tiflash_segments|tiflash_tables|tiflash_replica"
+    r"|tiflash_indexes)\b",
     re.IGNORECASE,
 )
 
@@ -174,6 +175,22 @@ def _rewrite_infoschema(spark, sql: str, stores) -> str:
                 df = store.system_dt_segments().withColumn("tidb_table", F.lit(name))
             elif which == "tiflash_tables":
                 df = store.system_dt_tables().withColumn("tidb_table", F.lit(name))
+            elif which == "tiflash_indexes":
+                stable = store._layer("stable")
+                n = int(stable.count()) if stable is not None else 0
+                rows = [
+                    ("test", name, iname, ent["kind"], ent["col"],
+                     0 if ent["kind"] == "secondary" else n, 0)
+                    for iname, ent in sorted(store.named_indexes().items())
+                    if ent["kind"] != "secondary"
+                ]
+                df = spark.createDataFrame(
+                    rows,
+                    "tidb_database string, tidb_table string,"
+                    " index_name string, index_kind string,"
+                    " column_name string, rows_stable_indexed long,"
+                    " rows_stable_not_indexed long",
+                )
             else:
                 df = spark.createDataFrame(
                     [("test", name, 1, "", 1, 1.0)],
@@ -189,6 +206,14 @@ def _rewrite_infoschema(spark, sql: str, stores) -> str:
                     "table_schema string, table_name string,"
                     " replica_count int, location_labels string,"
                     " available int, progress double",
+                )
+            elif which == "tiflash_indexes":
+                out = spark.createDataFrame(
+                    [],
+                    "tidb_database string, tidb_table string,"
+                    " index_name string, index_kind string,"
+                    " column_name string, rows_stable_indexed long,"
+                    " rows_stable_not_indexed long",
                 )
             elif which == "tiflash_segments":
                 out = spark.createDataFrame(
@@ -242,7 +267,8 @@ _DELETE = re.compile(
 )
 _INSERT_SEL = re.compile(
     rf"^\s*(?P<verb>INSERT|REPLACE)\s+INTO\s+{_QTBL}\s*"
-    r"(?:\(\s*(?P<cols>[^)]*?)\s*\))?\s*(?P<sel>SELECT\b.+)$",
+    r"(?:\(\s*(?P<cols>[^)]*?)\s*\))?\s*"
+    r"(?P<sel>(?:SELECT|WITH)\b.+)$",  # WITH [RECURSIVE] cte ... SELECT
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -456,10 +482,12 @@ def _inline_vec_fn(fn: str, args: list[str]) -> str | None:
     for i, a in enumerate(args):
         a = a.strip()
         if _STR_LIT.match(a):
+            # try_cast spelling: the cast-rewriter must not turn this
+            # into a mysql_to_double UDF call (back in Sort territory)
             a = (
                 "transform(split(regexp_replace(regexp_replace("
                 f"{a}, '^\\\\[', ''), '\\\\]$', ''), ','),"
-                " x -> CAST(x AS DOUBLE))"
+                " x -> try_cast(x AS DOUBLE))"
             )
         out = out.replace(f"\x00{i}\x00", f"({a})")
     return f"({out})"
@@ -474,6 +502,33 @@ def _fix_gen_expr(expr: str) -> str:
         lambda m: f"CAST(({m.group(1)}) / ({m.group(2)}) AS BIGINT)",
         expr,
     )
+
+
+def _build_index(store: DeltaStore, kind: str, col: str) -> int:
+    """Build a sidecar index, auto-compacting into a segmented stable
+    layer first when needed (the reference's DDL works on fresh/empty
+    tables — fullstack-test-index/*/create-on-*.test); an empty table
+    registers the index with zero segments and the first refresh after
+    data lands covers it."""
+    build = {
+        "fulltext": lambda: store.build_fulltext_index(col),
+        "inverted": lambda: store.build_inverted_index([col]),
+        "vector": lambda: store.build_vector_index(col),
+    }[kind]
+    try:
+        return build()
+    except ValueError as e:
+        if "segmented stable layer" not in str(e):
+            raise
+    top = store.newest_version()
+    if top:
+        store.compact(ts=int(top), num_segments=4)
+    try:
+        return build()
+    except ValueError as e:
+        if "segmented stable layer" in str(e):
+            return 0  # empty table: DDL succeeds, sidecar builds later
+        raise
 
 
 def _alter_type(t: str, unsigned: bool) -> str:
@@ -1907,12 +1962,12 @@ def run_sql(
         algo = (m.group("algo") or "").upper()
         if m.group("fts"):
             kind, col = "fulltext", m.group("col")
-            segs = store.build_fulltext_index(col)
+            segs = _build_index(store, "fulltext", col)
         elif m.group("col_idx"):
             if algo and algo != "INVERTED":
                 raise ValueError(f"COLUMNAR INDEX supports USING INVERTED, not {algo}")
             kind, col = "inverted", m.group("col")
-            segs = store.build_inverted_index([col])
+            segs = _build_index(store, "inverted", col)
         else:
             # VECTOR INDEX ((VEC_*_DISTANCE(col))) USING HNSW — the
             # Spark-native index is the IVF posting sidecar; HNSW is the
@@ -1923,8 +1978,11 @@ def run_sql(
                     "VECTOR INDEX needs ((VEC_COSINE_DISTANCE(col))) or "
                     "((VEC_L2_DISTANCE(col)))"
                 )
-            segs = store.build_vector_index(col)
+            segs = _build_index(store, "vector", col)
         store.register_index_name(m.group("idx"), kind, col)
+        # _build_index may have compacted — refresh the view so readers
+        # never hold a plan over retired delta files
+        store.as_view(name)
         return spark.createDataFrame(
             [(name, m.group("idx"), kind, col, int(segs))],
             "table_name string, index_name string, index_kind string,"
@@ -2421,11 +2479,11 @@ def run_sql(
             store.add_generated_column(gname, gtype, _fix_gen_expr(gexpr))
         for iname, kind, icol in idx_defs:
             if kind == "fulltext":
-                store.build_fulltext_index(icol)
+                _build_index(store, "fulltext", icol)
             elif kind == "columnar":
-                store.build_inverted_index([icol])
+                _build_index(store, "inverted", icol)
             else:
-                store.build_vector_index(icol)
+                _build_index(store, "vector", icol)
             store.register_index_name(iname,
                 "inverted" if kind == "columnar" else kind, icol)
         stores[name] = store
@@ -2624,6 +2682,10 @@ def run_sql(
             if _ASOF.search(sel):
                 sel = _rewrite_asof(spark, sel, stores)
             rows = spark.sql(sel)
+            if re.search(r"(?i)\bwith\s+recursive\b", sel):
+                # recursive-CTE plans can't feed the parquet writer
+                # (UNSUPPORTED_INSERT.RDD_BASED) — break the lineage
+                rows = rows.localCheckpoint(eager=True)
         if len(rows.columns) != len(cols):
             raise ValueError(
                 f"INSERT INTO {name}: {len(rows.columns)} values per row "

@@ -279,7 +279,17 @@ def _format_value(v) -> str:
     if isinstance(v, (bytes, bytearray)):
         v = v.decode("utf-8", "backslashreplace")
     if isinstance(v, (list, tuple)):
-        return "[" + ", ".join(_format_value(x) for x in v) + "]"
+        # VECTOR columns (array<float>) widen to Python doubles at
+        # collect — render elements at float32 precision when they
+        # round-trip (TiDB prints '1.4', not 1.399999976)
+        import numpy as np
+
+        def elem(x):
+            if isinstance(x, float) and float(np.float32(x)) == x:
+                return repr(np.float32(x)).rstrip(")").split("(")[-1]
+            return _format_value(x)
+
+        return "[" + ", ".join(elem(x) for x in v) + "]"
     if isinstance(v, str):
         # the expected blocks come from the mysql client's batch output,
         # which escapes specials (run-test.py pipes `mysql -e`): emulate
@@ -345,6 +355,9 @@ def run_script(
         "spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.FoldablePropagation",
     )
+    prev_rec = spark.conf.get("spark.sql.cteRecursionLevelLimit", None)
+    # issue_10809's WITH RECURSIVE seq builds 128 levels; default cap 100
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "10000")
     try:
         _run_steps(spark, run_sql, path, stores, base_path, res)
     finally:
@@ -352,6 +365,7 @@ def run_script(
             ("spark.sql.ansi.enabled", prev_ansi),
             ("spark.sql.session.timeZone", prev_tz),
             ("spark.sql.optimizer.excludedRules", prev_excl),
+            ("spark.sql.cteRecursionLevelLimit", prev_rec),
         ):
             if prev is None:
                 spark.conf.unset(key)
