@@ -176,3 +176,49 @@ def test_update_partition_column_moves_rows(spark, tmp_path):
     # in-place update (same partition) also survives the two-version path
     run_sql(spark, "UPDATE mv SET grp = grp WHERE id = 2", stores)
     assert run_sql(spark, "SELECT * FROM mv").count() == 2
+
+
+def test_null_partition_key_routes_to_lowest(spark, tmp_path):
+    """MySQL RANGE partitioning orders NULL below every value: a NULL
+    partition key is legal (nullable column) and lands in the first
+    partition, never error 1526."""
+    stores = {}
+    run_sql(
+        spark,
+        "CREATE TABLE np (id BIGINT NOT NULL, grp BIGINT, "
+        "PRIMARY KEY CLUSTERED (id)) PARTITION BY RANGE (grp) "
+        "(PARTITION p0 VALUES LESS THAN (10), "
+        "PARTITION p1 VALUES LESS THAN (MAXVALUE))",
+        stores, base_path=str(tmp_path),
+    )
+    run_sql(spark, "INSERT INTO np VALUES (1, NULL), (2, 50)", stores)
+    store = stores["np"]
+    assert store.stores["p0"].read().count() == 1
+    assert store.stores["p1"].read().count() == 1
+    got = {r.id: r.grp for r in run_sql(spark, "SELECT * FROM np").collect()}
+    assert got == {1: None, 2: 50}
+    # the NULL row deletes cleanly (tombstone routes to p0 too)
+    run_sql(spark, "DELETE FROM np WHERE grp IS NULL", stores)
+    assert run_sql(spark, "SELECT * FROM np").count() == 1
+
+
+def test_partition_move_atomic_at_one_version(spark, tmp_path):
+    """A partition-moving UPDATE commits delete+insert at ONE version
+    (reference: a single commit-ts): no AS OF TIMESTAMP snapshot ever
+    sees the row deleted but not yet re-inserted."""
+    stores = {}
+    run_sql(
+        spark,
+        "CREATE TABLE am (id BIGINT NOT NULL, grp BIGINT, "
+        "PRIMARY KEY CLUSTERED (id)) PARTITION BY RANGE (grp) "
+        "(PARTITION p0 VALUES LESS THAN (10), "
+        "PARTITION p1 VALUES LESS THAN (MAXVALUE))",
+        stores, base_path=str(tmp_path),
+    )
+    run_sql(spark, "INSERT INTO am VALUES (1, 5)", stores)
+    run_sql(spark, "UPDATE am SET grp = 50", stores)  # p0 -> p1
+    store = stores["am"]
+    # at EVERY version the table holds exactly one visible row
+    for ts in range(1, store.newest_version() + 1):
+        assert store.read(ts).count() == 1, f"row vanished at version {ts}"
+    assert {r.grp for r in store.read().collect()} == {50}

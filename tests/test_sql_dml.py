@@ -473,3 +473,44 @@ def test_information_schema_virtual_tables(spark, tmp_path):
         stores,
     ).collect()
     assert (t.tidb_table, t.stable_rows) == ("ts", 3)
+
+
+def test_avg_scale_is_source_scale_plus_four(spark, tmp_path):
+    """MySQL AVG result scale = source scale + div_precision_increment
+    (4): INT in -> 4 fractional digits, DECIMAL(M,D) in -> D+4 digits
+    (NOT a constant 4), double in -> full precision."""
+    stores = {}
+    run_sql(
+        spark,
+        "CREATE TABLE avgt (id BIGINT NOT NULL, d DECIMAL(10,2), i INT, "
+        "f DOUBLE, PRIMARY KEY CLUSTERED (id))",
+        stores, base_path=str(tmp_path),
+    )
+    run_sql(
+        spark,
+        "INSERT INTO avgt VALUES (1, 1.01, 1, 1.5), (2, 1.02, 2, 2.0), "
+        "(3, 1.02, 4, 4.0)",
+        stores,
+    )
+    r = run_sql(
+        spark, "SELECT avg(d) AS a, avg(i) AS b, avg(f) AS c FROM avgt", stores
+    ).collect()[0]
+    assert r.a == pytest.approx(1.016667)  # D+4 = 6 digits, not 1.0167
+    assert r.b == pytest.approx(2.3333)
+    assert r.c == pytest.approx(2.5)
+
+
+def test_show_create_omits_dropped_default(spark, tmp_path):
+    """CHANGE COLUMN without DEFAULT drops the default; SHOW CREATE TABLE
+    must then omit the clause, not render the Python literal 'None'."""
+    stores = {}
+    run_sql(
+        spark,
+        "CREATE TABLE dd (pk BIGINT NOT NULL, v VARCHAR(5) DEFAULT 'x', "
+        "PRIMARY KEY CLUSTERED (pk))",
+        stores, base_path=str(tmp_path),
+    )
+    run_sql(spark, "ALTER TABLE dd CHANGE v v VARCHAR(5)", stores)
+    ddl = run_sql(spark, "SHOW CREATE TABLE dd", stores).collect()[0].create_table
+    assert "None" not in ddl
+    assert "`v` string" in ddl and "DEFAULT" not in ddl

@@ -1015,10 +1015,13 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                         f" IS NOT NULL AS INT) END)"
                     )
             elif fn == "avg":
-                # MySQL AVG over exact numerics carries scale+4 (3.6667,
-                # not 3.666666...; mpp/rollup.test) — double inputs keep
-                # full precision. typeof picks the digit count; both
-                # branches of the round amount are INT so types unify.
+                # MySQL AVG over exact numerics carries source scale + 4
+                # (div_precision_increment): INT in -> 4 digits, and
+                # DECIMAL(M,D) in -> D+4 digits (3.6667 for ints,
+                # mpp/rollup.test; 1.016667 for DECIMAL(x,2)) — double
+                # inputs keep full precision. typeof picks the digit
+                # count (decimal renders as 'decimal(p,s)'); all branches
+                # of the round amount are INT so types unify.
                 args = _split_top_level(inner)
                 if (
                     len(args) == 1
@@ -1030,10 +1033,20 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                     # `mean` is avg's alias — spelled so this scanner
                     # does not re-match its own output; the typeof probe
                     # rides max() so grouped queries stay aggregate-only
+                    # Spark's own avg(decimal(p,s)) already lands at
+                    # scale s+4 rounded — exactly MySQL's rule — so the
+                    # decimal branch only needs the cast that unifies the
+                    # CASE's type (a computed round scale would trip
+                    # FoldablePropagation)
+                    # round/**/( and try_cast are the scanner-proof
+                    # spellings — the scan continues inside emitted text
+                    t = f"typeof(max({args[0]}))"
                     rep = (
-                        f"round(mean({args[0]}),"
-                        f" CASE WHEN typeof(max({args[0]}))"
-                        f" IN ('float', 'double') THEN 15 ELSE 4 END)"
+                        f"(CASE WHEN {t} IN ('float', 'double')"
+                        f" THEN round/**/(mean({args[0]}), 15)"
+                        f" WHEN {t} LIKE 'decimal%'"
+                        f" THEN try_cast(mean({args[0]}) AS DOUBLE)"
+                        f" ELSE round/**/(mean({args[0]}), 4) END)"
                     )
             elif fn == "round":
                 # MySQL rounds FLOAT/DOUBLE half-to-even (C rint) but
@@ -2315,7 +2328,12 @@ def run_sql(
             if c in not_null:
                 s += " NOT NULL"
             if c in defaults:
-                s += f" DEFAULT '{defaults[c].get('w', defaults[c]['d'])}'"
+                # a dropped default stores {"w": None}: the key exists,
+                # so .get returns None — omit the clause, don't render
+                # the Python literal 'None'
+                d = defaults[c].get("w", defaults[c]["d"])
+                if d is not None:
+                    s += f" DEFAULT '{d}'"
             parts.append(s)
         if alias:
             parts.append(f"PRIMARY KEY (`{alias}`) /*T![clustered_index] CLUSTERED */")
@@ -2780,21 +2798,65 @@ def run_sql(
                 )
                 v = store.newest_version() + 1
                 if getattr(store, "pcol", None) in sets:
-                    # updating the PARTITION column moves rows between
-                    # physical tables (MySQL row movement): upsert the
-                    # new row at v+1 FIRST, then tombstone the old row
-                    # (routed by its old value) at v. Writing the higher
-                    # version first makes the pair robust to plan
-                    # re-evaluation between the two writes — a v-level
-                    # tombstone can only ever shadow rows at versions
-                    # <= v, never the v+1 upsert, and an in-place update
-                    # (same partition, same handle) resolves to the
-                    # upsert by the same version ordering.
-                    store.write_batch(out, version=v + 1)
-                    old = matched.select(
+                    # updating the PARTITION column may move rows between
+                    # physical tables (MySQL row movement). Split by
+                    # whether the row's partition actually changes:
+                    # same-partition rows are a plain in-place upsert
+                    # (same handle shadows at merge); moving rows write
+                    # BOTH legs at one version v — tombstone routed by
+                    # the old value, upsert by the new — which is safe
+                    # because the legs land in different physical stores,
+                    # and it matches the reference's single commit-ts:
+                    # an AS OF TIMESTAMP v read sees the move atomically.
+                    pcol = store.pcol
+                    bounds = store._bounds()
+                    # the first write's refreshByPath drops `matched`'s
+                    # persisted blocks, and a lazy re-evaluation would
+                    # then read the already-updated rows (double-applying
+                    # SET). localCheckpoint truncates the lineage to a
+                    # materialized RDD no file refresh can touch.
+                    snapm = matched.localCheckpoint(eager=True)
+
+                    def _pidx(cexpr):
+                        w = None
+                        for i, (_, lo, hi) in enumerate(bounds):
+                            mm = F.lit(True)
+                            if lo is not None:
+                                mm = mm & (cexpr >= F.lit(lo))
+                            if hi is not None:
+                                mm = mm & (cexpr < F.lit(hi))
+                            mm = (mm & cexpr.isNotNull()) | (
+                                F.lit(i == 0) & cexpr.isNull()
+                            )
+                            w = (F.when(mm, F.lit(i)) if w is None
+                                 else w.when(mm, F.lit(i)))
+                        return w
+
+                    moved = ~_pidx(F.col(pcol)).eqNullSafe(
+                        _pidx(F.expr(sets[pcol]))
+                    )
+                    out_same = snapm.filter(~moved).select(
+                        F.col(hname).alias(HANDLE),
+                        *[
+                            F.expr(sets[c]).alias(c) if c in sets else F.col(c)
+                            for c in stored
+                        ],
+                    )
+                    out_moved = snapm.filter(moved).select(
+                        F.col(hname).alias(HANDLE),
+                        *[
+                            F.expr(sets[c]).alias(c) if c in sets else F.col(c)
+                            for c in stored
+                        ],
+                    )
+                    old_moved = snapm.filter(moved).select(
                         F.col(hname).alias(HANDLE), *[F.col(c) for c in stored]
                     )
-                    store.write_batch(old, version=v, delete=True)
+                    if out_moved.limit(1).count():
+                        store.write_batch(out_moved, version=v)
+                        store.write_batch(old_moved, version=v, delete=True)
+                    if out_same.limit(1).count():
+                        store.write_batch(out_same, version=v)
                 else:
                     store.write_batch(out, version=v)
         finally:

@@ -202,18 +202,20 @@ class PartitionedStore:
     def write_batch(self, df: DataFrame, version: int, delete: bool = False) -> None:
         """Route rows to partitions by the partition column's value
         ([lo, upper) ranges); a value no partition covers is MySQL error
-        1526, never silent loss."""
+        1526, never silent loss. NULL sorts below every value in MySQL
+        RANGE partitioning, so NULL keys route to the lowest partition.
+        """
         c = F.col(self._stored_pcol())
         df = df.persist()
         try:
             matched = None
-            for _, lo, hi in self._bounds():
+            for i, (_, lo, hi) in enumerate(self._bounds()):
                 m = F.lit(True)
                 if lo is not None:
                     m = m & (c >= F.lit(lo))
                 if hi is not None:
                     m = m & (c < F.lit(hi))
-                m = m & c.isNotNull()
+                m = (m & c.isNotNull()) | F.lit(i == 0) & c.isNull()
                 matched = m if matched is None else (matched | m)
             n_bad = df.filter(~F.coalesce(matched, F.lit(False))).limit(1).count()
             if n_bad:
@@ -221,12 +223,14 @@ class PartitionedStore:
                     f"table has no partition for some {self.pcol!r} values "
                     "(MySQL error 1526)"
                 )
-            for name, lo, hi in self._bounds():
+            for i, (name, lo, hi) in enumerate(self._bounds()):
                 m = F.lit(True)
                 if lo is not None:
                     m = m & (c >= F.lit(lo))
                 if hi is not None:
                     m = m & (c < F.lit(hi))
+                if i == 0:
+                    m = m | c.isNull()
                 part = df.filter(m)
                 if part.limit(1).count():
                     self.stores[name].write_batch(part, version, delete=delete)
@@ -352,6 +356,12 @@ class PartitionedStore:
         self._write_manifest()
         store = self.stores.pop(name)
         shutil.rmtree(store.path, ignore_errors=True)
+        # a later ADD of a same-named partition reuses this path; cached
+        # file listings must not survive the rmtree (DROP TABLE parity)
+        try:
+            self.spark.catalog.refreshByPath(store.path)
+        except Exception:
+            pass
 
     def truncate_partition(self, name: str) -> None:
         if name not in self.stores:
@@ -400,5 +410,18 @@ class PartitionedStore:
         os.rename(ppath, tmp)
         os.rename(opath, ppath)
         os.rename(tmp, opath)
+        # both stores usually share layer names (delta_v1/stable_v1), so
+        # post-swap reads must not serve the pre-swap file listings
+        for root in (ppath, opath):
+            try:
+                self.spark.catalog.refreshByPath(root)
+            except Exception:
+                pass
         self.stores[name] = DeltaStore(self.spark, ppath)
-        return DeltaStore(self.spark, opath)
+        other_new = DeltaStore(self.spark, opath)
+        for s in (self.stores[name], other_new):
+            try:
+                s._refresh()
+            except Exception:
+                pass
+        return other_new
