@@ -85,9 +85,35 @@ PIPELINE_HEADLINE = [
 ]
 
 
+def _load_fingerprint() -> dict:
+    """Machine-load snapshot recorded alongside the timings: a uniform
+    round-over-round drift on untouched queries is background load, not a
+    plan regression — this makes that call auditable from the JSON."""
+    fp: dict = {}
+    try:
+        fp["loadavg_1m"], fp["loadavg_5m"], fp["loadavg_15m"] = (
+            round(x, 2) for x in os.getloadavg()
+        )
+    except Exception:
+        pass
+    try:
+        fp["ncpus"] = os.cpu_count()
+        # count of runnable/running processes beyond this one (procs_running
+        # from /proc/stat is the cheapest concurrent-work signal on Linux)
+        with open("/proc/stat") as fh:
+            for line in fh:
+                if line.startswith("procs_running"):
+                    fp["procs_running"] = int(line.split()[1])
+                    break
+    except Exception:
+        pass
+    return fp
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_before = _load_fingerprint()
 
     from tiflash_spark.registry import all_queries
     from tiflash_spark.session import get_spark
@@ -137,6 +163,8 @@ def main() -> None:
             then_s = sum(prev[q] for q in common)
             out["vs_prev_common_ratio"] = round(now_s / max(then_s, 1e-9), 3)
             out["vs_prev_common_n"] = len(common)
+    out["load_before"] = load_before
+    out["load_after"] = _load_fingerprint()
     # spreads go to stderr: diagnostics only, and keeping the stdout JSON
     # line short guarantees the driver's tail-capture parses it whole
     print(json.dumps({"spread_max_over_min": spreads}), file=sys.stderr, flush=True)

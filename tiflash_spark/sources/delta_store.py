@@ -1282,6 +1282,33 @@ class DeltaStore:
         )
         return self._conform_read(out)
 
+    def read_handles_df(self, handles_df: DataFrame, ts: int | None = None) -> DataFrame:
+        """Point reads driven by a DataFrame of handles: broadcast
+        LEFT SEMI join on the handle instead of an IN-list literal — the
+        scale idiom when the candidate set is thousands of rows (a
+        multi-thousand-literal predicate bloats the plan and the driver).
+        Segment pruning still applies: one tiny distinct() computes the
+        wanted segment ids with the same write-time hash."""
+        from pyspark.sql import functions as F
+
+        handles_df = handles_df.select(HANDLE).distinct()
+        log = self.log()
+        n_seg = self._num_segments()
+        if "_seg" in log.columns and n_seg:
+            wanted = {
+                r.s
+                for r in handles_df.select(
+                    F.pmod(F.xxhash64(F.col(HANDLE)), F.lit(n_seg)).alias("s")
+                ).distinct().collect()
+            }
+            if wanted:
+                log = log.filter(
+                    F.col("_seg").isin(*wanted) | F.col("_seg").isNull()
+                )
+        log = log.join(F.broadcast(handles_df), on=HANDLE, how="leftsemi")
+        out = self._apply_range_dels(snapshot_read(log, read_ts=ts), ts)
+        return self._conform_read(out)
+
     # --- PK-range segments + incremental compaction -------------------------
 
     def compact_range_segments(self, ts: int, num_segments: int) -> int:
@@ -3732,26 +3759,43 @@ class DeltaStore:
                 cand_handles, covered = [], set()
         if covered:
             # candidate pool: index hits + delta tail; uncovered segments
-            # evaluated exactly (same legs as ann_topk)
+            # evaluated exactly (same legs as ann_topk). The pool reaches
+            # the scan as a BROADCAST semi-join on the handle, never an
+            # IN-list literal — at 100 TB the candidate set is thousands
+            # of rows and a literal predicate bloats the plan.
             delta = self._layer("delta")
-            delta_handles = (
-                [r[HANDLE] for r in delta.select(HANDLE).distinct().collect()]
-                if delta is not None
-                else []
+            delta_df = (
+                delta.select(HANDLE).distinct() if delta is not None else None
             )
-            pool = list(dict.fromkeys(cand_handles + delta_handles))
-            self._record_scan_profile("fts_search_scored", [], inlist=len(pool))
+            cand_df = self.spark.createDataFrame(
+                [(h,) for h in cand_handles],
+                f"{HANDLE} {'string' if cand_handles and isinstance(cand_handles[0], str) else 'long'}",
+            ) if cand_handles else None
+            pool_df = None
+            for leg_df in (cand_df, delta_df):
+                if leg_df is None:
+                    continue
+                pool_df = (
+                    leg_df if pool_df is None
+                    else pool_df.unionByName(leg_df)
+                )
+            if pool_df is not None:
+                pool_df = pool_df.distinct()
+            n_pool = pool_df.count() if pool_df is not None else 0
+            self._record_scan_profile("fts_search_scored", [], inlist=n_pool)
             # observable recall degradation: the deterministic cap dropped
             # index candidates (common terms > FTS_OVERFETCH*k*64 hits)
             self.last_scan_profile["candidates_truncated"] = cand_truncated
             legs = []
-            if pool:
-                legs.append(self.read_handles(pool, ts=ts))
+            if n_pool:
+                legs.append(self.read_handles_df(pool_df, ts=ts))
             uncovered = self._all_seg_ids() - covered
             if uncovered:
                 ulog = self.log().filter(F.col("_seg").isin(list(uncovered)))
-                if delta_handles:
-                    ulog = ulog.filter(~F.col(HANDLE).isin(delta_handles))
+                if delta_df is not None:
+                    ulog = ulog.join(
+                        F.broadcast(delta_df), on=HANDLE, how="left_anti"
+                    )
                 vis = self._apply_range_dels(snapshot_read(ulog, read_ts=ts), ts)
                 legs.append(self._conform_read(vis))
             if not legs:

@@ -156,6 +156,27 @@ def _finalize_block(step: Step, block: list[str]) -> None:
         step.expected = [r for r in step.expected if r]
 
 
+def _read_source_file(rel: str) -> list[str]:
+    """Statements of a `source`d .sql file (read from the reference tree
+    at run time, like the scripts themselves — never vendored). `--`
+    line comments dropped; statements split on top-level `;` so
+    multi-line CREATEs and CTE queries stay whole."""
+    p = REFERENCE_TESTS / rel
+    if not p.exists():
+        raise FileNotFoundError(f"source file not found: {rel}")
+    lines = [
+        ln for ln in p.read_text().splitlines()
+        if not ln.lstrip().startswith("--")
+    ]
+    # flatten to one line per statement: the SQL-surface regexes are
+    # line-oriented (none of the sourced files carry literal newlines
+    # inside string constants)
+    return [
+        re.sub(r"\s*\n\s*", " ", s).strip()
+        for s in _split_statements("\n".join(lines))
+    ]
+
+
 def parse_script(path: str | Path) -> list[Step]:
     steps: list[Step] = []
     pending: Step | None = None
@@ -175,6 +196,18 @@ def parse_script(path: str | Path) -> list[Step]:
             # trailing directive comments (#NO_UNESCAPE) — the unescape
             # concern is the mysql client's, not ours
             body = re.sub(r"\s+#\w+\s*$", "", body)
+            srcm = re.match(r"(?i)^\s*source\s+(\S+?);?\s*$", body)
+            if srcm:
+                # the mysql client's `source <file.sql>` directive
+                # (rollup_tpcds.test preloads the tpcds_util schema):
+                # inline the file's statements; paths are relative to the
+                # reference's tests/ dir (run-test.py's working dir)
+                for stmt in _read_source_file(srcm.group(1)):
+                    if re.match(r"(?i)^set\s", stmt) and not _SET_TZ.match(stmt):
+                        continue
+                    steps.append(Step(sql=stmt, lineno=lineno))
+                    pending = steps[-1]
+                continue
             for stmt in _split_statements(body):
                 if re.match(r"(?i)^set\s", stmt) and not _SET_TZ.match(stmt):
                     continue  # session vars — see module docstring
@@ -473,7 +506,9 @@ def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
                 failed = True
                 break
             res.steps_run += 1
-            if not re.match(r"(?i)\s*(select|show|desc|describe|explain)\b", sql):
+            if not re.match(
+                r"(?i)\s*(select|show|desc|describe|explain|with)\b", sql
+            ):
                 continue  # the client prints nothing for DML/DDL
             if last.unchecked:
                 continue
