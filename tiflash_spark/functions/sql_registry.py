@@ -336,10 +336,31 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "STRING",
         "rpad(regexp_extract(trim(x), '\\\\.([0-9]+)$', 1), 6, '0')",
     ),
+    # the UNPADDED fraction digits — the 9/10-digit second rule below
+    # reads exactly the first two as written
+    "_dt_rawfrac": (
+        "x STRING",
+        "STRING",
+        "regexp_extract(trim(x), '\\\\.([0-9]+)$', 1)",
+    ),
+    # the SECONDS field of a digit string (reference MyTime.cpp:1055-1065
+    # after the no-delimiter switch at :887): 9/10 digits (YYMMDDHHM /
+    # YYMMDDHHMM) take seconds from the FRACTION's first two digits
+    # ('201212212.121212' = 20-12-12 21:02:12, '.999999' is second 99 ->
+    # NULL); 11+ digits carry their own seconds in the digit string
+    "_dt_gsec": (
+        "x STRING",
+        "INT",
+        "CASE WHEN length(_dt_rest(x)) IN (7, 8) THEN"
+        " coalesce(try_cast(substring(_dt_rawfrac(x), 1, 2) AS INT), 0)"
+        " ELSE coalesce(try_cast(substring(_dt_rest(x), 9, 2) AS INT), 0)"
+        " END",
+    ),
     "_mysql_dt_gsplit": (
-        # fraction rules (expr/date_add.test t2): a date-only integer
-        # ('20121.121212') takes HHMMSS from the fraction; a full 10-digit
-        # time keeps it as microseconds; partial times ignore it
+        # fraction rules (expr/date_add.test t2, MyTime.cpp:1010-1065):
+        # a date-only integer ('20121.121212') takes HHMMSS from the
+        # fraction; 9/10-digit strings take SECONDS from it (_dt_gsec);
+        # 11/12-digit times keep it as microseconds
         "x STRING",
         "TIMESTAMP_NTZ",
         "CASE WHEN length(_dt_rest(x)) BETWEEN 3 AND 4 THEN"
@@ -354,7 +375,7 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "   coalesce(try_cast(substring(_dt_frac(x), 5, 2) AS INT), 0))"
         " END"
         " WHEN length(_dt_rest(x)) BETWEEN 5 AND 10 THEN"
-        " CASE WHEN coalesce(try_cast(substring(_dt_rest(x), 9, 2) AS INT), 0) < 60 THEN"
+        " CASE WHEN _dt_gsec(x) < 60 THEN"
         "  make_timestamp_ntz("
         "   _mysql_dt_year(substring(_dt_d(x), 1,"
         "    CASE WHEN length(_dt_d(x)) IN (8, 13, 14) THEN 4 ELSE 2 END)),"
@@ -362,29 +383,45 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "   CAST(substring(_dt_rest(x), 3, 2) AS INT),"
         "   coalesce(try_cast(substring(_dt_rest(x), 5, 2) AS INT), 0),"
         "   coalesce(try_cast(substring(_dt_rest(x), 7, 2) AS INT), 0),"
-        "   CAST(coalesce(try_cast(substring(_dt_rest(x), 9, 2) AS INT), 0)"
-        "    + CASE WHEN length(_dt_rest(x)) = 10"
+        "   CAST(_dt_gsec(x)"
+        "    + CASE WHEN length(_dt_rest(x)) IN (9, 10)"
         "       THEN CAST(substring(_dt_frac(x), 1, 6) AS BIGINT) / 1000000.0"
         "       ELSE 0 END AS DECIMAL(16,6)))"
         " END"
         " END",
+    ),
+    # the fraction ABSORB rule (MyTime.cpp:818-833): with five or fewer
+    # separator groups, a trailing .fraction is absorbed as the NEXT
+    # datetime field, parsed as a plain integer ('2012-12-12 12:12.000001'
+    # has SECOND 1; '.60'/'.121' are invalid seconds -> NULL); with six
+    # groups the fraction stays fractional seconds
+    "_dt_g2": (
+        "x STRING",
+        "ARRAY<STRING>",
+        "CASE WHEN _dt_rawfrac(x) <> ''"
+        " AND size(_mysql_dt_groups(x)) <= 5"
+        " THEN array_append(_mysql_dt_groups(x), _dt_rawfrac(x))"
+        " ELSE _mysql_dt_groups(x) END",
     ),
     "mysql_dt_parse": (
         "x STRING",
         "TIMESTAMP_NTZ",
         "CASE WHEN x IS NULL THEN NULL"
         " WHEN trim(x) RLIKE '^[0-9]+(\\\\.[0-9]*)?$' THEN _mysql_dt_gsplit(x)"
-        " WHEN size(_mysql_dt_groups(x)) >= 3 THEN"
-        "  CASE WHEN coalesce(try_cast(get(_mysql_dt_groups(x), 5) AS INT), 0) < 60 THEN"
+        # the absorbed fraction counts toward the 3-group minimum:
+        # '2012-12.24' is Y-M-<absorbed day> (MyTime.cpp case 3)
+        " WHEN size(_dt_g2(x)) >= 3 THEN"
+        "  CASE WHEN coalesce(try_cast(get(_dt_g2(x), 5) AS INT), 0) < 60 THEN"
         "  make_timestamp_ntz("
-        "   _mysql_dt_year(_mysql_dt_groups(x)[0]),"
-        "   CAST(_mysql_dt_groups(x)[1] AS INT),"
-        "   CAST(_mysql_dt_groups(x)[2] AS INT),"
-        "   coalesce(try_cast(get(_mysql_dt_groups(x), 3) AS INT), 0),"
-        "   coalesce(try_cast(get(_mysql_dt_groups(x), 4) AS INT), 0),"
-        "   CAST(coalesce(try_cast(get(_mysql_dt_groups(x), 5) AS INT), 0)"
-        "    + CAST(substring(_dt_frac(x), 1, 6) AS BIGINT)"
-        "    / 1000000.0 AS DECIMAL(16,6)))"
+        "   _mysql_dt_year(_dt_g2(x)[0]),"
+        "   CAST(_dt_g2(x)[1] AS INT),"
+        "   CAST(_dt_g2(x)[2] AS INT),"
+        "   coalesce(try_cast(get(_dt_g2(x), 3) AS INT), 0),"
+        "   coalesce(try_cast(get(_dt_g2(x), 4) AS INT), 0),"
+        "   CAST(coalesce(try_cast(get(_dt_g2(x), 5) AS INT), 0)"
+        "    + CASE WHEN size(_mysql_dt_groups(x)) >= 6"
+        "       THEN CAST(substring(_dt_frac(x), 1, 6) AS BIGINT) / 1000000.0"
+        "       ELSE 0 END AS DECIMAL(16,6)))"
         "  END"
         " ELSE to_timestamp_ntz(translate(x, '/', '-')) END",
     ),
@@ -443,6 +480,76 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "  CAST(substring(rpad(regexp_extract(trim(x), '\\\\.([0-9]+)$', 1), 6, '0'), 1, 6) AS BIGINT),"
         "  _mysql_dt_digits(trim(x)))"
         " ELSE mysql_dt_parse(x) END",
+    ),
+    # numberToDateTime's ladder (MyTime.cpp:667-740): a NUMBER cast to
+    # DATETIME maps by magnitude — MMDD / YYMMDD(19xx/20xx) / YYYYMMDD /
+    # YYMMDDHHMMSS(19xx/20xx) / YYYYMMDDHHMMSS, the gaps invalid, 0 the
+    # zero date — into a canonical 14-digit string ('zero' marks the
+    # zero date)
+    "_num14": (
+        "n BIGINT",
+        "STRING",
+        "CASE WHEN n IS NULL OR n < 0 THEN NULL"
+        " WHEN n = 0 THEN 'zero'"
+        " WHEN n < 101 THEN NULL"
+        " WHEN n <= 691231 THEN concat('20', lpad(CAST(n AS STRING), 6, '0'), '000000')"
+        " WHEN n < 700101 THEN NULL"
+        " WHEN n <= 991231 THEN concat('19', lpad(CAST(n AS STRING), 6, '0'), '000000')"
+        " WHEN n <= 99991231 THEN concat(lpad(CAST(n AS STRING), 8, '0'), '000000')"
+        " WHEN n < 101000000 THEN NULL"
+        " WHEN n <= 691231235959 THEN concat('20', lpad(CAST(n AS STRING), 12, '0'))"
+        " WHEN n < 700101000000 THEN NULL"
+        " WHEN n <= 991231235959 THEN concat('19', lpad(CAST(n AS STRING), 12, '0'))"
+        " WHEN n >= 10000101000000 AND n <= 99991231235959 THEN CAST(n AS STRING)"
+        " ELSE NULL END",
+    ),
+    # validity + MySQL rendering of the canonical digits: ZERO month/day
+    # are legal (cast(120012.1 as datetime) = '2012-00-12 00:00:00',
+    # cast_as_time.test) so the result is a STRING, not a timestamp;
+    # real dates still validate day-in-month (2000-11-31 -> NULL)
+    "_dt14_render": (
+        "s STRING",
+        "STRING",
+        "CASE WHEN s IS NULL THEN NULL"
+        " WHEN s = 'zero' THEN '0000-00-00 00:00:00'"
+        " WHEN CAST(substring(s, 5, 2) AS INT) > 12 THEN NULL"
+        " WHEN CAST(substring(s, 7, 2) AS INT) > 31 THEN NULL"
+        " WHEN CAST(substring(s, 9, 2) AS INT) > 23 THEN NULL"
+        " WHEN CAST(substring(s, 11, 2) AS INT) > 59 THEN NULL"
+        " WHEN CAST(substring(s, 13, 2) AS INT) > 59 THEN NULL"
+        " WHEN substring(s, 5, 2) <> '00' AND substring(s, 7, 2) <> '00'"
+        "  AND try_to_date(substring(s, 1, 8), 'yyyyMMdd') IS NULL THEN NULL"
+        " ELSE concat(substring(s, 1, 4), '-', substring(s, 5, 2), '-',"
+        "  substring(s, 7, 2), ' ', substring(s, 9, 2), ':',"
+        "  substring(s, 11, 2), ':', substring(s, 13, 2)) END",
+    ),
+    "_numdt_s": (
+        "x DECIMAL(38,6)",
+        "STRING",
+        "_num14(CAST(x AS BIGINT))",
+    ),
+    # the fraction rounds at the declared precision (datetime(4):
+    # .999999 -> +1s carry, .123456 -> .1235; cast_as_time.test)
+    "_numdt_frac": (
+        "x DECIMAL(38,6), p INT",
+        "BIGINT",
+        "CAST(round((x - FLOOR(x)) * 1000000 / pow(10, 6 - p)) AS BIGINT)"
+        " * CAST(pow(10, 6 - p) AS BIGINT)",
+    ),
+    "mysql_num_datetime": (
+        "x DECIMAL(38,6), p INT",
+        "STRING",
+        "CASE WHEN x IS NULL OR _dt14_render(_numdt_s(x)) IS NULL THEN NULL"
+        " WHEN _numdt_s(x) = 'zero' OR substring(_numdt_s(x), 5, 2) = '00'"
+        "  OR substring(_numdt_s(x), 7, 2) = '00'"
+        " THEN _dt14_render(_numdt_s(x))"  # zero-in-date: no carry domain
+        " WHEN p = 0 THEN date_format(timestampadd(MICROSECOND,"
+        "   _numdt_frac(x, 0), to_timestamp_ntz(_numdt_s(x),"
+        "   'yyyyMMddHHmmss')), 'yyyy-MM-dd HH:mm:ss')"
+        " ELSE substring(date_format(timestampadd(MICROSECOND,"
+        "   _numdt_frac(x, p), to_timestamp_ntz(_numdt_s(x),"
+        "   'yyyyMMddHHmmss')), 'yyyy-MM-dd HH:mm:ss.SSSSSS'), 1, 20 + p)"
+        " END",
     ),
     "mysql_cast_datetime": (
         # CAST(x AS DATETIME(p)): digit forms parse positionally, the
@@ -797,4 +904,7 @@ def register_mysql_functions(spark: SparkSession) -> list[str]:
             f"RETURNS {ret} RETURN {body}"
         )
         names.append(name)
+    from tiflash_spark.functions.mysql_json import register_json_udfs
+
+    names += register_json_udfs(spark)
     return names

@@ -85,10 +85,20 @@ def _bitlit(v: str | None) -> str | None:
 _CHANGE_COL = re.compile(
     r"^\s*ALTER\s+TABLE\s+`?(?P<tbl>\w+)`?\s+"
     r"CHANGE\s+(?:COLUMN\s+)?`?(?P<old>\w+)`?\s+`?(?P<new>\w+)`?\s+"
-    r"(?P<type>[A-Za-z0-9_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+    # the parens carry digits (varchar(10), decimal(5,2)) or value lists
+    # (enum('A','B'), set('x','y') — ddl/alter_column_enum.test)
+    r"(?P<type>[A-Za-z0-9_]+(?:\s*\(\s*(?:\d+\s*(?:,\s*\d+\s*)?"
+    r"|'[^']*'(?:\s*,\s*'[^']*')*)\s*\))?)"
     r"(?P<uns>\s+UNSIGNED)?"
     r"(?:\s+(?P<notnull>NOT\s+NULL)|\s+(?P<plainnull>NULL))?"
     r"(?:\s+DEFAULT\s+(?P<dflt>'[^']*'|[^\s;]+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+# ALTER TABLE t SET TIFLASH REPLICA n [LOCATION LABELS 'a','b',...]
+_SET_REPLICA = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?:`?\w+`?\.)?`?(?P<tbl>\w+)`?\s+SET\s+TIFLASH\s+"
+    r"REPLICA\s+\d+(?P<labels>\s+LOCATION\s+LABELS\s+.+?)?\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -193,7 +203,8 @@ def _rewrite_infoschema(spark, sql: str, stores) -> str:
                 )
             else:
                 df = spark.createDataFrame(
-                    [("test", name, 1, "", 1, 1.0)],
+                    [("test", name, 1,
+                      getattr(store, "_replica_labels", ""), 1, 1.0)],
                     "table_schema string, table_name string,"
                     " replica_count int, location_labels string,"
                     " available int, progress double",
@@ -247,11 +258,11 @@ _SHOW_CREATE = re.compile(
 )
 
 _INSERT_SET = re.compile(
-    rf"^\s*INSERT\s+INTO\s+{_QTBL}\s+SET\s+(?P<sets>.+?)\s*;?\s*$",
+    rf"^\s*INSERT\s+(?:INTO\s+)?{_QTBL}\s+SET\s+(?P<sets>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT = re.compile(
-    rf"^\s*(?P<verb>INSERT|REPLACE)\s+INTO\s+{_QTBL}\s*"
+    rf"^\s*(?P<verb>INSERT|REPLACE)\s+(?:INTO\s+)?{_QTBL}\s*"
     r"(?:\(\s*(?P<cols>[^)]*?)\s*\))?\s*VALUES\s*(?P<vals>\(.+\))\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -266,7 +277,7 @@ _DELETE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_SEL = re.compile(
-    rf"^\s*(?P<verb>INSERT|REPLACE)\s+INTO\s+{_QTBL}\s*"
+    rf"^\s*(?P<verb>INSERT|REPLACE)\s+(?:INTO\s+)?{_QTBL}\s*"
     r"(?:\(\s*(?P<cols>[^)]*?)\s*\))?\s*"
     r"(?P<sel>(?:SELECT|WITH)\b.+)$",  # WITH [RECURSIVE] cte ... SELECT
     re.IGNORECASE | re.DOTALL,
@@ -320,6 +331,13 @@ _XCHG_PART = re.compile(
 )
 _DROP = re.compile(
     rf"^\s*DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?{_QTBL}\s*;?\s*$",
+    re.IGNORECASE,
+)
+# multi-table form: DROP TABLE [IF EXISTS] a, b (issues/issue_3373.test)
+_DROP_MULTI = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?"
+    r"(?P<tbls>`?\w+`?(?:\s*\.\s*`?\w+`?)?(?:\s*,\s*`?\w+`?(?:\s*\.\s*`?\w+`?)?)+)"
+    r"\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -579,6 +597,126 @@ def _split_top_level(s: str) -> list[str]:
     return parts
 
 
+def _check_index_expr(store, cols: str) -> None:
+    """An EXPRESSION index key must reference at least one column — a
+    constant (notably `((null))`) is MySQL error 3761 'The used storage
+    engine cannot index the expression' (ddl/expression_index.test,
+    reference issue 9891)."""
+    known = {n.lower() for n, _ in (store.current_fields() or [])}
+    alias = store.handle_alias()
+    if alias:
+        known.add(alias.lower())
+    known |= {g.lower() for g in store.current_gen()}
+    for part in _split_top_level(cols):
+        ident = re.findall(r"[A-Za-z_]\w*", part)
+        if not any(tok.lower() in known for tok in ident):
+            raise ValueError(
+                f"cannot index the expression {part.strip()!r} "
+                "(MySQL error 3761: no column reference)"
+            )
+
+
+def _py_num_datetime(s: str) -> str | None:
+    """Python twin of the _num14 SQL ladder (numberToDateTime,
+    MyTime.cpp:667): digit string -> 'YYYY-MM-DD HH:MM:SS' or None."""
+    try:
+        n = int(s.split(".")[0] or "0")
+    except ValueError:
+        return None
+    if n < 0:
+        return None
+    if n == 0:
+        return "0000-00-00 00:00:00"
+    if n < 101:
+        return None
+    if n <= 691231:
+        d14 = f"20{n:06d}000000"
+    elif n < 700101:
+        return None
+    elif n <= 991231:
+        d14 = f"19{n:06d}000000"
+    elif n <= 99991231:
+        d14 = f"{n:08d}000000"
+    elif n < 101000000:
+        return None
+    elif n <= 691231235959:
+        d14 = f"20{n:012d}"
+    elif n < 700101000000:
+        return None
+    elif n <= 991231235959:
+        d14 = f"19{n:012d}"
+    elif 10000101000000 <= n <= 99991231235959:
+        d14 = str(n)
+    else:
+        return None
+    y, mo, dd = int(d14[0:4]), int(d14[4:6]), int(d14[6:8])
+    hh, mi, se = int(d14[8:10]), int(d14[10:12]), int(d14[12:14])
+    if mo > 12 or dd > 31 or hh > 23 or mi > 59 or se > 59:
+        return None
+    if mo and dd:
+        import calendar
+
+        if dd > calendar.monthrange(y if y else 4, mo)[1]:
+            return None
+    return f"{y:04d}-{mo:02d}-{dd:02d} {hh:02d}:{mi:02d}:{se:02d}"
+
+
+def _py_time_norm(s: str, p: int = 0) -> str | None:
+    """MySQL TIME literal normalization (reference Duration parse,
+    MyDuration.cpp): numeric forms split HHMMSS right-anchored
+    (111111 -> '11:11:11'), 'HH:MM[:SS]' fills seconds, hours may exceed
+    24 (up to MySQL's 838:59:59 clamp), minutes/seconds over 59 are
+    invalid (NULL), the fraction rounds at the declared precision."""
+    s = s.strip()
+    if not s:
+        return None
+    if re.match(r"^\d{2,4}-\d{1,2}-\d{1,2}[ T]", s):
+        # a DATETIME literal contributes its time-of-day (MySQL: TIME
+        # DEFAULT '2017-02-23 12:18:30' stores '12:18:30')
+        s = s.split(" ", 1)[-1] if " " in s else s.split("T", 1)[-1]
+    sign = ""
+    if s[0] in "+-":
+        sign = "-" if s[0] == "-" else ""
+        s = s[1:].strip()
+    frac = 0.0
+    if "." in s:
+        s, _, ftxt = s.partition(".")
+        ftxt = "".join(ch for ch in ftxt if ch.isdigit())
+        frac = float("0." + ftxt) if ftxt else 0.0
+    try:
+        if ":" in s:
+            parts = s.split(":")
+            if len(parts) > 3:
+                return None
+            h = int(parts[0]) if parts[0] else 0
+            mi = int(parts[1]) if len(parts) > 1 and parts[1] else 0
+            se = int(parts[2]) if len(parts) > 2 and parts[2] else 0
+        else:
+            if not s.isdigit():
+                return None
+            n = int(s)
+            se = n % 100
+            mi = (n // 100) % 100
+            h = n // 10000
+    except ValueError:
+        return None
+    if mi > 59 or se > 59:
+        return None
+    micros = (h * 3600 + mi * 60 + se) * 1_000_000 + round(frac * 1_000_000)
+    # round at declared precision (may carry into seconds)
+    scale = 10 ** (6 - max(0, min(6, p)))
+    micros = round(micros / scale) * scale
+    limit = (838 * 3600 + 59 * 60 + 59) * 1_000_000 + 999999
+    micros = min(micros, limit)
+    tot_s, us = divmod(micros, 1_000_000)
+    h, rem = divmod(tot_s, 3600)
+    mi, se = divmod(rem, 60)
+    out = f"{sign}{h:02d}:{mi:02d}:{se:02d}"
+    if p > 0:
+        out += "." + f"{us:06d}"[:p]
+    return out
+
+
 def _dml_store(stores, name: str, stmt: str) -> DeltaStore:
     if not stores or name not in stores:
         raise ValueError(
@@ -724,6 +862,7 @@ _CAST_TRIM_CALL = re.compile(
     r"(?i)\b(cast|trim|extract|json_keys|json_length|json_contains_path"
     r"|date_add|date_sub|adddate|subdate|date|space|length|format"
     r"|least|greatest|str_to_date|substring|substr|lpad|rpad|regexp_like"
+    r"|hour|minute|second"
     r"|json_array|json_object|dayname|monthname|round|avg|json_valid"
     r"|json_extract|vec_l1_distance|vec_l2_distance|vec_cosine_distance"
     r"|vec_negative_inner_product|vec_l2_norm|vec_dims)\s*\("
@@ -899,17 +1038,106 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                         f"trim({args[0]}),"
                         f" ' *([/:.,-]) *', '$1'), ' +', ' '), '\\\\.$', '')"
                     )
-                    java = mysql_format_to_spark(fmt).replace("'", r"\'")
+                    # parse-side patterns use single-letter fields: Java
+                    # 'd' accepts 1-2 digits where 'dd' demands two, and
+                    # MySQL's %d matches ' 1/Apr/2016' (suite 4)
+                    def _lenient(j: str) -> str:
+                        j = j.replace("MMMM", "\x01").replace("MMM", "\x02")
+                        for a, b in (("dd", "d"), ("MM", "M"), ("HH", "H"),
+                                     ("hh", "h"), ("mm", "m"), ("ss", "s")):
+                            j = j.replace(a, b)
+                        return j.replace("\x01", "MMMM").replace("\x02", "MMM")
+
+                    java = _lenient(mysql_format_to_spark(fmt)).replace("'", r"\'")
                     if any(t in fmt for t in _TIME_TOKENS):
                         rep = f"to_timestamp_ntz({x}, '{java}')"
                         if fmt.endswith(".%f"):
-                            j2 = mysql_format_to_spark(fmt[:-3]).replace("'", r"\'")
+                            j2 = _lenient(
+                                mysql_format_to_spark(fmt[:-3])
+                            ).replace("'", r"\'")
                             rep = (
                                 f"coalesce({rep}, to_timestamp_ntz("
                                 f"regexp_replace({x}, '\\\\.$', ''), '{j2}'))"
                             )
                     else:
-                        rep = f"try_to_date({x}, '{java}')"
+                        # MySQL with sql_mode='' allows ZERO day/month:
+                        # str_to_date('0/0/2012','%d/%m/%Y') = '2012-00-00'
+                        # (str_to_date.test suite 1) — unrepresentable in
+                        # a DATE, so date-only results render as strings
+                        # with a zero-date fallback branch built from the
+                        # literal format
+                        date_parse = f"try_to_date({x}, '{java}')"
+                        simple = {
+                            "%d": "([0-9]{1,2})", "%e": "([0-9]{1,2})",
+                            "%m": "([0-9]{1,2})", "%c": "([0-9]{1,2})",
+                            "%Y": "([0-9]{1,4})", "%y": "([0-9]{1,2})",
+                        }
+                        toks: list[str] = []
+                        regex, k, ok = "^", 0, True
+                        while k < len(fmt):
+                            if fmt[k] == "%" and k + 1 < len(fmt):
+                                tok = fmt[k:k + 2]
+                                if tok not in simple:
+                                    ok = False
+                                    break
+                                toks.append(tok)
+                                regex += simple[tok]
+                                k += 2
+                            elif fmt[k] == " ":
+                                regex += " ?"
+                                k += 1
+                            else:
+                                regex += re.escape(fmt[k])
+                                k += 1
+                        regex += "$"
+
+                        def _grp(cands: tuple[str, ...]) -> int | None:
+                            for gi, t in enumerate(toks):
+                                if t in cands:
+                                    return gi + 1
+                            return None
+
+                        gy = _grp(("%Y", "%y"))
+                        gm = _grp(("%m", "%c"))
+                        gd = _grp(("%d", "%e"))
+                        if ok and gy and gm and gd:
+                            sqlre = regex.replace("\\", "\\\\").replace(
+                                "'", r"\'"
+                            )
+
+                            def _ge(n: int) -> str:
+                                return f"regexp_extract({x}, '{sqlre}', {n})"
+
+                            zero = (
+                                f"(CASE WHEN {_ge(gm)} <> ''"
+                                f" AND CAST({_ge(gm)} AS INT) <= 12"
+                                f" AND CAST({_ge(gd)} AS INT) <= 31 THEN"
+                                f" concat(lpad({_ge(gy)}, 4, '0'), '-',"
+                                f" lpad({_ge(gm)}, 2, '0'), '-',"
+                                f" lpad({_ge(gd)}, 2, '0')) END)"
+                            )
+                            rep = (
+                                f"(CASE WHEN {date_parse} IS NOT NULL THEN"
+                                f" date_format({date_parse}, 'yyyy-MM-dd')"
+                                f" ELSE {zero} END)"
+                            )
+                        else:
+                            rep = date_parse
+            elif fn in ("hour", "minute", "second"):
+                # over a TIME/duration value (stored as its normalized
+                # string) the components come from the string — hours may
+                # exceed 23 (hour('500:21:21') = 500, issues/issue_7519);
+                # non-duration operands keep the native function
+                args = _split_top_level(inner)
+                if len(args) == 1:
+                    xs = f"try_cast(({args[0]}) AS STRING)"
+                    idx = {"hour": 0, "minute": 1, "second": 2}[fn]
+                    rep = (
+                        f"(CASE WHEN {xs} RLIKE '^-?[0-9]+:[0-9]+(:[0-9]+)?'"
+                        f" THEN CAST(split(regexp_replace({xs}, '^-', ''),"
+                        f" '[:.]')[{idx}] AS INT)"
+                        f" ELSE {fn}/**/({args[0]}) END)"
+                    )
             elif fn in ("substring", "substr"):
                 # MySQL substring: pos 0 -> '', |negative pos| beyond the
                 # length -> '', len < 1 -> '' (expr/substring_utf8.test);
@@ -936,63 +1164,45 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                         f" try_cast(({args[2]}) AS STRING))"
                     )
             elif fn == "json_extract" and not _split_top_kw(inner, "FROM"):
-                # wildcard paths ($[*], $.*, $**.k) and the multi-path
-                # form render a match array, MySQL-style
-                # (expr/json_extract.test); plain paths stay native
+                # full MySQL path grammar — wildcards ($.*, $[*], $**.k),
+                # multi-path match arrays, scalar autowrap for [0],
+                # quoted members, COLUMN paths — via the Arrow-batched
+                # evaluator (functions/mysql_json.py, mirroring the
+                # reference's FunctionsJson.h; expr/json_extract.test).
+                # Only the plain literal member path stays on the native
+                # variant fast path.
                 args = _split_top_level(inner)
-                doc = args[0] if args else ""
-                ds = f"try_cast(({doc}) AS STRING)"
-                v = f"try_parse_json({ds})"
-
-                def _jext(p: str) -> str:
-                    return f"to_json(variant_get({v}, {p}))"
-
-                paths = [a.strip() for a in args[1:]]
-                # scripts spell paths with a protected dollar ('\$.a') —
-                # Spark's literal parser drops the unknown escape, so the
-                # comparisons here do too
-                norm = [
-                    p[1:-1].replace("\\", "") if _STR_LIT.match(p) else None
-                    for p in paths
-                ]
-                if len(paths) >= 2 and any(p.upper() == "NULL" for p in paths):
-                    rep = "try_cast(NULL AS STRING)"  # any NULL path -> NULL
-                elif len(paths) >= 2 and all(_STR_LIT.match(p) for p in paths):
-                    items = ", ".join(_jext(p) for p in paths)
-                    rep = (
-                        f"nullif(concat('[', concat_ws(', ', {items}), ']'),"
-                        " '[]')"
-                    )
-                elif len(paths) == 1 and norm[0] == "$[*]":
-                    rep = (
-                        f"(CASE WHEN ltrim({ds}) LIKE '[%'"
-                        f" THEN to_json({v}) END)"
-                    )
-                elif len(paths) == 1 and norm[0] == "$.*":
-                    rep = (
-                        f"(CASE WHEN ltrim({ds}) LIKE '{{%' THEN"
-                        f" concat('[', concat_ws(', ',"
-                        f" transform(json_object_keys({ds}),"
-                        f" k -> to_json(variant_get({v}, concat('$.', k))))),"
-                        f" ']') END)"
-                    )
-                elif (
-                    len(paths) == 1
-                    and norm[0] is not None
-                    and norm[0].startswith("$**.")
-                ):
-                    tail = norm[0][3:]  # '.key...'
-                    probes = [_jext(f"'${tail}'")] + [
-                        _jext(f"'$[{i}]{tail}'") for i in range(10)
-                    ] + [
-                        f"transform(json_object_keys({ds}),"
-                        f" k -> to_json(variant_get({v},"
-                        f" concat('$.', k, '{tail}'))))"
+                if len(args) >= 2:
+                    doc = args[0]
+                    ds = f"try_cast(({doc}) AS STRING)"
+                    paths = [a.strip() for a in args[1:]]
+                    # scripts spell paths with a protected dollar
+                    # ('\$.a') — Spark's literal parser drops the
+                    # unknown escape, so the checks here do too
+                    norm = [
+                        p[1:-1].replace("\\", "") if _STR_LIT.match(p)
+                        else None
+                        for p in paths
                     ]
-                    rep = (
-                        f"nullif(concat('[', concat_ws(', ',"
-                        f" {', '.join(probes)}), ']'), '[]')"
-                    )
+                    if (
+                        len(paths) == 1
+                        and norm[0] is not None
+                        and "*" not in norm[0]
+                        and "[" not in norm[0]  # [0] autowraps scalars
+                        and '"' not in norm[0]
+                    ):
+                        rep = (
+                            f"to_json(variant_get(try_parse_json({ds}),"
+                            f" {paths[0]}))"
+                        )
+                    else:
+                        arr = ", ".join(
+                            f"try_cast(({p}) AS STRING)" for p in paths
+                        )
+                        rep = (
+                            f"mysql_json_extract({ds},"
+                            f" to_json(array({arr})))"
+                        )
             elif fn in _VEC_FNS and not re.match(
                 r"(?i)\s*(create|alter)\b", sql
             ):
@@ -1131,7 +1341,12 @@ def _rewrite_mysql_exprs(sql: str) -> str:
             elif fn in ("json_keys", "json_length", "json_contains_path"):
                 args = _split_top_level(inner)
                 if fn == "json_keys" and len(args) == 2:
-                    rep = f"json_keys(json_extract({args[0]}, {args[1]}))"
+                    # the path may be a COLUMN (json_keys.test's cross
+                    # join against t_path) — evaluate at runtime
+                    rep = (
+                        f"mysql_json_keys(try_cast(({args[0]}) AS STRING),"
+                        f" try_cast(({args[1]}) AS STRING))"
+                    )
                 elif fn == "json_length" and len(args) == 2:
                     rep = f"json_length(json_extract({args[0]}, {args[1]}))"
                 elif fn == "json_contains_path" and len(args) >= 3:
@@ -1139,23 +1354,16 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                     # RIGHT with short-circuit: 'all' returns 0 at the
                     # first miss BEFORE a later NULL path is examined
                     # (expr/json_contains_path.test's ({}, 'all', '$.a',
-                    # NULL) = 0)
+                    # NULL) = 0); mode and paths may be COLUMNS
                     doc, mode, ps = args[0], args[1], args[2:]
-                    one = [f"WHEN ({doc}) IS NULL OR ({mode}) IS NULL THEN NULL"]
-                    alls = list(one)
-                    for p in ps:
-                        one.append(f"WHEN ({p}) IS NULL THEN NULL")
-                        one.append(
-                            f"WHEN json_contains_path_one({doc}, {p}) THEN 1"
-                        )
-                        alls.append(f"WHEN ({p}) IS NULL THEN NULL")
-                        alls.append(
-                            f"WHEN NOT json_contains_path_one({doc}, {p}) THEN 0"
-                        )
+                    arr = ", ".join(
+                        f"try_cast(({p}) AS STRING)" for p in ps
+                    )
                     rep = (
-                        f"(CASE WHEN lower({mode}) = 'one' THEN"
-                        f" (CASE {' '.join(one)} ELSE 0 END)"
-                        f" ELSE (CASE {' '.join(alls)} ELSE 1 END) END)"
+                        f"mysql_json_contains_path("
+                        f"try_cast(({doc}) AS STRING),"
+                        f" try_cast(({mode}) AS STRING),"
+                        f" to_json(array({arr})))"
                     )
             elif fn == "cast":
                 parts = _split_top_kw(inner, "AS", last=True)
@@ -1216,10 +1424,33 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                             )
                         elif tm.group("dt"):
                             # digit forms parse positionally, the fraction
-                            # rounds to the declared precision
+                            # rounds to the declared precision. NUMERIC
+                            # operands take numberToDateTime's magnitude
+                            # ladder (zero date, zero month/day legal —
+                            # rendered as STRINGS since no timestamp can
+                            # hold '2012-00-12'); doubles must not detour
+                            # through their scientific STRING rendering
                             n = int(tm.group("dtn") or 0)
+                            t = f"typeof({expr})"
                             rep = (
-                                f"mysql_cast_datetime(try_cast(({expr}) AS STRING), {n})"
+                                f"(CASE WHEN {t} IN ('tinyint', 'smallint',"
+                                f" 'int', 'bigint', 'float', 'double')"
+                                f" OR {t} LIKE 'decimal%'"
+                                # via STRING: a timestamp operand would
+                                # fail ANALYSIS in the untaken branch if
+                                # cast to DECIMAL directly
+                                f" THEN mysql_num_datetime(try_cast("
+                                f"try_cast(({expr}) AS STRING)"
+                                f" AS DECIMAL(38,6)), {n})"
+                                # MySQL renders DATETIME(p) with EXACTLY
+                                # p fraction digits — string equality
+                                # against canonical literals then matches
+                                f" ELSE {'substring(' if n else ''}"
+                                f"date_format(mysql_cast_datetime("
+                                f"try_cast(({expr}) AS STRING), {n}),"
+                                f" 'yyyy-MM-dd HH:mm:ss"
+                                f"{'.SSSSSS' if n else ''}')"
+                                f"{f', 1, {20 + n})' if n else ''} END)"
                             )
                         elif tm.group("dato"):
                             # numeric/digit operands parse positionally
@@ -1451,6 +1682,86 @@ _NUM_LIT = re.compile(r"^-?\d+(?:\.\d+)?$")
 _STR_LIT = re.compile(r"^'(?:[^'\\]|\\.)*'$")
 
 
+# `x [NOT] IN (TABLE t)` projected as a VALUE (mpp/left_semi_family_
+# joins.test "as scalar test"): Spark plans a projected InSubquery as an
+# existential join that yields FALSE where MySQL's three-valued IN
+# yields NULL (x NULL, or no match with a NULL in the build side).
+# Spell the three cases out; the EXISTS probes are broadcast-sized.
+_IN_TABLE = re.compile(
+    r"(?i)\b(?P<neg>not\s+)?in\s*\(\s*table\s+(?P<tbl>`?\w+`?(?:\s*\.\s*`?\w+`?)?)\s*\)"
+)
+
+
+def _rewrite_in_table(sql: str) -> str:
+    out = sql
+    while True:
+        m = _IN_TABLE.search(out)
+        if not m:
+            return out
+        head = out[: m.start()].rstrip()
+        lm = re.search(r"[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)*$", head)
+        if not lm:
+            return out
+        lhs, tbl = head[lm.start():], m.group("tbl")
+        yes, no = ("0", "1") if m.group("neg") else ("1", "0")
+        repl = (
+            f"(CASE WHEN ({lhs}) IN (SELECT * FROM {tbl}) THEN {yes}"
+            f" WHEN ({lhs}) IS NULL OR EXISTS (SELECT 1 FROM"
+            f" (SELECT * FROM {tbl}) _nt(_nv) WHERE _nv IS NULL)"
+            f" THEN NULL ELSE {no} END)"
+        )
+        out = out[: lm.start()] + repl + out[m.end():]
+
+
+# Quantified comparisons (`x <> ANY (SELECT ...)`, mpp/having.test):
+# MySQL's ANY/SOME/ALL subquery operators have no Spark spelling. =ANY
+# is IN and <>ALL is NOT IN (exact, incl. NULL semantics); the other
+# operators become correlated EXISTS / NOT EXISTS.
+_QUANT_CMP = re.compile(r"(?i)(?P<op><=|>=|<>|!=|=|<|>)\s*(?P<q>any|some|all)\s*\(")
+
+
+def _rewrite_quantified(sql: str) -> str:
+    out = sql
+    pos = 0
+    while True:
+        m = _QUANT_CMP.search(out, pos)
+        if not m:
+            return out
+        op_paren = m.end() - 1
+        cl = _match_paren(out, op_paren)
+        if cl < 0:
+            return out
+        sub = out[op_paren + 1:cl].strip()
+        if not re.match(r"(?i)^(select|with|table)\b", sub):
+            pos = cl
+            continue
+        head = out[: m.start()].rstrip()
+        lm = re.search(r"[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)*$", head)
+        if not lm:
+            pos = cl
+            continue
+        lhs = head[lm.start():]
+        op, q = m.group("op"), m.group("q").lower()
+        if q in ("any", "some"):
+            if op == "=":
+                repl = f"{lhs} IN ({sub})"
+            else:
+                repl = (
+                    f"EXISTS (SELECT 1 FROM ({sub}) _q_any(_qv)"
+                    f" WHERE ({lhs}) {op} _qv)"
+                )
+        else:
+            if op in ("<>", "!="):
+                repl = f"{lhs} NOT IN ({sub})"
+            else:
+                repl = (
+                    f"NOT EXISTS (SELECT 1 FROM ({sub}) _q_all(_qv)"
+                    f" WHERE NOT (({lhs}) {op} _qv) OR _qv IS NULL)"
+                )
+        out = out[: lm.start()] + repl + out[cl + 1:]
+        pos = lm.start() + len(repl)
+
+
 def _rewrite_mixed_in(sql: str) -> str:
     out = sql
     pos = 0
@@ -1465,10 +1776,25 @@ def _rewrite_mixed_in(sql: str) -> str:
         items = [s.strip() for s in _split_top_level(out[op + 1 : cl])]
         has_num = any(_NUM_LIT.match(i) for i in items)
         has_str = any(_STR_LIT.match(i) for i in items)
-        if not (has_num and has_str) or not all(
+        all_lit = all(
             _NUM_LIT.match(i) or _STR_LIT.match(i) or i.upper() == "NULL"
             for i in items
-        ):
+        )
+        # all-string lists with date-shaped literals: Spark's IN unifies
+        # timestamp-vs-string to STRING ('2021-10-28 16:00:00' !=
+        # '2021-10-29') where MySQL coerces per pair to the temporal type
+        # (in_expression.test's tidb_58370) — expand to an =-chain, which
+        # Spark coerces pairwise like MySQL
+        date_str = (
+            all_lit
+            and not has_num
+            and any(
+                _STR_LIT.match(i)
+                and re.match(r"^'\d{2,4}-\d{1,2}-\d{1,2}", i)
+                for i in items
+            )
+        )
+        if not ((has_num and has_str) or date_str) or not all_lit:
             pos = cl
             continue
         # grab the LHS operand just before IN: identifier, paren group,
@@ -1492,7 +1818,7 @@ def _rewrite_mixed_in(sql: str) -> str:
                 fm = re.search(r"[A-Za-z_][\w.]*\s*$", head[:o])
                 lhs_start = fm.start() if fm else o
         else:
-            lm = re.search(r"[A-Za-z_][\w.]*$", head)
+            lm = re.search(r"[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)*$", head)
             lhs_start = lm.start() if lm else None
         if lhs_start is None:
             pos = cl
@@ -1502,7 +1828,7 @@ def _rewrite_mixed_in(sql: str) -> str:
         if lhs.lower() == "not":
             neg = "NOT "
             head2 = head[:lhs_start].rstrip()
-            lm = re.search(r"[A-Za-z_][\w.]*$", head2)
+            lm = re.search(r"[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)*$", head2)
             if not lm:
                 pos = cl
                 continue
@@ -1511,14 +1837,18 @@ def _rewrite_mixed_in(sql: str) -> str:
         if lhs.lower() in ("and", "or", "when", "then", "else", "on", "where"):
             pos = cl
             continue
-        coerced = ", ".join(
-            f"mysql_to_double(try_cast(({i}) AS STRING))"
-            if i.upper() != "NULL" else "NULL"
-            for i in items
-        )
-        repl = (
-            f"mysql_to_double(try_cast(({lhs}) AS STRING)) {neg}IN ({coerced})"
-        )
+        if date_str:
+            chain = " OR ".join(f"({lhs}) = {i}" for i in items)
+            repl = f"({neg}({chain}))" if neg else f"(({chain}))"
+        else:
+            coerced = ", ".join(
+                f"mysql_to_double(try_cast(({i}) AS STRING))"
+                if i.upper() != "NULL" else "NULL"
+                for i in items
+            )
+            repl = (
+                f"mysql_to_double(try_cast(({lhs}) AS STRING)) {neg}IN ({coerced})"
+            )
         out = head[:lhs_start] + repl + out[cl + 1 :]
         pos = lhs_start + len(repl)
 
@@ -1779,14 +2109,34 @@ def _sql_with_rescues(spark: SparkSession, sql: str) -> DataFrame:
                 im = re.search(r'"\(IF\((?P<c>[^,]+),', msg)
                 if im:
                     cond = im.group("c").strip()
+                    # the message renders the condition UNQUALIFIED —
+                    # the SQL may spell it t2.a (issues/issue_8562.test)
                     pat = re.compile(
-                        rf"(?i)\bif\s*\(\s*{re.escape(cond)}\s*,"
+                        rf"(?i)\bif\s*\(\s*(?P<q>\w+\s*\.\s*)?"
+                        rf"{re.escape(cond)}\s*,"
                     )
-                    if pat.search(sql):
+                    pm = pat.search(sql)
+                    if pm:
+                        q = (pm.group("q") or "").strip()
                         new = pat.sub(
-                            f"if(mysql_truthy(try_cast(({cond}) AS STRING)),",
+                            f"if(mysql_truthy(try_cast(({q}{cond})"
+                            f" AS STRING)),",
                             sql,
                         )
+            elif "JOIN_CONDITION_IS_NOT_BOOLEAN_TYPE" in msg:
+                # ON if(x,null,null): a VOID condition is never true in
+                # MySQL (issues/issue_8562.test) — coerce to BOOLEAN
+                mm = re.search(
+                    r"(?is)\bon\s+(?P<cond>.+?)"
+                    r"(?P<tail>\s+(?:where|group|order|limit)\b.*)?;?\s*$",
+                    sql,
+                )
+                if mm:
+                    new = (
+                        sql[: mm.start("cond")]
+                        + f"try_cast(({mm.group('cond').strip()}) AS BOOLEAN)"
+                        + (mm.group("tail") or "")
+                    )
             elif "requires window to be ordered" in msg:
                 # MySQL permits ranking functions over unordered windows
                 # (arbitrary order; mpp/window.test) — order by the
@@ -1897,20 +2247,30 @@ def run_sql(
             sql = _rewrite_bitops(sql)
         if re.search(r"(?i)\bXOR\b", sql):
             sql = _rewrite_xor(sql)
-        if re.search(r"(?i)\bin\s*\(\s*table\s+\w+\s*\)", sql):
-            # `a IN (TABLE build)` (mpp/left_semi_family_joins.test) —
-            # Spark's IN wants a subquery
-            sql = re.sub(
-                r"(?i)\bin\s*\(\s*table\s+(`?\w+`?)\s*\)",
-                lambda m: f"in (select * from {m.group(1)})",
-                sql,
-            )
         if re.search(r"(?i)\bilike\b", sql):
             # pattern operands may be string literals, so this runs on
             # the raw text (the JSON-arrow argument applies)
             sql = _rewrite_ilike(sql)
+        if _IN_TABLE.search(sql):
+            sql = _rewrite_in_table(sql)
         if re.search(r"(?i)\bin\s*\(", sql):
             sql = _rewrite_mixed_in(sql)
+        if _QUANT_CMP.search(sql):
+            sql = _rewrite_quantified(sql)
+    m = _SET_REPLICA.match(sql)
+    if m:
+        # replication is write-time here — the statement only records its
+        # LOCATION LABELS for information_schema.tiflash_replica
+        # (ddl/alter_drop_table_crash.test pins 'rack,host,abc')
+        name = m.group("tbl")
+        store = (stores or {}).get(name)
+        if store is not None and m.group("labels"):
+            store._replica_labels = ",".join(
+                re.findall(r"'([^']*)'", m.group("labels"))
+            )
+        return spark.createDataFrame(
+            [(name, "set_tiflash_replica")], "table_name string, op string"
+        )
     m = _EXPLAIN.match(sql)
     if m:
         from tiflash_spark.plans.explain import execution_profile, formatted_plan
@@ -2024,6 +2384,7 @@ def run_sql(
     if m:
         name = m.group("tbl")
         store = _dml_store(stores, name, "ADD INDEX")
+        _check_index_expr(store, m.group("cols").strip())
         store.register_index_name(m.group("idx"), "secondary", m.group("cols").strip())
         return spark.createDataFrame(
             [(name, m.group("idx"), "secondary", m.group("cols").strip())],
@@ -2155,7 +2516,7 @@ def run_sql(
             td = store.table_def()
             store.write_table_def(
                 [new if c == old else c for c in td["order"]],
-                new, ty, td.get("dt_prec"),
+                new, ty, td.get("dt_prec"), td.get("time_cols"),
             )
             store.as_view(name)
             return spark.createDataFrame(
@@ -2213,8 +2574,27 @@ def run_sql(
                         # rows read NULL, never the literal string 'NULL'
                         dflt = None
                     else:
-                        dflt = _bitlit(dflt).strip("'")
+                        # MySQL quotes defaults either way ("1.234")
+                        dflt = _bitlit(dflt).strip("'\"")
                 ty = _alter_type(dtype, bool(m.group("uns")))
+                tmt = re.match(
+                    r"(?i)^time(?:\s*\(\s*(\d+)\s*\))?$", dtype.strip()
+                )
+                if tmt:
+                    # ADDed TIME(p) column: register render precision and
+                    # normalize the default to the duration rendering
+                    # (ddl/alter_default_value.test: TIME DEFAULT
+                    # '2017-02-23 12:18:30' stores '12:18:30')
+                    p_t = int(tmt.group(1) or 0)
+                    td2 = store.table_def() or {}
+                    tc = dict(td2.get("time_cols") or {})
+                    tc[col] = p_t
+                    store.write_table_def(
+                        td2.get("order") or [], td2.get("pk"),
+                        td2.get("pk_type", "bigint"), td2.get("dt_prec"), tc,
+                    )
+                    if dflt is not None:
+                        dflt = _py_time_norm(dflt, p_t)
                 if dflt is None and (m.group("notnull") or m.group("notnull2")):
                     # ADD ... NOT NULL with no DEFAULT: MySQL fills the
                     # type's implicit default (0 / '') into existing rows
@@ -2223,6 +2603,21 @@ def run_sql(
                         dflt = ""
                     elif base not in ("date", "timestamp", "timestamp_ntz"):
                         dflt = "0"
+                if (
+                    dflt is not None
+                    and ty in ("timestamp", "timestamp_ntz", "date")
+                    and re.match(r"^\d+(\.\d*)?$", dflt)
+                ):
+                    # numeric temporal default (DEFAULT 19910905):
+                    # MySQL's magnitude ladder, normalized at DDL time so
+                    # the read-time fill casts cleanly
+                    # (ddl/datetime_default_value.test)
+                    norm = _py_num_datetime(dflt)
+                    if norm is None:
+                        raise ValueError(
+                            f"ADD COLUMN {col}: invalid default {dflt!r}"
+                        )
+                    dflt = norm.split(" ")[0] if ty == "date" else norm
                 v = store.add_column(col, ty, default=dflt)
                 if m.group("notnull") or m.group("notnull2"):
                     # ADD COLUMN ... NOT NULL: the constraint must stick
@@ -2235,6 +2630,7 @@ def run_sql(
             store.write_table_def(
                 td["order"], col,
                 _alter_type(dtype, bool(m.group("uns"))), td.get("dt_prec"),
+                td.get("time_cols"),
             )
         elif verb == "MODIFY":
             if not dtype:
@@ -2254,6 +2650,25 @@ def run_sql(
                 v = store.modify_column(col, ty)
             if m.group("dflt") and m.group("dflt").upper() != "NULL":
                 store.set_column_default(col, _bitlit(m.group("dflt")).strip("'"))
+            tmt = re.match(
+                r"(?i)^(time|datetime|timestamp)"
+                r"(?:\s*\(\s*(\d+)\s*\))?$", dtype.strip()
+            )
+            if tmt:
+                # fsp changes are table-def metadata: TIME(p) render
+                # precision / DATETIME(p) rounding follow the NEW p
+                # (ddl/alter_column_datetime.test enlarges fsp)
+                td2 = store.table_def() or {}
+                key = ("time_cols" if tmt.group(1).lower() == "time"
+                       else "dt_prec")
+                d2 = dict(td2.get(key) or {})
+                d2[col] = int(tmt.group(2) or 0)
+                store.write_table_def(
+                    td2.get("order") or [], td2.get("pk"),
+                    td2.get("pk_type", "bigint"),
+                    d2 if key == "dt_prec" else td2.get("dt_prec"),
+                    d2 if key == "time_cols" else td2.get("time_cols"),
+                )
         else:
             v = store.drop_column(col)
         store.as_view(name)
@@ -2374,10 +2789,13 @@ def run_sql(
             raise ValueError("CREATE TABLE needs base_path= (store directory root)")
         cols: list[tuple] = []  # (name, spark_type, not_null, default)
         gen_cols: list[tuple] = []  # (name, spark_type, expr)
+        declared: list[str] = []  # every column in DECLARED order (incl. gen)
         idx_defs: list[tuple] = []  # (index_name, kind, column)
+        key_defs: list[str] = []  # plain KEY/INDEX expressions, validated
         pk_cols: list[str] = []
         pk_kind: str | None = None
         dt_prec: dict[str, int] = {}  # DATETIME(p)/TIMESTAMP(p), default 0
+        time_cols: dict[str, int] = {}  # TIME(p) columns, default 0
         for item in _split_top_level(m.group("body")):
             item = item.strip()
             pm = _PKDEF.match(item)
@@ -2412,6 +2830,13 @@ def run_sql(
             if re.match(
                 r"^(KEY|INDEX|UNIQUE|CONSTRAINT|FOREIGN)\b", item, re.IGNORECASE
             ):
+                km = re.match(
+                    r"(?i)^(?:UNIQUE\s+)?(?:KEY|INDEX)\s+`?\w+`?\s*"
+                    r"\((?P<kcols>.+)\)\s*$",
+                    item,
+                )
+                if km:
+                    key_defs.append(km.group("kcols"))
                 continue  # secondary indexes/constraints: not TiFlash's job
             cm = _parse_coldef(item)
             if not cm:
@@ -2425,9 +2850,17 @@ def run_sql(
             )
             if tm:
                 dt_prec[cm["name"]] = int(tm.group(2) or 0)
+            tm2 = re.match(
+                r"(?i)^time(?:\s*\(\s*(\d+)\s*\))?$", cm["type"].strip()
+            )
+            if tm2:
+                time_cols[cm["name"]] = int(tm2.group(1) or 0)
+            declared.append(cm["name"])
             if cm["gen"] is not None:
                 # declared virtual generated column — registered after
-                # store creation via the ALTER path machinery
+                # store creation via the ALTER path machinery, but its
+                # DECLARED position is kept (SELECT * must show it there,
+                # mpp/late_materialization_generate_column.test)
                 gen_cols.append((cm["name"], st, cm["gen"]))
                 continue
             dflt = cm["default"]
@@ -2438,7 +2871,16 @@ def run_sql(
                 pk_cols, pk_kind = [cm["name"]], "CLUSTERED"
         if not cols:
             raise ValueError(f"CREATE TABLE {name}: no columns")
-        order = [c[0] for c in cols]
+        known = {n.lower() for n in declared}
+        for kc in key_defs:
+            for part in _split_top_level(kc):
+                ident = re.findall(r"[A-Za-z_]\w*", part)
+                if not any(tok.lower() in known for tok in ident):
+                    raise ValueError(
+                        f"CREATE TABLE {name}: cannot index the expression"
+                        f" {part.strip()!r} (MySQL error 3761)"
+                    )
+        order = list(declared)
         pk: str | None = None
         pk_type = "bigint"
         if len(pk_cols) == 1 and (pk_kind or "CLUSTERED") == "CLUSTERED":
@@ -2492,7 +2934,8 @@ def run_sql(
                 }
             ]
         )
-        store.write_table_def(order, pk, pk_type, dt_prec or None)
+        store.write_table_def(order, pk, pk_type, dt_prec or None,
+                              time_cols or None)
         for gname, gtype, gexpr in gen_cols:
             store.add_generated_column(gname, gtype, _fix_gen_expr(gexpr))
         for iname, kind, icol in idx_defs:
@@ -2510,6 +2953,16 @@ def run_sql(
             [(name, "create", len(cols), pk)],
             "table_name string, op string, n_columns long, primary_key string",
         )
+    m = _DROP_MULTI.match(sql)
+    if m:
+        ifex = "IF EXISTS " if m.group("ifex") else ""
+        out = None
+        for t in m.group("tbls").split(","):
+            out = run_sql(
+                spark, f"DROP TABLE {ifex}{t.strip()}", stores,
+                base_path=base_path,
+            )
+        return out
     m = _DROP.match(sql)
     if m:
         name = m.group("tbl")
@@ -2586,14 +3039,31 @@ def run_sql(
             # CAST to the stored type so Spark's inline-table resolver
             # never has to reconcile mixed literal types.
             stored_types = dict(store.log().dtypes)
+            # the handle's CURRENT declared type may be wider than the
+            # files' stored type after MODIFY pk int->bigint
+            # (ddl/widen_pk.test: casting the max-bigint literal at the
+            # files' old int would wrap)
+            stored_types[HANDLE] = store._handle_type()
             types = [stored_types.get(c) for c in cols]
             td0 = store.table_def() or {}
             prec = td0.get("dt_prec") or {}
             alias0 = td0.get("pk")
 
+            tcols = td0.get("time_cols") or {}
+
             def _cell(cell: str, col: str, ty: str | None) -> str:
                 if ty is None:
                     return f"({cell})"
+                tname = alias0 if col == HANDLE and alias0 else col
+                if tname in tcols and cell.strip().upper() != "NULL":
+                    # MySQL TIME column: literals normalize to the
+                    # duration rendering at write (111111 -> '11:11:11';
+                    # mpp/partition_table_with_time.test). Python-side:
+                    # inline VALUES tables cannot run SQL-UDF expressions.
+                    lit = cell.strip()
+                    s = lit[1:-1] if re.match(r"^'.*'$", lit, re.S) else lit
+                    norm = _py_time_norm(s, tcols.get(tname, 0))
+                    return "NULL" if norm is None else f"'{norm}'"
                 if ty.startswith("array<") and re.match(
                     r"^'\[[^']*\]'$", cell.strip()
                 ):
@@ -2714,6 +3184,11 @@ def run_sql(
         # types so legacy (manifest-less) tables keep homogeneous files —
         # manifest tables re-conform in write_batch anyway
         stored_types = dict(store.log().dtypes)
+        if store.table_def():
+            # the handle follows its DECLARED type: after MODIFY pk
+            # int->bigint the files' old int must not wrap new values
+            # (ddl/widen_pk.test)
+            stored_types[HANDLE] = store._handle_type()
         batch = batch.select(
             *[
                 F.col(c).cast(stored_types[c]).alias(c) if c in stored_types else F.col(c)

@@ -54,6 +54,53 @@ from tiflash_spark.operators.mvcc import DELMARK, HANDLE, VERSION, snapshot_read
 _INTERNAL_COLS = (VERSION, DELMARK, "_seg")
 
 
+def _render_time_cols(df: DataFrame, td: dict | None) -> DataFrame:
+    """MySQL renders TIME(p) with EXACTLY p fraction digits, and an
+    fsp-changing MODIFY re-renders EXISTING rows at the new p — enlarge
+    pads ('11:11:11' -> '11:11:11.000'), shrink drops the fraction
+    (ddl/alter_column_datetime.test; the reference rewrites the data,
+    same visible result). DATETIME/TIMESTAMP(p) rows shrink the same way
+    (write-side rounding already enforces p for new rows)."""
+    for c, p in ((td or {}).get("time_cols") or {}).items():
+        if c not in df.columns:
+            continue
+        base = F.split(F.col(c), r"\.")
+        if p:
+            rendered = F.concat(
+                base.getItem(0),
+                F.lit("."),
+                F.substring(
+                    F.rpad(
+                        F.coalesce(F.element_at(base, 2), F.lit("")),
+                        p, "0",
+                    ),
+                    1, p,
+                ),
+            )
+        else:
+            rendered = base.getItem(0)
+        df = df.withColumn(
+            c, F.when(F.col(c).isNull(), F.lit(None)).otherwise(rendered)
+        )
+    for c, p in ((td or {}).get("dt_prec") or {}).items():
+        if c not in df.columns or p >= 6:
+            continue
+        dt = dict(df.dtypes).get(c, "")
+        if not dt.startswith("timestamp"):
+            continue
+        scale = 10 ** (6 - p)
+        df = df.withColumn(
+            c,
+            F.expr(
+                f"timestampadd(MICROSECOND,"
+                f" CAST(round(CAST(date_format(`{c}`, 'SSSSSS') AS BIGINT)"
+                f" / {scale}) AS BIGINT) * {scale}"
+                f" - CAST(date_format(`{c}`, 'SSSSSS') AS BIGINT), `{c}`)"
+            ),
+        )
+    return df
+
+
 class DeltaStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -280,6 +327,7 @@ class DeltaStore:
         pk: str | None,
         pk_type: str = "bigint",
         dt_prec: dict[str, int] | None = None,
+        time_cols: dict[str, int] | None = None,
     ) -> None:
         """Record the CREATE TABLE column order and the PRIMARY KEY →
         handle mapping (TiDB: a CLUSTERED single-int PK IS _tidb_rowid;
@@ -295,6 +343,10 @@ class DeltaStore:
         doc = {"order": order, "pk": pk, "pk_type": pk_type}
         if dt_prec:
             doc["dt_prec"] = dt_prec
+        if time_cols:
+            # MySQL TIME(p) columns (stored as normalized duration
+            # strings): writes must normalize numeric/partial literals
+            doc["time_cols"] = time_cols
         with open(tmp, "w") as fh:
             json.dump(doc, fh)
         os.replace(tmp, p)
@@ -1059,10 +1111,16 @@ class DeltaStore:
             # virtual generated columns are never stored — they must not
             # surface in the raw layer as added-but-unsampled NULLs
             cur.pop(g, None)
+        # the handle widens too: MODIFY pk int->bigint leaves old footers
+        # at int while new batches write bigint — reading the layer at the
+        # sampled (old) type would WRAP new values (ddl/widen_pk.test)
+        htype = self._handle_type() if self.table_def() else None
         out, seen = [], set()
         for f in sample.fields:
             seen.add(f.name)
-            if f.name in cur:
+            if f.name == HANDLE and htype:
+                out.append(f"`{f.name}` {htype}")
+            elif f.name in cur:
                 out.append(f"`{f.name}` {cur[f.name]}")
             else:
                 out.append(f"`{f.name}` {f.dataType.simpleString()}")
@@ -1153,6 +1211,17 @@ class DeltaStore:
             df = df.withColumnRenamed(HANDLE, alias)
         elif self.table_def() is not None:
             df = df.drop(HANDLE)
+        td = self.table_def()
+        if td and td.get("order"):
+            # SELECT * shows columns in DECLARED order — generated
+            # columns sit at their declared position, not appended
+            # (mpp/late_materialization_generate_column.test); columns
+            # ADDed later follow in schema order
+            first = [c for c in td["order"] if c in df.columns]
+            rest = [c for c in df.columns if c not in first]
+            if first and df.columns != first + rest:
+                df = df.select(*(first + rest))
+        df = _render_time_cols(df, td)
         df.createOrReplaceTempView(name)
 
     # --- maintenance -------------------------------------------------------

@@ -137,9 +137,12 @@ class PartitionedStore:
         for p in self.parts:
             self.stores[p["name"]]._write_schema_versions(vs)
 
-    def write_table_def(self, order, pk, pk_type="bigint", dt_prec=None):
+    def write_table_def(self, order, pk, pk_type="bigint", dt_prec=None,
+                        time_cols=None):
         for p in self.parts:
-            self.stores[p["name"]].write_table_def(order, pk, pk_type, dt_prec)
+            self.stores[p["name"]].write_table_def(
+                order, pk, pk_type, dt_prec, time_cols
+            )
 
     def add_column(self, *a, **kw):
         return self._fan("add_column", *a, **kw)
@@ -269,6 +272,17 @@ class PartitionedStore:
             # DeltaStore.as_view contract (MySQL exposes _tidb_rowid only
             # when named explicitly)
             df = df.drop(HANDLE)
+        td = self.table_def()
+        if td and td.get("order"):
+            # declared column order for SELECT * (DeltaStore.as_view
+            # contract)
+            first = [c for c in td["order"] if c in df.columns]
+            rest = [c for c in df.columns if c not in first]
+            if first and df.columns != first + rest:
+                df = df.select(*(first + rest))
+        from tiflash_spark.sources.delta_store import _render_time_cols
+
+        df = _render_time_cols(df, td)
         df.createOrReplaceTempView(name)
 
     def truncate_table(self) -> None:
@@ -337,7 +351,7 @@ class PartitionedStore:
         if td:
             store.write_table_def(
                 td["order"], td["pk"], td.get("pk_type", "bigint"),
-                td.get("dt_prec"),
+                td.get("dt_prec"), td.get("time_cols"),
             )
         self.parts.append({"name": name, "upper": upper})
         self.stores[name] = store

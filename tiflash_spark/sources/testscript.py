@@ -131,17 +131,23 @@ def _finalize_block(step: Step, block: list[str]) -> None:
         data: list[list[str]] = []
         ncols: set[int] = set()
         borders = 0
+        seen_header = False
         for ln in block:
             s = ln.lstrip()
             if s.startswith("+"):
                 borders += 1  # 1: before header, 2: before data, 3: done
+                seen_header = False
                 if borders == 3:
                     borders = 0
                 continue
             if not s.startswith("|"):
                 continue
-            if borders == 1:  # header row
+            if borders == 1 and not seen_header:
+                # header row; hand-edited blocks sometimes omit the
+                # header/data separator (ddl/alter_create_table_from_
+                # multi_regions.test) — later rows are then DATA
                 ncols.add(len(ln.split("|")) - 2)
+                seen_header = True
                 continue
             data.append(_parse_table_line(ln))
         step.expected = [r for r in data if r]
@@ -357,7 +363,8 @@ _SET_TZ = re.compile(
 # use a single schema, already stripped), warning inspection
 _NOOP_STMT = re.compile(
     r"(?i)^(use\s+\w+|split\s+table\b.*|show\s+warnings|admin\s+check\b.*"
-    r"|begin|commit|rollback)$"  # autocommit writes: txns are no-ops here
+    # autocommit writes: txns are no-ops here
+    r"|begin(\s+(pessimistic|optimistic))?|commit|rollback)$"
 )
 _ANALYZE = re.compile(r"(?i)^analyze\s+table\s")
 _TEST_SCHEMA = re.compile(r"(?i)\btest\.(?=`?\w)")
@@ -454,6 +461,7 @@ def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
         got: list[list[str]] = []
         out_ncols: set[int] = set()
         failed = False
+        executed = False
         for step in group:
             sql = _TEST_SCHEMA.sub("", step.sql)
             dbm = _CREATE_DB.match(sql) or _DROP_DB.match(sql)
@@ -473,7 +481,15 @@ def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
             for db in dbs:
                 if f"{db}." in sql:
                     sql = re.sub(rf"(?i)\b{db}\.(?=`?\w)", f"{db}__", sql)
-            if _TIFLASH_REPLICA.match(sql) or _ANALYZE.match(sql):
+            if _TIFLASH_REPLICA.match(sql):
+                # route through run_sql: the statement records LOCATION
+                # LABELS for information_schema.tiflash_replica
+                try:
+                    run_sql(spark, sql, stores, base_path=base_path)
+                except Exception:  # noqa: BLE001 — replica DDL is advisory
+                    pass
+                continue
+            if _ANALYZE.match(sql):
                 continue
             tzm = _SET_TZ.match(sql)
             if tzm:
@@ -492,6 +508,7 @@ def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
                 continue
             if _NOOP_STMT.match(sql):
                 continue
+            executed = True
             try:
                 df = run_sql(spark, sql, stores, base_path=base_path)
             except Exception as e:  # noqa: BLE001 — reported, not swallowed
@@ -550,6 +567,13 @@ def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
             continue
         if last.unchecked:
             res.unchecked += 1
+            continue
+        if not executed:
+            # the whole group was session noise (split table / replica /
+            # analyze noops) — its expected block (e.g. split-region
+            # counts) has no analytic meaning here
+            if last.expected is not None:
+                res.unchecked += 1
             continue
         if last.expected is None:
             if out_ncols:
