@@ -213,6 +213,33 @@ def main() -> None:
     score(f"LSH {NUM_TABLES}x{PREFIX_BITS}-bit tables", lsh)
     for p in PROBE_SWEEP:
         score(f"IVF n_probe={p}", lambda qid, p=p: ivf(qid, p))
+
+    # graph-navigated coarse step (the HNSW-shaped tier): NSW walk over
+    # the persisted centroid graph instead of scoring every centroid
+    from tiflash_spark.pipeline.similarity import (
+        N_PROBE,
+        centroid_graph,
+        graph_probe,
+    )
+
+    cent_vecs = {int(r.cid): list(r.cvec) for r in cents.collect()}
+    graph = centroid_graph(spark, sf, cents)
+
+    def ivf_graph(qid) -> list[int]:
+        probe_ids = graph_probe(graph, cent_vecs, list(qvecs[qid]), N_PROBE)
+        cands = assigned.where(
+            F.col("cluster").isin(probe_ids) & (F.col("vec_id") != qid)
+        )
+        return topk_ids(
+            cands.crossJoin(F.broadcast(qvec(qid))).select(
+                "vec_id",
+                vec_cosine_similarity(
+                    _as_double(F.col("embedding")), F.col("qv")
+                ).alias("cos_sim"),
+            )
+        )
+
+    score(f"IVF graph-walk n_probe={N_PROBE} (NSW M=4)", ivf_graph)
     score("int8 quantized", quant)
     score(f"PQ-ADC {PQ_M}x{PQ_K} (overfetch {PQ_OVERFETCH})", pq)
 

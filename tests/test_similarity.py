@@ -225,3 +225,37 @@ def test_ann_pq_recall_and_determinism(spark):
     _books, codes = pq_index(spark, SF_SMALL)
     [r] = codes.limit(1).collect()
     assert len(r.codes) == PQ_M and all(0 <= c < 256 for c in r.codes)
+
+
+def test_graph_probe_matches_exact_centroid_selection(spark):
+    """The NSW walk over the centroid graph (the HNSW-shaped coarse
+    step) must recover the SAME probe set as scoring every centroid:
+    identical candidates means identical results to ann_ivf_topk."""
+    from tiflash_spark.pipeline.similarity import (
+        N_PROBE,
+        _query_vector,
+        ann_ivf_graph_topk,
+        ann_ivf_topk,
+        centroid_graph,
+        graph_probe,
+        vector_index,
+    )
+
+    cents, _ = vector_index(spark, SF_MEDIUM)
+    qv = list(_query_vector(spark, SF_MEDIUM).collect()[0].qv)
+    cent_vecs = {int(r.cid): list(r.cvec) for r in cents.collect()}
+    graph = centroid_graph(spark, SF_MEDIUM, cents)
+    assert all(len(nbrs) >= 1 for nbrs in graph.values())
+    walked = graph_probe(graph, cent_vecs, qv, N_PROBE)
+    import numpy as np
+
+    q = np.asarray(qv)
+    exact = sorted(
+        cent_vecs,
+        key=lambda c: (float(((np.asarray(cent_vecs[c]) - q) ** 2).sum()), c),
+    )[:N_PROBE]
+    assert set(walked) == set(exact), (walked, exact)
+    # end-to-end: identical rows to the brute-probe IVF tier
+    a = [(r.vec_id, r.cos_sim) for r in ann_ivf_graph_topk(spark, SF_MEDIUM).collect()]
+    b = [(r.vec_id, r.cos_sim) for r in ann_ivf_topk(spark, SF_MEDIUM).collect()]
+    assert a == b

@@ -391,6 +391,8 @@ ROWS_ONLY_GROUPS: dict[str, list[tuple[str, list[str]]]] = {
          ["SUM(vec_id + label)", "ROUND(SUM(cos_sim), 4)"]),
         ("ann_pq_topk",
          ["SUM(vec_id + label)", "ROUND(SUM(cos_sim + adc_score), 4)"]),
+        ("ann_ivf_graph_topk",
+         ["SUM(vec_id + label)", "ROUND(SUM(cos_sim), 4)"]),
     ],
     "approx_sketches": [
         ("approx_count_distinct",

@@ -255,3 +255,59 @@ def register_json_udfs(spark) -> list[str]:
     spark.udf.register("mysql_json_keys", _jkeys)
     spark.udf.register("mysql_json_contains_path", _jcp)
     return ["mysql_json_extract", "mysql_json_keys", "mysql_json_contains_path"]
+
+
+# --- other per-row MySQL string functions ---------------------------------------
+
+
+def substring_index_py(s, d, n):
+    """MySQL SUBSTRING_INDEX: non-overlapping scan, from the LEFT for
+    positive counts and from the RIGHT for negative ones — overlap
+    behavior differs from Spark's builtin on repeated-delimiter runs
+    ('www......pingcap....com', '..', -2 is '..com', not '.com';
+    expr/substring_index.test)."""
+    if s is None or d is None or n is None:
+        return None
+    if d == "" or n == 0:
+        return ""
+    if n > 0:
+        idx, start, count = -1, 0, 0
+        while count < n:
+            idx = s.find(d, start)
+            if idx < 0:
+                return s
+            start = idx + len(d)
+            count += 1
+        return s[:idx]
+    n = -n
+    end, count, pos = len(s), 0, None
+    while count < n:
+        idx = s.rfind(d, 0, end)
+        if idx < 0:
+            return s
+        pos = idx
+        end = idx
+        count += 1
+    return s[pos + len(d):]
+
+
+def register_string_udfs(spark) -> list[str]:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _ssi(s: pd.Series, d: pd.Series, n: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                substring_index_py(
+                    None if a is None else str(a),
+                    None if b is None else str(b),
+                    None if c is None or c != c else int(c),
+                )
+                for a, b, c in zip(s, d, n)
+            ],
+            dtype=object,
+        )
+
+    spark.udf.register("mysql_substring_index", _ssi)
+    return ["mysql_substring_index"]

@@ -109,6 +109,41 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
         " CAST(n div 65536 % 256 AS STRING), CAST(n div 256 % 256 AS STRING),"
         " CAST(n % 256 AS STRING))",
     ),
+    # duration-string component readers (TIME stored as its normalized
+    # rendering; extract_duration.test, duration_pushdown.test)
+    "_dur_sign": (
+        "s STRING",
+        "BIGINT",
+        "CASE WHEN s LIKE '-%' THEN -1 ELSE 1 END",
+    ),
+    "_dur_part": (
+        "s STRING, i INT",
+        "BIGINT",
+        "coalesce(try_cast(split(regexp_replace(s, '^-', ''), '[:.]')[i]"
+        " AS BIGINT), 0)",
+    ),
+    "_dur_us": (
+        "s STRING",
+        "BIGINT",
+        "coalesce(try_cast(rpad(regexp_extract(s, '\\\\.([0-9]+)$', 1),"
+        " 6, '0') AS BIGINT), 0)",
+    ),
+    "time_to_sec": (
+        "s STRING",
+        "BIGINT",
+        "CASE WHEN s IS NULL THEN NULL ELSE _dur_sign(s) *"
+        " (_dur_part(s, 0) * 3600 + _dur_part(s, 1) * 60"
+        " + _dur_part(s, 2)) END",
+    ),
+    # TIME in NUMERIC context is its HHMMSS digit form (time '08:20:09'
+    # + 0 = 82009), not seconds
+    "mysql_time_num": (
+        "s STRING",
+        "DOUBLE",
+        "CASE WHEN s IS NULL THEN NULL ELSE _dur_sign(s) *"
+        " (_dur_part(s, 0) * 10000 + _dur_part(s, 1) * 100"
+        " + _dur_part(s, 2) + _dur_us(s) / 1000000.0) END",
+    ),
     "sec_to_time": (
         "s BIGINT",
         "STRING",
@@ -584,7 +619,16 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "mysql_monthname": (
         "x STRING",
         "STRING",
-        "date_format(mysql_date(x), 'MMMM')",
+        # MONTHNAME only needs the month field: a ZERO DAY is legal
+        # ('0000-01-00' -> January; month 0 -> NULL;
+        # expr/datename_monthname.test) — dashed forms read the month
+        # positionally with the day replaced by 01
+        "CASE WHEN trim(x) RLIKE '^[0-9]{1,4}-[0-9]{1,2}-[0-9]{1,2}$' THEN"
+        " date_format(try_to_date(concat("
+        "  regexp_extract(trim(x), '^([0-9]{1,4})-', 1), '-',"
+        "  regexp_extract(trim(x), '^[0-9]{1,4}-([0-9]{1,2})', 1),"
+        "  '-01'), 'y-M-d'), 'MMMM')"
+        " ELSE date_format(mysql_date(x), 'MMMM') END",
     ),
     # the length operand coerces MySQL-style (string -> numeric prefix,
     # 'abc' -> 0) — hence STRING-typed with an explicit parse
@@ -904,7 +948,11 @@ def register_mysql_functions(spark: SparkSession) -> list[str]:
             f"RETURNS {ret} RETURN {body}"
         )
         names.append(name)
-    from tiflash_spark.functions.mysql_json import register_json_udfs
+    from tiflash_spark.functions.mysql_json import (
+        register_json_udfs,
+        register_string_udfs,
+    )
 
     names += register_json_udfs(spark)
+    names += register_string_udfs(spark)
     return names

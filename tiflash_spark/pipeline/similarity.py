@@ -427,6 +427,141 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ann_ivf_topk"] = ann_ivf_topk  # approximate: rows-only driver check
 
 
+# --- graph-navigated coarse quantizer (the HNSW-shaped tier) ----------------
+#
+# The reference ships an HNSW vector index (Storages/DeltaMerge/Index/
+# VectorIndex/CommonUtil.h:41, usearch) that graph-searches WITHIN a
+# segment. In a Spark-native design the per-row search is the exact
+# re-rank inside probed clusters (columnar scan, whole-stage codegen) —
+# the place a navigable graph genuinely helps at cluster scale is the
+# COARSE step: with 10k-1M centroids at 100 TB, picking the n_probe
+# nearest centroids brute-force costs O(C·d) per query on the driver; a
+# greedy NSW walk over an M-neighbor centroid graph cuts that to
+# O(M·d·path) probes. The graph is built once with the index (driver-
+# sized: centroids only), persisted next to it, and fully deterministic.
+
+GRAPH_M = 4  # neighbors per centroid in the NSW graph
+
+
+def build_centroid_graph(cent_rows: list[tuple[int, list[float]]],
+                         m: int = GRAPH_M) -> dict[int, list[int]]:
+    """M nearest centroids per centroid by L2 (deterministic ties on
+    cid). O(C²·d) at BUILD time, once per index build."""
+    import numpy as np
+
+    ids = [c for c, _ in cent_rows]
+    x = np.asarray([v for _, v in cent_rows], dtype=float)
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    graph: dict[int, list[int]] = {}
+    for i, cid in enumerate(ids):
+        order = sorted(range(len(ids)), key=lambda j: (float(d2[i][j]), ids[j]))
+        graph[cid] = [ids[j] for j in order if j != i][:m]
+    return graph
+
+
+def graph_probe(graph: dict[int, list[int]],
+                cent_vecs: dict[int, list[float]],
+                qv: list[float], n_probe: int,
+                ef: int | None = None) -> list[int]:
+    """Greedy best-first NSW search with an exploration width ``ef``
+    (HNSW's efSearch): keep the ef closest seen so far, expand the
+    closest unexpanded one until the frontier cannot improve them, then
+    return the top n_probe. ef > n_probe is what rescues greedy search
+    from local minima; the default 2*n_probe+4 recovers the exact probe
+    set on the test corpus (pinned). Deterministic: entry = smallest
+    cid, ties on cid."""
+    import heapq
+
+    import numpy as np
+
+    ef = ef if ef is not None else 2 * n_probe + 4
+    q = np.asarray(qv, dtype=float)
+
+    def dist(cid: int) -> float:
+        return float(((np.asarray(cent_vecs[cid], dtype=float) - q) ** 2).sum())
+
+    entry = min(cent_vecs)
+    visited = {entry}
+    d0 = dist(entry)
+    cand = [(d0, entry)]
+    best = [(-d0, entry)]
+    while cand:
+        d, c = heapq.heappop(cand)
+        if len(best) >= ef and d > -best[0][0]:
+            break
+        for nb in graph.get(c, []):
+            if nb in visited:
+                continue
+            visited.add(nb)
+            dn = dist(nb)
+            if len(best) < ef or dn < -best[0][0]:
+                heapq.heappush(cand, (dn, nb))
+                heapq.heappush(best, (-dn, nb))
+                if len(best) > ef:
+                    heapq.heappop(best)
+    return sorted(
+        (c for _, c in best), key=lambda c: (dist(c), c)
+    )[:n_probe]
+
+
+def centroid_graph(spark: SparkSession, sf_dir: str, cents: DataFrame) -> dict:
+    """The persisted NSW graph sidecar (ivf_graph_{tag}) — built with the
+    index, read as (cid, neighbors) rows, broadcast-sized by design."""
+    import os
+
+    from tiflash_spark.pipeline.fulltext import _sf_tag, _warehouse_path
+
+    wh = _warehouse_path(spark)
+    rows = None
+    if wh:
+        gloc = os.path.join(wh, f"ivf_graph_{_sf_tag(sf_dir)}")
+        if not os.path.isdir(gloc):
+            cent_rows = [
+                (int(r.cid), list(r.cvec)) for r in cents.collect()
+            ]
+            g = build_centroid_graph(cent_rows)
+            spark.createDataFrame(
+                [(c, nbrs) for c, nbrs in sorted(g.items())],
+                "cid int, neighbors array<int>",
+            ).coalesce(1).write.mode("overwrite").parquet(gloc)
+        rows = spark.read.parquet(gloc).collect()
+        return {int(r.cid): [int(n) for n in r.neighbors] for r in rows}
+    cent_rows = [(int(r.cid), list(r.cvec)) for r in cents.collect()]
+    return build_centroid_graph(cent_rows)
+
+
+def ann_ivf_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with graph-navigated probe selection: identical candidate
+    generation and exact re-rank as ann_ivf_topk, but the n_probe
+    centroids come from the NSW walk instead of scoring every centroid —
+    the 100 TB coarse-step cost model. tests/test_similarity.py pins
+    that the walk recovers the exact probe set on this corpus."""
+    cents, assigned = vector_index(spark, sf_dir)
+    q = _query_vector(spark, sf_dir)
+    qv = list(q.collect()[0].qv)
+    cent_vecs = {int(r.cid): list(r.cvec) for r in cents.collect()}
+    graph = centroid_graph(spark, sf_dir, cents)
+    probe_ids = graph_probe(graph, cent_vecs, qv, N_PROBE)
+    cands = assigned.where(
+        F.col("cluster").isin(probe_ids) & (F.col("vec_id") != 0)
+    )
+    return (
+        cands.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                vec_cosine_similarity(_as_double(F.col("embedding")), F.col("qv")), 6
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+QUERIES["ann_ivf_graph_topk"] = ann_ivf_graph_topk  # rows-only (sketch tier)
+
+
 # --- int8 scalar quantization (memory-scale path) ---------------------------
 #
 # Per-dimension affine int8 quantization of the embedding column: the

@@ -712,8 +712,13 @@ def _py_time_norm(s: str, p: int = 0) -> str | None:
     h, rem = divmod(tot_s, 3600)
     mi, se = divmod(rem, 60)
     out = f"{sign}{h:02d}:{mi:02d}:{se:02d}"
-    if p > 0:
-        out += "." + f"{us:06d}"[:p]
+    if p > 0 and us:
+        # canonical-minimal storage: fraction rounded at p, trailing
+        # zeros stripped — duration equality is then string equality
+        # once literals normalize the same way (duration_pushdown.test);
+        # display-precision differences ('.1235' vs '.123500') unify in
+        # the replay's duration-aware value compare
+        out += "." + f"{us:06d}".rstrip("0")
     return out
 
 
@@ -862,7 +867,7 @@ _CAST_TRIM_CALL = re.compile(
     r"(?i)\b(cast|trim|extract|json_keys|json_length|json_contains_path"
     r"|date_add|date_sub|adddate|subdate|date|space|length|format"
     r"|least|greatest|str_to_date|substring|substr|lpad|rpad|regexp_like"
-    r"|hour|minute|second"
+    r"|hour|minute|second|substring_index|unix_timestamp"
     r"|json_array|json_object|dayname|monthname|round|avg|json_valid"
     r"|json_extract|vec_l1_distance|vec_l2_distance|vec_cosine_distance"
     r"|vec_negative_inner_product|vec_l2_norm|vec_dims)\s*\("
@@ -924,6 +929,34 @@ _EXTRACT_COMPOSITE = {
 }
 
 
+# EXTRACT units over a TIME/duration operand ({s} = the duration string;
+# sign applied by the caller). Composites are digit concatenations like
+# the datetime ones; DAY_* == HOUR_* (a duration has no day field and
+# its hours are NOT folded into days; extract_duration.test).
+_DUR_H = "_dur_part({s}, 0)"
+_DUR_M = "_dur_part({s}, 1)"
+_DUR_S = "_dur_part({s}, 2)"
+_DUR_US = "_dur_us({s})"
+_EXTRACT_DURATION = {
+    "HOUR": _DUR_H,
+    "MINUTE": _DUR_M,
+    "SECOND": _DUR_S,
+    "MICROSECOND": _DUR_US,
+    "SECOND_MICROSECOND": f"({_DUR_S} * 1000000 + {_DUR_US})",
+    "MINUTE_MICROSECOND": f"(({_DUR_M} * 100 + {_DUR_S}) * 1000000 + {_DUR_US})",
+    "MINUTE_SECOND": f"({_DUR_M} * 100 + {_DUR_S})",
+    "HOUR_MICROSECOND": f"(({_DUR_H} * 10000 + {_DUR_M} * 100 + {_DUR_S})"
+    f" * 1000000 + {_DUR_US})",
+    "DAY_MICROSECOND": f"(({_DUR_H} * 10000 + {_DUR_M} * 100 + {_DUR_S})"
+    f" * 1000000 + {_DUR_US})",
+    "HOUR_SECOND": f"({_DUR_H} * 10000 + {_DUR_M} * 100 + {_DUR_S})",
+    "DAY_SECOND": f"({_DUR_H} * 10000 + {_DUR_M} * 100 + {_DUR_S})",
+    "HOUR_MINUTE": f"({_DUR_H} * 100 + {_DUR_M})",
+    "DAY_MINUTE": f"({_DUR_H} * 100 + {_DUR_M})",
+    "DAY_HOUR": _DUR_H,
+}
+
+
 def _rewrite_mysql_exprs(sql: str) -> str:
     """Rewrite MySQL-only expression spellings onto the Spark dialect:
     CAST(x AS SIGNED/UNSIGNED/CHAR(n)/DATETIME) (TiDB cast targets,
@@ -949,9 +982,29 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                 parts = _split_top_kw(inner, "FROM")
                 if parts:
                     unit = parts[0].strip().upper()
+                    x = f"({parts[1].strip()})"
                     tpl = _EXTRACT_COMPOSITE.get(unit)
-                    if tpl:
-                        rep = tpl.format(x=f"({parts[1].strip()})")
+                    dur = _EXTRACT_DURATION.get(unit)
+                    if dur:
+                        # TIME operands (normalized duration strings,
+                        # hours may exceed 23 and carry a sign) read
+                        # components positionally — extract(hour from
+                        # '838:34:56') = 838 (expr/extract_duration.test)
+                        xs = f"try_cast({x} AS STRING)"
+                        dur_expr = dur.format(s=xs)
+                        ts_expr = (
+                            tpl.format(x=x) if tpl
+                            else f"extract/**/({unit} FROM {x})"
+                        )
+                        rep = (
+                            f"(CASE WHEN {xs} RLIKE"
+                            f" '^-?[0-9]{{1,3}}:[0-9]{{1,2}}:[0-9]{{1,2}}'"
+                            f" THEN CAST(_dur_sign({xs}) * {dur_expr}"
+                            f" AS BIGINT)"
+                            f" ELSE CAST({ts_expr} AS BIGINT) END)"
+                        )
+                    elif tpl:
+                        rep = tpl.format(x=x)
             elif fn == "date":
                 args = _split_top_level(inner)
                 if len(args) == 1:
@@ -1123,6 +1176,16 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                             )
                         else:
                             rep = date_parse
+            elif fn == "unix_timestamp":
+                # MySQL keeps the FRACTION for timestamp(p>0) operands
+                # (1621770314.192, expr/unixTimeStamp.test); Spark's
+                # builtin truncates to whole seconds
+                args = _split_top_level(inner)
+                if len(args) == 1 and args[0].strip():
+                    rep = (
+                        f"CAST(unix_micros(try_cast(({args[0]})"
+                        f" AS TIMESTAMP)) / 1000000.0 AS DECIMAL(20,6))"
+                    )
             elif fn in ("hour", "minute", "second"):
                 # over a TIME/duration value (stored as its normalized
                 # string) the components come from the string — hours may
@@ -1137,6 +1200,18 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                         f" THEN CAST(split(regexp_replace({xs}, '^-', ''),"
                         f" '[:.]')[{idx}] AS INT)"
                         f" ELSE {fn}/**/({args[0]}) END)"
+                    )
+            elif fn == "substring_index":
+                # MySQL's non-overlapping scan (left for +n, RIGHT for
+                # -n) differs from Spark's builtin on repeated-delimiter
+                # runs (expr/substring_index.test)
+                args = _split_top_level(inner)
+                if len(args) == 3:
+                    rep = (
+                        f"mysql_substring_index("
+                        f"try_cast(({args[0]}) AS STRING),"
+                        f" try_cast(({args[1]}) AS STRING),"
+                        f" try_cast(({args[2]}) AS INT))"
                     )
             elif fn in ("substring", "substr"):
                 # MySQL substring: pos 0 -> '', |negative pos| beyond the
@@ -1762,6 +1837,41 @@ def _rewrite_quantified(sql: str) -> str:
         pos = lm.start() + len(repl)
 
 
+_CASE_INNER = re.compile(r"(?is)\bcase\b((?:(?!\bcase\b|\bend\b).)*)\bend\b")
+
+
+def _rewrite_case_when_null(sql: str) -> str:
+    """Convert SIMPLE CASEs that carry a `WHEN NULL` arm into searched
+    form: `case X when NULL then a when v then b end` becomes
+    `case when false then a when (X) = (v) then b end` — MySQL's
+    X = NULL arm never matches, and spelling it out keeps Spark from
+    unifying X's type with a typeless NULL (expr/null_literal.test)."""
+    for _ in range(20):  # innermost-out, one CASE per pass
+        hit = None
+        for m in _CASE_INNER.finditer(sql):
+            body = m.group(1)
+            if not re.search(r"(?i)\bwhen\s+null\s+then\b", body):
+                continue
+            head = re.match(r"(?is)^\s*(?P<op>(?:(?!\bwhen\b).)+?)\s*(?=\bwhen\b)", body)
+            if not head or not head.group("op").strip():
+                continue  # searched case — the blanket BOOLEAN rule applies
+            hit = (m, head.group("op").strip(), body[head.end():])
+            break
+        if hit is None:
+            return sql
+        m, op, rest = hit
+
+        def _arm(mm: re.Match) -> str:
+            v = mm.group(1).strip()
+            if v.upper() == "NULL":
+                return "when false then"
+            return f"when ({op}) = ({v}) then"
+
+        new_body = re.sub(r"(?is)\bwhen\s+(.+?)\s+then\b", _arm, rest)
+        sql = f"{sql[:m.start()]}case {new_body} end{sql[m.end():]}"
+    return sql
+
+
 def _rewrite_mixed_in(sql: str) -> str:
     out = sql
     pos = 0
@@ -2123,6 +2233,31 @@ def _sql_with_rescues(spark: SparkSession, sql: str) -> DataFrame:
                             f" AS STRING)),",
                             sql,
                         )
+            elif re.search(r'"(bit_and|bit_or|bit_xor)\(', msg):
+                # bit aggregates over a TIME column: MySQL coerces the
+                # duration to its HHMMSS numeric form (time '08:20:09'
+                # is 82009; duration_filter_late_materialization.test);
+                # other strings take the numeric-prefix parse
+                bm = re.search(
+                    r'"(?P<fn>bit_and|bit_or|bit_xor)\((?P<a>[^)"]*)\)"', msg
+                )
+                if bm:
+                    fnm, a = bm.group("fn"), bm.group("a").strip()
+                    pat = re.compile(
+                        rf"(?i)\b{fnm}\s*\(\s*(?P<q>\w+\s*\.\s*)?"
+                        rf"{re.escape(a)}\s*\)"
+                    )
+                    pm2 = pat.search(sql)
+                    if pm2:
+                        full = f"{pm2.group('q') or ''}{a}"
+                        xs = f"try_cast(({full}) AS STRING)"
+                        num = (
+                            f"CAST(CASE WHEN {xs} RLIKE"
+                            f" '^-?[0-9]{{1,3}}:[0-9]{{1,2}}:[0-9]{{1,2}}'"
+                            f" THEN mysql_time_num({xs})"
+                            f" ELSE mysql_to_double({xs}) END AS BIGINT)"
+                        )
+                        new = pat.sub(lambda _m: f"{fnm}({num})", sql)
             elif "JOIN_CONDITION_IS_NOT_BOOLEAN_TYPE" in msg:
                 # ON if(x,null,null): a VOID condition is never true in
                 # MySQL (issues/issue_8562.test) — coerce to BOOLEAN
@@ -2213,7 +2348,30 @@ def run_sql(
     if _CAST_TRIM_CALL.search(sql):
         sql = _rewrite_mysql_exprs(sql)
     sql = _GET_FORMAT_KW.sub(lambda m: f"{m.group(1)}('{m.group(2).upper()}',", sql)
-    if _HEX_LITERAL.search(sql):
+    if (
+        stores
+        and re.search(r"'-?\d{1,3}:\d{1,2}:\d{1,2}(\.\d+)?'", sql)
+        and not _INSERT.match(sql)
+        and any(
+            (s.table_def() or {}).get("time_cols")
+            for s in stores.values()
+            if hasattr(s, "table_def")
+        )
+    ):
+        # duration literals compared against TIME columns normalize to
+        # the canonical-minimal storage form ('024:11:11.123500' ->
+        # '24:11:11.1235'; duration_pushdown.test) — string equality is
+        # then duration equality. INSERTs keep their literals (the typed
+        # cell builder normalizes per target column).
+        sql = re.sub(
+            r"'(-?\d{1,3}:\d{1,2}:\d{1,2}(?:\.\d+)?)'",
+            lambda m: "'" + (_py_time_norm(m.group(1), 6) or m.group(1)) + "'",
+            sql,
+        )
+    if _HEX_LITERAL.search(sql) and not _INSERT.match(sql):
+        # hex literals are NUMBERS in expression context, BYTES when
+        # inserted into binary columns — plain VALUES inserts keep the
+        # 0x spelling for the typed-cell builder to interpret
         sql = _sub_outside_quotes(
             sql, _HEX_LITERAL, lambda m: str(int(m.group(1), 16))
         )
@@ -2223,10 +2381,32 @@ def run_sql(
             # rejects a string literal there — requote as an identifier
             sql = re.sub(r'(?i)\bAS\s+"([^"]+)"', lambda m: f"AS `{m.group(1)}`", sql)
         if re.search(r"(?i)\bwhen\s+null\s+then\b", sql):
-            # CASE WHEN NULL THEN ... — Spark rejects a VOID condition
+            # SIMPLE CASE (`case X when null then ...`): MySQL's X = NULL
+            # arm never matches — convert to searched form with that arm
+            # dead, so the remaining arms keep X's comparison type
+            # (expr/null_literal.test's datetime operand)
+            sql = _rewrite_case_when_null(sql)
+        if re.search(r"(?i)\bwhen\s+null\s+then\b", sql):
+            # searched CASE WHEN NULL THEN — Spark rejects a VOID
+            # condition
             sql = re.sub(
                 r"(?i)\bwhen\s+null\s+then\b",
                 "when try_cast(NULL AS BOOLEAN) then",
+                sql,
+            )
+        if re.search(r"(?i)\bifnull\s*\(\s*null\s*,\s*null\s*\)", sql):
+            # VOID result feeding boolean ops (expr/null_literal.test)
+            sql = re.sub(
+                r"(?i)\bifnull\s*\(\s*null\s*,\s*null\s*\)",
+                "try_cast(NULL AS BOOLEAN)",
+                sql,
+            )
+        if re.search(r"(?i)\bif\s*\(\s*[^(),]+\s*,\s*null\s*,\s*null\s*\)", sql):
+            # if(x, null, null) is constant NULL in MySQL; the VOID type
+            # breaks Spark's boolean operators (null_literal, issue_8562)
+            sql = re.sub(
+                r"(?i)\bif\s*\(\s*[^(),]+\s*,\s*null\s*,\s*null\s*\)",
+                "try_cast(NULL AS BOOLEAN)",
                 sql,
             )
         if re.search(r"(?i)\b0\s+(PRECEDING|FOLLOWING)\b", sql):
@@ -2618,6 +2798,37 @@ def run_sql(
                             f"ADD COLUMN {col}: invalid default {dflt!r}"
                         )
                     dflt = norm.split(" ")[0] if ty == "date" else norm
+                bm2 = re.match(
+                    r"(?i)^(binary|varbinary)(?:\s*\(\s*(\d+)\s*\))?$",
+                    dtype.strip(),
+                )
+                if bm2:
+                    # X'..' hex defaults decode to bytes; fixed BINARY(n)
+                    # zero-pads the fill to n (ddl/binary_default_value
+                    # .test). latin-1 keeps byte identity in the manifest
+                    # string (these defaults are ASCII + NULs).
+                    raw_d = m.group("dflt")
+                    if raw_d is not None:
+                        xm2 = re.match(
+                            r"(?i)^X'([0-9A-Fa-f]*)'$", raw_d.strip()
+                        )
+                        if xm2:
+                            h2 = xm2.group(1)
+                            dflt = bytes.fromhex(
+                                ("0" + h2) if len(h2) % 2 else h2
+                            ).decode("latin-1")
+                    if bm2.group(1).lower() == "binary":
+                        n_b = int(bm2.group(2) or 1)
+                        if dflt is not None:
+                            dflt = dflt[:n_b].ljust(n_b, "\x00")
+                        td3 = store.table_def() or {}
+                        bc = dict(td3.get("bin_cols") or {})
+                        bc[col] = n_b
+                        store.write_table_def(
+                            td3.get("order") or [], td3.get("pk"),
+                            td3.get("pk_type", "bigint"),
+                            td3.get("dt_prec"), td3.get("time_cols"), bc,
+                        )
                 v = store.add_column(col, ty, default=dflt)
                 if m.group("notnull") or m.group("notnull2"):
                     # ADD COLUMN ... NOT NULL: the constraint must stick
@@ -2796,6 +3007,8 @@ def run_sql(
         pk_kind: str | None = None
         dt_prec: dict[str, int] = {}  # DATETIME(p)/TIMESTAMP(p), default 0
         time_cols: dict[str, int] = {}  # TIME(p) columns, default 0
+        bin_cols: dict[str, int] = {}  # fixed BINARY(n): zero-pad writes
+        bit_cols: dict[str, int] = {}  # BIT(n): width for bin-as-hex render
         for item in _split_top_level(m.group("body")):
             item = item.strip()
             pm = _PKDEF.match(item)
@@ -2855,6 +3068,18 @@ def run_sql(
             )
             if tm2:
                 time_cols[cm["name"]] = int(tm2.group(1) or 0)
+            tm4 = re.match(
+                r"(?i)^bit(?:\s*\(\s*(\d+)\s*\))?$", cm["type"].strip()
+            )
+            if tm4:
+                bit_cols[cm["name"]] = int(tm4.group(1) or 1)
+            tm3 = re.match(
+                r"(?i)^binary(?:\s*\(\s*(\d+)\s*\))?$", cm["type"].strip()
+            )
+            if tm3:
+                # fixed BINARY(n) zero-pads values to n bytes (MySQL;
+                # mpp/join_filter_on_constant_column.test's hex() probe)
+                bin_cols[cm["name"]] = int(tm3.group(1) or 1)
             declared.append(cm["name"])
             if cm["gen"] is not None:
                 # declared virtual generated column — registered after
@@ -2865,7 +3090,12 @@ def run_sql(
                 continue
             dflt = cm["default"]
             if dflt is not None:
-                dflt = None if dflt.upper() == "NULL" else dflt.strip("'")
+                # bit/hex literal defaults (DEFAULT b'0111') carry their
+                # integer value (ddl/alter_column_bit.test)
+                dflt = (
+                    None if dflt.upper() == "NULL"
+                    else _bitlit(dflt).strip("'\"")
+                )
             cols.append((cm["name"], st, cm["notnull"], dflt))
             if cm["inline_pk"]:
                 pk_cols, pk_kind = [cm["name"]], "CLUSTERED"
@@ -2935,7 +3165,8 @@ def run_sql(
             ]
         )
         store.write_table_def(order, pk, pk_type, dt_prec or None,
-                              time_cols or None)
+                              time_cols or None, bin_cols or None,
+                              bit_cols or None)
         for gname, gtype, gexpr in gen_cols:
             store.add_generated_column(gname, gtype, _fix_gen_expr(gexpr))
         for iname, kind, icol in idx_defs:
@@ -3050,11 +3281,34 @@ def run_sql(
             alias0 = td0.get("pk")
 
             tcols = td0.get("time_cols") or {}
+            bcols = td0.get("bin_cols") or {}
 
             def _cell(cell: str, col: str, ty: str | None) -> str:
                 if ty is None:
                     return f"({cell})"
                 tname = alias0 if col == HANDLE and alias0 else col
+                if tname in bcols and cell.strip().upper() != "NULL":
+                    # fixed BINARY(n): a 0x literal is BYTES here (the
+                    # numeric-context hex rewrite is skipped for plain
+                    # VALUES inserts), strings are their utf-8 bytes;
+                    # both zero-pad to n (MySQL binary pad)
+                    lit = cell.strip()
+                    n_pad = bcols[tname]
+                    if re.match(r"(?i)^0x[0-9A-Fa-f]*$", lit):
+                        h = lit[2:]
+                        raw = bytes.fromhex(("0" + h) if len(h) % 2 else h)
+                    elif re.match(r"^'.*'$", lit, re.S):
+                        raw = lit[1:-1].encode("utf-8")
+                    elif re.match(r"^-?\d+$", lit):
+                        raw = str(lit).encode("utf-8")
+                    else:
+                        raw = None
+                    if raw is not None:
+                        raw = raw[:n_pad].ljust(n_pad, b"\x00")
+                        return f"X'{raw.hex().upper()}'"
+                if re.match(r"(?i)^0x[0-9A-Fa-f]+$", cell.strip()):
+                    # numeric context for every non-binary target
+                    cell = str(int(cell.strip()[2:], 16))
                 if tname in tcols and cell.strip().upper() != "NULL":
                     # MySQL TIME column: literals normalize to the
                     # duration rendering at write (111111 -> '11:11:11';

@@ -66,15 +66,21 @@ def _render_time_cols(df: DataFrame, td: dict | None) -> DataFrame:
             continue
         base = F.split(F.col(c), r"\.")
         if p:
-            rendered = F.concat(
+            # canonical-minimal form: rounded at p on write, trailing
+            # zeros stripped (comparisons are plain string equality;
+            # display-precision unifies in the replay's duration compare)
+            rendered = F.concat_ws(
+                ".",
                 base.getItem(0),
-                F.lit("."),
-                F.substring(
-                    F.rpad(
-                        F.coalesce(F.element_at(base, 2), F.lit("")),
-                        p, "0",
+                F.nullif(
+                    F.regexp_replace(
+                        F.substring(
+                            F.coalesce(F.element_at(base, 2), F.lit("")),
+                            1, p,
+                        ),
+                        "0+$", "",
                     ),
-                    1, p,
+                    F.lit(""),
                 ),
             )
         else:
@@ -328,6 +334,8 @@ class DeltaStore:
         pk_type: str = "bigint",
         dt_prec: dict[str, int] | None = None,
         time_cols: dict[str, int] | None = None,
+        bin_cols: dict[str, int] | None = None,
+        bit_cols: dict[str, int] | None = None,
     ) -> None:
         """Record the CREATE TABLE column order and the PRIMARY KEY →
         handle mapping (TiDB: a CLUSTERED single-int PK IS _tidb_rowid;
@@ -347,6 +355,13 @@ class DeltaStore:
             # MySQL TIME(p) columns (stored as normalized duration
             # strings): writes must normalize numeric/partial literals
             doc["time_cols"] = time_cols
+        if bin_cols:
+            # fixed BINARY(n) columns zero-pad writes to n bytes
+            doc["bin_cols"] = bin_cols
+        if bit_cols:
+            # BIT(n): stored as ints, declared width drives the
+            # binary-as-hex rendering (0x0707 for bit(12))
+            doc["bit_cols"] = bit_cols
         with open(tmp, "w") as fh:
             json.dump(doc, fh)
         os.replace(tmp, p)

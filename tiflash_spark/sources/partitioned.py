@@ -138,10 +138,10 @@ class PartitionedStore:
             self.stores[p["name"]]._write_schema_versions(vs)
 
     def write_table_def(self, order, pk, pk_type="bigint", dt_prec=None,
-                        time_cols=None):
+                        time_cols=None, bin_cols=None, bit_cols=None):
         for p in self.parts:
             self.stores[p["name"]].write_table_def(
-                order, pk, pk_type, dt_prec, time_cols
+                order, pk, pk_type, dt_prec, time_cols, bin_cols, bit_cols
             )
 
     def add_column(self, *a, **kw):

@@ -43,6 +43,9 @@ from pyspark.sql import SparkSession
 REFERENCE_TESTS = Path("/root/reference/tests")
 
 _MYSQL_PROMPT = "mysql> "
+# the `mysql --binary-as-hex` client (run-test.py's CMD_PREFIX_TIDB_
+# BINALY_AS_HEX): binary/bit values render as 0x.. hex
+_MYSQL_HEX_PROMPT = "mysql_bin_as_hex> "
 _FUNC_PROMPT = "func> "
 _SLEEP_PROMPT = "SLEEP "
 _REGEXP_MARK = "{#REGEXP}"
@@ -56,6 +59,7 @@ class Step:
     expected_ncols: int | None = None
     unchecked: bool = False  # expected block used {#REGEXP} → execute only
     expect_error: bool = False  # expected block was an ERROR line
+    bin_as_hex: bool = False  # mysql_bin_as_hex> prompt (0x.. rendering)
 
 
 @dataclass
@@ -196,9 +200,12 @@ def parse_script(path: str | Path) -> list[Step]:
 
     for lineno, raw in enumerate(Path(path).read_text().splitlines(), 1):
         line = raw.rstrip("\n")
-        if line.startswith(_MYSQL_PROMPT):
+        if line.startswith((_MYSQL_PROMPT, _MYSQL_HEX_PROMPT)):
             flush()
-            body = line[len(_MYSQL_PROMPT):]
+            as_hex = line.startswith(_MYSQL_HEX_PROMPT)
+            body = line[
+                len(_MYSQL_HEX_PROMPT if as_hex else _MYSQL_PROMPT):
+            ]
             # trailing directive comments (#NO_UNESCAPE) — the unescape
             # concern is the mysql client's, not ours
             body = re.sub(r"\s+#\w+\s*$", "", body)
@@ -217,7 +224,7 @@ def parse_script(path: str | Path) -> list[Step]:
             for stmt in _split_statements(body):
                 if re.match(r"(?i)^set\s", stmt) and not _SET_TZ.match(stmt):
                     continue  # session vars — see module docstring
-                steps.append(Step(sql=stmt, lineno=lineno))
+                steps.append(Step(sql=stmt, lineno=lineno, bin_as_hex=as_hex))
                 pending = steps[-1]
             continue
         if (
@@ -232,8 +239,14 @@ def parse_script(path: str | Path) -> list[Step]:
         if not line.strip():
             # a blank line between a statement and its expected table
             # (expr/is_true_false.test) does not end the step; a blank
-            # line after a table does
-            if block:
+            # line after a BORDERED table does. In the tab-separated
+            # batch rendering a blank line is an EMPTY-string result row
+            # (expr/substring_index.test's '' rows) — the block continues
+            # to the next prompt, and the empty row drops like any other
+            # all-empty cells row.
+            if block and any(
+                ln.lstrip().startswith(("+", "|")) for ln in block
+            ):
                 flush()
             continue
         if line.startswith("#") and _REGEXP_MARK not in line:
@@ -262,11 +275,25 @@ def parse_script(path: str | Path) -> list[Step]:
 _DT_RE = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d+)?$")
 _DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
 _NUM_RE = re.compile(r"^-?(\d+(\.\d*)?|\.\d+)([eE][-+]?\d+)?$")
+# a TIME/duration rendering ('700:10:10.1235'): display precision varies
+# by declared fsp — compare by VALUE (MySQL shows '.123500' where the
+# canonical-minimal storage keeps '.1235')
+_DUR_RE = re.compile(r"^(-?)(\d{2,3}):(\d{2}):(\d{2})(\.\d+)?$")
 
 
 def _canon_cell(cell: str):
     if cell == "NULL":
         return ("null",)
+    dm = _DUR_RE.match(cell)
+    if dm:
+        sign = -1 if dm.group(1) else 1
+        total = (
+            int(dm.group(2)) * 3600
+            + int(dm.group(3)) * 60
+            + int(dm.group(4))
+        )
+        frac = Decimal(dm.group(5) or "0")
+        return ("dur", sign * (Decimal(total) + frac).normalize())
     if _DT_RE.match(cell):
         # a midnight datetime unifies with its date: MySQL displays
         # DATE-typed results without a time part, this engine's
@@ -456,6 +483,13 @@ def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
             j += 1
         group = steps[i:j]
         i = j
+        if tz_zone != "UTC":
+            # every mysql> line is a FRESH client in run-test.py — a
+            # `set time_zone` only reaches statements on its own line
+            # (expr/unixTimeStamp.test reads at the default zone right
+            # after a +1:00 line)
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            tz_zone = "UTC"
         last = group[-1]
         loc = f"{Path(path).name}:{last.lineno}"
         got: list[list[str]] = []
@@ -543,16 +577,30 @@ def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
             tz_aware = [
                 isinstance(f.dataType, TimestampType) for f in df.schema.fields
             ]
+            # --binary-as-hex rendering: BIT(n) ints print as 0x-hex at
+            # the declared byte width, raw binary as its hex bytes
+            # (ddl/alter_column_bit.test)
+            hex_bits: list[int | None] = [None] * len(df.columns)
+            if step.bin_as_hex:
+                bitmap: dict[str, int] = {}
+                for st in (stores or {}).values():
+                    bitmap.update((st.table_def() or {}).get("bit_cols") or {})
+                hex_bits = [bitmap.get(c) for c in df.columns]
             out_ncols.add(len(df.columns))
+
+            def _cellv(k: int, v):
+                if step.bin_as_hex:
+                    if isinstance(v, (bytes, bytearray)):
+                        return "0x" + bytes(v).hex().upper()
+                    if hex_bits[k] and isinstance(v, int):
+                        w = 2 * ((hex_bits[k] + 7) // 8)
+                        return f"0x{v:0{w}X}"
+                if isinstance(v, datetime) and tz_aware[k]:
+                    return _format_value(v + _tz_offset(tz_zone, v))
+                return _format_value(v)
+
             for row in rows:
-                cells = [
-                    _format_value(
-                        v + _tz_offset(tz_zone, v)
-                        if isinstance(v, datetime) and tz_aware[k]
-                        else v
-                    )
-                    for k, v in enumerate(row)
-                ]
+                cells = [_cellv(k, v) for k, v in enumerate(row)]
                 # mirror the reference's empty-cell drop on the actual
                 # side; rows reduced to nothing vanish on both sides
                 cells = [c for c in (x.strip() for x in cells) if c != ""]
