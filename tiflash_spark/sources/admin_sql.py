@@ -362,10 +362,11 @@ _COL_ATTRS: list[tuple[str, re.Pattern]] = [
         r"(?:\s+(?:VIRTUAL|STORED))?(?=\s|$)"
     )),
     ("on_update", re.compile(r"(?i)^\s+ON\s+UPDATE\s+\w+(?:\s*\(\s*\d*\s*\))?")),
-    ("collate", re.compile(r"(?i)^\s+COLLATE[\s=]+\S+")),
+    ("collate", re.compile(r"(?i)^\s+COLLATE[\s=]+(?P<v>\S+)")),
     ("charset", re.compile(r"(?i)^\s+(?:CHARACTER\s+SET|CHARSET)[\s=]+\S+")),
     ("comment", re.compile(r"(?i)^\s+COMMENT\s+'(?:[^'\\]|\\.)*'")),
     ("inline_pk", re.compile(r"(?i)^\s+PRIMARY\s+KEY\b")),
+    ("clustered", re.compile(r"(?i)^\s+(?:CLUSTERED|NONCLUSTERED)\b")),
     ("unique", re.compile(r"(?i)^\s+UNIQUE(?:\s+KEY)?\b")),
     ("key", re.compile(r"(?i)^\s+KEY\b")),
 ]
@@ -386,6 +387,7 @@ def _parse_coldef(item: str) -> dict | None:
         "default": None,
         "inline_pk": False,
         "gen": None,
+        "collate": None,
     }
     rest = hm.group("rest")
     while rest.strip():
@@ -402,6 +404,8 @@ def _parse_coldef(item: str) -> dict | None:
                     out["default"] = m.group("v")
                 elif key == "gen":
                     out["gen"] = m.group("v")
+                elif key == "collate":
+                    out["collate"] = m.group("v").strip("'\"").lower()
                 rest = rest[m.end():]
                 break
         else:
@@ -414,7 +418,8 @@ _PKDEF = re.compile(
     # and TiDB's dump spelling hides it in a versioned comment
     # (/*T![clustered_index] CLUSTERED */)
     r"^PRIMARY\s+KEY(?:\s+(?P<kind>CLUSTERED|NONCLUSTERED))?\s*"
-    r"\(\s*(?P<cols>[^)]+?)\s*\)"
+    # cols may carry prefix lengths (col_2(5), tidb-ci clustered_index)
+    r"\(\s*(?P<cols>[^()]*(?:\([^)]*\)[^()]*)*?)\s*\)"
     r"(?:\s*(?P<kind2>CLUSTERED|NONCLUSTERED))?"
     r"(?:\s*/\*T!\[clustered_index\]\s*(?P<kind3>CLUSTERED|NONCLUSTERED)\s*\*/)?"
     r"\s*$",
@@ -614,6 +619,32 @@ def _check_index_expr(store, cols: str) -> None:
                 f"cannot index the expression {part.strip()!r} "
                 "(MySQL error 3761: no column reference)"
             )
+
+
+def _fix_collated_predicates(expr: str, store) -> str:
+    """LIKE/REGEXP over collated columns in DML WHERE clauses: Spark's
+    operators refuse collated input, MySQL's follow the column collation
+    (tidb-ci clustered_index.test UPDATE ... WHERE col LIKE 'AB%')."""
+    for n, t in store.current_fields() or []:
+        tl = str(t).lower()
+        if not tl.startswith("string collate"):
+            continue
+        ci = "lcase" in tl
+        pat = re.compile(
+            rf"(?i)(?P<lhs>(?:\w+\s*\.\s*)?\b{re.escape(n)})"
+            rf"\s+(?P<neg>not\s+)?(?P<op>like|rlike|regexp)\s+"
+            rf"(?P<p>'(?:[^'\\]|\\.)*')"
+        )
+
+        def _sub(mm: re.Match, ci=ci) -> str:
+            lhs = f"try_cast(({mm.group('lhs')}) AS STRING)"
+            p = mm.group("p")
+            if ci:
+                lhs, p = f"lower({lhs})", f"lower({p})"
+            return f"{lhs} {mm.group('neg') or ''}{mm.group('op')} {p}"
+
+        expr = pat.sub(_sub, expr)
+    return expr
 
 
 def _py_num_datetime(s: str) -> str | None:
@@ -868,6 +899,7 @@ _CAST_TRIM_CALL = re.compile(
     r"|date_add|date_sub|adddate|subdate|date|space|length|format"
     r"|least|greatest|str_to_date|substring|substr|lpad|rpad|regexp_like"
     r"|hour|minute|second|substring_index|unix_timestamp"
+    r"|strcmp|approx_count_distinct|group_concat"
     r"|json_array|json_object|dayname|monthname|round|avg|json_valid"
     r"|json_extract|vec_l1_distance|vec_l2_distance|vec_cosine_distance"
     r"|vec_negative_inner_product|vec_l2_norm|vec_dims)\s*\("
@@ -1176,6 +1208,76 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                             )
                         else:
                             rep = date_parse
+            elif fn == "group_concat":
+                # GROUP_CONCAT([DISTINCT] e[, e2..] [ORDER BY k..]
+                # [SEPARATOR s]) — Spark spelling via collect + array
+                # sort; ORDER BY 1 names the first argument (tidb-ci
+                # group_concat.test). Collated operands keep their
+                # collation through collect/sort.
+                gm = re.match(
+                    r"(?is)^\s*(?P<d>distinct\s+)?(?P<body>.*?)"
+                    r"(?:\s+order\s+by\s+(?P<ob>.+?))?"
+                    r"(?:\s+separator\s+(?P<sep>'(?:[^'\\]|\\.)*'))?\s*$",
+                    inner,
+                )
+                if gm and gm.group("body").strip() and not re.search(
+                    r"(?i)\bdesc\b", gm.group("ob") or ""
+                ):
+                    sep = gm.group("sep") or "','"
+                    exprs = _split_top_level(gm.group("body"))
+                    val = (
+                        exprs[0] if len(exprs) == 1
+                        else "concat(" + ", ".join(
+                            f"try_cast(({e}) AS STRING)" for e in exprs
+                        ) + ")"
+                    )
+                    if gm.group("d"):
+                        # collect_set rejects COLLATED strings;
+                        # array_distinct dedupes by the collation
+                        rep = (
+                            f"concat_ws({sep}, array_sort("
+                            f"array_distinct(collect_list({val}))))"
+                        )
+                    elif gm.group("ob"):
+                        keys = []
+                        for k in _split_top_level(gm.group("ob")):
+                            k = re.sub(r"(?i)\s+asc$", "", k.strip())
+                            keys.append(
+                                exprs[int(k) - 1]
+                                if re.match(r"^\d+$", k) else k
+                            )
+                        kf = ", ".join(
+                            f"({k}) AS _g{i}" for i, k in enumerate(keys)
+                        )
+                        rep = (
+                            f"concat_ws({sep}, transform(array_sort("
+                            f"collect_list(struct({kf}, {val} AS _gcv))),"
+                            f" s -> s._gcv))"
+                        )
+                    else:
+                        rep = (
+                            f"concat_ws({sep},"
+                            f" sort_array(collect_list({val})))"
+                        )
+            elif fn == "strcmp":
+                # inline so collated operands keep their collation
+                # (tidb-ci strcmp.test: general_ci compares fold case) —
+                # the SQL-macro form would cast to plain STRING
+                args = _split_top_level(inner)
+                if len(args) == 2:
+                    a, b = args
+                    rep = (
+                        f"(CASE WHEN ({a}) IS NULL OR ({b}) IS NULL"
+                        f" THEN NULL WHEN ({a}) < ({b}) THEN -1"
+                        f" WHEN ({a}) = ({b}) THEN 0 ELSE 1 END)"
+                    )
+            elif fn == "approx_count_distinct":
+                # TiDB's form takes COLUMN LISTS and follows column
+                # collations; at statement scale the exact multiset count
+                # is the same contract (tidb-ci count_distinct.test)
+                args = _split_top_level(inner)
+                if args:
+                    rep = f"count(distinct {', '.join(args)})"
             elif fn == "unix_timestamp":
                 # MySQL keeps the FRACTION for timestamp(p>0) operands
                 # (1621770314.192, expr/unixTimeStamp.test); Spark's
@@ -2187,7 +2289,22 @@ def _rescue_coalesce_mixed(sql: str) -> str | None:
     return out if changed else None
 
 
-def _sql_with_rescues(spark: SparkSession, sql: str) -> DataFrame:
+def _collation_of(col: str, stores) -> str | None:
+    """The declared collation suffix of a column name across registered
+    stores ('lcase' / 'binary' / None when not collated/unknown)."""
+    for s in (stores or {}).values():
+        if not hasattr(s, "current_fields"):
+            continue
+        for n, t in s.current_fields() or []:
+            if n.lower() == col.lower():
+                tl = str(t).lower()
+                if tl.startswith("string collate"):
+                    return "lcase" if "lcase" in tl else "binary"
+                return None
+    return None
+
+
+def _sql_with_rescues(spark: SparkSession, sql: str, stores=None) -> DataFrame:
     """spark.sql with MySQL-typing rescues: retry analysis failures that
     MySQL's implicit coercions would have accepted."""
     from pyspark.errors import AnalysisException
@@ -2231,6 +2348,80 @@ def _sql_with_rescues(spark: SparkSession, sql: str) -> DataFrame:
                         new = pat.sub(
                             f"if(mysql_truthy(try_cast(({q}{cond})"
                             f" AS STRING)),",
+                            sql,
+                        )
+            elif (
+                "STRING COLLATE" in msg
+                and re.search(r'"(?:\w+ )?(?:NOT )?(?:I?LIKE|RLIKE)', msg)
+            ):
+                # Spark's LIKE/RLIKE refuse collated input; MySQL's
+                # follow the column collation (tidb-ci expr.test,
+                # regexp.test). CI collations fold case on BOTH sides;
+                # binary collations just need the plain-string cast.
+                cm2 = re.search(
+                    r'"(?:RLIKE\((?P<c1>\w+),|(?P<c2>\w+) (?:NOT )?I?LIKE)',
+                    msg,
+                )
+                if cm2:
+                    colname = cm2.group("c1") or cm2.group("c2")
+                    # the COLUMN's own collation decides case folding
+                    # (one statement may mix _bin and _ci columns)
+                    tmm = re.search(
+                        rf'"{re.escape(colname)}" has the type'
+                        rf' "STRING COLLATE (\w+)', msg
+                    )
+                    ci = bool(tmm and tmm.group(1).startswith("UTF8_LCASE"))
+                    pat = re.compile(
+                        rf"(?i)(?P<lhs>(?:\w+\s*\.\s*)?\b{re.escape(colname)})"
+                        rf"\s+(?P<neg>not\s+)?(?P<op>like|rlike|regexp)\s+"
+                        rf"(?P<p>'(?:[^'\\]|\\.)*'|NULL\b|\w+(?:\s*\.\s*\w+)?)",
+                    )
+                    _KW = {"from", "where", "group", "order", "limit",
+                           "and", "or", "not", "when", "then", "else"}
+
+                    def _lk(mm: re.Match) -> str:
+                        p = mm.group("p")
+                        if p.lower() in _KW:
+                            return mm.group(0)
+                        use_ci = ci
+                        lhs = f"try_cast(({mm.group('lhs')}) AS STRING)"
+                        if not p.startswith("'") and p.upper() != "NULL":
+                            # COLUMN pattern: MySQL coerces mixed
+                            # collations to BINARY — case folding only
+                            # when BOTH sides are CI (tidb-ci regexp.test)
+                            rc = _collation_of(
+                                p.split(".")[-1].strip(), stores
+                            )
+                            if rc != "lcase":
+                                use_ci = False
+                            p = f"try_cast(({p}) AS STRING)"
+                        if use_ci:
+                            lhs, p = f"lower({lhs})", f"lower({p})"
+                        return (
+                            f"{lhs} {mm.group('neg') or ''}"
+                            f"{mm.group('op')} {p}"
+                        )
+
+                    if pat.search(sql):
+                        new = pat.sub(_lk, sql)
+            elif "INDETERMINATE_COLLATION" in msg:
+                # mixed collations in a comparison: TiDB resolves to the
+                # BINARY collation (PAD SPACE kept) — tidb-ci join.test
+                # joins a general_ci column to a utf8mb4_bin one
+                cm3 = re.search(r'"\((?P<a>\w+) = (?P<b>\w+)\)"', msg)
+                if cm3:
+                    a, b = cm3.group("a"), cm3.group("b")
+                    pat = re.compile(
+                        rf"(?i)(?P<l>(?:\w+\s*\.\s*)?{re.escape(a)})\s*=\s*"
+                        rf"(?P<r>(?:\w+\s*\.\s*)?{re.escape(b)})"
+                    )
+                    if pat.search(sql):
+                        new = pat.sub(
+                            lambda mm: (
+                                f"CAST(({mm.group('l')}) AS STRING COLLATE"
+                                f" UTF8_BINARY_RTRIM) = CAST(({mm.group('r')})"
+                                f" AS STRING COLLATE UTF8_BINARY_RTRIM)"
+                            ),
                             sql,
                         )
             elif re.search(r'"(bit_and|bit_or|bit_xor)\(', msg):
@@ -3013,7 +3204,11 @@ def run_sql(
             item = item.strip()
             pm = _PKDEF.match(item)
             if pm:
-                pk_cols = [c.strip().strip("`") for c in pm.group("cols").split(",")]
+                pk_cols = [
+                    # prefix lengths (col_2(5)) mark index prefixes only
+                    re.sub(r"\(\s*\d+\s*\)$", "", c.strip()).strip().strip("`")
+                    for c in pm.group("cols").split(",")
+                ]
                 pk_kind = (
                     pm.group("kind") or pm.group("kind2") or pm.group("kind3")
                     or "CLUSTERED"
@@ -3057,6 +3252,19 @@ def run_sql(
                     f"CREATE TABLE {name}: cannot parse column def {item!r}"
                 )
             st = _mysql_type_to_spark(cm["type"], cm["unsigned"])
+            if st == "string" and cm.get("collate"):
+                # column-level collation maps onto Spark's native
+                # collated strings (tidb-ci/new_collation_fullstack):
+                # MySQL's CI collations are case-insensitive + PAD SPACE
+                # (UTF8_LCASE_RTRIM); new-collation utf8mb4_bin is
+                # binary + PAD SPACE (UTF8_BINARY_RTRIM). =, GROUP BY,
+                # DISTINCT, ORDER BY and joins then follow MySQL with no
+                # per-expression rewriting.
+                co = cm["collate"]
+                if co.endswith(("_ci", "_cs")) and "_ci" in co:
+                    st = "string collate UTF8_LCASE_RTRIM"
+                elif co.endswith("_bin"):
+                    st = "string collate UTF8_BINARY_RTRIM"
             tm = re.match(
                 r"(?i)^(datetime|timestamp)(?:\s*\(\s*(\d+)\s*\))?$",
                 cm["type"].strip(),
@@ -3476,6 +3684,36 @@ def run_sql(
             batch = batch.withColumn(
                 HANDLE, (rid + F.lit(int(base))).cast("long")
             )
+        elif (
+            m.group("verb").upper() == "INSERT"
+            and store.handle_alias()
+            and str(store._handle_type()).lower().startswith("string")
+        ):
+            # STRING clustered pks (incl. collated, where 'ab' and 'Ab'
+            # collide under general_ci): INSERT rejects duplicates with
+            # MySQL error 1062 — the collation-typed comparison does the
+            # folding (tidb-ci clustered_index.test). Integer handles
+            # keep the replication surface's upsert semantics.
+            hb = batch.select(
+                F.col(HANDLE).cast(store._handle_type()).alias(HANDLE)
+            )
+            dup = hb.count() != hb.distinct().count()
+            if not dup:
+                try:
+                    existing = store.read().select(
+                        F.col(HANDLE).cast(store._handle_type()).alias(HANDLE)
+                    )
+                    dup = (
+                        hb.join(F.broadcast(existing), HANDLE, "left_semi")
+                        .limit(1).count() > 0
+                    )
+                except Exception:  # noqa: BLE001 — empty table
+                    dup = False
+            if dup:
+                raise ValueError(
+                    f"INSERT INTO {name}: Duplicate entry for key "
+                    "'PRIMARY' (MySQL error 1062)"
+                )
         n = batch.count()
         v = store.newest_version() + 1
         store.write_batch(batch, version=v)
@@ -3511,7 +3749,12 @@ def run_sql(
         unknown = [c for c in sets if c not in stored]
         if unknown:
             raise ValueError(f"UPDATE {name}: unknown columns {unknown}")
-        matched = snap.filter(F.expr(m.group("where"))) if m.group("where") else snap
+        matched = (
+            snap.filter(
+                F.expr(_fix_collated_predicates(m.group("where"), store))
+            )
+            if m.group("where") else snap
+        )
         matched = matched.persist()
         try:
             n = matched.count()
@@ -3610,7 +3853,10 @@ def run_sql(
         # MVCC merge) so manifest-less delta layers keep homogeneous file
         # footers — a handle-only file would shadow later batches' columns
         matched = (
-            snap.filter(F.expr(m.group("where"))) if m.group("where") else snap
+            snap.filter(
+                F.expr(_fix_collated_predicates(m.group("where"), store))
+            )
+            if m.group("where") else snap
         ).drop(*[c for c in gen if c in snap.columns])
         if alias:
             matched = matched.withColumnRenamed(alias, HANDLE)
@@ -3633,4 +3879,4 @@ def run_sql(
         sql = _rewrite_asof(spark, sql, stores)
     if _INFOSCHEMA.search(sql):
         sql = _rewrite_infoschema(spark, sql, stores)
-    return _sql_with_rescues(spark, sql)
+    return _sql_with_rescues(spark, sql, stores)
