@@ -263,7 +263,7 @@ _INSERT_SET = re.compile(
 )
 _INSERT = re.compile(
     rf"^\s*(?P<verb>INSERT|REPLACE)\s+(?:INTO\s+)?{_QTBL}\s*"
-    r"(?:\(\s*(?P<cols>[^)]*?)\s*\))?\s*VALUES\s*(?P<vals>\(.+\))\s*;?\s*$",
+    r"(?:\(\s*(?P<cols>[^)]*?)\s*\))?\s*VALUES\s*(?P<vals>\(.*\))\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE = re.compile(
@@ -299,7 +299,14 @@ _CREATE = re.compile(
     r"(?:CHARSET|CHARACTER\s+SET|COLLATE)|COMMENT)\s*=?\s*"
     r"(?:'[^']*'|\w+))*)\s*"
     r"(?:PARTITION\s+BY\s+RANGE\s*\(\s*`?(?P<pcol>\w+)`?\s*\)\s*"
-    r"\(\s*(?P<pdefs>.+?)\s*\))?\s*;?\s*$",
+    r"\(\s*(?P<pdefs>.+?)\s*\)"
+    # HASH/KEY partitioning only shards storage (no partition-addressed
+    # DDL follows it in the suites) and LIST behaves the same for reads:
+    # both are accepted as layout annotations over a plain store
+    # (ddl/partitions/rename_column.test, vector-index-on-partition.test)
+    r"|PARTITION\s+BY\s+(?:HASH|KEY)\s*\([^)]*\)\s*(?:PARTITIONS\s+\d+)?"
+    r"|PARTITION\s+BY\s+LIST\s+(?:COLUMNS\s+)?\([^)]*\)\s*\(.+\)"
+    r")?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _PDEF = re.compile(
@@ -307,6 +314,96 @@ _PDEF = re.compile(
     r"(?:\(\s*(?P<val>-?\d+)\s*\)|\(?\s*(?P<max>MAXVALUE)\s*\)?)\s*$",
     re.IGNORECASE,
 )
+
+# partition restructuring (fullstack-test2/ddl/partitions/): the
+# reference rewrites data into the new physical layout; here the table's
+# rows are snapshot and re-routed into a fresh store, then the
+# directories swap. Version history flattens to the newest version (the
+# reference's reorganize also rewrites the data).
+_REMOVE_PARTITIONING = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_QTBL}\s+REMOVE\s+PARTITIONING\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_PARTITION_BY = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_QTBL}\s+PARTITION\s+BY\s+"
+    r"(?:RANGE\s*\(\s*`?(?P<pcol>\w+)`?\s*\)\s*\(\s*(?P<pdefs>.+?)\s*\)"
+    r"|HASH\s*\(\s*`?(?P<hcol>\w+)`?\s*\)\s*(?:PARTITIONS\s+(?P<hn>\d+))?)"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REORG_PART = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+{_QTBL}\s+REORGANIZE\s+PARTITION\s+"
+    r"(?P<olds>`?\w+`?(?:\s*,\s*`?\w+`?)*)\s+INTO\s*"
+    r"\(\s*(?P<pdefs>.+?)\s*\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# `FROM t PARTITION (p0[, p1])` — scan only the named partitions
+_PART_SELECT = re.compile(
+    r"(?i)\b(?P<tbl>\w+)\s+partition\s*"
+    r"\(\s*(?P<ps>`?\w+`?(?:\s*,\s*`?\w+`?)*)\s*\)"
+)
+
+
+def _parse_pdefs(text: str) -> list[tuple]:
+    pdefs = []
+    for item in _split_top_level(text):
+        pm = _PDEF.match(item.strip())
+        if not pm:
+            raise ValueError(f"bad partition def {item!r}")
+        pdefs.append(
+            (pm.group("name"),
+             None if pm.group("max") else int(pm.group("val")))
+        )
+    return pdefs
+
+
+def _restructure_store(spark, stores, name, pcol, pdefs, mode="range"):
+    """Rebuild ``name`` with a new partition layout (pdefs=None flattens
+    to a plain store). Snapshot -> fresh store -> directory swap."""
+    import shutil
+
+    from tiflash_spark.sources.partitioned import PartitionedStore
+
+    store = stores[name]
+    td = store.table_def() or {}
+    vs = store._schema_versions()
+    try:
+        data = store.read().localCheckpoint(eager=True)
+    except ValueError:
+        data = None  # empty table
+    tmp = store.path + "._repart"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if pdefs is None:
+        new_store = DeltaStore(spark, tmp)
+    else:
+        new_store = PartitionedStore.create(spark, tmp, pcol, pdefs, mode)
+    if vs:
+        new_store._write_schema_versions(vs)
+    if td:
+        new_store.write_table_def(
+            td.get("order") or [], td.get("pk"),
+            td.get("pk_type", "bigint"), td.get("dt_prec"),
+            td.get("time_cols"), td.get("bin_cols"), td.get("bit_cols"),
+        )
+    if data is not None and data.limit(1).count():
+        new_store.write_batch(data, version=max(store.newest_version(), 1))
+    old_path = store.path
+    shutil.rmtree(old_path, ignore_errors=True)
+    import os as _os2
+
+    _os2.rename(tmp, old_path)
+    for p in (old_path, tmp):
+        try:
+            spark.catalog.refreshByPath(p)
+        except Exception:
+            pass
+    stores[name] = (
+        DeltaStore(spark, old_path) if pdefs is None
+        else PartitionedStore(spark, old_path)
+    )
+    stores[name].as_view(name)
+    return stores[name]
+
 
 # partition DDL (fullstack-test2/ddl/partitions/): ADD / DROP /
 # TRUNCATE / EXCHANGE PARTITION
@@ -2539,6 +2636,40 @@ def run_sql(
     if _CAST_TRIM_CALL.search(sql):
         sql = _rewrite_mysql_exprs(sql)
     sql = _GET_FORMAT_KW.sub(lambda m: f"{m.group(1)}('{m.group(2).upper()}',", sql)
+    if stores and _PART_SELECT.search(sql) and not re.match(
+        r"(?i)\s*(CREATE|ALTER)\b", sql
+    ):
+        # `FROM t PARTITION (p0[, p1])` scans only the named children
+        # (ddl/partitions/remove_partitioning.test)
+        def _psel(mm: re.Match) -> str:
+            t = mm.group("tbl")
+            st = (stores or {}).get(t)
+            if st is None or not hasattr(st, "stores"):
+                return mm.group(0)
+            names_p = [p.strip().strip("`") for p in mm.group("ps").split(",")]
+            if any(p not in st.stores for p in names_p):
+                return mm.group(0)
+            view = f"_psel_{t}_" + "_".join(names_p)
+            df = None
+            for p in names_p:
+                try:
+                    d = st.stores[p].read()
+                except ValueError:
+                    continue  # empty child
+                df = d if df is None else df.unionByName(d)
+            if df is None:
+                df = st.read().limit(0)
+            alias = st.handle_alias()
+            if alias:
+                df = df.withColumnRenamed(HANDLE, alias)
+            elif st.table_def() is not None:
+                df = df.drop(HANDLE)
+            df.createOrReplaceTempView(view)
+            return view
+
+        from tiflash_spark.sources.delta_store import HANDLE
+
+        sql = _PART_SELECT.sub(_psel, sql)
     if (
         stores
         and re.search(r"'-?\d{1,3}:\d{1,2}:\d{1,2}(\.\d+)?'", sql)
@@ -2762,6 +2893,60 @@ def run_sql(
             "table_name string, index_name string, index_kind string,"
             " column_name string",
         )
+    m = _REMOVE_PARTITIONING.match(sql)
+    if m:
+        name = m.group("tbl")
+        store = _dml_store(stores, name, "REMOVE PARTITIONING")
+        if not hasattr(store, "parts"):
+            raise ValueError(f"table {name!r} is not partitioned")
+        _restructure_store(spark, stores, name, None, None)
+        return spark.createDataFrame(
+            [(name, "remove_partitioning")], "table_name string, op string"
+        )
+    m = _ALTER_PARTITION_BY.match(sql)
+    if m:
+        name = m.group("tbl")
+        _dml_store(stores, name, "ALTER ... PARTITION BY")
+        if m.group("hcol"):
+            # real HASH partitioning: children p0..p{n-1}, routed MOD n
+            n_h = int(m.group("hn") or 1)
+            _restructure_store(
+                spark, stores, name, m.group("hcol"),
+                [(f"p{i}", None) for i in range(n_h)], mode="hash",
+            )
+        else:
+            _restructure_store(
+                spark, stores, name, m.group("pcol"),
+                _parse_pdefs(m.group("pdefs")),
+            )
+        return spark.createDataFrame(
+            [(name, "partition_by")], "table_name string, op string"
+        )
+    m = _REORG_PART.match(sql)
+    if m:
+        name = m.group("tbl")
+        store = _dml_store(stores, name, "REORGANIZE PARTITION")
+        if not hasattr(store, "parts"):
+            raise ValueError(f"table {name!r} is not partitioned")
+        olds = [p.strip().strip("`") for p in m.group("olds").split(",")]
+        missing = [p for p in olds if p not in store.stores]
+        if missing:
+            raise ValueError(f"no partitions {missing} to reorganize")
+        new_defs = _parse_pdefs(m.group("pdefs"))
+        # splice the INTO defs at the first reorganized partition's slot
+        pdefs: list[tuple] = []
+        spliced = False
+        for p in store.parts:
+            if p["name"] in olds:
+                if not spliced:
+                    pdefs.extend(new_defs)
+                    spliced = True
+                continue
+            pdefs.append((p["name"], p["upper"]))
+        _restructure_store(spark, stores, name, store.pcol, pdefs)
+        return spark.createDataFrame(
+            [(name, "reorganize_partition")], "table_name string, op string"
+        )
     m = _ADD_PART.match(sql)
     if m:
         name = m.group("tbl")
@@ -2844,6 +3029,14 @@ def run_sql(
             )
         store = stores[name]
         v = store.rename_column(old, new)
+        td_r = store.table_def()
+        if td_r and old in (td_r.get("order") or []):
+            store.write_table_def(
+                [new if c == old else c for c in td_r["order"]],
+                td_r.get("pk"), td_r.get("pk_type", "bigint"),
+                td_r.get("dt_prec"), td_r.get("time_cols"),
+                td_r.get("bin_cols"), td_r.get("bit_cols"),
+            )
         store.as_view(name)
         return spark.createDataFrame(
             [(name, old, new, int(v))],
@@ -2897,6 +3090,16 @@ def run_sql(
             )
         if old != new:
             store.rename_column(old, new)
+            td_r = store.table_def()
+            if td_r and old in (td_r.get("order") or []):
+                # the DECLARED position travels with the rename
+                # (ddl/partitions/rename_column.test's SELECT *)
+                store.write_table_def(
+                    [new if c == old else c for c in td_r["order"]],
+                    td_r.get("pk"), td_r.get("pk_type", "bigint"),
+                    td_r.get("dt_prec"), td_r.get("time_cols"),
+                    td_r.get("bin_cols"), td_r.get("bit_cols"),
+                )
         cur = dict(store.current_fields() or [])
         if cur.get(new) != ty:
             store.modify_column(new, ty)
@@ -3600,26 +3803,37 @@ def run_sql(
                     return f"CAST({src} AS {ty.upper()})"
                 return f"CAST(({cell}) AS {ty})"
 
-            typed = []
-            for tup in _split_top_level(m.group("vals")):
-                tup = tup.strip()
-                if not (tup.startswith("(") and tup.endswith(")")):
-                    raise ValueError(f"INSERT INTO {name}: bad VALUES row {tup!r}")
-                cells = _split_top_level(tup[1:-1])
-                if len(cells) != len(cols):
-                    raise ValueError(
-                        f"INSERT INTO {name}: {len(cells)} values per row "
-                        f"for {len(cols)} columns {cols}"
+            tups = _split_top_level(m.group("vals"))
+            if all(re.match(r"^\(\s*\)$", t.strip()) for t in tups):
+                # `insert into t values ()` — every column takes its
+                # default (write_batch's conform fills them; the auto
+                # rowid arrives below). A zero-column frame keeps the
+                # row COUNT (ddl/partitions/rename_column.test).
+                rows = spark.range(len(tups)).drop("id")
+                cols = []
+            else:
+                typed = []
+                for tup in tups:
+                    tup = tup.strip()
+                    if not (tup.startswith("(") and tup.endswith(")")):
+                        raise ValueError(
+                            f"INSERT INTO {name}: bad VALUES row {tup!r}"
+                        )
+                    cells = _split_top_level(tup[1:-1])
+                    if len(cells) != len(cols):
+                        raise ValueError(
+                            f"INSERT INTO {name}: {len(cells)} values per "
+                            f"row for {len(cols)} columns {cols}"
+                        )
+                    typed.append(
+                        "("
+                        + ", ".join(
+                            _cell(cell, col, ty)
+                            for cell, col, ty in zip(cells, cols, types)
+                        )
+                        + ")"
                     )
-                typed.append(
-                    "("
-                    + ", ".join(
-                        _cell(cell, col, ty)
-                        for cell, col, ty in zip(cells, cols, types)
-                    )
-                    + ")"
-                )
-            rows = spark.sql("SELECT * FROM VALUES " + ", ".join(typed))
+                rows = spark.sql("SELECT * FROM VALUES " + ", ".join(typed))
         else:
             # INSERT INTO ... SELECT — the batch is the query result
             # (reads the PLAN-TIME view snapshots, so self-inserts see

@@ -48,6 +48,7 @@ class PartitionedStore:
         os.makedirs(path, exist_ok=True)
         man = self._manifest()
         self.pcol: str = man["pcol"]
+        self.mode: str = man.get("mode", "range")
         self.parts: list[dict] = man["parts"]
         self.stores: dict[str, DeltaStore] = {
             p["name"]: DeltaStore(spark, os.path.join(path, p["name"]))
@@ -66,29 +67,36 @@ class PartitionedStore:
     def _write_manifest(self) -> None:
         tmp = self._man_path() + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"pcol": self.pcol, "parts": self.parts}, fh)
+            json.dump(
+                {"pcol": self.pcol, "parts": self.parts, "mode": self.mode},
+                fh,
+            )
         os.replace(tmp, self._man_path())
 
     @classmethod
     def create(
-        cls, spark: SparkSession, path: str, pcol: str, parts: list[tuple]
+        cls, spark: SparkSession, path: str, pcol: str, parts: list[tuple],
+        mode: str = "range",
     ) -> "PartitionedStore":
         """``parts``: ordered (name, upper) with upper=None for MAXVALUE;
-        bounds must strictly increase (MySQL rejects otherwise)."""
+        bounds must strictly increase (MySQL rejects otherwise). For
+        mode='hash' the bounds are ignored: MySQL routes by value MOD
+        n_partitions (names p0..p{n-1})."""
         if not parts:
             raise ValueError("PARTITION BY RANGE needs at least one partition")
-        uppers = [u for _, u in parts]
-        for a, b in zip(uppers, uppers[1:]):
-            if a is None or (b is not None and b <= a):
-                raise ValueError(
-                    "partition bounds must strictly increase "
-                    "(MAXVALUE only last)"
-                )
+        if mode == "range":
+            uppers = [u for _, u in parts]
+            for a, b in zip(uppers, uppers[1:]):
+                if a is None or (b is not None and b <= a):
+                    raise ValueError(
+                        "partition bounds must strictly increase "
+                        "(MAXVALUE only last)"
+                    )
         os.makedirs(path, exist_ok=True)
         tmp = os.path.join(path, "_PARTITIONS.tmp")
         with open(tmp, "w") as fh:
             json.dump(
-                {"pcol": pcol,
+                {"pcol": pcol, "mode": mode,
                  "parts": [{"name": n, "upper": u} for n, u in parts]},
                 fh,
             )
@@ -136,6 +144,9 @@ class PartitionedStore:
     def _write_schema_versions(self, vs):
         for p in self.parts:
             self.stores[p["name"]]._write_schema_versions(vs)
+
+    def _schema_versions(self):
+        return self._first()._schema_versions()
 
     def write_table_def(self, order, pk, pk_type="bigint", dt_prec=None,
                         time_cols=None, bin_cols=None, bit_cols=None):
@@ -209,7 +220,28 @@ class PartitionedStore:
         RANGE partitioning, so NULL keys route to the lowest partition.
         """
         c = F.col(self._stored_pcol())
-        df = df.persist()
+        if self.mode == "hash":
+            # MySQL HASH partitioning: value MOD n (NULL hashes to p0;
+            # ddl/partitions/alter_partition_by.test queries hash
+            # children by name)
+            df = df.localCheckpoint(eager=True)
+            n_p = len(self.parts)
+            hexpr = F.coalesce(
+                F.pmod(c.cast("bigint"), F.lit(n_p)), F.lit(0)
+            )
+            for i, p in enumerate(self.parts):
+                part = df.filter(hexpr == i)
+                if part.limit(1).count():
+                    self.stores[p["name"]].write_batch(
+                        part, version, delete=delete
+                    )
+            return
+        # localCheckpoint, not persist: the first child's write refreshes
+        # cached file listings, which DROPS persisted blocks — a lazy
+        # re-evaluation would then re-read the view INCLUDING the rows
+        # just written (self-INSERT ... SELECT duplicates rows;
+        # ddl/partitions/remove_partitioning.test)
+        df = df.localCheckpoint(eager=True)
         try:
             matched = None
             for i, (_, lo, hi) in enumerate(self._bounds()):
@@ -238,7 +270,7 @@ class PartitionedStore:
                 if part.limit(1).count():
                     self.stores[name].write_batch(part, version, delete=delete)
         finally:
-            df.unpersist()
+            pass  # checkpointed snapshot — nothing to unpersist
 
     def read(self, ts: int | None = None) -> DataFrame:
         out = None
