@@ -574,3 +574,23 @@ def test_scored_candidate_cap_deterministic_and_observable(spark, tmp_path):
         assert a[0] == full[0]
     finally:
         DeltaStore.FTS_OVERFETCH = old
+
+
+def test_fts_candidates_reach_scan_via_broadcast_join(spark, tmp_path):
+    """The scored-search candidate pool reaches the scan as a BROADCAST
+    LEFT SEMI join on the handle, not a multi-thousand-literal IN-list
+    (the 100 TB idiom: a literal predicate bloats plan and driver)."""
+    from tiflash_spark.sources.delta_store import DeltaStore
+
+    st = DeltaStore(spark, str(tmp_path / "fts_bj"))
+    rows = spark.createDataFrame(
+        [(i, f"alpha beta doc {i} " + "beta " * (i % 4)) for i in range(1, 200)],
+        "_tidb_rowid long, body string",
+    )
+    st.write_batch(rows, version=1)
+    st.compact(ts=1, num_segments=4)
+    st.build_fulltext_index("body")
+    df = st.fts_search_scored("body", "alpha beta", k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert df.count() == 5

@@ -29,7 +29,17 @@ pytestmark = pytest.mark.skipif(
 # scripts that replay green end-to-end (value-level compare, unordered
 # multiset — the reference's own comparison rules)
 PASSING: list[str] = [
+    "fullstack-test-index/inverted/create-on-alter-table.test",
+    "fullstack-test-index/inverted/create-on-create-table.test",
+    "fullstack-test-index/inverted/datetime-type.test",
+    "fullstack-test-index/inverted/modify-data-type.test",
     "fullstack-test-index/inverted/unsupported-type.test",
+    "fullstack-test-index/vector/distance.test",
+    "fullstack-test-index/vector/func.test",
+    "fullstack-test-index/vector/issue_10809.test",
+    "fullstack-test-index/vector/vector-index-on-create.test",
+    "fullstack-test-index/vector/vector-index-on-partition.test",
+    "fullstack-test-index/vector/vector-index.test",
     "fullstack-test/expr/adddate_string_real.test",
     "fullstack-test/expr/agg_pushdown.test",
     "fullstack-test/expr/ascii_pushdown.test",
@@ -39,6 +49,7 @@ PASSING: list[str] = [
     "fullstack-test/expr/cast_as_decimal.test",
     "fullstack-test/expr/cast_as_duration.test",
     "fullstack-test/expr/cast_as_json_issue10845.test",
+    "fullstack-test/expr/cast_as_time.test",
     "fullstack-test/expr/cast_decimal_as_real.test",
     "fullstack-test/expr/cast_decimal_overflow.test",
     "fullstack-test/expr/cast_json_as_string.test",
@@ -55,31 +66,43 @@ PASSING: list[str] = [
     "fullstack-test/expr/concat.test",
     "fullstack-test/expr/concat_ws.test",
     "fullstack-test/expr/date.test",
+    "fullstack-test/expr/date_add.test",
     "fullstack-test/expr/date_diff.test",
     "fullstack-test/expr/date_sub.test",
+    "fullstack-test/expr/datename_monthname.test",
     "fullstack-test/expr/datetime_literal.test",
     "fullstack-test/expr/day_of_month.test",
     "fullstack-test/expr/day_of_weekyear.test",
     "fullstack-test/expr/decimal_compare.test",
     "fullstack-test/expr/duplicate_column.test",
+    "fullstack-test/expr/duration_filter_late_materialization.test",
+    "fullstack-test/expr/duration_filter_late_materialization2.test",
+    "fullstack-test/expr/duration_pushdown.test",
     "fullstack-test/expr/elt.test",
+    "fullstack-test/expr/empty_input_for_udaf.test",
     "fullstack-test/expr/enum.test",
     "fullstack-test/expr/expr_tree_too_deep.test",
     "fullstack-test/expr/extract_datetime.test",
     "fullstack-test/expr/extract_datetime_from_string.test",
+    "fullstack-test/expr/extract_duration.test",
     "fullstack-test/expr/first_row.test",
     "fullstack-test/expr/from_unixtime.test",
     "fullstack-test/expr/generated_columns.test",
+    "fullstack-test/expr/generated_columns2.test",
     "fullstack-test/expr/generated_index.test",
     "fullstack-test/expr/get_format.test",
     "fullstack-test/expr/hex_int.test",
     "fullstack-test/expr/hex_str.test",
     "fullstack-test/expr/ifnull.test",
     "fullstack-test/expr/ilike_pushdown.test",
+    "fullstack-test/expr/in_expression.test",
     "fullstack-test/expr/is_ip_addr.test",
     "fullstack-test/expr/is_true_false.test",
     "fullstack-test/expr/json_array.test",
+    "fullstack-test/expr/json_contains_path.test",
     "fullstack-test/expr/json_depth.test",
+    "fullstack-test/expr/json_extract.test",
+    "fullstack-test/expr/json_keys.test",
     "fullstack-test/expr/json_length.test",
     "fullstack-test/expr/json_object.test",
     "fullstack-test/expr/json_unquote.test",
@@ -90,6 +113,7 @@ PASSING: list[str] = [
     "fullstack-test/expr/length_pushdown.test",
     "fullstack-test/expr/logical_op.test",
     "fullstack-test/expr/math_func.test",
+    "fullstack-test/expr/null_literal.test",
     "fullstack-test/expr/nulleq.test",
     "fullstack-test/expr/pad.test",
     "fullstack-test/expr/position_pushdown.test",
@@ -99,7 +123,9 @@ PASSING: list[str] = [
     "fullstack-test/expr/single_ifnull_in_predicate.test",
     "fullstack-test/expr/space.test",
     "fullstack-test/expr/sqrt.test",
+    "fullstack-test/expr/str_to_date.test",
     "fullstack-test/expr/strcmp.test",
+    "fullstack-test/expr/substring_index.test",
     "fullstack-test/expr/substring_utf8.test",
     "fullstack-test/expr/timestamp_filter.test",
     "fullstack-test/expr/timestamp_filter_late_materialization.test",
@@ -110,18 +136,30 @@ PASSING: list[str] = [
     "fullstack-test/expr/trim_pushdown.test",
     "fullstack-test/expr/unary_minus.test",
     "fullstack-test/expr/unhex.test",
+    "fullstack-test/expr/unixTimeStamp.test",
     "fullstack-test/expr/upper.test",
     "fullstack-test/expr/upper_and_lower.test",
     "fullstack-test/expr/week_of_year.test",
     "fullstack-test/expr/year-month-day.test",
+    "fullstack-test/issues/issue_10809_int_decimal.test",
+    "fullstack-test/issues/issue_10809_varchar.test",
     "fullstack-test/issues/issue_1796.test",
     "fullstack-test/issues/issue_1962.test",
+    "fullstack-test/issues/issue_2471.test",
+    "fullstack-test/issues/issue_3333.test",
+    "fullstack-test/issues/issue_3373.test",
     "fullstack-test/issues/issue_3447.test",
+    "fullstack-test/issues/issue_6807.test",
+    "fullstack-test/issues/issue_7519.test",
     "fullstack-test/issues/issue_7695.test",
     "fullstack-test/issues/issue_8111.test",
     "fullstack-test/issues/issue_8113.test",
+    "fullstack-test/issues/issue_8562.test",
+    "fullstack-test/issues/issue_8601.test",
     "fullstack-test/issues/issue_8607.test",
     "fullstack-test/issues/issue_8767.test",
+    "fullstack-test/issues/issue_8799.test",
+    "fullstack-test/issues/issue_8811.test",
     "fullstack-test/mpp/align_schema.test",
     "fullstack-test/mpp/apply.test",
     "fullstack-test/mpp/apply_with_late_materialization.test",
@@ -132,65 +170,122 @@ PASSING: list[str] = [
     "fullstack-test/mpp/dynamic_partition_prune.test",
     "fullstack-test/mpp/extra_physical_table_column.test",
     "fullstack-test/mpp/generated_column.test",
+    "fullstack-test/mpp/having.test",
     "fullstack-test/mpp/issue10045.test",
     "fullstack-test/mpp/issue_6808.test",
+    "fullstack-test/mpp/join_filter_on_constant_column.test",
+    "fullstack-test/mpp/late_materialization_extra_table_id_column.test",
+    "fullstack-test/mpp/late_materialization_generate_column.test",
+    "fullstack-test/mpp/left_semi_family_joins.test",
     "fullstack-test/mpp/misc_join.test",
     "fullstack-test/mpp/mpp_fail.test",
     "fullstack-test/mpp/no_local_region.test",
+    "fullstack-test/mpp/partition_table_with_time.test",
     "fullstack-test/mpp/remote_cop_fail.test",
+    "fullstack-test/mpp/remote_read_virtual_column.test",
     "fullstack-test/mpp/remote_read_with_timestamp_filter.test",
     "fullstack-test/mpp/right_join.test",
     "fullstack-test/mpp/right_semi_family_join.test",
     "fullstack-test/mpp/rollup.test",
+    "fullstack-test/mpp/rollup_tpcds.test",
     "fullstack-test/mpp/runtime_filter.test",
     "fullstack-test/mpp/window.test",
     "fullstack-test/mpp/window_range_frame.test",
+    "fullstack-test2/ddl/alter_column_bit.test",
+    "fullstack-test2/ddl/alter_column_datetime.test",
     "fullstack-test2/ddl/alter_column_when_pk_is_handle.test",
     "fullstack-test2/ddl/alter_create_database.test",
     "fullstack-test2/ddl/alter_create_database_crash.test",
     "fullstack-test2/ddl/alter_create_table.test",
+    "fullstack-test2/ddl/alter_create_table_from_multi_regions.test",
+    "fullstack-test2/ddl/alter_default_value.test",
     "fullstack-test2/ddl/alter_default_value_update.test",
     "fullstack-test2/ddl/alter_drop_table.test",
+    "fullstack-test2/ddl/alter_drop_table_crash.test",
     "fullstack-test2/ddl/alter_pk.test",
     "fullstack-test2/ddl/alter_table_tiflash_replica.test",
     "fullstack-test2/ddl/alter_truncate_table.test",
+    "fullstack-test2/ddl/binary_default_value.test",
+    "fullstack-test2/ddl/datetime_default_value.test",
+    "fullstack-test2/ddl/expression_index.test",
     "fullstack-test2/ddl/issue_10663.test",
     "fullstack-test2/ddl/multi_alter_with_write.test",
     "fullstack-test2/ddl/partitions/alter_exchange_partition.test",
+    "fullstack-test2/ddl/partitions/alter_partition_by.test",
     "fullstack-test2/ddl/partitions/partition_basic.test",
+    "fullstack-test2/ddl/partitions/remove_partitioning.test",
+    "fullstack-test2/ddl/partitions/rename_column.test",
+    "fullstack-test2/ddl/partitions/reorganize_partition.test",
     "fullstack-test2/ddl/rename_pk.test",
     "fullstack-test2/ddl/rename_table.test",
     "fullstack-test2/ddl/rename_table_across_databases.test",
+    "fullstack-test2/ddl/rename_table_crash.test",
+    "fullstack-test2/ddl/widen_pk.test",
+    "fullstack-test2/dml/foreign_key_shared_lock_wide_row.test",
     "fullstack-test2/dml/test_table_scan.test",
     "fullstack-test2/dml/text_blob_type.test",
+    "tidb-ci/disable_new_collation_fullstack/alter_default_value.test",
+    "tidb-ci/new_collation_fullstack/clustered_index.test",
+    "tidb-ci/new_collation_fullstack/count_distinct.test",
+    "tidb-ci/new_collation_fullstack/expr.test",
+    "tidb-ci/new_collation_fullstack/group_concat.test",
+    "tidb-ci/new_collation_fullstack/join.test",
+    "tidb-ci/new_collation_fullstack/operator.test",
+    "tidb-ci/new_collation_fullstack/regexp.test",
+    "tidb-ci/new_collation_fullstack/sort_constant_column.test",
+    "tidb-ci/new_collation_fullstack/strcmp.test",
 ]
 
 # script -> reason we deliberately diverge (documented, not hidden).
 # Scripts in NEITHER list are candidates still being driven down — run
 # scripts/fullstack_sweep.py for the current per-script state.
 KNOWN_DIVERGENT: dict[str, str] = {
-    "fullstack-test/expr/cast_as_json.test": "no JSON column type; cast-to-JSON unimplemented",
-    "fullstack-test/expr/decimal_divide.test": "Spark decimal-division scale (max(6, s1+p2+1)) vs MySQL s1+4; mysql_decimal_divide (functions/mysql_compat.py) implements the MySQL rule for the Python API",
-    "fullstack-test/expr/duration_pushdown.test": "TIME columns store normalized strings; duration-domain compares/rounding-at-declared-precision not modeled",
-    "fullstack-test/expr/duration_filter_late_materialization.test": "duration-domain filters (see duration_pushdown)",
-    "fullstack-test/expr/duration_filter_late_materialization2.test": "duration-domain filters (see duration_pushdown)",
-    "fullstack-test/expr/extract_duration.test": "EXTRACT over TIME strings (see duration_pushdown)",
-    "fullstack-test/expr/compare_year_with_date.test": "YEAR column type maps to smallint; year-vs-date comparison coercion not modeled",
-    "fullstack-test/expr/sum_of_enum_pushdown.test": "ENUM stores the label; casts to the 1-based member index not modeled",
-    "fullstack-test/expr/from_days.test": "the reference's own MPP and cop modes disagree (NULL vs '10000-01-01' past range); we implement the MPP contract",
-    "fullstack-test/expr/lead_lag.test": "LEAD/LAG string defaults over numeric columns coerce differently",
-    "fullstack-test/expr/regexp.test": "regexp_instr with pos/occurrence/return_option operands not implemented",
-    "fullstack-test/expr/like.test": "stray mid-pattern escapes ('12\\34') rejected by Spark's LIKE compiler",
-    "fullstack-test/expr/mod_extra.test": "decimal(65,*) operands exceed Spark's p<=38 (documented gap, SURVEY §1.2)",
+    "fullstack-test/expr/cast_as_json.test":
+    "no JSON column type; cast-to-JSON unimplemented (JSON lives as strings; mysql_json.py covers the path functions)",
+    "fullstack-test/expr/decimal_divide.test":
+    "Spark decimal-division scale (max(6, s1+p2+1)) vs MySQL s1+4; mysql_decimal_divide (functions/mysql_compat.py) implements the MySQL rule for the Python API",
+    "fullstack-test/expr/compare_year_with_date.test":
+    "YEAR column type maps to smallint; year-vs-date comparison coercion not modeled",
+    "fullstack-test/expr/sum_of_enum_pushdown.test":
+    "ENUM stores the label; casts to the 1-based member index not modeled",
+    "fullstack-test/expr/from_days.test":
+    "the reference's own MPP and cop modes disagree (NULL vs '10000-01-01' past range); we implement the MPP contract",
+    "fullstack-test/expr/lead_lag.test":
+    "LEAD/LAG string defaults over numeric columns coerce differently",
+    "fullstack-test/expr/regexp.test":
+    "regexp_instr with pos/occurrence/return_option operands not implemented",
+    "fullstack-test/expr/like.test":
+    "stray mid-pattern escapes ('12\34') rejected by Spark's LIKE compiler",
+    "fullstack-test/expr/mod.test":
+    "decimal256 group: decimal(65,*) operands exceed Spark's p<=38 hard cap (SURVEY §1.2); the p<=38 groups in the same script pass",
+    "fullstack-test/expr/mod_extra.test":
+    "decimal(65,*) operands exceed Spark's p<=38 (documented gap, SURVEY §1.2)",
+    "fullstack-test/expr/format.test": "FORMAT of decimal(65,0) values needs >38 significant digits",
+    "fullstack-test/expr/round.test":
+    "decimal256 groups (sum(round(decimal(65))) carries 65 digits); the p<=38 groups pass",
     "fullstack-test/expr/round_with_frac.test": "float-domain rounding tails and p>38 decimals",
+    "fullstack-test/expr/special_new_decimal_type.test": "decimal(65,30) CASE branches exceed p<=38",
     "fullstack-test/expr/tidb_truncate.test": "float-domain truncation tails",
-    "fullstack-test/expr/generated_columns2.test": "TIME-typed generated columns with duration arithmetic",
-    "fullstack-test/expr/return_warning.test": "warning-channel semantics (statements succeed with warnings here)",
-    "fullstack-test/mpp/window_agg.test": "chaos tail mixes TIME literals and lossy MODIFY (timestamp -> bool)",
-    "fullstack-test/mpp/issue_8604.test": "backtick column names containing parens ('col_char(20)_key_signed')",
-    "fullstack-test2/ddl/alter_column_nullable.test": "lossy MODIFY (decimal -> bigint) needs reorg; lossless widening only",
-    "fullstack-test2/ddl/binary_default_value.test": "BINARY(n) zero-padding of values/defaults not modeled",
-    "fullstack-test2/ddl/widen_pk.test": "re-signing the clustered handle (int -> bigint unsigned wrap) not modeled",
+    "fullstack-test/expr/return_warning.test":
+    "warning-channel semantics (statements succeed with warnings here)",
+    "fullstack-test/mpp/window_agg.test":
+    "chaos tail mixes TIME literals and lossy MODIFY (timestamp -> bool)",
+    "fullstack-test/mpp/issue_8604.test":
+    "backtick column names containing parens ('col_char(20)_key_signed')",
+    "fullstack-test2/ddl/alter_column_nullable.test":
+    "lossy MODIFY (decimal -> bigint) needs reorg; lossless widening only",
+    "fullstack-test2/ddl/alter_column_enum.test":
+    "ENUM ordinal arithmetic (name+0 is the 1-based member index) not modeled",
+    "fullstack-test2/ddl/alter_decimal_default_value.test":
+    "decimal256 defaults (decimal(65,*)) exceed Spark's p<=38",
+    "fullstack-test/issues/issue_4519.test":
+    "decimal(65,10)=decimal(65,0) join keys clamp to p=38, where Spark's max-precision comparison truncates the scale (0.1=0 compares true)",
+    "fullstack-test/issues/issue_8482.test":
+    "JSON is not a typed domain: json-true vs boolean/int comparison semantics",
+    "tidb-ci/new_collation_fullstack/default_value.test":
+    "ENUM/SET default labels are not canonicalized to the declared member case ('EF' vs 'ef')",
+    "tidb-ci/new_collation_fullstack/function_collator.test":
+    "mixed varbinary-vs-collated-string IN lists: MySQL coerces to binary per operand pair; Spark's IN demands one type",
 }
 
 
@@ -221,6 +316,13 @@ SMOKE = [
     "fullstack-test2/ddl/multi_alter_with_write.test",
     "fullstack-test2/ddl/rename_table.test",
     "fullstack-test2/dml/test_table_scan.test",
+    "fullstack-test/expr/json_extract.test",
+    "fullstack-test/expr/extract_duration.test",
+    "fullstack-test/mpp/rollup_tpcds.test",
+    "fullstack-test/mpp/left_semi_family_joins.test",
+    "fullstack-test2/ddl/partitions/reorganize_partition.test",
+    "tidb-ci/new_collation_fullstack/strcmp.test",
+    "tidb-ci/new_collation_fullstack/operator.test",
 ]
 
 _SELECTED = PASSING if os.environ.get("FULLSTACK_ALL") else SMOKE

@@ -1987,6 +1987,49 @@ def _rewrite_in_table(sql: str) -> str:
         out = out[: lm.start()] + repl + out[m.end():]
 
 
+# MySQL recursive CTE with LIMIT: the LIMIT is the recursion terminator
+# (mpp/remote_read_virtual_column.test generates 10000 rows). Spark
+# requires the body be a bare UNION, so the LIMIT becomes an explicit
+# level counter: depth-capped UNION ALL + an outer DISTINCT/LIMIT shell.
+_REC_CTE_LIMIT = re.compile(
+    r"(?is)\bwith\s+recursive\s+(?P<name>\w+)\s+as\s*\(\s*"
+    r"(?P<anchor>select\b.*?)\s+union\s+(?P<all>all\s+)?"
+    r"(?P<rec>select\b.*?)\s+limit\s+(?P<n>\d+)\s*\)"
+)
+
+
+def _rewrite_recursive_limit(sql: str) -> str:
+    m = _REC_CTE_LIMIT.search(sql)
+    if not m:
+        return sql
+    name, n = m.group("name"), int(m.group("n"))
+    anchor, rec = m.group("anchor"), m.group("rec")
+    ap = _split_top_kw(anchor, "FROM")
+    anchor2 = (
+        f"{ap[0]}, 1 AS _rlvl FROM {ap[1]}" if ap
+        else f"{anchor}, 1 AS _rlvl"
+    )
+    rp = _split_top_kw(rec, "FROM")
+    if not rp:
+        return sql
+    rec_from = re.sub(rf"\b{re.escape(name)}\b", f"{name}__r", rp[1])
+    wp = _split_top_kw(rec_from, "WHERE")
+    if wp:
+        rec2 = (
+            f"{rp[0]}, _rlvl + 1 AS _rlvl FROM {wp[0]}"
+            f" WHERE ({wp[1]}) AND _rlvl < {n}"
+        )
+    else:
+        rec2 = f"{rp[0]}, _rlvl + 1 AS _rlvl FROM {rec_from} WHERE _rlvl < {n}"
+    dedup = "" if m.group("all") else "DISTINCT "
+    repl = (
+        f"WITH RECURSIVE {name}__r AS ({anchor2} UNION ALL {rec2}),"
+        f" {name} AS (SELECT {dedup}* EXCEPT (_rlvl) FROM {name}__r"
+        f" LIMIT {n})"
+    )
+    return sql[: m.start()] + repl + sql[m.end():]
+
+
 # Quantified comparisons (`x <> ANY (SELECT ...)`, mpp/having.test):
 # MySQL's ANY/SOME/ALL subquery operators have no Spark spelling. =ANY
 # is IN and <>ALL is NOT IN (exact, incl. NULL semantics); the other
@@ -2618,6 +2661,8 @@ def run_sql(
         spark._tiflash_mysql_fns = True
     if _TIDB_HINT.search(sql):
         sql = _TIDB_HINT.sub(" ", sql)
+    if _REC_CTE_LIMIT.search(sql):
+        sql = _rewrite_recursive_limit(sql)
     if _CHARSET_INTRO.search(sql):
         sql = _CHARSET_INTRO.sub("", sql)
     if _JSON_ARROW.search(sql):
