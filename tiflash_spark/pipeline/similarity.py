@@ -441,12 +441,19 @@ QUERIES["ann_ivf_topk"] = ann_ivf_topk  # approximate: rows-only driver check
 # sized: centroids only), persisted next to it, and fully deterministic.
 
 GRAPH_M = 4  # neighbors per centroid in the NSW graph
+# below this count a single bucket (exact all-pairs within one executor-
+# side join) is cheaper than banding and reproduces the dense build
+_EXACT_BUILD_MAX = 4096
+_GRAPH_BANDS = 8  # LSH bands at C > _EXACT_BUILD_MAX
+_GRAPH_BUCKET_TARGET = 256  # aimed-for centroids per band bucket
 
 
 def build_centroid_graph(cent_rows: list[tuple[int, list[float]]],
                          m: int = GRAPH_M) -> dict[int, list[int]]:
-    """M nearest centroids per centroid by L2 (deterministic ties on
-    cid). O(C²·d) at BUILD time, once per index build."""
+    """Dense M-NN reference build (numpy, O(C²·d)) — kept ONLY as the
+    small-C oracle that the distributed build is pinned against in
+    tests/test_similarity.py; the production path is
+    build_centroid_graph_df."""
     import numpy as np
 
     ids = [c for c, _ in cent_rows]
@@ -457,6 +464,130 @@ def build_centroid_graph(cent_rows: list[tuple[int, list[float]]],
         order = sorted(range(len(ids)), key=lambda j: (float(d2[i][j]), ids[j]))
         graph[cid] = [ids[j] for j in order if j != i][:m]
     return graph
+
+
+def build_centroid_graph_df(spark: SparkSession, cents: DataFrame,
+                            m: int = GRAPH_M) -> DataFrame:
+    """Distributed M-NN graph over the centroid table (cid, cvec) —
+    never the O(C²·d) driver matrix. At C ≤ _EXACT_BUILD_MAX one
+    constant band makes the candidate join exact (identical edges to the
+    dense build); above that, _GRAPH_BANDS sign-bit random-projection
+    bands (deterministic seed) bound candidate pairs at ~bands·bucket·C
+    — linear in C — and a cid-ring closure keeps the graph connected so
+    the greedy walk can always escape its entry. Returns
+    (cid int, neighbors array<int>), neighbors ordered by (L2, cid) with
+    the ring successor appended last when not already among the m.
+
+    Scale note (100 TB tier): the whole build is joins + window ranks on
+    the centroid table only; at C = 1M, bucket 256, 8 bands it is ~2e9
+    distance evaluations spread across executors, vs 1e12 (and a driver
+    OOM) for the dense matrix."""
+    from pyspark.sql import Window
+
+    C = cents.count()  # bounded: centroid table
+    first = cents.select("cvec").first()
+    dim = len(first[0]) if first else 0
+    if C <= 1 or dim == 0:
+        return cents.select(
+            F.col("cid").cast("int").alias("cid"),
+            F.expr("cast(array() as array<int>)").alias("neighbors"),
+        )
+
+    a = cents.select(F.col("cid").alias("a_cid"), F.col("cvec").alias("a_vec"))
+    b = cents.select(F.col("cid").alias("b_cid"), F.col("cvec").alias("b_vec"))
+
+    if C <= _EXACT_BUILD_MAX:
+        pairs = a.crossJoin(b)
+    else:
+        import random
+
+        rnd = random.Random(0x5EED_C91D)
+        bits = max(1, (C // _GRAPH_BUCKET_TARGET).bit_length())
+        # deterministic hyperplanes: bands × bits × dim coefficients
+        planes = [
+            [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+            for _ in range(_GRAPH_BANDS)
+        ]
+
+        def _sig(vec_col, band: int):
+            # sign-bit signature of one band: packed int of hyperplane sides
+            expr = F.lit(0)
+            for j, plane in enumerate(planes[band]):
+                dot = sum(
+                    (vec_col[i].cast("double") * F.lit(w)
+                     for i, w in enumerate(plane) if w),
+                    start=F.lit(0.0),
+                )
+                expr = expr + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            return expr
+
+        a_b = a.select(
+            "a_cid", "a_vec",
+            F.explode(F.array(*[
+                F.struct(F.lit(bd).alias("band"),
+                         _sig(F.col("a_vec"), bd).alias("sig"))
+                for bd in range(_GRAPH_BANDS)
+            ])).alias("bk"),
+        )
+        b_b = b.select(
+            "b_cid", "b_vec",
+            F.explode(F.array(*[
+                F.struct(F.lit(bd).alias("band"),
+                         _sig(F.col("b_vec"), bd).alias("sig"))
+                for bd in range(_GRAPH_BANDS)
+            ])).alias("bk"),
+        )
+        pairs = a_b.join(b_b, a_b.bk == b_b.bk).drop("bk")
+
+    pairs = pairs.where(F.col("a_cid") != F.col("b_cid"))
+    d2 = F.aggregate(
+        F.zip_with("a_vec", "b_vec",
+                   lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ).alias("d2")
+    ranked = (
+        pairs.select("a_cid", "b_cid", d2)
+        .dropDuplicates(["a_cid", "b_cid"])  # multi-band dup candidates
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("a_cid").orderBy(
+                    F.col("d2").asc(), F.col("b_cid").asc())
+            ),
+        )
+        .where(F.col("rk") <= m)
+    )
+    knn = ranked.groupBy("a_cid").agg(
+        F.expr("transform(sort_array(collect_list(struct(rk, b_cid))),"
+               " x -> x.b_cid)").alias("nn")
+    )
+    # ring closure: every cid also links to its cid-order successor
+    # (wrapping), guaranteeing reachability from the walk's entry point —
+    # one centroid-table-sized window pass at build time
+    ring = cents.select(
+        F.col("cid").alias("a_cid"),
+        F.lead("cid", 1).over(Window.orderBy("cid")).alias("succ"),
+    )
+    first_cid = cents.agg(F.min("cid")).collect()[0][0]
+    ring = ring.withColumn(
+        "succ", F.coalesce(F.col("succ"), F.lit(first_cid)))
+    out = (
+        cents.select(F.col("cid").alias("a_cid"))
+        .join(knn, "a_cid", "left")
+        .join(ring, "a_cid", "left")
+        .select(
+            F.col("a_cid").cast("int").alias("cid"),
+            F.expr(
+                "transform(array_distinct(concat("
+                " coalesce(nn, array()),"
+                " case when succ is not null and succ <> a_cid"
+                "      then array(succ) else array()"
+                " end)), x -> cast(x as int))"
+            ).alias("neighbors"),
+        )
+    )
+    return out
 
 
 def graph_probe(graph: dict[int, list[int]],
@@ -504,30 +635,56 @@ def graph_probe(graph: dict[int, list[int]],
     )[:n_probe]
 
 
+def _centroid_fingerprint(cents: DataFrame) -> str:
+    """Order-independent fingerprint of the centroid set (count + summed
+    per-row crc32 over cid:vec) — one small agg job on the centroid
+    table. Stamped into the graph sidecar so a rebuilt index (data or K
+    change) invalidates the persisted NSW graph instead of silently
+    degrading the walk."""
+    row = cents.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.crc32(F.concat_ws(
+                ":", F.col("cid").cast("string"),
+                F.col("cvec").cast("array<double>").cast("string"),
+            ).cast("binary"))
+        ).alias("h"),
+    ).collect()[0]
+    return f"{int(row.n)}-{int(row.h or 0)}"
+
+
 def centroid_graph(spark: SparkSession, sf_dir: str, cents: DataFrame) -> dict:
     """The persisted NSW graph sidecar (ivf_graph_{tag}) — built with the
-    index, read as (cid, neighbors) rows, broadcast-sized by design."""
+    index by the DISTRIBUTED banded kNN join (build_centroid_graph_df),
+    read as (cid, neighbors) rows, broadcast-sized by design. The
+    sidecar carries a fingerprint of the centroid set (_FINGERPRINT,
+    Spark ignores underscore files) and rebuilds on mismatch."""
     import os
 
     from tiflash_spark.pipeline.fulltext import _sf_tag, _warehouse_path
 
     wh = _warehouse_path(spark)
-    rows = None
     if wh:
         gloc = os.path.join(wh, f"ivf_graph_{_sf_tag(sf_dir)}")
-        if not os.path.isdir(gloc):
-            cent_rows = [
-                (int(r.cid), list(r.cvec)) for r in cents.collect()
-            ]
-            g = build_centroid_graph(cent_rows)
-            spark.createDataFrame(
-                [(c, nbrs) for c, nbrs in sorted(g.items())],
-                "cid int, neighbors array<int>",
-            ).coalesce(1).write.mode("overwrite").parquet(gloc)
+        fp_path = os.path.join(gloc, "_FINGERPRINT")
+        fp = _centroid_fingerprint(cents)
+        stale = True
+        if os.path.isdir(gloc) and os.path.exists(fp_path):
+            with open(fp_path) as fh:
+                stale = fh.read().strip() != fp
+        if stale:
+            build_centroid_graph_df(spark, cents).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(gloc)
+            with open(fp_path, "w") as fh:
+                fh.write(fp)
+            spark.catalog.refreshByPath(gloc)
         rows = spark.read.parquet(gloc).collect()
         return {int(r.cid): [int(n) for n in r.neighbors] for r in rows}
-    cent_rows = [(int(r.cid), list(r.cvec)) for r in cents.collect()]
-    return build_centroid_graph(cent_rows)
+    return {
+        int(r.cid): [int(n) for n in r.neighbors]
+        for r in build_centroid_graph_df(spark, cents).collect()
+    }
 
 
 def ann_ivf_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

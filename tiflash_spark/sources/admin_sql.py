@@ -202,9 +202,14 @@ def _rewrite_infoschema(spark, sql: str, stores) -> str:
                     " rows_stable_not_indexed long",
                 )
             else:
+                labels = getattr(store, "_replica_labels", None)
+                if labels is None and hasattr(store, "table_def"):
+                    # persisted next to order/pk — survives store
+                    # reconstruction and fresh sessions
+                    labels = (store.table_def() or {}).get(
+                        "replica_labels", "")
                 df = spark.createDataFrame(
-                    [("test", name, 1,
-                      getattr(store, "_replica_labels", ""), 1, 1.0)],
+                    [("test", name, 1, labels or "", 1, 1.0)],
                     "table_schema string, table_name string,"
                     " replica_count int, location_labels string,"
                     " available int, progress double",
@@ -658,6 +663,21 @@ def _alter_type(t: str, unsigned: bool) -> str:
         return _mysql_type_to_spark(t, unsigned)
     except ValueError:
         return t.lower().replace(" ", "")
+
+
+def _rename_width_meta(td: dict, old: str, new: str) -> dict:
+    """Patch kwargs for update_table_def when a column is renamed: width
+    metadata (dt_prec/time_cols/bin_cols/bit_cols) is keyed by column
+    name and must travel with the rename or the renamed column loses its
+    BINARY zero-padding / TIME fsp / bit-hex rendering."""
+    patch: dict = {}
+    for key in ("dt_prec", "time_cols", "bin_cols", "bit_cols"):
+        meta = td.get(key)
+        if meta and old in meta:
+            meta = dict(meta)
+            meta[new] = meta.pop(old)
+            patch[key] = meta
+    return patch
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -1317,10 +1337,9 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                     r"(?:\s+separator\s+(?P<sep>'(?:[^'\\]|\\.)*'))?\s*$",
                     inner,
                 )
-                if gm and gm.group("body").strip() and not re.search(
-                    r"(?i)\bdesc\b", gm.group("ob") or ""
-                ):
-                    sep = gm.group("sep") or "','"
+                if gm and gm.group("body").strip():
+                    sep = gm.group("sep")
+                    sep = "','" if sep is None else sep
                     exprs = _split_top_level(gm.group("body"))
                     val = (
                         exprs[0] if len(exprs) == 1
@@ -1328,34 +1347,75 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                             f"try_cast(({e}) AS STRING)" for e in exprs
                         ) + ")"
                     )
-                    if gm.group("d"):
+                    # MySQL: zero contributing rows -> NULL (not '');
+                    # count(val) counts rows where the concatenation is
+                    # non-NULL (any NULL arg nulls the row out). An
+                    # explicit SET group_concat_max_len truncates the
+                    # rendered result (MySQL clamps the floor at 4).
+                    try:
+                        _maxlen = max(
+                            4, int(SESSION_VARS["group_concat_max_len"]))
+                    except (KeyError, ValueError):
+                        _maxlen = None
+
+                    def _gc(body: str, sep=sep, val=val, ml=_maxlen) -> str:
+                        out_expr = f"concat_ws({sep}, {body})"
+                        if ml is not None:
+                            out_expr = f"substring({out_expr}, 1, {ml})"
+                        return f"if(count({val}) = 0, NULL, {out_expr})"
+
+                    if gm.group("ob"):
+                        # per-key ASC/DESC via an array_sort comparator:
+                        # positional keys name the arguments, NULLs sort
+                        # first ASC / last DESC (MySQL), the rendered
+                        # value breaks remaining ties deterministically
+                        keys: list[tuple[str, bool]] = []
+                        for k in _split_top_level(gm.group("ob")):
+                            k = k.strip()
+                            asc = not re.search(r"(?i)\s+desc$", k)
+                            k = re.sub(r"(?i)\s+(asc|desc)$", "", k)
+                            if (re.match(r"^\d+$", k)
+                                    and 1 <= int(k) <= len(exprs)):
+                                k = exprs[int(k) - 1]
+                            keys.append((k, asc))
+                        kf = ", ".join(
+                            f"({k}) AS _g{i}"
+                            for i, (k, _) in enumerate(keys)
+                        )
+                        coll = f"collect_list(struct({kf}, {val} AS _gcv))"
+                        if gm.group("d"):
+                            # dedupe on the (keys, value) tuple — with
+                            # positional keys that IS MySQL's arg tuple
+                            coll = f"array_distinct({coll})"
+                        cmp_expr = (
+                            "CASE WHEN l._gcv <=> r._gcv THEN 0"
+                            " WHEN l._gcv IS NULL THEN -1"
+                            " WHEN r._gcv IS NULL THEN 1"
+                            " WHEN l._gcv < r._gcv THEN -1 ELSE 1 END"
+                        )
+                        for i in range(len(keys) - 1, -1, -1):
+                            lo, hi = ("-1", "1") if keys[i][1] else ("1", "-1")
+                            g = f"_g{i}"
+                            cmp_expr = (
+                                f"CASE WHEN l.{g} <=> r.{g} THEN ({cmp_expr})"
+                                f" WHEN l.{g} IS NULL THEN {lo}"
+                                f" WHEN r.{g} IS NULL THEN {hi}"
+                                f" WHEN l.{g} < r.{g} THEN {lo}"
+                                f" ELSE {hi} END"
+                            )
+                        rep = _gc(
+                            f"transform(array_sort({coll},"
+                            f" (l, r) -> {cmp_expr}), s -> s._gcv)"
+                        )
+                    elif gm.group("d"):
                         # collect_set rejects COLLATED strings;
                         # array_distinct dedupes by the collation
-                        rep = (
-                            f"concat_ws({sep}, array_sort("
-                            f"array_distinct(collect_list({val}))))"
-                        )
-                    elif gm.group("ob"):
-                        keys = []
-                        for k in _split_top_level(gm.group("ob")):
-                            k = re.sub(r"(?i)\s+asc$", "", k.strip())
-                            keys.append(
-                                exprs[int(k) - 1]
-                                if re.match(r"^\d+$", k) else k
-                            )
-                        kf = ", ".join(
-                            f"({k}) AS _g{i}" for i, k in enumerate(keys)
-                        )
-                        rep = (
-                            f"concat_ws({sep}, transform(array_sort("
-                            f"collect_list(struct({kf}, {val} AS _gcv))),"
-                            f" s -> s._gcv))"
+                        rep = _gc(
+                            f"array_sort(array_distinct("
+                            f"collect_list({val})))"
                         )
                     else:
-                        rep = (
-                            f"concat_ws({sep},"
-                            f" sort_array(collect_list({val})))"
-                        )
+                        rep = _gc(f"sort_array(collect_list({val}))")
             elif fn == "strcmp":
                 # inline so collated operands keep their collation
                 # (tidb-ci strcmp.test: general_ci compares fold case) —
@@ -1745,6 +1805,96 @@ def _rewrite_mysql_exprs(sql: str) -> str:
     return sql
 
 
+def _rewrite_mysql_division(sql: str, stores) -> str:
+    """MySQL decimal division: scale(result) = scale(dividend) +
+    div_precision_increment (default 4), applied when BOTH operands are
+    exact-numeric COLUMNS of registered tables (TiDB folds literal /
+    literal division at parser precision — those stay as-is;
+    issue_1425.test, set_variable_div_precision_increment.test). Spark's
+    own division lands elsewhere: int/int at DOUBLE, decimal/decimal at
+    s1+p2+1."""
+    scales: dict[str, int | None] = {}
+    for s in (stores or {}).values():
+        if not hasattr(s, "current_fields"):
+            continue
+        for n, t in s.current_fields() or []:
+            tl = str(t).lower()
+            mdec = re.match(r"decimal\((\d+),\s*(\d+)\)", tl)
+            if mdec:
+                sc: int | None = int(mdec.group(2))
+            elif tl in ("tinyint", "smallint", "int", "bigint"):
+                sc = 0
+            else:
+                sc = None
+            k = n.lower()
+            # a name that maps to different scales across tables is
+            # ambiguous without a resolver — leave it alone
+            scales[k] = sc if k not in scales or scales[k] == sc else None
+    if not any(v is not None for v in scales.values()):
+        return sql
+    inc = _div_precision_increment()
+    ident = r"[A-Za-z_]\w*"
+    pat = re.compile(
+        rf"(?<![\w.'\"`])(?P<a>(?:{ident}\s*\.\s*)?{ident})"
+        rf"\s*/\s*"
+        rf"(?P<b>(?:{ident}\s*\.\s*)?{ident})(?![\w.(])"
+    )
+
+    def _sub(m: re.Match) -> str:
+        a, b = m.group("a"), m.group("b")
+        sa = scales.get(a.split(".")[-1].strip().lower())
+        sb = scales.get(b.split(".")[-1].strip().lower())
+        if sa is None or sb is None:
+            return m.group(0)
+        sc = min(sa + inc, 30)
+        return (
+            f"try_cast(try_cast(({a}) AS DECIMAL(38,{min(sa + 10, 30)}))"
+            f" / ({b}) AS DECIMAL(38,{sc}))"
+        )
+
+    return _sub_outside_quotes(sql, pat, _sub)
+
+
+def _rewrite_avg_inc(sql: str, stores) -> str:
+    """AVG at a NON-default div_precision_increment: MySQL's AVG scale is
+    D + div_precision_increment; the default-4 case rides Spark's own
+    avg(decimal) scale (handled in _rewrite_mysql_exprs), but SET
+    div_precision_increment = n needs the explicit sum/count form at the
+    column's declared scale (set_variable_div_precision_increment.test)."""
+    inc = _div_precision_increment()
+    scales: dict[str, int] = {}
+    for s in (stores or {}).values():
+        if not hasattr(s, "current_fields"):
+            continue
+        for n, t in s.current_fields() or []:
+            tl = str(t).lower()
+            mdec = re.match(r"decimal\((\d+),\s*(\d+)\)", tl)
+            if mdec:
+                scales[n.lower()] = int(mdec.group(2))
+            elif tl in ("tinyint", "smallint", "int", "bigint"):
+                scales[n.lower()] = 0
+
+    def _sub(m: re.Match) -> str:
+        col = m.group("col")
+        s0 = scales.get(col.split(".")[-1].strip().lower())
+        if s0 is None:
+            return m.group(0)
+        sc = min(s0 + inc, 30)
+        return (
+            f"try_cast(try_cast(sum({col}) AS DECIMAL(38,{min(s0 + 10, 30)}))"
+            f" / count({col}) AS DECIMAL(38,{sc}))"
+        )
+
+    return _sub_outside_quotes(
+        sql,
+        re.compile(
+            r"(?i)\bavg\s*\(\s*(?P<col>(?:[A-Za-z_]\w*\s*\.\s*)?"
+            r"[A-Za-z_]\w*)\s*\)"
+        ),
+        _sub,
+    )
+
+
 def _sub_outside_quotes(sql: str, pattern: re.Pattern, repl) -> str:
     """Apply a regex substitution only on spans outside string literals;
     quoted spans pass through verbatim."""
@@ -2071,9 +2221,15 @@ def _rewrite_quantified(sql: str) -> str:
             if op in ("<>", "!="):
                 repl = f"{lhs} NOT IN ({sub})"
             else:
+                # the `({lhs}) IS NULL` arm keeps MySQL's three-valued
+                # ALL: NULL x > ALL (nonempty) is NULL (row filtered in
+                # WHERE), not TRUE — without it the NOT EXISTS form
+                # evaluates WHERE NULL to no-rows and wrongly keeps the
+                # row. (NULL x > ALL (empty) stays TRUE: no probe rows.)
                 repl = (
                     f"NOT EXISTS (SELECT 1 FROM ({sub}) _q_all(_qv)"
-                    f" WHERE NOT (({lhs}) {op} _qv) OR _qv IS NULL)"
+                    f" WHERE NOT (({lhs}) {op} _qv) OR _qv IS NULL"
+                    f" OR ({lhs}) IS NULL)"
                 )
         out = out[: lm.start()] + repl + out[cl + 1:]
         pos = lm.start() + len(repl)
@@ -2640,6 +2796,25 @@ def _sql_with_rescues(spark: SparkSession, sql: str, stores=None) -> DataFrame:
     return spark.sql(sql)
 
 
+# session variables the SQL surface honors (MySQL semantics; reference
+# run-test scripts SET them inline). testscript.run_script resets this
+# per script; defaults when unset: div_precision_increment=4,
+# group_concat_max_len untracked (no truncation).
+SESSION_VARS: dict[str, str] = {}
+_TRACKED_VARS = ("group_concat_max_len", "div_precision_increment")
+_SET_TRACKED = re.compile(
+    r"(?i)^\s*set\s+(?:session\s+|global\s+|@@(?:session\.|global\.)?)?"
+    r"(?P<var>" + "|".join(_TRACKED_VARS) + r")\s*=\s*(?P<val>\S+?)\s*;?\s*$"
+)
+
+
+def _div_precision_increment() -> int:
+    try:
+        return int(SESSION_VARS.get("div_precision_increment", "4"))
+    except ValueError:
+        return 4
+
+
 def run_sql(
     spark: SparkSession,
     sql: str,
@@ -2659,6 +2834,13 @@ def run_sql(
 
         register_mysql_functions(spark)
         spark._tiflash_mysql_fns = True
+    m = _SET_TRACKED.match(sql)
+    if m:
+        SESSION_VARS[m.group("var").lower()] = m.group("val").strip("'\"")
+        return spark.createDataFrame(
+            [(m.group("var").lower(), m.group("val"))],
+            "variable string, value string",
+        )
     if _TIDB_HINT.search(sql):
         sql = _TIDB_HINT.sub(" ", sql)
     if _REC_CTE_LIMIT.search(sql):
@@ -2678,8 +2860,15 @@ def run_sql(
             ),
             sql,
         )
+    if (stores and _div_precision_increment() != 4
+            and re.search(r"(?i)\bavg\s*\(", sql)):
+        sql = _rewrite_avg_inc(sql, stores)
     if _CAST_TRIM_CALL.search(sql):
         sql = _rewrite_mysql_exprs(sql)
+    if stores and "/" in sql and not _INSERT.match(sql) and not re.match(
+        r"(?i)\s*(CREATE|ALTER|DROP|SHOW|DESCRIBE|DESC)\b", sql
+    ):
+        sql = _rewrite_mysql_division(sql, stores)
     sql = _GET_FORMAT_KW.sub(lambda m: f"{m.group(1)}('{m.group(2).upper()}',", sql)
     if stores and _PART_SELECT.search(sql) and not re.match(
         r"(?i)\s*(CREATE|ALTER)\b", sql
@@ -2719,22 +2908,50 @@ def run_sql(
         stores
         and re.search(r"'-?\d{1,3}:\d{1,2}:\d{1,2}(\.\d+)?'", sql)
         and not _INSERT.match(sql)
-        and any(
-            (s.table_def() or {}).get("time_cols")
-            for s in stores.values()
-            if hasattr(s, "table_def")
-        )
     ):
-        # duration literals compared against TIME columns normalize to
-        # the canonical-minimal storage form ('024:11:11.123500' ->
-        # '24:11:11.1235'; duration_pushdown.test) — string equality is
-        # then duration equality. INSERTs keep their literals (the typed
-        # cell builder normalizes per target column).
-        sql = re.sub(
-            r"'(-?\d{1,3}:\d{1,2}:\d{1,2}(?:\.\d+)?)'",
-            lambda m: "'" + (_py_time_norm(m.group(1), 6) or m.group(1)) + "'",
-            sql,
-        )
+        # duration literals SYNTACTICALLY ADJACENT to a known TIME column
+        # normalize to that column's canonical-minimal storage form at
+        # ITS declared fsp ('700:10:10.123500' vs TIME(4) ->
+        # '700:10:10.1235'; duration_pushdown.test) — string equality is
+        # then duration equality. Scoped per column (like
+        # _fix_collated_predicates) so an H:M:S-shaped literal compared
+        # against a VARCHAR of another table is untouched, and a TIME(0)
+        # column's literal rounds the way its stored values did. INSERTs
+        # keep their literals (the typed cell builder normalizes per
+        # target column).
+        tcols: dict[str, int] = {}
+        for s in stores.values():
+            if hasattr(s, "table_def"):
+                for n, p in ((s.table_def() or {}).get("time_cols")
+                             or {}).items():
+                    tcols[n] = int(p)
+        _dur = r"'(?P<v>-?\d{1,3}:\d{1,2}:\d{1,2}(?:\.\d+)?)'"
+        _ops = r"(?:<=>|<>|!=|>=|<=|=|<|>)"
+        for n, p in tcols.items():
+            colref = rf"(?:[A-Za-z_]\w*\s*\.\s*)?\b{re.escape(n)}\b"
+
+            def _t(v: str, p=p) -> str:
+                return _py_time_norm(v, p) or v
+
+            sql = re.sub(
+                rf"(?i)(?P<pre>{colref}\s*{_ops}\s*){_dur}",
+                lambda m, _t=_t: m.group("pre") + "'" + _t(m.group("v")) + "'",
+                sql,
+            )
+            sql = re.sub(
+                rf"(?i){_dur}(?P<post>\s*{_ops}\s*{colref})",
+                lambda m, _t=_t: "'" + _t(m.group("v")) + "'" + m.group("post"),
+                sql,
+            )
+            sql = re.sub(
+                rf"(?i)(?P<pre>{colref}\s+(?:not\s+)?between\s+){_dur}"
+                rf"(?P<mid>\s+and\s+)"
+                rf"'(?P<v2>-?\d{{1,3}}:\d{{1,2}}:\d{{1,2}}(?:\.\d+)?)'",
+                lambda m, _t=_t: (m.group("pre") + "'" + _t(m.group("v"))
+                                  + "'" + m.group("mid")
+                                  + "'" + _t(m.group("v2")) + "'"),
+                sql,
+            )
     if _HEX_LITERAL.search(sql) and not _INSERT.match(sql):
         # hex literals are NUMBERS in expression context, BYTES when
         # inserted into binary columns — plain VALUES inserts keep the
@@ -2812,9 +3029,13 @@ def run_sql(
         name = m.group("tbl")
         store = (stores or {}).get(name)
         if store is not None and m.group("labels"):
-            store._replica_labels = ",".join(
-                re.findall(r"'([^']*)'", m.group("labels"))
-            )
+            labels = ",".join(re.findall(r"'([^']*)'", m.group("labels")))
+            store._replica_labels = labels
+            if hasattr(store, "update_table_def"):
+                # persist next to order/pk so the labels survive store
+                # reconstruction (_restructure_store replaces the object;
+                # a fresh session re-reads the table-def)
+                store.update_table_def(replica_labels=labels)
         return spark.createDataFrame(
             [(name, "set_tiflash_replica")], "table_name string, op string"
         )
@@ -3076,11 +3297,9 @@ def run_sql(
         v = store.rename_column(old, new)
         td_r = store.table_def()
         if td_r and old in (td_r.get("order") or []):
-            store.write_table_def(
-                [new if c == old else c for c in td_r["order"]],
-                td_r.get("pk"), td_r.get("pk_type", "bigint"),
-                td_r.get("dt_prec"), td_r.get("time_cols"),
-                td_r.get("bin_cols"), td_r.get("bit_cols"),
+            store.update_table_def(
+                order=[new if c == old else c for c in td_r["order"]],
+                **_rename_width_meta(td_r, old, new),
             )
         store.as_view(name)
         return spark.createDataFrame(
@@ -3123,9 +3342,9 @@ def run_sql(
             # (the handle itself never moves; ddl/rename_pk.test,
             # widen_pk.test)
             td = store.table_def()
-            store.write_table_def(
-                [new if c == old else c for c in td["order"]],
-                new, ty, td.get("dt_prec"), td.get("time_cols"),
+            store.update_table_def(
+                order=[new if c == old else c for c in td["order"]],
+                pk=new, pk_type=ty, **_rename_width_meta(td, old, new),
             )
             store.as_view(name)
             return spark.createDataFrame(
@@ -3139,11 +3358,9 @@ def run_sql(
             if td_r and old in (td_r.get("order") or []):
                 # the DECLARED position travels with the rename
                 # (ddl/partitions/rename_column.test's SELECT *)
-                store.write_table_def(
-                    [new if c == old else c for c in td_r["order"]],
-                    td_r.get("pk"), td_r.get("pk_type", "bigint"),
-                    td_r.get("dt_prec"), td_r.get("time_cols"),
-                    td_r.get("bin_cols"), td_r.get("bit_cols"),
+                store.update_table_def(
+                    order=[new if c == old else c for c in td_r["order"]],
+                    **_rename_width_meta(td_r, old, new),
                 )
         cur = dict(store.current_fields() or [])
         if cur.get(new) != ty:
@@ -3208,10 +3425,7 @@ def run_sql(
                     td2 = store.table_def() or {}
                     tc = dict(td2.get("time_cols") or {})
                     tc[col] = p_t
-                    store.write_table_def(
-                        td2.get("order") or [], td2.get("pk"),
-                        td2.get("pk_type", "bigint"), td2.get("dt_prec"), tc,
-                    )
+                    store.update_table_def(time_cols=tc)
                     if dflt is not None:
                         dflt = _py_time_norm(dflt, p_t)
                 if dflt is None and (m.group("notnull") or m.group("notnull2")):
@@ -3263,11 +3477,7 @@ def run_sql(
                         td3 = store.table_def() or {}
                         bc = dict(td3.get("bin_cols") or {})
                         bc[col] = n_b
-                        store.write_table_def(
-                            td3.get("order") or [], td3.get("pk"),
-                            td3.get("pk_type", "bigint"),
-                            td3.get("dt_prec"), td3.get("time_cols"), bc,
-                        )
+                        store.update_table_def(bin_cols=bc)
                 v = store.add_column(col, ty, default=dflt)
                 if m.group("notnull") or m.group("notnull2"):
                     # ADD COLUMN ... NOT NULL: the constraint must stick
@@ -3275,12 +3485,9 @@ def run_sql(
                     v = store.set_column_nullable(col, False)
         elif verb == "MODIFY" and col == store.handle_alias():
             # retyping the clustered pk: table-def-only (widen_pk.test)
-            td = store.table_def()
             v = 0
-            store.write_table_def(
-                td["order"], col,
-                _alter_type(dtype, bool(m.group("uns"))), td.get("dt_prec"),
-                td.get("time_cols"),
+            store.update_table_def(
+                pk=col, pk_type=_alter_type(dtype, bool(m.group("uns"))),
             )
         elif verb == "MODIFY":
             if not dtype:
@@ -3313,12 +3520,7 @@ def run_sql(
                        else "dt_prec")
                 d2 = dict(td2.get(key) or {})
                 d2[col] = int(tmt.group(2) or 0)
-                store.write_table_def(
-                    td2.get("order") or [], td2.get("pk"),
-                    td2.get("pk_type", "bigint"),
-                    d2 if key == "dt_prec" else td2.get("dt_prec"),
-                    d2 if key == "time_cols" else td2.get("time_cols"),
-                )
+                store.update_table_def(**{key: d2})
         else:
             v = store.drop_column(col)
         store.as_view(name)

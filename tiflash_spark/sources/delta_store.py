@@ -53,6 +53,9 @@ from tiflash_spark.operators.mvcc import DELMARK, HANDLE, VERSION, snapshot_read
 
 _INTERNAL_COLS = (VERSION, DELMARK, "_seg")
 
+# sentinel for update_table_def key removal (pk=None is a real value)
+UNSET = object()
+
 
 def _render_time_cols(df: DataFrame, td: dict | None) -> DataFrame:
     """MySQL renders TIME(p) with EXACTLY p fraction digits, and an
@@ -362,6 +365,31 @@ class DeltaStore:
             # BIT(n): stored as ints, declared width drives the
             # binary-as-hex rendering (0x0707 for bit(12))
             doc["bit_cols"] = bit_cols
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, p)
+
+    def update_table_def(self, **patch) -> None:
+        """Merge-style table-def update: read the existing doc, overwrite
+        only the supplied keys, keep everything else (bin_cols/bit_cols/
+        time_cols/dt_prec width metadata survives ALTERs that only touch
+        order/pk). ``pk=None`` is a real value (hidden rowid); to delete
+        a metadata key pass ``delta_store.UNSET``. Use this at ALTER call
+        sites instead of re-passing every positional field through
+        write_table_def."""
+        import json
+
+        doc = self.table_def() or {}
+        for k, v in patch.items():
+            if v is UNSET:
+                doc.pop(k, None)
+            else:
+                doc[k] = v
+        doc.setdefault("order", [])
+        doc.setdefault("pk", None)
+        doc.setdefault("pk_type", "bigint")
+        p = os.path.join(self.path, "_TABLEDEF")
+        tmp = p + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(doc, fh)
         os.replace(tmp, p)

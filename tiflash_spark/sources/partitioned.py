@@ -155,6 +155,12 @@ class PartitionedStore:
                 order, pk, pk_type, dt_prec, time_cols, bin_cols, bit_cols
             )
 
+    def update_table_def(self, **patch):
+        """Merge-style table-def patch fanned to every partition child
+        (mirrors DeltaStore.update_table_def)."""
+        for p in self.parts:
+            self.stores[p["name"]].update_table_def(**patch)
+
     def add_column(self, *a, **kw):
         return self._fan("add_column", *a, **kw)
 
@@ -381,10 +387,13 @@ class PartitionedStore:
             store._write_schema_versions(vs)
         td = self.table_def()
         if td:
-            store.write_table_def(
-                td["order"], td["pk"], td.get("pk_type", "bigint"),
-                td.get("dt_prec"), td.get("time_cols"),
-            )
+            # copy the FULL def (incl. bin_cols/bit_cols width metadata)
+            # so the new partition renders BINARY/BIT like its siblings
+            store.update_table_def(**{
+                k: v for k, v in td.items()
+                if k in ("order", "pk", "pk_type", "dt_prec", "time_cols",
+                         "bin_cols", "bit_cols")
+            })
         self.parts.append({"name": name, "upper": upper})
         self.stores[name] = store
         self._write_manifest()

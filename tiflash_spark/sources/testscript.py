@@ -216,13 +216,15 @@ def parse_script(path: str | Path) -> list[Step]:
                 # inline the file's statements; paths are relative to the
                 # reference's tests/ dir (run-test.py's working dir)
                 for stmt in _read_source_file(srcm.group(1)):
-                    if re.match(r"(?i)^set\s", stmt) and not _SET_TZ.match(stmt):
+                    if (re.match(r"(?i)^set\s", stmt) and not _SET_TZ.match(stmt)
+                            and not _SET_TRACKED_VAR.search(stmt)):
                         continue
                     steps.append(Step(sql=stmt, lineno=lineno))
                     pending = steps[-1]
                 continue
             for stmt in _split_statements(body):
-                if re.match(r"(?i)^set\s", stmt) and not _SET_TZ.match(stmt):
+                if (re.match(r"(?i)^set\s", stmt) and not _SET_TZ.match(stmt)
+                            and not _SET_TRACKED_VAR.search(stmt)):
                     continue  # session vars — see module docstring
                 steps.append(Step(sql=stmt, lineno=lineno, bin_as_hex=as_hex))
                 pending = steps[-1]
@@ -381,6 +383,12 @@ _TIFLASH_REPLICA = re.compile(
 )
 # `set time_zone = '+8:00'` is the one session variable with result
 # semantics (timestamp rendering) — mapped onto Spark's session timezone
+# session vars run_sql tracks (group_concat_max_len, div_precision_
+# increment) pass through to the engine instead of being stripped
+import tiflash_spark.sources.admin_sql as _adm_vars
+_SET_TRACKED_VAR = re.compile(
+    r"(?i)\b(" + "|".join(_adm_vars._TRACKED_VARS) + r")\s*="
+)
 _SET_TZ = re.compile(
     r"(?i)^set\s+(?:session\s+|@@(?:session\.)?)?time_zone\s*=\s*"
     r"'(?P<tz>[^']+)'\s*$"
@@ -407,6 +415,9 @@ def run_script(
 
     res = ScriptResult(path=str(path))
     stores: dict = {}
+    from tiflash_spark.sources import admin_sql as _adm
+
+    _adm.SESSION_VARS.clear()  # script-scoped session variables
     # MySQL evaluates non-strictly in SELECT: overflowing casts clamp,
     # bad parses yield 0/NULL, x/0 is NULL. That is Spark's non-ANSI
     # dialect, so the replay runs with ANSI off (Spark 4 defaults on)
