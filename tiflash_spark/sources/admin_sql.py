@@ -41,6 +41,61 @@ _TRUNCATE = re.compile(
     r"^\s*TRUNCATE\s+(?:TABLE\s+)?`?(\w+)`?\s*;?\s*$", re.IGNORECASE
 )
 
+# FLASHBACK / RECOVER (ddl/flashback suite; TiDB keeps dropped AND
+# truncated tables recoverable until schema GC): DROP renames the store
+# directory aside instead of deleting it, TRUNCATE snapshots a copy;
+# the verbs below move the tombstone back under a (possibly new) name.
+# Keyed by registered table name, latest drop wins; testscript clears
+# this per script (a script-scoped GC horizon).
+DROPPED_TABLES: dict[str, str] = {}
+_TOMB_SEQ = [0]
+
+_FLASHBACK_TBL = re.compile(
+    r"(?i)^\s*FLASHBACK\s+TABLE\s+`?(?P<tbl>\w+)`?"
+    r"(?:\s+TO\s+`?(?P<to>\w+)`?)?\s*;?\s*$"
+)
+_RECOVER_TBL = re.compile(
+    r"(?i)^\s*RECOVER\s+TABLE\s+`?(?P<tbl>\w+)`?\s*;?\s*$"
+)
+_FLASHBACK_DB = re.compile(
+    r"(?i)^\s*FLASHBACK\s+DATABASE\s+`?(?P<db>\w+)`?"
+    r"(?:\s+TO\s+`?(?P<to>\w+)`?)?\s*;?\s*$"
+)
+
+
+def _tombstone_path(path: str) -> str:
+    _TOMB_SEQ[0] += 1
+    return f"{path}.tomb{_TOMB_SEQ[0]}"
+
+
+def _recover_table(spark, stores, src: str, dst: str):
+    """Move a tombstoned store back under ``dst`` and re-register it."""
+    import os
+
+    from tiflash_spark.sources.partitioned import PartitionedStore
+
+    tomb = DROPPED_TABLES.pop(src, None)
+    if tomb is None:
+        raise ValueError(
+            f"FLASHBACK/RECOVER TABLE {src}: no dropped or truncated "
+            f"version is retained (known: {sorted(DROPPED_TABLES)})"
+        )
+    dst_path = os.path.join(os.path.dirname(tomb) or ".", dst)
+    if os.path.exists(dst_path):
+        raise ValueError(f"FLASHBACK TABLE: target path exists: {dst_path}")
+    os.rename(tomb, dst_path)
+    try:
+        spark.catalog.refreshByPath(dst_path)
+    except Exception:
+        pass
+    if os.path.exists(os.path.join(dst_path, "_PARTITIONS")):
+        st = PartitionedStore(spark, dst_path)
+    else:
+        st = DeltaStore(spark, dst_path)
+    stores[dst] = st
+    st.as_view(dst)
+    return st
+
 _RENAME_COL = re.compile(
     r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+RENAME\s+COLUMN\s+"
     r"`?(\w+)`?\s+TO\s+`?(\w+)`?\s*;?\s*$",
@@ -2137,6 +2192,105 @@ def _rewrite_in_table(sql: str) -> str:
         out = out[: lm.start()] + repl + out[m.end():]
 
 
+# Projected `x [NOT] IN (SELECT ...)` — single-column, tuple, and
+# correlated forms (mpp/null_aware_semi_join.test): Spark's projected
+# InSubquery yields FALSE where MySQL's three-valued IN yields NULL
+# (NULL lhs component, or a build row whose tuple-compare is UNKNOWN).
+# Rewritten to a CASE over two EXISTS probes so the whole thing
+# decorrelates as ordinary semi joins:
+#   match probe    WHERE <sub-where> AND lhs_i = e_i ...
+#   unknown probe  WHERE <sub-where> AND (lhs_i = e_i OR lhs_i IS NULL
+#                  OR e_i IS NULL) ... AND (any component IS NULL)
+_PROJ_IN_SUB = re.compile(r"(?i)\b(?P<neg>not\s+)?in\s*\(\s*select\b")
+
+
+def _rewrite_projected_in_subquery(sql: str) -> str:
+    out = sql
+    guard = 0
+    while guard < 16:
+        guard += 1
+        # the first top-level FROM bounds the select list; only INs that
+        # START inside the select list are projected values (WHERE-
+        # context INs keep Spark's native null-aware joins)
+        top_from = _split_top_kw(out, "FROM")
+        if not top_from:
+            return out
+        limit = len(top_from[0])
+        hit = None
+        for m in _PROJ_IN_SUB.finditer(out):
+            if m.start() < limit:
+                hit = m
+                break
+        if hit is None:
+            return out
+        op = out.index("(", hit.start())
+        cl = _match_paren(out, op)
+        if cl < 0:
+            return out
+        sub = out[op + 1:cl].strip()
+        head = out[: hit.start()].rstrip()
+        # lhs: a parenthesized tuple or a trailing identifier chain
+        if head.endswith(")"):
+            depth = 0
+            j = len(head) - 1
+            while j >= 0:
+                if head[j] == ")":
+                    depth += 1
+                elif head[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            if j < 0:
+                return out
+            lhs_exprs = _split_top_level(head[j + 1:len(head) - 1])
+            lhs_start = j
+        else:
+            lm = re.search(r"[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)*$", head)
+            if not lm:
+                return out
+            lhs_exprs = [head[lm.start():]]
+            lhs_start = lm.start()
+        fp = _split_top_kw(sub, "FROM")
+        if not fp:
+            return out
+        sel_exprs = _split_top_level(
+            re.sub(r"(?is)^\s*select\s+", "", fp[0]))
+        if len(sel_exprs) != len(lhs_exprs):
+            return out
+        # fresh _nv{i} names via a derived table: the sub's select list
+        # may shadow the outer lhs names (both sides named `a`), so the
+        # probes compare outer lhs against _nv{i} only; the sub's own
+        # WHERE (incl. correlated refs) stays inside the derived table
+        proj = ", ".join(
+            f"({e}) AS _nv{i}" for i, e in enumerate(sel_exprs))
+        inner = f"SELECT {proj} FROM {fp[1]}"
+
+        def _w(extra: str) -> str:
+            return f"SELECT 1 FROM ({inner}) _nt WHERE {extra}"
+
+        names = [f"_nv{i}" for i in range(len(lhs_exprs))]
+        eq = " AND ".join(
+            f"({l}) = {e}" for l, e in zip(lhs_exprs, names)
+        )
+        notfalse = " AND ".join(
+            f"(({l}) = {e} OR ({l}) IS NULL OR {e} IS NULL)"
+            for l, e in zip(lhs_exprs, names)
+        )
+        anynull = " OR ".join(
+            f"({l}) IS NULL OR {e} IS NULL"
+            for l, e in zip(lhs_exprs, names)
+        )
+        yes, no = ("0", "1") if hit.group("neg") else ("1", "0")
+        repl = (
+            f"(CASE WHEN EXISTS ({_w(eq)}) THEN {yes}"
+            f" WHEN EXISTS ({_w(f'{notfalse} AND ({anynull})')})"
+            f" THEN NULL ELSE {no} END)"
+        )
+        out = out[:lhs_start] + repl + out[cl + 1:]
+    return out
+
+
 # MySQL recursive CTE with LIMIT: the LIMIT is the recursion terminator
 # (mpp/remote_read_virtual_column.test generates 10000 rows). Spark
 # requires the body be a bare UNION, so the LIMIT becomes an explicit
@@ -3017,6 +3171,8 @@ def run_sql(
             sql = _rewrite_ilike(sql)
         if _IN_TABLE.search(sql):
             sql = _rewrite_in_table(sql)
+        if _PROJ_IN_SUB.search(sql):
+            sql = _rewrite_projected_in_subquery(sql)
         if re.search(r"(?i)\bin\s*\(", sql):
             sql = _rewrite_mixed_in(sql)
         if _QUANT_CMP.search(sql):
@@ -3280,6 +3436,19 @@ def run_sql(
                 f"{name!r} (known: {sorted(stores or {})})"
             )
         store = stores[name]
+        # TiDB's TRUNCATE swaps in a fresh table id — the old data stays
+        # recoverable by FLASHBACK TABLE until GC; snapshot a copy
+        import shutil
+
+        tomb = _tombstone_path(store.path)
+        try:
+            old = DROPPED_TABLES.get(name)
+            shutil.copytree(store.path, tomb)
+            DROPPED_TABLES[name] = tomb
+            if old:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
         store.truncate_table()
         store.as_view(name)
         return spark.createDataFrame(
@@ -3842,6 +4011,30 @@ def run_sql(
             [(name, "create", len(cols), pk)],
             "table_name string, op string, n_columns long, primary_key string",
         )
+    m = _FLASHBACK_TBL.match(sql) or _RECOVER_TBL.match(sql)
+    if m and not _FLASHBACK_DB.match(sql):
+        src = m.group("tbl")
+        dst = (m.groupdict().get("to") or src)
+        _recover_table(spark, stores if stores is not None else {}, src, dst)
+        return spark.createDataFrame(
+            [(src, dst, "flashback")],
+            "table_name string, new_name string, op string",
+        )
+    m = _FLASHBACK_DB.match(sql)
+    if m:
+        db, to = m.group("db"), m.group("to") or m.group("db")
+        hits = [k for k in DROPPED_TABLES if k.startswith(f"{db}__")]
+        if not hits:
+            raise ValueError(f"FLASHBACK DATABASE {db}: nothing retained")
+        for k in sorted(hits):
+            _recover_table(
+                spark, stores if stores is not None else {},
+                k, f"{to}__{k[len(db) + 2:]}",
+            )
+        return spark.createDataFrame(
+            [(db, to, len(hits))],
+            "database string, new_name string, n_tables int",
+        )
     m = _DROP_MULTI.match(sql)
     if m:
         ifex = "IF EXISTS " if m.group("ifex") else ""
@@ -3863,6 +4056,7 @@ def run_sql(
             raise ValueError(
                 f"DROP TABLE {name}: no DeltaStore registered under {name!r}"
             )
+        import os
         import shutil
 
         store = stores.pop(name)
@@ -3870,7 +4064,17 @@ def run_sql(
             spark.catalog.dropTempView(name)
         except Exception:
             pass
-        shutil.rmtree(store.path, ignore_errors=True)
+        # tombstone instead of delete: FLASHBACK/RECOVER TABLE can bring
+        # the directory back until the script-scoped GC clears it
+        tomb = _tombstone_path(store.path)
+        try:
+            old = DROPPED_TABLES.get(name)
+            os.rename(store.path, tomb)
+            DROPPED_TABLES[name] = tomb
+            if old:
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            shutil.rmtree(store.path, ignore_errors=True)
         # a CREATE at the same path must not see this table's cached file
         # listings (DROP+CREATE is the opening move of every reference
         # script)

@@ -418,6 +418,7 @@ def run_script(
     from tiflash_spark.sources import admin_sql as _adm
 
     _adm.SESSION_VARS.clear()  # script-scoped session variables
+    _adm.DROPPED_TABLES.clear()  # script-scoped FLASHBACK retention
     # MySQL evaluates non-strictly in SELECT: overflowing casts clamp,
     # bad parses yield 0/NULL, x/0 is NULL. That is Spark's non-ANSI
     # dialect, so the replay runs with ANSI off (Spark 4 defaults on)
@@ -523,6 +524,14 @@ def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
                         except Exception:  # noqa: BLE001
                             pass
                 continue
+            fbm = re.match(
+                r"(?i)^\s*flashback\s+database\s+`?(\w+)`?"
+                r"(?:\s+to\s+`?(\w+)`?)?", sql)
+            if fbm:
+                # the restored database's qualifier must rewrite like a
+                # created one (d1_new.t3 -> d1_new__t3)
+                dbs.add(fbm.group(1))
+                dbs.add(fbm.group(2) or fbm.group(1))
             for db in dbs:
                 if f"{db}." in sql:
                     sql = re.sub(rf"(?i)\b{db}\.(?=`?\w)", f"{db}__", sql)
