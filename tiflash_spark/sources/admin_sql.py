@@ -117,8 +117,17 @@ _ALTER_COL = re.compile(
     r"(?:\s+DEFAULT\s+(?P<dflt>'[^']*'|[^\s;]+))?"
     # MySQL accepts the nullability on either side of DEFAULT
     r"(?:\s+(?P<notnull2>NOT\s+NULL)|\s+(?P<plainnull2>NULL))?"
-    r"(?:\s+AS\s+\((?P<gen>.+)\)\s+VIRTUAL)?\s*;?\s*$",
+    r"(?:\s+AS\s+\((?P<gen>.+)\)\s+VIRTUAL)?"
+    # column position (clustered_index/ddl.test: ADD E int AFTER B)
+    r"(?:\s+(?P<first>FIRST)|\s+AFTER\s+`?(?P<after>\w+)`?)?\s*;?\s*$",
     re.IGNORECASE,
+)
+
+# parenthesized multi-column ADD (tidb-ci alter_add_drop_columns.test:
+# ALTER TABLE t ADD COLUMN (a int, b int)) — expanded to sequential ADDs
+_ADD_MULTI_COL = re.compile(
+    r"(?i)^\s*ALTER\s+TABLE\s+`?(?P<tbl>\w+)`?\s+ADD\s+(?:COLUMN\s+)?"
+    r"\((?P<cols>.+)\)\s*;?\s*$"
 )
 
 
@@ -349,6 +358,11 @@ _INSERT_SEL = re.compile(
 # becomes the store handle exposed under its own name (TiDB: a clustered
 # PK IS _tidb_rowid); NONCLUSTERED / composite PKs keep the hidden
 # auto-allocated rowid and the PK columns stay ordinary columns.
+_CREATE_LIKE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QTBL}\s+"
+    r"LIKE\s+`?(?P<src>\w+)`?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _CREATE = re.compile(
     rf"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QTBL}\s*"
     r"\((?P<body>.+?)\)\s*"
@@ -574,7 +588,10 @@ _PKDEF = re.compile(
     # `CLUSTERED` appears before OR after the column list in the wild,
     # and TiDB's dump spelling hides it in a versioned comment
     # (/*T![clustered_index] CLUSTERED */)
-    r"^PRIMARY\s+KEY(?:\s+(?P<kind>CLUSTERED|NONCLUSTERED))?\s*"
+    r"^PRIMARY\s+KEY(?:\s+(?P<kind>CLUSTERED|NONCLUSTERED))?"
+    # MySQL accepts (and discards) an index name here
+    # (clustered_index/issue_1514: PRIMARY KEY idx_12 (...) CLUSTERED)
+    r"(?:\s+`?(?!CLUSTERED\b|NONCLUSTERED\b)(?:\w+)`?)?\s*"
     # cols may carry prefix lengths (col_2(5), tidb-ci clustered_index)
     r"\(\s*(?P<cols>[^()]*(?:\([^)]*\)[^()]*)*?)\s*\)"
     r"(?:\s*(?P<kind2>CLUSTERED|NONCLUSTERED))?"
@@ -2424,6 +2441,81 @@ def _rewrite_case_when_null(sql: str) -> str:
     return sql
 
 
+def _rewrite_tuple_in(sql: str) -> str:
+    """Row-value IN over a literal tuple list — `(a,b) IN ((12.21,12),
+    (9999.99, 9223372036854775807))` (clustered_index/query.test) —
+    expands to the pairwise =/AND/OR chain. Spark's struct-based IN
+    requires every tuple position to unify to ONE type across the list
+    (decimal vs bigint there fails DATATYPE_MISMATCH); the expansion
+    coerces per pair like MySQL and keeps three-valued semantics
+    (row-compare is AND, the list is OR, NOT by De Morgan)."""
+    out = sql
+    pos = 0
+    pat = re.compile(r"(?i)\b(?P<neg>not\s+)?in\s*\(")
+    while True:
+        m = pat.search(out, pos)
+        if not m:
+            return out
+        op = m.end() - 1
+        cl = _match_paren(out, op)
+        if cl < 0:
+            return out
+        items = [s.strip() for s in _split_top_level(out[op + 1:cl])]
+        if len(items) < 1 or not all(
+            i.startswith("(") and i.endswith(")") for i in items
+        ):
+            pos = cl
+            continue
+        head = out[: m.start()].rstrip()
+        if not head.endswith(")"):
+            pos = cl
+            continue
+        depth = 0
+        o = None
+        for j in range(len(head) - 1, -1, -1):
+            if head[j] == ")":
+                depth += 1
+            elif head[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    o = j
+                    break
+        if o is None:
+            pos = cl
+            continue
+        tw = re.search(r"([A-Za-z_]\w*)\s*$", head[:o])
+        if tw and tw.group(1).upper() not in (
+            "WHERE", "AND", "OR", "NOT", "ON", "WHEN", "THEN", "ELSE",
+            "HAVING", "SELECT", "BY",
+        ):
+            # an identifier before '(' means a call, not a row value
+            pos = cl
+            continue
+        lhs_exprs = _split_top_level(head[o + 1:len(head) - 1])
+        if len(lhs_exprs) < 2:
+            pos = cl
+            continue
+        arms = []
+        ok = True
+        for it in items:
+            vals = _split_top_level(it[1:-1])
+            if len(vals) != len(lhs_exprs):
+                ok = False
+                break
+            arms.append(
+                "(" + " AND ".join(
+                    f"({l}) = ({v})" for l, v in zip(lhs_exprs, vals)
+                ) + ")"
+            )
+        if not ok:
+            pos = cl
+            continue
+        body = " OR ".join(arms)
+        repl = f"(NOT ({body}))" if m.group("neg") else f"({body})"
+        out = out[:o] + repl + out[cl + 1:]
+        pos = o + len(repl)
+
+
 def _rewrite_mixed_in(sql: str) -> str:
     out = sql
     pos = 0
@@ -3173,6 +3265,8 @@ def run_sql(
             sql = _rewrite_in_table(sql)
         if _PROJ_IN_SUB.search(sql):
             sql = _rewrite_projected_in_subquery(sql)
+        if re.search(r"(?i)\)\s*(?:not\s+)?in\s*\(\s*\(", sql):
+            sql = _rewrite_tuple_in(sql)
         if re.search(r"(?i)\bin\s*\(", sql):
             sql = _rewrite_mixed_in(sql)
         if _QUANT_CMP.search(sql):
@@ -3550,6 +3644,35 @@ def run_sql(
             [(name, old, new, ty)],
             "table_name string, old_column string, new_column string, new_type string",
         )
+    am = re.match(
+        r"(?is)^\s*ALTER\s+TABLE\s+`?(?P<tbl>\w+)`?\s+(?P<body>.+?)\s*;?\s*$",
+        sql,
+    )
+    if am and "," in am.group("body"):
+        # multi-clause ALTER (tidb-ci alter_add_drop_columns.test:
+        # `drop a, drop b, drop c`) — dispatch each clause in order
+        clauses = _split_top_level(am.group("body"))
+        if len(clauses) >= 2 and all(
+            re.match(r"(?i)^\s*(ADD|DROP|MODIFY|CHANGE)\b", c)
+            for c in clauses
+        ):
+            out = None
+            for c in clauses:
+                out = run_sql(
+                    spark, f"ALTER TABLE {am.group('tbl')} {c.strip()}",
+                    stores, base_path=base_path,
+                )
+            return out
+    m = _ADD_MULTI_COL.match(sql)
+    if m and not _ALTER_COL.match(sql):
+        out = None
+        for cdef in _split_top_level(m.group("cols")):
+            out = run_sql(
+                spark,
+                f"ALTER TABLE {m.group('tbl')} ADD COLUMN {cdef.strip()}",
+                stores, base_path=base_path,
+            )
+        return out
     m = _ALTER_COL.match(sql)
     if m:
         name, verb, col, dtype = (
@@ -3597,11 +3720,46 @@ def run_sql(
                     store.update_table_def(time_cols=tc)
                     if dflt is not None:
                         dflt = _py_time_norm(dflt, p_t)
+                ym = re.match(
+                    r"(?i)^year(?:\s*\(\s*\d+\s*\))?$", (dtype or "").strip()
+                )
+                if ym and dflt is not None and dflt.strip().isdigit():
+                    # YEAR defaults: quoted 1-2 digit strings follow the
+                    # two-digit window ('01'->2001, '70'->1970,
+                    # '00'->2000); '0000' and numeric 0 stay 0
+                    raw_y = (m.group("dflt") or "").strip()
+                    quoted = raw_y.startswith(("'", '"'))
+                    s_y = dflt.strip()
+                    n_y = int(s_y)
+                    if len(s_y) <= 2 and (quoted or n_y != 0):
+                        n_y = n_y + 2000 if n_y <= 69 else n_y + 1900
+                    dflt = str(n_y)
                 if dflt is None and (m.group("notnull") or m.group("notnull2")):
                     # ADD ... NOT NULL with no DEFAULT: MySQL fills the
-                    # type's implicit default (0 / '') into existing rows
+                    # type's implicit default into existing rows — 0/''
+                    # for numerics/strings, the ZERO sentinel for
+                    # temporals ('0000-00-00 ...'; only representable as
+                    # a rendered string, so those columns store as
+                    # strings — tidb-ci alter_datetime_default_value)
                     base = ty.split("(")[0]
-                    if base in ("string", "binary"):
+                    ztm = re.match(
+                        r"(?i)^(date|datetime|timestamp|time)"
+                        r"(?:\s*\(\s*(\d+)\s*\))?$", (dtype or "").strip()
+                    )
+                    if ztm:
+                        kind = ztm.group(1).lower()
+                        p_z = int(ztm.group(2) or 0)
+                        frac = "." + "0" * p_z if p_z else ""
+                        if kind == "time":
+                            # canonical-minimal; _render_time_cols adds
+                            # the declared fsp digits back
+                            dflt = "00:00:00"
+                        elif kind == "date":
+                            dflt, ty = "0000-00-00", "string"
+                        else:
+                            dflt = "0000-00-00 00:00:00" + frac
+                            ty = "string"
+                    elif base in ("string", "binary"):
                         dflt = ""
                     elif base not in ("date", "timestamp", "timestamp_ntz"):
                         dflt = "0"
@@ -3652,6 +3810,28 @@ def run_sql(
                     # ADD COLUMN ... NOT NULL: the constraint must stick
                     # (writes with NULLs rejected), not silently drop
                     v = store.set_column_nullable(col, False)
+            if m.group("first") or m.group("after"):
+                # declared position (ADD ... AFTER b / FIRST) drives both
+                # SELECT * order and implicit INSERT lists
+                # (clustered_index/ddl.test inserts 5 positional values
+                # after ADD E AFTER B)
+                td_o = store.table_def() or {}
+                order = list(td_o.get("order") or [])
+                for n2, _t2 in store.current_fields() or []:
+                    if n2 not in order:
+                        order.append(n2)
+                if col in order:
+                    order.remove(col)
+                if m.group("first"):
+                    order.insert(0, col)
+                else:
+                    aft = m.group("after")
+                    if aft not in order:
+                        raise ValueError(
+                            f"ADD COLUMN ... AFTER {aft}: no such column"
+                        )
+                    order.insert(order.index(aft) + 1, col)
+                store.update_table_def(order=order)
         elif verb == "MODIFY" and col == store.handle_alias():
             # retyping the clustered pk: table-def-only (widen_pk.test)
             v = 0
@@ -3792,6 +3972,41 @@ def run_sql(
             ddl += f"\nPARTITION BY RANGE (`{store.pcol}`) ({pdefs})"
         return spark.createDataFrame(
             [(name, ddl)], "table_name string, create_table string"
+        )
+    m = _CREATE_LIKE.match(sql)
+    if m:
+        import os as _os
+
+        name, src = m.group("tbl"), m.group("src")
+        if stores is None or src not in stores:
+            raise ValueError(
+                f"CREATE TABLE {name} LIKE {src}: source not registered"
+            )
+        if name in stores:
+            if re.search(r"IF\s+NOT\s+EXISTS", sql, re.IGNORECASE):
+                return spark.createDataFrame(
+                    [(name, "exists")], "table_name string, op string"
+                )
+            raise ValueError(f"CREATE TABLE {name}: already registered")
+        if base_path is None:
+            raise ValueError("CREATE TABLE needs base_path=")
+        src_store = stores[src]
+        if not isinstance(src_store, DeltaStore):
+            raise ValueError("CREATE TABLE ... LIKE: partitioned source "
+                             "not supported")
+        st = DeltaStore(spark, _os.path.join(base_path, name))
+        _os.makedirs(st.path, exist_ok=True)
+        vs = src_store._schema_versions()
+        if vs:
+            st._write_schema_versions(vs)
+        td = src_store.table_def()
+        if td:
+            st.update_table_def(**td)
+        stores[name] = st
+        st.as_view(name)
+        return spark.createDataFrame(
+            [(name, src, "create_like")],
+            "table_name string, source string, op string",
         )
     m = _CREATE.match(sql)
     if m:
@@ -4171,6 +4386,11 @@ def run_sql(
                 if re.match(r"(?i)^0x[0-9A-Fa-f]+$", cell.strip()):
                     # numeric context for every non-binary target
                     cell = str(int(cell.strip()[2:], 16))
+                if re.match(r"(?i)^[bx]'[0-9A-Fa-f]+'$", cell.strip()):
+                    # b'101' / x'1f' bit-literal VALUES cells carry their
+                    # integer value (clustered_index/data_type.test
+                    # inserts b'101' into a BIT(3) clustered pk)
+                    cell = _bitlit(cell.strip()) or cell
                 if tname in tcols and cell.strip().upper() != "NULL":
                     # MySQL TIME column: literals normalize to the
                     # duration rendering at write (111111 -> '11:11:11';

@@ -592,10 +592,16 @@ def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
                 )
                 failed = True
                 break
-            from pyspark.sql.types import TimestampType
+            from pyspark.sql.types import FloatType, TimestampType
 
             tz_aware = [
                 isinstance(f.dataType, TimestampType) for f in df.schema.fields
+            ]
+            # FLOAT columns widen to Python doubles at collect; MySQL
+            # renders float32 at its shortest round-trip ('1.2', not
+            # 1.200000048) — clustered_index/data_type.test
+            is_f32 = [
+                isinstance(f.dataType, FloatType) for f in df.schema.fields
             ]
             # --binary-as-hex rendering: BIT(n) ints print as 0x-hex at
             # the declared byte width, raw binary as its hex bytes
@@ -617,6 +623,13 @@ def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
                         return f"0x{v:0{w}X}"
                 if isinstance(v, datetime) and tz_aware[k]:
                     return _format_value(v + _tz_offset(tz_zone, v))
+                if (is_f32[k] and isinstance(v, float) and v == v
+                        and v not in (float("inf"), float("-inf"))):
+                    import numpy as np
+
+                    return np.format_float_positional(
+                        np.float32(v), unique=True, trim="-"
+                    )
                 return _format_value(v)
 
             for row in rows:
