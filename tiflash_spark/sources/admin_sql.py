@@ -3047,9 +3047,17 @@ def _sql_with_rescues(spark: SparkSession, sql: str, stores=None) -> DataFrame:
 # per script; defaults when unset: div_precision_increment=4,
 # group_concat_max_len untracked (no truncation).
 SESSION_VARS: dict[str, str] = {}
-_TRACKED_VARS = ("group_concat_max_len", "div_precision_increment")
+# `SET GLOBAL` values: new sessions (each mysql> line in the replay is a
+# fresh client) initialize SESSION_VARS from these; a GLOBAL set never
+# affects the session that issued it — MySQL semantics
+# (variables/set_variable_fastscan.test pins the difference).
+GLOBAL_VARS: dict[str, str] = {}
+_FAST_VIEWS: set[str] = set()  # views currently registered in fast mode
+_TRACKED_VARS = ("group_concat_max_len", "div_precision_increment",
+                 "tiflash_fastscan")
 _SET_TRACKED = re.compile(
-    r"(?i)^\s*set\s+(?:session\s+|global\s+|@@(?:session\.|global\.)?)?"
+    r"(?i)^\s*set\s+(?P<scope>session\s+|global\s+"
+    r"|@@(?:session\.|global\.)?)?"
     r"(?P<var>" + "|".join(_TRACKED_VARS) + r")\s*=\s*(?P<val>\S+?)\s*;?\s*$"
 )
 
@@ -3082,11 +3090,38 @@ def run_sql(
         spark._tiflash_mysql_fns = True
     m = _SET_TRACKED.match(sql)
     if m:
-        SESSION_VARS[m.group("var").lower()] = m.group("val").strip("'\"")
+        scope = (m.group("scope") or "").lower()
+        tgt = GLOBAL_VARS if "global" in scope else SESSION_VARS
+        tgt[m.group("var").lower()] = m.group("val").strip("'\"")
         return spark.createDataFrame(
             [(m.group("var").lower(), m.group("val"))],
             "variable string, value string",
         )
+    if (
+        stores
+        and SESSION_VARS.get("tiflash_fastscan", "").upper() in ("ON", "1")
+        and re.match(r"(?i)\s*select\b", sql)
+    ):
+        # tiflash_fastscan=ON: re-register referenced tables' views in
+        # fast read mode (no MVCC filter — deleted rows visible); the
+        # normal views are restored on the next non-fastscan statement
+        for nm, st in stores.items():
+            if hasattr(st, "as_view") and re.search(
+                rf"\b{re.escape(nm)}\b", sql
+            ):
+                try:
+                    st.as_view(nm, mode="fast")
+                    _FAST_VIEWS.add(nm)
+                except Exception:
+                    pass
+    elif stores and _FAST_VIEWS:
+        for nm in list(_FAST_VIEWS):
+            if nm in stores:
+                try:
+                    stores[nm].as_view(nm)
+                except Exception:
+                    pass
+        _FAST_VIEWS.clear()
     if _TIDB_HINT.search(sql):
         sql = _TIDB_HINT.sub(" ", sql)
     if _REC_CTE_LIMIT.search(sql):
@@ -3335,7 +3370,13 @@ def run_sql(
                 "table_name string, safe_point long,"
                 " segments_rewritten long, segments_total long",
             )
-        kept = store.compact(ts=ts) if top is not None else 0
+        # the SQL statement compacts with the GC safe-point BEHIND the
+        # delete marks (the reference's compact-via-SQL never advances
+        # GC): deleted rows keep their newest data version alongside the
+        # tombstone, so tiflash_fastscan=ON still sees them afterwards
+        # (variables/set_variable_fastscan.test)
+        kept = (store.compact(ts=ts, keep_deleted=True)
+                if top is not None else 0)
         store.as_view(name)
         return spark.createDataFrame(
             [(name, ts, int(kept))],

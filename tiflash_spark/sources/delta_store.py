@@ -1228,13 +1228,22 @@ class DeltaStore:
         except ValueError:
             return None
 
-    def read(self, ts: int | None = None) -> DataFrame:
+    def read(self, ts: int | None = None, mode: str = "normal") -> DataFrame:
         """Snapshot-consistent read at version ts (None = everything),
-        reconciled to the CURRENT schema version when one exists."""
+        reconciled to the CURRENT schema version when one exists.
+        ``mode='fast'`` is TiFlash's fastscan (tiflash_fastscan=ON,
+        ReadMode.h Fast): skip the MVCC version filter — delete marks
+        are not applied to earlier versions, so deleted rows stay
+        visible until GC actually reclaims them."""
+        if mode == "fast":
+            from tiflash_spark.operators.mvcc import fast_scan
+
+            return self._conform_read(fast_scan(self.log()))
         out = self._apply_range_dels(snapshot_read(self.log(), read_ts=ts), ts)
         return self._conform_read(out)
 
-    def as_view(self, name: str, ts: int | None = None) -> None:
+    def as_view(self, name: str, ts: int | None = None,
+                mode: str = "normal") -> None:
         """Register a snapshot read as a temp view so spark.sql queries
         the replicated table by name — the TiDB-side `SELECT ...` over a
         TiFlash replica. Plan-time snapshot: re-register after mutations
@@ -1248,7 +1257,7 @@ class DeltaStore:
         express name-only visibility, and every reference script reads
         through `*` or declared names). Stores built directly against the
         DeltaStore API (no table def) keep the handle visible."""
-        df = self.read(ts)
+        df = self.read(ts, mode=mode)
         alias = self.handle_alias()
         if alias:
             df = df.withColumnRenamed(HANDLE, alias)
@@ -1269,7 +1278,8 @@ class DeltaStore:
 
     # --- maintenance -------------------------------------------------------
 
-    def compact(self, ts: int, num_segments: int | None = None) -> int:
+    def compact(self, ts: int, num_segments: int | None = None,
+                keep_deleted: bool = False) -> int:
         """Fold delta into stable with GC-safe-point ts (≈ delta merge,
         reference Segment delta→stable merge). Returns rows kept.
 
@@ -1291,13 +1301,31 @@ class DeltaStore:
         it from observed _seg values (an empty tail segment would skew
         the inference and mis-prune point reads).
         """
+        from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         from tiflash_spark.operators.mvcc import compact as mvcc_compact
 
-        merged = mvcc_compact(self.log(), ts).filter(
-            ~((F.col(DELMARK) == 1) & (F.col(VERSION) <= ts))
-        )
+        if keep_deleted:
+            # GC safe-point behind the tombstones (the SQL COMPACT path):
+            # per handle keep the newest row of EACH delmark side — the
+            # tombstone still masks the row for MVCC reads, but the data
+            # version survives for fastscan until a real GC compact
+            # (variables/set_variable_fastscan.test)
+            log0 = self.log()
+            w_kd = Window.partitionBy(HANDLE, DELMARK).orderBy(
+                F.col(VERSION).desc())
+            merged = (
+                log0.filter(F.col(VERSION) <= ts)
+                .withColumn("_rn", F.row_number().over(w_kd))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+                .unionByName(log0.filter(F.col(VERSION) > ts))
+            )
+        else:
+            merged = mvcc_compact(self.log(), ts).filter(
+                ~((F.col(DELMARK) == 1) & (F.col(VERSION) <= ts))
+            )
         # apply range tombstones at/below the safe-point physically (the
         # reference's delta merge does the same, then GCs the entry);
         # newer tombstones are carried into the fresh delta dir

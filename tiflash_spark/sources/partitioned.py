@@ -278,10 +278,10 @@ class PartitionedStore:
         finally:
             pass  # checkpointed snapshot — nothing to unpersist
 
-    def read(self, ts: int | None = None) -> DataFrame:
+    def read(self, ts: int | None = None, mode: str = "normal") -> DataFrame:
         out = None
         for p in self.parts:
-            d = self.stores[p["name"]].read(ts)
+            d = self.stores[p["name"]].read(ts, mode=mode)
             out = d if out is None else out.unionByName(d)
         return out
 
@@ -300,8 +300,9 @@ class PartitionedStore:
         hs = [h for h in hs if h is not None]
         return max(hs) if hs else None
 
-    def as_view(self, name: str, ts: int | None = None) -> None:
-        df = self.read(ts)
+    def as_view(self, name: str, ts: int | None = None,
+                mode: str = "normal") -> None:
+        df = self.read(ts, mode=mode)
         alias = self.handle_alias()
         if alias:
             df = df.withColumnRenamed(HANDLE, alias)
@@ -327,7 +328,8 @@ class PartitionedStore:
         for p in self.parts:
             self.stores[p["name"]].truncate_table()
 
-    def compact(self, ts: int, num_segments: int | None = None) -> int:
+    def compact(self, ts: int, num_segments: int | None = None,
+                keep_deleted: bool = False) -> int:
         kept = 0
         for p in self.parts:
             s = self.stores[p["name"]]
@@ -336,7 +338,8 @@ class PartitionedStore:
             except ValueError:
                 continue  # empty child
             if s.newest_version() > 0:
-                kept += s.compact(min(ts, s.newest_version()), num_segments)
+                kept += s.compact(min(ts, s.newest_version()), num_segments,
+                                  keep_deleted=keep_deleted)
         return kept
 
     def compact_segments_incremental(self, ts: int):

@@ -236,7 +236,20 @@ def parse_script(path: str | Path) -> list[Step]:
             or line.startswith(">> ")  # part of the SQL surface
             or line.startswith("curl>")
         ):
+            # fail-point toggles ARE replayed (the reference's failure-
+            # injection surface; mpp-version.test rejects dispatch while
+            # invalid_mpp_version is armed) — other DBGInvokes are
+            # environment plumbing
+            fpm = re.match(
+                r"^(?:=>|>>)\s+DBGInvoke\s+__(enable|disable)_fail_point"
+                r"\(\s*(\w+)\s*\)", line
+            )
             flush()
+            if fpm:
+                steps.append(Step(
+                    sql=f"__failpoint_{fpm.group(1)}__ {fpm.group(2)}",
+                    lineno=lineno,
+                ))
             continue
         if not line.strip():
             # a blank line between a statement and its expected table
@@ -418,6 +431,8 @@ def run_script(
     from tiflash_spark.sources import admin_sql as _adm
 
     _adm.SESSION_VARS.clear()  # script-scoped session variables
+    _adm.GLOBAL_VARS.clear()
+    _adm._FAST_VIEWS.clear()
     _adm.DROPPED_TABLES.clear()  # script-scoped FLASHBACK retention
     # MySQL evaluates non-strictly in SELECT: overflowing casts clamp,
     # bad parses yield 0/NULL, x/0 is NULL. That is Spark's non-ANSI
@@ -479,10 +494,13 @@ _DROP_DB = re.compile(
 
 
 def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
+    from tiflash_spark.sources import admin_sql as _adm
+
     tz_zone = "UTC"
     # non-test databases are namespaced by mangling `db.t` -> `db__t`
     # (issue_10663 creates the SAME table name in two databases)
     dbs: set[str] = set()
+    failpoints: set[str] = set()  # armed DBGInvoke fail points
 
     steps = parse_script(path)
     i = 0
@@ -502,6 +520,10 @@ def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
             # after a +1:00 line)
             spark.conf.set("spark.sql.session.timeZone", "UTC")
             tz_zone = "UTC"
+        # same fresh-client rule for tracked session vars: the new
+        # session inherits current GLOBALs (set_variable_fastscan.test)
+        _adm.SESSION_VARS.clear()
+        _adm.SESSION_VARS.update(_adm.GLOBAL_VARS)
         last = group[-1]
         loc = f"{Path(path).name}:{last.lineno}"
         got: list[list[str]] = []
@@ -560,10 +582,23 @@ def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
                 # DATETIME) columns never shift.
                 tz_zone = tz
                 continue
+            fpt = re.match(r"^__failpoint_(enable|disable)__ (\w+)$", sql)
+            if fpt:
+                (failpoints.add if fpt.group(1) == "enable"
+                 else failpoints.discard)(fpt.group(2))
+                continue
             if _NOOP_STMT.match(sql):
                 continue
             executed = True
             try:
+                if ("invalid_mpp_version" in failpoints
+                        and re.match(r"(?i)\s*(select|with)\b", sql)):
+                    # armed invalid_mpp_version rejects every dispatch
+                    # (mpp-version.test): the engine refuses the request
+                    raise RuntimeError(
+                        "Invalid mpp version -1, TiFlash expects version:"
+                        " min 0, max 3, should upgrade TiDB/planner"
+                    )
                 df = run_sql(spark, sql, stores, base_path=base_path)
             except Exception as e:  # noqa: BLE001 — reported, not swallowed
                 if last.expect_error:
