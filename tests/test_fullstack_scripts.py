@@ -263,6 +263,7 @@ PASSING: list[str] = [
     "fullstack-test2/mpp/null_aware_semi_join.test",
     "fullstack-test2/variables/set_variable_div_precision_increment.test",
     "fullstack-test2/variables/set_variable_fastscan.test",
+    "fullstack-test/expr/return_warning.test",
 ]
 
 # script -> reason we deliberately diverge (documented, not hidden).
@@ -295,8 +296,6 @@ KNOWN_DIVERGENT: dict[str, str] = {
     "fullstack-test/expr/round_with_frac.test": "float-domain rounding tails and p>38 decimals",
     "fullstack-test/expr/special_new_decimal_type.test": "decimal(65,30) CASE branches exceed p<=38",
     "fullstack-test/expr/tidb_truncate.test": "float-domain truncation tails",
-    "fullstack-test/expr/return_warning.test":
-    "warning-channel semantics (statements succeed with warnings here)",
     "fullstack-test/mpp/window_agg.test":
     "chaos tail mixes TIME literals and lossy MODIFY (timestamp -> bool)",
     "fullstack-test/mpp/issue_8604.test":

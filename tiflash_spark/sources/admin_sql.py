@@ -3053,6 +3053,18 @@ SESSION_VARS: dict[str, str] = {}
 # (variables/set_variable_fastscan.test pins the difference).
 GLOBAL_VARS: dict[str, str] = {}
 _FAST_VIEWS: set[str] = set()  # views currently registered in fast mode
+
+# per-statement warning channel (expr/return_warning.test): statements
+# reset it, SHOW WARNINGS renders it (Level, Code, Message)
+LAST_WARNINGS: list[tuple[str, int, str]] = []
+_SHOW_WARNINGS = re.compile(r"(?i)^\s*show\s+warnings\s*;?\s*$")
+# `WHERE cast(col AS temporal)` — the shape whose per-value cast
+# failures MySQL reports as warnings
+_WARN_CAST_WHERE = re.compile(
+    r"(?i)\bfrom\s+`?(?P<tbl>\w+)`?\s+where\s+"
+    r"(?P<cast>cast\s*\(\s*(?P<col>[A-Za-z_]\w*)\s+as\s+"
+    r"(?:datetime|date|time)\s*\))\s*(?:;|$)"
+)
 _TRACKED_VARS = ("group_concat_max_len", "div_precision_increment",
                  "tiflash_fastscan")
 _SET_TRACKED = re.compile(
@@ -3088,6 +3100,15 @@ def run_sql(
 
         register_mysql_functions(spark)
         spark._tiflash_mysql_fns = True
+    if _SHOW_WARNINGS.match(sql):
+        return spark.createDataFrame(
+            list(LAST_WARNINGS) or [],
+            "Level string, Code int, Message string",
+        )
+    del LAST_WARNINGS[:]
+    # captured on the RAW text — the expression rewriter will have
+    # replaced the cast spelling by the time the statement executes
+    warn_cast = _WARN_CAST_WHERE.search(sql) if stores else None
     m = _SET_TRACKED.match(sql)
     if m:
         scope = (m.group("scope") or "").lower()
@@ -4805,4 +4826,27 @@ def run_sql(
         sql = _rewrite_asof(spark, sql, stores)
     if _INFOSCHEMA.search(sql):
         sql = _rewrite_infoschema(spark, sql, stores)
+    wm = warn_cast
+    if wm:
+        # warning channel (expr/return_warning.test): a WHERE that casts
+        # a column to a temporal emits one 'Invalid time value' warning
+        # per failing value; enumerate them with a bounded side probe so
+        # the following SHOW WARNINGS renders MySQL's table
+        try:
+            probe = run_sql(
+                spark,
+                f"SELECT DISTINCT {wm.group('col')} AS _wv FROM"
+                f" {wm.group('tbl')} WHERE ({wm.group('cast')}) IS NULL"
+                f" AND {wm.group('col')} IS NOT NULL"
+                f" ORDER BY _wv LIMIT 64",
+                stores, base_path=base_path,
+            )
+            out_df = _sql_with_rescues(spark, sql, stores)
+            LAST_WARNINGS.extend(
+                ("Warning", 1105, f"Invalid time value: '{r._wv}'")
+                for r in probe.collect()
+            )
+            return out_df
+        except Exception:
+            pass
     return _sql_with_rescues(spark, sql, stores)

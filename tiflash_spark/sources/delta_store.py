@@ -3921,13 +3921,17 @@ class DeltaStore:
                 )
             if pool_df is not None:
                 pool_df = pool_df.distinct()
-            n_pool = pool_df.count() if pool_df is not None else 0
-            self._record_scan_profile("fts_search_scored", [], inlist=n_pool)
+            # profile pool size = the ALREADY-COLLECTED index candidates;
+            # the delta-tail leg stays lazy — an eager pool_df.count()
+            # here cost one extra Spark job per query just to feed the
+            # profile (round-7 bench: the fulltext trio's 1.2-1.3×)
+            self._record_scan_profile(
+                "fts_search_scored", [], inlist=len(cand_handles))
             # observable recall degradation: the deterministic cap dropped
             # index candidates (common terms > FTS_OVERFETCH*k*64 hits)
             self.last_scan_profile["candidates_truncated"] = cand_truncated
             legs = []
-            if n_pool:
+            if pool_df is not None:
                 legs.append(self.read_handles_df(pool_df, ts=ts))
             uncovered = self._all_seg_ids() - covered
             if uncovered:

@@ -410,7 +410,7 @@ _SET_TZ = re.compile(
 # analytic semantics here: region splits, database selection (scripts
 # use a single schema, already stripped), warning inspection
 _NOOP_STMT = re.compile(
-    r"(?i)^(use\s+\w+|split\s+table\b.*|show\s+warnings|admin\s+check\b.*"
+    r"(?i)^(use\s+\w+|split\s+table\b.*|admin\s+check\b.*"
     # autocommit writes: txns are no-ops here
     r"|begin(\s+(pessimistic|optimistic))?|commit|rollback)$"
 )
