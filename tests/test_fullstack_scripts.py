@@ -264,6 +264,9 @@ PASSING: list[str] = [
     "fullstack-test2/variables/set_variable_div_precision_increment.test",
     "fullstack-test2/variables/set_variable_fastscan.test",
     "fullstack-test/expr/return_warning.test",
+    "fullstack-test/expr/sum_of_enum_pushdown.test",
+    "fullstack-test2/ddl/alter_column_enum.test",
+    "tidb-ci/new_collation_fullstack/default_value.test",
 ]
 
 # script -> reason we deliberately diverge (documented, not hidden).
@@ -276,8 +279,6 @@ KNOWN_DIVERGENT: dict[str, str] = {
     "Spark decimal-division scale (max(6, s1+p2+1)) vs MySQL s1+4; mysql_decimal_divide (functions/mysql_compat.py) implements the MySQL rule for the Python API",
     "fullstack-test/expr/compare_year_with_date.test":
     "YEAR column type maps to smallint; year-vs-date comparison coercion not modeled",
-    "fullstack-test/expr/sum_of_enum_pushdown.test":
-    "ENUM stores the label; casts to the 1-based member index not modeled",
     "fullstack-test/expr/from_days.test":
     "the reference's own MPP and cop modes disagree (NULL vs '10000-01-01' past range); we implement the MPP contract",
     "fullstack-test/expr/lead_lag.test":
@@ -302,16 +303,12 @@ KNOWN_DIVERGENT: dict[str, str] = {
     "backtick column names containing parens ('col_char(20)_key_signed')",
     "fullstack-test2/ddl/alter_column_nullable.test":
     "lossy MODIFY (decimal -> bigint) needs reorg; lossless widening only",
-    "fullstack-test2/ddl/alter_column_enum.test":
-    "ENUM ordinal arithmetic (name+0 is the 1-based member index) not modeled",
     "fullstack-test2/ddl/alter_decimal_default_value.test":
     "decimal256 defaults (decimal(65,*)) exceed Spark's p<=38",
     "fullstack-test/issues/issue_4519.test":
     "decimal(65,10)=decimal(65,0) join keys clamp to p=38, where Spark's max-precision comparison truncates the scale (0.1=0 compares true)",
     "fullstack-test/issues/issue_8482.test":
     "JSON is not a typed domain: json-true vs boolean/int comparison semantics",
-    "tidb-ci/new_collation_fullstack/default_value.test":
-    "ENUM/SET default labels are not canonicalized to the declared member case ('EF' vs 'ef')",
     "tidb-ci/new_collation_fullstack/function_collator.test":
     "mixed varbinary-vs-collated-string IN lists: MySQL coerces to binary per operand pair; Spark's IN demands one type",
     "tidb-ci/fullstack-test-dt/expr_push_down.test":

@@ -112,7 +112,7 @@ _ALTER_COL = re.compile(
     r"(?:\s+([A-Za-z0-9_]+(?:\s*\([^)]*\))?))?"
     r"(?P<uns>\s+UNSIGNED)?"
     r"(?:\s+(?:CHARACTER\s+SET|CHARSET)\s+\S+)?"
-    r"(?:\s+COLLATE\s+\S+)?"
+    r"(?:\s+COLLATE\s+(?P<coll>\S+))?"
     r"(?:\s+(?P<notnull>NOT\s+NULL)|\s+(?P<plainnull>NULL))?"
     r"(?:\s+DEFAULT\s+(?P<dflt>'[^']*'|[^\s;]+))?"
     # MySQL accepts the nullability on either side of DEFAULT
@@ -750,6 +750,50 @@ def _rename_width_meta(td: dict, old: str, new: str) -> dict:
             meta[new] = meta.pop(old)
             patch[key] = meta
     return patch
+
+
+def _enum_type_labels(dtype: str | None) -> tuple[str, list[str]] | None:
+    """('enum'|'set', declared labels) for an ENUM/SET column type."""
+    m = re.match(r"(?is)^(enum|set)\s*\((?P<vals>.*)\)$",
+                 (dtype or "").strip())
+    if not m:
+        return None
+    return (m.group(1).lower(),
+            re.findall(r"'((?:[^'\\]|\\.)*)'", m.group("vals")))
+
+
+def _canon_member(v: str, labels: list[str], ci: bool) -> str | None:
+    """One ENUM/SET member lookup: PAD-SPACE trim, then (per collation)
+    case-insensitive match; returns the DECLARED-case label
+    (tidb-ci default_value.test: 'EF' under general_ci stores 'ef')."""
+    v = v.rstrip(" ")
+    if ci:
+        for lb in labels:
+            if lb.lower() == v.lower():
+                return lb
+        return None
+    return v if v in labels else None
+
+
+def _canon_enum_value(v: str, labels: list[str], ci: bool) -> str:
+    if v == "":
+        return ""  # MySQL's error-member (index 0) in non-strict mode
+    if re.match(r"^\d+$", v):
+        n = int(v)
+        return labels[n - 1] if 1 <= n <= len(labels) else ""
+    return _canon_member(v, labels, ci) or ""
+
+
+def _canon_set_value(v: str, labels: list[str], ci: bool) -> str:
+    if v == "":
+        return ""
+    out = []
+    for part in v.split(","):
+        c = _canon_member(part, labels, ci)
+        if c is not None and c not in out:
+            out.append(c)
+    # MySQL renders SET members in DECLARED order
+    return ",".join(lb for lb in labels if lb in out)
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -1925,6 +1969,44 @@ def _rewrite_mysql_division(sql: str, stores) -> str:
         )
 
     return _sub_outside_quotes(sql, pat, _sub)
+
+
+def _rewrite_enum_ordinals(sql: str, stores) -> str:
+    """ENUM columns in NUMERIC context read as their 1-based member
+    index (DataTypeEnum semantics; '' is the error member at 0):
+    `name+0`, SUM(size), CAST(size AS SIGNED/DECIMAL/DOUBLE)
+    (expr/sum_of_enum_pushdown.test, ddl/alter_column_enum.test).
+    Comparisons and plain projections keep the label."""
+    emap: dict[str, list] = {}
+    for s in (stores or {}).values():
+        if hasattr(s, "table_def"):
+            emap.update((s.table_def() or {}).get("enum_cols") or {})
+    for col, labels in emap.items():
+        if not re.search(rf"\b{re.escape(col)}\b", sql, re.IGNORECASE):
+            continue
+        arr = ", ".join("'" + lb.replace("'", "''") + "'" for lb in labels)
+        ordx = (f"coalesce(array_position(array({arr}),"
+                f" try_cast({col} AS STRING)), 0)")
+        colref = rf"(?:[A-Za-z_]\w*\s*\.\s*)?\b{re.escape(col)}\b"
+        sql = re.sub(
+            rf"(?i)\bcast\s*\(\s*{colref}\s+"
+            rf"(as\s+(?:signed|unsigned|decimal|double|real|float"
+            rf"|bigint|int|smallint)\b)",
+            lambda m: f"cast({ordx} {m.group(1)}", sql,
+        )
+        sql = re.sub(
+            rf"(?i)\b(sum|avg)\s*\(\s*{colref}\s*\)",
+            lambda m: f"{m.group(1)}({ordx})", sql,
+        )
+        sql = re.sub(
+            rf"(?i){colref}(\s*[+\-*/%]\s*\d+(?:\.\d+)?)",
+            lambda m: f"({ordx}){m.group(1)}", sql,
+        )
+        sql = re.sub(
+            rf"(?i)(\d+(?:\.\d+)?\s*[+\-*/%]\s*){colref}",
+            lambda m: f"{m.group(1)}({ordx})", sql,
+        )
+    return sql
 
 
 def _rewrite_avg_inc(sql: str, stores) -> str:
@@ -3165,6 +3247,10 @@ def run_sql(
     if (stores and _div_precision_increment() != 4
             and re.search(r"(?i)\bavg\s*\(", sql)):
         sql = _rewrite_avg_inc(sql, stores)
+    if stores and not _INSERT.match(sql) and re.match(
+        r"(?i)\s*(select|with)\b", sql
+    ):
+        sql = _rewrite_enum_ordinals(sql, stores)
     if _CAST_TRIM_CALL.search(sql):
         sql = _rewrite_mysql_exprs(sql)
     if stores and "/" in sql and not _INSERT.match(sql) and not re.match(
@@ -3662,6 +3748,17 @@ def run_sql(
         name, old, new = m.group("tbl"), m.group("old"), m.group("new")
         store = _dml_store(stores, name, "ALTER TABLE ... CHANGE")
         ty = _alter_type(m.group("type"), bool(m.group("uns")))
+        etl = _enum_type_labels(m.group("type"))
+        if etl:
+            # enum member-list change travels with the (possibly renamed)
+            # column (ddl/alter_column_enum.test adds 'D')
+            kind_e, labels_e = etl
+            key_e = "enum_cols" if kind_e == "enum" else "set_cols"
+            td_e = store.table_def() or {}
+            d_e = dict(td_e.get(key_e) or {})
+            d_e.pop(old, None)
+            d_e[new] = labels_e
+            store.update_table_def(**{key_e: d_e})
         if old == store.handle_alias():
             # renaming / retyping the clustered pk is a table-def change
             # (the handle itself never moves; ddl/rename_pk.test,
@@ -3782,6 +3879,19 @@ def run_sql(
                     store.update_table_def(time_cols=tc)
                     if dflt is not None:
                         dflt = _py_time_norm(dflt, p_t)
+                etl = _enum_type_labels(dtype)
+                if etl:
+                    kind_e, labels_e = etl
+                    key_e = "enum_cols" if kind_e == "enum" else "set_cols"
+                    td_e = store.table_def() or {}
+                    d_e = dict(td_e.get(key_e) or {})
+                    d_e[col] = labels_e
+                    store.update_table_def(**{key_e: d_e})
+                    if dflt is not None:
+                        ci_e = not (m.group("coll") or "").endswith("_bin")
+                        dflt = (_canon_enum_value(dflt, labels_e, ci_e)
+                                if kind_e == "enum"
+                                else _canon_set_value(dflt, labels_e, ci_e))
                 ym = re.match(
                     r"(?i)^year(?:\s*\(\s*\d+\s*\))?$", (dtype or "").strip()
                 )
@@ -4096,6 +4206,8 @@ def run_sql(
         time_cols: dict[str, int] = {}  # TIME(p) columns, default 0
         bin_cols: dict[str, int] = {}  # fixed BINARY(n): zero-pad writes
         bit_cols: dict[str, int] = {}  # BIT(n): width for bin-as-hex render
+        enum_cols: dict[str, list] = {}  # ENUM: declared member labels
+        set_cols: dict[str, list] = {}  # SET: declared member labels
         for item in _split_top_level(m.group("body")):
             item = item.strip()
             pm = _PKDEF.match(item)
@@ -4161,6 +4273,16 @@ def run_sql(
                     st = "string collate UTF8_LCASE_RTRIM"
                 elif co.endswith("_bin"):
                     st = "string collate UTF8_BINARY_RTRIM"
+            em = re.match(
+                r"(?is)^(enum|set)\s*\((?P<vals>.*)\)$", cm["type"].strip()
+            )
+            if em:
+                # declared member labels: INSERTs canonicalize to the
+                # declared case (CI lookup), numbers address the 1-based
+                # ordinal, `col+0`/SUM read the ordinal back
+                labels = re.findall(r"'((?:[^'\\]|\\.)*)'", em.group("vals"))
+                (enum_cols if em.group(1).lower() == "enum"
+                 else set_cols)[cm["name"]] = labels
             tm = re.match(
                 r"(?i)^(datetime|timestamp)(?:\s*\(\s*(\d+)\s*\))?$",
                 cm["type"].strip(),
@@ -4271,6 +4393,11 @@ def run_sql(
         store.write_table_def(order, pk, pk_type, dt_prec or None,
                               time_cols or None, bin_cols or None,
                               bit_cols or None)
+        if enum_cols or set_cols:
+            store.update_table_def(**{
+                k: v for k, v in
+                (("enum_cols", enum_cols), ("set_cols", set_cols)) if v
+            })
         for gname, gtype, gexpr in gen_cols:
             store.add_generated_column(gname, gtype, _fix_gen_expr(gexpr))
         for iname, kind, icol in idx_defs:
@@ -4421,11 +4548,28 @@ def run_sql(
 
             tcols = td0.get("time_cols") or {}
             bcols = td0.get("bin_cols") or {}
+            ecols = td0.get("enum_cols") or {}
+            scols = td0.get("set_cols") or {}
 
             def _cell(cell: str, col: str, ty: str | None) -> str:
                 if ty is None:
                     return f"({cell})"
                 tname = alias0 if col == HANDLE and alias0 else col
+                if (tname in ecols or tname in scols) and cell.strip(
+                ).upper() != "NULL":
+                    # ENUM/SET: canonicalize to the declared-case label
+                    # (CI lookup unless declared binary-collated);
+                    # numbers address the 1-based member, no match -> ''
+                    lit = cell.strip()
+                    s_v = (lit[1:-1] if re.match(r"^'.*'$", lit, re.S)
+                           else lit)
+                    ci_e = "BINARY" not in (ty or "")
+                    out_v = (
+                        _canon_enum_value(s_v, ecols[tname], ci_e)
+                        if tname in ecols
+                        else _canon_set_value(s_v, scols[tname], ci_e)
+                    )
+                    return "'" + out_v.replace("'", "''") + "'"
                 if tname in bcols and cell.strip().upper() != "NULL":
                     # fixed BINARY(n): a 0x literal is BYTES here (the
                     # numeric-context hex rewrite is skipped for plain
