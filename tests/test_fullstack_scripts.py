@@ -267,6 +267,8 @@ PASSING: list[str] = [
     "fullstack-test/expr/sum_of_enum_pushdown.test",
     "fullstack-test2/ddl/alter_column_enum.test",
     "tidb-ci/new_collation_fullstack/default_value.test",
+    "fullstack-test/expr/compare_year_with_date.test",
+    "fullstack-test/expr/regexp.test",
 ]
 
 # script -> reason we deliberately diverge (documented, not hidden).
@@ -277,14 +279,10 @@ KNOWN_DIVERGENT: dict[str, str] = {
     "no JSON column type; cast-to-JSON unimplemented (JSON lives as strings; mysql_json.py covers the path functions)",
     "fullstack-test/expr/decimal_divide.test":
     "Spark decimal-division scale (max(6, s1+p2+1)) vs MySQL s1+4; mysql_decimal_divide (functions/mysql_compat.py) implements the MySQL rule for the Python API",
-    "fullstack-test/expr/compare_year_with_date.test":
-    "YEAR column type maps to smallint; year-vs-date comparison coercion not modeled",
     "fullstack-test/expr/from_days.test":
     "the reference's own MPP and cop modes disagree (NULL vs '10000-01-01' past range); we implement the MPP contract",
     "fullstack-test/expr/lead_lag.test":
     "LEAD/LAG string defaults over numeric columns coerce differently",
-    "fullstack-test/expr/regexp.test":
-    "regexp_instr with pos/occurrence/return_option operands not implemented",
     "fullstack-test/expr/like.test":
     "stray mid-pattern escapes ('12\34') rejected by Spark's LIKE compiler",
     "fullstack-test/expr/mod.test":

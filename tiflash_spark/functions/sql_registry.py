@@ -955,4 +955,7 @@ def register_mysql_functions(spark: SparkSession) -> list[str]:
 
     names += register_json_udfs(spark)
     names += register_string_udfs(spark)
+    from tiflash_spark.functions.mysql_regexp import register_regexp_udfs
+
+    names += register_regexp_udfs(spark)
     return names

@@ -1131,6 +1131,7 @@ _CAST_TRIM_CALL = re.compile(
     r"(?i)\b(cast|trim|extract|json_keys|json_length|json_contains_path"
     r"|date_add|date_sub|adddate|subdate|date|space|length|format"
     r"|least|greatest|str_to_date|substring|substr|lpad|rpad|regexp_like"
+    r"|regexp_instr|regexp_substr|regexp_replace"
     r"|hour|minute|second|substring_index|unix_timestamp"
     r"|strcmp|approx_count_distinct|group_concat"
     r"|json_array|json_object|dayname|monthname|round|avg|json_valid"
@@ -1752,6 +1753,25 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                         f"CASE WHEN length({mt}) > 0 THEN concat('(?', {mt}, ')')"
                         f" ELSE '' END, {args[1]}))"
                     )
+            elif fn in ("regexp_instr", "regexp_substr", "regexp_replace"):
+                # MySQL's extended operands (pos, occurrence,
+                # return_option, match_type — expr/regexp.test): Spark's
+                # builtins stop at 2-3 args and read the 3rd arg as a
+                # GROUP index, not a start position — route to the
+                # Arrow-batched pandas UDFs (functions/mysql_regexp.py)
+                args = _split_top_level(inner)
+                if fn == "regexp_instr" and 3 <= len(args) <= 6:
+                    a = args + ["1", "1", "0", "''"][len(args) - 2:]
+                    rep = ("mysql_regexp_instr/**/("
+                           + ", ".join(f"({x})" for x in a) + ")")
+                elif fn == "regexp_substr" and 3 <= len(args) <= 5:
+                    a = args + ["1", "1", "''"][len(args) - 2:]
+                    rep = ("mysql_regexp_substr/**/("
+                           + ", ".join(f"({x})" for x in a) + ")")
+                elif fn == "regexp_replace" and 4 <= len(args) <= 6:
+                    a = args + ["1", "0", "''"][len(args) - 3:]
+                    rep = ("mysql_regexp_replace/**/("
+                           + ", ".join(f"({x})" for x in a) + ")")
             elif fn in ("json_array", "json_object"):
                 # variadic MySQL JSON constructors: render each value as
                 # its JSON text via a one-field struct (quotes strings,
@@ -2006,6 +2026,39 @@ def _rewrite_enum_ordinals(sql: str, stores) -> str:
             rf"(?i)(\d+(?:\.\d+)?\s*[+\-*/%]\s*){colref}",
             lambda m: f"{m.group(1)}({ordx})", sql,
         )
+    return sql
+
+
+def _rewrite_year_date_cmp(sql: str, stores) -> str:
+    """YEAR vs DATE comparison (expr/compare_year_with_date.test):
+    MySQL compares both sides in the DATETIME domain — YEAR 2005 reads
+    as 2005-00-00, i.e. the number 20050000 against the date's
+    yyyyMMdd (reference FunctionsComparison.h year coercion)."""
+    ycols: set[str] = set()
+    dcols: set[str] = set()
+    for s in (stores or {}).values():
+        if not hasattr(s, "table_def"):
+            continue
+        ycols |= set((s.table_def() or {}).get("year_cols") or [])
+        for n, t in s.current_fields() or []:
+            if str(t).lower() == "date":
+                dcols.add(n)
+    ops = r"(?:<=>|<>|!=|>=|<=|=|<|>)"
+    for y in ycols:
+        for d in dcols:
+            sql = re.sub(
+                rf"(?i)\b({re.escape(y)})\s*({ops})\s*({re.escape(d)})\b",
+                lambda m: (f"(({m.group(1)}) * 10000) {m.group(2)}"
+                           f" cast(date_format({m.group(3)}, 'yyyyMMdd')"
+                           f" AS INT)"),
+                sql,
+            )
+            sql = re.sub(
+                rf"(?i)\b({re.escape(d)})\s*({ops})\s*({re.escape(y)})\b",
+                lambda m: (f"cast(date_format({m.group(1)}, 'yyyyMMdd')"
+                           f" AS INT) {m.group(2)} (({m.group(3)}) * 10000)"),
+                sql,
+            )
     return sql
 
 
@@ -3251,6 +3304,11 @@ def run_sql(
         r"(?i)\s*(select|with)\b", sql
     ):
         sql = _rewrite_enum_ordinals(sql, stores)
+        if any(
+            (s.table_def() or {}).get("year_cols")
+            for s in stores.values() if hasattr(s, "table_def")
+        ):
+            sql = _rewrite_year_date_cmp(sql, stores)
     if _CAST_TRIM_CALL.search(sql):
         sql = _rewrite_mysql_exprs(sql)
     if stores and "/" in sql and not _INSERT.match(sql) and not re.match(
@@ -4208,6 +4266,7 @@ def run_sql(
         bit_cols: dict[str, int] = {}  # BIT(n): width for bin-as-hex render
         enum_cols: dict[str, list] = {}  # ENUM: declared member labels
         set_cols: dict[str, list] = {}  # SET: declared member labels
+        year_cols: list[str] = []  # YEAR columns (smallint storage)
         for item in _split_top_level(m.group("body")):
             item = item.strip()
             pm = _PKDEF.match(item)
@@ -4283,6 +4342,9 @@ def run_sql(
                 labels = re.findall(r"'((?:[^'\\]|\\.)*)'", em.group("vals"))
                 (enum_cols if em.group(1).lower() == "enum"
                  else set_cols)[cm["name"]] = labels
+            if re.match(r"(?i)^year(?:\s*\(\s*\d+\s*\))?$",
+                        cm["type"].strip()):
+                year_cols.append(cm["name"])
             tm = re.match(
                 r"(?i)^(datetime|timestamp)(?:\s*\(\s*(\d+)\s*\))?$",
                 cm["type"].strip(),
@@ -4393,10 +4455,11 @@ def run_sql(
         store.write_table_def(order, pk, pk_type, dt_prec or None,
                               time_cols or None, bin_cols or None,
                               bit_cols or None)
-        if enum_cols or set_cols:
+        if enum_cols or set_cols or year_cols:
             store.update_table_def(**{
                 k: v for k, v in
-                (("enum_cols", enum_cols), ("set_cols", set_cols)) if v
+                (("enum_cols", enum_cols), ("set_cols", set_cols),
+                 ("year_cols", year_cols)) if v
             })
         for gname, gtype, gexpr in gen_cols:
             store.add_generated_column(gname, gtype, _fix_gen_expr(gexpr))
