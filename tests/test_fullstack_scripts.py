@@ -269,14 +269,14 @@ PASSING: list[str] = [
     "tidb-ci/new_collation_fullstack/default_value.test",
     "fullstack-test/expr/compare_year_with_date.test",
     "fullstack-test/expr/regexp.test",
+    "fullstack-test/expr/cast_as_json.test",
+    "fullstack-test/issues/issue_8482.test",
 ]
 
 # script -> reason we deliberately diverge (documented, not hidden).
 # Scripts in NEITHER list are candidates still being driven down — run
 # scripts/fullstack_sweep.py for the current per-script state.
 KNOWN_DIVERGENT: dict[str, str] = {
-    "fullstack-test/expr/cast_as_json.test":
-    "no JSON column type; cast-to-JSON unimplemented (JSON lives as strings; mysql_json.py covers the path functions)",
     "fullstack-test/expr/decimal_divide.test":
     "Spark decimal-division scale (max(6, s1+p2+1)) vs MySQL s1+4; mysql_decimal_divide (functions/mysql_compat.py) implements the MySQL rule for the Python API",
     "fullstack-test/expr/from_days.test":
@@ -305,8 +305,6 @@ KNOWN_DIVERGENT: dict[str, str] = {
     "decimal256 defaults (decimal(65,*)) exceed Spark's p<=38",
     "fullstack-test/issues/issue_4519.test":
     "decimal(65,10)=decimal(65,0) join keys clamp to p=38, where Spark's max-precision comparison truncates the scale (0.1=0 compares true)",
-    "fullstack-test/issues/issue_8482.test":
-    "JSON is not a typed domain: json-true vs boolean/int comparison semantics",
     "tidb-ci/new_collation_fullstack/function_collator.test":
     "mixed varbinary-vs-collated-string IN lists: MySQL coerces to binary per operand pair; Spark's IN demands one type",
     "tidb-ci/fullstack-test-dt/expr_push_down.test":

@@ -251,10 +251,61 @@ def register_json_udfs(spark) -> list[str]:
             dtype="Int32",
         )
 
+    @pandas_udf("string")
+    def _jcast(doc: pd.Series) -> pd.Series:
+        return pd.Series(
+            [cast_json_py(None if d is None else str(d)) for d in doc],
+            dtype=object,
+        )
+
     spark.udf.register("mysql_json_extract", _jext)
     spark.udf.register("mysql_json_keys", _jkeys)
     spark.udf.register("mysql_json_contains_path", _jcp)
-    return ["mysql_json_extract", "mysql_json_keys", "mysql_json_contains_path"]
+    spark.udf.register("mysql_cast_json", _jcast)
+    return ["mysql_json_extract", "mysql_json_keys",
+            "mysql_json_contains_path", "mysql_cast_json"]
+
+
+def mysql_json_render(v) -> str:
+    """MySQL's canonical JSON text: ', ' and ': ' separators, object
+    keys sorted by (length, bytes) — the binary-JSON key order
+    (reference dbms/src/TiDB/Decode/JsonBinary.cpp) — doubles keep a
+    fraction digit (0 -> 0.0), strings/escapes via json.dumps."""
+    if v is None:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            return "null"
+        return f"{v:.1f}" if v.is_integer() else repr(v)
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return json.dumps(v, ensure_ascii=False)
+    if isinstance(v, list):
+        return "[" + ", ".join(mysql_json_render(x) for x in v) + "]"
+    if isinstance(v, dict):
+        keys = sorted(v, key=lambda k: (len(k.encode()), k.encode()))
+        return "{" + ", ".join(
+            f"{json.dumps(k, ensure_ascii=False)}: {mysql_json_render(v[k])}"
+            for k in keys
+        ) + "}"
+    return json.dumps(v, ensure_ascii=False)
+
+
+def cast_json_py(s):
+    """CAST(string AS JSON): parse, re-render canonically; invalid JSON
+    is NULL on this non-strict surface (MySQL errors — the reference
+    script's Invalid blocks are {#REGEXP}-unchecked)."""
+    if s is None:
+        return None
+    try:
+        return mysql_json_render(json.loads(s))
+    except (ValueError, RecursionError):
+        return None
 
 
 # --- other per-row MySQL string functions ---------------------------------------

@@ -2029,6 +2029,154 @@ def _rewrite_enum_ordinals(sql: str, stores) -> str:
     return sql
 
 
+def _rj_meta(stores) -> dict[str, tuple]:
+    """column -> (kind, extra) map for CAST(.. AS JSON) rendering."""
+    meta: dict[str, tuple] = {}
+    for s in (stores or {}).values():
+        if not hasattr(s, "table_def"):
+            continue
+        td = s.table_def() or {}
+        for c, i in (td.get("json_bin_ids") or {}).items():
+            meta[c.lower()] = ("bin", int(i))
+        for c, p in (td.get("time_cols") or {}).items():
+            meta.setdefault(c.lower(), ("time", p))
+        for c in td.get("year_cols") or []:
+            meta.setdefault(c.lower(), ("year", None))
+        for c in td.get("json_cols") or []:
+            meta.setdefault(c.lower(), ("json", None))
+        for n, t in s.current_fields() or []:
+            tl, k = str(t).lower(), n.lower()
+            if k in meta:
+                continue
+            if tl == "date":
+                meta[k] = ("date", None)
+            elif tl.startswith("timestamp"):
+                meta[k] = ("dt", None)
+            elif tl.startswith("string"):
+                meta[k] = ("str", None)
+            elif tl == "float":
+                meta[k] = ("float", None)
+            elif tl == "double":
+                meta[k] = ("double", None)
+            elif tl.startswith("decimal"):
+                meta[k] = ("dec", None)
+            elif tl in ("tinyint", "smallint", "int", "bigint"):
+                meta[k] = ("int", None)
+            elif tl == "binary":
+                meta[k] = ("bin", 252)
+    return meta
+
+
+def _cast_json_expr(x: str, kind: str | None, extra) -> str:
+    """MySQL's JSON text for one operand (FunctionsJson.h CastAsJson):
+    numbers render bare (doubles keep a fraction digit), temporals as
+    quoted rendered strings (datetime always at 6-digit fraction),
+    binary as the opaque \"base64:type{id}:..\" form, strings/JSON parse
+    and re-render canonically."""
+    if kind == "bin":
+        return (f"CASE WHEN ({x}) IS NULL THEN NULL ELSE"
+                f" concat('\"base64:type{extra}:',"
+                f" base64(try_cast(({x}) AS BINARY)), '\"') END")
+    if kind == "time":
+        return (
+            f"CASE WHEN ({x}) IS NULL THEN NULL ELSE concat('\"',"
+            f" CASE WHEN instr({x}, '.') > 0"
+            f" THEN rpad({x}, length(substring_index({x}, '.', 1)) + 7, '0')"
+            f" ELSE concat({x}, '.000000') END, '\"') END"
+        )
+    if kind == "date":
+        return f"concat('\"', date_format({x}, 'yyyy-MM-dd'), '\"')"
+    if kind == "dt":
+        return (f"concat('\"', date_format({x},"
+                f" 'yyyy-MM-dd HH:mm:ss.SSSSSS'), '\"')")
+    if kind in ("year", "int", "dec", "double"):
+        return f"try_cast(({x}) AS STRING)"
+    if kind == "float":
+        return f"try_cast(try_cast(({x}) AS DOUBLE) AS STRING)"
+    if kind in ("json", "str"):
+        return f"mysql_cast_json(try_cast(({x}) AS STRING))"
+    # general expression: typeof() dispatch. No temporal branches here —
+    # date_format would fail ANALYSIS on non-temporal operands (CASE
+    # type-checks every branch); temporal COLUMNS dispatch via meta.
+    return (
+        f"CASE WHEN typeof({x}) = 'boolean' THEN"
+        f" CASE WHEN ({x}) THEN 'true' WHEN NOT ({x}) THEN 'false' END"
+        f" WHEN typeof({x}) IN ('tinyint', 'smallint', 'int', 'bigint')"
+        f" OR typeof({x}) LIKE 'decimal%' THEN try_cast(({x}) AS STRING)"
+        f" WHEN typeof({x}) IN ('float', 'double')"
+        f" THEN try_cast(try_cast(({x}) AS DOUBLE) AS STRING)"
+        f" ELSE mysql_cast_json(try_cast(({x}) AS STRING)) END"
+    )
+
+
+def _rewrite_cast_json(sql: str, stores) -> str:
+    """CAST(x AS JSON) -> MySQL JSON text rendering
+    (expr/cast_as_json.test). Bare-column operands dispatch on the
+    column's declared MySQL type (blob ids, TIME fsp, YEAR, JSON);
+    general expressions fall back to a typeof() CASE."""
+    # scope column resolution to the statement's FROM table when it is a
+    # single registered name — different tables reuse column names with
+    # different types (test_json.col vs test_bin_str.col)
+    fm = re.search(r"(?i)\bfrom\s+`?(\w+)`?", sql)
+    if fm and stores and fm.group(1) in stores:
+        meta = _rj_meta({fm.group(1): stores[fm.group(1)]})
+    else:
+        meta = _rj_meta(stores)
+    out = sql
+    pos = 0
+    pat = re.compile(r"(?i)\bcast\s*\(")
+    while True:
+        m = pat.search(out, pos)
+        if not m:
+            return out
+        op = out.index("(", m.start())
+        cl = _match_paren(out, op)
+        if cl < 0:
+            return out
+        inner = out[op + 1:cl]
+        parts = _split_top_kw(inner, "AS", last=True)
+        if not parts or parts[1].strip().lower() != "json":
+            pos = cl
+            continue
+        x = parts[0].strip()
+        cmatch = re.match(
+            r"^(?:[A-Za-z_]\w*\s*\.\s*)?([A-Za-z_]\w*)$", x
+        )
+        kind, extra = (None, None)
+        if cmatch:
+            kind, extra = meta.get(cmatch.group(1).lower(), (None, None))
+        repl = f"({_cast_json_expr(x, kind, extra)})"
+        out = out[: m.start()] + repl + out[cl + 1:]
+        pos = m.start() + len(repl)
+
+
+def _rewrite_json_compare(sql: str, stores) -> str:
+    """JSON column = literal (issues/issue_8482.test): the literal
+    coerces into the JSON domain — numbers compare against the stored
+    JSON number text, the true/false KEYWORDS become JSON booleans (so
+    json 1 = true is FALSE, exactly TiDB)."""
+    jcols: set[str] = set()
+    for s in (stores or {}).values():
+        if hasattr(s, "table_def"):
+            jcols |= {c.lower()
+                      for c in (s.table_def() or {}).get("json_cols") or []}
+    for j in jcols:
+        colref = rf"(?:[A-Za-z_]\w*\s*\.\s*)?\b{re.escape(j)}\b"
+        sql = re.sub(
+            rf"(?i)({colref})\s*=\s*(true|false)\b",
+            lambda m: (f"(try_cast({m.group(1)} AS STRING)"
+                       f" = '{m.group(2).lower()}')"),
+            sql,
+        )
+        sql = re.sub(
+            rf"(?i)({colref})\s*=\s*(-?\d+(?:\.\d+)?)(?![\w.])",
+            lambda m: (f"(try_cast({m.group(1)} AS STRING)"
+                       f" = '{m.group(2)}')"),
+            sql,
+        )
+    return sql
+
+
 def _rewrite_year_date_cmp(sql: str, stores) -> str:
     """YEAR vs DATE comparison (expr/compare_year_with_date.test):
     MySQL compares both sides in the DATETIME domain — YEAR 2005 reads
@@ -3309,6 +3457,13 @@ def run_sql(
             for s in stores.values() if hasattr(s, "table_def")
         ):
             sql = _rewrite_year_date_cmp(sql, stores)
+        if re.search(r"(?i)\bas\s+json\s*\)", sql):
+            sql = _rewrite_cast_json(sql, stores)
+        if any(
+            (s.table_def() or {}).get("json_cols")
+            for s in stores.values() if hasattr(s, "table_def")
+        ):
+            sql = _rewrite_json_compare(sql, stores)
     if _CAST_TRIM_CALL.search(sql):
         sql = _rewrite_mysql_exprs(sql)
     if stores and "/" in sql and not _INSERT.match(sql) and not re.match(
@@ -4267,6 +4422,13 @@ def run_sql(
         enum_cols: dict[str, list] = {}  # ENUM: declared member labels
         set_cols: dict[str, list] = {}  # SET: declared member labels
         year_cols: list[str] = []  # YEAR columns (smallint storage)
+        json_cols: list[str] = []  # JSON columns (string storage)
+        # binary-ish columns: MySQL field-type id for the CAST(..AS JSON)
+        # opaque rendering ("base64:type{id}:...")
+        json_bin_ids: dict[str, int] = {}
+        tbl_binary = bool(re.search(
+            r"(?i)\)\s*[^()]*\bCOLLATE\s*=?\s*'?binary'?", sql
+        ))
         for item in _split_top_level(m.group("body")):
             item = item.strip()
             pm = _PKDEF.match(item)
@@ -4345,6 +4507,24 @@ def run_sql(
             if re.match(r"(?i)^year(?:\s*\(\s*\d+\s*\))?$",
                         cm["type"].strip()):
                 year_cols.append(cm["name"])
+            if re.match(r"(?i)^json$", cm["type"].strip()):
+                json_cols.append(cm["name"])
+            bj = re.match(
+                r"(?i)^(tinyblob|blob|mediumblob|longblob|varbinary"
+                r"|binary)\b", cm["type"].strip(),
+            )
+            if bj:
+                json_bin_ids[cm["name"]] = {
+                    "tinyblob": 249, "mediumblob": 250, "longblob": 251,
+                    "blob": 252, "varbinary": 15, "binary": 254,
+                }[bj.group(1).lower()]
+            elif tbl_binary and re.match(
+                r"(?i)^(varchar|char|text|tinytext|mediumtext|longtext)\b",
+                cm["type"].strip(),
+            ):
+                # table-level COLLATE=binary turns string columns into
+                # binary-charset VAR_STRING (id 15) for JSON rendering
+                json_bin_ids[cm["name"]] = 15
             tm = re.match(
                 r"(?i)^(datetime|timestamp)(?:\s*\(\s*(\d+)\s*\))?$",
                 cm["type"].strip(),
@@ -4455,11 +4635,12 @@ def run_sql(
         store.write_table_def(order, pk, pk_type, dt_prec or None,
                               time_cols or None, bin_cols or None,
                               bit_cols or None)
-        if enum_cols or set_cols or year_cols:
+        if enum_cols or set_cols or year_cols or json_cols or json_bin_ids:
             store.update_table_def(**{
                 k: v for k, v in
                 (("enum_cols", enum_cols), ("set_cols", set_cols),
-                 ("year_cols", year_cols)) if v
+                 ("year_cols", year_cols), ("json_cols", json_cols),
+                 ("json_bin_ids", json_bin_ids)) if v
             })
         for gname, gtype, gexpr in gen_cols:
             store.add_generated_column(gname, gtype, _fix_gen_expr(gexpr))
@@ -4613,11 +4794,20 @@ def run_sql(
             bcols = td0.get("bin_cols") or {}
             ecols = td0.get("enum_cols") or {}
             scols = td0.get("set_cols") or {}
+            jcols = set(td0.get("json_cols") or [])
 
             def _cell(cell: str, col: str, ty: str | None) -> str:
                 if ty is None:
                     return f"({cell})"
                 tname = alias0 if col == HANDLE and alias0 else col
+                if tname in jcols and cell.strip().lower() in (
+                    "true", "false"
+                ):
+                    # INSERT true into a JSON column: the parser folds
+                    # the keyword to 1/0 BEFORE the JSON coercion, so
+                    # json number — not json true — lands
+                    # (issues/issue_8482.test)
+                    return "'1'" if cell.strip().lower() == "true" else "'0'"
                 if (tname in ecols or tname in scols) and cell.strip(
                 ).upper() != "NULL":
                     # ENUM/SET: canonicalize to the declared-case label
