@@ -2507,6 +2507,7 @@ _PROJ_IN_SUB = re.compile(r"(?i)\b(?P<neg>not\s+)?in\s*\(\s*select\b")
 def _rewrite_projected_in_subquery(sql: str) -> str:
     out = sql
     guard = 0
+    scan_from = 0
     while guard < 16:
         guard += 1
         # the first top-level FROM bounds the select list; only INs that
@@ -2517,7 +2518,7 @@ def _rewrite_projected_in_subquery(sql: str) -> str:
             return out
         limit = len(top_from[0])
         hit = None
-        for m in _PROJ_IN_SUB.finditer(out):
+        for m in _PROJ_IN_SUB.finditer(out, scan_from):
             if m.start() < limit:
                 hit = m
                 break
@@ -2556,8 +2557,14 @@ def _rewrite_projected_in_subquery(sql: str) -> str:
             return out
         sel_exprs = _split_top_level(
             re.sub(r"(?is)^\s*select\s+", "", fp[0]))
-        if len(sel_exprs) != len(lhs_exprs):
-            return out
+        if len(sel_exprs) != len(lhs_exprs) or any(
+            e.strip().endswith("*") for e in sel_exprs
+        ):
+            # star projections come from _rewrite_in_table's emitted
+            # CASE (`IN (SELECT * FROM t)`) — already three-valued;
+            # skip this hit, keep scanning after it
+            scan_from = cl
+            continue
         # fresh _nv{i} names via a derived table: the sub's select list
         # may shadow the outer lhs names (both sides named `a`), so the
         # probes compare outer lhs against _nv{i} only; the sub's own
