@@ -227,6 +227,59 @@ def test_ann_pq_recall_and_determinism(spark):
     assert len(r.codes) == PQ_M and all(0 <= c < 256 for c in r.codes)
 
 
+def test_distributed_graph_build_matches_dense(spark):
+    """The DISTRIBUTED banded-kNN graph build (round 8: replaces the
+    O(C²·d) driver matrix) must reproduce the dense build's M-NN edges
+    at small C (single exact bucket) — modulo the ring-closure edge it
+    appends for connectivity — and stay walkable at a banded C."""
+    import random
+
+    from tiflash_spark.pipeline.similarity import (
+        GRAPH_M,
+        build_centroid_graph,
+        build_centroid_graph_df,
+        graph_probe,
+    )
+
+    rnd = random.Random(7)
+    cent_rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    dense = build_centroid_graph(cent_rows)
+    df = spark.createDataFrame(cent_rows, "cid int, cvec array<double>")
+    dist = {
+        int(r.cid): [int(n) for n in r.neighbors]
+        for r in build_centroid_graph_df(spark, df).collect()
+    }
+    assert set(dist) == set(dense)
+    for cid, nbrs in dense.items():
+        got = dist[cid]
+        # ring successor may be appended after the M true neighbors
+        assert got[:GRAPH_M] == nbrs, (cid, got, nbrs)
+        assert len(got) <= GRAPH_M + 1
+        succ = (cid + 1) % 60
+        assert succ in got or succ == cid
+    # banded path (C > _EXACT_BUILD_MAX is too slow for a unit test —
+    # force banding by lowering the threshold) stays connected enough
+    # for the walk to terminate and return n_probe centroids
+    import tiflash_spark.pipeline.similarity as sim
+
+    old = sim._EXACT_BUILD_MAX
+    try:
+        sim._EXACT_BUILD_MAX = 10
+        banded = {
+            int(r.cid): [int(n) for n in r.neighbors]
+            for r in build_centroid_graph_df(spark, df).collect()
+        }
+    finally:
+        sim._EXACT_BUILD_MAX = old
+    assert set(banded) == set(dense)
+    assert all(len(v) >= 1 for v in banded.values())
+    vecs = {c: v for c, v in cent_rows}
+    walked = graph_probe(banded, vecs, cent_rows[3][1], 4)
+    assert len(walked) == 4
+
+
 def test_graph_probe_matches_exact_centroid_selection(spark):
     """The NSW walk over the centroid graph (the HNSW-shaped coarse
     step) must recover the SAME probe set as scoring every centroid:
