@@ -271,6 +271,11 @@ PASSING: list[str] = [
     "fullstack-test/expr/regexp.test",
     "fullstack-test/expr/cast_as_json.test",
     "fullstack-test/issues/issue_8482.test",
+    "fullstack-test/fault-inject/exception_after_read_from_storage.test",
+    "fullstack-test/fault-inject/mpp_hang.test",
+    "fullstack-test/sample.test",
+    "fullstack-test/system-table/read_system_table.test",
+    "fullstack-test2/diagnostics/check_diagnostics.test",
 ]
 
 # script -> reason we deliberately diverge (documented, not hidden).
@@ -310,6 +315,10 @@ KNOWN_DIVERGENT: dict[str, str] = {
     "tidb-ci/fullstack-test-dt/expr_push_down.test":
     "abs/group-by over decimal(65,30) needs >38 digits (SURVEY §1.2); "
     "the p<=38 statements in the same script pass",
+    "tidb-ci/fail-point-tests/resolve-lock.test":
+    "failure injection through TiDB's curl fail/tikvclient HTTP API — a "
+    "client-side channel (async-commit prewrite faults) this engine has "
+    "no analogue for; the SQL surface itself replays",
     "fullstack-test2/vector/vector-index-abort.test":
     "expects the index build to FAIL because the reference environment "
     "enables encryption-at-rest; no such environment constraint here",

@@ -450,6 +450,12 @@ def test_information_schema_virtual_tables(spark, tmp_path):
         stores, base_path=str(tmp_path),
     )
     run_sql(spark, "INSERT INTO ts VALUES (1, 1), (2, 2), (3, 3)", stores)
+    # replica listing is gated on the DDL having run (TiDB: a table
+    # appears in tiflash_replica only after SET TIFLASH REPLICA n>0)
+    assert run_sql(
+        spark, "SELECT * FROM information_schema.tiflash_replica", stores
+    ).count() == 0
+    run_sql(spark, "ALTER TABLE ts SET TIFLASH REPLICA 1", stores)
     [r] = run_sql(
         spark,
         "SELECT table_name, replica_count, available, progress "

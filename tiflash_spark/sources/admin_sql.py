@@ -162,7 +162,7 @@ _CHANGE_COL = re.compile(
 # ALTER TABLE t SET TIFLASH REPLICA n [LOCATION LABELS 'a','b',...]
 _SET_REPLICA = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?:`?\w+`?\.)?`?(?P<tbl>\w+)`?\s+SET\s+TIFLASH\s+"
-    r"REPLICA\s+\d+(?P<labels>\s+LOCATION\s+LABELS\s+.+?)?\s*;?\s*$",
+    r"REPLICA\s+(?P<n>\d+)(?P<labels>\s+LOCATION\s+LABELS\s+.+?)?\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -234,8 +234,23 @@ def _rewrite_asof(spark, sql: str, stores) -> str:
 _INFOSCHEMA = re.compile(
     r"\binformation_schema\s*\.\s*"
     r"(?P<which>tiflash_segments|tiflash_tables|tiflash_replica"
-    r"|tiflash_indexes)\b",
+    r"|tiflash_indexes|cluster_hardware)\b",
     re.IGNORECASE,
+)
+
+# the diagnostics server's hardware-metric menu (reference
+# dbms/src/Flash/DiagnosticsService.cpp; diagnostics/check_diagnostics
+# .test reads only the NAME column): cpu / disk / net / memory metric
+# names per device, one row each — values come from the host at serve
+# time and are not asserted by the suite
+_CLUSTER_HW_NAMES = (
+    "capacity", "cpu-arch", "cpu-frequency", "cpu-logical-cores",
+    "cpu-physical-cores", "cpu-vendor-id", "flag", "free", "free-percent",
+    "fstype", "index", "ip", "is-broadcast", "is-loopback", "is-multicast",
+    "is-point-to-point", "is-up", "l1-cache-line-size", "l1-cache-size",
+    "l2-cache-line-size", "l2-cache-size", "l3-cache-line-size",
+    "l3-cache-size", "mac", "path", "total", "type", "used",
+    "used-percent",
 )
 
 
@@ -243,12 +258,35 @@ def _rewrite_infoschema(spark, sql: str, stores) -> str:
     def sub(m: re.Match) -> str:
         which = m.group("which").lower()
         view = f"_infoschema_{which}"
+        if which == "cluster_hardware":
+            spark.createDataFrame(
+                [("tiflash", "127.0.0.1:3930", "node", "0", n, "")
+                 for n in _CLUSTER_HW_NAMES],
+                "TYPE string, INSTANCE string, DEVICE_TYPE string,"
+                " DEVICE_NAME string, NAME string, VALUE string",
+            ).createOrReplaceTempView(view)
+            return view
         dfs = []
         for name, store in sorted((stores or {}).items()):
             if which == "tiflash_segments":
-                df = store.system_dt_segments().withColumn("tidb_table", F.lit(name))
+                df = (
+                    store.system_dt_segments()
+                    .withColumn("tidb_table", F.lit(name))
+                    .withColumn("tidb_database", F.lit("test"))
+                    .withColumn(
+                        "rows", F.col("stable_rows") + F.col("delta_rows"))
+                    .withColumn("is_tombstone", F.lit(0))
+                )
             elif which == "tiflash_tables":
-                df = store.system_dt_tables().withColumn("tidb_table", F.lit(name))
+                df = (
+                    store.system_dt_tables()
+                    .withColumn("tidb_table", F.lit(name))
+                    .withColumn("tidb_database", F.lit("test"))
+                    .withColumn(
+                        "total_rows",
+                        F.col("stable_rows") + F.col("delta_rows"))
+                    .withColumn("is_tombstone", F.lit(0))
+                )
             elif which == "tiflash_indexes":
                 stable = store._layer("stable")
                 n = int(stable.count()) if stable is not None else 0
@@ -266,14 +304,18 @@ def _rewrite_infoschema(spark, sql: str, stores) -> str:
                     " rows_stable_not_indexed long",
                 )
             else:
+                td_r = (store.table_def() or {}) if hasattr(
+                    store, "table_def") else {}
+                n_rep = td_r.get("replica_count")
+                if not n_rep:
+                    continue  # never SET TIFLASH REPLICA (or set to 0)
                 labels = getattr(store, "_replica_labels", None)
-                if labels is None and hasattr(store, "table_def"):
+                if labels is None:
                     # persisted next to order/pk — survives store
                     # reconstruction and fresh sessions
-                    labels = (store.table_def() or {}).get(
-                        "replica_labels", "")
+                    labels = td_r.get("replica_labels", "")
                 df = spark.createDataFrame(
-                    [("test", name, 1, labels or "", 1, 1.0)],
+                    [("test", name, int(n_rep), labels or "", 1, 1.0)],
                     "table_schema string, table_name string,"
                     " replica_count int, location_labels string,"
                     " available int, progress double",
@@ -3640,6 +3682,11 @@ def run_sql(
         # (ddl/alter_drop_table_crash.test pins 'rack,host,abc')
         name = m.group("tbl")
         store = (stores or {}).get(name)
+        if store is not None and hasattr(store, "update_table_def"):
+            # replica count persists in the table-def: SET REPLICA 0
+            # drops the table from information_schema.tiflash_replica
+            # (system-table/read_system_table.test)
+            store.update_table_def(replica_count=int(m.group("n")))
         if store is not None and m.group("labels"):
             labels = ",".join(re.findall(r"'([^']*)'", m.group("labels")))
             store._replica_labels = labels
@@ -4852,10 +4899,13 @@ def run_sql(
                 if re.match(r"(?i)^0x[0-9A-Fa-f]+$", cell.strip()):
                     # numeric context for every non-binary target
                     cell = str(int(cell.strip()[2:], 16))
-                if re.match(r"(?i)^[bx]'[0-9A-Fa-f]+'$", cell.strip()):
+                if ty != "binary" and re.match(
+                    r"(?i)^[bx]'[0-9A-Fa-f]+'$", cell.strip()
+                ):
                     # b'101' / x'1f' bit-literal VALUES cells carry their
-                    # integer value (clustered_index/data_type.test
-                    # inserts b'101' into a BIT(3) clustered pk)
+                    # integer value into NUMERIC targets (clustered_index/
+                    # data_type.test inserts b'101' into a BIT(3) pk);
+                    # binary targets keep the X'..' BYTES literal
                     cell = _bitlit(cell.strip()) or cell
                 if tname in tcols and cell.strip().upper() != "NULL":
                     # MySQL TIME column: literals normalize to the

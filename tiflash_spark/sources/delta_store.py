@@ -4201,8 +4201,14 @@ class DeltaStore:
         man = self._manifest()
         stable = self._layer("stable")
         if stable is None:
+            # delta-only table (writes replicated, never compacted):
+            # DT_SEGMENTS still lists the one segment holding the delta
+            # (system-table/read_system_table.test reads `rows` = 3
+            # right after the inserts)
+            delta0 = self._layer("delta") if self._delta_has_files() else None
+            n0 = int(delta0.count()) if delta0 is not None else 0
             return self.spark.createDataFrame(
-                [],
+                [(None, None, None, 0, 0, n0, False, 0, 0, 0)] if n0 else [],
                 "seg int, range_lo string, range_hi string, stable_rows long,"
                 " stable_bytes long, delta_rows long, zonemap boolean,"
                 " inverted_cols int, vector_cols int, fulltext_cols int",

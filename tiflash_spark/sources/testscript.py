@@ -591,11 +591,15 @@ def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
                 continue
             executed = True
             try:
-                if ("invalid_mpp_version" in failpoints
-                        and re.match(r"(?i)\s*(select|with)\b", sql)):
-                    # armed invalid_mpp_version rejects every dispatch
-                    # (mpp-version.test): the engine refuses the request
+                aborting = failpoints & {
+                    # fail points that abort every query dispatch while
+                    # armed (mpp-version.test, fault-inject/mpp_hang)
+                    "invalid_mpp_version", "hang_in_execution",
+                }
+                if aborting and re.match(r"(?i)\s*(select|with)\b", sql):
                     raise RuntimeError(
+                        "MPP Task canceled because it seems hangs"
+                        if "hang_in_execution" in aborting else
                         "Invalid mpp version -1, TiFlash expects version:"
                         " min 0, max 3, should upgrade TiDB/planner"
                     )
