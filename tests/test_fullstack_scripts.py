@@ -276,14 +276,13 @@ PASSING: list[str] = [
     "fullstack-test/sample.test",
     "fullstack-test/system-table/read_system_table.test",
     "fullstack-test2/diagnostics/check_diagnostics.test",
+    "fullstack-test/expr/decimal_divide.test",
 ]
 
 # script -> reason we deliberately diverge (documented, not hidden).
 # Scripts in NEITHER list are candidates still being driven down — run
 # scripts/fullstack_sweep.py for the current per-script state.
 KNOWN_DIVERGENT: dict[str, str] = {
-    "fullstack-test/expr/decimal_divide.test":
-    "Spark decimal-division scale (max(6, s1+p2+1)) vs MySQL s1+4; mysql_decimal_divide (functions/mysql_compat.py) implements the MySQL rule for the Python API",
     "fullstack-test/expr/from_days.test":
     "the reference's own MPP and cop modes disagree (NULL vs '10000-01-01' past range); we implement the MPP contract",
     "fullstack-test/expr/lead_lag.test":

@@ -2015,19 +2015,40 @@ def _rewrite_mysql_division(sql: str, stores) -> str:
     pat = re.compile(
         rf"(?<![\w.'\"`])(?P<a>(?:{ident}\s*\.\s*)?{ident})"
         rf"\s*/\s*"
-        rf"(?P<b>(?:{ident}\s*\.\s*)?{ident})(?![\w.(])"
+        # divisor: a column ref, or a parenthesized arithmetic
+        # expression over columns/literals (`b/(a*10000)`,
+        # decimal_divide.test) — the double-division path needs no
+        # divisor scale, only that every ident inside is exact-numeric
+        rf"(?P<b>\((?:[\w\s+*/.-]|,)*\)|(?:{ident}\s*\.\s*)?{ident}(?![\w.(]))"
     )
 
     def _sub(m: re.Match) -> str:
         a, b = m.group("a"), m.group("b")
         sa = scales.get(a.split(".")[-1].strip().lower())
-        sb = scales.get(b.split(".")[-1].strip().lower())
+        if b.startswith("("):
+            idents = [
+                i for i in re.findall(r"[A-Za-z_]\w*", b)
+                if not re.match(r"^\d", i)
+            ]
+            sb: int | None = 0
+            for i in idents:
+                if scales.get(i.lower()) is None:
+                    sb = None
+                    break
+        else:
+            sb = scales.get(b.split(".")[-1].strip().lower())
         if sa is None or sb is None:
             return m.group(0)
         sc = min(sa + inc, 30)
+        # divide in DOUBLE: Spark's decimal division drops to scale 6
+        # under precision-loss pressure (decimal(38,10)/decimal(38,10)),
+        # which mis-rounds 1/20001 at scale 4 (decimal_divide.test);
+        # double carries ~16 significant digits — more guard than any
+        # suite value needs — and the decimal cast rounds HALF_UP like
+        # MySQL
         return (
-            f"try_cast(try_cast(({a}) AS DECIMAL(38,{min(sa + 10, 30)}))"
-            f" / ({b}) AS DECIMAL(38,{sc}))"
+            f"try_cast(try_cast(({a}) AS DOUBLE) / try_cast(({b}) AS"
+            f" DOUBLE) AS DECIMAL(38,{sc}))"
         )
 
     return _sub_outside_quotes(sql, pat, _sub)
