@@ -277,6 +277,7 @@ PASSING: list[str] = [
     "fullstack-test/system-table/read_system_table.test",
     "fullstack-test2/diagnostics/check_diagnostics.test",
     "fullstack-test/expr/decimal_divide.test",
+    "fullstack-test/expr/lead_lag.test",
 ]
 
 # script -> reason we deliberately diverge (documented, not hidden).
@@ -285,8 +286,6 @@ PASSING: list[str] = [
 KNOWN_DIVERGENT: dict[str, str] = {
     "fullstack-test/expr/from_days.test":
     "the reference's own MPP and cop modes disagree (NULL vs '10000-01-01' past range); we implement the MPP contract",
-    "fullstack-test/expr/lead_lag.test":
-    "LEAD/LAG string defaults over numeric columns coerce differently",
     "fullstack-test/expr/like.test":
     "stray mid-pattern escapes ('12\34') rejected by Spark's LIKE compiler",
     "fullstack-test/expr/mod.test":

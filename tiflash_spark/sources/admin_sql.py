@@ -1173,7 +1173,7 @@ _CAST_TRIM_CALL = re.compile(
     r"(?i)\b(cast|trim|extract|json_keys|json_length|json_contains_path"
     r"|date_add|date_sub|adddate|subdate|date|space|length|format"
     r"|least|greatest|str_to_date|substring|substr|lpad|rpad|regexp_like"
-    r"|regexp_instr|regexp_substr|regexp_replace"
+    r"|regexp_instr|regexp_substr|regexp_replace|lead|lag"
     r"|hour|minute|second|substring_index|unix_timestamp"
     r"|strcmp|approx_count_distinct|group_concat"
     r"|json_array|json_object|dayname|monthname|round|avg|json_valid"
@@ -1795,6 +1795,40 @@ def _rewrite_mysql_exprs(sql: str) -> str:
                         f"CASE WHEN length({mt}) > 0 THEN concat('(?', {mt}, ')')"
                         f" ELSE '' END, {args[1]}))"
                     )
+            elif fn in ("lead", "lag"):
+                # MySQL coerces LEAD/LAG's default and the column to a
+                # COMMON type — a quoted string default over a numeric
+                # column turns the whole result into strings
+                # (expr/lead_lag.test 'default'/'100' defaults); Spark
+                # demands matching types instead
+                args = _split_top_level(inner)
+                if len(args) >= 2 and re.match(
+                    r"^\d{10,}$", args[1].strip()
+                ) and int(args[1]) > 2147483647:
+                    # TiFlash reads the offset as a SIGNED 64-bit value:
+                    # lead(c, 2^64-1) wraps to lead(c, -1) == lag(c, 1)
+                    # (expr/lead_lag.test); offsets that stay huge after
+                    # the wrap clamp to max-int (beyond any partition =
+                    # default everywhere)
+                    n_off = int(args[1])
+                    if n_off >= 1 << 63:
+                        n_off -= 1 << 64
+                    args[1] = str(max(min(n_off, 2147483647), -2147483648))
+                    rep = f"{fn}/**/({', '.join(args)})"
+                elif len(args) == 3 and re.match(
+                    r"^'(?:[^'\\]|\\.)*'$", args[2].strip()
+                ):
+                    rep = (f"{fn}/**/(try_cast(({args[0]}) AS STRING),"
+                           f" {args[1]}, {args[2]})")
+                elif len(args) == 3 and re.match(
+                    r"^-?\d+\.\d+$", args[2].strip()
+                ):
+                    # fractional default: MySQL unifies float columns and
+                    # the default at DOUBLE (1.11f reads back
+                    # 1.1100000143051147); Spark would narrow the default
+                    # to FLOAT instead
+                    rep = (f"{fn}/**/(try_cast(({args[0]}) AS DOUBLE),"
+                           f" {args[1]}, {args[2]})")
             elif fn in ("regexp_instr", "regexp_substr", "regexp_replace"):
                 # MySQL's extended operands (pos, occurrence,
                 # return_option, match_type — expr/regexp.test): Spark's
@@ -3224,6 +3258,34 @@ def _sql_with_rescues(spark: SparkSession, sql: str, stores=None) -> DataFrame:
                 )
             elif "DATA_DIFF_TYPES" in msg and "coalesce" in msg:
                 new = _rescue_coalesce_mixed(sql)
+            elif "UNEXPECTED_INPUT_TYPE" in msg and re.search(
+                r'"(lead|lag)\(', msg
+            ):
+                # lead/lag default over an incompatible column type
+                # (lag(value_timestamp, 1, 88888), expr/lead_lag.test):
+                # MySQL unifies both at STRING
+                lm2 = re.search(
+                    r'"(?P<fn>lead|lag)\((?P<col>\w+), (?P<off>-?\d+),'
+                    r' (?P<d>[^)]+)\)"', msg)
+                if lm2:
+                    dflt = lm2.group("d").strip()
+                    if re.match(r"^-?\d+(\.\d+)?$", dflt):
+                        dflt_s = f"'{dflt}'"
+                    else:
+                        dflt_s = dflt
+                    off = lm2.group("off").lstrip("-")
+                    pat2 = re.compile(
+                        rf"(?i)\b{lm2.group('fn')}\s*\(\s*"
+                        rf"{re.escape(lm2.group('col'))}\s*,\s*{off}\s*,\s*"
+                        rf"{re.escape(dflt)}\s*\)"
+                    )
+                    new = pat2.sub(
+                        f"{lm2.group('fn')}(try_cast("
+                        f"{lm2.group('col')} AS STRING), {off}, {dflt_s})",
+                        sql,
+                    )
+                    if new == sql:
+                        new = None
             elif "UNEXPECTED_INPUT_TYPE" in msg and re.search(
                 r'"\(IF\(', msg
             ):

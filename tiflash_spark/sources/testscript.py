@@ -625,12 +625,24 @@ def _run_steps(spark, run_sql, path, stores, base_path, res) -> None:
             try:
                 rows = df.collect()
             except Exception as e:  # noqa: BLE001 — e.g. dates beyond Python's range
-                res.mismatches.append(
-                    f"{loc}: {sql!r} failed to materialize:"
-                    f" {type(e).__name__}: {e}"
-                )
-                failed = True
-                break
+                try:
+                    # year-0 dates ('0000-01-01', valid in MySQL and in
+                    # Spark's proleptic calendar) have no Python
+                    # datetime.date — re-collect rendered as strings
+                    # (Spark's own cast renders them correctly)
+                    from pyspark.sql import functions as _F
+
+                    rows = df.select(
+                        [_F.col(f"`{c}`").cast("string").alias(c)
+                         for c in df.columns]
+                    ).collect()
+                except Exception:
+                    res.mismatches.append(
+                        f"{loc}: {sql!r} failed to materialize:"
+                        f" {type(e).__name__}: {e}"
+                    )
+                    failed = True
+                    break
             from pyspark.sql.types import FloatType, TimestampType
 
             tz_aware = [
