@@ -278,6 +278,7 @@ PASSING: list[str] = [
     "fullstack-test2/diagnostics/check_diagnostics.test",
     "fullstack-test/expr/decimal_divide.test",
     "fullstack-test/expr/lead_lag.test",
+    "fullstack-test/expr/like.test",
 ]
 
 # script -> reason we deliberately diverge (documented, not hidden).
@@ -286,8 +287,6 @@ PASSING: list[str] = [
 KNOWN_DIVERGENT: dict[str, str] = {
     "fullstack-test/expr/from_days.test":
     "the reference's own MPP and cop modes disagree (NULL vs '10000-01-01' past range); we implement the MPP contract",
-    "fullstack-test/expr/like.test":
-    "stray mid-pattern escapes ('12\34') rejected by Spark's LIKE compiler",
     "fullstack-test/expr/mod.test":
     "decimal256 group: decimal(65,*) operands exceed Spark's p<=38 hard cap (SURVEY §1.2); the p<=38 groups in the same script pass",
     "fullstack-test/expr/mod_extra.test":

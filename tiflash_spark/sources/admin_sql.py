@@ -2274,6 +2274,40 @@ def _rewrite_json_compare(sql: str, stores) -> str:
     return sql
 
 
+_LIKE_ESCAPE = re.compile(
+    r"(?i)\blike\s+'(?P<pat>(?:[^'\\]|\\.)*)'\s+escape\s+'(?P<e>[^'])'"
+)
+
+
+def _rewrite_like_escape(sql: str) -> str:
+    """LIKE ... ESCAPE 'x' with MySQL's lenient rules (expr/like.test):
+    the escape char before ANY character makes that character literal
+    (not just % _), and a dangling escape at the end is itself literal.
+    Spark rejects both shapes — normalize to a backslash-escaped
+    pattern."""
+    def _sub(m: re.Match) -> str:
+        pat, e = m.group("pat"), m.group("e")
+        out = []
+        i = 0
+        while i < len(pat):
+            ch = pat[i]
+            if ch == e and i + 1 < len(pat):
+                nxt = pat[i + 1]
+                out.append("\\" + nxt if nxt in "%_\\" else nxt)
+                i += 2
+                continue
+            if ch == e:  # dangling escape: literal
+                out.append("\\" + ch if ch in "%_\\" else ch)
+                i += 1
+                continue
+            out.append("\\\\" if ch == "\\" else ch)
+            i += 1
+        lit = "".join(out).replace("'", "''")
+        return f"like '{lit}'"
+
+    return _LIKE_ESCAPE.sub(_sub, sql)
+
+
 def _rewrite_year_date_cmp(sql: str, stores) -> str:
     """YEAR vs DATE comparison (expr/compare_year_with_date.test):
     MySQL compares both sides in the DATETIME domain — YEAR 2005 reads
@@ -3748,6 +3782,8 @@ def run_sql(
             # pattern operands may be string literals, so this runs on
             # the raw text (the JSON-arrow argument applies)
             sql = _rewrite_ilike(sql)
+        if _LIKE_ESCAPE.search(sql):
+            sql = _rewrite_like_escape(sql)
         if _IN_TABLE.search(sql):
             sql = _rewrite_in_table(sql)
         if _PROJ_IN_SUB.search(sql):
