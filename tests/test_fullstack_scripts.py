@@ -279,6 +279,7 @@ PASSING: list[str] = [
     "fullstack-test/expr/decimal_divide.test",
     "fullstack-test/expr/lead_lag.test",
     "fullstack-test/expr/like.test",
+    "fullstack-test2/ddl/alter_column_nullable.test",
 ]
 
 # script -> reason we deliberately diverge (documented, not hidden).
@@ -301,8 +302,6 @@ KNOWN_DIVERGENT: dict[str, str] = {
     "chaos tail mixes TIME literals and lossy MODIFY (timestamp -> bool)",
     "fullstack-test/mpp/issue_8604.test":
     "backtick column names containing parens ('col_char(20)_key_signed')",
-    "fullstack-test2/ddl/alter_column_nullable.test":
-    "lossy MODIFY (decimal -> bigint) needs reorg; lossless widening only",
     "fullstack-test2/ddl/alter_decimal_default_value.test":
     "decimal256 defaults (decimal(65,*)) exceed Spark's p<=38",
     "fullstack-test/issues/issue_4519.test":

@@ -4414,6 +4414,12 @@ def run_sql(
                 v = store.modify_column(col, ty)
             if m.group("dflt") and m.group("dflt").upper() != "NULL":
                 store.set_column_default(col, _bitlit(m.group("dflt")).strip("'"))
+            else:
+                # MySQL's MODIFY replaces the FULL column definition: no
+                # DEFAULT clause means the default is GONE — later
+                # inserts read NULL, not the pre-MODIFY default
+                # (ddl/alter_column_nullable.test MODIFY c1 BIGINT NULL)
+                store.set_column_default(col, None)
             tmt = re.match(
                 r"(?i)^(time|datetime|timestamp)"
                 r"(?:\s*\(\s*(\d+)\s*\))?$", dtype.strip()

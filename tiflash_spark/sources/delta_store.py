@@ -580,6 +580,24 @@ class DeltaStore:
             return ns >= os_ and (np_ - ns) >= (op - os_)
         return old == new
 
+    @classmethod
+    def _conversion_change(cls, old: str, new: str) -> bool:
+        """Value-preserving changes parquet's READ-TIME widening cannot
+        serve — the files must be physically rewritten (TiDB runs these
+        as data reorg too). Currently: scale-0 decimal -> int chain when
+        every p-digit value is representable
+        (ddl/alter_column_nullable.test: MODIFY decimal(10,0) ->
+        BIGINT)."""
+        ob, nb = old.split("(")[0], new.split("(")[0]
+        if ob == "decimal" and nb in cls._INT_CHAIN:
+            inner = old.split("(")[1].rstrip(")") if "(" in old else "10,0"
+            p, s = (inner.split(",") + ["0"])[:2]
+            if int(s) != 0:
+                return False
+            cap = {"tinyint": 2, "smallint": 4, "int": 9, "bigint": 18}
+            return int(p) <= cap[nb]
+        return False
+
     def modify_column(self, name: str, new_type: str) -> int:
         """ALTER TABLE MODIFY COLUMN, lossless widenings only (see
         _lossless_change) — schema-registry change, NO file rewrite: old
@@ -600,11 +618,20 @@ class DeltaStore:
                 f"column {name!r} is generated — drop and re-add with a "
                 "new expression instead of MODIFY"
             )
-        if not self._lossless_change(cur[name], new_type):
+        convert = self._conversion_change(cur[name], new_type)
+        if not convert and not self._lossless_change(cur[name], new_type):
             raise ValueError(
                 f"MODIFY {name!r} {cur[name]} -> {new_type} is not a "
                 "lossless widening; run it as add-new/backfill/drop-old"
             )
+        if convert:
+            # the reorg path: parquet's read-time widening cannot read
+            # the old files at the new type (decimal pages under an int
+            # read schema crash the vectorized reader), so the FULL MVCC
+            # log is rewritten at the new type FIRST, while every file
+            # is still uniform at the old one. Crash-safe via the same
+            # stage/_CURRENT promotion as compaction.
+            self._reorg_column_type(name, new_type)
         fields = [
             [n, new_type if n == name else t] for n, t in vs[-1]["fields"]
         ]
@@ -633,6 +660,40 @@ class DeltaStore:
             fts.pop(name)
             self._write_ftsidx_meta(fts)
         return vs[-1]["v"]
+
+    def _reorg_column_type(self, name: str, new_type: str) -> None:
+        """Physical rewrite for a MODIFY parquet widening cannot serve
+        (decimal -> int chain): materialize the FULL MVCC log — every
+        version and delete mark — with the column cast, promote it as
+        the new stable layer + empty delta via the compact staging
+        machinery. Range tombstones carry unchanged."""
+        try:
+            log = self.log()
+        except ValueError:
+            return  # empty store: registry-only change
+        merged = log.withColumn(name, F.col(name).cast(new_type))
+        if "_seg" in merged.columns:
+            merged = merged.drop("_seg")
+        stage = self._stage_dir("reorg")
+        (
+            merged.repartition(HANDLE)
+            .sortWithinPartitions(HANDLE)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        self._write_stable_schema(
+            self.spark.read.parquet(stage).schema, layer_dir=stage
+        )
+        rd_carry = list(self._range_dels())
+        prior_zm = self._zonemap()
+        prior_idx = list(self._invidx_meta())
+        prior_vec = self._vecidx_meta()
+        prior_fts = list(self._ftsidx_meta())
+        self._promote(stage, retire_delta=True, carry_range_dels=rd_carry)
+        self._rebuild_zonemap(prior_zm)
+        self._rebuild_invidx(prior_idx)
+        self._rebuild_vecidx(prior_vec)
+        self._rebuild_ftsidx(prior_fts)
 
     def drop_column(self, name: str) -> int:
         """ALTER TABLE DROP COLUMN: reads prune it everywhere immediately;
