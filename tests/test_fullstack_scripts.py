@@ -280,6 +280,7 @@ PASSING: list[str] = [
     "fullstack-test/expr/lead_lag.test",
     "fullstack-test/expr/like.test",
     "fullstack-test2/ddl/alter_column_nullable.test",
+    "tidb-ci/new_collation_fullstack/function_collator.test",
 ]
 
 # script -> reason we deliberately diverge (documented, not hidden).
@@ -306,8 +307,6 @@ KNOWN_DIVERGENT: dict[str, str] = {
     "decimal256 defaults (decimal(65,*)) exceed Spark's p<=38",
     "fullstack-test/issues/issue_4519.test":
     "decimal(65,10)=decimal(65,0) join keys clamp to p=38, where Spark's max-precision comparison truncates the scale (0.1=0 compares true)",
-    "tidb-ci/new_collation_fullstack/function_collator.test":
-    "mixed varbinary-vs-collated-string IN lists: MySQL coerces to binary per operand pair; Spark's IN demands one type",
     "tidb-ci/fullstack-test-dt/expr_push_down.test":
     "abs/group-by over decimal(65,30) needs >38 digits (SURVEY §1.2); "
     "the p<=38 statements in the same script pass",

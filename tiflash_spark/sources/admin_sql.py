@@ -2937,6 +2937,57 @@ def _rewrite_tuple_in(sql: str) -> str:
         pos = o + len(repl)
 
 
+def _rewrite_binary_mixed_in(sql: str, stores) -> str:
+    """IN lists mixing VARBINARY columns with (collated) strings
+    (tidb-ci function_collator.test): MySQL coerces EVERY pair to
+    binary when any operand is binary; Spark's IN demands one type.
+    Expanded to a pairwise =-chain over BINARY casts (OR keeps the
+    three-valued semantics, NOT by De Morgan)."""
+    bincols: set[str] = set()
+    for s in (stores or {}).values():
+        if hasattr(s, "current_fields"):
+            for n, t in s.current_fields() or []:
+                if str(t).lower() == "binary":
+                    bincols.add(n.lower())
+    if not bincols:
+        return sql
+    ident = r"(?:[A-Za-z_]\w*\s*\.\s*)?[A-Za-z_]\w*"
+    out = sql
+    pos = 0
+    pat = re.compile(r"(?i)\b(?P<neg>not\s+)?in\s*\(")
+    while True:
+        m = pat.search(out, pos)
+        if not m:
+            return out
+        op = m.end() - 1
+        cl = _match_paren(out, op)
+        if cl < 0:
+            return out
+        items = [s.strip() for s in _split_top_level(out[op + 1:cl])]
+        if len(items) < 2 or not all(
+            re.fullmatch(ident, i) for i in items
+        ) or not any(
+            i.split(".")[-1].strip().lower() in bincols for i in items
+        ):
+            # advance past the OPENING paren only — an enclosing
+            # subquery's IN must not hide inner INs from the scan
+            pos = op + 1
+            continue
+        head = out[: m.start()].rstrip()
+        lm = re.search(r"[A-Za-z_]\w*(?:\s*\.\s*[A-Za-z_]\w*)*$", head)
+        if not lm:
+            pos = op + 1
+            continue
+        lhs = head[lm.start():]
+        ors = " OR ".join(
+            f"try_cast(({lhs}) AS BINARY) = try_cast(({i}) AS BINARY)"
+            for i in items
+        )
+        repl = f"(NOT ({ors}))" if m.group("neg") else f"({ors})"
+        out = out[: lm.start()] + repl + out[cl + 1:]
+        pos = lm.start() + len(repl)
+
+
 def _rewrite_mixed_in(sql: str) -> str:
     out = sql
     pos = 0
@@ -3790,6 +3841,8 @@ def run_sql(
             sql = _rewrite_projected_in_subquery(sql)
         if re.search(r"(?i)\)\s*(?:not\s+)?in\s*\(\s*\(", sql):
             sql = _rewrite_tuple_in(sql)
+        if stores and re.search(r"(?i)\bin\s*\(", sql):
+            sql = _rewrite_binary_mixed_in(sql, stores)
         if re.search(r"(?i)\bin\s*\(", sql):
             sql = _rewrite_mixed_in(sql)
         if _QUANT_CMP.search(sql):
