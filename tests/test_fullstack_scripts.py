@@ -281,6 +281,7 @@ PASSING: list[str] = [
     "fullstack-test/expr/like.test",
     "fullstack-test2/ddl/alter_column_nullable.test",
     "tidb-ci/new_collation_fullstack/function_collator.test",
+    "fullstack-test/mpp/window_agg.test",
 ]
 
 # script -> reason we deliberately diverge (documented, not hidden).
@@ -299,8 +300,6 @@ KNOWN_DIVERGENT: dict[str, str] = {
     "fullstack-test/expr/round_with_frac.test": "float-domain rounding tails and p>38 decimals",
     "fullstack-test/expr/special_new_decimal_type.test": "decimal(65,30) CASE branches exceed p<=38",
     "fullstack-test/expr/tidb_truncate.test": "float-domain truncation tails",
-    "fullstack-test/mpp/window_agg.test":
-    "chaos tail mixes TIME literals and lossy MODIFY (timestamp -> bool)",
     "fullstack-test/mpp/issue_8604.test":
     "backtick column names containing parens ('col_char(20)_key_signed')",
     "fullstack-test2/ddl/alter_decimal_default_value.test":

@@ -620,10 +620,16 @@ class DeltaStore:
             )
         convert = self._conversion_change(cur[name], new_type)
         if not convert and not self._lossless_change(cur[name], new_type):
-            raise ValueError(
-                f"MODIFY {name!r} {cur[name]} -> {new_type} is not a "
-                "lossless widening; run it as add-new/backfill/drop-old"
-            )
+            # a table with NO files yet has nothing to widen — any
+            # retype is trivially lossless (mpp/window_agg.test issue
+            # 10270: MODIFY datetime -> bool right after CREATE)
+            empty = (self._layer("stable") is None
+                     and not self._delta_has_files())
+            if not empty:
+                raise ValueError(
+                    f"MODIFY {name!r} {cur[name]} -> {new_type} is not a "
+                    "lossless widening; run it as add-new/backfill/drop-old"
+                )
         if convert:
             # the reorg path: parquet's read-time widening cannot read
             # the old files at the new type (decimal pages under an int
