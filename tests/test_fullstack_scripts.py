@@ -173,6 +173,7 @@ PASSING: list[str] = [
     "fullstack-test/mpp/having.test",
     "fullstack-test/mpp/issue10045.test",
     "fullstack-test/mpp/issue_6808.test",
+    "fullstack-test/mpp/issue_8604.test",
     "fullstack-test/mpp/join_filter_on_constant_column.test",
     "fullstack-test/mpp/late_materialization_extra_table_id_column.test",
     "fullstack-test/mpp/late_materialization_generate_column.test",
@@ -300,8 +301,6 @@ KNOWN_DIVERGENT: dict[str, str] = {
     "fullstack-test/expr/round_with_frac.test": "float-domain rounding tails and p>38 decimals",
     "fullstack-test/expr/special_new_decimal_type.test": "decimal(65,30) CASE branches exceed p<=38",
     "fullstack-test/expr/tidb_truncate.test": "float-domain truncation tails",
-    "fullstack-test/mpp/issue_8604.test":
-    "backtick column names containing parens ('col_char(20)_key_signed')",
     "fullstack-test2/ddl/alter_decimal_default_value.test":
     "decimal256 defaults (decimal(65,*)) exceed Spark's p<=38",
     "fullstack-test/issues/issue_4519.test":
