@@ -226,57 +226,50 @@ class PartitionedStore:
         RANGE partitioning, so NULL keys route to the lowest partition.
         """
         c = F.col(self._stored_pcol())
+        # One routing pass for any partition count: stamp each row with
+        # its child index, checkpoint once, learn the set of NON-EMPTY
+        # children from a single distinct job, then one write job per
+        # non-empty child — not the former limit(1).count() + write
+        # pair per child (2·n jobs at n partitions).
         if self.mode == "hash":
             # MySQL HASH partitioning: value MOD n (NULL hashes to p0;
             # ddl/partitions/alter_partition_by.test queries hash
             # children by name)
-            df = df.localCheckpoint(eager=True)
-            n_p = len(self.parts)
-            hexpr = F.coalesce(
-                F.pmod(c.cast("bigint"), F.lit(n_p)), F.lit(0)
+            bucket = F.coalesce(
+                F.pmod(c.cast("bigint"), F.lit(len(self.parts))), F.lit(0)
             )
-            for i, p in enumerate(self.parts):
-                part = df.filter(hexpr == i)
-                if part.limit(1).count():
-                    self.stores[p["name"]].write_batch(
-                        part, version, delete=delete
-                    )
-            return
-        # localCheckpoint, not persist: the first child's write refreshes
-        # cached file listings, which DROPS persisted blocks — a lazy
-        # re-evaluation would then re-read the view INCLUDING the rows
-        # just written (self-INSERT ... SELECT duplicates rows;
-        # ddl/partitions/remove_partitioning.test)
-        df = df.localCheckpoint(eager=True)
-        try:
-            matched = None
+        else:
+            # RANGE: first [lo, upper) match; NULL sorts below every
+            # value and routes to the lowest partition; no match stays
+            # NULL → MySQL error 1526, never silent loss
+            bucket = F.when(c.isNull(), F.lit(0))
             for i, (_, lo, hi) in enumerate(self._bounds()):
                 m = F.lit(True)
                 if lo is not None:
                     m = m & (c >= F.lit(lo))
                 if hi is not None:
                     m = m & (c < F.lit(hi))
-                m = (m & c.isNotNull()) | F.lit(i == 0) & c.isNull()
-                matched = m if matched is None else (matched | m)
-            n_bad = df.filter(~F.coalesce(matched, F.lit(False))).limit(1).count()
-            if n_bad:
-                raise ValueError(
-                    f"table has no partition for some {self.pcol!r} values "
-                    "(MySQL error 1526)"
+                bucket = bucket.when(m, F.lit(i))
+        # localCheckpoint, not persist: the first child's write refreshes
+        # cached file listings, which DROPS persisted blocks — a lazy
+        # re-evaluation would then re-read the view INCLUDING the rows
+        # just written (self-INSERT ... SELECT duplicates rows;
+        # ddl/partitions/remove_partitioning.test)
+        df = df.withColumn("_tfs_pbucket", bucket).localCheckpoint(eager=True)
+        present = {
+            r[0] for r in df.select("_tfs_pbucket").distinct().collect()
+        }
+        if None in present:
+            raise ValueError(
+                f"table has no partition for some {self.pcol!r} values "
+                "(MySQL error 1526)"
+            )
+        for i, p in enumerate(self.parts):
+            if i in present:
+                self.stores[p["name"]].write_batch(
+                    df.filter(F.col("_tfs_pbucket") == i).drop("_tfs_pbucket"),
+                    version, delete=delete,
                 )
-            for i, (name, lo, hi) in enumerate(self._bounds()):
-                m = F.lit(True)
-                if lo is not None:
-                    m = m & (c >= F.lit(lo))
-                if hi is not None:
-                    m = m & (c < F.lit(hi))
-                if i == 0:
-                    m = m | c.isNull()
-                part = df.filter(m)
-                if part.limit(1).count():
-                    self.stores[name].write_batch(part, version, delete=delete)
-        finally:
-            pass  # checkpointed snapshot — nothing to unpersist
 
     def read(self, ts: int | None = None, mode: str = "normal") -> DataFrame:
         out = None
