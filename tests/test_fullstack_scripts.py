@@ -296,10 +296,10 @@ KNOWN_DIVERGENT: dict[str, str] = {
     "fullstack-test/expr/mod_extra.test":
     "decimal(65,*) operands exceed Spark's p<=38 (documented gap, SURVEY §1.2)",
     "fullstack-test/expr/format.test": "FORMAT of decimal(65,0) values needs >38 significant digits",
+    "fullstack-test/expr/special_new_decimal_type.test",
     "fullstack-test/expr/round.test":
     "decimal256 groups (sum(round(decimal(65))) carries 65 digits); the p<=38 groups pass",
     "fullstack-test/expr/round_with_frac.test": "float-domain rounding tails and p>38 decimals",
-    "fullstack-test/expr/special_new_decimal_type.test": "decimal(65,30) CASE branches exceed p<=38",
     "fullstack-test/expr/tidb_truncate.test": "float-domain truncation tails",
     "fullstack-test2/ddl/alter_decimal_default_value.test":
     "decimal256 defaults (decimal(65,*)) exceed Spark's p<=38",

@@ -3247,6 +3247,58 @@ def _truthy_wrap_operand(op: str) -> str:
     return f"mysql_truthy(try_cast(({op}) AS STRING))"
 
 
+def _rescue_case_when_truthy(sql: str) -> str | None:
+    """``CASE WHEN <numeric> THEN ...`` — MySQL applies truthiness to
+    the WHEN operand, Spark demands BOOLEAN
+    (expr/special_new_decimal_type.test's ``case when a then ...``).
+    Wraps each WHEN..THEN condition through _truthy_wrap_operand
+    (comparison-shaped operands pass through unchanged)."""
+    out: list[str] = []
+    last = 0  # emitted up to this position of sql
+    i = 0
+    changed = False
+    q: str | None = None
+    depth = 0
+    when_at: int | None = None
+    when_depth = 0
+    while i < len(sql):
+        ch = sql[i]
+        if q:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == q:
+                q = None
+        elif ch in ("'", '"', "`"):
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif when_at is None and re.match(r"(?i)WHEN\b", sql[i:i + 5]):
+            when_at = i + 4
+            when_depth = depth
+            i += 4
+            continue
+        elif (when_at is not None and depth == when_depth
+                and re.match(r"(?i)THEN\b", sql[i:i + 5])):
+            cond = sql[when_at:i].strip()
+            wrapped = _truthy_wrap_operand(cond)
+            if wrapped != cond:
+                changed = True
+                out.append(sql[last:when_at])
+                out.append(" " + wrapped + " ")
+                last = i
+            when_at = None
+            i += 4
+            continue
+        i += 1
+    if not changed:
+        return None
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def _rescue_not_nonbool(sql: str) -> str | None:
     """``NOT <value-expr>`` in a boolean context (join ON / WHERE):
     MySQL applies truthiness to the operand (0/NULL/garbage-string →
@@ -3467,8 +3519,29 @@ def _sql_with_rescues(spark: SparkSession, sql: str, stores=None) -> DataFrame:
                 )
             elif "DATA_DIFF_TYPES" in msg and "coalesce" in msg:
                 new = _rescue_coalesce_mixed(sql)
+            elif ("DATA_DIFF_TYPES" in msg and "casewhen" in msg
+                    and '"BOOLEAN"' in msg
+                    and re.search(r"(?i)\bisnull\s*\(", sql)):
+                # MySQL ISNULL() returns INT 1/0, Spark's returns BOOLEAN;
+                # a CASE mixing an isnull branch with a numeric branch
+                # fails analysis (expr/special_new_decimal_type.test)
+                new = re.sub(r"(?i)\bisnull\s*\(", "CAST(isnull(", sql)
+                # close the added CAST: isnull takes one argument, so the
+                # matching ')' follows the balanced argument span
+                out2: list[str] = []
+                i2 = 0
+                for mm in re.finditer(r"(?i)\bCAST\(isnull\(", new):
+                    cl = _match_paren(new, mm.end() - 1)
+                    if cl > 0:
+                        out2.append(new[i2:cl + 1])
+                        out2.append(" AS INT)")
+                        i2 = cl + 1
+                new = "".join(out2) + new[i2:] if out2 else None
             elif "UNEXPECTED_INPUT_TYPE" in msg and '"(NOT ' in msg:
                 new = _rescue_not_nonbool(sql)
+            elif ("UNEXPECTED_INPUT_TYPE" in msg and '"CASE WHEN' in msg
+                    and '"BOOLEAN"' in msg):
+                new = _rescue_case_when_truthy(sql)
             elif "UNEXPECTED_INPUT_TYPE" in msg and re.search(
                 r'"(lead|lag)\(', msg
             ):
