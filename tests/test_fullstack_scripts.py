@@ -122,6 +122,7 @@ PASSING: list[str] = [
     "fullstack-test/expr/runtime_filter.test",
     "fullstack-test/expr/single_ifnull_in_predicate.test",
     "fullstack-test/expr/space.test",
+    "fullstack-test/expr/special_new_decimal_type.test",
     "fullstack-test/expr/sqrt.test",
     "fullstack-test/expr/str_to_date.test",
     "fullstack-test/expr/strcmp.test",
@@ -296,7 +297,6 @@ KNOWN_DIVERGENT: dict[str, str] = {
     "fullstack-test/expr/mod_extra.test":
     "decimal(65,*) operands exceed Spark's p<=38 (documented gap, SURVEY §1.2)",
     "fullstack-test/expr/format.test": "FORMAT of decimal(65,0) values needs >38 significant digits",
-    "fullstack-test/expr/special_new_decimal_type.test",
     "fullstack-test/expr/round.test":
     "decimal256 groups (sum(round(decimal(65))) carries 65 digits); the p<=38 groups pass",
     "fullstack-test/expr/round_with_frac.test": "float-domain rounding tails and p>38 decimals",
