@@ -1,0 +1,129 @@
+"""The decimal65 tier (functions/decimal65.py + admin_sql dec65 paths):
+DECIMAL(p>38) columns store as canonical strings, expose as the clamped
+DECIMAL(38, min(s,10)) until a wide value lands, and run MOD/ROUND/
+FORMAT/ABS/SUM/equality exactly in Python decimal.
+
+Reference surface: Decimal256 (dbms/src/Common/Decimal.h,
+DecimalComparison.h); replayed end-to-end by expr/mod.test t13,
+expr/round.test decimal256_*, expr/format.test,
+ddl/alter_decimal_default_value.test, issues/issue_4519.test.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+
+from tiflash_spark.functions.decimal65 import canon
+from tiflash_spark.sources.admin_sql import _d65_is_wide, run_sql
+
+WIDE = "12345678912345678912345678912345678912345678912345"  # 50 digits
+
+
+def test_canon_scale_and_clamp():
+    assert canon("1.5", 65, 30) == "1." + "5" + "0" * 29
+    assert canon(".9", 65, 30) == "0.9" + "0" * 29
+    assert canon("9", 65, 0) == "9"
+    # clamp at the declared precision's max (MySQL non-strict)
+    assert canon("1" + "0" * 70, 65, 0) == "9" * 65
+    assert canon(None, 65, 0) is None
+
+
+def test_wide_flag_predicate():
+    assert not _d65_is_wide(canon("1.5", 65, 30), 30)
+    assert _d65_is_wide(canon(WIDE, 65, 20), 20)  # overflow of p38 clamp
+    # precision beyond the clamp's 10-digit scale is also wide
+    assert _d65_is_wide(canon("0." + "3" * 30, 65, 30), 30)
+
+
+@pytest.fixture()
+def d65_table(spark, tmp_path):
+    stores: dict = {}
+    base = str(tmp_path)
+    run_sql(spark, "create table w (id int, a decimal(60, 5), b decimal(60, 5))",
+            stores, base)
+    run_sql(
+        spark,
+        f"insert into w values (1, {WIDE}.12345, {WIDE}), (2, 1.5, 3)",
+        stores, base,
+    )
+    return stores, base
+
+
+def test_storage_is_canonical_string_and_flagged(d65_table):
+    stores, _ = d65_table
+    td = stores["w"].table_def()
+    assert td["dec65_cols"] == {"a": [60, 5], "b": [60, 5]}
+    assert set(td["dec65_wide"]) == {"a", "b"}
+
+
+def test_wide_view_renders_exact(spark, d65_table):
+    stores, base = d65_table
+    rows = {r["id"]: r["a"] for r in
+            run_sql(spark, "select id, a from w", stores, base).collect()}
+    assert rows[1] == WIDE + ".12345"
+    assert rows[2] == "1.50000"
+
+
+def test_exact_mod_and_sum(spark, d65_table):
+    stores, base = d65_table
+    out = {
+        r[0]: r[1]
+        for r in run_sql(
+            spark,
+            "select id, sum(a % b) from w group by id order by id",
+            stores, base,
+        ).collect()
+    }
+    assert Decimal(out[1]) == Decimal("0.12345")
+    assert Decimal(out[2]) == Decimal("1.5")
+
+
+def test_small_values_keep_clamped_decimal_view(spark, tmp_path):
+    stores: dict = {}
+    base = str(tmp_path)
+    run_sql(spark, "create table s (id int, a decimal(65, 4))", stores, base)
+    run_sql(spark, "insert into s values (1, 1.5)", stores, base)
+    df = run_sql(spark, "select a from s", stores, base)
+    assert dict(df.dtypes)["a"] == "decimal(38,4)"
+    assert df.collect()[0][0] == Decimal("1.5000")
+
+
+def test_equality_join_does_not_truncate_scale(spark, tmp_path):
+    """issue_4519: decimal(65,10) = decimal(20,20) must not compare
+    0.1 = 0 as true (Spark's max-precision comparison truncates)."""
+    stores: dict = {}
+    base = str(tmp_path)
+    run_sql(spark, "create table j (c1 decimal(65, 10), c3 decimal(65, 0))",
+            stores, base)
+    run_sql(spark, "insert into j values (0.1, 1), (1.0, 1), (0, 0)",
+            stores, base)
+    rows = run_sql(
+        spark,
+        "select t1.c1, t2.c3 from j t1 join j t2 on t1.c1 = t2.c3",
+        stores, base,
+    ).collect()
+    got = {(str(r[0]), str(r[1])) for r in rows}
+    assert ("0.1000000000", "0") not in got
+    assert ("1.0000000000", "1") in got
+    assert ("0E-10", "0") in got or ("0.0000000000", "0") in got
+
+
+def test_variable_scale_round(spark, tmp_path):
+    """MySQL rounds per row when the scale is a column; Spark needs a
+    foldable scale (expr/round_with_frac.test)."""
+    stores: dict = {}
+    base = str(tmp_path)
+    run_sql(spark, "create table d9 (a decimal(9, 3))", stores, base)
+    run_sql(spark, "insert into d9 values (123.456)", stores, base)
+    run_sql(spark, "create table ti (i bigint)", stores, base)
+    run_sql(spark, "insert into ti values (0), (1), (2), (-1), "
+            "(9223372036854775807), (-9223372036854775808)", stores, base)
+    out = run_sql(
+        spark,
+        "select sum(round(a, i)) from d9 cross join ti",
+        stores, base,
+    ).collect()[0][0]
+    # 123 + 123.5 + 123.46 + 120 + 123.456 (huge i = no-op) + 0
+    assert Decimal(out) == Decimal("613.416")

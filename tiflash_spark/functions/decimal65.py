@@ -1,0 +1,215 @@
+"""MySQL DECIMAL(p>38) surface — the "decimal65 tier".
+
+Spark's DecimalType caps precision at 38; MySQL (and the reference —
+dbms/src/Core/DecimalComparison.h, Decimal256 in
+dbms/src/Common/Decimal.h) goes to 65. Columns declared wider than 38
+are stored as CANONICAL STRINGS (sign, no exponent, exactly the declared
+scale's fractional digits — the same at-rest treatment this repo gives
+TIME and JSON), and the arithmetic the reference's scripts exercise over
+them (MOD, ROUND, TRUNCATE, FORMAT, ABS, SUM, equality joins) runs in
+Python's decimal module at 81-digit context through the Arrow-batched
+UDFs below. The table view exposes such a column as today's clamped
+DECIMAL(38, min(s,10)) until a value wider than the clamp is actually
+written ("wide flag" in the table def) — small-value tables keep
+bit-identical plans and types, wide tables switch to the exact string
+surface (expr/mod.test t13, expr/round.test decimal256_*,
+ddl/alter_decimal_default_value.test).
+
+Scale at 100 TB: these are per-row scalar maps and a partial-agg-free
+grouped aggregate over an already-grouped key space — the same cost
+shape as any Arrow-batched pandas stage; no shuffle is added beyond the
+GROUP BY the query itself declares.
+"""
+
+from __future__ import annotations
+
+from decimal import (
+    ROUND_DOWN,
+    ROUND_HALF_UP,
+    Context,
+    Decimal,
+    InvalidOperation,
+)
+
+import pandas as pd
+
+_CTX = Context(prec=81, rounding=ROUND_HALF_UP)
+
+
+def _parse(x) -> Decimal | None:
+    if x is None or (isinstance(x, float) and x != x):
+        return None
+    s = str(x).strip()
+    if not s:
+        return None
+    try:
+        return _CTX.create_decimal(s)
+    except InvalidOperation:
+        # MySQL soft parse: longest numeric prefix, 0 on garbage
+        import re
+
+        m = re.match(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", s)
+        return _CTX.create_decimal(m.group(0)) if m else Decimal(0)
+
+
+def _fixed(d: Decimal, scale: int | None = None) -> str:
+    """Render without exponent; at ``scale`` fractional digits when
+    given (MySQL's column rendering), else the value's own scale."""
+    if scale is not None:
+        d = _CTX.quantize(d, Decimal(1).scaleb(-scale))
+    s = format(d, "f")
+    if s == "-0" or s.startswith("-0.") and Decimal(s) == 0:
+        s = s[1:]
+    return s
+
+
+def canon(x, p: int, s: int) -> str | None:
+    """Canonical at-rest rendering: quantized to the declared scale,
+    clamped to the declared precision's min/max (MySQL non-strict)."""
+    d = _parse(x)
+    if d is None:
+        return None
+    d = _CTX.quantize(d, Decimal(1).scaleb(-s))
+    lim = _CTX.subtract(_CTX.power(Decimal(10), p - s), Decimal(1).scaleb(-s))
+    d = max(min(d, lim), lim.copy_negate())
+    return _fixed(d, s)
+
+
+def register_decimal65_udfs(spark) -> list[str]:
+    """Register the dec65_* SQL functions (Arrow-batched pandas UDFs +
+    one grouped-agg). Called from register_mysql_functions."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _canon(x: pd.Series, p: pd.Series, s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if xi is None else canon(xi, int(pi), int(si))
+                for xi, pi, si in zip(x, p, s)
+            ],
+            dtype=object,
+        )
+
+    @pandas_udf("string")
+    def _norm(x: pd.Series) -> pd.Series:
+        # normalized numeric key for equality / grouping: exact value,
+        # trailing fractional zeros stripped, -0 -> 0
+        def one(xi):
+            d = _parse(xi)
+            if d is None:
+                return None
+            if d == 0:
+                return "0"
+            s = format(d, "f")
+            if "." in s:
+                s = s.rstrip("0").rstrip(".")
+            return s
+
+        return pd.Series([one(xi) for xi in x], dtype=object)
+
+    @pandas_udf("string")
+    def _mod(a: pd.Series, b: pd.Series) -> pd.Series:
+        # MySQL MOD: sign follows the dividend, a - b*trunc(a/b);
+        # divisor 0 / NULL operands -> NULL
+        def one(ai, bi):
+            da, db = _parse(ai), _parse(bi)
+            if da is None or db is None or db == 0:
+                return None
+            da_a, db_a = da.copy_abs(), db.copy_abs()
+            q = _CTX.divide_int(da_a, db_a)
+            r = _CTX.subtract(da_a, _CTX.multiply(db_a, q))
+            return _fixed(r.copy_negate() if da < 0 else r)
+
+        return pd.Series([one(ai, bi) for ai, bi in zip(a, b)], dtype=object)
+
+    @pandas_udf("string")
+    def _round(x: pd.Series, d: pd.Series) -> pd.Series:
+        # MySQL ROUND on decimals: half away from zero at d digits
+        # (negative d rounds left of the point)
+        def one(xi, di):
+            v = _parse(xi)
+            if v is None or di is None:
+                return None
+            # MySQL clamps the frac operand: at or past the value's own
+            # scale = no-op, hugely negative = 0
+            # (expr/round_with_frac.test feeds int64 extremes)
+            if int(di) >= -v.as_tuple().exponent:
+                return _fixed(v)
+            q = Decimal(1).scaleb(-max(int(di), -100))
+            return _fixed(v.quantize(q, rounding=ROUND_HALF_UP, context=_CTX))
+
+        return pd.Series([one(xi, di) for xi, di in zip(x, d)], dtype=object)
+
+    @pandas_udf("string")
+    def _trunc(x: pd.Series, d: pd.Series) -> pd.Series:
+        def one(xi, di):
+            v = _parse(xi)
+            if v is None or di is None:
+                return None
+            if int(di) >= -v.as_tuple().exponent:
+                return _fixed(v)
+            q = Decimal(1).scaleb(-max(int(di), -100))
+            return _fixed(v.quantize(q, rounding=ROUND_DOWN, context=_CTX))
+
+        return pd.Series([one(xi, di) for xi, di in zip(x, d)], dtype=object)
+
+    @pandas_udf("string")
+    def _abs(x: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if (v := _parse(xi)) is None else _fixed(v.copy_abs())
+                for xi in x
+            ],
+            dtype=object,
+        )
+
+    @pandas_udf("string")
+    def _fmt(x: pd.Series, d: pd.Series) -> pd.Series:
+        # MySQL FORMAT(x, d): round half away from zero to d fractional
+        # digits (d < 0 reads as 0), thousands-separate the integer part
+        def one(xi, di):
+            v = _parse(xi)
+            if v is None or di is None:
+                return None
+            nd = max(int(di), 0)
+            v = v.quantize(
+                Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP, context=_CTX
+            )
+            s = format(v, "f")
+            neg = s.startswith("-")
+            s = s.lstrip("-")
+            ip, _, fp = s.partition(".")
+            groups = []
+            while len(ip) > 3:
+                groups.append(ip[-3:])
+                ip = ip[:-3]
+            groups.append(ip)
+            out = ",".join(reversed(groups))
+            if nd:
+                out += "." + fp.ljust(nd, "0")
+            return ("-" if neg else "") + out
+
+        return pd.Series([one(xi, di) for xi, di in zip(x, d)], dtype=object)
+
+    @pandas_udf("string")
+    def _sum(x: pd.Series) -> str:
+        tot = None
+        for xi in x:
+            v = _parse(xi)
+            if v is None:
+                continue
+            tot = v if tot is None else _CTX.add(tot, v)
+        return None if tot is None else _fixed(tot)
+
+    spark.udf.register("dec65_canon", _canon)
+    spark.udf.register("dec65_norm", _norm)
+    spark.udf.register("dec65_mod", _mod)
+    spark.udf.register("dec65_round", _round)
+    spark.udf.register("dec65_truncate", _trunc)
+    spark.udf.register("dec65_abs", _abs)
+    spark.udf.register("dec65_format", _fmt)
+    spark.udf.register("dec65_sum", _sum)
+    return [
+        "dec65_canon", "dec65_norm", "dec65_mod", "dec65_round",
+        "dec65_truncate", "dec65_abs", "dec65_format", "dec65_sum",
+    ]

@@ -239,7 +239,14 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "mysql_truncate": (
         "x DOUBLE, d INT",
         "DOUBLE",
-        "CASE WHEN d >= 0 THEN sign(x) * floor(abs(x) * pow(10, d)) / pow(10, d)"
+        # Spark's floor(double) returns BIGINT and saturates at 2^63-1 —
+        # past that the scaled value has no fractional part anyway, so
+        # the input is already truncated (tidb_truncate.test f32/f64:
+        # truncate(49e10, 8))
+        "CASE WHEN d >= 0 THEN"
+        "  CASE WHEN abs(x) * pow(10, d) >= 9.223372036854775E18 THEN x"
+        "  ELSE sign(x) * floor(abs(x) * pow(10, d)) / pow(10, d) END"
+        " WHEN abs(x) / pow(10, -d) >= 9.223372036854775E18 THEN x"
         " ELSE sign(x) * floor(abs(x) / pow(10, -d)) * pow(10, -d) END",
     ),
     "truncate": (
@@ -260,8 +267,11 @@ MYSQL_SQL_FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "mysql_round": (
         "x DOUBLE, d INT",
         "DOUBLE",
-        "CASE WHEN d >= 0"
-        " THEN sign(x) * floor(abs(x) * pow(10, d) + 0.5) / pow(10, d)"
+        # same floor(double)->BIGINT saturation guard as mysql_truncate
+        "CASE WHEN d >= 0 THEN"
+        "  CASE WHEN abs(x) * pow(10, d) >= 9.223372036854775E18 THEN x"
+        "  ELSE sign(x) * floor(abs(x) * pow(10, d) + 0.5) / pow(10, d) END"
+        " WHEN abs(x) / pow(10, -d) >= 9.223372036854775E18 THEN x"
         " ELSE sign(x) * floor(abs(x) / pow(10, -d) + 0.5) * pow(10, -d) END",
     ),
     # MySQL numeric coercion of strings: parse the longest numeric
@@ -958,4 +968,7 @@ def register_mysql_functions(spark: SparkSession) -> list[str]:
     from tiflash_spark.functions.mysql_regexp import register_regexp_udfs
 
     names += register_regexp_udfs(spark)
+    from tiflash_spark.functions.decimal65 import register_decimal65_udfs
+
+    names += register_decimal65_udfs(spark)
     return names

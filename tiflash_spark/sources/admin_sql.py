@@ -2341,6 +2341,265 @@ def _rewrite_year_date_cmp(sql: str, stores) -> str:
     return sql
 
 
+def _d65_is_wide(canon_str: str, s: int) -> bool:
+    """True when a canonical decimal65 value does NOT survive the
+    clamped DECIMAL(38, min(s,10)) exposure — the trigger for switching
+    a column's view to the exact string surface."""
+    from decimal import Context, Decimal
+
+    ctx = Context(prec=81)
+    cs = min(s, 10)
+    try:
+        d = ctx.create_decimal(canon_str)
+    except Exception:
+        return False
+    q = ctx.quantize(d, Decimal(1).scaleb(-cs))
+    if q != d:
+        return True  # precision beyond the clamp's scale
+    return q.adjusted() + 1 + cs > 38  # overflow of the clamp's range
+
+
+def _dec65_meta(stores) -> tuple[dict[str, list], set[str]]:
+    """(col -> [p, s]) across all registered stores, plus the wide set."""
+    cols: dict[str, list] = {}
+    wide: set[str] = set()
+    for s in (stores or {}).values():
+        if not hasattr(s, "table_def"):
+            continue
+        td = s.table_def() or {}
+        cols.update(td.get("dec65_cols") or {})
+        wide |= set(td.get("dec65_wide") or [])
+    return cols, wide
+
+
+def _referenced_stores(sql: str, stores) -> dict:
+    """Subset of the registry whose table names appear as standalone
+    tokens in the statement — type-driven rewrites must not pick up
+    same-named columns from UNreferenced tables (expr/mod.test declares
+    13 tables all with columns a/b)."""
+    out = {}
+    for nm, s in (stores or {}).items():
+        if re.search(rf"(?<![\w`.']){re.escape(nm)}(?![\w`'])", sql):
+            out[nm] = s
+    return out
+
+
+_D65_OPERAND = r"(?:(?:`?\w+`?\s*\.\s*)?`?\w+`?|[+-]?\d+(?:\.\d+)?)"
+
+
+def _d65_base(op: str) -> str:
+    """Bare column name of an operand ('t1.`a`' -> 'a'); literals map
+    to themselves."""
+    return op.split(".")[-1].strip().strip("`")
+
+
+def _wrap_dec65_sums(sql: str, wide: set) -> str:
+    """SUM over an exact-string expression: any sum(...) whose body
+    carries a dec65_* call or references a WIDE dec65 column aggregates
+    exactly (grouped-agg pandas UDF)."""
+    out: list[str] = []
+    last = 0
+    for mm in re.finditer(r"(?i)\bsum\s*\(", sql):
+        if mm.start() < last:
+            continue
+        cl = _match_paren(sql, mm.end() - 1)
+        if cl <= mm.end() - 1:
+            continue
+        inner = sql[mm.end():cl]
+        if re.search(r"(?i)\bdec65_\w+\s*\(", inner) or any(
+            re.search(rf"\b{re.escape(c)}\b", inner) for c in wide
+        ):
+            out.append(sql[last:mm.start()])
+            out.append(f"dec65_sum(CAST({inner} AS STRING))")
+            last = cl + 1
+    if out:
+        out.append(sql[last:])
+        sql = "".join(out)
+    return sql
+
+
+def _rewrite_var_scale_round(sql: str, stores) -> str:
+    """ROUND/TRUNCATE with a NON-LITERAL scale operand
+    (expr/round_with_frac.test's ``round(a, i)``, tidb_truncate's
+    ``truncate(-123456789123456789, i)``): Spark requires a foldable
+    scale, MySQL rounds per row. Decimal operands (columns or literals)
+    go exact through dec65_round/dec65_truncate; double/float operands
+    keep the double path."""
+    stores = _referenced_stores(sql, stores)
+    dbl_cols: set[str] = set()
+    for s in (stores or {}).values():
+        if not hasattr(s, "current_fields"):
+            continue
+        for n, t in s.current_fields() or []:
+            if str(t).lower() in ("double", "float"):
+                dbl_cols.add(n)
+
+    def _sub(mm: re.Match) -> str:
+        fn, x, d = mm.group("fn").lower(), mm.group("x"), mm.group("d")
+        if re.match(r"^[+-]?\d+$", d.strip()):
+            return mm.group(0)  # literal scale: existing paths handle it
+        if _d65_base(x) in dbl_cols:
+            return mm.group(0)  # MySQL does double math there
+        fn65 = "dec65_round" if fn == "round" else "dec65_truncate"
+        return f"{fn65}(CAST({x} AS STRING), CAST({d} AS BIGINT))"
+
+    out = re.sub(
+        rf"(?i)\b(?P<fn>round|truncate)\s*\(\s*(?P<x>{_D65_OPERAND})"
+        rf"\s*,\s*(?P<d>{_D65_OPERAND})\s*\)",
+        _sub, sql,
+    )
+    if out != sql:
+        out = _wrap_dec65_sums(out, set())
+    return out
+
+
+def _rewrite_abs_widen(sql: str, stores) -> str:
+    """MySQL ABS over a signed integer returns UNSIGNED — abs(-128) on a
+    TINYINT is 128, abs(int64 min) is 9223372036854775808. Spark's abs
+    wraps at the type's own width, so widen the operand to DECIMAL(20,0)
+    (tidb-ci/fullstack-test-dt/expr_push_down.test)."""
+    int_cols: set[str] = set()
+    for s in _referenced_stores(sql, stores).values():
+        if not hasattr(s, "current_fields"):
+            continue
+        for n, t in s.current_fields() or []:
+            if str(t).lower() in ("tinyint", "smallint", "int", "bigint"):
+                int_cols.add(n)
+
+    def _sub(mm: re.Match) -> str:
+        x = mm.group("x")
+        if _d65_base(x) not in int_cols:
+            return mm.group(0)
+        return f"abs(CAST({x} AS DECIMAL(20,0)))"
+
+    return re.sub(
+        rf"(?i)\babs\s*\(\s*(?P<x>{_D65_OPERAND})\s*\)", _sub, sql
+    )
+
+
+def _rewrite_dec65(sql: str, stores) -> str:
+    """Arithmetic over DECIMAL(p>38) columns (decimal65 tier): MOD/%,
+    ROUND, TRUNCATE, FORMAT, ABS and SUM run exactly in Python decimal
+    (functions/decimal65.py) instead of Spark's p<=38 DecimalType;
+    equality between decimal columns involving a dec65 column compares
+    normalized exact values (issues/issue_4519: decimal(65,10) =
+    decimal(20,20) must not truncate 0.1 to 0). Reference
+    Decimal256 comparison/arithmetic: dbms/src/Common/Decimal.h,
+    DecimalComparison.h."""
+    stores = _referenced_stores(sql, stores)
+    d65, wide = _dec65_meta(stores)
+    if not d65 or not any(
+        re.search(rf"\b{re.escape(c)}\b", sql) for c in d65
+    ):
+        return sql
+    dbl_cols: set[str] = set()
+    num_cols: set[str] = set()
+    for s in (stores or {}).values():
+        if not hasattr(s, "current_fields"):
+            continue
+        for n, t in s.current_fields() or []:
+            tl = str(t).lower()
+            if tl in ("double", "float"):
+                dbl_cols.add(n)
+            elif tl.startswith("decimal") or tl.endswith("int"):
+                num_cols.add(n)
+
+    def _is_d65(op: str) -> bool:
+        return _d65_base(op) in d65
+
+    def as_str(x: str) -> str:
+        return f"CAST({x} AS STRING)"
+
+    # --- X % Y / MOD(X, Y) ------------------------------------------------
+    def _mod_sub(mm: re.Match) -> str:
+        a, b = mm.group("a"), mm.group("b")
+        if not (_is_d65(a) or _is_d65(b)):
+            return mm.group(0)
+        if _d65_base(a) in dbl_cols or _d65_base(b) in dbl_cols:
+            # MySQL: a double operand makes the whole MOD double math
+            return f"(CAST({a} AS DOUBLE) % CAST({b} AS DOUBLE))"
+        return f"dec65_mod({as_str(a)}, {as_str(b)})"
+
+    sql = re.sub(
+        rf"(?<!['\w`.])(?P<a>{_D65_OPERAND})\s*%\s*(?P<b>{_D65_OPERAND})(?!['\w`])",
+        _mod_sub, sql,
+    )
+    sql = re.sub(
+        rf"(?i)\bmod\s*\(\s*(?P<a>{_D65_OPERAND})\s*,\s*(?P<b>{_D65_OPERAND})\s*\)",
+        _mod_sub, sql,
+    )
+
+    # --- ROUND / TRUNCATE / FORMAT / ABS -----------------------------------
+    def _fn_sub(mm: re.Match) -> str:
+        x = mm.group("x")
+        if not _is_d65(x):
+            return mm.group(0)
+        fn = mm.group("fn").lower()
+        d = mm.groupdict().get("d")
+        if fn == "round":
+            return f"dec65_round({as_str(x)}, {d or 0})"
+        if fn == "truncate":
+            return f"dec65_truncate({as_str(x)}, {d or 0})"
+        if fn == "format":
+            return f"dec65_format({as_str(x)}, {d or 0})"
+        return f"dec65_abs({as_str(x)})"
+
+    sql = re.sub(
+        rf"(?i)\b(?P<fn>round|truncate|format)\s*\(\s*(?P<x>{_D65_OPERAND})"
+        rf"\s*(?:,\s*(?P<d>-?\d+)\s*)?\)",
+        _fn_sub, sql,
+    )
+    sql = re.sub(
+        rf"(?i)\b(?P<fn>abs)\s*\(\s*(?P<x>{_D65_OPERAND})\s*\)",
+        _fn_sub, sql,
+    )
+
+    sql = _wrap_dec65_sums(sql, wide)
+
+    # --- comparisons on WIDE columns (string-exposed) -----------------------
+    # equality goes exact through dec65_norm; range ops compare as
+    # double (filters like `a >= 0`, round_with_frac.test — Spark would
+    # otherwise CAST the 62-digit string to BIGINT and fail)
+    def _cmp_sub(mm: re.Match) -> str:
+        a, op, b = mm.group(1), mm.group(2), mm.group(3)
+        if not (_d65_base(a) in wide or _d65_base(b) in wide):
+            return mm.group(0)
+        if op in ("=", "<=>", "!=", "<>"):
+            return (f"dec65_norm({as_str(a)}) {op} dec65_norm({as_str(b)})")
+        return f"CAST({a} AS DOUBLE) {op} CAST({b} AS DOUBLE)"
+
+    for c in [c for c in d65 if c in wide]:
+        sql = re.sub(
+            rf"(?<!['\w`.])((?:`?\w+`?\s*\.\s*)?`?{re.escape(c)}`?)"
+            rf"\s*(<=>|<>|!=|>=|<=|=|<|>)\s*({_D65_OPERAND})(?!['\w`(])",
+            _cmp_sub, sql,
+        )
+        sql = re.sub(
+            rf"(?<!['\w`.])({_D65_OPERAND})\s*(<=>|<>|!=|>=|<=|=|<|>)\s*"
+            rf"((?:`?\w+`?\s*\.\s*)?`?{re.escape(c)}`?)(?!['\w`(])",
+            _cmp_sub, sql,
+        )
+
+    # --- exact equality between decimal columns ----------------------------
+    ops_eq = r"(?:=)"
+    for c in d65:
+        for other in (num_cols | set(d65)) - {c}:
+            if c not in sql or other not in sql:
+                continue
+            for lhs, rhs in ((c, other), (other, c)):
+                sql = re.sub(
+                    rf"(?<![\w`.])((?:`?\w+`?\s*\.\s*)?`?{re.escape(lhs)}`?)"
+                    rf"\s*=\s*"
+                    rf"((?:`?\w+`?\s*\.\s*)?`?{re.escape(rhs)}`?)(?![\w`(])",
+                    lambda m2: (
+                        f"dec65_norm(CAST({m2.group(1)} AS STRING)) = "
+                        f"dec65_norm(CAST({m2.group(2)} AS STRING))"
+                    ),
+                    sql,
+                )
+    return sql
+
+
 _ODD_IDENT = re.compile(r"`([A-Za-z0-9_$][^`'\"\n]{0,62})`")
 
 
@@ -2352,15 +2611,45 @@ def _sanitize_quoted_idents(sql: str) -> str:
     deterministically — applied uniformly to DDL and queries, so the
     engine-internal name stays consistent; the replay harness checks
     header arity only, so the respelled name is invisible to checks."""
-    def _sub(m: re.Match) -> str:
-        body = m.group(1)
-        if re.fullmatch(r"\w+", body):
-            return m.group(0)
-        return "`" + re.sub(
-            r"[^0-9A-Za-z_]", lambda c: f"_x{ord(c.group(0)):02x}", body
-        ) + "`"
-
-    return _ODD_IDENT.sub(_sub, sql)
+    out: list[str] = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            # string literal: copy verbatim (backticks inside are DATA —
+            # expr/reverse.test inserts '`$$`...')
+            j = i + 1
+            while j < n:
+                if sql[j] == "\\":
+                    j += 2
+                    continue
+                if sql[j] == ch:
+                    # doubled-quote escape ('it''s')
+                    if j + 1 < n and sql[j + 1] == ch:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        if ch == "`":
+            m = _ODD_IDENT.match(sql, i)
+            if m:
+                body = m.group(1)
+                if re.fullmatch(r"\w+", body):
+                    out.append(m.group(0))
+                else:
+                    out.append("`" + re.sub(
+                        r"[^0-9A-Za-z_]",
+                        lambda c: f"_x{ord(c.group(0)):02x}", body,
+                    ) + "`")
+                i = m.end()
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _rewrite_mixed_type_cmp(sql: str, stores) -> str:
@@ -2374,6 +2663,7 @@ def _rewrite_mixed_type_cmp(sql: str, stores) -> str:
     string side with try_cast (NULL on garbage) — both diverge on fuzz
     data, so the pairs are rewritten explicitly per known column."""
     num_t = re.compile(r"(?i)^(tinyint|smallint|int|bigint|double|float|decimal)")
+    stores = _referenced_stores(sql, stores)
     ts_cols: set[str] = set()
     str_cols: set[str] = set()
     num_cols: set[str] = set()
@@ -2385,6 +2675,7 @@ def _rewrite_mixed_type_cmp(sql: str, stores) -> str:
             set(td.get("time_cols") or []) | set(td.get("enum_cols") or [])
             | set(td.get("set_cols") or []) | set(td.get("json_cols") or [])
             | set(td.get("year_cols") or [])
+            | set(td.get("dec65_cols") or [])  # exact tier, not soft-str
         )
         for n, t in s.current_fields() or []:
             t = str(t).lower()
@@ -3872,6 +4163,11 @@ def run_sql(
         r"(?i)\s*(select|with)\b", sql
     ):
         sql = _rewrite_enum_ordinals(sql, stores)
+        sql = _rewrite_dec65(sql, stores)
+        if re.search(r"(?i)\b(round|truncate)\s*\(", sql):
+            sql = _rewrite_var_scale_round(sql, stores)
+        if re.search(r"(?i)\babs\s*\(", sql):
+            sql = _rewrite_abs_widen(sql, stores)
         if any(
             (s.table_def() or {}).get("year_cols")
             for s in stores.values() if hasattr(s, "table_def")
@@ -4620,6 +4916,29 @@ def run_sql(
                         bc = dict(td3.get("bin_cols") or {})
                         bc[col] = n_b
                         store.update_table_def(bin_cols=bc)
+                dm65 = re.match(
+                    r"(?i)^(?:decimal|numeric)\s*\(\s*(\d+)\s*"
+                    r"(?:,\s*(\d+))?\s*\)$", dtype.strip(),
+                )
+                if dm65 and int(dm65.group(1)) > 38:
+                    # ADDed DECIMAL(p>38): decimal65 tier — string
+                    # storage, canonical default, wide flag when the
+                    # default exceeds the clamped exposure
+                    # (ddl/alter_decimal_default_value.test)
+                    from tiflash_spark.functions.decimal65 import canon as _d65c
+
+                    p65, s65 = int(dm65.group(1)), int(dm65.group(2) or 0)
+                    td65a = store.table_def() or {}
+                    dc65 = dict(td65a.get("dec65_cols") or {})
+                    dc65[col] = [p65, s65]
+                    store.update_table_def(dec65_cols=dc65)
+                    ty = "string"
+                    if dflt is not None:
+                        dflt = _d65c(dflt, p65, s65)
+                        if dflt is not None and _d65_is_wide(dflt, s65):
+                            store.update_table_def(dec65_wide=sorted(
+                                set(td65a.get("dec65_wide") or []) | {col}
+                            ))
                 v = store.add_column(col, ty, default=dflt)
                 if m.group("notnull") or m.group("notnull2"):
                     # ADD COLUMN ... NOT NULL: the constraint must stick
@@ -4857,6 +5176,8 @@ def run_sql(
         bit_cols: dict[str, int] = {}  # BIT(n): width for bin-as-hex render
         enum_cols: dict[str, list] = {}  # ENUM: declared member labels
         set_cols: dict[str, list] = {}  # SET: declared member labels
+        dec65_cols: dict[str, list] = {}  # DECIMAL(p>38): [p, s]
+        dec65_wide: list[str] = []  # dec65 cols already holding wide values
         year_cols: list[str] = []  # YEAR columns (smallint storage)
         json_cols: list[str] = []  # JSON columns (string storage)
         # binary-ish columns: MySQL field-type id for the CAST(..AS JSON)
@@ -4917,6 +5238,18 @@ def run_sql(
                     f"CREATE TABLE {name}: cannot parse column def {item!r}"
                 )
             st = _mysql_type_to_spark(cm["type"], cm["unsigned"])
+            d65 = re.match(
+                r"(?i)^(?:decimal|numeric)\s*\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\)$",
+                cm["type"].strip(),
+            )
+            if d65 and int(d65.group(1)) > 38:
+                # DECIMAL(p>38): canonical-string storage (decimal65
+                # tier, functions/decimal65.py); exposed clamped until a
+                # wide value lands
+                dec65_cols[cm["name"]] = [
+                    int(d65.group(1)), int(d65.group(2) or 0)
+                ]
+                st = "string"
             if st == "string" and cm.get("collate"):
                 # column-level collation maps onto Spark's native
                 # collated strings (tidb-ci/new_collation_fullstack):
@@ -5000,6 +5333,15 @@ def run_sql(
                     None if dflt.upper() == "NULL"
                     else _bitlit(dflt).strip("'\"")
                 )
+            if dflt is not None and cm["name"] in dec65_cols:
+                # canonical-at-scale default so the read-side fill needs
+                # no further rendering (ddl/alter_decimal_default_value)
+                from tiflash_spark.functions.decimal65 import canon as _d65c
+
+                p65, s65 = dec65_cols[cm["name"]]
+                dflt = _d65c(dflt, p65, s65)
+                if dflt is not None and _d65_is_wide(dflt, s65):
+                    dec65_wide.append(cm["name"])
             cols.append((cm["name"], st, cm["notnull"], dflt))
             if cm["inline_pk"]:
                 pk_cols, pk_kind = [cm["name"]], "CLUSTERED"
@@ -5071,12 +5413,14 @@ def run_sql(
         store.write_table_def(order, pk, pk_type, dt_prec or None,
                               time_cols or None, bin_cols or None,
                               bit_cols or None)
-        if enum_cols or set_cols or year_cols or json_cols or json_bin_ids:
+        if (enum_cols or set_cols or year_cols or json_cols or json_bin_ids
+                or dec65_cols):
             store.update_table_def(**{
                 k: v for k, v in
                 (("enum_cols", enum_cols), ("set_cols", set_cols),
                  ("year_cols", year_cols), ("json_cols", json_cols),
-                 ("json_bin_ids", json_bin_ids)) if v
+                 ("json_bin_ids", json_bin_ids), ("dec65_cols", dec65_cols),
+                 ("dec65_wide", dec65_wide)) if v
             })
         for gname, gtype, gexpr in gen_cols:
             store.add_generated_column(gname, gtype, _fix_gen_expr(gexpr))
@@ -5231,6 +5575,8 @@ def run_sql(
             ecols = td0.get("enum_cols") or {}
             scols = td0.get("set_cols") or {}
             jcols = set(td0.get("json_cols") or [])
+            d65cols = td0.get("dec65_cols") or {}
+            d65_new_wide: set[str] = set()
 
             def _cell(cell: str, col: str, ty: str | None) -> str:
                 if ty is None:
@@ -5250,7 +5596,10 @@ def run_sql(
                     # (CI lookup unless declared binary-collated);
                     # numbers address the 1-based member, no match -> ''
                     lit = cell.strip()
-                    s_v = (lit[1:-1] if re.match(r"^'.*'$", lit, re.S)
+                    # MySQL string literals come single- OR double-quoted
+                    # (expr/enum.test inserts (1, "a"))
+                    s_v = (lit[1:-1]
+                           if re.match(r"^'.*'$|^\".*\"$", lit, re.S)
                            else lit)
                     ci_e = "BINARY" not in (ty or "")
                     out_v = (
@@ -5259,6 +5608,27 @@ def run_sql(
                         else _canon_set_value(s_v, scols[tname], ci_e)
                     )
                     return "'" + out_v.replace("'", "''") + "'"
+                if tname in d65cols and cell.strip().upper() != "NULL":
+                    # decimal65 tier: canonical string at the declared
+                    # scale (functions/decimal65.py); literals only —
+                    # inline VALUES tables cannot run SQL-UDFs
+                    from tiflash_spark.functions.decimal65 import canon as _d65c
+
+                    lit = cell.strip()
+                    s_v = (lit[1:-1]
+                           if re.match(r"^'.*'$|^\".*\"$", lit, re.S)
+                           else lit)
+                    if re.match(
+                        r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$",
+                        s_v.strip(),
+                    ):
+                        p65, s65 = d65cols[tname]
+                        cv = _d65c(s_v, p65, s65)
+                        if cv is None:
+                            return "NULL"
+                        if _d65_is_wide(cv, s65):
+                            d65_new_wide.add(tname)
+                        return f"'{cv}'"
                 if tname in bcols and cell.strip().upper() != "NULL":
                     # fixed BINARY(n): a 0x literal is BYTES here (the
                     # numeric-context hex rewrite is skipped for plain
@@ -5497,9 +5867,42 @@ def run_sql(
                     f"INSERT INTO {name}: Duplicate entry for key "
                     "'PRIMARY' (MySQL error 1062)"
                 )
+        td65 = (store.table_def() or {}).get("dec65_cols") or {}
+        new_wide: set[str] = set()
+        if td65 and "vals" in m.groupdict() and m.group("vals") is not None:
+            new_wide = {c for c in d65_new_wide}
+        elif td65:
+            # INSERT ... SELECT into a decimal65 table: canonicalize the
+            # incoming strings (idempotent) and learn which columns now
+            # hold values wider than the clamped DECIMAL(38) exposure —
+            # one aggregate job, only on dec65 tables
+            present = [c for c in batch.columns if c in td65]
+            for c in present:
+                p65, s65 = td65[c]
+                batch = batch.withColumn(
+                    c, F.expr(
+                        f"dec65_canon(CAST(`{c}` AS STRING), {p65}, {s65})"
+                    )
+                )
+            if present:
+                probes = []
+                for c in present:
+                    cs = min(td65[c][1], 10)
+                    rt = f"try_cast(`{c}` AS decimal(38,{cs}))"
+                    probes.append(
+                        f"sum(CASE WHEN `{c}` IS NOT NULL AND ({rt} IS NULL"
+                        f" OR dec65_norm(CAST({rt} AS STRING)) <>"
+                        f" dec65_norm(`{c}`)) THEN 1 ELSE 0 END) AS `{c}`"
+                    )
+                hit = batch.selectExpr(*probes).collect()[0]
+                new_wide = {c for c in present if (hit[c] or 0) > 0}
         n = batch.count()
         v = store.newest_version() + 1
         store.write_batch(batch, version=v)
+        if new_wide:
+            prev = set((store.table_def() or {}).get("dec65_wide") or [])
+            if not new_wide <= prev:
+                store.update_table_def(dec65_wide=sorted(prev | new_wide))
         store.as_view(name)
         return spark.createDataFrame(
             [(name, m.group("verb").lower(), int(n), int(v))],

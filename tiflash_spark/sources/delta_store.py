@@ -57,6 +57,22 @@ _INTERNAL_COLS = (VERSION, DELMARK, "_seg")
 UNSET = object()
 
 
+def _render_dec65_cols(df: DataFrame, td: dict | None) -> DataFrame:
+    """DECIMAL(p>38) columns (decimal65 tier — canonical-string storage,
+    functions/decimal65.py): exposed as the clamped DECIMAL(38, min(s,10))
+    until a value wider than the clamp has been written (dec65_wide),
+    then as the exact canonical string — MySQL's rendering of the wide
+    value, which the replay's value-level compare reads numerically."""
+    d65 = (td or {}).get("dec65_cols") or {}
+    wide = set((td or {}).get("dec65_wide") or [])
+    for c, (p, s) in d65.items():
+        if c not in df.columns or c in wide:
+            continue
+        cs = min(int(s), 10)
+        df = df.withColumn(c, F.col(c).try_cast(f"decimal(38,{cs})"))
+    return df
+
+
 def _render_time_cols(df: DataFrame, td: dict | None) -> DataFrame:
     """MySQL renders TIME(p) with EXACTLY p fraction digits, and an
     fsp-changing MODIFY re-renders EXISTING rows at the new p — enlarge
@@ -1341,6 +1357,7 @@ class DeltaStore:
             if first and df.columns != first + rest:
                 df = df.select(*(first + rest))
         df = _render_time_cols(df, td)
+        df = _render_dec65_cols(df, td)
         df.createOrReplaceTempView(name)
 
     # --- maintenance -------------------------------------------------------
