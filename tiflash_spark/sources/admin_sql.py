@@ -2029,11 +2029,18 @@ def _rewrite_mysql_division(sql: str, stores) -> str:
     for s in (stores or {}).values():
         if not hasattr(s, "current_fields"):
             continue
+        d65 = {}
+        if hasattr(s, "table_def"):
+            d65 = (s.table_def() or {}).get("dec65_cols") or {}
         for n, t in s.current_fields() or []:
             tl = str(t).lower()
             mdec = re.match(r"decimal\((\d+),\s*(\d+)\)", tl)
-            if mdec:
-                sc: int | None = int(mdec.group(2))
+            if n in d65:
+                # decimal65 tier: string-stored, but the DECLARED scale
+                # still drives MySQL's division scale (decimal_divide)
+                sc: int | None = int(d65[n][1])
+            elif mdec:
+                sc = int(mdec.group(2))
             elif tl in ("tinyint", "smallint", "int", "bigint"):
                 sc = 0
             else:
@@ -5923,6 +5930,15 @@ def run_sql(
             if not eq:
                 raise ValueError(f"UPDATE {name}: bad assignment {a!r}")
             sets[k.strip().strip("`")] = vexpr.strip()
+        d65u = (store.table_def() or {}).get("dec65_cols") or {} \
+            if hasattr(store, "table_def") else {}
+        for c65 in [c for c in sets if c in d65u]:
+            # decimal65 tier: assignments re-canonicalize at the declared
+            # scale so string grouping/joins stay exact
+            p65, s65 = d65u[c65]
+            sets[c65] = (
+                f"dec65_canon(CAST(({sets[c65]}) AS STRING), {p65}, {s65})"
+            )
         if HANDLE in sets or hname in sets:
             raise ValueError(f"UPDATE {name}: the handle column is immutable")
         bad = [c for c in sets if c in gen]
