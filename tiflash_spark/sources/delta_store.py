@@ -1026,6 +1026,18 @@ class DeltaStore:
         )
         out.write.mode("append").parquet(self.delta_path())
 
+    def write_log_batch(self, df: DataFrame) -> None:
+        """Append a batch that ALREADY carries per-row ``_INTERNAL_VERSION``
+        and ``_INTERNAL_DELMARK`` — replaying a raft log whose rows have
+        individual commit-ts (the mock-raft ingest of the delta-merge test
+        replay, sources/dbgscript.py; reference RegionBench applies each
+        row at its own tso).  Schema conformance is the caller's problem:
+        these stores are built against the raw DeltaStore API."""
+        out = df.withColumn(VERSION, F.col(VERSION).cast("long")).withColumn(
+            DELMARK, F.col(DELMARK).cast("int")
+        )
+        out.write.mode("append").parquet(self.delta_path())
+
     def _conform_user_write(self, df: DataFrame, fields) -> DataFrame:
         gen = self.current_gen()
         supplied = [n for n in gen if n in df.columns]
