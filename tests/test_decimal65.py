@@ -127,3 +127,94 @@ def test_variable_scale_round(spark, tmp_path):
     ).collect()[0][0]
     # 123 + 123.5 + 123.46 + 120 + 123.456 (huge i = no-op) + 0
     assert Decimal(out) == Decimal("613.416")
+
+
+def test_parse_huge_exponent_saturates():
+    # '1e1000000' exceeds the 81-digit context: MySQL saturates instead of
+    # raising decimal.Overflow inside the Arrow UDF task (round-9 ADVICE)
+    from tiflash_spark.functions.decimal65 import _parse
+
+    assert _parse("1e1000000") == Decimal("9" * 81)
+    assert _parse("-1e1000000") == Decimal("-" + "9" * 81)
+    assert _parse("12e999999abc") is not None  # soft-parse prefix path
+
+
+def test_update_reprobes_wide_flag(spark, tmp_path):
+    """UPDATE pushing a narrow dec65 column past the DECIMAL(38) clamp
+    flips the exposure — without the re-probe the clamped view would
+    try_cast the new value to NULL (round-9 ADVICE, medium)."""
+    stores: dict = {}
+    base = str(tmp_path)
+    run_sql(spark, "create table u (id int, a decimal(60, 5))", stores, base)
+    run_sql(spark, "insert into u values (1, 1.5)", stores, base)
+    assert not (stores["u"].table_def().get("dec65_wide") or [])
+    run_sql(spark, f"update u set a = {WIDE} where id = 1", stores, base)
+    assert "a" in (stores["u"].table_def().get("dec65_wide") or [])
+    row = run_sql(spark, "select a from u", stores, base).collect()[0]
+    assert str(row.a).split(".")[0] == WIDE
+
+
+def test_insert_expression_cell_canonicalizes(spark, tmp_path):
+    """A VALUES expression cell ((1.5+2)) on a dec65 column stores the
+    canonical fixed-scale rendering and probes the wide flag (round-9
+    ADVICE #4)."""
+    stores: dict = {}
+    base = str(tmp_path)
+    run_sql(spark, "create table e (id int, a decimal(60, 5))", stores, base)
+    run_sql(spark, "insert into e values (1, (1.5+2))", stores, base)
+    row = run_sql(spark, "select a from e", stores, base).collect()[0]
+    assert Decimal(str(row.a)) == Decimal("3.5")
+    # an expression yielding a wide value (double 1e49 → 50 int digits;
+    # a >38-digit decimal LITERAL inside arithmetic is a Spark literal
+    # limit, not this path)
+    run_sql(
+        spark,
+        "insert into e values (2, (1e49 + 0))",
+        stores, base,
+    )
+    assert "a" in (stores["e"].table_def().get("dec65_wide") or [])
+
+
+def test_sum_distinct_wide_does_not_break(spark, d65_table):
+    stores, base = d65_table
+    # SUM(DISTINCT widecol) must not be rewritten into unparseable SQL
+    # (round-9 ADVICE #3) — it stays on the native path
+    df = run_sql(spark, "select sum(distinct b) as s from w", stores, base)
+    assert df.collect()[0].s is not None
+
+
+def test_qualified_operand_not_misrouted(spark, tmp_path):
+    """t2.a % 3 where only t1.a is decimal65 keeps integer math — the
+    bare-name union must not route it through dec65_mod (round-9 ADVICE
+    #5)."""
+    stores: dict = {}
+    base = str(tmp_path)
+    run_sql(spark, "create table t1 (id int, a decimal(60, 5))", stores, base)
+    run_sql(spark, "create table t2 (id int, a bigint)", stores, base)
+    run_sql(spark, f"insert into t1 values (1, {WIDE})", stores, base)
+    run_sql(spark, "insert into t2 values (1, 7)", stores, base)
+    df = run_sql(
+        spark,
+        "select t2.a % 3 as m from t1 join t2 on t1.id = t2.id",
+        stores, base,
+    )
+    row = df.collect()[0]
+    assert row.m == 1 and not isinstance(row.m, str)
+
+
+def test_wide_flag_survives_delete_and_compact(spark, tmp_path):
+    """The wide flag is MONOTONIC by design: once a wide value has been
+    visible, the column keeps exact-string exposure even after the wide
+    rows are deleted and the store compacted — flipping the table's read
+    schema back on GC would invalidate caller expectations mid-session
+    (round-9 verdict ask #8)."""
+    stores: dict = {}
+    base = str(tmp_path)
+    run_sql(spark, "create table g (id int, a decimal(60, 5))", stores, base)
+    run_sql(spark, f"insert into g values (1, {WIDE}), (2, 1.5)", stores, base)
+    assert "a" in (stores["g"].table_def().get("dec65_wide") or [])
+    run_sql(spark, "delete from g where id = 1", stores, base)
+    run_sql(spark, "alter table g compact", stores, base)
+    assert "a" in (stores["g"].table_def().get("dec65_wide") or [])
+    row = run_sql(spark, "select a from g", stores, base).collect()[0]
+    assert Decimal(str(row.a)) == Decimal("1.5")

@@ -29,6 +29,7 @@ from decimal import (
     Context,
     Decimal,
     InvalidOperation,
+    Overflow,
 )
 
 import pandas as pd
@@ -44,12 +45,24 @@ def _parse(x) -> Decimal | None:
         return None
     try:
         return _CTX.create_decimal(s)
+    except Overflow:
+        # a huge exponent ('1e1000000') exceeds the 81-digit context —
+        # MySQL saturates instead of erroring; sign-preserving max
+        lim = _CTX.subtract(_CTX.power(Decimal(10), 81), Decimal(1))
+        return lim.copy_negate() if s.lstrip().startswith("-") else lim
     except InvalidOperation:
         # MySQL soft parse: longest numeric prefix, 0 on garbage
         import re
 
         m = re.match(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", s)
-        return _CTX.create_decimal(m.group(0)) if m else Decimal(0)
+        if not m:
+            return Decimal(0)
+        try:
+            return _CTX.create_decimal(m.group(0))
+        except Overflow:
+            lim = _CTX.subtract(_CTX.power(Decimal(10), 81), Decimal(1))
+            return (lim.copy_negate()
+                    if m.group(0).startswith("-") else lim)
 
 
 def _fixed(d: Decimal, scale: int | None = None) -> str:

@@ -2416,6 +2416,15 @@ def _wrap_dec65_sums(sql: str, wide: set) -> str:
         if re.search(r"(?i)\bdec65_\w+\s*\(", inner) or any(
             re.search(rf"\b{re.escape(c)}\b", inner) for c in wide
         ):
+            if re.match(r"(?i)\s*(sql_calc_found_rows\s+)?distinct\b", inner):
+                # SUM(DISTINCT wide): dec65_sum over the body would both
+                # fail to parse and drop the DISTINCT — leave the native
+                # path (clamped exposure) rather than emit broken SQL
+                continue
+            if re.match(r"(?i)\s*over\s*\(", sql[cl + 1:]):
+                # window SUM(...) OVER: a grouped-agg pandas UDF is not a
+                # window function — keep the native aggregate
+                continue
             out.append(sql[last:mm.start()])
             out.append(f"dec65_sum(CAST({inner} AS STRING))")
             last = cl + 1
@@ -2501,18 +2510,51 @@ def _rewrite_dec65(sql: str, stores) -> str:
         return sql
     dbl_cols: set[str] = set()
     num_cols: set[str] = set()
-    for s in (stores or {}).values():
+    # per-table classification: a QUALIFIED operand (t2.a) resolves against
+    # that table's store only — the bare-name union across all referenced
+    # stores would route a same-named column of a DIFFERENT type through
+    # the dec65 tier (changing its result type)
+    per_tbl: dict[str, dict[str, set]] = {}
+    for nm, s in (stores or {}).items():
         if not hasattr(s, "current_fields"):
             continue
+        td = s.table_def() or {} if hasattr(s, "table_def") else {}
+        info = {
+            "d65": set(td.get("dec65_cols") or {}),
+            "wide": set(td.get("dec65_wide") or []),
+            "dbl": set(),
+            "num": set(),
+        }
         for n, t in s.current_fields() or []:
             tl = str(t).lower()
             if tl in ("double", "float"):
                 dbl_cols.add(n)
+                info["dbl"].add(n)
             elif tl.startswith("decimal") or tl.endswith("int"):
                 num_cols.add(n)
+                info["num"].add(n)
+        per_tbl[nm] = info
+
+    def _qual(op: str) -> tuple[str | None, str]:
+        mq = re.match(r"^`?(\w+)`?\s*\.\s*`?(\w+)`?$", op.strip())
+        if mq:
+            return mq.group(1), mq.group(2)
+        return None, _d65_base(op)
+
+    def _cls(op: str, key: str, fallback: set) -> bool:
+        tbl, col = _qual(op)
+        if tbl is not None and tbl in per_tbl:
+            return col in per_tbl[tbl][key]
+        return col in fallback
 
     def _is_d65(op: str) -> bool:
-        return _d65_base(op) in d65
+        return _cls(op, "d65", set(d65))
+
+    def _in_dbl(op: str) -> bool:
+        return _cls(op, "dbl", dbl_cols)
+
+    def _in_wide(op: str) -> bool:
+        return _cls(op, "wide", wide)
 
     def as_str(x: str) -> str:
         return f"CAST({x} AS STRING)"
@@ -2522,7 +2564,7 @@ def _rewrite_dec65(sql: str, stores) -> str:
         a, b = mm.group("a"), mm.group("b")
         if not (_is_d65(a) or _is_d65(b)):
             return mm.group(0)
-        if _d65_base(a) in dbl_cols or _d65_base(b) in dbl_cols:
+        if _in_dbl(a) or _in_dbl(b):
             # MySQL: a double operand makes the whole MOD double math
             return f"(CAST({a} AS DOUBLE) % CAST({b} AS DOUBLE))"
         return f"dec65_mod({as_str(a)}, {as_str(b)})"
@@ -2569,7 +2611,7 @@ def _rewrite_dec65(sql: str, stores) -> str:
     # otherwise CAST the 62-digit string to BIGINT and fail)
     def _cmp_sub(mm: re.Match) -> str:
         a, op, b = mm.group(1), mm.group(2), mm.group(3)
-        if not (_d65_base(a) in wide or _d65_base(b) in wide):
+        if not (_in_wide(a) or _in_wide(b)):
             return mm.group(0)
         if op in ("=", "<=>", "!=", "<>"):
             return (f"dec65_norm({as_str(a)}) {op} dec65_norm({as_str(b)})")
@@ -2601,6 +2643,8 @@ def _rewrite_dec65(sql: str, stores) -> str:
                     lambda m2: (
                         f"dec65_norm(CAST({m2.group(1)} AS STRING)) = "
                         f"dec65_norm(CAST({m2.group(2)} AS STRING))"
+                        if (_is_d65(m2.group(1)) or _is_d65(m2.group(2)))
+                        else m2.group(0)
                     ),
                     sql,
                 )
@@ -2674,7 +2718,11 @@ def _rewrite_mixed_type_cmp(sql: str, stores) -> str:
     ts_cols: set[str] = set()
     str_cols: set[str] = set()
     num_cols: set[str] = set()
-    for s in (stores or {}).values():
+    # per-table classes: qualified operands (t2.a) resolve against that
+    # table only, so a same-named column of a different type in another
+    # referenced table cannot trigger the rewrite
+    tbl_cls: dict[str, dict[str, str]] = {}
+    for nm, s in (stores or {}).items():
         if not hasattr(s, "table_def") or not hasattr(s, "current_fields"):
             continue
         td = s.table_def() or {}
@@ -2684,16 +2732,21 @@ def _rewrite_mixed_type_cmp(sql: str, stores) -> str:
             | set(td.get("year_cols") or [])
             | set(td.get("dec65_cols") or [])  # exact tier, not soft-str
         )
+        cls: dict[str, str] = {}
         for n, t in s.current_fields() or []:
             t = str(t).lower()
             if n in skip:
                 continue
             if t.startswith("timestamp"):
                 ts_cols.add(n)
+                cls[n] = "ts"
             elif t.startswith("string"):
                 str_cols.add(n)
+                cls[n] = "str"
             elif num_t.match(t):
                 num_cols.add(n)
+                cls[n] = "num"
+        tbl_cls[nm] = cls
     if not num_cols or not (ts_cols | str_cols):
         return sql
     ops = r"(?:<=>|<>|!=|>=|<=|=|<|>)"
@@ -2701,18 +2754,33 @@ def _rewrite_mixed_type_cmp(sql: str, stores) -> str:
     def _ref(c: str) -> str:
         return rf"((?:`?\w+`?\s*\.\s*)?`?{re.escape(c)}`?)"
 
-    def _pair(sql: str, a: str, b: str, fa, fb) -> str:
+    def _cls_ok(ref: str, want: str) -> bool:
+        mq = re.match(r"^`?(\w+)`?\s*\.\s*`?(\w+)`?$", ref.strip())
+        if mq and mq.group(1) in tbl_cls:
+            return tbl_cls[mq.group(1)].get(mq.group(2)) == want
+        return True  # unqualified: the bare-name union decided already
+
+    def _pair(sql: str, a: str, b: str, fa, fb, ka: str, kb: str) -> str:
         if a not in sql or b not in sql:
             return sql
+
+        def _fwd(m: re.Match) -> str:
+            if not (_cls_ok(m.group(1), ka) and _cls_ok(m.group(3), kb)):
+                return m.group(0)
+            return f"{fa(m.group(1))} {m.group(2)} {fb(m.group(3))}"
+
+        def _rev(m: re.Match) -> str:
+            if not (_cls_ok(m.group(1), kb) and _cls_ok(m.group(3), ka)):
+                return m.group(0)
+            return f"{fb(m.group(1))} {m.group(2)} {fa(m.group(3))}"
+
         sql = re.sub(
             rf"(?<![\w`.]){_ref(a)}\s*({ops})\s*{_ref(b)}(?![\w`(])",
-            lambda m: f"{fa(m.group(1))} {m.group(2)} {fb(m.group(3))}",
-            sql,
+            _fwd, sql,
         )
         sql = re.sub(
             rf"(?<![\w`.]){_ref(b)}\s*({ops})\s*{_ref(a)}(?![\w`(])",
-            lambda m: f"{fb(m.group(1))} {m.group(2)} {fa(m.group(3))}",
-            sql,
+            _rev, sql,
         )
         return sql
 
@@ -2727,10 +2795,10 @@ def _rewrite_mixed_type_cmp(sql: str, stores) -> str:
 
     for a in ts_cols:
         for b in num_cols - {a}:
-            sql = _pair(sql, a, b, as_ts_num, as_dbl)
+            sql = _pair(sql, a, b, as_ts_num, as_dbl, "ts", "num")
     for a in str_cols:
         for b in num_cols - {a}:
-            sql = _pair(sql, a, b, as_soft, as_dbl)
+            sql = _pair(sql, a, b, as_soft, as_dbl, "str", "num")
     return sql
 
 
@@ -5584,6 +5652,8 @@ def run_sql(
             jcols = set(td0.get("json_cols") or [])
             d65cols = td0.get("dec65_cols") or {}
             d65_new_wide: set[str] = set()
+            d65_expr_cells: set[str] = set()  # dec65 targets fed an
+            #   EXPRESSION cell — canonicalized post-build, not per-literal
 
             def _cell(cell: str, col: str, ty: str | None) -> str:
                 if ty is None:
@@ -5636,6 +5706,9 @@ def run_sql(
                         if _d65_is_wide(cv, s65):
                             d65_new_wide.add(tname)
                         return f"'{cv}'"
+                    # expression cell ((1.5+2), concat(...)): canonical
+                    # rendering and the wide probe run on the built batch
+                    d65_expr_cells.add(tname)
                 if tname in bcols and cell.strip().upper() != "NULL":
                     # fixed BINARY(n): a 0x literal is BYTES here (the
                     # numeric-context hex rewrite is skipped for plain
@@ -5878,6 +5951,31 @@ def run_sql(
         new_wide: set[str] = set()
         if td65 and "vals" in m.groupdict() and m.group("vals") is not None:
             new_wide = {c for c in d65_new_wide}
+            expr65 = [c for c in d65_expr_cells
+                      if c in td65 and c in batch.columns]
+            if expr65:
+                # a VALUES row carried an expression into a dec65 column:
+                # the raw CAST-to-string result bypasses canonical-scale
+                # rendering — re-canonicalize and wide-probe those columns
+                # (same treatment as the INSERT...SELECT branch)
+                probes = []
+                for c in expr65:
+                    p65, s65 = td65[c]
+                    batch = batch.withColumn(
+                        c, F.expr(
+                            f"dec65_canon(CAST(`{c}` AS STRING),"
+                            f" {p65}, {s65})"
+                        )
+                    )
+                    cs = min(s65, 10)
+                    rt = f"try_cast(`{c}` AS decimal(38,{cs}))"
+                    probes.append(
+                        f"sum(CASE WHEN `{c}` IS NOT NULL AND ({rt} IS NULL"
+                        f" OR dec65_norm(CAST({rt} AS STRING)) <>"
+                        f" dec65_norm(`{c}`)) THEN 1 ELSE 0 END) AS `{c}`"
+                    )
+                hit = batch.selectExpr(*probes).collect()[0]
+                new_wide |= {c for c in expr65 if (hit[c] or 0) > 0}
         elif td65:
             # INSERT ... SELECT into a decimal65 table: canonicalize the
             # incoming strings (idempotent) and learn which columns now
@@ -5934,10 +6032,15 @@ def run_sql(
             if hasattr(store, "table_def") else {}
         for c65 in [c for c in sets if c in d65u]:
             # decimal65 tier: assignments re-canonicalize at the declared
-            # scale so string grouping/joins stay exact
+            # scale so string grouping/joins stay exact; a plain numeric
+            # literal wider than DECIMAL(38) would fail Spark's ANALYSIS as
+            # a decimal literal — carry it as a string
             p65, s65 = d65u[c65]
+            rhs65 = sets[c65].strip()
+            if re.match(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$", rhs65):
+                rhs65 = f"'{rhs65}'"
             sets[c65] = (
-                f"dec65_canon(CAST(({sets[c65]}) AS STRING), {p65}, {s65})"
+                f"dec65_canon(CAST(({rhs65}) AS STRING), {p65}, {s65})"
             )
         if HANDLE in sets or hname in sets:
             raise ValueError(f"UPDATE {name}: the handle column is immutable")
@@ -5970,6 +6073,32 @@ def run_sql(
                         for c in stored
                     ],
                 )
+                upd65 = [c for c in sets if c in d65u]
+                if upd65:
+                    # same wide-probe as the INSERT...SELECT branch: an
+                    # UPDATE may push a previously-narrow dec65 column past
+                    # the DECIMAL(38, min(s,10)) clamp — without re-probing,
+                    # the clamped read view would silently NULL/round the
+                    # new value
+                    probes = []
+                    for c in upd65:
+                        cs = min(d65u[c][1], 10)
+                        rt = f"try_cast(`{c}` AS decimal(38,{cs}))"
+                        probes.append(
+                            f"sum(CASE WHEN `{c}` IS NOT NULL AND ({rt} IS"
+                            f" NULL OR dec65_norm(CAST({rt} AS STRING)) <>"
+                            f" dec65_norm(`{c}`)) THEN 1 ELSE 0 END) AS `{c}`"
+                        )
+                    hit65 = out.selectExpr(*probes).collect()[0]
+                    upd_wide = {c for c in upd65 if (hit65[c] or 0) > 0}
+                    if upd_wide:
+                        prev65 = set(
+                            (store.table_def() or {}).get("dec65_wide") or []
+                        )
+                        if not upd_wide <= prev65:
+                            store.update_table_def(
+                                dec65_wide=sorted(prev65 | upd_wide)
+                            )
                 v = store.newest_version() + 1
                 if getattr(store, "pcol", None) in sets:
                     # updating the PARTITION column may move rows between
