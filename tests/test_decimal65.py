@@ -218,3 +218,46 @@ def test_wide_flag_survives_delete_and_compact(spark, tmp_path):
     assert "a" in (stores["g"].table_def().get("dec65_wide") or [])
     row = run_sql(spark, "select a from g", stores, base).collect()[0]
     assert Decimal(str(row.a)) == Decimal("1.5")
+
+
+def test_limb_sum_matches_grouped_agg(spark, d65_table):
+    """SUM(widecol) runs as three-limb native partials (dec65_limb /
+    dec65_sum_fin, map-side combinable) — result identical to the
+    grouped-agg dec65_sum, scale preserved (round-9 verdict ask #2)."""
+    stores, base = d65_table
+    df = run_sql(spark, "select sum(a) as s from w", stores, base)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dec65_limb" in plan and "dec65_sum_fin" in plan
+    got = df.collect()[0].s
+    want = (
+        stores["w"].read()
+        .selectExpr("dec65_sum(CAST(a AS STRING)) AS s")
+        .collect()[0].s
+    )
+    assert got == want
+    from decimal import localcontext
+
+    with localcontext() as dctx:
+        dctx.prec = 80
+        assert Decimal(got) == Decimal(WIDE + ".12345") + Decimal("1.5")
+
+
+def test_limb_sum_group_by_and_signs(spark, tmp_path):
+    stores: dict = {}
+    base = str(tmp_path)
+    run_sql(spark, "create table ls (k int, a decimal(60, 5))", stores, base)
+    run_sql(
+        spark,
+        f"insert into ls values (1, {WIDE}), (1, -{WIDE}), (1, 0.00001),"
+        f" (2, -{WIDE}.5), (3, NULL)",
+        stores, base,
+    )
+    rows = {
+        r.k: r.s
+        for r in run_sql(
+            spark, "select k, sum(a) as s from ls group by k", stores, base
+        ).collect()
+    }
+    assert Decimal(rows[1]) == Decimal("0.00001")
+    assert Decimal(rows[2]) == Decimal("-" + WIDE + ".5")
+    assert rows[3] is None

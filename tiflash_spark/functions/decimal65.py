@@ -214,6 +214,50 @@ def register_decimal65_udfs(spark) -> list[str]:
             tot = v if tot is None else _CTX.add(tot, v)
         return None if tot is None else _fixed(tot)
 
+    # --- limb decomposition: partial-aggregable SUM ------------------------
+    # dec65_sum is a grouped-agg UDF: every raw row rides the shuffle to
+    # its group. The limb pair below instead decomposes each value into
+    # three SIGNED 22-digit integer limbs of its unscaled form (value *
+    # 10^s), which Spark's native SUM partially aggregates with map-side
+    # combine — the shuffle then carries three narrow decimal(38,0)
+    # partials per group, not raw strings. Exact reassembly (carry across
+    # limbs) happens once per group at finalize. 22-digit limbs over a
+    # <=65-digit unscaled value leave 16 digits of summation headroom per
+    # limb (~10^16 rows per group) in decimal(38,0).
+    _LIMB = 10 ** 22
+
+    @pandas_udf("decimal(38,0)")
+    def _limb(x: pd.Series, i: pd.Series, sc: pd.Series) -> pd.Series:
+        def one(xi, ii, si):
+            d = _parse(xi)
+            if d is None:
+                return None
+            u = int(
+                _CTX.multiply(d, Decimal(10) ** int(si))
+                .to_integral_value(rounding=ROUND_HALF_UP)
+            )
+            sign = -1 if u < 0 else 1
+            return Decimal(sign * ((abs(u) // _LIMB ** int(ii)) % _LIMB))
+
+        return pd.Series(
+            [one(xi, ii, si) for xi, ii, si in zip(x, i, sc)], dtype=object
+        )
+
+    @pandas_udf("string")
+    def _sum_fin(h: pd.Series, m: pd.Series, l: pd.Series,
+                 sc: pd.Series) -> pd.Series:
+        def one(hi, mi, lo, si):
+            if hi is None and mi is None and lo is None:
+                return None
+            u = (int(hi or 0) * _LIMB * _LIMB + int(mi or 0) * _LIMB
+                 + int(lo or 0))
+            d = _CTX.divide(Decimal(u), Decimal(10) ** int(si))
+            return _fixed(d, int(si))
+
+        return pd.Series(
+            [one(*t) for t in zip(h, m, l, sc)], dtype=object
+        )
+
     spark.udf.register("dec65_canon", _canon)
     spark.udf.register("dec65_norm", _norm)
     spark.udf.register("dec65_mod", _mod)
@@ -222,7 +266,10 @@ def register_decimal65_udfs(spark) -> list[str]:
     spark.udf.register("dec65_abs", _abs)
     spark.udf.register("dec65_format", _fmt)
     spark.udf.register("dec65_sum", _sum)
+    spark.udf.register("dec65_limb", _limb)
+    spark.udf.register("dec65_sum_fin", _sum_fin)
     return [
         "dec65_canon", "dec65_norm", "dec65_mod", "dec65_round",
         "dec65_truncate", "dec65_abs", "dec65_format", "dec65_sum",
+        "dec65_limb", "dec65_sum_fin",
     ]

@@ -2400,10 +2400,17 @@ def _d65_base(op: str) -> str:
     return op.split(".")[-1].strip().strip("`")
 
 
-def _wrap_dec65_sums(sql: str, wide: set) -> str:
-    """SUM over an exact-string expression: any sum(...) whose body
-    carries a dec65_* call or references a WIDE dec65 column aggregates
-    exactly (grouped-agg pandas UDF)."""
+def _wrap_dec65_sums(sql: str, wide: set, d65: dict | None = None) -> str:
+    """SUM over an exact-string expression aggregates exactly.
+
+    Two tiers (SCALING.md decimal65): a BARE wide column with a known
+    declared scale sums via three-limb decomposition — native SUM over
+    signed 22-digit integer limbs of the unscaled value (map-side
+    combine; the shuffle carries three decimal(38,0) partials per group,
+    not raw rows), reassembled exactly at finalize. Expression bodies
+    whose scale is not statically known fall back to the grouped-agg
+    pandas UDF (raw-row shuffle, small by construction: those shapes are
+    per-row rewritten dec65_* calls from replay scripts)."""
     out: list[str] = []
     last = 0
     for mm in re.finditer(r"(?i)\bsum\s*\(", sql):
@@ -2426,7 +2433,22 @@ def _wrap_dec65_sums(sql: str, wide: set) -> str:
                 # window function — keep the native aggregate
                 continue
             out.append(sql[last:mm.start()])
-            out.append(f"dec65_sum(CAST({inner} AS STRING))")
+            base = _d65_base(inner)
+            if (d65 and base in d65
+                    and re.match(r"^\s*(?:`?\w+`?\s*\.\s*)?`?\w+`?\s*$",
+                                 inner)):
+                s65 = int(d65[base][1])
+                xs = f"CAST({inner} AS STRING)"
+                out.append(
+                    "dec65_sum_fin("
+                    + ", ".join(
+                        f"SUM(dec65_limb({xs}, {i}, {s65}))"
+                        for i in (2, 1, 0)
+                    )
+                    + f", {s65})"
+                )
+            else:
+                out.append(f"dec65_sum(CAST({inner} AS STRING))")
             last = cl + 1
     if out:
         out.append(sql[last:])
@@ -2603,7 +2625,7 @@ def _rewrite_dec65(sql: str, stores) -> str:
         _fn_sub, sql,
     )
 
-    sql = _wrap_dec65_sums(sql, wide)
+    sql = _wrap_dec65_sums(sql, wide, d65)
 
     # --- comparisons on WIDE columns (string-exposed) -----------------------
     # equality goes exact through dec65_norm; range ops compare as
