@@ -34,10 +34,20 @@ def test_bin_distinguishes_case(spark, words_df):
 
 def test_general_ci_folds_case_and_trailing_space(spark, words_df):
     out = {r.s: r.n for r in collated_group(words_df, "s", GENERAL_CI).collect()}
-    # Abc/abc/ABC ' ' fold together; representative is binary-min 'ABC '
+    # Abc/abc/ABC '/äbc fold together under the strict (default) key —
+    # the reference LUT folds ä→A too (CollationLUT.cpp), which the
+    # round-8 lower() key missed; representative is binary-min 'ABC '
     assert sum(out.values()) == 5
-    assert len(out) == 3
-    assert 3 in out.values()
+    assert len(out) == 2
+    assert 4 in out.values()
+    # the lenient key keeps accents distinct
+    from tiflash_spark.functions.collation import collation_key
+
+    n_lenient = (
+        words_df.select(collation_key("s", GENERAL_CI, strict=False)
+                        .alias("k")).distinct().count()
+    )
+    assert n_lenient == 3
 
 
 def test_collated_eq(spark):
@@ -133,10 +143,15 @@ def test_general_ci_divergence_matrix(spark):
     weights read straight from that table: ß→0x53 'S', é→0x45 'E',
     İ→0x49 'I'; ẞ/ﬃ/fullwidth keep their own codepoint as weight).
 
-    Columns: (a, b, ref_equal, default_equal, strict_equal) where
-    default = lower(rtrim) key, strict = ICU UNICODE_CI_AI key. The test
-    pins BOTH keys' behavior so any engine/ICU change that silently
-    moves the boundary fails here."""
+    Columns: (a, b, ref_equal, lenient_equal, strict_equal) where
+    lenient = lower(rtrim) key (strict=False), strict = ICU
+    UNICODE_CI_AI key — the DEFAULT since round 9, and what the SQL
+    surface's native *_ci collated columns use. The test pins BOTH
+    keys' behavior so any engine/ICU change that silently moves the
+    boundary fails here. The strict key's remaining ref divergences
+    (ß=s split; ß=ss/ß=ẞ/ﬃ=ffi/fullwidth=ASCII merges) are the
+    genuinely-untranslatable LUT rows: matching them would mean
+    vendoring CollationLUT.cpp."""
     from tiflash_spark.functions.collation import GENERAL_CI, collation_key
 
     CASES = [
@@ -157,8 +172,8 @@ def test_general_ci_divergence_matrix(spark):
                                       "want_default boolean, want_strict boolean")
     got = df.select(
         "a", "b", "ref", "want_default", "want_strict",
-        (collation_key(F.col("a"), GENERAL_CI)
-         == collation_key(F.col("b"), GENERAL_CI)).alias("default_eq"),
+        (collation_key(F.col("a"), GENERAL_CI, strict=False)
+         == collation_key(F.col("b"), GENERAL_CI, strict=False)).alias("default_eq"),
         (collation_key(F.col("a"), GENERAL_CI, strict=True)
          == collation_key(F.col("b"), GENERAL_CI, strict=True)).alias("strict_eq"),
     ).collect()

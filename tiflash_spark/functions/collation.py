@@ -45,7 +45,7 @@ _SUPPORTED = (BINARY, BIN, GENERAL_CI, UNICODE_CI,
               ASCII_BIN, LATIN1_BIN, BIN_0900, AI_CI_0900)
 
 
-def collation_key(col: Column | str, collation: str = BIN, strict: bool = False) -> Column:
+def collation_key(col: Column | str, collation: str = BIN, strict: bool = True) -> Column:
     """The comparison key a collation induces. PadSpace: MySQL's
     UTF8MB4_BIN is a *padding* binary collator — the reference
     instantiates it as BinCollator<Rune, padding=true> and rtrims both
@@ -53,15 +53,17 @@ def collation_key(col: Column | str, collation: str = BIN, strict: bool = False)
     trailing-space-only differences compare equal. Only the 'binary'
     collation (and 0900_bin) is NoPad raw-byte comparison.
 
-    GENERAL_CI fidelity knob: the default key is lower(rtrim(...)) — a
-    deterministic representative that is exact on the ASCII/Latin bulk
-    but keeps accents distinct, where the reference's per-char LUT
-    (CollationLUT.cpp GeneralCI::weight_lut) folds most Latin accents to
-    the base letter (é=e, İ=i, ß=s). ``strict=True`` switches to Spark's
-    ICU UNICODE_CI_AI key, which restores accent-insensitivity — the
-    practically-important divergence class — at the cost of different
-    edge folds than the LUT (UCA: ß=ss, ﬃ=ffi, fullwidth=ASCII). The
-    exact per-case behavior of both keys is pinned executable in
+    GENERAL_CI fidelity knob: the DEFAULT (round 9) is the strict ICU
+    UNICODE_CI_AI key — it matches the reference's per-char LUT
+    (CollationLUT.cpp GeneralCI::weight_lut) on the high-frequency
+    accent folds (é=e, İ=I) and is the same key the SQL surface's
+    native collated columns use (admin_sql CREATE maps *_ci to
+    UNICODE_CI_AI_RTRIM). The residual divergences vs the LUT are
+    rare-codepoint UCA-vs-LUT disagreements (UCA: ß=ss, ﬃ=ffi,
+    fullwidth=ASCII; LUT keeps each distinct) that cannot be matched
+    without vendoring the LUT itself. ``strict=False`` keeps the
+    lower(rtrim(...)) representative — exact on the ASCII bulk, accents
+    distinct. Both keys' per-case behavior is pinned executable in
     tests/test_collation.py::test_general_ci_divergence_matrix."""
     c = F.col(col) if isinstance(col, str) else col
     collation = _ALIASES.get(collation, collation)

@@ -451,7 +451,13 @@ def collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("p_type"), F.lit("  "))
     )
     return (
-        p.select(collation_key(mixed, GENERAL_CI).alias("type_ci"))
+        # strict=False: this query EXPOSES the key as a value, and only
+        # the lenient lower(rtrim) key has a deterministic rendering the
+        # SQL oracle can reproduce (the strict ICU key — the engine
+        # default since round 9 — carries the collation in the TYPE, its
+        # value stays the raw string). ASCII data: identical groups.
+        p.select(collation_key(mixed, GENERAL_CI, strict=False)
+                 .alias("type_ci"))
         .groupBy("type_ci")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("type_ci")

@@ -904,7 +904,7 @@ def _fix_collated_predicates(expr: str, store) -> str:
         tl = str(t).lower()
         if not tl.startswith("string collate"):
             continue
-        ci = "lcase" in tl
+        ci = "lcase" in tl or "unicode_ci" in tl
         pat = re.compile(
             rf"(?i)(?P<lhs>(?:\w+\s*\.\s*)?\b{re.escape(n)})"
             rf"\s+(?P<neg>not\s+)?(?P<op>like|rlike|regexp)\s+"
@@ -3877,7 +3877,8 @@ def _collation_of(col: str, stores) -> str | None:
             if n.lower() == col.lower():
                 tl = str(t).lower()
                 if tl.startswith("string collate"):
-                    return "lcase" if "lcase" in tl else "binary"
+                    return ("lcase" if ("lcase" in tl or "unicode_ci" in tl)
+                            else "binary")
                 return None
     return None
 
@@ -3999,7 +4000,8 @@ def _sql_with_rescues(spark: SparkSession, sql: str, stores=None) -> DataFrame:
                         rf'"{re.escape(colname)}" has the type'
                         rf' "STRING COLLATE (\w+)', msg
                     )
-                    ci = bool(tmm and tmm.group(1).startswith("UTF8_LCASE"))
+                    ci = bool(tmm and tmm.group(1).startswith(
+                        ("UTF8_LCASE", "UNICODE_CI")))
                     pat = re.compile(
                         rf"(?i)(?P<lhs>(?:\w+\s*\.\s*)?\b{re.escape(colname)})"
                         rf"\s+(?P<neg>not\s+)?(?P<op>like|rlike|regexp)\s+"
@@ -5351,13 +5353,18 @@ def run_sql(
                 # column-level collation maps onto Spark's native
                 # collated strings (tidb-ci/new_collation_fullstack):
                 # MySQL's CI collations are case-insensitive + PAD SPACE
-                # (UTF8_LCASE_RTRIM); new-collation utf8mb4_bin is
+                # (ICU UNICODE_CI_AI_RTRIM); new-collation utf8mb4_bin is
                 # binary + PAD SPACE (UTF8_BINARY_RTRIM). =, GROUP BY,
                 # DISTINCT, ORDER BY and joins then follow MySQL with no
                 # per-expression rewriting.
                 co = cm["collate"]
                 if co.endswith(("_ci", "_cs")) and "_ci" in co:
-                    st = "string collate UTF8_LCASE_RTRIM"
+                    # strict CI path (round 9): ICU UNICODE_CI_AI matches
+                    # the reference LUT on the high-frequency accent folds
+                    # (é=e, İ=I) that a lower() key misses; the residual
+                    # UCA-vs-LUT edges (ß=ss, ﬃ=ffi, fullwidth=ASCII) are
+                    # pinned in test_collation.py's divergence matrix
+                    st = "string collate UNICODE_CI_AI_RTRIM"
                 elif co.endswith("_bin"):
                     st = "string collate UTF8_BINARY_RTRIM"
             em = re.match(
