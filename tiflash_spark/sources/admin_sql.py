@@ -166,6 +166,15 @@ _SET_REPLICA = re.compile(
     re.IGNORECASE,
 )
 
+# placement-policy surface (TiDB DDL; PD scheduling advice, no analytic
+# semantics): CREATE/DROP PLACEMENT POLICY and the ALTER TABLE assignment
+_PLACEMENT = re.compile(
+    r"(?is)^\s*(?:(?:CREATE|DROP|ALTER)\s+PLACEMENT\s+POLICY\s+"
+    r"(?:IF\s+(?:NOT\s+)?EXISTS\s+)?`?(?P<policy0>\w+)`?.*"
+    r"|ALTER\s+TABLE\s+(?:`?\w+`?\.)?`?(?P<tbl>\w+)`?\s+"
+    r"PLACEMENT\s+POLICY\s*=?\s*`?(?P<policy>\w+)`?)\s*;?\s*$"
+)
+
 # RENAME TABLE a TO b[, ...] / ALTER TABLE a RENAME [TO|AS] b
 _RENAME_TBL = re.compile(
     r"^\s*RENAME\s+TABLE\s+(?P<pairs>.+?)\s*;?\s*$", re.IGNORECASE | re.DOTALL
@@ -4446,6 +4455,25 @@ def run_sql(
             sql = _rewrite_mixed_in(sql)
         if _QUANT_CMP.search(sql):
             sql = _rewrite_quantified(sql)
+    m = _PLACEMENT.match(sql)
+    if m:
+        # TiDB placement policies (CREATE/DROP PLACEMENT POLICY, ALTER
+        # TABLE ... PLACEMENT POLICY=p) steer PD replica scheduling — a
+        # cluster-topology concern with no analytic semantics here, like
+        # LOCATION LABELS. ALTER records the policy name in the table-def
+        # so the assignment is observable
+        # (fullstack-test-next-gen/placement/placement_in_sql.test).
+        tbl_p = m.group("tbl")
+        if tbl_p:
+            store = (stores or {}).get(tbl_p)
+            if store is not None and hasattr(store, "update_table_def"):
+                store.update_table_def(
+                    placement_policy=m.group("policy")
+                )
+        return spark.createDataFrame(
+            [(m.group("policy") or "", "placement")],
+            "policy string, op string",
+        )
     m = _SET_REPLICA.match(sql)
     if m:
         # replication is write-time here — the statement only records its
