@@ -2420,7 +2420,14 @@ def _wrap_dec65_sums(sql: str, wide: set, d65: dict | None = None) -> str:
     whose scale is not statically known fall back to the grouped-agg
     pandas UDF (raw-row shuffle, small by construction: those shapes are
     per-row rewritten dec65_* calls from replay scripts)."""
-    out: list[str] = []
+    # two phases: classify every rewritable sum first, then emit. Spark
+    # cannot MIX a grouped-agg pandas UDF with native aggregates in one
+    # aggregation (INVALID_PANDAS_UDF_PLACEMENT), so the limb form is
+    # only used when EVERY rewritten sum in the statement is a bare wide
+    # column; one expression body anywhere forces the grouped-agg form
+    # for all of them (tidb_truncate.test mixes sum(a) with
+    # sum(truncate(a, -1)) over the same wide column).
+    sites: list[tuple[int, int, str, bool]] = []
     last = 0
     for mm in re.finditer(r"(?i)\bsum\s*\(", sql):
         if mm.start() < last:
@@ -2436,33 +2443,44 @@ def _wrap_dec65_sums(sql: str, wide: set, d65: dict | None = None) -> str:
                 # SUM(DISTINCT wide): dec65_sum over the body would both
                 # fail to parse and drop the DISTINCT — leave the native
                 # path (clamped exposure) rather than emit broken SQL
+                last = cl + 1
                 continue
             if re.match(r"(?i)\s*over\s*\(", sql[cl + 1:]):
                 # window SUM(...) OVER: a grouped-agg pandas UDF is not a
                 # window function — keep the native aggregate
+                last = cl + 1
                 continue
-            out.append(sql[last:mm.start()])
             base = _d65_base(inner)
-            if (d65 and base in d65
-                    and re.match(r"^\s*(?:`?\w+`?\s*\.\s*)?`?\w+`?\s*$",
-                                 inner)):
-                s65 = int(d65[base][1])
-                xs = f"CAST({inner} AS STRING)"
-                out.append(
-                    "dec65_sum_fin("
-                    + ", ".join(
-                        f"SUM(dec65_limb({xs}, {i}, {s65}))"
-                        for i in (2, 1, 0)
-                    )
-                    + f", {s65})"
-                )
-            else:
-                out.append(f"dec65_sum(CAST({inner} AS STRING))")
+            limbable = bool(
+                d65 and base in d65
+                and re.match(r"^\s*(?:`?\w+`?\s*\.\s*)?`?\w+`?\s*$",
+                             inner)
+            )
+            sites.append((mm.start(), cl, inner, limbable))
             last = cl + 1
-    if out:
-        out.append(sql[last:])
-        sql = "".join(out)
-    return sql
+    if not sites:
+        return sql
+    all_limb = all(limbable for _, _, _, limbable in sites)
+    out: list[str] = []
+    pos = 0
+    for start, cl, inner, _limbable in sites:
+        out.append(sql[pos:start])
+        if all_limb:
+            s65 = int(d65[_d65_base(inner)][1])
+            xs = f"CAST({inner} AS STRING)"
+            out.append(
+                "dec65_sum_fin("
+                + ", ".join(
+                    f"SUM(dec65_limb({xs}, {i}, {s65}))"
+                    for i in (2, 1, 0)
+                )
+                + f", {s65})"
+            )
+        else:
+            out.append(f"dec65_sum(CAST({inner} AS STRING))")
+        pos = cl + 1
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 def _rewrite_var_scale_round(sql: str, stores) -> str:
@@ -4179,6 +4197,473 @@ def _div_precision_increment() -> int:
         return 4
 
 
+# --- the SELECT rewrite pipeline ---------------------------------------------
+# Every MySQL-dialect edge the engine translates by TEXT rewriting runs
+# through this ordered pass list (round-9 verdict ask #5: named,
+# individually-testable passes with an explicit ordering contract,
+# replacing the former inline sequence in run_sql).
+#
+# ORDERING CONTRACT (a pass may rely only on what earlier passes
+# guarantee; tests/test_rewrite_passes.py pins the order):
+#   1. strip_tidb_hints / recursive_cte_limit / strip_charset_introducers
+#      run first: later \w-based passes must not see hint comments or
+#      charset introducers inside expressions.
+#   2. json_arrow_operators runs BEFORE mysql_cast_trim_exprs so wildcard
+#      JSON paths get the json_extract treatment from the expression
+#      rewriter.
+#   3. The typed-domain passes (enum_ordinals .. json_literal_compare)
+#      run before mysql_division_scale: division over a dec65 column must
+#      already be in dec65_* form when the division-scale pass walks '/'.
+#   4. partition_selects and duration_literals need the statement's table
+#      references still in MySQL spelling — they run before the generic
+#      not-DDL family can restructure predicates.
+#   5. hex_literals runs before the not-DDL family: bit/XOR rewrites see
+#      numeric literals, not 0x spellings.
+#   6. The not-DDL family order is load-bearing within itself:
+#      case_when_null (simple form) before searched_case_when_null;
+#      bit_operators before xor_operator (XOR operands may be bit
+#      expressions); ilike/like_escape before the IN rewrites only by
+#      convention (disjoint surfaces).
+#
+# Each pass owns its applicability predicate; gates shared by a family:
+
+def _typed_domain_gate(sql: str, stores) -> bool:
+    """enum/dec65/json/year typed-domain rewrites: plain SELECT/WITH
+    statements over registered stores only."""
+    return bool(stores) and not _INSERT.match(sql) and bool(
+        re.match(r"(?i)\s*(select|with)\b", sql)
+    )
+
+
+def _non_ddl_gate(sql: str) -> bool:
+    return not re.match(
+        r"(?i)\s*(CREATE|ALTER|DROP|SHOW|DESCRIBE|DESC)\b", sql
+    )
+
+def _pass_strip_tidb_hints(sql: str, spark, stores) -> str:
+    if _TIDB_HINT.search(sql):
+        sql = _TIDB_HINT.sub(" ", sql)
+    return sql
+
+
+def _pass_recursive_cte_limit(sql: str, spark, stores) -> str:
+    if _REC_CTE_LIMIT.search(sql):
+        sql = _rewrite_recursive_limit(sql)
+    return sql
+
+
+def _pass_strip_charset_introducers(sql: str, spark, stores) -> str:
+    if _CHARSET_INTRO.search(sql):
+        sql = _CHARSET_INTRO.sub("", sql)
+    return sql
+
+
+def _pass_json_arrow_operators(sql: str, spark, stores) -> str:
+    if _JSON_ARROW.search(sql):
+        # the path operand is itself a string literal, so this one runs
+        # on the raw text (a `->>` inside an unrelated literal would be
+        # pathological); BEFORE the expression rewriter so wildcard paths
+        # get the json_extract treatment
+        sql = _JSON_ARROW.sub(
+            lambda m: (
+                f"json_unquote(json_extract({m.group('col')}, {m.group('path')}))"
+                if m.group("op") == "->>"
+                else f"json_extract({m.group('col')}, {m.group('path')})"
+            ),
+            sql,
+        )
+    return sql
+
+
+def _pass_avg_div_precision(sql: str, spark, stores) -> str:
+    if (stores and _div_precision_increment() != 4
+            and re.search(r"(?i)\bavg\s*\(", sql)):
+        sql = _rewrite_avg_inc(sql, stores)
+    return sql
+
+
+def _pass_enum_ordinals(sql: str, spark, stores) -> str:
+    if _typed_domain_gate(sql, stores):
+        sql = _rewrite_enum_ordinals(sql, stores)
+    return sql
+
+
+def _pass_dec65_arithmetic(sql: str, spark, stores) -> str:
+    if _typed_domain_gate(sql, stores):
+        sql = _rewrite_dec65(sql, stores)
+    return sql
+
+
+def _pass_dec65_var_scale_round(sql: str, spark, stores) -> str:
+    if _typed_domain_gate(sql, stores) and re.search(
+        r"(?i)\b(round|truncate)\s*\(", sql
+    ):
+        sql = _rewrite_var_scale_round(sql, stores)
+    return sql
+
+
+def _pass_abs_widen(sql: str, spark, stores) -> str:
+    if _typed_domain_gate(sql, stores) and re.search(
+        r"(?i)\babs\s*\(", sql
+    ):
+        sql = _rewrite_abs_widen(sql, stores)
+    return sql
+
+
+def _pass_year_date_compare(sql: str, spark, stores) -> str:
+    if _typed_domain_gate(sql, stores) and any(
+        (s.table_def() or {}).get("year_cols")
+        for s in stores.values() if hasattr(s, "table_def")
+    ):
+        sql = _rewrite_year_date_cmp(sql, stores)
+    return sql
+
+
+def _pass_mixed_type_compare(sql: str, spark, stores) -> str:
+    if _typed_domain_gate(sql, stores):
+        sql = _rewrite_mixed_type_cmp(sql, stores)
+    return sql
+
+
+def _pass_cast_as_json(sql: str, spark, stores) -> str:
+    if _typed_domain_gate(sql, stores) and re.search(
+        r"(?i)\bas\s+json\s*\)", sql
+    ):
+        sql = _rewrite_cast_json(sql, stores)
+    return sql
+
+
+def _pass_json_literal_compare(sql: str, spark, stores) -> str:
+    if _typed_domain_gate(sql, stores) and any(
+        (s.table_def() or {}).get("json_cols")
+        for s in stores.values() if hasattr(s, "table_def")
+    ):
+        sql = _rewrite_json_compare(sql, stores)
+    return sql
+
+
+def _pass_mysql_cast_trim_exprs(sql: str, spark, stores) -> str:
+    if _CAST_TRIM_CALL.search(sql):
+        sql = _rewrite_mysql_exprs(sql)
+    return sql
+
+
+def _pass_mysql_division_scale(sql: str, spark, stores) -> str:
+    if stores and "/" in sql and not _INSERT.match(sql) and not re.match(
+        r"(?i)\s*(CREATE|ALTER|DROP|SHOW|DESCRIBE|DESC)\b", sql
+    ):
+        sql = _rewrite_mysql_division(sql, stores)
+    return sql
+
+
+def _pass_get_format_keyword(sql: str, spark, stores) -> str:
+    return _GET_FORMAT_KW.sub(
+        lambda m: f"{m.group(1)}('{m.group(2).upper()}',", sql
+    )
+
+
+def _pass_partition_selects(sql: str, spark, stores) -> str:
+    if stores and _PART_SELECT.search(sql) and not re.match(
+        r"(?i)\s*(CREATE|ALTER)\b", sql
+    ):
+        # `FROM t PARTITION (p0[, p1])` scans only the named children
+        # (ddl/partitions/remove_partitioning.test)
+        def _psel(mm: re.Match) -> str:
+            t = mm.group("tbl")
+            st = (stores or {}).get(t)
+            if st is None or not hasattr(st, "stores"):
+                return mm.group(0)
+            names_p = [p.strip().strip("`") for p in mm.group("ps").split(",")]
+            if any(p not in st.stores for p in names_p):
+                return mm.group(0)
+            view = f"_psel_{t}_" + "_".join(names_p)
+            df = None
+            for p in names_p:
+                try:
+                    d = st.stores[p].read()
+                except ValueError:
+                    continue  # empty child
+                df = d if df is None else df.unionByName(d)
+            if df is None:
+                df = st.read().limit(0)
+            alias = st.handle_alias()
+            if alias:
+                df = df.withColumnRenamed(HANDLE, alias)
+            elif st.table_def() is not None:
+                df = df.drop(HANDLE)
+            df.createOrReplaceTempView(view)
+            return view
+
+        from tiflash_spark.sources.delta_store import HANDLE
+
+        sql = _PART_SELECT.sub(_psel, sql)
+    return sql
+
+
+def _pass_duration_literals(sql: str, spark, stores) -> str:
+    if (
+        stores
+        and re.search(r"'-?\d{1,3}:\d{1,2}:\d{1,2}(\.\d+)?'", sql)
+        and not _INSERT.match(sql)
+    ):
+        # duration literals SYNTACTICALLY ADJACENT to a known TIME column
+        # normalize to that column's canonical-minimal storage form at
+        # ITS declared fsp ('700:10:10.123500' vs TIME(4) ->
+        # '700:10:10.1235'; duration_pushdown.test) — string equality is
+        # then duration equality. Scoped per column (like
+        # _fix_collated_predicates) so an H:M:S-shaped literal compared
+        # against a VARCHAR of another table is untouched, and a TIME(0)
+        # column's literal rounds the way its stored values did. INSERTs
+        # keep their literals (the typed cell builder normalizes per
+        # target column).
+        tcols: dict[str, int] = {}
+        for s in stores.values():
+            if hasattr(s, "table_def"):
+                for n, p in ((s.table_def() or {}).get("time_cols")
+                             or {}).items():
+                    tcols[n] = int(p)
+        _dur = r"'(?P<v>-?\d{1,3}:\d{1,2}:\d{1,2}(?:\.\d+)?)'"
+        _ops = r"(?:<=>|<>|!=|>=|<=|=|<|>)"
+        for n, p in tcols.items():
+            colref = rf"(?:[A-Za-z_]\w*\s*\.\s*)?\b{re.escape(n)}\b"
+
+            def _t(v: str, p=p) -> str:
+                return _py_time_norm(v, p) or v
+
+            sql = re.sub(
+                rf"(?i)(?P<pre>{colref}\s*{_ops}\s*){_dur}",
+                lambda m, _t=_t: m.group("pre") + "'" + _t(m.group("v")) + "'",
+                sql,
+            )
+            sql = re.sub(
+                rf"(?i){_dur}(?P<post>\s*{_ops}\s*{colref})",
+                lambda m, _t=_t: "'" + _t(m.group("v")) + "'" + m.group("post"),
+                sql,
+            )
+            sql = re.sub(
+                rf"(?i)(?P<pre>{colref}\s+(?:not\s+)?between\s+){_dur}"
+                rf"(?P<mid>\s+and\s+)"
+                rf"'(?P<v2>-?\d{{1,3}}:\d{{1,2}}:\d{{1,2}}(?:\.\d+)?)'",
+                lambda m, _t=_t: (m.group("pre") + "'" + _t(m.group("v"))
+                                  + "'" + m.group("mid")
+                                  + "'" + _t(m.group("v2")) + "'"),
+                sql,
+            )
+    return sql
+
+
+def _pass_hex_literals(sql: str, spark, stores) -> str:
+    if _HEX_LITERAL.search(sql) and not _INSERT.match(sql):
+        # hex literals are NUMBERS in expression context, BYTES when
+        # inserted into binary columns — plain VALUES inserts keep the
+        # 0x spelling for the typed-cell builder to interpret
+        sql = _sub_outside_quotes(
+            sql, _HEX_LITERAL, lambda m: str(int(m.group(1), 16))
+        )
+    return sql
+
+
+def _pass_quoted_aliases(sql: str, spark, stores) -> str:
+    if _non_ddl_gate(sql):
+        if re.search(r'(?i)\bAS\s+"', sql):
+            # MySQL double-quotes aliases (`as "sum"`); Spark's parser
+            # rejects a string literal there — requote as an identifier
+            sql = re.sub(r'(?i)\bAS\s+"([^"]+)"', lambda m: f"AS `{m.group(1)}`", sql)
+    return sql
+
+
+def _pass_simple_case_when_null(sql: str, spark, stores) -> str:
+    if _non_ddl_gate(sql):
+        if re.search(r"(?i)\bwhen\s+null\s+then\b", sql):
+            # SIMPLE CASE (`case X when null then ...`): MySQL's X = NULL
+            # arm never matches — convert to searched form with that arm
+            # dead, so the remaining arms keep X's comparison type
+            # (expr/null_literal.test's datetime operand)
+            sql = _rewrite_case_when_null(sql)
+    return sql
+
+
+def _pass_searched_case_when_null(sql: str, spark, stores) -> str:
+    if _non_ddl_gate(sql):
+        if re.search(r"(?i)\bwhen\s+null\s+then\b", sql):
+            # searched CASE WHEN NULL THEN — Spark rejects a VOID
+            # condition
+            sql = re.sub(
+                r"(?i)\bwhen\s+null\s+then\b",
+                "when try_cast(NULL AS BOOLEAN) then",
+                sql,
+            )
+    return sql
+
+
+def _pass_ifnull_void(sql: str, spark, stores) -> str:
+    if _non_ddl_gate(sql):
+        if re.search(r"(?i)\bifnull\s*\(\s*null\s*,\s*null\s*\)", sql):
+            # VOID result feeding boolean ops (expr/null_literal.test)
+            sql = re.sub(
+                r"(?i)\bifnull\s*\(\s*null\s*,\s*null\s*\)",
+                "try_cast(NULL AS BOOLEAN)",
+                sql,
+            )
+    return sql
+
+
+def _pass_if_void(sql: str, spark, stores) -> str:
+    if _non_ddl_gate(sql):
+        if re.search(r"(?i)\bif\s*\(\s*[^(),]+\s*,\s*null\s*,\s*null\s*\)", sql):
+            # if(x, null, null) is constant NULL in MySQL; the VOID type
+            # breaks Spark's boolean operators (null_literal, issue_8562)
+            sql = re.sub(
+                r"(?i)\bif\s*\(\s*[^(),]+\s*,\s*null\s*,\s*null\s*\)",
+                "try_cast(NULL AS BOOLEAN)",
+                sql,
+            )
+    return sql
+
+
+def _pass_zero_frame_bounds(sql: str, spark, stores) -> str:
+    if _non_ddl_gate(sql):
+        if re.search(r"(?i)\b0\s+(PRECEDING|FOLLOWING)\b", sql):
+            # Spark's frame grammar rejects `0 PRECEDING/FOLLOWING`
+            # (mpp/window_agg.test); MySQL treats them as CURRENT ROW
+            sql = re.sub(
+                r"(?i)\b0\s+(?:PRECEDING|FOLLOWING)\b", "CURRENT ROW", sql
+            )
+    return sql
+
+
+def _pass_div_null(sql: str, spark, stores) -> str:
+    if _non_ddl_gate(sql):
+        if re.search(r"(?i)\bDIV\s+NULL\b|\bNULL\s+DIV\b", sql):
+            # integer division with an untyped NULL: Spark's DIV rejects
+            # VOID operands; MySQL's answer is just NULL
+            sql = re.sub(
+                rf"(?i)(?:{_BIT_OPND}\s+DIV\s+NULL|NULL\s+DIV\s+{_BIT_OPND})",
+                "CAST(NULL AS BIGINT)",
+                sql,
+            )
+    return sql
+
+
+def _pass_bit_operators(sql: str, spark, stores) -> str:
+    if _non_ddl_gate(sql):
+        if _BIT_ANY.search(sql):
+            sql = _rewrite_bitops(sql)
+    return sql
+
+
+def _pass_xor_operator(sql: str, spark, stores) -> str:
+    if _non_ddl_gate(sql):
+        if re.search(r"(?i)\bXOR\b", sql):
+            sql = _rewrite_xor(sql)
+    return sql
+
+
+def _pass_ilike(sql: str, spark, stores) -> str:
+    if _non_ddl_gate(sql):
+        if re.search(r"(?i)\bilike\b", sql):
+            # pattern operands may be string literals, so this runs on
+            # the raw text (the JSON-arrow argument applies)
+            sql = _rewrite_ilike(sql)
+    return sql
+
+
+def _pass_like_escape(sql: str, spark, stores) -> str:
+    if _non_ddl_gate(sql):
+        if _LIKE_ESCAPE.search(sql):
+            sql = _rewrite_like_escape(sql)
+    return sql
+
+
+def _pass_in_table(sql: str, spark, stores) -> str:
+    if _non_ddl_gate(sql):
+        if _IN_TABLE.search(sql):
+            sql = _rewrite_in_table(sql)
+    return sql
+
+
+def _pass_projected_in_subquery(sql: str, spark, stores) -> str:
+    if _non_ddl_gate(sql):
+        if _PROJ_IN_SUB.search(sql):
+            sql = _rewrite_projected_in_subquery(sql)
+    return sql
+
+
+def _pass_tuple_in(sql: str, spark, stores) -> str:
+    if _non_ddl_gate(sql):
+        if re.search(r"(?i)\)\s*(?:not\s+)?in\s*\(\s*\(", sql):
+            sql = _rewrite_tuple_in(sql)
+    return sql
+
+
+def _pass_binary_mixed_in(sql: str, spark, stores) -> str:
+    if _non_ddl_gate(sql):
+        if stores and re.search(r"(?i)\bin\s*\(", sql):
+            sql = _rewrite_binary_mixed_in(sql, stores)
+    return sql
+
+
+def _pass_mixed_in(sql: str, spark, stores) -> str:
+    if _non_ddl_gate(sql):
+        if re.search(r"(?i)\bin\s*\(", sql):
+            sql = _rewrite_mixed_in(sql)
+    return sql
+
+
+def _pass_quantified_compares(sql: str, spark, stores) -> str:
+    if _non_ddl_gate(sql):
+        if _QUANT_CMP.search(sql):
+            sql = _rewrite_quantified(sql)
+    return sql
+
+
+SELECT_REWRITE_PASSES: tuple = (
+    ("strip_tidb_hints", _pass_strip_tidb_hints),
+    ("recursive_cte_limit", _pass_recursive_cte_limit),
+    ("strip_charset_introducers", _pass_strip_charset_introducers),
+    ("json_arrow_operators", _pass_json_arrow_operators),
+    ("avg_div_precision", _pass_avg_div_precision),
+    ("enum_ordinals", _pass_enum_ordinals),
+    ("dec65_arithmetic", _pass_dec65_arithmetic),
+    ("dec65_var_scale_round", _pass_dec65_var_scale_round),
+    ("abs_widen", _pass_abs_widen),
+    ("year_date_compare", _pass_year_date_compare),
+    ("mixed_type_compare", _pass_mixed_type_compare),
+    ("cast_as_json", _pass_cast_as_json),
+    ("json_literal_compare", _pass_json_literal_compare),
+    ("mysql_cast_trim_exprs", _pass_mysql_cast_trim_exprs),
+    ("mysql_division_scale", _pass_mysql_division_scale),
+    ("get_format_keyword", _pass_get_format_keyword),
+    ("partition_selects", _pass_partition_selects),
+    ("duration_literals", _pass_duration_literals),
+    ("hex_literals", _pass_hex_literals),
+    ("quoted_aliases", _pass_quoted_aliases),
+    ("simple_case_when_null", _pass_simple_case_when_null),
+    ("searched_case_when_null", _pass_searched_case_when_null),
+    ("ifnull_void", _pass_ifnull_void),
+    ("if_void", _pass_if_void),
+    ("zero_frame_bounds", _pass_zero_frame_bounds),
+    ("div_null", _pass_div_null),
+    ("bit_operators", _pass_bit_operators),
+    ("xor_operator", _pass_xor_operator),
+    ("ilike", _pass_ilike),
+    ("like_escape", _pass_like_escape),
+    ("in_table", _pass_in_table),
+    ("projected_in_subquery", _pass_projected_in_subquery),
+    ("tuple_in", _pass_tuple_in),
+    ("binary_mixed_in", _pass_binary_mixed_in),
+    ("mixed_in", _pass_mixed_in),
+    ("quantified_compares", _pass_quantified_compares),
+)
+
+
+def _apply_select_rewrites(spark, sql: str, stores) -> str:
+    """Run the ordered SELECT rewrite pipeline (contract above)."""
+    for _name, fn in SELECT_REWRITE_PASSES:
+        sql = fn(sql, spark, stores)
+    return sql
+
+
 def run_sql(
     spark: SparkSession,
     sql: str,
@@ -4245,216 +4730,7 @@ def run_sql(
                 except Exception:
                     pass
         _FAST_VIEWS.clear()
-    if _TIDB_HINT.search(sql):
-        sql = _TIDB_HINT.sub(" ", sql)
-    if _REC_CTE_LIMIT.search(sql):
-        sql = _rewrite_recursive_limit(sql)
-    if _CHARSET_INTRO.search(sql):
-        sql = _CHARSET_INTRO.sub("", sql)
-    if _JSON_ARROW.search(sql):
-        # the path operand is itself a string literal, so this one runs
-        # on the raw text (a `->>` inside an unrelated literal would be
-        # pathological); BEFORE the expression rewriter so wildcard paths
-        # get the json_extract treatment
-        sql = _JSON_ARROW.sub(
-            lambda m: (
-                f"json_unquote(json_extract({m.group('col')}, {m.group('path')}))"
-                if m.group("op") == "->>"
-                else f"json_extract({m.group('col')}, {m.group('path')})"
-            ),
-            sql,
-        )
-    if (stores and _div_precision_increment() != 4
-            and re.search(r"(?i)\bavg\s*\(", sql)):
-        sql = _rewrite_avg_inc(sql, stores)
-    if stores and not _INSERT.match(sql) and re.match(
-        r"(?i)\s*(select|with)\b", sql
-    ):
-        sql = _rewrite_enum_ordinals(sql, stores)
-        sql = _rewrite_dec65(sql, stores)
-        if re.search(r"(?i)\b(round|truncate)\s*\(", sql):
-            sql = _rewrite_var_scale_round(sql, stores)
-        if re.search(r"(?i)\babs\s*\(", sql):
-            sql = _rewrite_abs_widen(sql, stores)
-        if any(
-            (s.table_def() or {}).get("year_cols")
-            for s in stores.values() if hasattr(s, "table_def")
-        ):
-            sql = _rewrite_year_date_cmp(sql, stores)
-        sql = _rewrite_mixed_type_cmp(sql, stores)
-        if re.search(r"(?i)\bas\s+json\s*\)", sql):
-            sql = _rewrite_cast_json(sql, stores)
-        if any(
-            (s.table_def() or {}).get("json_cols")
-            for s in stores.values() if hasattr(s, "table_def")
-        ):
-            sql = _rewrite_json_compare(sql, stores)
-    if _CAST_TRIM_CALL.search(sql):
-        sql = _rewrite_mysql_exprs(sql)
-    if stores and "/" in sql and not _INSERT.match(sql) and not re.match(
-        r"(?i)\s*(CREATE|ALTER|DROP|SHOW|DESCRIBE|DESC)\b", sql
-    ):
-        sql = _rewrite_mysql_division(sql, stores)
-    sql = _GET_FORMAT_KW.sub(lambda m: f"{m.group(1)}('{m.group(2).upper()}',", sql)
-    if stores and _PART_SELECT.search(sql) and not re.match(
-        r"(?i)\s*(CREATE|ALTER)\b", sql
-    ):
-        # `FROM t PARTITION (p0[, p1])` scans only the named children
-        # (ddl/partitions/remove_partitioning.test)
-        def _psel(mm: re.Match) -> str:
-            t = mm.group("tbl")
-            st = (stores or {}).get(t)
-            if st is None or not hasattr(st, "stores"):
-                return mm.group(0)
-            names_p = [p.strip().strip("`") for p in mm.group("ps").split(",")]
-            if any(p not in st.stores for p in names_p):
-                return mm.group(0)
-            view = f"_psel_{t}_" + "_".join(names_p)
-            df = None
-            for p in names_p:
-                try:
-                    d = st.stores[p].read()
-                except ValueError:
-                    continue  # empty child
-                df = d if df is None else df.unionByName(d)
-            if df is None:
-                df = st.read().limit(0)
-            alias = st.handle_alias()
-            if alias:
-                df = df.withColumnRenamed(HANDLE, alias)
-            elif st.table_def() is not None:
-                df = df.drop(HANDLE)
-            df.createOrReplaceTempView(view)
-            return view
-
-        from tiflash_spark.sources.delta_store import HANDLE
-
-        sql = _PART_SELECT.sub(_psel, sql)
-    if (
-        stores
-        and re.search(r"'-?\d{1,3}:\d{1,2}:\d{1,2}(\.\d+)?'", sql)
-        and not _INSERT.match(sql)
-    ):
-        # duration literals SYNTACTICALLY ADJACENT to a known TIME column
-        # normalize to that column's canonical-minimal storage form at
-        # ITS declared fsp ('700:10:10.123500' vs TIME(4) ->
-        # '700:10:10.1235'; duration_pushdown.test) — string equality is
-        # then duration equality. Scoped per column (like
-        # _fix_collated_predicates) so an H:M:S-shaped literal compared
-        # against a VARCHAR of another table is untouched, and a TIME(0)
-        # column's literal rounds the way its stored values did. INSERTs
-        # keep their literals (the typed cell builder normalizes per
-        # target column).
-        tcols: dict[str, int] = {}
-        for s in stores.values():
-            if hasattr(s, "table_def"):
-                for n, p in ((s.table_def() or {}).get("time_cols")
-                             or {}).items():
-                    tcols[n] = int(p)
-        _dur = r"'(?P<v>-?\d{1,3}:\d{1,2}:\d{1,2}(?:\.\d+)?)'"
-        _ops = r"(?:<=>|<>|!=|>=|<=|=|<|>)"
-        for n, p in tcols.items():
-            colref = rf"(?:[A-Za-z_]\w*\s*\.\s*)?\b{re.escape(n)}\b"
-
-            def _t(v: str, p=p) -> str:
-                return _py_time_norm(v, p) or v
-
-            sql = re.sub(
-                rf"(?i)(?P<pre>{colref}\s*{_ops}\s*){_dur}",
-                lambda m, _t=_t: m.group("pre") + "'" + _t(m.group("v")) + "'",
-                sql,
-            )
-            sql = re.sub(
-                rf"(?i){_dur}(?P<post>\s*{_ops}\s*{colref})",
-                lambda m, _t=_t: "'" + _t(m.group("v")) + "'" + m.group("post"),
-                sql,
-            )
-            sql = re.sub(
-                rf"(?i)(?P<pre>{colref}\s+(?:not\s+)?between\s+){_dur}"
-                rf"(?P<mid>\s+and\s+)"
-                rf"'(?P<v2>-?\d{{1,3}}:\d{{1,2}}:\d{{1,2}}(?:\.\d+)?)'",
-                lambda m, _t=_t: (m.group("pre") + "'" + _t(m.group("v"))
-                                  + "'" + m.group("mid")
-                                  + "'" + _t(m.group("v2")) + "'"),
-                sql,
-            )
-    if _HEX_LITERAL.search(sql) and not _INSERT.match(sql):
-        # hex literals are NUMBERS in expression context, BYTES when
-        # inserted into binary columns — plain VALUES inserts keep the
-        # 0x spelling for the typed-cell builder to interpret
-        sql = _sub_outside_quotes(
-            sql, _HEX_LITERAL, lambda m: str(int(m.group(1), 16))
-        )
-    if not re.match(r"(?i)\s*(CREATE|ALTER|DROP|SHOW|DESCRIBE|DESC)\b", sql):
-        if re.search(r'(?i)\bAS\s+"', sql):
-            # MySQL double-quotes aliases (`as "sum"`); Spark's parser
-            # rejects a string literal there — requote as an identifier
-            sql = re.sub(r'(?i)\bAS\s+"([^"]+)"', lambda m: f"AS `{m.group(1)}`", sql)
-        if re.search(r"(?i)\bwhen\s+null\s+then\b", sql):
-            # SIMPLE CASE (`case X when null then ...`): MySQL's X = NULL
-            # arm never matches — convert to searched form with that arm
-            # dead, so the remaining arms keep X's comparison type
-            # (expr/null_literal.test's datetime operand)
-            sql = _rewrite_case_when_null(sql)
-        if re.search(r"(?i)\bwhen\s+null\s+then\b", sql):
-            # searched CASE WHEN NULL THEN — Spark rejects a VOID
-            # condition
-            sql = re.sub(
-                r"(?i)\bwhen\s+null\s+then\b",
-                "when try_cast(NULL AS BOOLEAN) then",
-                sql,
-            )
-        if re.search(r"(?i)\bifnull\s*\(\s*null\s*,\s*null\s*\)", sql):
-            # VOID result feeding boolean ops (expr/null_literal.test)
-            sql = re.sub(
-                r"(?i)\bifnull\s*\(\s*null\s*,\s*null\s*\)",
-                "try_cast(NULL AS BOOLEAN)",
-                sql,
-            )
-        if re.search(r"(?i)\bif\s*\(\s*[^(),]+\s*,\s*null\s*,\s*null\s*\)", sql):
-            # if(x, null, null) is constant NULL in MySQL; the VOID type
-            # breaks Spark's boolean operators (null_literal, issue_8562)
-            sql = re.sub(
-                r"(?i)\bif\s*\(\s*[^(),]+\s*,\s*null\s*,\s*null\s*\)",
-                "try_cast(NULL AS BOOLEAN)",
-                sql,
-            )
-        if re.search(r"(?i)\b0\s+(PRECEDING|FOLLOWING)\b", sql):
-            # Spark's frame grammar rejects `0 PRECEDING/FOLLOWING`
-            # (mpp/window_agg.test); MySQL treats them as CURRENT ROW
-            sql = re.sub(
-                r"(?i)\b0\s+(?:PRECEDING|FOLLOWING)\b", "CURRENT ROW", sql
-            )
-        if re.search(r"(?i)\bDIV\s+NULL\b|\bNULL\s+DIV\b", sql):
-            # integer division with an untyped NULL: Spark's DIV rejects
-            # VOID operands; MySQL's answer is just NULL
-            sql = re.sub(
-                rf"(?i)(?:{_BIT_OPND}\s+DIV\s+NULL|NULL\s+DIV\s+{_BIT_OPND})",
-                "CAST(NULL AS BIGINT)",
-                sql,
-            )
-        if _BIT_ANY.search(sql):
-            sql = _rewrite_bitops(sql)
-        if re.search(r"(?i)\bXOR\b", sql):
-            sql = _rewrite_xor(sql)
-        if re.search(r"(?i)\bilike\b", sql):
-            # pattern operands may be string literals, so this runs on
-            # the raw text (the JSON-arrow argument applies)
-            sql = _rewrite_ilike(sql)
-        if _LIKE_ESCAPE.search(sql):
-            sql = _rewrite_like_escape(sql)
-        if _IN_TABLE.search(sql):
-            sql = _rewrite_in_table(sql)
-        if _PROJ_IN_SUB.search(sql):
-            sql = _rewrite_projected_in_subquery(sql)
-        if re.search(r"(?i)\)\s*(?:not\s+)?in\s*\(\s*\(", sql):
-            sql = _rewrite_tuple_in(sql)
-        if stores and re.search(r"(?i)\bin\s*\(", sql):
-            sql = _rewrite_binary_mixed_in(sql, stores)
-        if re.search(r"(?i)\bin\s*\(", sql):
-            sql = _rewrite_mixed_in(sql)
-        if _QUANT_CMP.search(sql):
-            sql = _rewrite_quantified(sql)
+    sql = _apply_select_rewrites(spark, sql, stores)
     m = _PLACEMENT.match(sql)
     if m:
         # TiDB placement policies (CREATE/DROP PLACEMENT POLICY, ALTER
