@@ -132,7 +132,15 @@ _ALL = os.environ.get("DELTAMERGE_ALL") == "1"
 def test_deltamerge_script(spark, tmp_path, rel):
     res = run_script(spark, DELTA_MERGE_TESTS / rel, str(tmp_path))
     assert res.ok, "\n".join(res.mismatches[:10])
-    assert res.checked > 0 or res.steps_run > 0
+    if res.steps_run == 0:
+        # a script may self-disable with #RETURN before its first command
+        # (mpp_hang.test: "mpp hang detect is disabled") — run-test.py
+        # stops there too, and an empty replay is its correct outcome
+        text = (DELTA_MERGE_TESTS / rel).read_text()
+        body = text.split("#RETURN")[0]
+        assert "#RETURN" in text and "=> " not in body and ">> " not in body
+    else:
+        assert res.checked > 0
 
 
 def test_all_scripts_adjudicated():
