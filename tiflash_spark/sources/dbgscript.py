@@ -1251,13 +1251,9 @@ def _render_col(col: ColDef, surface: str, tz: str | None, raw: bool,
         return v.cast("long")
     if b == "timestamp" and surface == "dag" and tz and tz.upper() not in ("UTC", "SYSTEM"):
         ts = F.to_timestamp(v)
-        if re.match(r"^[+-]?\d+$", tz):
-            shifted = F.expr(
-                f"timestampadd(SECOND, {int(tz)}, to_timestamp(c{col.id}))"
-            )
-            # the expr above bypasses default/sentinel handling — rebuild
-            shifted = F.to_timestamp(v) + F.expr(f"INTERVAL {int(tz)} SECOND")
-        else:
+        if re.match(r"^[+-]?\d+$", tz):  # tz_offset seconds
+            shifted = ts + F.expr(f"INTERVAL {int(tz)} SECOND")
+        else:  # tz_name zone (real zoneinfo rules, incl. historic DST)
             shifted = F.from_utc_timestamp(ts, tz)
         rendered = F.date_format(shifted, _dt_fmt(kind.s))
         return (
@@ -1886,12 +1882,6 @@ _SQL_WORDS = {
     "date_format", "dbg_date_format", "dbg_from_unixtime",
     "dbg_json_length", "mysql_num_datetime", "substring", "round",
     "plus", "minus", "multiply", "divide", "modulo",
-}
-
-_CH_OP_FNS = {  # ClickHouse named operators appearing in headers only need
-    "plus": "+", "minus": "-", "multiply": "*", "divide": "/", "modulo": "%",
-    "less": "<", "greater": ">", "lessorequals": "<=",
-    "greaterorequals": ">=", "equals": "=",
 }
 
 
