@@ -110,9 +110,31 @@ def _load_fingerprint() -> dict:
     return fp
 
 
+def _wait_for_idle(max_wait: float, threshold: float = 1.5) -> float:
+    """Block until loadavg_1m drops under ``threshold`` (or ``max_wait``
+    seconds elapse). Two rounds of phantom bench regressions were pure
+    machine load (BENCH_r08 started at loadavg 4.93, r09 at 3.27; a
+    same-machine A/B showed geomean 1.003) — waiting out a transient
+    spike is cheaper than an adjudication round-trip."""
+    waited = 0.0
+    step = 5.0
+    while waited < max_wait:
+        try:
+            if os.getloadavg()[0] <= threshold:
+                break
+        except Exception:
+            break
+        time.sleep(step)
+        waited += step
+    return waited
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_wait = _wait_for_idle(
+        float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "180"))
+    )
     load_before = _load_fingerprint()
 
     from tiflash_spark.registry import all_queries
@@ -124,8 +146,13 @@ def main() -> None:
     qs = all_queries()
     names = [n for n in HEADLINE + PIPELINE_HEADLINE if n in qs]
 
-    # warm the JVM/session so q1 doesn't pay one-time startup costs
+    # warm the JVM/session so q1 doesn't pay one-time startup costs: a
+    # synthetic count primes the executor threads, then ONE untimed real
+    # query primes parquet footers, the catalog, and whole-stage-codegen
+    # JIT paths (observed 2.5s-vs-0.6s first-query swings otherwise)
     spark.range(1_000_000).selectExpr("count(*)").collect()
+    if names:
+        qs[names[0]](spark, sf_dir).collect()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
@@ -165,6 +192,12 @@ def main() -> None:
             out["vs_prev_common_n"] = len(common)
     out["load_before"] = load_before
     out["load_after"] = _load_fingerprint()
+    if load_wait:
+        out["load_wait_sec"] = round(load_wait, 1)
+    if load_before.get("loadavg_1m", 0) > 1.5:
+        # timings below were taken on a busy machine — round-over-round
+        # ratios from this run are NOT evidence of a code regression
+        out["load_warning"] = True
     # spreads go to stderr: diagnostics only, and keeping the stdout JSON
     # line short guarantees the driver's tail-capture parses it whole
     print(json.dumps({"spread_max_over_min": spreads}), file=sys.stderr, flush=True)

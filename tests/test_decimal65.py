@@ -175,12 +175,25 @@ def test_insert_expression_cell_canonicalizes(spark, tmp_path):
     assert "a" in (stores["e"].table_def().get("dec65_wide") or [])
 
 
-def test_sum_distinct_wide_does_not_break(spark, d65_table):
-    stores, base = d65_table
-    # SUM(DISTINCT widecol) must not be rewritten into unparseable SQL
-    # (round-9 ADVICE #3) — it stays on the native path
-    df = run_sql(spark, "select sum(distinct b) as s from w", stores, base)
-    assert df.collect()[0].s is not None
+def test_sum_distinct_wide_exact(spark, tmp_path):
+    """SUM(DISTINCT widecol) dedupes by VALUE (canonical strings are
+    unique per value) and sums exactly via collect_set + array finalize
+    (round-10: was an explicit clamped-path skip)."""
+    stores: dict = {}
+    base = str(tmp_path)
+    run_sql(spark, "create table sd (id int, b decimal(60, 5))", stores, base)
+    run_sql(
+        spark,
+        f"insert into sd values (1, {WIDE}), (2, {WIDE}), (3, 1.5), (4, NULL)",
+        stores, base,
+    )
+    out = run_sql(spark, "select sum(distinct b) as s from sd",
+                  stores, base).collect()[0].s
+    from decimal import localcontext
+
+    with localcontext() as dctx:
+        dctx.prec = 80
+        assert Decimal(out) == Decimal(WIDE) + Decimal("1.5")
 
 
 def test_qualified_operand_not_misrouted(spark, tmp_path):
@@ -261,3 +274,149 @@ def test_limb_sum_group_by_and_signs(spark, tmp_path):
     assert Decimal(rows[1]) == Decimal("0.00001")
     assert Decimal(rows[2]) == Decimal("-" + WIDE + ".5")
     assert rows[3] is None
+
+
+@pytest.fixture()
+def mixed_sign_table(spark, tmp_path):
+    """Wide column with mixed-sign / mixed-magnitude values — the shape
+    lexicographic string order misorders ('10.5' < '9.5')."""
+    stores: dict = {}
+    base = str(tmp_path)
+    run_sql(spark, "create table o (id int, a decimal(60, 5))", stores, base)
+    run_sql(
+        spark,
+        f"insert into o values (1, 10.5), (2, 9.5), (3, -10.5), (4, -9.5),"
+        f" (5, {WIDE}), (6, -{WIDE}), (7, NULL), (8, 0)",
+        stores, base,
+    )
+    return stores, base
+
+
+def test_wide_order_by_is_numeric(spark, mixed_sign_table):
+    """ORDER BY on a wide column sorts numerically via dec65_sortkey —
+    round-10 verdict ask #1 (the one silent-wrong-answer surface)."""
+    stores, base = mixed_sign_table
+    got = [
+        r.id
+        for r in run_sql(
+            spark, "select id from o order by a, id", stores, base
+        ).collect()
+    ]
+    # NULL first (MySQL ASC), then -WIDE, -10.5, -9.5, 0, 9.5, 10.5, WIDE
+    assert got == [7, 6, 3, 4, 8, 2, 1, 5]
+    got_desc = [
+        r.id
+        for r in run_sql(
+            spark, "select id from o order by a desc, id", stores, base
+        ).collect()
+    ]
+    assert got_desc == [5, 1, 2, 8, 4, 3, 6, 7]
+
+
+def test_wide_min_max_avg_exact(spark, mixed_sign_table):
+    """MIN/MAX pick numeric extrema (not lexicographic); AVG is exact
+    limb-SUM ÷ COUNT at MySQL's D+4 scale (round-10 verdict ask #1)."""
+    stores, base = mixed_sign_table
+    row = run_sql(
+        spark,
+        "select min(a) as mn, max(a) as mx, avg(a) as av from o",
+        stores, base,
+    ).collect()[0]
+    from decimal import localcontext
+
+    with localcontext() as dctx:
+        dctx.prec = 80
+        assert Decimal(row.mn) == Decimal("-" + WIDE)
+        assert Decimal(row.mx) == Decimal(WIDE)
+        want = (Decimal("10.5") + Decimal("9.5") - Decimal("10.5")
+                - Decimal("9.5")) / 7  # WIDE and -WIDE cancel exactly
+        assert Decimal(row.av) == want.quantize(Decimal("1e-9"))
+    # scale = declared 5 + div_precision_increment 4
+    assert len(row.av.split(".")[1]) == 9
+
+
+def test_wide_window_sum_exact(spark, mixed_sign_table):
+    """SUM(...) OVER a window on a wide column runs as three native limb
+    window-SUMs + finalize — exact, partial-free (round-10 verdict ask
+    #2; was an explicit clamped-path skip)."""
+    stores, base = mixed_sign_table
+    rows = run_sql(
+        spark,
+        "select id, sum(a) over (order by id rows between unbounded"
+        " preceding and current row) as rs from o order by id",
+        stores, base,
+    ).collect()
+    from decimal import localcontext
+
+    with localcontext() as dctx:
+        dctx.prec = 80
+        vals = {1: Decimal("10.5"), 2: Decimal("9.5"), 3: Decimal("-10.5"),
+                4: Decimal("-9.5"), 5: Decimal(WIDE), 6: -Decimal(WIDE),
+                7: None, 8: Decimal(0)}
+        run = Decimal(0)
+        for r in rows:
+            if vals[r.id] is not None:
+                run += vals[r.id]
+            assert Decimal(r.rs) == run
+
+
+def test_mixed_limb_and_expression_sums_one_statement(spark, d65_table):
+    """sum(a) and sum(truncate(a, -1)) in ONE statement: the bare column
+    keeps the limb partials while the expression body rides native
+    collect_list — no grouped-agg pandas UDF anywhere, so the shapes mix
+    (round-10: the old rewriter forced all sites to the grouped form)."""
+    stores, base = d65_table
+    df = run_sql(
+        spark,
+        "select sum(a) as s1, sum(truncate(a, -1)) as s2 from w",
+        stores, base,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dec65_limb" in plan
+    assert "AggregateInPandas" not in plan
+    row = df.collect()[0]
+    from decimal import localcontext
+
+    with localcontext() as dctx:
+        dctx.prec = 80
+        assert Decimal(row.s1) == Decimal(WIDE + ".12345") + Decimal("1.5")
+        assert Decimal(row.s2) == (Decimal(WIDE[:-1] + "0")) + Decimal("0")
+
+
+def test_wide_range_compare_exact_past_double(spark, tmp_path):
+    """Range predicates on wide columns compare via the sort key — exact
+    where CAST AS DOUBLE rounds (values differing past 2^53)."""
+    stores: dict = {}
+    base = str(tmp_path)
+    big = "1" + "0" * 39  # 40 digits
+    run_sql(spark, "create table rc (id int, a decimal(60, 0))", stores, base)
+    run_sql(
+        spark,
+        f"insert into rc values (1, {big}), (2, {big[:-1]}1)",  # differ by 1
+        stores, base,
+    )
+    got = [
+        r.id
+        for r in run_sql(
+            spark, f"select id from rc where a > {big} order by id",
+            stores, base,
+        ).collect()
+    ]
+    assert got == [2]
+
+
+def test_sortkey_total_order(spark):
+    """Binary order of dec65_sortkey strings IS numeric order, across
+    signs, magnitudes, scales, and the 81-digit saturation cap."""
+    vals = ["-" + "9" * 81, "-" + WIDE, "-10.5", "-9.5", "-0.00001", "0",
+            "0.00001", "9.5", "10.5", WIDE, "9" * 81]
+    df = spark.createDataFrame([(v,) for v in vals], "a string")
+    df.createOrReplaceTempView("sk")
+    keys = {
+        r.a: r.k
+        for r in spark.sql(
+            "select a, dec65_sortkey(a) as k from sk"
+        ).collect()
+    }
+    assert [keys[v] for v in vals] == sorted(keys[v] for v in vals)
+    assert len({keys[v] for v in vals}) == len(vals)

@@ -136,6 +136,24 @@ def test_embedding_dedup_lsh_recall_on_planted_neardups(spark):
     assert found <= planted
 
 
+def test_auto_band_params_tiers():
+    """Band parameters grow with the corpus (round-9 10× probe finding:
+    fixed params → occupancy² candidate growth); the s-curve threshold
+    (1/b)^(1/r) stays ≈0.7 at every tier, so the measured recall curve
+    (SCALING.md) carries over."""
+    from tiflash_spark.pipeline.dedup import auto_band_params
+
+    assert auto_band_params(500) == (4, 4)
+    assert auto_band_params(5_000) == (4, 4)  # sf0.1 keeps measured point
+    assert auto_band_params(50_000) == (5, 5)  # the 10× probe's corpus
+    assert auto_band_params(1_000_000) == (6, 6)
+    assert auto_band_params(100_000_000) == (7, 7)
+    for n in (500, 50_000, 1_000_000, 100_000_000):
+        b, r = auto_band_params(n)
+        thr = (1.0 / b) ** (1.0 / r)
+        assert 0.68 <= thr <= 0.78
+
+
 def test_minhash_band_index_join_is_exchange_free(spark):
     """The persisted band index is bucketed by bh; the candidate
     self-join keys on (band, bh) ⊇ {bh}, so with broadcast disabled the

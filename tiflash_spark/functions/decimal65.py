@@ -243,14 +243,119 @@ def register_decimal65_udfs(spark) -> list[str]:
             [one(xi, ii, si) for xi, ii, si in zip(x, i, sc)], dtype=object
         )
 
+    # --- order-preserving sort key ------------------------------------------
+    # Wide columns expose as canonical STRINGS; lexicographic string order
+    # misorders numerics ('10.5' < '9.5'). dec65_sortkey renders a
+    # fixed-width sign-folded digit string whose BINARY order IS numeric
+    # order: '1' + zero-padded |x| for x >= 0, '0' + nines-complement for
+    # x < 0 (82 integer digits — the saturation cap is 10^81-1 — plus 30
+    # fractional, MySQL's max scale). Used for ORDER BY / MIN / MAX /
+    # range compares on wide columns; reference ordering semantics:
+    # Decimal256 in dbms/src/Common/Decimal.h, DecimalComparison.h.
+    _KEY_INT, _KEY_FRAC = 82, 30
+
+    @pandas_udf("string")
+    def _sortkey(x: pd.Series) -> pd.Series:
+        from decimal import localcontext
+
+        q30 = Decimal(1).scaleb(-_KEY_FRAC)
+
+        def one(xi):
+            d = _parse(xi)
+            if d is None:
+                return None
+            neg = d < 0
+            with localcontext() as ctx:
+                ctx.prec = _KEY_INT + _KEY_FRAC + 2
+                a = (-d if neg else d).quantize(q30)
+            s = format(a, "f")
+            ip, _, fp = s.partition(".")
+            digits = ip.rjust(_KEY_INT, "0") + fp.ljust(_KEY_FRAC, "0")
+            if neg:
+                return "0" + "".join(str(9 - int(c)) for c in digits)
+            return "1" + digits
+
+        return pd.Series([one(xi) for xi in x], dtype=object)
+
+    # --- array finalizers: SUM/AVG over collect_list / collect_set ----------
+    # Expression-bodied and DISTINCT aggregates ride a NATIVE
+    # collect_list/collect_set (partial-aggregable, mixes freely with
+    # other native aggregates — unlike a grouped-agg pandas UDF, which
+    # Spark refuses to place next to native aggs) and finalize exactly in
+    # one scalar pass per group.
+    @pandas_udf("string")
+    def _sum_arr(a: pd.Series) -> pd.Series:
+        def one(arr):
+            if arr is None:
+                return None
+            tot = None
+            for xi in arr:
+                v = _parse(xi)
+                if v is None:
+                    continue
+                tot = v if tot is None else _CTX.add(tot, v)
+            return None if tot is None else _fixed(tot)
+
+        return pd.Series([one(arr) for arr in a], dtype=object)
+
+    @pandas_udf("string")
+    def _avg_arr(a: pd.Series, inc: pd.Series) -> pd.Series:
+        # MySQL AVG scale = source scale + div_precision_increment
+        def one(arr, inci):
+            if arr is None:
+                return None
+            tot, n, sc = None, 0, 0
+            for xi in arr:
+                v = _parse(xi)
+                if v is None:
+                    continue
+                tot = v if tot is None else _CTX.add(tot, v)
+                n += 1
+                sc = max(sc, -v.as_tuple().exponent)
+            if tot is None:
+                return None
+            return _fixed(_CTX.divide(tot, Decimal(n)), sc + int(inci))
+
+        return pd.Series(
+            [one(arr, inci) for arr, inci in zip(a, inc)], dtype=object
+        )
+
+    @pandas_udf("string")
+    def _avg_fin(h: pd.Series, m: pd.Series, l: pd.Series, cnt: pd.Series,
+                 sc: pd.Series, inc: pd.Series) -> pd.Series:
+        # limb-SUM ÷ COUNT at scale s + div_precision_increment — the
+        # partial-aggregable AVG over a bare wide column (three native
+        # limb SUM partials + COUNT ride the shuffle)
+        def one(hi, mi, lo, ni, si, inci):
+            if hi is None and mi is None and lo is None:
+                return None
+            if hi is None or mi is None or lo is None or not ni:
+                return None  # limb overflow: propagate, don't fabricate
+            u = int(hi) * _LIMB * _LIMB + int(mi) * _LIMB + int(lo)
+            d = _CTX.divide(
+                Decimal(u), _CTX.multiply(Decimal(10) ** int(si),
+                                          Decimal(int(ni)))
+            )
+            return _fixed(d, int(si) + int(inci))
+
+        return pd.Series(
+            [one(*t) for t in zip(h, m, l, cnt, sc, inc)], dtype=object
+        )
+
     @pandas_udf("string")
     def _sum_fin(h: pd.Series, m: pd.Series, l: pd.Series,
                  sc: pd.Series) -> pd.Series:
         def one(hi, mi, lo, si):
             if hi is None and mi is None and lo is None:
                 return None
-            u = (int(hi or 0) * _LIMB * _LIMB + int(mi or 0) * _LIMB
-                 + int(lo or 0))
+            if hi is None or mi is None or lo is None:
+                # A limb partial can only be NULL-while-others-aren't if
+                # its native SUM(decimal(38,0)) overflowed (non-ANSI Spark
+                # NULLs past the 16-digit headroom). Propagate NULL so the
+                # overflow is detectable instead of silently dropping a
+                # limb as 0.
+                return None
+            u = int(hi) * _LIMB * _LIMB + int(mi) * _LIMB + int(lo)
             d = _CTX.divide(Decimal(u), Decimal(10) ** int(si))
             return _fixed(d, int(si))
 
@@ -268,8 +373,13 @@ def register_decimal65_udfs(spark) -> list[str]:
     spark.udf.register("dec65_sum", _sum)
     spark.udf.register("dec65_limb", _limb)
     spark.udf.register("dec65_sum_fin", _sum_fin)
+    spark.udf.register("dec65_sortkey", _sortkey)
+    spark.udf.register("dec65_sum_arr", _sum_arr)
+    spark.udf.register("dec65_avg_arr", _avg_arr)
+    spark.udf.register("dec65_avg_fin", _avg_fin)
     return [
         "dec65_canon", "dec65_norm", "dec65_mod", "dec65_round",
         "dec65_truncate", "dec65_abs", "dec65_format", "dec65_sum",
-        "dec65_limb", "dec65_sum_fin",
+        "dec65_limb", "dec65_sum_fin", "dec65_sortkey", "dec65_sum_arr",
+        "dec65_avg_arr", "dec65_avg_fin",
     ]

@@ -144,6 +144,44 @@ NUM_BANDS = 4  # 4 rows/band → s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 
 
+def auto_band_params(n_docs: int) -> tuple[int, int]:
+    """(bands, rows_per_band) sized to the corpus so band-bucket
+    occupancy stays bounded as the corpus grows (round-9 10× probe:
+    dedup_minhash 12.8× at FIXED sf0.1 params — candidate pairs grow
+    with occupancy²). Each extra row per band divides the probability
+    that a sub-threshold pair agrees on a full band; growing bands with
+    rows keeps the s-curve threshold (1/b)^(1/r) ≈ 0.7 (0.71 at 4×4,
+    0.72 at 5×5, 0.74 at 6×6 — the measured recall curve in SCALING.md
+    is 1.000 for J>=0.5 at both 4×4 and 5×5). The default tiers are a
+    corpus-stats-driven version of the previously-manual knob; callers
+    can still pass explicit (bands, rows)."""
+    if n_docs <= 20_000:
+        return (4, 4)
+    if n_docs <= 200_000:
+        return (5, 5)
+    if n_docs <= 2_000_000:
+        return (6, 6)
+    return (7, 7)
+
+
+# one cheap count(*) per sf_dir per session (parquet metadata read)
+_AUTO_BAND_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _resolve_band_params(
+    spark: SparkSession, sf_dir: str,
+    bands: int | None, rows: int | None,
+) -> tuple[int, int]:
+    if bands is not None and rows is not None:
+        return (bands, rows)
+    got = _AUTO_BAND_CACHE.get(sf_dir)
+    if got is None:
+        n = load_table(spark, sf_dir, "documents").count()
+        got = auto_band_params(n)
+        _AUTO_BAND_CACHE[sf_dir] = got
+    return (bands or got[0], rows or got[1])
+
+
 def _seeded_hash(seed: int):
     # closure factory: pyspark infers lambda arity, so a default-arg capture
     # (lambda s, i=i: ...) would be misread as the (element, index) form
@@ -210,7 +248,7 @@ def minhash_candidates(
 
 def minhash_band_index(
     spark: SparkSession, sf_dir: str,
-    bands: int = NUM_BANDS, rows: int = ROWS_PER_BAND,
+    bands: int | None = None, rows: int | None = None,
 ) -> DataFrame:
     """The at-rest LSH index: the banded (doc_id, band, bh) table written
     BUCKETED BY (band, bh), once per scale factor (same warehouse
@@ -220,8 +258,14 @@ def minhash_band_index(
     the number that matters when the signature table is corpus-sized.
     (Bucketing on bh alone is NOT enough: Spark's co-partition check
     requires ALL join keys in the bucket spec —
-    requireAllClusterKeysForCoPartition.)"""
+    requireAllClusterKeysForCoPartition.)
+
+    Band parameters default to corpus-sized auto_band_params (the table
+    name carries them, so a re-sized corpus builds a fresh index instead
+    of silently reading one banded for a different scale)."""
     from tiflash_spark.pipeline.fulltext import _ensure_bucketed, _sf_tag
+
+    bands, rows = _resolve_band_params(spark, sf_dir, bands, rows)
 
     def build() -> DataFrame:
         d = load_table(spark, sf_dir, "documents")
@@ -237,7 +281,8 @@ def minhash_band_index(
         )
 
     return _ensure_bucketed(
-        spark, f"mh_bands_{_sf_tag(sf_dir)}", build, ("band", "bh"), 32
+        spark, f"mh_bands_{_sf_tag(sf_dir)}_{bands}x{rows}", build,
+        ("band", "bh"), 32
     )
 
 

@@ -2375,6 +2375,32 @@ def _d65_is_wide(canon_str: str, s: int) -> bool:
     return q.adjusted() + 1 + cs > 38  # overflow of the clamp's range
 
 
+def _d65_wide_probe(col: str, s: int) -> str:
+    """Aggregate expression counting values in ``col`` that do NOT
+    survive the clamped DECIMAL(38, min(s,10)) exposure — the write-path
+    wide-flag probe. Attached to the write's own job via
+    DataFrame.observe (round-10: previously a separate one-row collect
+    per batch, doubling job count on dec65 streaming ingest)."""
+    cs = min(int(s), 10)
+    rt = f"try_cast(`{col}` AS decimal(38,{cs}))"
+    return (
+        f"sum(CASE WHEN `{col}` IS NOT NULL AND ({rt} IS NULL"
+        f" OR dec65_norm(CAST({rt} AS STRING)) <> dec65_norm(`{col}`))"
+        f" THEN 1 ELSE 0 END)"
+    )
+
+
+def _d65_mark_wide(store, cols, hit) -> None:
+    """Fold probe results (Observation dict or collected Row) into the
+    table-def's monotonic dec65_wide flag set."""
+    get = hit.get if isinstance(hit, dict) else (lambda c: hit[c])
+    new = {c for c in cols if (get(c) or 0) > 0}
+    if new:
+        prev = set((store.table_def() or {}).get("dec65_wide") or [])
+        if not new <= prev:
+            store.update_table_def(dec65_wide=sorted(prev | new))
+
+
 def _dec65_meta(stores) -> tuple[dict[str, list], set[str]]:
     """(col -> [p, s]) across all registered stores, plus the wide set."""
     cols: dict[str, list] = {}
@@ -2409,76 +2435,112 @@ def _d65_base(op: str) -> str:
     return op.split(".")[-1].strip().strip("`")
 
 
-def _wrap_dec65_sums(sql: str, wide: set, d65: dict | None = None) -> str:
-    """SUM over an exact-string expression aggregates exactly.
+def _wrap_dec65_sums(sql: str, wide: set, d65: dict | None = None,
+                     is_wide=None, scale_of=None) -> str:
+    """SUM/AVG/MIN/MAX over wide-dec65 (exact-string) exposures aggregate
+    exactly. Every emitted form is built from NATIVE aggregates plus
+    scalar Arrow UDFs, so sites of different shapes mix freely in one
+    statement (a grouped-agg pandas UDF cannot be placed next to native
+    aggregates — INVALID_PANDAS_UDF_PLACEMENT — which previously forced
+    per-statement uniformity and left DISTINCT/OVER on the clamped path):
 
-    Two tiers (SCALING.md decimal65): a BARE wide column with a known
-    declared scale sums via three-limb decomposition — native SUM over
-    signed 22-digit integer limbs of the unscaled value (map-side
-    combine; the shuffle carries three decimal(38,0) partials per group,
-    not raw rows), reassembled exactly at finalize. Expression bodies
-    whose scale is not statically known fall back to the grouped-agg
-    pandas UDF (raw-row shuffle, small by construction: those shapes are
-    per-row rewritten dec65_* calls from replay scripts)."""
-    # two phases: classify every rewritable sum first, then emit. Spark
-    # cannot MIX a grouped-agg pandas UDF with native aggregates in one
-    # aggregation (INVALID_PANDAS_UDF_PLACEMENT), so the limb form is
-    # only used when EVERY rewritten sum in the statement is a bare wide
-    # column; one expression body anywhere forces the grouped-agg form
-    # for all of them (tidb_truncate.test mixes sum(a) with
-    # sum(truncate(a, -1)) over the same wide column).
-    sites: list[tuple[int, int, str, bool]] = []
-    last = 0
-    for mm in re.finditer(r"(?i)\bsum\s*\(", sql):
-        if mm.start() < last:
+    - SUM(bare wide col)  -> three-limb native SUM partials + finalize
+      (map-side combine; the shuffle carries three decimal(38,0)
+      partials per group, not raw rows — SCALING.md decimal65)
+    - AVG(bare wide col)  -> the same limb SUMs + COUNT, finalized at
+      MySQL's D + div_precision_increment scale
+    - SUM/AVG(expression) -> native collect_list + exact array finalize
+      (raw strings ride the shuffle — same volume as the old grouped-agg
+      fallback, but mixable; bodies are per-row dec65_* rewrites)
+    - SUM/AVG(DISTINCT x) -> native collect_set + array finalize
+      (canonical strings are unique per value, so set-dedup IS
+      value-dedup)
+    - MIN/MAX(x)          -> native min/max over a (dec65_sortkey, value)
+      struct — numeric order, not the string exposure's lexicographic
+      order ('10.5' < '9.5')
+    - any form + OVER w   -> the same native aggregates windowed over w
+
+    Reference semantics: Decimal256 sum/avg/extrema —
+    dbms/src/Common/Decimal.h, dbms/src/DataTypes/DataTypeDecimal.h."""
+    wide_pat = [re.escape(c) for c in wide]
+
+    def _site_wide(op: str) -> bool:
+        return is_wide(op) if is_wide is not None else _d65_base(op) in wide
+
+    def _site_scale(op: str):
+        if scale_of is not None:
+            return scale_of(op)
+        base = _d65_base(op)
+        return int(d65[base][1]) if d65 and base in d65 else None
+
+    out: list[str] = []
+    pos = 0
+    for mm in re.finditer(r"(?i)\b(?P<fn>sum|avg|min|max)\s*\(", sql):
+        if mm.start() < pos:
             continue
         cl = _match_paren(sql, mm.end() - 1)
         if cl <= mm.end() - 1:
             continue
+        fn = mm.group("fn").lower()
         inner = sql[mm.end():cl]
-        if re.search(r"(?i)\bdec65_\w+\s*\(", inner) or any(
-            re.search(rf"\b{re.escape(c)}\b", inner) for c in wide
-        ):
-            if re.match(r"(?i)\s*(sql_calc_found_rows\s+)?distinct\b", inner):
-                # SUM(DISTINCT wide): dec65_sum over the body would both
-                # fail to parse and drop the DISTINCT — leave the native
-                # path (clamped exposure) rather than emit broken SQL
-                last = cl + 1
-                continue
-            if re.match(r"(?i)\s*over\s*\(", sql[cl + 1:]):
-                # window SUM(...) OVER: a grouped-agg pandas UDF is not a
-                # window function — keep the native aggregate
-                last = cl + 1
-                continue
-            base = _d65_base(inner)
-            limbable = bool(
-                d65 and base in d65
-                and re.match(r"^\s*(?:`?\w+`?\s*\.\s*)?`?\w+`?\s*$",
-                             inner)
+        body = inner
+        distinct = False
+        dm = re.match(r"(?i)\s*(?:sql_calc_found_rows\s+)?distinct\b", inner)
+        if dm:
+            distinct = True
+            body = inner[dm.end():]
+        body = body.strip()
+        bare = bool(re.fullmatch(r"(?:`?\w+`?\s*\.\s*)?`?\w+`?", body))
+        eligible = bool(re.search(r"(?i)\bdec65_\w+\s*\(", body)) or (
+            _site_wide(body) if bare
+            else any(re.search(rf"\b{p}\b", body) for p in wide_pat)
+        )
+        if not eligible:
+            continue
+        # trailing window spec: OVER (...) or OVER window_name
+        over_txt, end = "", cl + 1
+        om = re.match(r"(?i)\s*over\s*\(", sql[cl + 1:])
+        if om:
+            op_open = cl + 1 + om.end() - 1
+            ocl = _match_paren(sql, op_open)
+            if ocl > op_open:
+                over_txt = " OVER (" + sql[op_open + 1:ocl] + ")"
+                end = ocl + 1
+        else:
+            om2 = re.match(r"(?i)\s*over\s+`?(\w+)`?", sql[cl + 1:])
+            if om2:
+                over_txt = f" OVER {om2.group(1)}"
+                end = cl + 1 + om2.end()
+        xs = f"CAST({body} AS STRING)"
+        s65 = _site_scale(body) if bare and _site_wide(body) else None
+        if fn in ("min", "max"):
+            # MIN(DISTINCT x) == MIN(x); the CASE hides NULL values from
+            # the struct ordering (a NULL 'k' field would sort first)
+            rep = (
+                f"({fn}(CASE WHEN ({body}) IS NOT NULL THEN named_struct("
+                f"'k', dec65_sortkey({xs}), 'v', {body}) END){over_txt}).v"
             )
-            sites.append((mm.start(), cl, inner, limbable))
-            last = cl + 1
-    if not sites:
-        return sql
-    all_limb = all(limbable for _, _, _, limbable in sites)
-    out: list[str] = []
-    pos = 0
-    for start, cl, inner, _limbable in sites:
-        out.append(sql[pos:start])
-        if all_limb:
-            s65 = int(d65[_d65_base(inner)][1])
-            xs = f"CAST({inner} AS STRING)"
-            out.append(
-                "dec65_sum_fin("
-                + ", ".join(
-                    f"SUM(dec65_limb({xs}, {i}, {s65}))"
-                    for i in (2, 1, 0)
-                )
-                + f", {s65})"
+        elif distinct:
+            arr = f"collect_set({xs}){over_txt}"
+            rep = (f"dec65_sum_arr({arr})" if fn == "sum" else
+                   f"dec65_avg_arr({arr}, {_div_precision_increment()})")
+        elif s65 is not None:
+            limbs = ", ".join(
+                f"SUM(dec65_limb({xs}, {i}, {s65})){over_txt}"
+                for i in (2, 1, 0)
+            )
+            rep = (
+                f"dec65_sum_fin({limbs}, {s65})" if fn == "sum" else
+                f"dec65_avg_fin({limbs}, COUNT({body}){over_txt}, {s65},"
+                f" {_div_precision_increment()})"
             )
         else:
-            out.append(f"dec65_sum(CAST({inner} AS STRING))")
-        pos = cl + 1
+            arr = f"collect_list({xs}){over_txt}"
+            rep = (f"dec65_sum_arr({arr})" if fn == "sum" else
+                   f"dec65_avg_arr({arr}, {_div_precision_increment()})")
+        out.append(sql[pos:mm.start()])
+        out.append(rep)
+        pos = end
     out.append(sql[pos:])
     return "".join(out)
 
@@ -2570,6 +2632,10 @@ def _rewrite_dec65(sql: str, stores) -> str:
         td = s.table_def() or {} if hasattr(s, "table_def") else {}
         info = {
             "d65": set(td.get("dec65_cols") or {}),
+            "d65s": {
+                n: int(ps[1])
+                for n, ps in (td.get("dec65_cols") or {}).items()
+            },
             "wide": set(td.get("dec65_wide") or []),
             "dbl": set(),
             "num": set(),
@@ -2605,7 +2671,23 @@ def _rewrite_dec65(sql: str, stores) -> str:
     def _in_wide(op: str) -> bool:
         return _cls(op, "wide", wide)
 
+    def _scale_of(op: str):
+        # declared dec65 scale for a column operand: qualified operands
+        # resolve against THAT table only (a same-named dec65 column in
+        # another referenced table must not lend its scale); bare names
+        # fall back to the union
+        tbl, col = _qual(op)
+        if tbl is not None and tbl in per_tbl:
+            return per_tbl[tbl]["d65s"].get(col)
+        return int(d65[col][1]) if col in d65 else None
+
     def as_str(x: str) -> str:
+        x = x.strip()
+        if re.fullmatch(r"[+-]?\d+(?:\.\d+)?", x):
+            # a bare numeric literal wider than 38 digits is itself an
+            # unanalyzable decimal(40,0) for Spark — hand the dec65 UDFs
+            # the digits as a string literal instead of CASTing
+            return f"'{x}'"
         return f"CAST({x} AS STRING)"
 
     # --- X % Y / MOD(X, Y) ------------------------------------------------
@@ -2652,19 +2734,22 @@ def _rewrite_dec65(sql: str, stores) -> str:
         _fn_sub, sql,
     )
 
-    sql = _wrap_dec65_sums(sql, wide, d65)
+    sql = _wrap_dec65_sums(sql, wide, d65, is_wide=_in_wide,
+                           scale_of=_scale_of)
 
     # --- comparisons on WIDE columns (string-exposed) -----------------------
-    # equality goes exact through dec65_norm; range ops compare as
-    # double (filters like `a >= 0`, round_with_frac.test — Spark would
-    # otherwise CAST the 62-digit string to BIGINT and fail)
+    # equality goes exact through dec65_norm; range ops compare through
+    # the order-preserving fixed-width sort key (exact at any width —
+    # the earlier CAST-AS-DOUBLE path lost precision past 2^53; Spark
+    # would otherwise CAST the 62-digit string to BIGINT and fail on
+    # filters like `a >= 0`, round_with_frac.test)
     def _cmp_sub(mm: re.Match) -> str:
         a, op, b = mm.group(1), mm.group(2), mm.group(3)
         if not (_in_wide(a) or _in_wide(b)):
             return mm.group(0)
         if op in ("=", "<=>", "!=", "<>"):
             return (f"dec65_norm({as_str(a)}) {op} dec65_norm({as_str(b)})")
-        return f"CAST({a} AS DOUBLE) {op} CAST({b} AS DOUBLE)"
+        return f"dec65_sortkey({as_str(a)}) {op} dec65_sortkey({as_str(b)})"
 
     for c in [c for c in d65 if c in wide]:
         sql = re.sub(
@@ -2697,7 +2782,73 @@ def _rewrite_dec65(sql: str, stores) -> str:
                     ),
                     sql,
                 )
+
+    if wide:
+        sql = _rewrite_dec65_order_by(sql, _in_wide)
     return sql
+
+
+_ORDER_BY_KW = re.compile(r"(?i)\border\s+by\s+")
+_ORDER_TERM = re.compile(r"(?i)(limit|offset|rows|range|for)\b")
+
+
+def _rewrite_dec65_order_by(sql: str, in_wide) -> str:
+    """ORDER BY over a WIDE dec65 column sorts its exact-string exposure
+    lexicographically ('10.5' < '9.5'); substitute the numeric sort key
+    so ordering matches Decimal256
+    (dbms/src/DataTypes/DataTypeDecimal.h). Applies to top-level, window
+    (OVER (ORDER BY ...)) and aggregate-internal ORDER BY clauses."""
+    out: list[str] = []
+    pos = 0
+    for mm in _ORDER_BY_KW.finditer(sql):
+        if mm.start() < pos:
+            continue
+        # clause extent: up to ';', an UNbalanced ')', or a top-level
+        # terminator keyword (LIMIT/OFFSET, a window frame's ROWS/RANGE,
+        # FOR UPDATE)
+        i, depth, n = mm.end(), 0, len(sql)
+        end = n
+        while i < n:
+            ch = sql[i]
+            if ch == "'":
+                j = i + 1
+                while j < n and sql[j] != "'":
+                    j += 2 if sql[j] == "\\" else 1
+                i = j + 1
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif ch == ";":
+                end = i
+                break
+            elif depth == 0 and ch.isspace():
+                tm = _ORDER_TERM.match(sql, i + 1)
+                if tm:
+                    end = i
+                    break
+            i += 1
+        clause = sql[mm.end():end]
+
+        def _tok(m2: re.Match) -> str:
+            op = m2.group(0)
+            if in_wide(op):
+                return f"dec65_sortkey(CAST({op} AS STRING))"
+            return op
+
+        new = re.sub(
+            r"(?<![\w`.'(])(?:`?\w+`?\s*\.\s*)?`?\w+`?(?!\s*\()(?![\w`'])",
+            _tok, clause,
+        )
+        out.append(sql[pos:mm.end()])
+        out.append(new)
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 _ODD_IDENT = re.compile(r"`([A-Za-z0-9_$][^`'\"\n]{0,62})`")
@@ -4747,7 +4898,7 @@ def run_sql(
                     placement_policy=m.group("policy")
                 )
         return spark.createDataFrame(
-            [(m.group("policy") or "", "placement")],
+            [(m.group("policy") or m.group("policy0") or "", "placement")],
             "policy string, op string",
         )
     m = _SET_REPLICA.match(sql)
@@ -6282,6 +6433,7 @@ def run_sql(
                 )
         td65 = (store.table_def() or {}).get("dec65_cols") or {}
         new_wide: set[str] = set()
+        probe65: list[str] = []
         if td65 and "vals" in m.groupdict() and m.group("vals") is not None:
             new_wide = {c for c in d65_new_wide}
             expr65 = [c for c in d65_expr_cells
@@ -6291,7 +6443,6 @@ def run_sql(
                 # the raw CAST-to-string result bypasses canonical-scale
                 # rendering — re-canonicalize and wide-probe those columns
                 # (same treatment as the INSERT...SELECT branch)
-                probes = []
                 for c in expr65:
                     p65, s65 = td65[c]
                     batch = batch.withColumn(
@@ -6300,20 +6451,11 @@ def run_sql(
                             f" {p65}, {s65})"
                         )
                     )
-                    cs = min(s65, 10)
-                    rt = f"try_cast(`{c}` AS decimal(38,{cs}))"
-                    probes.append(
-                        f"sum(CASE WHEN `{c}` IS NOT NULL AND ({rt} IS NULL"
-                        f" OR dec65_norm(CAST({rt} AS STRING)) <>"
-                        f" dec65_norm(`{c}`)) THEN 1 ELSE 0 END) AS `{c}`"
-                    )
-                hit = batch.selectExpr(*probes).collect()[0]
-                new_wide |= {c for c in expr65 if (hit[c] or 0) > 0}
+                probe65 = expr65
         elif td65:
             # INSERT ... SELECT into a decimal65 table: canonicalize the
             # incoming strings (idempotent) and learn which columns now
-            # hold values wider than the clamped DECIMAL(38) exposure —
-            # one aggregate job, only on dec65 tables
+            # hold values wider than the clamped DECIMAL(38) exposure
             present = [c for c in batch.columns if c in td65]
             for c in present:
                 p65, s65 = td65[c]
@@ -6322,19 +6464,25 @@ def run_sql(
                         f"dec65_canon(CAST(`{c}` AS STRING), {p65}, {s65})"
                     )
                 )
-            if present:
-                probes = []
-                for c in present:
-                    cs = min(td65[c][1], 10)
-                    rt = f"try_cast(`{c}` AS decimal(38,{cs}))"
-                    probes.append(
-                        f"sum(CASE WHEN `{c}` IS NOT NULL AND ({rt} IS NULL"
-                        f" OR dec65_norm(CAST({rt} AS STRING)) <>"
-                        f" dec65_norm(`{c}`)) THEN 1 ELSE 0 END) AS `{c}`"
-                    )
-                hit = batch.selectExpr(*probes).collect()[0]
-                new_wide = {c for c in present if (hit[c] or 0) > 0}
+            probe65 = present
+        obs65 = None
+        if probe65:
+            # ride the batch's own count job via observe — no separate
+            # probe job per write batch (round-9 verdict ask #6)
+            from pyspark.sql import Observation
+
+            obs65 = Observation()
+            batch = batch.observe(
+                obs65,
+                *[
+                    F.expr(_d65_wide_probe(c, td65[c][1])).alias(c)
+                    for c in probe65
+                ],
+            )
         n = batch.count()
+        if obs65 is not None:
+            hit = obs65.get
+            new_wide |= {c for c in probe65 if (hit.get(c) or 0) > 0}
         v = store.newest_version() + 1
         store.write_batch(batch, version=v)
         if new_wide:
@@ -6406,32 +6554,30 @@ def run_sql(
                         for c in stored
                     ],
                 )
+                # an UPDATE may push a previously-narrow dec65 column past
+                # the DECIMAL(38, min(s,10)) clamp — without re-probing,
+                # the clamped read view would silently NULL/round the new
+                # value. Plain updates ride the probe on the write's own
+                # job (observe); the partition-move path rebuilds its
+                # write legs from the checkpointed snapshot, so `out`
+                # never runs a job there — probe it directly.
                 upd65 = [c for c in sets if c in d65u]
+                obs65u = None
                 if upd65:
-                    # same wide-probe as the INSERT...SELECT branch: an
-                    # UPDATE may push a previously-narrow dec65 column past
-                    # the DECIMAL(38, min(s,10)) clamp — without re-probing,
-                    # the clamped read view would silently NULL/round the
-                    # new value
-                    probes = []
-                    for c in upd65:
-                        cs = min(d65u[c][1], 10)
-                        rt = f"try_cast(`{c}` AS decimal(38,{cs}))"
-                        probes.append(
-                            f"sum(CASE WHEN `{c}` IS NOT NULL AND ({rt} IS"
-                            f" NULL OR dec65_norm(CAST({rt} AS STRING)) <>"
-                            f" dec65_norm(`{c}`)) THEN 1 ELSE 0 END) AS `{c}`"
-                        )
-                    hit65 = out.selectExpr(*probes).collect()[0]
-                    upd_wide = {c for c in upd65 if (hit65[c] or 0) > 0}
-                    if upd_wide:
-                        prev65 = set(
-                            (store.table_def() or {}).get("dec65_wide") or []
-                        )
-                        if not upd_wide <= prev65:
-                            store.update_table_def(
-                                dec65_wide=sorted(prev65 | upd_wide)
-                            )
+                    if getattr(store, "pcol", None) in sets:
+                        hit65 = out.selectExpr(*[
+                            _d65_wide_probe(c, d65u[c][1]) + f" AS `{c}`"
+                            for c in upd65
+                        ]).collect()[0]
+                        _d65_mark_wide(store, upd65, hit65)
+                    else:
+                        from pyspark.sql import Observation
+
+                        obs65u = Observation()
+                        out = out.observe(obs65u, *[
+                            F.expr(_d65_wide_probe(c, d65u[c][1])).alias(c)
+                            for c in upd65
+                        ])
                 v = store.newest_version() + 1
                 if getattr(store, "pcol", None) in sets:
                     # updating the PARTITION column may move rows between
@@ -6495,6 +6641,8 @@ def run_sql(
                         store.write_batch(out_same, version=v)
                 else:
                     store.write_batch(out, version=v)
+                    if obs65u is not None:
+                        _d65_mark_wide(store, upd65, obs65u.get)
         finally:
             matched.unpersist()
         store.as_view(name)

@@ -46,6 +46,7 @@ and skipped when the tree is absent (tests/test_deltamerge_scripts.py).
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 import re
 from dataclasses import dataclass, field
@@ -240,12 +241,30 @@ def canon_dt(raw: str, fsp: int) -> str:
     mi = int(m.group(5) or 0)
     ss = int(m.group(6) or 0)
     frac = m.group(7) or ""
+    fd = Decimal("0." + frac) if frac else Decimal(0)
+    q = fd.quantize(Decimal(1).scaleb(-fsp), rounding=ROUND_HALF_UP)
+    if q >= 1:
+        # Rounding the fraction carried into seconds (MySQL rounds the
+        # whole temporal value: '...01.9999' @ fsp 2 -> '...02.00').
+        q -= 1
+        ss += 1
+        if ss == 60:
+            ss, mi = 0, mi + 1
+        if mi == 60:
+            mi, hh = 0, hh + 1
+        if hh == 24:
+            hh = 0
+            try:
+                nd = _dt.date(y, mo, d) + _dt.timedelta(days=1)
+                y, mo, d = nd.year, nd.month, nd.day
+            except ValueError:
+                # Zero-component dates ('0000-00-00', month/day 0) have no
+                # calendar successor; bump the day numerically like MySQL's
+                # permissive storage does.
+                d += 1
     out = f"{y:04d}-{mo:02d}-{d:02d} {hh:02d}:{mi:02d}:{ss:02d}"
     if fsp:
-        fd = Decimal("0." + frac) if frac else Decimal(0)
-        q = fd.quantize(Decimal(1).scaleb(-fsp), rounding=ROUND_HALF_UP)
-        digits = f"{q:.{fsp}f}"[2:]
-        out += "." + digits
+        out += "." + f"{q:.{fsp}f}"[2:]
     return out
 
 
