@@ -143,19 +143,20 @@ def test_general_ci_divergence_matrix(spark):
     weights read straight from that table: ß→0x53 'S', é→0x45 'E',
     İ→0x49 'I'; ẞ/ﬃ/fullwidth keep their own codepoint as weight).
 
-    Columns: (a, b, ref_equal, lenient_equal, strict_equal) where
-    lenient = lower(rtrim) key (strict=False), strict = ICU
-    UNICODE_CI_AI key — the DEFAULT since round 9, and what the SQL
-    surface's native *_ci collated columns use. The test pins BOTH
-    keys' behavior so any engine/ICU change that silently moves the
-    boundary fails here. The strict key's remaining ref divergences
-    (ß=s split; ß=ss/ß=ẞ/ﬃ=ffi/fullwidth=ASCII merges) are the
-    genuinely-untranslatable LUT rows: matching them would mean
-    vendoring CollationLUT.cpp."""
+    Columns: (a, b, ref_equal, lenient_equal, icu_equal) where
+    lenient = lower(rtrim) key (strict=False), icu = the ICU
+    UNICODE_CI_AI key the SQL surface's native *_ci collated columns
+    use, and strict = the GENERAL_CI weight key DERIVED from public
+    Unicode data (round-10, collation._general_ci_weight) — which must
+    now equal the ref column on EVERY row: the previously-pinned
+    divergences (ß=s split; ß=ẞ/ﬃ=ffi/fullwidth=ASCII merges) are
+    exactly what the derivation repairs without vendoring
+    CollationLUT.cpp. The ICU rows stay pinned because the native
+    column surface still uses them."""
     from tiflash_spark.functions.collation import GENERAL_CI, collation_key
 
     CASES = [
-        # a, b, ref LUT equal?, default key equal?, strict key equal?
+        # a, b, ref LUT equal?, lenient key equal?, ICU key equal?
         ("ß", "s", True, False, False),     # LUT ß=S; lower keeps ß; UCA ß=ss
         ("ß", "ss", False, False, True),    # UCA folds ß=ss, LUT doesn't
         ("ß", "ẞ", False, True, True),      # LUT: ẞ keeps own weight (≠ ß!)
@@ -169,19 +170,37 @@ def test_general_ci_divergence_matrix(spark):
         ("a ", "a", True, True, True),      # PadSpace on every variant
     ]
     df = spark.createDataFrame(CASES, "a string, b string, ref boolean, "
-                                      "want_default boolean, want_strict boolean")
+                                      "want_lenient boolean, want_icu boolean")
     got = df.select(
-        "a", "b", "ref", "want_default", "want_strict",
+        "a", "b", "ref", "want_lenient", "want_icu",
         (collation_key(F.col("a"), GENERAL_CI, strict=False)
-         == collation_key(F.col("b"), GENERAL_CI, strict=False)).alias("default_eq"),
+         == collation_key(F.col("b"), GENERAL_CI, strict=False)).alias("lenient_eq"),
+        (F.collate(F.rtrim("a"), "UNICODE_CI_AI")
+         == F.collate(F.rtrim("b"), "UNICODE_CI_AI")).alias("icu_eq"),
         (collation_key(F.col("a"), GENERAL_CI, strict=True)
          == collation_key(F.col("b"), GENERAL_CI, strict=True)).alias("strict_eq"),
     ).collect()
     for r in got:
-        assert r.default_eq == r.want_default, f"default key moved: {r.a!r} vs {r.b!r}"
-        assert r.strict_eq == r.want_strict, f"strict key moved: {r.a!r} vs {r.b!r}"
-    # the documented score: strict fixes the accent class the default
-    # misses, and neither is the LUT — 3 default-vs-ref divergences are
-    # accent folds that strict repairs
-    repaired = [r for r in got if r.ref and not r.default_eq and r.strict_eq]
-    assert len(repaired) == 3  # İ=i, é=e, é=E
+        assert r.lenient_eq == r.want_lenient, f"lenient key moved: {r.a!r} vs {r.b!r}"
+        assert r.icu_eq == r.want_icu, f"ICU key moved: {r.a!r} vs {r.b!r}"
+        # the round-10 headline: the derived weight key IS the LUT
+        assert r.strict_eq == r.ref, f"derived LUT key diverges: {r.a!r} vs {r.b!r}"
+
+
+def test_general_ci_weight_derivation():
+    """Unit pins on the public-data weight derivation itself — the exact
+    values the reference's weight_lut carries for these rows."""
+    from tiflash_spark.functions.collation import _general_ci_weight
+
+    assert _general_ci_weight(ord("ß")) == 0x53        # hand-mapped S
+    assert _general_ci_weight(ord("é")) == 0x45        # E via NFD+upper
+    assert _general_ci_weight(ord("İ")) == 0x49        # I via NFD first-cp
+    assert _general_ci_weight(ord("ẞ")) == ord("ẞ")    # post-4.x: own weight
+    assert _general_ci_weight(ord("ﬃ")) == ord("ﬃ")    # ligature: own weight
+    assert _general_ci_weight(ord("Ａ")) == ord("Ａ")   # fullwidth: own weight
+    assert _general_ci_weight(ord("ａ")) == ord("Ａ")   # ...but case-folds
+    assert _general_ci_weight(ord("a")) == ord("A")
+    assert _general_ci_weight(ord("ё")) == ord("Е")    # Cyrillic accent fold
+    assert _general_ci_weight(ord("ς")) == ord("Σ")    # final sigma
+    assert _general_ci_weight(ord("ı")) == ord("I")    # dotless i
+    assert _general_ci_weight(0x1F600) == 0xFFFD       # astral plane collapse

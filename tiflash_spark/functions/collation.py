@@ -18,8 +18,64 @@ explicit argument to the helpers, never ambient state.
 
 from __future__ import annotations
 
+import unicodedata
+from functools import lru_cache
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+@lru_cache(maxsize=None)
+def _general_ci_weight(cp: int) -> int:
+    """MySQL GENERAL_CI per-character sort weight, derived from PUBLIC
+    Unicode data (unicodedata's UnicodeData.txt tables) instead of
+    vendoring the reference's LUT (CollationLUT.cpp GeneralCI
+    weight_lut). The derivation that reproduces the table:
+
+    - weight = simple uppercase of the FIRST codepoint of the canonical
+      (NFD) decomposition — é→e→E (0x45), İ→I+dot→I (0x49), ё→е→Е;
+    - a character whose uppercase EXPANDS (ligatures: ﬃ→FFI) keeps its
+      own codepoint — the old tables predate multi-char weights;
+    - characters with no canonical decomposition keep their (simple-
+      uppercased) selves — ẞ, fullwidth Ａ stay distinct from ß / A;
+    - supplementary-plane characters all weigh 0xFFFD (utf8mb4_general_ci
+      collapses the astral planes onto REPLACEMENT CHARACTER);
+    - ß→'S' is the one non-derivable special case (the MySQL 4.x table
+      predates ẞ and hand-mapped ß to S).
+    """
+    if cp >= 0x10000:
+        return 0xFFFD
+    if cp == 0xDF:  # ß
+        return 0x53
+    ch = chr(cp)
+    d = unicodedata.normalize("NFD", ch)
+    base = d[0]
+    u = base.upper()
+    return ord(u) if len(u) == 1 else ord(base)
+
+
+_GCI_UDF = None
+
+
+def _general_ci_key_udf():
+    """Arrow-batched weight-string key; built lazily (pandas_udf needs an
+    active SparkSession) and cached for the process."""
+    global _GCI_UDF
+    if _GCI_UDF is None:
+        @F.pandas_udf("string")
+        def _k(s: pd.Series) -> pd.Series:
+            def one(x):
+                if x is None:
+                    return None
+                return "".join(
+                    chr(_general_ci_weight(ord(c))) for c in x
+                )
+
+            return pd.Series([one(x) for x in s], dtype=object)
+
+        _GCI_UDF = _k
+    return _GCI_UDF
 
 BINARY = "binary"
 BIN = "utf8mb4_bin"
@@ -53,18 +109,19 @@ def collation_key(col: Column | str, collation: str = BIN, strict: bool = True) 
     trailing-space-only differences compare equal. Only the 'binary'
     collation (and 0900_bin) is NoPad raw-byte comparison.
 
-    GENERAL_CI fidelity knob: the DEFAULT (round 9) is the strict ICU
-    UNICODE_CI_AI key — it matches the reference's per-char LUT
-    (CollationLUT.cpp GeneralCI::weight_lut) on the high-frequency
-    accent folds (é=e, İ=I) and is the same key the SQL surface's
-    native collated columns use (admin_sql CREATE maps *_ci to
-    UNICODE_CI_AI_RTRIM). The residual divergences vs the LUT are
-    rare-codepoint UCA-vs-LUT disagreements (UCA: ß=ss, ﬃ=ffi,
-    fullwidth=ASCII; LUT keeps each distinct) that cannot be matched
-    without vendoring the LUT itself. ``strict=False`` keeps the
+    GENERAL_CI fidelity knob: the DEFAULT (strict=True, round 10) is the
+    per-character weight key DERIVED from public Unicode data
+    (_general_ci_weight above) — it matches the reference's LUT
+    (CollationLUT.cpp GeneralCI::weight_lut) on every divergence-matrix
+    row, including the rows the round-9 ICU key could not (ß=s, ß≠ẞ,
+    ﬃ≠ffi, Ａ≠A). It is an Arrow-batched UDF, so the SQL surface's
+    native *_ci collated columns keep the engine-native
+    UNICODE_CI_AI_RTRIM collation instead (codegen-friendly; its
+    residual rare-codepoint divergences stay pinned in
+    tests/test_collation.py). ``strict=False`` keeps the
     lower(rtrim(...)) representative — exact on the ASCII bulk, accents
-    distinct. Both keys' per-case behavior is pinned executable in
-    tests/test_collation.py::test_general_ci_divergence_matrix."""
+    distinct. All three keys' per-case behavior is pinned executable in
+    test_general_ci_divergence_matrix."""
     c = F.col(col) if isinstance(col, str) else col
     collation = _ALIASES.get(collation, collation)
     if collation == BINARY:
@@ -77,7 +134,7 @@ def collation_key(col: Column | str, collation: str = BIN, strict: bool = True) 
         return F.rtrim(c)
     if collation == GENERAL_CI:
         if strict:
-            return F.collate(F.rtrim(c), "UNICODE_CI_AI")
+            return _general_ci_key_udf()(F.rtrim(c))
         return F.lower(F.rtrim(c))
     if collation == UNICODE_CI:
         # UCA primary-weight comparison (Collator.h UTF8MB4_UNICODE_CI →

@@ -26,12 +26,11 @@ This module rebuilds that environment Spark-first:
 - Region topology (put/split/merge/remove/snapshot) is a Python-side map;
   normal reads see only handles covered by the table's current regions
   (``raft/remove_region.test``), raw ``selraw`` reads see storage verbatim.
-- Snapshot application masks the region range's prior rows with the store's
-  Raft delete-range tombstone and re-ingests the snapshot rows above it —
-  the reference's applySnapshot delete-and-ingest.  Snapshot rows keep
-  their commit-ts when the range held no visible rows (selraw/read-tso
-  goldens show raw tsos); over live rows they shift above the tombstone,
-  which the suite only ever observes through latest-ts reads.
+- Snapshot application physically REPLACES the region range's prior rows
+  (a store rewrite at mock scale) and ingests the snapshot rows at their
+  original commit-ts — the reference's applySnapshot delete-and-ingest,
+  with raw tsos preserved unconditionally (selraw/read-tso goldens show
+  raw tsos).
 
 Query dialect: the scripts' SQL is ClickHouse-flavoured with TiDB test
 shims (``count()``, ``first_row``, ``uniqRawRes``, the ``cast_X_Y`` family
@@ -722,9 +721,10 @@ class DbgPhys:
         self.store.write_log_batch(df)
         self.written = True
 
-    def visible_in_range(self, table: "DbgTable", lo, hi) -> bool:
-        """Any MVCC-visible row with handle in [lo, hi)? (decides whether a
-        snapshot application needs the delete-range mask)."""
+    def raw_in_range(self, lo, hi) -> bool:
+        """Any RAW row (any version, incl. tombstones) with handle in
+        [lo, hi)? — decides whether a snapshot application must first
+        physically clear the range."""
         self.flush()
         if not self.written:
             return False
@@ -732,13 +732,41 @@ class DbgPhys:
             log = self.store.log()
         except ValueError:
             return False
-        df = snapshot_read(log).filter(
+        df = log.filter(
             (F.col(HANDLE) >= F.lit(lo)) & (F.col(HANDLE) < F.lit(hi))
         )
-        flt = self.store._range_del_filter(None)
-        if flt is not None:
-            df = df.filter(flt)
         return bool(df.limit(1).count())
+
+    def rewrite_without_range(self, lo, hi) -> None:
+        """Physically drop every raw row with handle in [lo, hi) — the
+        reference's applySnapshot REPLACES the region's old data before
+        ingesting (RegionTable::applySnapshotRegion), so ingested rows
+        keep their RAW commit-ts, observable through selraw and
+        read-tso-gated reads. Mock-scale implementation: read the full
+        raw log, rebuild the store in a fresh directory from the
+        surviving rows, carry the range-tombstone list over."""
+        self.flush()
+        if not self.written:
+            return
+        try:
+            log = self.store.log()
+        except ValueError:
+            return
+        survivors = log.filter(
+            ~((F.col(HANDLE) >= F.lit(lo)) & (F.col(HANDLE) < F.lit(hi)))
+        ).drop("_seg")
+        dels = self.store._range_dels()
+        self.env.seq += 1
+        self.path = self.path.rsplit("_", 1)[0] + f"_{self.env.seq}"
+        self._store = None  # old directory stays on disk: `survivors`
+        #                     reads from it lazily during the write below
+        if survivors.limit(1).count():
+            self.store.write_log_batch(survivors)
+            self.written = True
+        else:
+            self.written = False
+        if dels:
+            self.store._write_range_dels(dels)
 
 
 @dataclass
@@ -1126,20 +1154,19 @@ class DbgEnv:
 
     def apply_snapshot_rows(self, t: DbgTable, phys: DbgPhys, rid: int,
                             lo, hi, rows: list[tuple]) -> None:
-        """Reference applySnapshot: replace the region's data — prior rows
-        in range get a Raft delete-range tombstone, snapshot rows ingest
-        above it (commit-ts shift only when a mask was needed; the suite
-        observes masked stores through latest-ts reads only)."""
+        """Reference applySnapshot: REPLACE the region's data — prior
+        raw rows in range are physically dropped (a store rewrite at
+        mock scale), then snapshot rows ingest at their ORIGINAL
+        commit-ts. Raw tsos are preserved unconditionally (round-10:
+        previously a delete-range mask shifted them above a tombstone
+        whenever the range held visible rows)."""
         phys.drop_region_pending(int(rid))
-        shift = 0
-        if phys.visible_in_range(t, lo, hi):
-            shift = self.next_tso() + 1_000_000
-            self._tso = shift
-            phys.store.delete_range(lo, hi, shift)
+        if phys.raw_in_range(lo, hi):
+            phys.rewrite_without_range(lo, hi)
         for handle, tso, delmark, vals in rows:
             self.saw_tso(tso)
             self.note_wide(t, phys, vals)
-            phys.add_pending(handle, tso + shift, delmark,
+            phys.add_pending(handle, tso, delmark,
                              {} if delmark else vals, int(rid))
         phys.flush()
 
