@@ -151,3 +151,55 @@ def test_all_scripts_adjudicated():
         for p in DELTA_MERGE_TESTS.rglob("*.test")
     )
     assert all_scripts == sorted(PASSING)
+
+
+def test_snapshot_over_live_rows_keeps_raw_tso(spark, tmp_path):
+    """Round-10 pin for the reference's applySnapshot semantics the suite
+    itself never observes: applying a snapshot OVER previously-visible
+    rows physically replaces the range, and the ingested rows keep their
+    RAW commit-ts — visible through selraw's _INTERNAL_VERSION and a
+    read-tso-gated read (round-9 shifted them above a mask tombstone)."""
+    script = tmp_path / "raw_tso_snapshot.test"
+    script.write_text("""
+=> DBGInvoke __enable_schema_sync_service('false')
+=> DBGInvoke __clean_up_region()
+=> DBGInvoke __drop_tidb_table(default, test_dm)
+=> DBGInvoke __refresh_schemas()
+=> DBGInvoke __mock_tidb_table(default, test_dm, 'col_1 Int64')
+=> DBGInvoke __refresh_mapped_table_schema(default, test_dm)
+=> DBGInvoke __region_snapshot(4, 0, 1000, default, test_dm)
+=> DBGInvoke __raft_insert_row_full(default, test_dm, 4, 2, 1, 0, 10)
+=> DBGInvoke __raft_insert_row_full(default, test_dm, 4, 2, 3, 0, 11)
+=> DBGInvoke __raft_insert_row_full(default, test_dm, 4, 1, 2, 0, 12)
+=> DBGInvoke __try_flush_region(4)
+=> DBGInvoke query_mapped('select * from \\$d.\\$t order by _tidb_rowid', default, test_dm)
+┌─col_1─┬─_tidb_rowid─┐
+│    12 │           1 │
+│    11 │           2 │
+└───────┴─────────────┘
+=> DBGInvoke __region_snapshot_data(
+    default, test_dm,
+    4, 0, 1000,
+    2, 3, 0, 21,
+    1, 3, 0, 23
+    )
+=> DBGInvoke __try_flush_region(4)
+=> DBGInvoke query_mapped('selraw col_1, _INTERNAL_VERSION from \\$d.\\$t', default, test_dm)
+┌─col_1─┬─_INTERNAL_VERSION─┐
+│    23 │                 3 │
+│    21 │                 3 │
+└───────┴───────────────────┘
+>> DBGInvoke query_mapped('select * from \\$d.\\$t order by _tidb_rowid', default, test_dm) " --read_tso "3
+┌─col_1─┬─_tidb_rowid─┐
+│    23 │           1 │
+│    21 │           2 │
+└───────┴─────────────┘
+>> DBGInvoke query_mapped('select * from \\$d.\\$t order by _tidb_rowid', default, test_dm) " --read_tso "2
+┌─col_1─┬─_tidb_rowid─┐
+└───────┴─────────────┘
+=> DBGInvoke __drop_tidb_table(default, test_dm)
+=> DBGInvoke __refresh_schemas()
+""")
+    res = run_script(spark, script, str(tmp_path))
+    assert res.ok, "\n".join(res.mismatches[:10])
+    assert res.checked >= 4
