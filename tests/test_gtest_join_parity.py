@@ -277,3 +277,36 @@ def test_left_join_agg_other_condition(spark, tmp_path):
         stores, base,
     ).collect()[0][0]
     assert n == 2
+
+
+def test_join_cast_cross_type_keys(spark, tmp_path):
+    """gtest JoinCast: join keys of different physical types coerce to
+    the least common type and match on VALUE — int=float, int=double,
+    float=double, char=varchar=blobs, decimals of different scales, and
+    datetime=timestamp (1-row inner joins; count(1) = 1 in each)."""
+    stores: dict = {}
+    base = str(tmp_path)
+
+    def one(ddl1, v1, ddl2, v2):
+        run_sql(spark, "drop table if exists c1", stores, base)
+        run_sql(spark, "drop table if exists c2", stores, base)
+        run_sql(spark, f"create table c1 (a {ddl1})", stores, base)
+        run_sql(spark, f"create table c2 (a {ddl2})", stores, base)
+        run_sql(spark, f"insert into c1 values ({v1})", stores, base)
+        run_sql(spark, f"insert into c2 values ({v2})", stores, base)
+        return run_sql(
+            spark,
+            "select count(1) from c1 join c2 on c1.a = c2.a",
+            stores, base,
+        ).collect()[0][0]
+
+    assert one("int", "1", "float", "1.0") == 1
+    assert one("int", "1", "double", "1.0") == 1
+    assert one("float", "1", "double", "1") == 1
+    assert one("char(5)", "'x'", "varchar(5)", "'x'") == 1
+    assert one("text", "'x'", "varchar(5)", "'x'") == 1
+    # decimal keys at different scales match on value, not rendering
+    assert one("decimal(9,4)", "0.12", "decimal(9,3)", "0.12") == 1
+    assert one("decimal(9,4)", "0.123", "decimal(9,3)", "0.123") == 1
+    assert one("datetime", "'1970-01-01 00:00:01'",
+               "timestamp", "'1970-01-01 00:00:01'") == 1
