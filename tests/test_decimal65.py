@@ -405,6 +405,63 @@ def test_wide_range_compare_exact_past_double(spark, tmp_path):
     assert got == [2]
 
 
+def test_wide_arithmetic_exact(spark, tmp_path):
+    """+/-/*// on wide columns run exactly in Python decimal (round-10):
+    the string exposure previously rode Spark's implicit string→double
+    cast, silently rounding past 2^53."""
+    stores: dict = {}
+    base = str(tmp_path)
+    run_sql(spark, "create table ar (id int, a decimal(60, 5),"
+            " b decimal(60, 5))", stores, base)
+    run_sql(
+        spark,
+        f"insert into ar values (1, {WIDE}.12345, 0.00001), (2, 1.5, -3)",
+        stores, base,
+    )
+    row = {
+        r.id: r
+        for r in run_sql(
+            spark,
+            "select id, a + b as s, a - b as d, a * b as p, a / b as q"
+            " from ar order by id",
+            stores, base,
+        ).collect()
+    }
+    from decimal import localcontext
+
+    with localcontext() as dctx:
+        dctx.prec = 100
+        A, B = Decimal(WIDE + ".12345"), Decimal("0.00001")
+        assert Decimal(row[1].s) == A + B
+        assert Decimal(row[1].d) == A - B
+        assert Decimal(row[1].p) == A * B
+        # div scale = a.scale (5) + div_precision_increment (4)
+        assert Decimal(row[1].q) == (A / B).quantize(Decimal("1e-9"))
+        assert Decimal(row[2].s) == Decimal("-1.5")
+        assert Decimal(row[2].p) == Decimal("-4.5")
+    # three-term chain, left-associative
+    got = run_sql(spark, "select a - b + b as x from ar where id = 1",
+                  stores, base).collect()[0].x
+    assert Decimal(got) == Decimal(WIDE + ".12345")
+    # division by zero -> NULL (MySQL)
+    got0 = run_sql(spark, "select a / (b - b) as z from ar where id = 1",
+                   stores, base).collect()[0].z
+    assert got0 is None
+    # aggregate over an arithmetic body stays exact end-to-end
+    tot = run_sql(spark, "select sum(a + b) as t from ar",
+                  stores, base).collect()[0].t
+    with localcontext() as dctx:
+        dctx.prec = 100
+        assert Decimal(tot) == (Decimal(WIDE + ".12345")
+                                + Decimal("0.00001")
+                                + Decimal("1.5") + Decimal("-3"))
+    # comparison against an arithmetic result is exact (call-side wrap)
+    ids = [r.id for r in run_sql(
+        spark, "select id from ar where a + b > 0 order by id",
+        stores, base).collect()]
+    assert ids == [1]
+
+
 def test_sortkey_total_order(spark):
     """Binary order of dec65_sortkey strings IS numeric order, across
     signs, magnitudes, scales, and the 81-digit saturation cap."""

@@ -243,6 +243,45 @@ def register_decimal65_udfs(spark) -> list[str]:
             [one(xi, ii, si) for xi, ii, si in zip(x, i, sc)], dtype=object
         )
 
+    # --- exact binary arithmetic --------------------------------------------
+    # +/-/* at MySQL's decimal result scales (add/sub: max(s1,s2), mul:
+    # s1+s2 — Python decimal arithmetic yields exactly these), division
+    # at s1 + div_precision_increment (quantized half-up, NULL on /0).
+    # Reference: Decimal256 arithmetic in dbms/src/Common/Decimal.h.
+    def _binop(fn):
+        @pandas_udf("string")
+        def _f(a: pd.Series, b: pd.Series) -> pd.Series:
+            def one(ai, bi):
+                da, db = _parse(ai), _parse(bi)
+                if da is None or db is None:
+                    return None
+                return _fixed(fn(da, db))
+
+            return pd.Series(
+                [one(ai, bi) for ai, bi in zip(a, b)], dtype=object
+            )
+
+        return _f
+
+    _add = _binop(_CTX.add)
+    _sub = _binop(_CTX.subtract)
+    _mul = _binop(_CTX.multiply)
+
+    @pandas_udf("string")
+    def _div(a: pd.Series, b: pd.Series, inc: pd.Series) -> pd.Series:
+        def one(ai, bi, inci):
+            da, db = _parse(ai), _parse(bi)
+            if da is None or db is None or db == 0:
+                return None
+            sc = -da.as_tuple().exponent
+            return _fixed(
+                _CTX.divide(da, db), max(sc, 0) + int(inci)
+            )
+
+        return pd.Series(
+            [one(*t) for t in zip(a, b, inc)], dtype=object
+        )
+
     # --- order-preserving sort key ------------------------------------------
     # Wide columns expose as canonical STRINGS; lexicographic string order
     # misorders numerics ('10.5' < '9.5'). dec65_sortkey renders a
@@ -377,9 +416,14 @@ def register_decimal65_udfs(spark) -> list[str]:
     spark.udf.register("dec65_sum_arr", _sum_arr)
     spark.udf.register("dec65_avg_arr", _avg_arr)
     spark.udf.register("dec65_avg_fin", _avg_fin)
+    spark.udf.register("dec65_add", _add)
+    spark.udf.register("dec65_sub", _sub)
+    spark.udf.register("dec65_mul", _mul)
+    spark.udf.register("dec65_div", _div)
     return [
         "dec65_canon", "dec65_norm", "dec65_mod", "dec65_round",
         "dec65_truncate", "dec65_abs", "dec65_format", "dec65_sum",
         "dec65_limb", "dec65_sum_fin", "dec65_sortkey", "dec65_sum_arr",
-        "dec65_avg_arr", "dec65_avg_fin",
+        "dec65_avg_arr", "dec65_avg_fin", "dec65_add", "dec65_sub",
+        "dec65_mul", "dec65_div",
     ]

@@ -2734,6 +2734,20 @@ def _rewrite_dec65(sql: str, stores) -> str:
         _fn_sub, sql,
     )
 
+    # --- +/-/*// over WIDE operands: exact decimal arithmetic ---------------
+    # A wide column's string exposure would otherwise ride Spark's
+    # implicit string→double cast (silent precision loss past 2^53).
+    # Scope: chains whose operands are all simple columns/literals —
+    # * chains first (binds tighter), then +/- chains, then / pairs;
+    # context guards skip any chain adjacent to other arithmetic so a
+    # regex rewrite can never change precedence (those mixed shapes keep
+    # the old double path). MySQL result scales: add/sub max(s1,s2),
+    # mul s1+s2 (Python decimal's own rules), div s1 +
+    # div_precision_increment. Reference: Decimal256 arithmetic,
+    # dbms/src/Common/Decimal.h.
+    if wide:
+        sql = _rewrite_dec65_arith(sql, _in_wide, _in_dbl, as_str)
+
     sql = _wrap_dec65_sums(sql, wide, d65, is_wide=_in_wide,
                            scale_of=_scale_of)
 
@@ -2785,6 +2799,118 @@ def _rewrite_dec65(sql: str, stores) -> str:
 
     if wide:
         sql = _rewrite_dec65_order_by(sql, _in_wide)
+    return sql
+
+
+_D65_CALL = r"dec65_(?:add|sub|mul|div)\((?:[^()]|\([^()]*\))*\)"
+
+_SQL_KEYWORDS = frozenset((
+    "interval", "and", "or", "not", "xor", "case", "when", "then", "else",
+    "end", "null", "true", "false", "between", "like", "in", "is", "as",
+    "distinct", "all", "any", "some", "exists",
+))
+
+
+def _rewrite_dec65_arith(sql: str, in_wide, in_dbl, as_str) -> str:
+    """Binary arithmetic on wide-dec65 operands → exact dec65_* UDFs.
+    See the call site in _rewrite_dec65 for scope and semantics."""
+
+    def ctx_ok(s: str, start: int, end: int, lead: str, trail: str) -> bool:
+        i = start - 1
+        while i >= 0 and s[i].isspace():
+            i -= 1
+        if i >= 0 and s[i] in lead:
+            return False
+        j = end
+        while j < len(s) and s[j].isspace():
+            j += 1
+        return not (j < len(s) and s[j] in trail)
+
+    def run_chain(sql: str, ops: str, fns: dict[str, str],
+                  lead: str, trail: str) -> str:
+        pat = re.compile(
+            rf"(?<!['\w`.])(?P<h>{_D65_OPERAND})"
+            rf"(?P<rest>(?:\s*[{re.escape(ops)}]\s*{_D65_OPERAND})+)"
+            rf"(?!['\w`(])"
+        )
+        sep = re.compile(rf"\s*(?P<op>[{re.escape(ops)}])\s*"
+                         rf"(?P<o>{_D65_OPERAND})")
+        out: list[str] = []
+        pos = 0
+        for m in pat.finditer(sql):
+            if m.start() < pos:
+                continue
+            if not ctx_ok(sql, m.start(), m.end(), lead, trail):
+                continue
+            parts = [m.group("h")]
+            opers = []
+            for sm in sep.finditer(m.group("rest")):
+                opers.append(sm.group("op"))
+                parts.append(sm.group("o"))
+            if any(_d65_base(p).lower() in _SQL_KEYWORDS for p in parts):
+                continue  # `wide + interval 1 day`-style shapes: keep native
+            if not any(in_wide(p) for p in parts):
+                continue
+            if any(in_dbl(p) for p in parts):
+                continue  # MySQL: a double operand makes it double math
+            acc = as_str(parts[0])
+            for op, p in zip(opers, parts[1:]):
+                acc = f"{fns[op]}({acc}, {as_str(p)})"
+            out.append(sql[pos:m.start()])
+            out.append(acc)
+            pos = m.end()
+        out.append(sql[pos:])
+        return "".join(out)
+
+    # * binds tighter: rewrite its chains first, then +/- chains; both
+    # skip when adjacent to other arithmetic (precedence safety)
+    sql = run_chain(sql, "*", {"*": "dec65_mul"}, lead="*/%", trail="/")
+    sql = run_chain(sql, "+-", {"+": "dec65_add", "-": "dec65_sub"},
+                    lead="*/%+-", trail="*/%")
+
+    # division pairs
+    div_pat = re.compile(
+        rf"(?<!['\w`.])(?P<a>{_D65_OPERAND})\s*/\s*"
+        rf"(?P<b>{_D65_OPERAND})(?!['\w`(])"
+    )
+    out: list[str] = []
+    pos = 0
+    inc = _div_precision_increment()
+    for m in div_pat.finditer(sql):
+        if m.start() < pos:
+            continue
+        if not ctx_ok(sql, m.start(), m.end(), "*/%", ""):
+            continue
+        a, b = m.group("a"), m.group("b")
+        if not (in_wide(a) or in_wide(b)) or in_dbl(a) or in_dbl(b):
+            continue
+        out.append(sql[pos:m.start()])
+        out.append(f"dec65_div({as_str(a)}, {as_str(b)}, {inc})")
+        pos = m.end()
+    out.append(sql[pos:])
+    sql = "".join(out)
+
+    # comparisons against an emitted call: the later per-column cmp
+    # rewrites only see bare column operands, so wrap call-vs-operand
+    # compares here (= family via dec65_norm, ranges via the sort key)
+    def _cmp_call(m: re.Match) -> str:
+        a, op, b = m.group(1), m.group(2), m.group(3)
+        wa = a if a.startswith("dec65_") else as_str(a)
+        wb = b if b.startswith("dec65_") else as_str(b)
+        if op in ("=", "<=>", "!=", "<>"):
+            return f"dec65_norm({wa}) {op} dec65_norm({wb})"
+        return f"dec65_sortkey({wa}) {op} dec65_sortkey({wb})"
+
+    sql = re.sub(
+        rf"(?<!['\w`.])({_D65_CALL})\s*(<=>|<>|!=|>=|<=|=|<|>)\s*"
+        rf"({_D65_CALL}|{_D65_OPERAND})(?!['\w`(])",
+        _cmp_call, sql,
+    )
+    sql = re.sub(
+        rf"(?<!['\w`.])({_D65_OPERAND})\s*(<=>|<>|!=|>=|<=|=|<|>)\s*"
+        rf"({_D65_CALL})",
+        _cmp_call, sql,
+    )
     return sql
 
 
