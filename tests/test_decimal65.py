@@ -462,6 +462,39 @@ def test_wide_arithmetic_exact(spark, tmp_path):
     assert ids == [1]
 
 
+def test_wide_least_greatest_between_in(spark, mixed_sign_table):
+    """LEAST/GREATEST, BETWEEN, and IN-lists on wide columns compare
+    numerically (round-10): lexicographic order would pick '9.5' over
+    '10.5' and miss sign folds."""
+    stores, base = mixed_sign_table
+    row = run_sql(
+        spark,
+        "select least(a, 10) as lo, greatest(a, 10) as hi from o"
+        " where id = 2",  # a = 9.5
+        stores, base,
+    ).collect()[0]
+    assert Decimal(row.lo) == Decimal("9.5")
+    assert Decimal(row.hi) == Decimal("10")
+    # NULL operand -> NULL (MySQL)
+    row7 = run_sql(
+        spark, "select least(a, 10) as lo from o where id = 7",
+        stores, base,
+    ).collect()[0]
+    assert row7.lo is None
+    ids = [r.id for r in run_sql(
+        spark,
+        "select id from o where a between -10 and 10 order by id",
+        stores, base,
+    ).collect()]
+    assert ids == [2, 4, 8]  # 9.5, -9.5, 0; ±10.5/±WIDE/NULL excluded
+    got_in = [r.id for r in run_sql(
+        spark,
+        f"select id from o where a in (9.5, -{WIDE}, 3) order by id",
+        stores, base,
+    ).collect()]
+    assert got_in == [2, 6]
+
+
 def test_sortkey_total_order(spark):
     """Binary order of dec65_sortkey strings IS numeric order, across
     signs, magnitudes, scales, and the 81-digit saturation cap."""

@@ -2797,7 +2797,66 @@ def _rewrite_dec65(sql: str, stores) -> str:
                     sql,
                 )
 
+    # --- LEAST/GREATEST, BETWEEN, IN-lists on wide operands ------------------
+    # all three would otherwise compare the string exposure
+    # lexicographically ('10.5' < '9.5'); route them through the numeric
+    # sort key / normalized value. Runs BEFORE the generic
+    # least/greatest scanner in _rewrite_mysql_exprs (which spells
+    # array_min/array_max — lexicographic on strings).
     if wide:
+        def _gl_sub(mm: re.Match) -> str:
+            fn = mm.group("fn").lower()
+            ops = [o.strip() for o in mm.group("args").split(",")]
+            if not any(_in_wide(o) for o in ops):
+                return mm.group(0)
+            nulls = " OR ".join(f"({as_str(o)}) IS NULL" for o in ops)
+            agg = "array_min" if fn == "least" else "array_max"
+            structs = ", ".join(
+                f"named_struct('k', dec65_sortkey({as_str(o)}),"
+                f" 'v', {as_str(o)})" for o in ops
+            )
+            # MySQL: NULL when ANY argument is NULL
+            return (f"(CASE WHEN {nulls} THEN NULL"
+                    f" ELSE ({agg}(array({structs}))).v END)")
+
+        sql = re.sub(
+            rf"(?i)\b(?P<fn>least|greatest)\s*\(\s*"
+            rf"(?P<args>{_D65_OPERAND}(?:\s*,\s*{_D65_OPERAND})+)\s*\)",
+            _gl_sub, sql,
+        )
+
+        def _between_sub(mm: re.Match) -> str:
+            a, x, y = mm.group("a"), mm.group("x"), mm.group("y")
+            if not (_in_wide(a) or _in_wide(x) or _in_wide(y)):
+                return mm.group(0)
+            n = mm.group("neg") or ""
+            return (f"dec65_sortkey({as_str(a)}) {n}BETWEEN"
+                    f" dec65_sortkey({as_str(x)})"
+                    f" AND dec65_sortkey({as_str(y)})")
+
+        sql = re.sub(
+            rf"(?i)(?<!['\w`.])(?P<a>{_D65_OPERAND})\s+"
+            rf"(?P<neg>NOT\s+)?BETWEEN\s+(?P<x>{_D65_OPERAND})\s+"
+            rf"AND\s+(?P<y>{_D65_OPERAND})(?!['\w`(])",
+            _between_sub, sql,
+        )
+
+        def _in_sub(mm: re.Match) -> str:
+            a = mm.group("a")
+            items = [o.strip() for o in mm.group("list").split(",")]
+            if not (_in_wide(a) or any(_in_wide(o) for o in items)):
+                return mm.group(0)
+            lst = ", ".join(f"dec65_norm({as_str(o)})" for o in items)
+            n = mm.group("neg") or ""
+            return f"dec65_norm({as_str(a)}) {n}IN ({lst})"
+
+        sql = re.sub(
+            rf"(?i)(?<!['\w`.])(?P<a>{_D65_OPERAND})\s+"
+            rf"(?P<neg>NOT\s+)?IN\s*\(\s*"
+            rf"(?P<list>{_D65_OPERAND}(?:\s*,\s*{_D65_OPERAND})*)\s*\)",
+            _in_sub, sql,
+        )
+
         sql = _rewrite_dec65_order_by(sql, _in_wide)
     return sql
 
