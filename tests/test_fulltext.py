@@ -133,6 +133,48 @@ def test_bm25_scores_and_ranking_divergence(spark):
     assert bm_rank[0] == 2
 
 
+def test_corpus_stats_persisted_matches_inline(spark, tmp_path, monkeypatch):
+    """corpus_stats (round 10: (n_docs, avgdl) stored beside the index at
+    build time) returns the same values as the inline doclen aggregate,
+    persists to a 1-row parquet, and yields the same BM25 result when
+    passed to bm25_search."""
+    import os
+    import shutil
+
+    from tiflash_spark.pipeline import fulltext as ft
+
+    docs = spark.createDataFrame(DOCS)
+    monkeypatch.setattr(ft, "load_table", lambda _s, _d, _n: docs)
+    sf_dir = str(tmp_path / "sfY")
+    postings, doclen = ft.index_tables(spark, sf_dir)
+    try:
+        stats = ft.corpus_stats(spark, sf_dir, doclen)
+        loc = os.path.join(ft._warehouse_path(spark), f"ft_stats_{ft._sf_tag(sf_dir)}")
+        assert os.path.isdir(loc)
+        inline = doclen.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        ).collect()[0]
+        got = stats.collect()
+        assert len(got) == 1
+        assert (got[0].n_docs, got[0].avgdl) == (inline.n_docs, inline.avgdl)
+        with_stats = ft.bm25_search(
+            postings, doclen, ["quick", "fox"], k=10, stats=stats
+        ).collect()
+        without = ft.bm25_search(postings, doclen, ["quick", "fox"], k=10).collect()
+        assert with_stats == without
+    finally:
+        for t in (f"ft_postings_{ft._sf_tag(sf_dir)}", f"ft_doclen_{ft._sf_tag(sf_dir)}"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(
+                os.path.join(ft._warehouse_path(spark), t.lower()), ignore_errors=True
+            )
+        shutil.rmtree(
+            os.path.join(ft._warehouse_path(spark), f"ft_stats_{ft._sf_tag(sf_dir)}"),
+            ignore_errors=True,
+        )
+
+
 def test_index_tables_reregister_from_files(spark, tmp_path, monkeypatch):
     """index_tables survives a catalog wipe: dropping the (external) table
     entries and calling again re-registers from the on-disk bucketed files

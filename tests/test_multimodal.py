@@ -211,6 +211,38 @@ def test_phash_stub_mean_threshold():
     assert phash_stub(bytes([3]) * 100) == 1 << 3  # one hot bucket
 
 
+def test_phash_media_numpy_matches_stub(spark):
+    """The NumPy bincount path inside phash_media (round-10 speedup)
+    computes the same integer mean-threshold signature as the scalar
+    phash_stub reference, including None/empty, the 4096-byte cap, and
+    payloads with every bucket shape."""
+    import random
+
+    from pyspark.sql import Row
+
+    from tiflash_spark.pipeline.multimodal import phash_media, phash_stub
+
+    rng = random.Random(7)
+    payloads = [
+        None,
+        b"",
+        bytes(range(16)) * 4,
+        bytes([3]) * 100,
+        bytes(rng.randrange(256) for _ in range(5000)),  # beyond the 4096 cap
+        bytes(rng.randrange(256) for _ in range(333)),
+        bytes([255, 0, 17]) * 50,
+    ]
+    rows = [
+        Row(media_id=i, media_type="image/png", payload=p,
+            meta=Row(declared_w=0, declared_h=0, codec="fake"))
+        for i, p in enumerate(payloads)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.media_id: r.phash for r in phash_media(df).collect()}
+    want = {i: phash_stub(p) for i, p in enumerate(payloads)}
+    assert got == want
+
+
 def test_multimodal_phash_report_consistency(spark):
     """Exact-dup members >= 2 per group; banded candidates are DISTINCT
     SIGNATURE pairs (exact dups are grouped before banding — banding raw

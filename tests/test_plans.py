@@ -170,7 +170,11 @@ def test_round3_query_shuffle_ceilings(spark):
         "shard_training_order": 2,   # shard window shuffle + final agg
         "mix_token_budget": 10,      # 2 corpus legs (bucket agg + bucket window);
                                      # rest are |sources|-row offs/quota frames
-        "multimodal_phash": 6,       # sig agg + distinct-sig band join + 1-row assembly
+        "multimodal_phash": 8,       # sig agg (cached; its ONE build exchange
+                                     # prints once per InMemoryTableScan use,
+                                     # 4×) + distinct-sig band join + 1-row
+                                     # assembly; runtime pays 1 decode pass +
+                                     # 1 sig-agg shuffle (was 4 decode passes)
         # TPC-DS perf-suite shapes (dims broadcast; only the fact shuffles)
         "tpcds_q67_shape": 3,        # rollup agg + window sort + final order
         "tpcds_q27_shape": 2,        # rollup agg + order

@@ -555,10 +555,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     size/region slice, the supplier(s) offering the regional minimum
     supplycost — the correlated-min-over-suppliers shape.
 
-    Plan: the eligible (region-scoped) partsupp is aggregated to a
-    per-part min (one shuffle on ps_partkey), then joined back on
-    (ps_partkey, cost) — co-partitioned with the agg, so no extra
-    exchange of the big side; nation/region broadcast."""
+    Plan: the eligible (region-scoped) partsupp is built ONCE and the
+    per-part minimum comes from a window MIN over ps_partkey — one
+    shuffle, one pass. The agg + join-back formulation planned the whole
+    5-table eligible tree twice (Catalyst has no common-subtree reuse
+    across DataFrame branches): 2× the partsupp synthesis and supplier
+    joins plus an extra exchange, for the same rows."""
+    from pyspark.sql import Window
+
     from tiflash_spark.catalog import synth_partsupp
 
     ps = synth_partsupp(spark, sf_dir)
@@ -571,14 +575,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
-    min_cost = eligible.groupBy(
-        F.col("ps_partkey").alias("_mk")
-    ).agg(F.min("ps_supplycost").alias("min_cost"))
-    # join back on the SINGLE agg key (co-partitioned with the groupBy —
-    # no reshuffle) and take the cost match as a filter, not a join key
+    min_cost = F.min("ps_supplycost").over(Window.partitionBy("ps_partkey"))
     return (
-        eligible.join(min_cost, F.col("ps_partkey") == F.col("_mk"))
-        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        eligible.withColumn("_min_cost", min_cost)
+        .filter(F.col("ps_supplycost") == F.col("_min_cost"))
         .join(p, eligible.ps_partkey == p.p_partkey)
         .select(
             "s_acctbal",

@@ -913,7 +913,17 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     base = d.select("doc_id", "source", "text")
     if scan_underparallelized(base, par):
-        base = base.repartition(par)
+        # restore parallelism by hash-partitioning on the dedup
+        # FINGERPRINT (md5 is cheap map-side work) instead of
+        # round-robin: the same exchange then already satisfies the
+        # keeper window's required distribution, so the corpus crosses
+        # the wire once, not twice (round-robin repartition + a second
+        # full-width fp exchange before the window)
+        base = base.withColumn("fp", fingerprint(F.col("text"))).repartition(
+            par, "fp"
+        )
+    else:
+        base = base.withColumn("fp", fingerprint(F.col("text")))
     wtok = tokens(F.col("text"))
     base = base.withColumn("w", wtok)
     n = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
@@ -927,7 +937,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (dup_gram_frac(F.col("w"), 3) <= 0.2)
     )
     quality = base.where(keep & (F.col("doc_id") % 97 != 0)).select(
-        "doc_id", "source", "text"
+        "doc_id", "source", "text", "fp"
     )
     # … the exact-dedup keeper is a window min over the fingerprint (no
     # self-join), and the quality/keeper frame is cached so the per-stage
@@ -938,7 +948,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # RDD after 4 calls; forcing unpersist-per-call recomputed the corpus
     # pass every time and doubled the steady-state runtime, 1.6 s → 3.3 s
     # at sf0.1)
-    qf = quality.withColumn("fp", fingerprint(F.col("text"))).withColumn(
+    qf = quality.withColumn(
         "is_keeper",
         F.col("doc_id")
         == F.min("doc_id").over(Window.partitionBy("fp")),

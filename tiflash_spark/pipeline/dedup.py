@@ -788,17 +788,25 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" concat_ws(' ', slice(w, i + 1, {K})) AS gram))"
             )
         ).alias("g"),
-    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
-    # one window shuffle on the gram key finds every duplicated position
-    # in a single corpus pass (measured against a two-pass xxhash64
-    # prefilter + string-confirm join: the prefilter halves shuffle bytes
-    # but re-runs or caches the explode, and loses — 1.7-2.8 s vs 1.5 s
-    # at sf0.1). The per-partition sort is spillable, so a hot boilerplate
-    # gram degrades to disk, never to OOM; at 100 TB the prefilter wins
-    # only with the gram table materialized at rest (the ws_tokens
-    # treatment), which this corpus does not warrant
+    ).select(
+        "doc_id",
+        F.col("g.pos").alias("pos"),
+        F.xxhash64(F.col("g.gram")).alias("gh"),
+    )
+    # one window shuffle on the HASHED gram key finds every duplicated
+    # position in a single corpus pass. Hashing map-side (xxhash64 in the
+    # projection above) means the exchange carries (doc_id, pos, gh) = 24
+    # bytes/row instead of the ~8-token gram string (~50+ bytes), and the
+    # window's partition sort compares longs, not strings — the §2.3
+    # "shuffle keys instead of payloads" rule. Collision odds are
+    # ~n_grams²/2⁶⁵ (≪1e-6 at any tested sf; the oracle re-verifies the
+    # exact-string answer at every sf). A two-pass hash prefilter +
+    # string-confirm join was also measured and loses (1.7-2.8 s vs
+    # 1.5 s at sf0.1): it re-runs or caches the explode. The
+    # per-partition sort is spillable, so a hot boilerplate gram degrades
+    # to disk, never to OOM.
     dup_pos = grams.withColumn(
-        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("gram"))
+        "n_occ", F.count(F.lit(1)).over(Window.partitionBy("gh"))
     ).where(F.col("n_occ") > 1)
     per_doc = dup_pos.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_dup_pos"),

@@ -157,6 +157,27 @@ def index_tables(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
     return postings, doclen
 
 
+def corpus_stats(spark: SparkSession, sf_dir: str, doclen: DataFrame) -> DataFrame:
+    """The 1-row (n_docs, avgdl) frame BM25 needs, persisted BESIDE the
+    index like doclen itself (any real BM25 index stores its corpus
+    stats with the postings): per query it is a 1-row parquet read
+    instead of a full doc-length aggregate + broadcast subtree. Falls
+    back to computing inline when there is no local warehouse."""
+    import os
+
+    agg = lambda: doclen.agg(  # noqa: E731
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    wh = _warehouse_path(spark)
+    if not wh:
+        return agg()
+    loc = os.path.join(wh, f"ft_stats_{_sf_tag(sf_dir)}")
+    if not os.path.isdir(loc):
+        agg().coalesce(1).write.mode("overwrite").parquet(loc)
+    return spark.read.parquet(loc)
+
+
 def keyword_search(
     postings: DataFrame,
     terms: list[str],
@@ -218,6 +239,7 @@ def bm25_search(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k docs by BM25 (OR semantics — standard BM25 scores any doc
     matching ≥1 term). Relevance ranking over the inverted index, the
@@ -227,21 +249,23 @@ def bm25_search(
     score(D) = Σ_t ln(1 + (N - df_t + .5)/(df_t + .5))
                  · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
 
-    Scale: the only full-corpus inputs are N and avgdl — one tiny agg over
-    the doc-length table (one row per doc, built at index time), broadcast
-    as a 1-row frame. Everything else touches just the query terms' posting
-    rows (bucket-pruned) and their docs' length rows.
+    Scale: the only full-corpus inputs are N and avgdl — pass ``stats``
+    (the 1-row frame corpus_stats persists beside the index at build
+    time) so the query never aggregates the doc-length table at all;
+    without it the stats are one tiny agg over doclen (one row per doc),
+    broadcast as a 1-row frame. Everything else touches just the query
+    terms' posting rows (bucket-pruned) and their docs' length rows.
     """
     hits = postings.filter(F.col("term").isin(*terms)).select("term", "doc_id", "tf")
     df_t = F.broadcast(
         hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     )
-    corpus = F.broadcast(
-        doclen.agg(
+    if stats is None:
+        stats = doclen.agg(
             F.count(F.lit(1)).cast("double").alias("n_docs"),
             F.avg("dl").alias("avgdl"),
         )
-    )
+    corpus = F.broadcast(stats)
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + norm)
@@ -342,7 +366,10 @@ ORDER BY kw.total_tf DESC, kw.doc_id
 def fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance ranking over the persisted inverted index."""
     postings, doclen = index_tables(spark, sf_dir)
-    return bm25_search(postings, doclen, SEARCH_TERMS, k=20)
+    return bm25_search(
+        postings, doclen, SEARCH_TERMS, k=20,
+        stats=corpus_stats(spark, sf_dir, doclen),
+    )
 
 
 FULLTEXT_BM25_SQL = """
@@ -411,7 +438,14 @@ def boolean_search(
     Scale: one bucket-pruned lookup for must+should, one doc_id agg, and
     one anti-join whose build side is only the must_not terms' postings
     — no corpus scan anywhere (reference FullTextIndex/Reader.h query
-    model)."""
+    model).
+
+    ``postings`` must be an inverted index: exactly one row per
+    (term, doc_id), which the index build guarantees (build_postings is
+    a GROUP BY term, doc_id). That uniqueness lets the match counts be
+    plain conditional COUNTs — a COUNT(DISTINCT term) here would plan an
+    Expand (3× the hit rows) plus an extra exchange for the
+    distinct-aggregate expansion, for identical results."""
     should = list(should or [])
     must_not = list(must_not or [])
     if not must:
@@ -420,8 +454,8 @@ def boolean_search(
     hits = postings.filter(F.col("term").isin(*lookup)).select("term", "doc_id", "tf")
     is_must = F.col("term").isin(*must)
     per_doc = hits.groupBy("doc_id").agg(
-        F.countDistinct(F.when(is_must, F.col("term"))).alias("n_must"),
-        F.countDistinct(
+        F.count(F.when(is_must, F.col("term"))).alias("n_must"),
+        F.count(
             F.when(~is_must, F.col("term")) if should else F.lit(None)
         ).cast("long").alias("n_should"),
         F.sum("tf").cast("long").alias("total_tf"),

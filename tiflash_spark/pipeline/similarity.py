@@ -946,10 +946,18 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rounded score desc, doc_id)."""
     from pyspark.sql import Window
 
-    from tiflash_spark.pipeline.fulltext import SEARCH_TERMS, bm25_search, index_tables
+    from tiflash_spark.pipeline.fulltext import (
+        SEARCH_TERMS,
+        bm25_search,
+        corpus_stats,
+        index_tables,
+    )
 
     postings, doclen = index_tables(spark, sf_dir)
-    bm = bm25_search(postings, doclen, SEARCH_TERMS, k=N_CAND).select("doc_id", "bm25")
+    bm = bm25_search(
+        postings, doclen, SEARCH_TERMS, k=N_CAND,
+        stats=corpus_stats(spark, sf_dir, doclen),
+    ).select("doc_id", "bm25")
     bm_r = bm.withColumn(
         "bm25_rank",
         F.row_number().over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))),

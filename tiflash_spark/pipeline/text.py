@@ -494,6 +494,8 @@ def _unigram_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc tf-weighted mean negative log-likelihood under the
     bounded top-V unigram LM (shared by lm_perplexity and the CCNet
     bucketing): (doc_id, source, doc_nll)."""
+    from pyspark.sql import Window
+
     t = ws_token_table(spark, sf_dir)
     vocab = (
         t.groupBy("tok")
@@ -501,10 +503,14 @@ def _unigram_doc_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), F.col("tok"))
         .limit(LM_TOP_V)
     )
-    total = vocab.agg(F.sum("tf").alias("total"))
-    probs = vocab.crossJoin(F.broadcast(total)).select(
-        "tok", (F.col("tf") / F.col("total")).alias("p")
-    )
+    # normalizer via a single-partition window over the (≤ top-V row)
+    # vocab: TakeOrderedAndProject already leaves one partition, so this
+    # adds no exchange — where a separate vocab.agg(SUM) subtree made
+    # Spark re-scan and re-aggregate the whole token table a second (and
+    # with the crossJoin a third) time. Integer SUM either way → the
+    # per-token probability is bit-identical.
+    total = F.sum("tf").over(Window.partitionBy())
+    probs = vocab.select("tok", (F.col("tf") / total).alias("p"))
     return (
         t.join(F.broadcast(probs), "tok", "left")
         .select(
