@@ -149,11 +149,17 @@ def test_round3_query_shuffle_ceilings(spark):
         "quality_signals": 1,      # conditional repartition only
         "pack_sequences": 2,       # per-shard window + final agg
         "ann_quantized_topk": 0,   # persisted scales + broadcast q
-        "events_resample": 4,      # rollup, grid, fill window, sort
+        "events_resample": 6,      # hourly rollup (cached; its ONE build
+                                   # exchange prints once per InMemoryTableScan
+                                   # use, 3×) + grid, fill window, sort;
+                                   # runtime pays 1 event scan (was 3)
         "dedup_incremental": 5,    # fp agg + anti join + counts
         "lm_perplexity": 3,        # score + rollup + sort (vocab is bucket-local)
         "vocab_topk": 0,           # bucket-local groupBy(tok) + TakeOrdered
-        "sample_temperature": 8,   # two tiny aggs + quota joins (rows ≤ |sources|)
+        "sample_temperature": 9,   # tiny source-count agg (cached; its ONE
+                                   # build exchange prints per use) + quota
+                                   # joins (rows ≤ |sources|); runtime pays
+                                   # 2 corpus scans (was 5)
         # round-4 operators
         "boilerplate_lines": 5,    # line df agg + flag join + doc agg + rollup/sort
         "hybrid_search_rrf": 2,    # two index lookups; fusion is broadcast-sized

@@ -266,6 +266,12 @@ def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     At extreme spans partition the fill by (type, day) with a per-day
     seed row to keep windows bounded."""
     e = load_table(spark, sf_dir, "events")
+    # the hourly rollup is O(types × hours) rows and every other input
+    # derives from it: the grid bounds (date_trunc is monotonic, so
+    # min/max of h ≡ date_trunc(min/max ts)) and the type list (groupBy
+    # preserves every type). Persisting it makes the query ONE event
+    # scan — un-cached, the bounds and distinct-type branches each
+    # re-scanned the raw events (3 corpus passes).
     hourly = (
         e.groupBy(
             "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
@@ -274,16 +280,14 @@ def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.avg("value").alias("av"),
         )
+        .persist()
     )
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
+    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     grid = (
         bounds.select(
             F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h")
         )
-        .crossJoin(e.select("event_type").distinct())
+        .crossJoin(hourly.select("event_type").distinct())
     )
     w = (
         Window.partitionBy("event_type")

@@ -362,9 +362,14 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_frac caps at 1.0: sources whose quota exceeds their size are
     taken whole (upsampling-by-replication is a writer-side concern)."""
     d = load_table(spark, sf_dir, "documents")
+    # |sources|-row frame, persisted: weighted/total/quota and the final
+    # report all derive from it, and without the cache each derivation
+    # re-scanned the corpus for its own COUNT (5 scans; now 2 — this agg
+    # and the kept filter). Same CacheManager plan-keyed reuse as
+    # curation_pipeline.
     counts = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_orig")
-    )
+    ).persist()
     weighted = counts.select(
         "source", "n_orig",
         F.pow(F.col("n_orig").cast("double"), F.lit(1.0 / MIX_TEMPERATURE))
@@ -674,9 +679,16 @@ def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "bucket", ((F.col("h") / 65536).cast("long") % MIX_BUCKETS).cast("long")
     )
+    # the per-(source, bucket) subtotal table is |sources|·MIX_BUCKETS
+    # rows; persist it so the offsets window, the per-source totals and
+    # the global budget all read it back instead of each re-tokenizing
+    # the corpus for their own copy of the aggregate (the un-cached plan
+    # paid FOUR corpus scans; now it is two — this agg and the placed
+    # leg). CacheManager keys by analyzed plan, so repeated calls share
+    # one entry per sf_dir, as in curation_pipeline.
     bt = docs.groupBy("source", "bucket").agg(
         F.sum("n_tok").cast("long").alias("btok")
-    )
+    ).persist()
     woff = (
         Window.partitionBy("source")
         .orderBy("bucket")
