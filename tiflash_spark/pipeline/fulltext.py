@@ -175,7 +175,9 @@ def corpus_stats(spark: SparkSession, sf_dir: str, doclen: DataFrame) -> DataFra
     loc = os.path.join(wh, f"ft_stats_{_sf_tag(sf_dir)}")
     if not os.path.isdir(loc):
         agg().coalesce(1).write.mode("overwrite").parquet(loc)
-    return spark.read.parquet(loc)
+    from tiflash_spark.catalog import read_parquet_memo
+
+    return read_parquet_memo(spark, loc)
 
 
 def keyword_search(

@@ -383,7 +383,9 @@ def vector_index(
             _assign(e, spark.read.parquet(cloc)).write.mode(
                 "overwrite"
             ).partitionBy("cluster").parquet(aloc)
-        return spark.read.parquet(cloc), spark.read.parquet(aloc)
+        from tiflash_spark.catalog import read_parquet_memo
+
+        return read_parquet_memo(spark, cloc), read_parquet_memo(spark, aloc)
     # no local warehouse (remote URI session): build inline, same plan shape
     cents = refine_centroids(e, _centroids(e), iterations=2).persist()
     return cents, _assign(e, cents)
@@ -792,7 +794,9 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sloc = os.path.join(wh, f"quant_scales_{_sf_tag(sf_dir)}")
         if not os.path.isdir(sloc):
             _quant_scales(e).coalesce(1).write.mode("overwrite").parquet(sloc)
-        scales = spark.read.parquet(sloc)
+        from tiflash_spark.catalog import read_parquet_memo
+
+        scales = read_parquet_memo(spark, sloc)
     else:
         scales = _quant_scales(e)
     q = (
@@ -1221,7 +1225,9 @@ def pq_index(spark: SparkSession, sf_dir: str):
         loc = os.path.join(wh, f"pq_codes_{tag}")
         if not os.path.isdir(loc):
             build().write.mode("overwrite").parquet(loc)
-        return books, spark.read.parquet(loc)
+        from tiflash_spark.catalog import read_parquet_memo
+
+        return books, read_parquet_memo(spark, loc)
     return books, build()
 
 
