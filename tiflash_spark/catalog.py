@@ -126,9 +126,14 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     """Runtime confs the engine's MySQL/TiDB semantics depend on, set here
     because callers (the driver) may hand us a default-config session:
     Spark 4 defaults to ANSI mode, but the reference's semantics are
-    error-as-NULL (tidb_cast / tidbDivide — SURVEY.md §2.4)."""
+    error-as-NULL (tidb_cast / tidbDivide — SURVEY.md §2.4). Set once per
+    session object — load_table runs on every query build, and each
+    conf.set is a py4j round-trip."""
+    if getattr(spark, "_tiflash_confs_set", False):
+        return
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark._tiflash_confs_set = True
 
 
 # Physical (file) schema memo, keyed by (absolute path, mtime, size):

@@ -671,6 +671,12 @@ def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiflash_spark.pipeline.text import token_count
 
     d = load_table(spark, sf_dir, "documents")
+    # the per-doc proxy rows (≈40 B/row: id, source, token count, hash,
+    # bucket — no text) are cached so the corpus is TOKENIZED once; the
+    # subtotal pass and the placement pass both read the narrow cached
+    # frame (guide-§8 "decide with small rows": the heavy text column
+    # never leaves the first scan). ~150× smaller than the corpus, so
+    # the cache spills long before it pressures executor memory.
     docs = d.select(
         "doc_id",
         "source",
@@ -678,7 +684,7 @@ def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         _order_hash(F.col("doc_id")).alias("h"),
     ).withColumn(
         "bucket", ((F.col("h") / 65536).cast("long") % MIX_BUCKETS).cast("long")
-    )
+    ).persist()
     # the per-(source, bucket) subtotal table is |sources|·MIX_BUCKETS
     # rows; persist it so the offsets window, the per-source totals and
     # the global budget all read it back instead of each re-tokenizing
@@ -981,9 +987,13 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("chunk_id"),
     )
     raw_counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
-    q_counts = qf.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_quality"))
-    u_counts = qf.where(F.col("is_keeper")).groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_unique")
+    # quality and unique counts come out of ONE conditional aggregate —
+    # a separate filtered branch would re-reference the whole cached
+    # subtree a fourth time and pay its analysis + an extra join in a
+    # plan whose construction time is already ~40% of the query
+    qu_counts = qf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_quality"),
+        F.count(F.when(F.col("is_keeper"), 1)).cast("long").alias("n_unique"),
     )
     packed = placed.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_clean"),
@@ -991,8 +1001,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("chunk_id") + 1).cast("long").alias("n_chunks"),
     )
     return (
-        raw_counts.join(q_counts, "source", "left")
-        .join(u_counts, "source", "left")
+        raw_counts.join(qu_counts, "source", "left")
         .join(packed, "source", "left")
         .select(
             "source",
