@@ -149,17 +149,16 @@ def test_round3_query_shuffle_ceilings(spark):
         "quality_signals": 1,      # conditional repartition only
         "pack_sequences": 2,       # per-shard window + final agg
         "ann_quantized_topk": 0,   # persisted scales + broadcast q
-        "events_resample": 6,      # hourly rollup (cached; its ONE build
-                                   # exchange prints once per InMemoryTableScan
-                                   # use, 3×) + grid, fill window, sort;
-                                   # runtime pays 1 event scan (was 3)
+        "events_resample": 5,      # cached hourly rollup build + grid, fill
+                                   # window, sort (distinct-id count; +1 when
+                                   # the warm cached plan embeds its AQE-final
+                                   # exchange); runtime: 1 event scan (was 3)
         "dedup_incremental": 5,    # fp agg + anti join + counts
         "lm_perplexity": 3,        # score + rollup + sort (vocab is bucket-local)
         "vocab_topk": 0,           # bucket-local groupBy(tok) + TakeOrdered
-        "sample_temperature": 9,   # tiny source-count agg (cached; its ONE
-                                   # build exchange prints per use) + quota
-                                   # joins (rows ≤ |sources|); runtime pays
-                                   # 2 corpus scans (was 5)
+        "sample_temperature": 6,   # cached source-count agg + quota joins
+                                   # (rows ≤ |sources|); runtime pays 2
+                                   # corpus scans (was 5)
         # round-4 operators
         "boilerplate_lines": 5,    # line df agg + flag join + doc agg + rollup/sort
         "hybrid_search_rrf": 2,    # two index lookups; fusion is broadcast-sized
@@ -174,13 +173,11 @@ def test_round3_query_shuffle_ceilings(spark):
         "ccnet_buckets": 4,          # doc score agg + lang window + rollup
         # round-5 operators
         "shard_training_order": 2,   # shard window shuffle + final agg
-        "mix_token_budget": 10,      # 2 corpus legs (bucket agg + bucket window);
+        "mix_token_budget": 9,       # 2 corpus legs (bucket agg + bucket window);
                                      # rest are |sources|-row offs/quota frames
-        "multimodal_phash": 8,       # sig agg (cached; its ONE build exchange
-                                     # prints once per InMemoryTableScan use,
-                                     # 4×) + distinct-sig band join + 1-row
-                                     # assembly; runtime pays 1 decode pass +
-                                     # 1 sig-agg shuffle (was 4 decode passes)
+        "multimodal_phash": 5,       # cached sig agg + distinct-sig band join
+                                     # + 1-row assembly; runtime pays 1 decode
+                                     # pass + 1 sig-agg shuffle (was 4 decodes)
         # TPC-DS perf-suite shapes (dims broadcast; only the fact shuffles)
         "tpcds_q67_shape": 3,        # rollup agg + window sort + final order
         "tpcds_q27_shape": 2,        # rollup agg + order

@@ -40,13 +40,26 @@ def count_operator(df: DataFrame, name: str) -> int:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges (excludes broadcast exchanges).
+    """Number of DISTINCT shuffle exchanges (excludes broadcast
+    exchanges).
 
     `\\bExchange\\b` alone already cannot match inside `BroadcastExchange`
-    (preceded by a word char), so count it once — subtracting broadcast
-    matches on top of that double-counts them and can go negative."""
+    (preceded by a word char) or `ReusedExchange` (no word boundary), so
+    count it once — subtracting broadcast matches on top of that
+    double-counts them and can go negative.
+
+    Counted by node id, not by line: a cached subtree (InMemoryRelation)
+    is re-printed under every InMemoryTableScan that references it with
+    the SAME node ids, so line-counting would charge the one-time cache
+    build exchange once per use — and make the count depend on whether
+    an earlier query in the session already materialized the cache. A
+    node id appears without parentheses only in non-formatted modes,
+    where ids are absent entirely; count raw occurrences then."""
     plan = formatted_plan(df).split("\n\n")[0]
-    return len(re.findall(r"(?<!Broadcast)\bExchange\b", plan))
+    ids = re.findall(r"(?<!Broadcast)\bExchange\b(?: \((\d+)\))?", plan)
+    if any(i for i in ids):
+        return len({i for i in ids if i}) + sum(1 for i in ids if not i)
+    return len(ids)
 
 
 def assert_scan_pruned(df: DataFrame, table_cols: dict[str, int]) -> None:
