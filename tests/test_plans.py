@@ -211,3 +211,49 @@ def test_scan_data_sharing_reused_exchange(spark):
     joined.collect()
     jplan = joined._jdf.queryExecution().executedPlan()
     assert "ReusedExchange" in jplan.toString()
+
+
+def test_r10_provable_distinct_rewrites(spark):
+    """Round-10 batch: COUNT(DISTINCT) sites whose input is provably
+    unique per key were rewritten to plain COUNT. A single-distinct
+    aggregate plans as a 4-phase aggregate with an extra exchange keyed
+    by the distinct column; the rewrite halves the HashAggregate phases
+    and drops that exchange. Uniqueness proofs: postings are a GROUP BY
+    (term, doc_id); mvcc_snapshot's input keeps exactly the _rn == 1 row
+    per handle. mvcc_bitmap_scan is the deliberate counter-example
+    (semi-join output multiplicity is NOT provably 1) and must keep the
+    distinct plan (more aggregate phases than snapshot's final agg)."""
+    from tiflash_spark.operators.mvcc import mvcc_bitmap_scan, mvcc_snapshot
+    from tiflash_spark.pipeline.fulltext import fulltext_bm25, fulltext_search
+    from tiflash_spark.plans.explain import count_operator, exchange_count
+
+    # window (1 exchange) + plain two-phase final agg (1 exchange)
+    snap = mvcc_snapshot(spark, SF_SMALL)
+    assert exchange_count(snap) == 2
+    assert count_operator(snap, "HashAggregate") == 2
+    assert exchange_count(fulltext_search(spark, SF_SMALL)) == 1
+    assert count_operator(fulltext_bm25(spark, SF_SMALL), "HashAggregate") <= 4
+    # bitmap mode keeps countDistinct: its final agg alone is 4 phases
+    assert count_operator(mvcc_bitmap_scan(spark, SF_SMALL), "HashAggregate") >= 4
+
+
+def test_r10_hybrid_fusion_no_sort_merge_join(spark):
+    """hybrid_search_rrf's rank fusion is a union + pivot aggregate, not
+    a FULL OUTER SortMergeJoin (full outer cannot broadcast): the plan
+    must contain no join operator at all."""
+    from tiflash_spark.pipeline.similarity import hybrid_search_rrf
+    from tiflash_spark.plans.explain import formatted_plan
+
+    tree = formatted_plan(hybrid_search_rrf(spark, SF_SMALL)).split("\n\n")[0]
+    assert "SortMergeJoin" not in tree
+    assert "ShuffledHashJoin" not in tree
+
+
+def test_r10_asof_events_single_events_scan(spark):
+    """asof_join_events reads the events table ONCE (single-source as-of);
+    the two-frame form scanned it twice."""
+    from tiflash_spark.operators.temporal import asof_join_events
+    from tiflash_spark.plans.explain import formatted_plan
+
+    tree = formatted_plan(asof_join_events(spark, SF_SMALL)).split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree

@@ -220,3 +220,93 @@ def test_asof_join_tolerance_matches_pandas(spark):
         for r in exp_df.itertuples()
     }
     assert got == exp, (got, exp)
+
+
+# --- single-source as-of (one scan instead of two) ---------------------------
+
+
+@pytest.fixture()
+def tape(spark):
+    """One table holding both legs, incl. a row matching BOTH predicates
+    (kind='both'), version ties, and a left row with no match."""
+    return spark.createDataFrame(
+        [
+            Row(ev=1, k=1, t=ts("2024-01-01 10:00:00"), v=1.0, kind="right"),
+            Row(ev=2, k=1, t=ts("2024-01-01 10:05:00"), v=2.0, kind="left"),
+            Row(ev=3, k=1, t=ts("2024-01-01 10:05:00"), v=3.0, kind="both"),
+            Row(ev=4, k=1, t=ts("2024-01-01 10:09:00"), v=4.0, kind="left"),
+            Row(ev=5, k=2, t=ts("2024-01-01 09:00:00"), v=5.0, kind="left"),
+            Row(ev=6, k=3, t=ts("2024-01-01 09:00:00"), v=6.0, kind="right"),
+        ]
+    )
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_single_source_equals_two_frame(spark, tape, direction):
+    """asof_join_single_source ≡ asof_join(filter, filter) row-for-row —
+    including a row that satisfies BOTH predicates (appears on both
+    sides, exactly like the two separate filters)."""
+    from tiflash_spark.operators.temporal import asof_join_single_source
+
+    lp = F.col("kind").isin("left", "both")
+    rp = F.col("kind").isin("right", "both")
+    left_cols = ("ev", "k", "t", "v")
+    two = asof_join(
+        tape.filter(lp).select(*left_cols),
+        tape.filter(rp),
+        by="k", left_ts="t", right_ts="t", right_cols=("v",),
+        direction=direction,
+    )
+    one = asof_join_single_source(
+        tape, lp, rp, by="k", left_ts="t", right_ts="t",
+        left_cols=left_cols, right_cols=("v",), direction=direction,
+    )
+    assert one.columns == two.columns
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, two.collect()))
+
+
+def test_asof_single_source_tolerance(spark, tape):
+    from tiflash_spark.operators.temporal import asof_join_single_source
+
+    lp = F.col("kind").isin("left", "both")
+    rp = F.col("kind").isin("right", "both")
+    left_cols = ("ev", "k", "t", "v")
+    two = asof_join(
+        tape.filter(lp).select(*left_cols), tape.filter(rp),
+        by="k", left_ts="t", right_ts="t", right_cols=("v",), tolerance_s=120,
+    )
+    one = asof_join_single_source(
+        tape, lp, rp, by="k", left_ts="t", right_ts="t",
+        left_cols=left_cols, right_cols=("v",), tolerance_s=120,
+    )
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, two.collect()))
+
+
+def test_asof_single_source_plan_single_scan(spark, tmp_path):
+    """The point of the variant: ONE scan of the source (the two-frame
+    form scans it twice), still one exchange, still no join operator."""
+    p = str(tmp_path / "tape")
+    spark.createDataFrame(
+        [
+            Row(ev=i, k=i % 3, t=ts("2024-01-01 10:00:00"), v=float(i),
+                kind="left" if i % 2 else "right")
+            for i in range(20)
+        ]
+    ).write.parquet(p)
+    src = spark.read.parquet(p)
+    from tiflash_spark.operators.temporal import asof_join_single_source
+
+    out = asof_join_single_source(
+        src,
+        F.col("kind") == "left",
+        F.col("kind") == "right",
+        by="k", left_ts="t", right_ts="t",
+        left_cols=("ev", "k", "t", "v"), right_cols=("v",),
+    )
+    plan = formatted_plan(out)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert exchange_count(out) == 1
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in plan

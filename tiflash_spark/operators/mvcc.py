@@ -153,11 +153,17 @@ def mvcc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = snapshot_read(
         _synthetic_log(spark, sf_dir), read_ts=4, tiebreak=[DELMARK, "a", "b"]
     )
+    # snapshot_read keeps exactly the _rn == 1 row of each handle's window
+    # partition, so HANDLE is unique in `snap` by construction and
+    # COUNT(handle) ≡ COUNT(DISTINCT handle) — the plain count avoids
+    # Spark's distinct-aggregate Expand (3× the rows through the aggregate
+    # + an extra exchange). NOT valid for bitmap mode, whose semi-join
+    # preserves log multiplicity (see bitmap_scan's contract).
     return snap.agg(
         F.count(F.lit(1)).alias("n_visible"),
         F.sum("a").alias("sum_a"),
         F.round(F.sum("b"), 2).alias("sum_b"),
-        F.countDistinct(HANDLE).alias("n_handles"),
+        F.count(HANDLE).alias("n_handles"),
     )
 
 

@@ -32,7 +32,55 @@ from pyspark.sql import functions as F
 
 from tiflash_spark.catalog import load_table
 
-__all__ = ["asof_join", "range_join_binned"]
+__all__ = ["asof_join", "asof_join_single_source", "range_join_binned"]
+
+
+def _asof_attach(
+    u: DataFrame,
+    left_cols: tuple[str, ...],
+    right_ts: str,
+    right_cols: tuple[str, ...],
+    prefix: str,
+    direction: str,
+    tolerance_s: int | None,
+) -> DataFrame:
+    """Shared tail of the as-of join: ``u`` is the tagged union frame
+    (_k, _ord, _is_left, _r struct, _l_<c> …). One window over _k carries
+    the latest right payload onto each left row; see asof_join for the
+    ordering contract."""
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal ts → inclusive match
+        w = Window.partitionBy("_k").orderBy(
+            F.col("_ord").asc(), F.col("_is_left").asc()
+        )
+    else:
+        w = Window.partitionBy("_k").orderBy(
+            F.col("_ord").desc(), F.col("_is_left").asc()
+        )
+    carried = F.last("_r", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = u.withColumn("_match", carried)
+    if tolerance_s is not None:
+        gap = (
+            F.unix_timestamp(F.col("_ord"))
+            - F.unix_timestamp(F.col("_match")["_ts"])
+            if direction == "backward"
+            else F.unix_timestamp(F.col("_match")["_ts"])
+            - F.unix_timestamp(F.col("_ord"))
+        )
+        matched = matched.withColumn(
+            "_match", F.when(gap <= tolerance_s, F.col("_match"))
+        )
+    return (
+        matched
+        .filter(F.col("_is_left"))
+        .select(
+            *[F.col(f"_l_{c}").alias(c) for c in left_cols],
+            *[F.col("_match")[c].alias(f"{prefix}{c}") for c in ("_ts", *right_cols)],
+        )
+        .withColumnRenamed(f"{prefix}_ts", f"{prefix}{right_ts}")
+    )
 
 
 def asof_join(
@@ -80,43 +128,61 @@ def asof_join(
         *[F.col(c).alias(f"_l_{c}") for c in left.columns],
     )
     u = l2.unionByName(r2)
-    if direction == "backward":
-        # right rows sort BEFORE left rows at equal ts → inclusive match
-        w = Window.partitionBy("_k").orderBy(
-            F.col("_ord").asc(), F.col("_is_left").asc()
-        )
-        carried = F.last("_r", ignorenulls=True).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        )
-    else:
-        w = Window.partitionBy("_k").orderBy(
-            F.col("_ord").desc(), F.col("_is_left").asc()
-        )
-        carried = F.last("_r", ignorenulls=True).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        )
-    matched = u.withColumn("_match", carried)
-    if tolerance_s is not None:
-        gap = (
-            F.unix_timestamp(F.col("_ord"))
-            - F.unix_timestamp(F.col("_match")["_ts"])
-            if direction == "backward"
-            else F.unix_timestamp(F.col("_match")["_ts"])
-            - F.unix_timestamp(F.col("_ord"))
-        )
-        matched = matched.withColumn(
-            "_match", F.when(gap <= tolerance_s, F.col("_match"))
-        )
-    out = (
-        matched
-        .filter(F.col("_is_left"))
-        .select(
-            *[F.col(f"_l_{c}").alias(c) for c in left.columns],
-            *[F.col("_match")[c].alias(f"{prefix}{c}") for c in ("_ts", *right_cols)],
-        )
-        .withColumnRenamed(f"{prefix}_ts", f"{prefix}{right_ts}")
+    return _asof_attach(
+        u, tuple(left.columns), right_ts, right_cols, prefix, direction, tolerance_s
     )
-    return out
+
+
+def asof_join_single_source(
+    source: DataFrame,
+    left_pred: Column,
+    right_pred: Column,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    left_cols: tuple[str, ...],
+    right_cols: tuple[str, ...],
+    prefix: str = "ref_",
+    direction: str = "backward",
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """``asof_join(source.filter(left_pred).select(*left_cols),
+    source.filter(right_pred), …)`` — row-identical output — built from
+    ONE scan of ``source`` instead of two.
+
+    When left and right legs are predicates over the same table (the
+    common shape: "each click vs the same user's last error"), the
+    two-frame form scans the table twice just to tag rows before the
+    union. Here each source row surviving ``left_pred OR right_pred``
+    explodes to its side tag(s) directly (a row matching BOTH predicates
+    appears on both sides, exactly like the two separate filters), so the
+    physical plan reads the table once — the window shuffle is unchanged.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    payload = F.struct(
+        F.col(right_ts).alias("_ts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    sides = F.filter(
+        F.array(F.when(left_pred, F.lit(True)), F.when(right_pred, F.lit(False))),
+        lambda x: x.isNotNull(),
+    )
+    u = (
+        source.filter(left_pred | right_pred)
+        .select("*", F.explode(sides).alias("_is_left"))
+        .select(
+            F.col(by).alias("_k"),
+            F.when(F.col("_is_left"), F.col(left_ts))
+            .otherwise(F.col(right_ts))
+            .alias("_ord"),
+            F.col("_is_left"),
+            F.when(~F.col("_is_left"), payload).alias("_r"),
+            *[F.when(F.col("_is_left"), F.col(c)).alias(f"_l_{c}") for c in left_cols],
+        )
+    )
+    return _asof_attach(
+        u, tuple(left_cols), right_ts, right_cols, prefix, direction, tolerance_s
+    )
 
 
 def range_join_binned(
@@ -164,14 +230,17 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (or simultaneous) error event — the canonical as-of join. Matches
     DuckDB's native ASOF LEFT JOIN exactly, including unmatched clicks."""
     e = load_table(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    errors = e.filter(F.col("event_type") == "error").select(
-        "user_id", "ts", "value"
-    )
-    out = asof_join(
-        clicks, errors, by="user_id", left_ts="ts", right_ts="ts",
+    # both legs are predicates over the SAME table: the single-source
+    # form reads events once (plan: 1 scan, was 2) — output row-identical
+    # to the two-frame asof_join (pinned in tests/test_temporal.py)
+    out = asof_join_single_source(
+        e.select("event_id", "user_id", "ts", "value", "event_type"),
+        left_pred=F.col("event_type") == "click",
+        right_pred=F.col("event_type") == "error",
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        left_cols=("event_id", "user_id", "ts", "value"),
         right_cols=("value",),
     )
     return out.select(

@@ -188,12 +188,18 @@ def keyword_search(
 ) -> DataFrame:
     """Top-k docs for a bag of terms: 'all' = every term must occur
     (posting-list intersection), 'any' = union. Ranked by total tf.
-    Deterministic tiebreak on doc_id."""
+    Deterministic tiebreak on doc_id.
+
+    CONTRACT: ``postings`` is unique per (term, doc_id) — true by
+    construction from build_postings (a GROUP BY term, doc_id). That is
+    why n_terms is a plain COUNT, not COUNT(DISTINCT): identical on
+    unique rows, and it avoids Spark's distinct-aggregate Expand (3× the
+    hit rows through the aggregate + an extra exchange)."""
     if mode not in ("all", "any"):
         raise ValueError(f"mode must be 'all' or 'any', got {mode!r}")
     hits = postings.filter(F.col("term").isin(*terms))
     per_doc = hits.groupBy("doc_id").agg(
-        F.countDistinct("term").alias("n_terms"),
+        F.count("term").alias("n_terms"),
         F.sum("tf").cast("long").alias("total_tf"),
     )
     if mode == "all":
@@ -257,10 +263,16 @@ def bm25_search(
     without it the stats are one tiny agg over doclen (one row per doc),
     broadcast as a 1-row frame. Everything else touches just the query
     terms' posting rows (bucket-pruned) and their docs' length rows.
+
+    CONTRACT (shared with keyword_search): ``postings`` is unique per
+    (term, doc_id) — build_postings is a GROUP BY — and the df_t/doclen
+    joins are one-row-per-key, so n_terms is a plain COUNT instead of
+    COUNT(DISTINCT): same value, no distinct-aggregate Expand.
     """
     hits = postings.filter(F.col("term").isin(*terms)).select("term", "doc_id", "tf")
+    # (term, doc_id) unique ⇒ plain COUNT is the document frequency
     df_t = F.broadcast(
-        hits.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        hits.groupBy("term").agg(F.count("doc_id").alias("df"))
     )
     if stats is None:
         stats = doclen.agg(
@@ -277,7 +289,7 @@ def bm25_search(
         .crossJoin(corpus)
         .groupBy("doc_id")
         .agg(
-            F.countDistinct("term").cast("long").alias("n_terms"),
+            F.count("term").cast("long").alias("n_terms"),
             F.round(F.sum(contrib), 4).alias("bm25"),
         )
     )
@@ -307,8 +319,10 @@ def fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intersection — no second scan, no kw↔phrase join.
     hits = postings.filter(F.col("term").isin(*lookup))
     is_kw = F.col("term").isin(*SEARCH_TERMS)
+    # postings are unique per (term, doc_id) — index-build contract — so
+    # counting the non-null kw rows equals COUNT(DISTINCT …): no Expand
     per_doc = hits.groupBy("doc_id").agg(
-        F.countDistinct(F.when(is_kw, F.col("term"))).alias("n_terms"),
+        F.count(F.when(is_kw, F.col("term"))).alias("n_terms"),
         F.sum(F.when(is_kw, F.col("tf"))).cast("long").alias("total_tf"),
         F.first(F.when(F.col("term") == t1, F.col("positions")), ignorenulls=True).alias("_p1"),
         F.first(F.when(F.col("term") == t2, F.col("positions")), ignorenulls=True).alias("_p2"),

@@ -986,8 +986,24 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id"))),
     ).select("doc_id", "vec_rank")
 
+    # fuse via union + pivot aggregate instead of a FULL OUTER join:
+    # doc_id is unique within each rank list (bm25 is a per-doc_id agg,
+    # vec_id is the embeddings key), so grouping the union by doc_id and
+    # picking each side's rank with MAX(CASE …) is row-identical to the
+    # full outer join — and full outer cannot broadcast (Spark plans a
+    # SortMergeJoin: 2 exchanges + sorts over two ≤N_CAND-row inputs),
+    # while this is one tiny hash-agg exchange.
+    u = bm_r.select(
+        "doc_id", F.col("bm25_rank").alias("_r"), F.lit(0).alias("_s")
+    ).unionByName(
+        vec_r.select("doc_id", F.col("vec_rank").alias("_r"), F.lit(1).alias("_s"))
+    )
     fused = (
-        bm_r.join(vec_r, "doc_id", "full")
+        u.groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("_s") == 0, F.col("_r"))).alias("bm25_rank"),
+            F.max(F.when(F.col("_s") == 1, F.col("_r"))).alias("vec_rank"),
+        )
         .select(
             "doc_id",
             "bm25_rank",
