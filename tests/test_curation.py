@@ -304,3 +304,59 @@ def test_doc_chunks_coverage_invariants(spark):
         assert n > CHUNK_TOKENS  # multi-chunk docs exceed one window
         # distinct fingerprints unless the text is genuinely repetitive
         assert len({c.fp for c in cs}) >= 1
+
+
+def test_staged_signals_match_naive_helper_composition(spark):
+    """Round-10: text_analysis/quality_signals/dataset_card stage the
+    per-doc signal expressions into columns (codegen CSE can't share
+    subtrees inside conditional branches, so the flat form re-built the
+    token/gram arrays per mention). Pin: the staged quality column and
+    the staged dup fraction are BIT-identical to the naive composition
+    on edge rows (empty text, whitespace-only, repeated grams)."""
+    from pyspark.sql import functions as F
+
+    from tiflash_spark.pipeline.text import (
+        dup_frac_of,
+        dup_gram_frac,
+        quality_score,
+        tokens,
+        word_grams,
+    )
+
+    rows = [
+        (1, ""), (2, "   "), (3, "a"), (4, "x y x y x y"),
+        (5, "the a of and to"), (6, "one two three four five six seven"),
+        (7, "w w w w w w w w w w"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    w = tokens(F.col("text"))
+    naive = d.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+        dup_gram_frac(w, 3).alias("dg"),
+    )
+    staged = (
+        d.select("doc_id", "text", w.alias("_w"))
+        .select(
+            "doc_id", "text",
+            F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+            .otherwise(F.size(F.col("_w"))).alias("_n"),
+            F.size(F.array_distinct(F.col("_w"))).alias("_u"),
+            F.size(F.filter(F.col("_w"), lambda x: x.isin("the", "a", "of", "and", "to"))).alias("_s"),
+            word_grams(F.col("_w"), 3).alias("_g3"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.when(
+                    F.col("_n") > 0,
+                    F.col("_u") / F.col("_n")
+                    + F.least(F.col("_n") / F.lit(200.0), F.lit(1.0))
+                    - F.col("_s") / F.col("_n"),
+                ),
+                6,
+            ).alias("q"),
+            dup_frac_of(F.col("_g3")).alias("dg"),
+        )
+    )
+    assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, staged.collect()))
