@@ -253,3 +253,60 @@ def test_semantic_dedup_no_cross_product(spark):
 
     plan = formatted_plan(dedup_semantic(spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in plan
+
+
+def test_exact_substring_tokenhash_matches_string_grams(spark):
+    """Session-3 pin: the two-level token-hash gram key (xxhash64 over a
+    staged per-token hash array) marks EXACTLY the duplicate positions
+    the gram-STRING key marks — same equality classes, since whitespace
+    tokenization means string-equality of the joined gram ⟺ array
+    equality of its tokens. Edge rows: multi-space runs, a within-doc
+    repeat, a cross-doc repeat, a doc of exactly K tokens."""
+    from pyspark.sql import Row, Window
+
+    from tiflash_spark.pipeline.dedup import EXACT_SUBSTR_K
+    from tiflash_spark.pipeline.text import tokens
+
+    K = EXACT_SUBSTR_K
+    run = " ".join(f"r{i}" for i in range(K))
+    docs = [
+        Row(doc_id=1, text=f"{run}  extra   tokens {run}"),   # within-doc repeat + multi-space
+        Row(doc_id=2, text=f"lead {run} tail0 tail1"),        # cross-doc repeat
+        Row(doc_id=3, text=" ".join(f"u{i}" for i in range(K))),  # exactly K, unique
+    ]
+    d = spark.createDataFrame(docs)
+    toks = d.select("doc_id", tokens(F.col("text")).alias("w")).where(F.size("w") >= K)
+
+    def dup_positions(grams):
+        w = Window.partitionBy("gh")
+        got = (
+            grams.withColumn("n", F.count(F.lit(1)).over(w))
+            .where(F.col("n") > 1)
+            .select("doc_id", "pos")
+            .collect()
+        )
+        return {(r.doc_id, r.pos) for r in got}
+
+    string_grams = toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, size(w) - {K}),"
+            f" i -> struct(CAST(i AS BIGINT) AS pos,"
+            f" xxhash64(concat_ws(' ', slice(w, i + 1, {K}))) AS gh))"
+        )).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    tokhash_grams = (
+        toks.select("doc_id", F.expr("transform(w, t -> xxhash64(t))").alias("th"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                f"transform(sequence(0, size(th) - {K}),"
+                f" i -> struct(CAST(i AS BIGINT) AS pos,"
+                f" xxhash64(slice(th, i + 1, {K})) AS gh))"
+            )).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    )
+    want = dup_positions(string_grams)
+    got = dup_positions(tokhash_grams)
+    assert got == want and len(want) > 0
