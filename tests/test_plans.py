@@ -260,21 +260,22 @@ def test_r10_asof_events_single_events_scan(spark):
 
 
 def test_r10_ann_literal_folds(spark):
-    """Session-3 batch: ann_quantized_topk's per-dim scales and
-    ann_pq_topk's ADC lookup table ride as from_json STRING literals
-    that must CONSTANT-FOLD at plan time — the physical plan contains
-    no from_json call (the folded array literal replaces it), quantized
-    keeps a single BroadcastNestedLoopJoin (the query-vector cross
-    join; the two scale joins are gone) and scans embeddings twice
-    (query row + corpus), not four times."""
+    """Session-3/4 batches: ann_quantized_topk's per-dim scales AND its
+    query row, and ann_pq_topk's ADC lookup table, ride as from_json
+    STRING literals that must CONSTANT-FOLD at plan time — the physical
+    plan contains no from_json call (the folded array literal replaces
+    it), and quantized scores off ONE corpus scan with NO broadcast
+    join at all (session 4 folded the query row + its precomputed
+    norms, removing the last BroadcastNestedLoopJoin and the per-row
+    query-norm folds)."""
     from tiflash_spark.pipeline.similarity import ann_pq_topk, ann_quantized_topk
     from tiflash_spark.plans.explain import formatted_plan
 
     quant = formatted_plan(ann_quantized_topk(spark, SF_SMALL))
-    assert "from_json" not in quant, "scales literal did not fold"
+    assert "from_json" not in quant, "scales/query literals did not fold"
     tree = quant.split("\n\n")[0]
-    assert tree.count("BroadcastNestedLoopJoin") == 1, tree
-    assert tree.count("Scan parquet") == 2, tree
+    assert tree.count("BroadcastNestedLoopJoin") == 0, tree
+    assert tree.count("Scan parquet") == 1, tree
 
     pq = formatted_plan(ann_pq_topk(spark, SF_SMALL))
     assert "from_json" not in pq, "PQ LUT literal did not fold"
