@@ -156,6 +156,7 @@ def main() -> None:
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in names:
         # n runs, report the min: run 1 pays one-time whole-stage-codegen
@@ -171,6 +172,7 @@ def main() -> None:
             runs.append(time.time() - t0)
         steady = runs[1:] if len(runs) > 1 else runs
         timings[name] = round(min(runs), 3)
+        medians[name] = round(sorted(steady)[len(steady) // 2], 3)
         spreads[name] = round(max(steady) / max(min(steady), 1e-9), 2)
 
     total = round(sum(timings.values()), 3)
@@ -198,8 +200,25 @@ def main() -> None:
         # timings below were taken on a busy machine — round-over-round
         # ratios from this run are NOT evidence of a code regression
         out["load_warning"] = True
-    # spreads go to stderr: diagnostics only, and keeping the stdout JSON
-    # line short guarantees the driver's tail-capture parses it whole
+    # medians/spreads go to stderr AND to a sidecar file, NOT into the
+    # stdout line: the driver's tail capture is 2000 chars (measured from
+    # BENCH_r10.json — the r10 stdout line was already 1958 of them), so
+    # 58 per-query medians in-band would truncate the JSON head and break
+    # the driver's parse. The sidecar carries the full instrument — the
+    # min-of-n headline plus median-of-steady per query (warm-cache
+    # persists and load drift show up as median ≫ min) — reproducibly
+    # from the same run; the stdout contract stays byte-compatible.
+    full = dict(out)
+    full["queries_median"] = medians
+    full["spread_max_over_min"] = spreads
+    try:
+        with open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        ), "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass  # read-only checkout: stderr still carries the diagnostics
+    print(json.dumps({"queries_median": medians}), file=sys.stderr, flush=True)
     print(json.dumps({"spread_max_over_min": spreads}), file=sys.stderr, flush=True)
     print(json.dumps(out), flush=True)
     spark.stop()

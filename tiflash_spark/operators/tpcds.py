@@ -56,7 +56,21 @@ def tpcds_q67_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank() window, keep rank <= 100 (tpcds_q67.sql: rollup over
     category/class/brand/product/date/store, rank by sumsales within
     category). Here: ROLLUP(p_type, p_brand, year, quarter, s_name) over
-    a shipdate year, rank within p_type."""
+    a shipdate year, rank within p_type.
+
+    DECISION NOTE (do not re-probe at bench scale): the classic q67
+    rewrite — pre-aggregate at the finest (p_type, p_brand, year, qoy,
+    s_name) grain so the Expand×6 rides the pre-aggregate instead of the
+    joined fact — was measured TWICE at sf0.1 and lost both times
+    (interleaved collect pairs r10: 3.22/3.40, 1.75/2.18, 3.16/3.32 s
+    current/pre-agg; row-identical, 601 rows): at this fact-to-dims ratio
+    the detail grouping is nearly as large as the joined fact, so the
+    extra exchange buys no Expand shrinkage. The rewrite WINS only when
+    the fact dwarfs the distinct dim combinations (the 100 TB condition —
+    |fact| ≫ |p_type×p_brand×year×qoy×s_name|); apply it there, not here.
+    A surrogate-key variant (roll up over integer keys, join the strings
+    back post-agg) shrinks the Expand payload ~6× under the same
+    condition and the same verdict."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") <= "1995-12-31")
     )

@@ -85,7 +85,15 @@ def contaminated_ids(
         # away and re-exploded inside the main query (measured at sf0.1:
         # count 0.45-0.63 s + rebuild 0.33-0.48 s → count 0.54-0.96 s
         # cold + 0.10-0.17 s reuse; CacheManager keys by analyzed plan,
-        # so repeated calls share one entry per sf_dir, as elsewhere)
+        # so repeated calls share one entry per sf_dir, as elsewhere).
+        # RETENTION, broadcast path: the entry is deliberately NOT
+        # unpersisted — the returned query still references it lazily, so
+        # dropping it here would recompute the explode inside the join
+        # build; one ≤broadcast_limit-row entry per distinct eval frame is
+        # retained for the session (bounded by the guard above), and
+        # Spark's LRU evicts it under memory pressure. Only the over-limit
+        # path unpersists, where retention would also poison the planner's
+        # size stats (see below).
         eval_grams = eval_grams.persist()
     n_eval = eval_grams_hint if eval_grams_hint is not None else eval_grams.count()
     if n_eval <= broadcast_limit:
@@ -1210,7 +1218,11 @@ def line_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     read the pre-exploded table with bucket-local exchanges instead of
     re-Generating the corpus twice per run. At 100 TB the explode is the
     dominant scan cost, so this is a 2× cut on the heaviest stage."""
-    from tiflash_spark.pipeline.fulltext import _ensure_bucketed, _sf_tag
+    from tiflash_spark.pipeline.fulltext import (
+        _ensure_bucketed,
+        _sf_tag,
+        _source_stamp,
+    )
 
     def build() -> DataFrame:
         d = load_table(spark, sf_dir, "documents")
@@ -1220,7 +1232,10 @@ def line_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(_line_array(F.col("text"))).alias("pos", "line"),
         )
 
-    return _ensure_bucketed(spark, f"doc_lines_{_sf_tag(sf_dir)}", build, "line", 32)
+    return _ensure_bucketed(
+        spark, f"doc_lines_{_sf_tag(sf_dir)}", build, "line", 32,
+        source_stamp=_source_stamp(sf_dir, "documents"),
+    )
 
 
 def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:

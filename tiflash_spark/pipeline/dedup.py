@@ -174,11 +174,16 @@ def _resolve_band_params(
 ) -> tuple[int, int]:
     if bands is not None and rows is not None:
         return (bands, rows)
-    got = _AUTO_BAND_CACHE.get(sf_dir)
+    from tiflash_spark.pipeline.fulltext import _source_stamp
+
+    # keyed by (sf_dir, source stamp) like every sidecar: an in-place
+    # corpus rewrite re-counts instead of reusing a stale doc count
+    key = (sf_dir, _source_stamp(sf_dir, "documents"))
+    got = _AUTO_BAND_CACHE.get(key)
     if got is None:
         n = load_table(spark, sf_dir, "documents").count()
         got = auto_band_params(n)
-        _AUTO_BAND_CACHE[sf_dir] = got
+        _AUTO_BAND_CACHE[key] = got
     return (bands or got[0], rows or got[1])
 
 
@@ -280,9 +285,11 @@ def minhash_band_index(
             ).alias("band", "bh"),
         )
 
+    from tiflash_spark.pipeline.fulltext import _source_stamp
+
     return _ensure_bucketed(
         spark, f"mh_bands_{_sf_tag(sf_dir)}_{bands}x{rows}", build,
-        ("band", "bh"), 32
+        ("band", "bh"), 32, source_stamp=_source_stamp(sf_dir, "documents")
     )
 
 
@@ -387,8 +394,11 @@ def simhash_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band", "bh"),
         )
 
+    from tiflash_spark.pipeline.fulltext import _source_stamp
+
     return _ensure_bucketed(
-        spark, f"sh_bands_{_sf_tag(sf_dir)}", build, ("band", "bh"), 32
+        spark, f"sh_bands_{_sf_tag(sf_dir)}", build, ("band", "bh"), 32,
+        source_stamp=_source_stamp(sf_dir, "documents"),
     )
 
 

@@ -19,6 +19,8 @@ JVM-side, no UDF serialization.
 
 from __future__ import annotations
 
+import json as _json
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -31,6 +33,30 @@ from tiflash_spark.functions.vector import (
 )
 
 TOP_K = 10
+
+
+def _fold_json_literal(value, sql_type: str) -> Column:
+    """A (nested) numeric list as ONE ``from_json('<json>', '<type>')``
+    string literal: from_json over a foldable input constant-folds at plan
+    time, so the executor plan carries the array VALUE while the driver
+    parses one literal instead of thousands of nodes (the r10 PQ-LUT /
+    quant-scales finding). json.dumps round-trips IEEE doubles exactly;
+    allow_nan=False makes degenerate inputs (NaN/Inf embeddings or scales
+    — not valid JSON, from_json would silently NULL the whole array and
+    every downstream score) fail loudly at build time instead. The payload
+    is numeric-only by construction; asserted quote/backslash-free because
+    SQL-quoting escapes inside the literal are lexer-fragile ('' in Spark
+    concatenates adjacent strings rather than escaping)."""
+    return F.expr(_fold_json_sql(value, sql_type))
+
+
+def _fold_json_sql(value, sql_type: str) -> str:
+    """The SQL fragment behind _fold_json_literal, for callers splicing it
+    into a larger F.expr string."""
+    s = _json.dumps(value, allow_nan=False)
+    if "'" in s or "\\" in s:
+        raise ValueError("from_json literal payload must be numeric-only JSON")
+    return f"from_json('{s}', '{sql_type}')"
 
 
 def _as_double(a: Column) -> Column:
@@ -370,7 +396,13 @@ def vector_index(
     distributed analogue of only opening the probed posting lists."""
     import os
 
-    from tiflash_spark.pipeline.fulltext import _sf_tag, _warehouse_path
+    from tiflash_spark.pipeline.fulltext import (
+        _sf_tag,
+        _sidecar_fresh,
+        _source_stamp,
+        _warehouse_path,
+        _write_source_stamp,
+    )
 
     tag = _sf_tag(sf_dir)
     wh = _warehouse_path(spark)
@@ -378,12 +410,18 @@ def vector_index(
     if wh:
         cloc = os.path.join(wh, f"ivf_cents_{tag}")
         aloc = os.path.join(wh, f"ivf_assign_{tag}")
-        if not (os.path.isdir(cloc) and os.path.isdir(aloc)):
+        stamp = _source_stamp(sf_dir, "embeddings")
+        fresh = _sidecar_fresh(cloc, stamp) and _sidecar_fresh(aloc, stamp)
+        if not (os.path.isdir(cloc) and os.path.isdir(aloc)) or not fresh:
             cents = refine_centroids(e, _centroids(e), iterations=2)
             cents.coalesce(1).write.mode("overwrite").parquet(cloc)
             _assign(e, spark.read.parquet(cloc)).write.mode(
                 "overwrite"
             ).partitionBy("cluster").parquet(aloc)
+            _write_source_stamp(cloc, stamp)
+            _write_source_stamp(aloc, stamp)
+            spark.catalog.refreshByPath(cloc)
+            spark.catalog.refreshByPath(aloc)
         from tiflash_spark.catalog import read_parquet_memo
 
         return read_parquet_memo(spark, cloc), read_parquet_memo(spark, aloc)
@@ -788,16 +826,23 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pass."""
     import os
 
-    from tiflash_spark.pipeline.fulltext import _sf_tag, _warehouse_path
-
-    import json as _json
+    from tiflash_spark.pipeline.fulltext import (
+        _sf_tag,
+        _sidecar_fresh,
+        _source_stamp,
+        _warehouse_path,
+        _write_source_stamp,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
     wh = _warehouse_path(spark)
     if wh:
         sloc = os.path.join(wh, f"quant_scales_{_sf_tag(sf_dir)}")
-        if not os.path.isdir(sloc):
+        stamp = _source_stamp(sf_dir, "embeddings")
+        if not os.path.isdir(sloc) or not _sidecar_fresh(sloc, stamp):
             _quant_scales(e).coalesce(1).write.mode("overwrite").parquet(sloc)
+            _write_source_stamp(sloc, stamp)
+            spark.catalog.refreshByPath(sloc)
         from tiflash_spark.catalog import read_parquet_memo
 
         scales = read_parquet_memo(spark, sloc)
@@ -813,12 +858,12 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The dim-64 literal is ~1.5 kB — index metadata in the plan, exactly
     # like the PQ LUT.
     srow = scales.first()
-    mins = F.expr(
-        "from_json('{}', 'array<double>')".format(_json.dumps(list(srow.mins)))
-    )
-    maxs = F.expr(
-        "from_json('{}', 'array<double>')".format(_json.dumps(list(srow.maxs)))
-    )
+    if srow is None or srow.mins is None or srow.maxs is None:
+        raise ValueError(
+            f"quantization scales unavailable for {sf_dir!r} (empty embeddings?)"
+        )
+    mins = _fold_json_literal(list(srow.mins), "array<double>")
+    maxs = _fold_json_literal(list(srow.maxs), "array<double>")
     # the query ROW folds the same way (r10 session 4): its dequantized /
     # exact arrays and their L2 norms are computed by ONE tiny Spark job
     # over the SAME expression trees (bit-identity by construction — no
@@ -843,10 +888,12 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .first()
     )
-    qv_q = F.expr(
-        "from_json('{}', 'array<double>')".format(_json.dumps(list(qrow.qv_q)))
-    )
-    qv = F.expr("from_json('{}', 'array<double>')".format(_json.dumps(list(qrow.qv))))
+    if qrow is None:
+        raise ValueError(
+            f"query vector vec_id=0 not found in embeddings at {sf_dir!r}"
+        )
+    qv_q = _fold_json_literal(list(qrow.qv_q), "array<double>")
+    qv = _fold_json_literal(list(qrow.qv), "array<double>")
 
     def _cos_prenorm(a: Column, b: Column, b_norm: Column) -> Column:
         # vec_cosine_similarity with the (constant) right-side norm
@@ -1239,12 +1286,24 @@ def pq_index(spark: SparkSession, sf_dir: str):
     import numpy as np
     import pandas as pd
 
-    from tiflash_spark.pipeline.fulltext import _sf_tag, _warehouse_path
+    from tiflash_spark.pipeline.fulltext import (
+        _sf_tag,
+        _sidecar_fresh,
+        _source_stamp,
+        _warehouse_path,
+        _write_source_stamp,
+    )
 
     tag = _sf_tag(sf_dir)
     wh = _warehouse_path(spark)
     bloc = os.path.join(wh, f"pq_books_{tag}.json") if wh else None
-    if bloc and os.path.exists(bloc):
+    cloc = os.path.join(wh, f"pq_codes_{tag}") if wh else None
+    # books and codes share the codes dir's source stamp: a corpus
+    # rewritten in place retrains BOTH (stale codebooks would silently
+    # skew every ADC score)
+    stamp = _source_stamp(sf_dir, "embeddings")
+    fresh = _sidecar_fresh(cloc, stamp)
+    if bloc and os.path.exists(bloc) and fresh:
         # codebooks persisted with the code table: a query session pays
         # one small JSON read, never a retrain (the reference reads its
         # index metadata the same way — built once at write time)
@@ -1284,12 +1343,13 @@ def pq_index(spark: SparkSession, sf_dir: str):
         )
 
     if wh:
-        loc = os.path.join(wh, f"pq_codes_{tag}")
-        if not os.path.isdir(loc):
-            build().write.mode("overwrite").parquet(loc)
+        if not os.path.isdir(cloc) or not fresh:
+            build().write.mode("overwrite").parquet(cloc)
+            _write_source_stamp(cloc, stamp)
+            spark.catalog.refreshByPath(cloc)
         from tiflash_spark.catalog import read_parquet_memo
 
-        return books, read_parquet_memo(spark, loc)
+        return books, read_parquet_memo(spark, cloc)
     return books, build()
 
 
@@ -1307,6 +1367,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(_as_double(F.col("embedding")).alias("qv"))
         .first()
     )
+    if qrow is None:
+        raise ValueError(
+            f"query vector vec_id=0 not found in embeddings at {sf_dir!r}"
+        )
     q = np.array(qrow.qv, dtype=np.float64)
     q /= max(float(np.linalg.norm(q)), 1e-12)
     dsub = len(q) // PQ_M
@@ -1327,12 +1391,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unchanged. (A broadcast one-row LUT table was also measured and
     # loses: the BroadcastNestedLoopJoin costs more at exec than the
     # literal saves at build — total 0.99-1.33 s.) json.dumps round-trips
-    # IEEE doubles exactly, so the folded values are bit-identical.
-    import json as _json
-
-    lut_sql = "from_json('{}', 'array<array<double>>')".format(
-        _json.dumps(lut).replace("'", "''")
-    )
+    # IEEE doubles exactly, so the folded values are bit-identical; the
+    # shared helper also rejects NaN/Inf and quote characters (numeric
+    # JSON has neither — a quote-doubling escape here would be mangled by
+    # Spark's lexer, which concatenates ''-adjacent strings).
+    lut_sql = _fold_json_sql(lut, "array<array<double>>")
     adc = F.expr(
         "aggregate(sequence(0, {M}), cast(0.0 as double),"
         " (acc, m) -> acc + element_at(element_at({LUT}, m + 1),"

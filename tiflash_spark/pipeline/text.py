@@ -190,7 +190,11 @@ def ws_token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw explode is the dominant cost, and each query should pay the
     (pre-aggregated, ~10× smaller) doc-term table instead. tok-bucketing
     makes the vocabulary groupBy and any term join exchange-free."""
-    from tiflash_spark.pipeline.fulltext import _ensure_bucketed, _sf_tag
+    from tiflash_spark.pipeline.fulltext import (
+        _ensure_bucketed,
+        _sf_tag,
+        _source_stamp,
+    )
 
     def build() -> DataFrame:
         d = load_table(spark, sf_dir, "documents")
@@ -200,7 +204,10 @@ def ws_token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         )
 
-    return _ensure_bucketed(spark, f"ws_tokens_{_sf_tag(sf_dir)}", build, "tok", 32)
+    return _ensure_bucketed(
+        spark, f"ws_tokens_{_sf_tag(sf_dir)}", build, "tok", 32,
+        source_stamp=_source_stamp(sf_dir, "documents"),
+    )
 
 
 def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
