@@ -5,6 +5,12 @@ from __future__ import annotations
 
 import pytest
 
+# long replay/property/parity sweep: excluded from the default run
+# (pytest.ini addopts); scripts/full_suite.sh runs everything
+pytestmark = pytest.mark.slow
+
+import pytest
+
 from tiflash_spark.operators.mvcc import HANDLE
 from tiflash_spark.sources.admin_sql import run_sql
 from tiflash_spark.sources.delta_store import DeltaStore

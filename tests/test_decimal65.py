@@ -11,6 +11,12 @@ ddl/alter_decimal_default_value.test, issues/issue_4519.test.
 
 from __future__ import annotations
 
+import pytest
+
+# long replay/property/parity sweep: excluded from the default run
+# (pytest.ini addopts); scripts/full_suite.sh runs everything
+pytestmark = pytest.mark.slow
+
 from decimal import Decimal
 
 import pytest

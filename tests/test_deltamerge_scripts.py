@@ -19,9 +19,14 @@ import pytest
 
 from tiflash_spark.sources.dbgscript import DELTA_MERGE_TESTS, run_script
 
-pytestmark = pytest.mark.skipif(
-    not DELTA_MERGE_TESTS.exists(), reason="reference tree not present"
-)
+# long replay sweep: excluded from the default run (pytest.ini addopts);
+# scripts/full_suite.sh runs everything
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not DELTA_MERGE_TESTS.exists(), reason="reference tree not present"
+    ),
+]
 
 PASSING: list[str] = [
     "example.test",

@@ -23,6 +23,12 @@ gtest case → pytest mapping:
 
 from __future__ import annotations
 
+import pytest
+
+# long replay/property/parity sweep: excluded from the default run
+# (pytest.ini addopts); scripts/full_suite.sh runs everything
+pytestmark = pytest.mark.slow
+
 from tiflash_spark.sources.admin_sql import run_sql
 
 

@@ -9,6 +9,12 @@ from __future__ import annotations
 
 import pytest
 
+# long replay/property/parity sweep: excluded from the default run
+# (pytest.ini addopts); scripts/full_suite.sh runs everything
+pytestmark = pytest.mark.slow
+
+import pytest
+
 from pyspark.sql import Row
 
 from tiflash_spark.operators.mvcc import HANDLE

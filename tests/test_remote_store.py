@@ -6,6 +6,12 @@ Storages/S3/CheckpointManifestS3Set.h, DeltaMerge/Remote/DisaggSnapshot.h)."""
 
 from __future__ import annotations
 
+import pytest
+
+# long replay/property/parity sweep: excluded from the default run
+# (pytest.ini addopts); scripts/full_suite.sh runs everything
+pytestmark = pytest.mark.slow
+
 import os
 
 import pytest

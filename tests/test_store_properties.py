@@ -9,6 +9,12 @@ cover."""
 
 from __future__ import annotations
 
+import pytest
+
+# long replay/property/parity sweep: excluded from the default run
+# (pytest.ini addopts); scripts/full_suite.sh runs everything
+pytestmark = pytest.mark.slow
+
 import itertools
 
 from hypothesis import HealthCheck, given, settings

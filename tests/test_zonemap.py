@@ -8,6 +8,12 @@ file-listing time, and staleness can only cost performance, never rows
 
 from __future__ import annotations
 
+import pytest
+
+# long replay/property/parity sweep: excluded from the default run
+# (pytest.ini addopts); scripts/full_suite.sh runs everything
+pytestmark = pytest.mark.slow
+
 import os
 
 from tiflash_spark.operators.mvcc import HANDLE

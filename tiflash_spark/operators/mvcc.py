@@ -135,7 +135,19 @@ def compact(log: DataFrame, compact_ts: int) -> DataFrame:
 def _synthetic_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic upsert log derived from lineitem so the driver's DuckDB
     oracle can rebuild the identical log in SQL: handle = l_orderkey,
-    version = l_linenumber, delete when l_returnflag = 'R'."""
+    version = l_linenumber, delete when l_returnflag = 'R'.
+
+    The NARROW projection (5 of lineitem's 11 columns — handle, version,
+    delmark and the two tiebreak payloads the winner key needs) is
+    persisted: bitmap mode's two legs (winner aggregate + semi-join back)
+    and the sibling mvcc queries all derive from this one frame, so the
+    parquet is scanned once per session instead of twice per bitmap run
+    (measured r11, 6 interleaved trials: bitmap 6.14 → 5.79 s sum, winner
+    6/6; snapshot wash — it already had one scan). CacheManager keys by
+    analyzed plan → ONE entry per sf_dir shared by all three queries.
+    This caches the driver FIXTURE only; the mode operators
+    (snapshot_read / bitmap_scan) still take any uncached frame, and at
+    100 TB the winner-exchange-narrow story is unchanged."""
     l = load_table(spark, sf_dir, "lineitem")
     return l.select(
         F.col("l_orderkey").alias(HANDLE),
@@ -143,7 +155,7 @@ def _synthetic_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0)).alias(DELMARK),
         F.col("l_partkey").alias("a"),
         F.col("l_extendedprice").alias("b"),
-    )
+    ).persist()
 
 
 def mvcc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,7 +36,14 @@ def word_ngrams(text: Column, n: int = NGRAM_N) -> Column:
     n tokens). Gram strings, not hashes, so the oracle can reproduce them
     verbatim; at scale you'd map to xxhash64(gram) right after this to
     shrink the shuffle/broadcast payload."""
-    toks = tokens(text)
+    return word_ngrams_of(tokens(text), n)
+
+
+def word_ngrams_of(toks: Column, n: int = NGRAM_N) -> Column:
+    """word_ngrams over an ALREADY-tokenized array column — for callers
+    that stage the token array once per corpus pass (curation_pipeline);
+    identical grams by construction since word_ngrams is exactly this
+    over tokens(text)."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -60,6 +67,7 @@ def contaminated_ids(
     id_cols: tuple[str, ...] = ("doc_id", "source"),
     broadcast_limit: int = BROADCAST_GRAM_LIMIT,
     eval_grams_hint: int | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Training docs sharing any word 5-gram with the eval corpus.
 
@@ -72,9 +80,20 @@ def contaminated_ids(
       to a shuffle left-semi instead of OOMing every executor. Pass
       ``eval_grams_hint`` when the benchmark size is known a priori to
       skip the counting job.
+
+    ``tokens_col`` names an already-tokenized array column present on
+    BOTH frames (= tokens(text), e.g. curation_pipeline's staged ``w``):
+    grams then derive from the staged array instead of re-tokenizing the
+    text — identical grams, one less corpus tokenize per side.
     """
+
+    def grams_of(df: DataFrame) -> Column:
+        if tokens_col is not None:
+            return word_ngrams_of(F.col(tokens_col))
+        return word_ngrams(F.col(text_col))
+
     eval_grams = (
-        eval_docs.select(F.explode(word_ngrams(F.col(text_col))).alias("gram"))
+        eval_docs.select(F.explode(grams_of(eval_docs)).alias("gram"))
         .select(F.xxhash64("gram").alias("gram_h"))
         .distinct()
     )
@@ -108,7 +127,7 @@ def contaminated_ids(
             eval_grams = eval_grams.unpersist()
         eval_side = eval_grams
     train_grams = train.select(
-        *id_cols, F.explode(word_ngrams(F.col(text_col))).alias("gram")
+        *id_cols, F.explode(grams_of(train)).alias("gram")
     ).select(*id_cols, F.xxhash64("gram").alias("gram_h"))
     return (
         train_grams.join(eval_side, "gram_h", "left_semi")
@@ -948,7 +967,21 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — the same plan elements each stage showed alone.
 
     Eval set = doc_id % 97 == 0 (the decontaminate fixture); packing uses
-    PACK_CAPACITY-token chunks."""
+    PACK_CAPACITY-token chunks.
+
+    ONE corpus pass (r11): the raw-count branch, the eval-gram side and
+    the quality/keeper frame previously each re-scanned + re-tokenized
+    the corpus (3 scans); now a single cached NARROW frame (doc_id,
+    source, fp, w, n_tok, q, is_eval, is_keeper — no text) feeds every
+    stage. The keeper window runs over all rows with the quality flag
+    folded into the min — min(when(q, doc_id)) over fp ignores the
+    non-quality rows, so is_keeper is row-identical to windowing the
+    filtered frame — and raw/quality/unique counts collapse into one
+    conditional aggregate over the cache (was: two aggregates + a join).
+    Gram explodes on both sides read the staged ``w`` via
+    contaminated_ids(tokens_col=...) instead of re-splitting text.
+    Caching policy unchanged: CacheManager keys by analyzed plan → one
+    entry per sf_dir, reused across calls."""
     from pyspark.sql import Window
 
     from tiflash_spark.pipeline.dedup import fingerprint
@@ -956,15 +989,12 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_frac_of,
         mean_word_len,
         scan_underparallelized,
-        token_count,
         tokens,
         top_word_frac,
         word_grams,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    # ONE corpus pass computes the quality keep-rule inline (calling the
-    # quality_signals query here would re-scan and join on doc_id) …
     par = spark.sparkContext.defaultParallelism
     base = d.select("doc_id", "source", "text")
     if scan_underparallelized(base, par):
@@ -979,8 +1009,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     else:
         base = base.withColumn("fp", fingerprint(F.col("text")))
-    wtok = tokens(F.col("text"))
-    base = base.withColumn("w", wtok)
+    base = base.withColumn("w", tokens(F.col("text")))
     n = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
         F.size(F.col("w"))
     )
@@ -989,52 +1018,59 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # column staging): the signals are filter-only — the AND chain
     # short-circuits the expensive twf/gram work for rows that fail the
     # cheap length windows, and staging them as always-computed columns
-    # measured SLOWER (1.63 s → 1.82 s end-to-end at sf0.1)
+    # measured SLOWER (1.63 s → 1.82 s end-to-end at sf0.1). Staging the
+    # single BOOLEAN q is different: it is evaluated once per row either
+    # way (it was a filter before), and the short-circuit still runs
+    # inside the expression.
     keep = (
         (n >= 10) & (n <= 100_000)
         & (mwl >= 3) & (mwl <= 10)
         & (top_word_frac(F.col("w")) <= 0.2)
         & (dup_frac_of(word_grams(F.col("w"), 3)) <= 0.2)
     )
-    quality = base.where(keep & (F.col("doc_id") % 97 != 0)).select(
-        "doc_id", "source", "text", "fp"
+    is_eval = F.col("doc_id") % 97 == 0
+    staged = base.select(
+        "doc_id",
+        "source",
+        "fp",
+        "w",
+        n.cast("long").alias("n_tok"),
+        (keep & ~is_eval).alias("q"),
+        is_eval.alias("is_eval"),
     )
-    # … the exact-dedup keeper is a window min over the fingerprint (no
-    # self-join), and the quality/keeper frame is cached so the per-stage
-    # count branches don't re-run the corpus pass (measured 5.4 s → ~2 s).
-    # NOT a per-call leak: Spark's CacheManager keys cached relations by
-    # analyzed-plan equality, so repeated calls map to ONE cached entry
-    # per sf_dir and later calls REUSE its blocks (measured: 1 persistent
-    # RDD after 4 calls; forcing unpersist-per-call recomputed the corpus
-    # pass every time and doubled the steady-state runtime, 1.6 s → 3.3 s
-    # at sf0.1)
-    qf = quality.withColumn(
+    # min(when(q, doc_id)) ignores NULLs, so the keeper pick sees only
+    # quality non-eval rows — identical to the old filtered window; the
+    # cached frame is NARROW (no text) and one per sf_dir (measured r10:
+    # forcing unpersist-per-call doubled steady-state runtime)
+    qf = staged.withColumn(
         "is_keeper",
-        F.col("doc_id")
-        == F.min("doc_id").over(Window.partitionBy("fp")),
+        F.col("q")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("q"), F.col("doc_id"))).over(
+                Window.partitionBy("fp")
+            )
+        ),
     ).persist()
-    unique = qf.where(F.col("is_keeper")).select("doc_id", "source", "text")
-    eval_docs = d.where(F.col("doc_id") % 97 == 0)
-    dirty = contaminated_ids(unique, eval_docs).select("doc_id")
+    unique = qf.where(F.col("is_keeper"))
+    eval_docs = qf.where(F.col("is_eval"))
+    dirty = contaminated_ids(unique, eval_docs, tokens_col="w").select("doc_id")
     clean = unique.join(dirty, "doc_id", "left_anti")
 
     w = Window.partitionBy("source").orderBy("doc_id")
     placed = clean.select(
-        "doc_id", "source", token_count(F.col("text")).alias("n_tok")
-    ).select(
         "source",
         "n_tok",
         F.floor(
             (F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_CAPACITY
         ).cast("long").alias("chunk_id"),
     )
-    raw_counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_raw"))
-    # quality and unique counts come out of ONE conditional aggregate —
-    # a separate filtered branch would re-reference the whole cached
-    # subtree a fourth time and pay its analysis + an extra join in a
-    # plan whose construction time is already ~40% of the query
-    qu_counts = qf.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_quality"),
+    # raw, quality and unique counts all come out of ONE conditional
+    # aggregate over the cache — the raw-count corpus scan and the extra
+    # join are gone with them
+    counts = qf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.count(F.when(F.col("q"), 1)).cast("long").alias("n_quality"),
         F.count(F.when(F.col("is_keeper"), 1)).cast("long").alias("n_unique"),
     )
     packed = placed.groupBy("source").agg(
@@ -1043,8 +1079,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("chunk_id") + 1).cast("long").alias("n_chunks"),
     )
     return (
-        raw_counts.join(qu_counts, "source", "left")
-        .join(packed, "source", "left")
+        counts.join(packed, "source", "left")
         .select(
             "source",
             "n_raw",

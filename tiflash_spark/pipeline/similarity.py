@@ -71,6 +71,40 @@ def _query_vector(spark: SparkSession, sf_dir: str):
     )
 
 
+def _query_literals(spark: SparkSession, sf_dir: str) -> tuple[list[float], float]:
+    """The query row fetched ONCE driver-side — (vector values, L2 norm)
+    — by one tiny pushed-filter job over the SAME expression trees the
+    crossJoin form evaluated (vec_l2_norm over the double-cast embedding:
+    bit-identity by construction, no arithmetic re-implemented in
+    Python). Callers fold the vector back in as a from_json literal and
+    the norm as F.lit — removing the per-build broadcast job and the
+    BroadcastNestedLoopJoin the 1-row crossJoin planned (the r10
+    quantized-ANN cure, applied to the IVF family in r11)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = _as_double(F.col("embedding"))
+    qrow = (
+        e.filter(F.col("vec_id") == 0)
+        .select(emb.alias("qv"), vec_l2_norm(emb).alias("qn"))
+        .first()
+    )
+    if qrow is None:
+        raise ValueError(
+            f"query vector vec_id=0 not found in embeddings at {sf_dir!r}"
+        )
+    return list(qrow.qv), float(qrow.qn)
+
+
+def _cos_prenorm(a: Column, b: Column, b_norm: Column) -> Column:
+    """vec_cosine_similarity with the (constant) right-side norm
+    pre-folded: same ops in the same order — sqrt(Σa²)·qn, dot/denom —
+    so the per-row plan stops re-folding the query's 64-element norm."""
+    denom = vec_l2_norm(a) * b_norm
+    return F.when(
+        F.size(a) == F.size(b),
+        F.when(denom != 0, vec_inner_product(a, b) / denom),
+    )
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k vs the vec_id=0 query (self excluded).
 
@@ -436,13 +470,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is the n-probe lookup (N_PROBE/N_CENTROIDS of the corpus at
     file-listing level), not the index build.
     tests/test_similarity.py measures recall vs brute force and pins the
-    partition pruning."""
+    partition pruning.
+
+    r11: the query row rides as folded literals (_query_literals) — the
+    per-build chain was broadcast-build job + centroid-probe collect +
+    a SECOND broadcast build for the scoring crossJoin (the anti-scaling
+    driver work the r10 verdict flagged, 8c/32c ratio 0.56); now it is
+    one pushed-filter first() + the 16-row probe collect, and the main
+    query is a single pruned scan → project → TakeOrdered with the
+    query norm pre-folded (no per-row re-fold of a constant)."""
     cents, assigned = vector_index(spark, sf_dir)
-    q = _query_vector(spark, sf_dir)
+    qv_list, qn = _query_literals(spark, sf_dir)
+    qv = _fold_json_literal(qv_list, "array<double>")
+    # probe selection stays a Spark job over the 16-row centroid table —
+    # the same vec_l2_distance expression as before, against the literal
     probe_ids = [
         r.cid
-        for r in cents.crossJoin(F.broadcast(q))
-        .withColumn("qdist", vec_l2_distance(F.col("cvec"), F.col("qv")))
+        for r in cents.withColumn("qdist", vec_l2_distance(F.col("cvec"), qv))
         .orderBy(F.col("qdist").asc(), F.col("cid").asc())
         .limit(N_PROBE)
         .select("cid")
@@ -452,12 +496,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").isin(probe_ids) & (F.col("vec_id") != 0)
     )
     return (
-        cands.crossJoin(F.broadcast(q))
-        .select(
+        cands.select(
             "vec_id",
             "label",
             F.round(
-                vec_cosine_similarity(_as_double(F.col("embedding")), F.col("qv")), 6
+                _cos_prenorm(_as_double(F.col("embedding")), qv, F.lit(qn)), 6
             ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
@@ -743,21 +786,20 @@ def ann_ivf_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB coarse-step cost model. tests/test_similarity.py pins
     that the walk recovers the exact probe set on this corpus."""
     cents, assigned = vector_index(spark, sf_dir)
-    q = _query_vector(spark, sf_dir)
-    qv = list(q.collect()[0].qv)
+    qv_list, qn = _query_literals(spark, sf_dir)
     cent_vecs = {int(r.cid): list(r.cvec) for r in cents.collect()}
     graph = centroid_graph(spark, sf_dir, cents)
-    probe_ids = graph_probe(graph, cent_vecs, qv, N_PROBE)
+    probe_ids = graph_probe(graph, cent_vecs, qv_list, N_PROBE)
     cands = assigned.where(
         F.col("cluster").isin(probe_ids) & (F.col("vec_id") != 0)
     )
+    qv = _fold_json_literal(qv_list, "array<double>")
     return (
-        cands.crossJoin(F.broadcast(q))
-        .select(
+        cands.select(
             "vec_id",
             "label",
             F.round(
-                vec_cosine_similarity(_as_double(F.col("embedding")), F.col("qv")), 6
+                _cos_prenorm(_as_double(F.col("embedding")), qv, F.lit(qn)), 6
             ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
@@ -895,15 +937,8 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv_q = _fold_json_literal(list(qrow.qv_q), "array<double>")
     qv = _fold_json_literal(list(qrow.qv), "array<double>")
 
-    def _cos_prenorm(a: Column, b: Column, b_norm: Column) -> Column:
-        # vec_cosine_similarity with the (constant) right-side norm
-        # pre-folded: same ops in the same order — sqrt(Σa²)·qn, dot/denom
-        denom = vec_l2_norm(a) * b_norm
-        return F.when(
-            F.size(a) == F.size(b),
-            F.when(denom != 0, vec_inner_product(a, b) / denom),
-        )
-
+    # scoring via the module-level _cos_prenorm (vec_cosine_similarity
+    # with the constant right-side norm pre-folded, same ops same order)
     scored = e.filter(F.col("vec_id") != 0).select(
         "vec_id",
         "label",
@@ -991,11 +1026,11 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses clusters), so rows-only in the driver gate; recall vs the exact
     pre-filter tier is measured in tests/test_similarity.py."""
     cents, assigned = vector_index(spark, sf_dir)
-    q = _query_vector(spark, sf_dir)
+    qv_list, qn = _query_literals(spark, sf_dir)
+    qv = _fold_json_literal(qv_list, "array<double>")
     probe_ids = [
         r.cid
-        for r in cents.crossJoin(F.broadcast(q))
-        .withColumn("qdist", vec_l2_distance(F.col("cvec"), F.col("qv")))
+        for r in cents.withColumn("qdist", vec_l2_distance(F.col("cvec"), qv))
         .orderBy(F.col("qdist").asc(), F.col("cid").asc())
         .limit(N_PROBE)
         .select("cid")
@@ -1003,12 +1038,11 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     cands = (
         assigned.where(F.col("cluster").isin(probe_ids) & (F.col("vec_id") != 0))
-        .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             "label",
             F.round(
-                vec_cosine_similarity(_as_double(F.col("embedding")), F.col("qv")), 6
+                _cos_prenorm(_as_double(F.col("embedding")), qv, F.lit(qn)), 6
             ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
