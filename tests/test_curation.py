@@ -360,3 +360,47 @@ def test_staged_signals_match_naive_helper_composition(spark):
         )
     )
     assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, staged.collect()))
+
+
+def test_boilerplate_arithmetic_digest_matches_reassembly(spark):
+    """boilerplate_lines' clean_chars is computed arithmetically
+    (Σ kept line lengths + (n_kept − 1) separators) instead of
+    LENGTH(array_join(...)): pin the identity per document against the
+    reassembling _dedup_lines path on the real corpus."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMALL
+    from tiflash_spark.pipeline.curation import _dedup_lines, line_table
+
+    lines = line_table(spark, SF_SMALL)
+    reassembled = {
+        (r.doc_id, r.source): (r.n_lines, r.n_kept, len(r.clean_text))
+        for r in _dedup_lines(lines).collect()
+    }
+    from tiflash_spark.pipeline.curation import BOILER_DF
+
+    common = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILER_DF)
+        .select("line", F.lit(True).alias("_b"))
+    )
+    arith = (
+        lines.join(common, "line", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.count(F.when(F.col("_b").isNull(), 1)).cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("_b").isNull(), F.length("line"))).alias("kl"),
+        )
+        .select(
+            "doc_id", "source", "n_lines", "n_kept",
+            F.when(F.col("n_kept") > 0, F.col("kl") + F.col("n_kept") - 1)
+            .otherwise(F.lit(0)).alias("clean_len"),
+        )
+    )
+    got = {
+        (r.doc_id, r.source): (r.n_lines, r.n_kept, r.clean_len)
+        for r in arith.collect()
+    }
+    assert got == reassembled

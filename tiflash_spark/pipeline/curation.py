@@ -1277,10 +1277,47 @@ def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver query: per-source boilerplate-removal report with a strong
     content digest (total clean-text length) so the oracle pins the
     reassembled text, not just the counts. Reads the persisted line
-    table — one corpus Generate at build time, zero per query."""
-    out = _dedup_lines(line_table(spark, sf_dir))
+    table — one corpus Generate at build time, zero per query.
+
+    The report consumes only LENGTH(clean_text), never the text — and
+    LENGTH(array_join(kept, ' ')) ≡ Σ len(line) + (n_kept − 1)
+    separators, so the digest is computed ARITHMETICALLY from per-line
+    lengths (r11): the per-doc exchange carries (kept flag, length int)
+    instead of every line string, and the collect_list + array_sort +
+    array_join per doc disappears. Value-identical by the join identity
+    above (order never affects a sum of lengths); pinned per-doc against
+    the reassembling _dedup_lines in tests/test_curation.py, and
+    remove_boilerplate_lines keeps returning the real clean_text for
+    consumers that need it. Measured (8 interleaved trials at sf0.1):
+    9.23 → 8.21 s sum, winner 7/8."""
+    lines = line_table(spark, sf_dir)
+    common = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("df_docs"))
+        .filter(F.col("df_docs") >= BOILER_DF)
+        .select("line", F.lit(True).alias("_boiler"))
+    )
+    flagged = lines.join(common, "line", "left").select(
+        "doc_id",
+        "source",
+        F.col("_boiler").isNull().alias("_kept"),
+        F.length("line").alias("_len"),
+    )
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.count(F.when(F.col("_kept"), 1)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("_kept"), F.col("_len"))).alias("_kept_len"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_lines",
+        "n_kept",
+        F.when(F.col("n_kept") > 0, F.col("_kept_len") + F.col("n_kept") - 1)
+        .otherwise(F.lit(0))
+        .alias("clean_len"),
+    )
     return (
-        out.groupBy("source")
+        per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_lines").cast("long").alias("total_lines"),
@@ -1288,7 +1325,7 @@ def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.avg(1.0 - F.col("n_kept") / F.col("n_lines")), 4
             ).alias("avg_drop_frac"),
-            F.sum(F.length("clean_text")).cast("long").alias("clean_chars"),
+            F.sum("clean_len").cast("long").alias("clean_chars"),
         )
         .orderBy("source")
     )

@@ -662,7 +662,9 @@ ORACLE["dedup_embedding_cosine"] = DEDUP_EMBEDDING_COSINE_SQL
 # --- incremental dedup (new batch vs historical corpus) ---------------------
 
 
-def incremental_dedup(new_docs: DataFrame, history_fps: DataFrame) -> DataFrame:
+def incremental_dedup(
+    new_docs: DataFrame, history_fps: DataFrame, fp_col: str | None = None
+) -> DataFrame:
     """Fold a NEW ingest batch against an already-deduped historical
     corpus: (1) in-batch exact dedup keeps min(doc_id) per fingerprint,
     (2) a left-anti join against the history fingerprint table drops docs
@@ -670,14 +672,31 @@ def incremental_dedup(new_docs: DataFrame, history_fps: DataFrame) -> DataFrame:
     pairs — at 100 TB the history side is a bucketed fingerprint table
     and Spark's runtime bloom filter (session.py) prefilters the batch
     before the shuffle; the batch side is micro-batch-sized by
-    construction."""
-    w_batch = new_docs.select(
-        "doc_id", "source", fingerprint(F.col("text")).alias("fp")
+    construction.
+
+    The in-batch keeper is a window min over fp (r11) — ONE exchange —
+    instead of the groupBy(fp)+join-back, which paid the same fp shuffle
+    for the aggregate AND a second join of the batch against it
+    (row-identical: both keep exactly min(doc_id) per fp; the r10
+    q2_min_cost_supplier lesson). ``fp_col`` names an existing
+    fingerprint column when the caller already staged it (so the driver
+    query's cached batch frame isn't re-fingerprinted)."""
+    from pyspark.sql import Window
+
+    if fp_col is None:
+        w_batch = new_docs.select(
+            "doc_id", "source", fingerprint(F.col("text")).alias("fp")
+        )
+    else:
+        w_batch = new_docs.select("doc_id", "source", F.col(fp_col).alias("fp"))
+    in_batch = (
+        w_batch.withColumn(
+            "_keep",
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("fp")),
+        )
+        .where(F.col("_keep"))
+        .select("doc_id", "source", "fp")
     )
-    keeper = w_batch.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
-    in_batch = w_batch.join(keeper, "fp").where(
-        F.col("doc_id") == F.col("keep_id")
-    ).select("doc_id", "source", "fp")
     return in_batch.join(history_fps, "fp", "left_anti")
 
 
@@ -691,8 +710,17 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     history_fps = history.select(
         fingerprint(F.col("text")).alias("fp")
     ).distinct()
-    kept = incremental_dedup(batch, history_fps)
-    batch_counts = batch.groupBy("source").agg(
+    # staged narrow batch frame (doc_id, source, fp): fingerprints are
+    # computed once and both the keeper window and the per-source batch
+    # counts read the cache — one batch scan instead of two (measured
+    # r11 with the operator's window keeper, 8 interleaved trials: 6.24 →
+    # 5.41 s sum, winner 8/8; rows identical, oracle green). One
+    # CacheManager entry per sf_dir, the accepted in-query pattern.
+    w_batch = batch.select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("fp")
+    ).persist()
+    kept = incremental_dedup(w_batch, history_fps, fp_col="fp")
+    batch_counts = w_batch.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_batch")
     )
     kept_counts = kept.groupBy("source").agg(
