@@ -794,21 +794,48 @@ def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("quota_tokens"),
     )
+    # The offsets (|sources|·MIX_BUCKETS rows) and quotas (|sources|
+    # rows) are tiny derived tables that were re-broadcast per run (two
+    # broadcast builds + the budget job each execution). They are now
+    # collected ONCE per process — via the SAME Spark expression trees,
+    # so every value is bit-identical by construction — keyed to
+    # documents.parquet's (mtime, size) like every plan literal, and
+    # folded back in as map literals: the per-row lookups replace both
+    # broadcast joins (the joins were total — every (source, bucket) in
+    # docs appears in bt by construction — so row identity is untouched).
+    import os as _os2
+
+    from tiflash_spark.catalog import literal_memo
+    from tiflash_spark.pipeline.similarity import _fold_json_literal
+
+    def _fetch_mix_literals():
+        return (
+            {f"{r.source}|{r.bucket}": int(r.off) for r in offs.collect()},
+            {r.source: int(r.quota_tokens) for r in quota.collect()},
+        )
+
+    off_map, quota_map = literal_memo(
+        _os2.path.join(sf_dir, "documents.parquet"),
+        "mix_offs_quota",
+        _fetch_mix_literals,
+    )
+    off_c = F.element_at(
+        _fold_json_literal(off_map, "map<string,bigint>"),
+        F.concat_ws("|", F.col("source"), F.col("bucket")),
+    )
+    quota_c = F.element_at(
+        _fold_json_literal(quota_map, "map<string,bigint>"), F.col("source")
+    )
     wcum = (
         Window.partitionBy("source", "bucket")
         .orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    placed = (
-        docs.join(F.broadcast(offs), ["source", "bucket"])
-        .join(F.broadcast(quota), "source")
-        .select(
-            "source",
-            "n_tok",
-            "quota_tokens",
-            "tok_s",
-            (F.col("off") + F.sum("n_tok").over(wcum)).alias("cum"),
-        )
+    placed = docs.select(
+        "source",
+        "n_tok",
+        quota_c.alias("quota_tokens"),
+        (off_c + F.sum("n_tok").over(wcum)).alias("cum"),
     )
     kept = placed.filter(F.col("cum") - F.col("n_tok") < F.col("quota_tokens"))
     return (
@@ -889,6 +916,7 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiflash_spark.pipeline.text import (
         dup_frac_of,
         mean_word_len,
+        prepared,
         tokens,
         top_word_frac,
         word_grams,
@@ -897,33 +925,48 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").withColumn(
         "w", tokens(F.col("text"))
     )
-    w = F.col("w")
-    n = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(F.size(w))
+
     # signals staged into columns first (the quality_signals staging
     # note): the keep rule then reads cheap attributes, so each gram
-    # array / fold is built once per row instead of once per mention
-    sig = d.select(
-        "source",
-        "lang",
-        F.md5(F.trim(F.col("text"))).alias("fp"),
-        n.alias("_n"),
-        mean_word_len(w).alias("_mwl"),
-        top_word_frac(w).alias("_twf"),
-        word_grams(w, 3).alias("_g3"),
+    # array / fold is built once per row instead of once per mention.
+    # The whole projection is CONSTANT — prepared() once per JVM (the
+    # deep HOF trees cost ~0.25 s of py4j per build, guide §5).
+    def _build_sig_cols():
+        w = F.col("w")
+        n = F.when(
+            F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+        ).otherwise(F.size(w))
+        sig_cols = (
+            F.md5(F.trim(F.col("text"))).alias("fp"),
+            n.alias("_n"),
+            mean_word_len(w).alias("_mwl"),
+            top_word_frac(w).alias("_twf"),
+            word_grams(w, 3).alias("_g3"),
+        )
+        keep = (
+            (F.col("_n") >= 10) & (F.col("_n") <= 100_000)
+            & (F.col("_mwl") >= 3) & (F.col("_mwl") <= 10)
+            & (F.col("_twf") <= 0.2)
+            & (dup_frac_of(F.col("_g3")) <= 0.2)
+        )
+        return sig_cols + (
+            F.col("_n").cast("long").alias("n_tok"),
+            keep.cast("int").alias("keep"),
+        )
+
+    *sig_cols, n_tok_c, keep_c = prepared(
+        ("dataset_card", "sig_cols"), _build_sig_cols
     )
-    keep = (
-        (F.col("_n") >= 10) & (F.col("_n") <= 100_000)
-        & (F.col("_mwl") >= 3) & (F.col("_mwl") <= 10)
-        & (F.col("_twf") <= 0.2)
-        & (dup_frac_of(F.col("_g3")) <= 0.2)
-    )
-    per_doc = sig.select(
-        "source",
-        "lang",
-        "fp",
-        F.col("_n").cast("long").alias("n_tok"),
-        keep.cast("int").alias("keep"),
-    )
+    sig = d.select("source", "lang", *sig_cols)
+    # the 5-column NARROW proxy (source, lang, fp, n_tok, keep) is
+    # persisted — the mix_token_budget pattern: the corpus-pass signal
+    # expressions (the dominant cost after staging, r10 audit) compute
+    # once per session and every rollup run reads ~5 k narrow cached
+    # rows. One CacheManager entry per sf_dir, the accepted in-query
+    # persist; results still compute from the parquet input. (Persisting
+    # WIDE array columns measured a wash — see OPTIMIZATION_r11.md
+    # rejections — it is the narrowness that pays here.)
+    per_doc = sig.select("source", "lang", "fp", n_tok_c, keep_c).persist()
     return (
         per_doc.rollup("source", "lang")
         .agg(
