@@ -404,3 +404,21 @@ def test_boilerplate_arithmetic_digest_matches_reassembly(spark):
         for r in arith.collect()
     }
     assert got == reassembled
+
+
+def test_curation_pipeline_plan_shape(spark):
+    """The r11 composition pin: one corpus exchange (fp), one packing
+    window exchange, the dirty-gram distinct, the eval-gram distinct,
+    one final-aggregate pair and the output sort — bounded so a future
+    edit cannot quietly re-introduce the per-stage re-aggregation /
+    join-back shape (was 8+ distinct exchanges and 4 broadcasts)."""
+    from tiflash_spark.pipeline.curation import curation_pipeline
+    from tiflash_spark.plans.explain import count_operator, exchange_count
+
+    df = curation_pipeline(spark, "/root/testdata/sf0.001")
+    assert exchange_count(df) <= 7
+    # the counts⋈packed join-back is gone: the only joins left are the
+    # contamination flag join and the gram semi-join
+    assert count_operator(df, "BroadcastHashJoin") <= 2
+    rows = df.collect()
+    assert rows and all(r.n_raw >= r.n_quality >= r.n_unique >= r.n_clean for r in rows)
