@@ -655,31 +655,41 @@ def scalar_stragglers(spark: SparkSession, sf_dir: str) -> DataFrame:
         mysql_to_seconds,
     )
 
+    from tiflash_spark.pipeline.text import prepared
+
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
-    d = F.col("o_orderdate")
-    k = F.col("o_orderkey")
-    # deterministic sub-second timestamp: date + per-key microseconds
-    us = F.unix_micros(d.cast("timestamp")) + k * 123457 % 1000000
-    synth_ts = F.timestamp_micros(us)
-    locale = (
-        F.when(k % 3 == 0, "ISO").when(k % 3 == 1, "USA").otherwise("NOPE")
-    )
-    dur_ns = (k * 37).cast("long") * 1_000_000_000
+
+    # the whole scalar battery is a CONSTANT expression list (each
+    # mysql_* helper expands to a sizeable tree) — prepared() once per
+    # JVM (guide §5 driver work)
+    def _build_cols():
+        d = F.col("o_orderdate")
+        k = F.col("o_orderkey")
+        # deterministic sub-second timestamp: date + per-key microseconds
+        us = F.unix_micros(d.cast("timestamp")) + k * 123457 % 1000000
+        synth_ts = F.timestamp_micros(us)
+        locale = (
+            F.when(k % 3 == 0, "ISO").when(k % 3 == 1, "USA").otherwise("NOPE")
+        )
+        dur_ns = (k * 37).cast("long") * 1_000_000_000
+        return (
+            mysql_to_days(d).alias("td"),
+            mysql_from_days(mysql_to_days(d) - 100).cast("timestamp").alias("fd_ts"),
+            mysql_to_seconds(synth_ts).alias("tsec"),
+            mysql_microsecond(synth_ts).alias("micro"),
+            F.round(mysql_truncate(F.col("o_totalprice"), 1), 1).alias("trunc1"),
+            mysql_truncate(-F.col("o_totalprice"), -2).alias("trunc_neg2"),
+            logical_xor(k % 2, F.col("o_custkey") % 3).alias("xor_f"),
+            is_true(F.col("o_custkey") % 3).alias("is_t"),
+            is_false(F.nullif(k % 2, F.lit(1)), with_null=True).alias("is_f_n"),
+            mysql_shiftleft(k, 62).cast("string").alias("shl62"),
+            mysql_shiftright(-k, 3).cast("string").alias("shr3_neg"),
+            mysql_get_format("DATE", locale).alias("fmt"),
+            extract_duration("HOUR_MINUTE", dur_ns).alias("dur_hm"),
+        )
+
     return o.select(
-        "o_orderkey",
-        mysql_to_days(d).alias("td"),
-        mysql_from_days(mysql_to_days(d) - 100).cast("timestamp").alias("fd_ts"),
-        mysql_to_seconds(synth_ts).alias("tsec"),
-        mysql_microsecond(synth_ts).alias("micro"),
-        F.round(mysql_truncate(F.col("o_totalprice"), 1), 1).alias("trunc1"),
-        mysql_truncate(-F.col("o_totalprice"), -2).alias("trunc_neg2"),
-        logical_xor(k % 2, F.col("o_custkey") % 3).alias("xor_f"),
-        is_true(F.col("o_custkey") % 3).alias("is_t"),
-        is_false(F.nullif(k % 2, F.lit(1)), with_null=True).alias("is_f_n"),
-        mysql_shiftleft(k, 62).cast("string").alias("shl62"),
-        mysql_shiftright(-k, 3).cast("string").alias("shr3_neg"),
-        mysql_get_format("DATE", locale).alias("fmt"),
-        extract_duration("HOUR_MINUTE", dur_ns).alias("dur_hm"),
+        "o_orderkey", *prepared(("scalar_stragglers", "cols"), _build_cols)
     )
 
 

@@ -297,6 +297,11 @@ def tpcds_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     price_c = _cents("l_extendedprice")
     disc_c = _cents("l_discount")  # discount in 1e-2 units (0.07 -> 7)
     zero = F.lit(0).cast("long")
+    # persisted (r11): BOTH channels consume these narrow legs — the
+    # one-month shipdate window keeps the frame tiny (~1/80 of lineitem,
+    # 6 integer columns), so the cache turns two full lineitem scans per
+    # run into one per session (the dataset_card narrow-proxy pattern;
+    # one CacheManager entry per sf_dir).
     legs = li.select(
         "l_orderkey",
         "l_suppkey",
@@ -304,7 +309,7 @@ def tpcds_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(~is_ret, price_c * (100 - disc_c)).otherwise(zero).alias("profit_e4"),
         F.when(is_ret, price_c * 100).otherwise(zero).alias("return_e4"),
         F.when(is_ret, price_c * disc_c).otherwise(zero).alias("loss_e4"),
-    )
+    ).persist()
 
     def channel(joined: DataFrame, key: str, label: str, prefix: str) -> DataFrame:
         return (

@@ -477,21 +477,28 @@ def quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     if scan_underparallelized(d, par):
         d = d.repartition(par)
     d = d.withColumn("w", tokens(F.col("text")))
-    w = F.col("w")
-    n = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(F.size(w))
+
     # stage the expensive per-doc arrays/folds into COLUMNS, then derive
     # the fractions and the keep rule from cheap attribute references:
     # codegen subexpression elimination does not share subtrees inside
     # conditional branches, so the flat form rebuilt each gram array ~3×
-    # per row (the dup_gram_frac note; same staging as text_analysis)
+    # per row (the dup_gram_frac note; same staging as text_analysis).
+    # The staged projection is CONSTANT → prepared() per JVM (guide §5).
+    def _build_sig_cols():
+        w = F.col("w")
+        n = F.when(
+            F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+        ).otherwise(F.size(w))
+        return (
+            n.alias("_n"),
+            top_word_frac(w).alias("_twf"),
+            word_grams(w, 2).alias("_g2"),
+            word_grams(w, 3).alias("_g3"),
+            mean_word_len(w).alias("_mwl"),
+        )
+
     sig = d.select(
-        "doc_id",
-        "source",
-        n.alias("_n"),
-        top_word_frac(w).alias("_twf"),
-        word_grams(w, 2).alias("_g2"),
-        word_grams(w, 3).alias("_g3"),
-        mean_word_len(w).alias("_mwl"),
+        "doc_id", "source", *prepared(("quality_signals", "sig_cols"), _build_sig_cols)
     ).select(
         "doc_id",
         "source",
@@ -843,27 +850,36 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     if scan_underparallelized(d, par):
         d = d.repartition(par)
     d = d.withColumn("w", tokens(F.lower(F.col("text"))))
-    w = F.col("w")
-    dl = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(F.size(w))
-    acc = None
-    for term, wt in QUALITY_MODEL_WEIGHTS:
-        tf = F.size(F.filter(w, lambda x: x == F.lit(term)))
-        contrib = F.lit(float(wt)) * tf
-        acc = contrib if acc is None else acc + contrib
-    logit = F.round(
-        F.lit(float(QUALITY_MODEL_BIAS))
-        + acc / F.greatest(dl, F.lit(1)).cast("double"),
-        6,
+
+    # the model is a CONSTANT expression tree (one filter-lambda per
+    # weight — dozens of py4j calls); prepared() once per JVM (guide §5)
+    def _build_model_cols():
+        w = F.col("w")
+        dl = F.when(
+            F.length(F.trim(F.col("text"))) == 0, F.lit(0)
+        ).otherwise(F.size(w))
+        acc = None
+        for term, wt in QUALITY_MODEL_WEIGHTS:
+            tf = F.size(F.filter(w, lambda x: x == F.lit(term)))
+            contrib = F.lit(float(wt)) * tf
+            acc = contrib if acc is None else acc + contrib
+        logit = F.round(
+            F.lit(float(QUALITY_MODEL_BIAS))
+            + acc / F.greatest(dl, F.lit(1)).cast("double"),
+            6,
+        )
+        score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+        return (
+            dl.alias("n_tokens"),
+            logit.alias("logit"),
+            score.alias("score"),
+            (logit >= 0).alias("keep"),
+        )
+
+    dl_c, logit_c, score_c, keep_c = prepared(
+        ("quality_model_score", "model_cols"), _build_model_cols
     )
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
-    return d.select(
-        "doc_id",
-        "source",
-        dl.alias("n_tokens"),
-        logit.alias("logit"),
-        score.alias("score"),
-        (logit >= 0).alias("keep"),
-    )
+    return d.select("doc_id", "source", dl_c, logit_c, score_c, keep_c)
 
 
 def _qm_sql_terms() -> str:
