@@ -42,16 +42,21 @@ SHOW = [
     ("lm_perplexity",
      "unigram-LM scoring: bounded vocab broadcast + one doc_id shuffle; vocab normalizer via single-partition window (r10)"),
     ("curation_pipeline",
-     "quality -> dedup -> decontaminate -> pack composed in one query"),
+     "quality -> dedup -> decontaminate -> pack in one query; ONE cached "
+     "narrow corpus frame, contamination flag join + single report "
+     "aggregate (r11)"),
     ("vocab_topk",
      "persisted tok-bucketed doc-term table: bucket-local agg, zero shuffles"),
     ("boilerplate_lines",
-     "persisted line-bucketed table: bucket-local df agg + broadcast flag "
-     "join + one doc agg — zero corpus Generates per query"),
+     "persisted line-bucketed table: ONE scan — df_docs via bucket-local "
+     "dense_rank windows (r11; was agg + flag join-back), arithmetic "
+     "length digest, one doc agg"),
     ("hybrid_search_rrf",
-     "BM25 index lookup + vector topk fused by reciprocal-rank"),
+     "BM25 index lookup + vector topk (query row folded, r11) fused by "
+     "reciprocal-rank"),
     ("ann_filtered_topk",
-     "filtered ANN: predicate pushed to scan, broadcast query, TakeOrdered"),
+     "filtered ANN: predicate pushed to scan, query row as folded literal "
+     "(r11; no broadcast at all), TakeOrdered"),
     ("mvcc_bitmap_scan",
      "bitmap read mode: narrow winner agg + semi join (no window sort)"),
     ("events_time_range_window",
@@ -68,14 +73,15 @@ SHOW = [
      "seeded training-order shuffle: one shard exchange + per-shard sort, "
      "no global sort"),
     ("mix_token_budget",
-     "exact token-budget mixing: two-level prefix sum (bucket offsets + "
-     "within-bucket windows); cached narrow proxy rows, one tokenize (r10)"),
+     "exact token-budget mixing: two-level prefix sum; offsets/quotas as "
+     "folded map literals (r11; was two broadcast joins), cached narrow "
+     "proxy rows, one tokenize"),
     ("multimodal_phash",
      "pHash near-dup: ONE cached mapInPandas signature pass (r10; was 4 "
      "decode passes) + DISTINCT-signature band join (never row-level banding)"),
     ("dataset_card",
-     "dataset report card: one tokenize + ROLLUP Expand aggregate, "
-     "distinct-fp rides the same shuffle"),
+     "dataset report card: ROLLUP Expand aggregate over the cached narrow "
+     "proxy (r11); distinct-fp rides the same shuffle"),
     ("scalar_stragglers",
      "live-map straggler fns: one pushed scan, pure codegen project"),
     ("doc_chunks",

@@ -839,8 +839,13 @@ def mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tiflash_spark.pipeline.similarity import _fold_json_literal
 
     def _fetch_mix_literals():
+        off_rows = offs.collect()
+        if any("|" in r.source for r in off_rows):
+            raise ValueError(
+                "source names may not contain '|' (mix offset map key separator)"
+            )
         return (
-            {f"{r.source}|{r.bucket}": int(r.off) for r in offs.collect()},
+            {f"{r.source}|{r.bucket}": int(r.off) for r in off_rows},
             {r.source: int(r.quota_tokens) for r in quota.collect()},
         )
 
